@@ -1,0 +1,443 @@
+"""Distributed cofactor ("triple") aggregation — the engine's central operator.
+
+Spark-first re-expression of the reference's fused lift+sum aggregate
+``sum_to_triple_<x>_<y>(cols...)`` (duckdb_extension/src/triple/sum/
+sum_no_lift.cpp:53-216, registered for x,y in 0..19 at
+duckdb_imputation_extension.cpp:80-113) and of ``sum_triple`` over
+pre-built triples (triple/sum/sum.cpp:57-261).  One generic Python
+generator replaces all 399 C++ instantiations (SURVEY §2.1 #3).
+
+Execution strategy (designed for 100 TB, not just small SF):
+
+* **Dense part** (N, Σx_i, Σx_i·x_j): plain ``groupBy().agg`` over
+  ``count``/``sum`` expressions.  Catalyst plans partial+final hash
+  aggregation with whole-stage codegen — the exact analogue of the
+  reference's SumState update/combine (sum_state.cpp:10-114), with the
+  map-side combine reducing shuffle traffic to one partial row per
+  (partition × group).
+* **Sparse categorical part**: one ``posexplode`` producing (cat_idx, key)
+  entries, aggregated by (group, cat_idx, key).  Shuffle volume is bounded
+  by Σ|categories| per group *after* map-side partial aggregation, never by
+  row count.  Category-pair co-occurrences get the same treatment over the
+  c(c+1)/2 pair list.  Maps are then assembled per group with
+  ``collect_list`` (bounded by the category dictionary size, which the
+  reference also assumes driver-resident, partition.cpp:34-37).
+* The three grouped results are joined on the (null-safe) group keys; all
+  three shuffles hash on the same keys, so AQE/exchange reuse keeps this to
+  co-partitioned joins.
+
+Everything is JVM-side Column expressions — no Python UDF in the hot path.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.triple import cat_pairs, n_quad
+
+__all__ = ["sum_to_triple", "sum_triples", "lift_columns"]
+
+_KV_T = "array<struct<key:int,value:double>>"
+_KKV_T = "array<struct<key1:int,key2:int,value:double>>"
+
+
+def _empty(arr_type: str) -> Column:
+    return F.lit(None).cast(f"array<{arr_type}>")
+
+
+def _join_on(left: DataFrame, right: DataFrame, keys: Sequence[str]) -> DataFrame:
+    # Rename the right side's keys first: both sides usually derive from the
+    # same base plan, and Spark's self-join attribute resolution would make
+    # ``left[k] == right[k]`` ambiguous otherwise.
+    renamed = right
+    for k in keys:
+        renamed = renamed.withColumnRenamed(k, f"__rhs_{k}")
+    cond = None
+    for k in keys:
+        c = F.col(k).eqNullSafe(F.col(f"__rhs_{k}"))
+        cond = c if cond is None else cond & c
+    out = left.join(renamed, cond, "inner")
+    return out.drop(*[f"__rhs_{k}" for k in keys])
+
+
+def _quad_pairs(num_cols: Sequence[str], nb: bool) -> list[tuple[int, int]]:
+    d = len(num_cols)
+    if nb:
+        return [(i, i) for i in range(d)]
+    return [(i, j) for i in range(d) for j in range(i, d)]
+
+
+def sum_to_triple(
+    df: DataFrame,
+    num_cols: Sequence[str],
+    cat_cols: Sequence[str] = (),
+    group_by: Sequence[str] = (),
+    nb: bool = False,
+    result_col: str = "triple",
+) -> DataFrame:
+    """Aggregate ``df`` into one triple per group.
+
+    Continuous columns are cast to double, categorical to int — the
+    num-before-cat / FLOAT-vs-INTEGER convention of the reference
+    (README.md:126, lift.cpp:31-38) made explicit by two parameters.
+
+    With ``nb=True`` produces the Naive-Bayes aggregate
+    (``sum_to_nb_agg``: diagonal quad, no num×cat / cat×cat parts,
+    sum_to_nb_agg.cpp:39-146).
+
+    Returns a DataFrame with the ``group_by`` columns plus ``result_col``
+    (struct shaped like :func:`~duckdb_imputation_spark.functions.triple
+    .triple_schema`).
+    """
+    num_cols = list(num_cols)
+    cat_cols = list(cat_cols)
+    group_by = list(group_by)
+    d, c = len(num_cols), len(cat_cols)
+
+    internal_key = not group_by
+    if internal_key:
+        df = df.withColumn("__g", F.lit(0))
+        group_by = ["__g"]
+
+    nums = [F.col(col).cast("double").alias(f"__x{i}") for i, col in enumerate(num_cols)]
+    cats = [F.col(col).cast("int").alias(f"__k{j}") for j, col in enumerate(cat_cols)]
+    base = df.select(*group_by, *nums, *cats)
+
+    # ---- dense part: pure codegen'd partial+final hash aggregation -------
+    quad_idx = _quad_pairs(num_cols, nb)
+    dense_aggs = [F.count(F.lit(1)).alias("__n")]
+    dense_aggs += [F.sum(F.col(f"__x{i}")).alias(f"__lin_{i}") for i in range(d)]
+    dense_aggs += [
+        F.sum(F.col(f"__x{i}") * F.col(f"__x{j}")).alias(f"__quad_{p}")
+        for p, (i, j) in enumerate(quad_idx)
+    ]
+    dense = base.groupBy(*group_by).agg(*dense_aggs)
+
+    lin_arr = (
+        F.array(*[F.coalesce(F.col(f"__lin_{i}"), F.lit(0.0)) for i in range(d)])
+        if d
+        else F.lit(None).cast("array<double>")
+    )
+    quad_arr = (
+        F.array(
+            *[
+                F.coalesce(F.col(f"__quad_{p}"), F.lit(0.0))
+                for p in range(len(quad_idx))
+            ]
+        )
+        if d
+        else F.lit(None).cast("array<double>")
+    )
+
+    if c == 0:
+        fields = [
+            F.col("__n").alias("N"),
+            F.coalesce(lin_arr, F.expr("array()").cast("array<double>")).alias("lin_agg"),
+            F.coalesce(quad_arr, F.expr("array()").cast("array<double>")).alias("quad_agg"),
+            F.expr("array()").cast(f"array<{_KV_T}>").alias("lin_cat"),
+        ]
+        if not nb:
+            fields += [
+                F.expr("array()").cast(f"array<{_KV_T}>").alias("quad_num_cat"),
+                F.expr("array()").cast(f"array<{_KKV_T}>").alias("quad_cat"),
+            ]
+        out = dense.select(*group_by, F.struct(*fields).alias(result_col))
+        return out.drop("__g") if internal_key else out
+
+    # ---- sparse part 1: per-(cat col, key) counts and numeric sums -------
+    singles = (
+        base.select(
+            *group_by,
+            *[F.col(f"__x{i}") for i in range(d)],
+            F.posexplode(F.array(*[F.col(f"__k{j}") for j in range(c)])).alias(
+                "__ci", "__key"
+            ),
+        )
+        .groupBy(*group_by, "__ci", "__key")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("__cnt"),
+            *[F.sum(F.col(f"__x{i}")).alias(f"__s{i}") for i in range(d)],
+        )
+        .groupBy(*group_by)
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("__ci"),
+                    F.col("__key"),
+                    F.col("__cnt"),
+                    *[F.col(f"__s{i}") for i in range(d)],
+                )
+            ).alias("__singles")
+        )
+    )
+
+    def kv_for(ci: int, value_field: str) -> Column:
+        return F.sort_array(
+            F.transform(
+                F.filter(F.col("__singles"), lambda e: e["__ci"] == F.lit(ci)),
+                lambda e: F.struct(
+                    e["__key"].alias("key"),
+                    F.coalesce(e[value_field], F.lit(0.0)).alias("value"),
+                ),
+            )
+        )
+
+    lin_cat = F.array(*[kv_for(j, "__cnt") for j in range(c)])
+    quad_num_cat = (
+        F.array(*[kv_for(j, f"__s{i}") for i in range(d) for j in range(c)])
+        if d and not nb
+        else F.expr("array()").cast(f"array<{_KV_T}>")
+    )
+
+    merged = _join_on(dense, singles, group_by)
+
+    # ---- sparse part 2: cat×cat co-occurrence pairs -----------------------
+    if not nb:
+        pairs = cat_pairs(c)
+        pair_structs = [
+            F.struct(
+                F.col(f"__k{a}").alias("k1"), F.col(f"__k{b}").alias("k2")
+            )
+            for (a, b) in pairs
+        ]
+        pair_entries = (
+            base.select(
+                *group_by,
+                F.posexplode(F.array(*pair_structs)).alias("__pi", "__kk"),
+            )
+            .select(
+                *group_by,
+                "__pi",
+                F.col("__kk.k1").alias("__k1"),
+                F.col("__kk.k2").alias("__k2"),
+            )
+            .groupBy(*group_by, "__pi", "__k1", "__k2")
+            .agg(F.count(F.lit(1)).cast("double").alias("__cnt"))
+            .groupBy(*group_by)
+            .agg(
+                F.collect_list(
+                    F.struct("__pi", "__k1", "__k2", "__cnt")
+                ).alias("__pairs")
+            )
+        )
+        def pair_kv(p: int) -> Column:
+            # NB: a two-argument lambda would be read by F.filter as
+            # (element, index) — close over p instead.
+            return F.sort_array(
+                F.transform(
+                    F.filter(F.col("__pairs"), lambda e: e["__pi"] == F.lit(p)),
+                    lambda e: F.struct(
+                        e["__k1"].alias("key1"),
+                        e["__k2"].alias("key2"),
+                        e["__cnt"].alias("value"),
+                    ),
+                )
+            )
+
+        quad_cat = F.array(*[pair_kv(p) for p in range(len(pairs))])
+        merged = _join_on(merged, pair_entries, group_by)
+
+    fields = [
+        F.col("__n").alias("N"),
+        F.coalesce(lin_arr, F.expr("array()").cast("array<double>")).alias("lin_agg"),
+        F.coalesce(quad_arr, F.expr("array()").cast("array<double>")).alias("quad_agg"),
+        lin_cat.alias("lin_cat"),
+    ]
+    if not nb:
+        fields += [quad_num_cat.alias("quad_num_cat"), quad_cat.alias("quad_cat")]
+    out = merged.select(*group_by, F.struct(*fields).alias(result_col))
+    return out.drop("__g") if internal_key else out
+
+
+def lift_columns(
+    num_cols: Sequence[str], cat_cols: Sequence[str] = (), nb: bool = False
+) -> Column:
+    """Per-row lift ``to_cofactor(cols...)`` as a Column expression
+    (reference lift.cpp:15-243 / lift_to_nb_agg.cpp:13-136).
+
+    Provided for parity and for composing with :func:`sum_triples`; the
+    fused :func:`sum_to_triple` should be preferred — it never materializes
+    per-row triples (README.md:136).
+    """
+    d, c = len(num_cols), len(cat_cols)
+    xs = [F.col(col).cast("double") for col in num_cols]
+    ks = [F.col(col).cast("int") for col in cat_cols]
+    quad_pairs = [(i, i) for i in range(d)] if nb else [
+        (i, j) for i in range(d) for j in range(i, d)
+    ]
+    one = F.lit(1.0)
+
+    def kv(k: Column, v: Column) -> Column:
+        return F.array(F.struct(k.alias("key"), v.alias("value")))
+
+    fields = [
+        F.lit(1).cast("long").alias("N"),
+        F.array(*xs).cast("array<double>").alias("lin_agg"),
+        F.array(*[xs[i] * xs[j] for (i, j) in quad_pairs])
+        .cast("array<double>")
+        .alias("quad_agg"),
+        (
+            F.array(*[kv(ks[j], one) for j in range(c)])
+            if c
+            else F.expr("array()").cast(f"array<{_KV_T}>")
+        ).alias("lin_cat"),
+    ]
+    if not nb:
+        fields += [
+            (
+                F.array(*[kv(ks[j], xs[i]) for i in range(d) for j in range(c)])
+                if c and d
+                else F.expr("array()").cast(f"array<{_KV_T}>")
+            ).alias("quad_num_cat"),
+            (
+                F.array(
+                    *[
+                        F.array(
+                            F.struct(
+                                ks[a].alias("key1"),
+                                ks[b].alias("key2"),
+                                one.alias("value"),
+                            )
+                        )
+                        for (a, b) in cat_pairs(c)
+                    ]
+                )
+                if c
+                else F.expr("array()").cast(f"array<{_KKV_T}>")
+            ).alias("quad_cat"),
+        ]
+    return F.struct(*fields)
+
+
+def sum_triples(
+    df: DataFrame,
+    triple_col: str,
+    d_num: int,
+    d_cat: int,
+    group_by: Sequence[str] = (),
+    nb: bool = False,
+    result_col: str = "triple",
+) -> DataFrame:
+    """⊕-aggregate a column of triples (reference ``sum_triple``,
+    sum.cpp:57-261) — e.g. after :mod:`multiply` in a factorized join.
+
+    Declarative: dense arrays via element-wise sums, sparse maps via
+    explode → re-aggregate → collect, all JVM-side.
+    """
+    group_by = list(group_by)
+    internal_key = not group_by
+    if internal_key:
+        df = df.withColumn("__g", F.lit(0))
+        group_by = ["__g"]
+    t = F.col(triple_col)
+    d, c = d_num, d_cat
+    nq = d if nb else n_quad(d)
+
+    dense_aggs = [F.sum(t["N"]).alias("__n")]
+    dense_aggs += [
+        F.sum(F.element_at(t["lin_agg"], i + 1)).alias(f"__lin_{i}") for i in range(d)
+    ]
+    dense_aggs += [
+        F.sum(F.element_at(t["quad_agg"], p + 1)).alias(f"__quad_{p}")
+        for p in range(nq)
+    ]
+    dense = df.groupBy(*group_by).agg(*dense_aggs)
+
+    def kv_part(field: str, n_lists: int, out_names=("key", "value")) -> DataFrame:
+        ent = (
+            df.select(
+                *group_by,
+                F.posexplode(t[field]).alias("__li", "__lst"),
+            )
+            .select(*group_by, "__li", F.explode("__lst").alias("__e"))
+        )
+        if len(out_names) == 2:
+            ent = ent.select(
+                *group_by,
+                "__li",
+                F.col("__e.key").alias("__k1"),
+                F.lit(0).alias("__k2"),
+                F.col("__e.value").alias("__v"),
+            )
+        else:
+            ent = ent.select(
+                *group_by,
+                "__li",
+                F.col("__e.key1").alias("__k1"),
+                F.col("__e.key2").alias("__k2"),
+                F.col("__e.value").alias("__v"),
+            )
+        agg = (
+            ent.groupBy(*group_by, "__li", "__k1", "__k2")
+            .agg(F.sum("__v").alias("__v"))
+            .groupBy(*group_by)
+            .agg(
+                F.collect_list(F.struct("__li", "__k1", "__k2", "__v")).alias(
+                    f"__{field}_entries"
+                )
+            )
+        )
+        return agg
+
+    merged = dense
+    parts: list[tuple[str, int, tuple]] = [("lin_cat", c, ("key", "value"))]
+    if not nb:
+        parts += [
+            ("quad_num_cat", d * c, ("key", "value")),
+            ("quad_cat", n_quad(c), ("key1", "key2", "value")),
+        ]
+    if c > 0:
+        for field, n_lists, names in parts:
+            merged = _join_on(merged, kv_part(field, n_lists, names), group_by)
+
+    def assemble(field: str, n_lists: int, names: tuple) -> Column:
+        col = F.col(f"__{field}_entries")
+        if c == 0:
+            typ = _KKV_T if len(names) == 3 else _KV_T
+            return F.expr("array()").cast(f"array<{typ}>")
+        mk = (
+            (
+                lambda e: F.struct(
+                    e["__k1"].alias("key1"),
+                    e["__k2"].alias("key2"),
+                    e["__v"].alias("value"),
+                )
+            )
+            if len(names) == 3
+            else (
+                lambda e: F.struct(e["__k1"].alias("key"), e["__v"].alias("value"))
+            )
+        )
+        def one(li: int) -> Column:
+            return F.sort_array(
+                F.transform(F.filter(col, lambda e: e["__li"] == F.lit(li)), mk)
+            )
+
+        return F.array(*[one(li) for li in range(n_lists)])
+
+    fields = [
+        F.col("__n").alias("N"),
+        (
+            F.array(*[F.col(f"__lin_{i}") for i in range(d)])
+            if d
+            else F.expr("array()").cast("array<double>")
+        ).alias("lin_agg"),
+        (
+            F.array(*[F.col(f"__quad_{p}") for p in range(nq)])
+            if d
+            else F.expr("array()").cast("array<double>")
+        ).alias("quad_agg"),
+        assemble("lin_cat", c, ("key", "value")).alias("lin_cat"),
+    ]
+    if not nb:
+        fields += [
+            assemble("quad_num_cat", d * c, ("key", "value")).alias("quad_num_cat"),
+            assemble("quad_cat", n_quad(c), ("key1", "key2", "value")).alias(
+                "quad_cat"
+            ),
+        ]
+    out = merged.select(*group_by, F.struct(*fields).alias(result_col))
+    return out.drop("__g") if internal_key else out

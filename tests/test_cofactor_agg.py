@@ -1,0 +1,108 @@
+"""Distributed cofactor aggregation vs reference golden literals and vs the
+driver-side algebra (compositional equivalence, as in the reference's
+test_sum.py:44-52)."""
+
+import pytest
+
+from duckdb_imputation_spark.functions.triple import Triple
+from duckdb_imputation_spark.operators.cofactor import (
+    lift_columns,
+    sum_to_triple,
+    sum_triples,
+)
+
+from test_triple_algebra import GOLDEN_FULL, ROWS, agg
+
+NUM = ["a", "b", "c"]
+CAT = ["d", "e", "f"]
+
+
+def triple_dict(row):
+    return Triple.from_row(row).to_dict()
+
+
+def test_full_table_matches_golden(ring_fixture):
+    out = sum_to_triple(ring_fixture, NUM, CAT).collect()
+    assert len(out) == 1
+    assert triple_dict(out[0]["triple"]) == GOLDEN_FULL
+
+
+def test_group_by_matches_golden(ring_fixture):
+    out = sum_to_triple(ring_fixture, NUM, CAT, group_by=["gb"]).collect()
+    got = {r["gb"]: triple_dict(r["triple"]) for r in out}
+    exp = {
+        g: agg([r for r in ROWS if r[0] == g], [1, 2, 3], [4, 5, 6]).to_dict()
+        for g in (1, 2)
+    }
+    assert got == exp
+
+
+def test_having_filter_after_agg(ring_fixture):
+    df = sum_to_triple(ring_fixture, NUM, CAT, group_by=["gb"])
+    out = df.filter("gb = 2").collect()
+    assert len(out) == 1
+    exp = agg([r for r in ROWS if r[0] == 2], [1, 2, 3], [4, 5, 6]).to_dict()
+    assert triple_dict(out[0]["triple"]) == exp
+
+
+def test_num_only(ring_fixture):
+    out = sum_to_triple(ring_fixture, NUM, []).collect()[0]["triple"]
+    d = triple_dict(out)
+    assert d["N"] == 5
+    assert d["lin_agg"] == [15.0, 17.0, 22.0]
+    assert d["quad_agg"] == [59.0, 71.0, 80.0, 91.0, 96.0, 112.0]
+    assert d["lin_cat"] == []
+
+
+def test_cat_only(ring_fixture):
+    out = sum_to_triple(ring_fixture, [], ["e"]).collect()[0]["triple"]
+    d = triple_dict(out)
+    assert d["N"] == 5
+    assert d["lin_agg"] == []
+    assert d["lin_cat"] == [
+        [
+            {"key": 5, "value": 1.0},
+            {"key": 6, "value": 2.0},
+            {"key": 9, "value": 1.0},
+            {"key": 10, "value": 1.0},
+        ]
+    ]
+    assert d["quad_cat"] == [
+        [
+            {"key1": 5, "key2": 5, "value": 1.0},
+            {"key1": 6, "key2": 6, "value": 2.0},
+            {"key1": 9, "key2": 9, "value": 1.0},
+            {"key1": 10, "key2": 10, "value": 1.0},
+        ]
+    ]
+
+
+def test_nb_aggregate(ring_fixture):
+    out = sum_to_triple(ring_fixture, NUM, CAT, nb=True).collect()[0]["triple"]
+    d = triple_dict(out)
+    exp = agg(ROWS, [1, 2, 3], [4, 5, 6], nb=True).to_dict()
+    assert d == exp
+    assert "quad_cat" not in d
+
+
+def test_fused_equals_lift_then_sum(ring_fixture):
+    """sum_to_triple ≡ sum_triples ∘ lift (reference test_sum.py:44-52)."""
+    lifted = ring_fixture.select(
+        "gb", lift_columns(NUM, CAT).alias("t")
+    )
+    out = sum_triples(lifted, "t", 3, 3, group_by=["gb"]).collect()
+    got = {r["gb"]: triple_dict(r["triple"]) for r in out}
+    fused = sum_to_triple(ring_fixture, NUM, CAT, group_by=["gb"]).collect()
+    exp = {r["gb"]: triple_dict(r["triple"]) for r in fused}
+    assert got == exp
+
+
+def test_group_with_null_key(spark):
+    rows = [(None, 1.0, 3), (None, 2.0, 3), (7, 5.0, 4)]
+    df = spark.createDataFrame(rows, "gb int, x double, k int")
+    out = sum_to_triple(df, ["x"], ["k"], group_by=["gb"]).collect()
+    got = {r["gb"]: triple_dict(r["triple"]) for r in out}
+    assert set(got) == {None, 7}
+    assert got[None]["N"] == 2
+    assert got[None]["lin_agg"] == [3.0]
+    assert got[None]["lin_cat"] == [[{"key": 3, "value": 2.0}]]
