@@ -1,0 +1,275 @@
+"""Ring ⊗ — factorized aggregation over joins.
+
+Spark-first re-expression of the reference's ``multiply_triple`` scalar
+function (duckdb_extension/src/triple/mul.cpp:19-611) and the
+``sum_triple(multiply_triple(A,B)) FROM ... JOIN ... ON key`` pattern
+(README.md:163-174, LMFAO/F-IVM lineage).
+
+Catalyst does not rewrite agg-over-join into partial-agg ⊗ on its own
+(SURVEY §4), so this is exposed as an explicit API:
+
+* :func:`multiply_triples` — the ⊗ of two triple struct columns, as a pure
+  Column expression (JVM-side higher-order functions, no Python UDF): the
+  product triple spans the concatenated column spaces, with
+  N = N₁N₂, lin = lin₁·N₂ ∥ lin₂·N₁, quad cross-blocks lin₁ᵢ·lin₂ⱼ, cat
+  maps scaled by the other side's N, and the cat×cat cross block a full
+  key cross product (mul.cpp:564-580).
+* :func:`triple_over_join` — the end-to-end factorized pattern: group each
+  side by the join key, aggregate *locally* to one triple per key, join
+  the (tiny) grouped results, ⊗, then ⊕.  At 100 TB this is the whole
+  point: the join operates on |distinct keys| rows instead of the raw
+  fact tables, and each side's heavy aggregation shuffles only once on
+  its own key.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.triple import cat_pairs, n_quad, pair_index
+from .cofactor import sum_to_triple, sum_triples
+
+__all__ = ["multiply_triples", "triple_over_join"]
+
+
+def _scale_kv(arr: Column, factor: Column) -> Column:
+    return F.transform(
+        arr,
+        lambda e: F.struct(
+            e["key"].alias("key"), (e["value"] * factor).alias("value")
+        ),
+    )
+
+
+def _scale_kkv(arr: Column, factor: Column) -> Column:
+    return F.transform(
+        arr,
+        lambda e: F.struct(
+            e["key1"].alias("key1"),
+            e["key2"].alias("key2"),
+            (e["value"] * factor).alias("value"),
+        ),
+    )
+
+
+def _kv_times_scalar(arr: Column, scalar: Column) -> Column:
+    """{key -> v} * x  →  {key -> v*x} (num×cat cross block)."""
+    return _scale_kv(arr, scalar)
+
+
+def _kv_cross(arr_a: Column, arr_b: Column) -> Column:
+    """Full key cross product {k1 -> v1} ⊗ {k2 -> v2} → {(k1,k2) -> v1*v2}."""
+    return F.flatten(
+        F.transform(
+            arr_a,
+            lambda x: F.transform(
+                arr_b,
+                lambda y: F.struct(
+                    x["key"].alias("key1"),
+                    y["key"].alias("key2"),
+                    (x["value"] * y["value"]).alias("value"),
+                ),
+            ),
+        )
+    )
+
+
+def multiply_triples(
+    left: Column,
+    right: Column,
+    shape_left: tuple[int, int],
+    shape_right: tuple[int, int],
+    nb: bool = False,
+) -> Column:
+    """⊗ of two triple struct columns → product triple struct column.
+
+    ``shape_* = (d_num, d_cat)``.  Shapes are compile-time (they determine
+    the output struct), mirroring the reference's bind-time return-type
+    computation (mul.cpp:614-650).
+    """
+    d1, c1 = shape_left
+    d2, c2 = shape_right
+    d, c = d1 + d2, c1 + c2
+    a, b = left, right
+    na = a["N"].cast("double")
+    nb_ = b["N"].cast("double")
+
+    def a_lin(i: int) -> Column:
+        return F.element_at(a["lin_agg"], i + 1)
+
+    def b_lin(i: int) -> Column:
+        return F.element_at(b["lin_agg"], i + 1)
+
+    lin = F.concat(
+        F.transform(a["lin_agg"], lambda x: x * nb_),
+        F.transform(b["lin_agg"], lambda x: x * na),
+    )
+
+    if nb:
+        quad = F.concat(
+            F.transform(a["quad_agg"], lambda x: x * nb_),
+            F.transform(b["quad_agg"], lambda x: x * na),
+        )
+    else:
+        quad_items = []
+        for i in range(d):
+            for j in range(i, d):
+                if j < d1:
+                    quad_items.append(
+                        F.element_at(a["quad_agg"], pair_index(i, j, d1) + 1) * nb_
+                    )
+                elif i >= d1:
+                    quad_items.append(
+                        F.element_at(b["quad_agg"], pair_index(i - d1, j - d1, d2) + 1)
+                        * na
+                    )
+                else:
+                    quad_items.append(a_lin(i) * b_lin(j - d1))
+        quad = (
+            F.array(*quad_items)
+            if quad_items
+            else F.expr("array()").cast("array<double>")
+        )
+
+    lin_cat_items = [
+        _scale_kv(F.element_at(a["lin_cat"], j + 1), nb_) for j in range(c1)
+    ] + [_scale_kv(F.element_at(b["lin_cat"], j + 1), na) for j in range(c2)]
+    lin_cat = (
+        F.array(*lin_cat_items)
+        if lin_cat_items
+        else F.expr("array()").cast("array<array<struct<key:int,value:double>>>")
+    )
+
+    fields = [
+        (a["N"] * b["N"]).alias("N"),
+        lin.alias("lin_agg"),
+        quad.alias("quad_agg"),
+        lin_cat.alias("lin_cat"),
+    ]
+    if nb:
+        return F.struct(*fields)
+
+    qnc_items = []
+    for i in range(d):
+        for j in range(c):
+            if i < d1 and j < c1:
+                qnc_items.append(
+                    _scale_kv(F.element_at(a["quad_num_cat"], i * c1 + j + 1), nb_)
+                )
+            elif i >= d1 and j >= c1:
+                qnc_items.append(
+                    _scale_kv(
+                        F.element_at(
+                            b["quad_num_cat"], (i - d1) * c2 + (j - c1) + 1
+                        ),
+                        na,
+                    )
+                )
+            elif i < d1:  # num from A × cat from B
+                qnc_items.append(
+                    _kv_times_scalar(F.element_at(b["lin_cat"], j - c1 + 1), a_lin(i))
+                )
+            else:  # num from B × cat from A
+                qnc_items.append(
+                    _kv_times_scalar(F.element_at(a["lin_cat"], j + 1), b_lin(i - d1))
+                )
+    quad_num_cat = (
+        F.array(*qnc_items)
+        if qnc_items
+        else F.expr("array()").cast("array<array<struct<key:int,value:double>>>")
+    )
+
+    qcc_items = []
+    for x, y in cat_pairs(c):
+        if y < c1:
+            qcc_items.append(
+                _scale_kkv(F.element_at(a["quad_cat"], pair_index(x, y, c1) + 1), nb_)
+            )
+        elif x >= c1:
+            qcc_items.append(
+                _scale_kkv(
+                    F.element_at(b["quad_cat"], pair_index(x - c1, y - c1, c2) + 1),
+                    na,
+                )
+            )
+        else:
+            qcc_items.append(
+                F.sort_array(
+                    _kv_cross(
+                        F.element_at(a["lin_cat"], x + 1),
+                        F.element_at(b["lin_cat"], y - c1 + 1),
+                    )
+                )
+            )
+    quad_cat = (
+        F.array(*qcc_items)
+        if qcc_items
+        else F.expr("array()").cast(
+            "array<array<struct<key1:int,key2:int,value:double>>>"
+        )
+    )
+
+    fields += [quad_num_cat.alias("quad_num_cat"), quad_cat.alias("quad_cat")]
+    return F.struct(*fields)
+
+
+def triple_over_join(
+    df1: DataFrame,
+    df2: DataFrame,
+    on: str | Sequence[str],
+    num1: Sequence[str],
+    cat1: Sequence[str] = (),
+    num2: Sequence[str] = (),
+    cat2: Sequence[str] = (),
+    nb: bool = False,
+    keep_key: bool = False,
+    broadcast_right: bool = False,
+    result_col: str = "triple",
+) -> DataFrame:
+    """Factorized cofactor over an equi-join (README.md:166-174):
+
+        sum_triple( multiply_triple(g1.t, g2.t) )
+        FROM (SELECT key, sum_to_triple(...) FROM df1 GROUP BY key) g1
+        JOIN (SELECT key, sum_to_triple(...) FROM df2 GROUP BY key) g2
+        USING key
+
+    Each fact table is aggregated *before* the join, so the join touches
+    one row per key per side.  ``broadcast_right=True`` hints the grouped
+    right side to broadcast (correct when |distinct keys| is dim-sized).
+    With ``keep_key=True`` returns one product triple per key (skips the
+    final ⊕).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    g1 = sum_to_triple(df1, num1, cat1, group_by=keys, nb=nb, result_col="__t1")
+    g2 = sum_to_triple(df2, num2, cat2, group_by=keys, nb=nb, result_col="__t2")
+    g2 = g2.withColumnsRenamed({k: f"__rhs_{k}" for k in keys})
+    if broadcast_right:
+        g2 = F.broadcast(g2)
+    cond = None
+    for k in keys:
+        c = F.col(k).eqNullSafe(F.col(f"__rhs_{k}"))
+        cond = c if cond is None else cond & c
+    joined = g1.join(g2, cond, "inner").drop(*[f"__rhs_{k}" for k in keys])
+    prod = joined.select(
+        *keys,
+        multiply_triples(
+            F.col("__t1"),
+            F.col("__t2"),
+            (len(num1), len(cat1)),
+            (len(num2), len(cat2)),
+            nb=nb,
+        ).alias(result_col),
+    )
+    if keep_key:
+        return prod
+    return sum_triples(
+        prod,
+        result_col,
+        len(num1) + len(num2),
+        len(cat1) + len(cat2),
+        nb=nb,
+        result_col=result_col,
+    )

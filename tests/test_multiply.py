@@ -1,0 +1,98 @@
+"""Factorized ⊗ over joins vs reference golden literals (test_mul.py) and
+vs the driver-side algebra."""
+
+from pyspark.sql import functions as F
+
+from duckdb_imputation_spark.functions.triple import Triple
+from duckdb_imputation_spark.operators.cofactor import sum_to_triple
+from duckdb_imputation_spark.operators.multiply import (
+    multiply_triples,
+    triple_over_join,
+)
+
+from test_triple_algebra import GOLDEN_MUL_GB1, ROWS, agg
+
+
+def triple_dict(row):
+    return Triple.from_row(row).to_dict()
+
+
+def test_multiply_equijoin_matches_golden(ring_fixture):
+    """multiply_triple(A,B) joined ON gb (reference test_mul.py second
+    test_sum_no_lift_groupby, res[0] == gb=1)."""
+    out = triple_over_join(
+        ring_fixture,
+        ring_fixture,
+        on="gb",
+        num1=["b", "c"],
+        cat1=["d", "e"],
+        num2=["a", "c"],
+        cat2=["d", "f"],
+        keep_key=True,
+    ).collect()
+    got = {r["gb"]: triple_dict(r["triple"]) for r in out}
+    assert got[1] == GOLDEN_MUL_GB1
+    exp_gb2 = (
+        agg([r for r in ROWS if r[0] == 2], [2, 3], [4, 5])
+        * agg([r for r in ROWS if r[0] == 2], [1, 3], [4, 6])
+    ).to_dict()
+    assert got[2] == exp_gb2
+
+
+def test_multiply_cross_join_full_tables(ring_fixture):
+    """Cross-join variant (test_mul.py test_sum_no_lift_everything):
+    A over gb=1, B over gb=2, joined ON TRUE."""
+    a = sum_to_triple(ring_fixture.filter("gb = 1"), ["b", "c"], ["d", "e"], result_col="A")
+    b = sum_to_triple(ring_fixture.filter("gb = 2"), ["a", "c"], ["d", "f"], result_col="B")
+    out = a.crossJoin(b).select(
+        multiply_triples(F.col("A"), F.col("B"), (2, 2), (2, 2)).alias("t")
+    ).collect()
+    got = triple_dict(out[0]["t"])
+    exp = (
+        agg([r for r in ROWS if r[0] == 1], [2, 3], [4, 5])
+        * agg([r for r in ROWS if r[0] == 2], [1, 3], [4, 6])
+    ).to_dict()
+    assert got == exp
+    assert got["N"] == 6
+
+
+def test_triple_over_join_sums_products(ring_fixture):
+    """Full factorized pattern: ⊕ over per-key ⊗ products."""
+    out = triple_over_join(
+        ring_fixture,
+        ring_fixture,
+        on="gb",
+        num1=["b", "c"],
+        cat1=["d", "e"],
+        num2=["a", "c"],
+        cat2=["d", "f"],
+    ).collect()
+    assert len(out) == 1
+    got = triple_dict(out[0]["triple"])
+    exp_t = (
+        agg([r for r in ROWS if r[0] == 1], [2, 3], [4, 5])
+        * agg([r for r in ROWS if r[0] == 1], [1, 3], [4, 6])
+    ) + (
+        agg([r for r in ROWS if r[0] == 2], [2, 3], [4, 5])
+        * agg([r for r in ROWS if r[0] == 2], [1, 3], [4, 6])
+    )
+    assert got == exp_t.to_dict()
+
+
+def test_multiply_nb_variant(ring_fixture):
+    out = triple_over_join(
+        ring_fixture,
+        ring_fixture,
+        on="gb",
+        num1=["b"],
+        cat1=["d"],
+        num2=["a"],
+        cat2=["f"],
+        nb=True,
+        keep_key=True,
+    ).collect()
+    got = {r["gb"]: triple_dict(r["triple"]) for r in out}
+    for g in (1, 2):
+        rows_g = [r for r in ROWS if r[0] == g]
+        exp = (agg(rows_g, [2], [4], nb=True) * agg(rows_g, [1], [6], nb=True)).to_dict()
+        assert got[g] == exp
