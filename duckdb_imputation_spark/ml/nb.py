@@ -1,0 +1,106 @@
+"""Gaussian + categorical Naive Bayes from per-class NB aggregates.
+
+Re-derivation of the reference's ``nb_train`` / ``nb_predict``
+(duckdb_extension/src/ML/naive_bayes.cpp): per class — prior n_c/N
+(:109), Gaussian mean / variance per numeric column from the diagonal
+NB aggregate (:111-117), categorical value frequencies (:121-136);
+prediction multiplies prior · Π N(x; μ, σ²+1e-9) · Π freq with
+**unseen categorical value ⇒ probability 0** (:236-237) and returns the
+class *label* (:253).
+
+We score in log space (monotonically identical, underflow-proof) as a
+pure Column expression; the unseen-category zero becomes a −1e30 term so
+such a class can never win unless every class is unseen — matching the
+reference's "all probabilities 0 → first class" fallback.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..functions.triple import Triple
+
+__all__ = ["NBModel", "nb_train", "nb_predict_expr"]
+
+_NEG = -1.0e30  # log-space stand-in for probability 0
+
+
+@dataclass
+class NBModel:
+    class_labels: list[int]
+    prior: list[float]
+    mean: list[list[float]]  # per class, per numeric col
+    var: list[list[float]]  # per class, per numeric col
+    freq: list[list[dict[int, float]]]  # per class, per cat col: key -> P
+
+    def predict_expr(self, num_cols: list[str], cat_cols: list[str] = ()) -> Column:
+        return nb_predict_expr(self, num_cols, cat_cols)
+
+
+def nb_train(nb_triples: list[Triple], labels: list[int]) -> NBModel:
+    """Train from one NB aggregate per class (labels[i] names class i)."""
+    n_total = float(sum(t.n for t in nb_triples))
+    prior, mean, var, freq = [], [], [], []
+    for t in nb_triples:
+        n_c = float(t.n)
+        prior.append(n_c / n_total)
+        mu = [float(x) / n_c for x in t.lin]
+        mean.append(mu)
+        var.append(
+            [float(q) / n_c - m * m for q, m in zip(t.quad, mu)]
+        )
+        freq.append([{k: v / n_c for k, v in cm.items()} for cm in t.lin_cat])
+    return NBModel(
+        class_labels=[int(x) for x in labels],
+        prior=prior,
+        mean=mean,
+        var=var,
+        freq=freq,
+    )
+
+
+def _class_log_score(
+    model: NBModel, k: int, num_cols: list[str], cat_cols: list[str]
+) -> Column:
+    expr = F.lit(math.log(model.prior[k]) if model.prior[k] > 0 else _NEG)
+    for i, colname in enumerate(num_cols):
+        v = model.var[k][i] + 1e-9  # reference's division-by-zero guard
+        mu = model.mean[k][i]
+        x = F.col(colname).cast("double")
+        expr = expr + (
+            F.lit(-0.5 * math.log(2.0 * math.pi * v))
+            - (x - F.lit(mu)) * (x - F.lit(mu)) / F.lit(2.0 * v)
+        )
+    for j, colname in enumerate(cat_cols):
+        cmap = model.freq[k][j]
+        log_map = {key: math.log(p) if p > 0 else _NEG for key, p in cmap.items()}
+        if not log_map:
+            expr = expr + F.lit(_NEG)
+            continue
+        mapping = F.create_map(
+            *[F.lit(x) for kv in sorted(log_map.items()) for x in kv]
+        )
+        expr = expr + F.coalesce(
+            F.element_at(mapping, F.col(colname).cast("int")), F.lit(_NEG)
+        )
+    return expr
+
+
+def nb_predict_expr(
+    model: NBModel, num_cols: list[str], cat_cols: list[str] = ()
+) -> Column:
+    """argmax_c log-score → class label, pure Column expression."""
+    scores = F.array(
+        *[
+            _class_log_score(model, k, num_cols, list(cat_cols))
+            for k in range(len(model.class_labels))
+        ]
+    )
+    labels = F.array(*[F.lit(int(x)) for x in model.class_labels])
+    return F.element_at(
+        labels, F.array_position(scores, F.array_max(scores)).cast("int")
+    )

@@ -1,0 +1,137 @@
+"""Quadratic discriminant analysis from per-class triples.
+
+Re-derivation of the reference's ``qda_train`` / ``qda_predict``
+(duckdb_extension/src/ML/qda.cpp): one triple per class (computed
+upstream via GROUP BY label, README.md:179); per-class covariance from
+each triple (:180-199); inversion via SVD with a small-singular-value
+cutoff (:204-242); stores the quadratic term −½Σ⁻¹, linear term Σ⁻¹μ and
+intercept −½μᵀΣ⁻¹μ − ½log|Σ| + log prior (:284-293); ``drop_first``
+one-hot to keep the design invertible (:47, utils.cpp:565-572).
+
+Scoring evaluates a per-row quadratic form — that's genuinely not a
+sum-of-columns expression, so prediction uses an Arrow-batched pandas
+UDF over broadcast parameters (the documented slow-path exception).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType
+
+from ..functions.triple import Triple
+from .sigma import build_sigma, one_hot_dictionary
+
+__all__ = ["QDAModel", "qda_train", "qda_predict_expr"]
+
+
+@dataclass
+class QDAModel:
+    class_labels: list[int]
+    quad: list[np.ndarray]  # per class: m×m  (−½ Σ⁻¹)
+    lin: list[np.ndarray]  # per class: m    (Σ⁻¹ μ)
+    intercept: list[float]
+    cat_idxs: list[int]  # drop-first dictionary over feature cat cols
+    cat_array: list[int]
+    d_num: int
+
+    @property
+    def m(self) -> int:
+        return self.d_num + self.cat_idxs[-1]
+
+    def predict_expr(self, num_cols: list[str], cat_cols: list[str] = ()) -> Column:
+        return qda_predict_expr(self, num_cols, cat_cols)
+
+
+def qda_train(
+    triples: list[Triple], labels: list[int], normalize: bool = False
+) -> QDAModel:
+    """Train QDA from one triple per class (labels[i] names triples[i]'s
+    class).  The label column itself must not be in the triples."""
+    if normalize:
+        raise NotImplementedError(
+            "normalize=True is not supported yet for QDA (reference parity "
+            "pending); standardize inputs upstream instead"
+        )
+    cat_idxs, cat_array = one_hot_dictionary(triples, drop_first=True)
+    d = triples[0].d_num
+    n_total = float(sum(t.n for t in triples))
+    quads, lins, intercepts = [], [], []
+    for t in triples:
+        sigma = build_sigma(t, cat_idxs, cat_array, label_cat=-1)
+        n_c = sigma[0, 0]
+        s = sigma[0, 1:]
+        mu = s / n_c
+        cov = (sigma[1:, 1:] - np.outer(s, s) / n_c) / n_c
+        u, sv, vt = np.linalg.svd(cov)
+        # reference quirk kept as spec: tiny singular values are *not*
+        # zeroed — their raw value is used as its own "inverse"
+        # (qda.cpp:224-231)
+        sinv = np.where(sv > 1e-9, 1.0 / np.where(sv > 1e-9, sv, 1.0), sv)
+        inv = vt.T @ np.diag(sinv) @ u.T
+        det = float(np.prod(sv))
+        quads.append(-inv / 2.0)
+        lin = inv @ mu
+        lins.append(lin)
+        intercepts.append(
+            float(-0.5 * mu @ lin - 0.5 * math.log(det) + math.log(n_c / n_total))
+        )
+    return QDAModel(
+        class_labels=[int(x) for x in labels],
+        quad=quads,
+        lin=lins,
+        intercept=intercepts,
+        cat_idxs=cat_idxs,
+        cat_array=cat_array,
+        d_num=d,
+    )
+
+
+def qda_predict_expr(
+    model: QDAModel, num_cols: list[str], cat_cols: list[str] = ()
+) -> Column:
+    """argmax_c xᵀQ_c x + L_c·x + b_c (qda.cpp:338-498) as an Arrow-batched
+    pandas UDF; parameters travel once per executor via closure capture."""
+    d = model.d_num
+    m = model.m
+    cat_idxs = list(model.cat_idxs)
+    cat_array = list(model.cat_array)
+    key_pos = [
+        {int(k): cat_idxs[j] + i for i, k in enumerate(cat_array[cat_idxs[j] : cat_idxs[j + 1]])}
+        for j in range(len(cat_idxs) - 1)
+    ]
+    quad = [np.asarray(q) for q in model.quad]
+    lin = [np.asarray(v) for v in model.lin]
+    intercept = list(model.intercept)
+    class_labels = np.asarray(model.class_labels, dtype=np.int32)
+
+    @F.pandas_udf(IntegerType())
+    def _score(*cols: pd.Series) -> pd.Series:
+        n = len(cols[0])
+        X = np.zeros((n, m))
+        for i in range(d):
+            X[:, i] = cols[i].astype(float).to_numpy()
+        for j, pos_map in enumerate(key_pos):
+            vals = cols[d + j].to_numpy()
+            for r in range(n):
+                p = pos_map.get(int(vals[r]))
+                if p is not None:  # dropped-first / unseen → all-zero block
+                    X[r, d + p] = 1.0
+        scores = np.empty((n, len(class_labels)))
+        for k in range(len(class_labels)):
+            scores[:, k] = (
+                np.einsum("ij,jk,ik->i", X, quad[k], X)
+                + X @ lin[k]
+                + intercept[k]
+            )
+        return pd.Series(class_labels[np.argmax(scores, axis=1)])
+
+    args = [F.col(c).cast("double") for c in num_cols] + [
+        F.col(c).cast("int") for c in cat_cols
+    ]
+    return _score(*args)

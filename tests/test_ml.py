@@ -1,0 +1,282 @@
+"""ML train/predict vs NumPy oracles computed directly from raw data.
+
+The central identity: the sigma matrix built from a triple must equal
+Zᵀ Z of the one-hot design matrix Z = [1 | nums | one-hot cats] — then
+every model's training math can be checked against direct computation
+(no sklearn in this environment; np.linalg is the same LAPACK the
+reference links)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from duckdb_imputation_spark.functions.triple import Triple
+from duckdb_imputation_spark.ml import (
+    build_sigma,
+    lda_train,
+    linreg_train,
+    nb_train,
+    one_hot_dictionary,
+    qda_train,
+)
+
+RNG = np.random.default_rng(42)
+
+
+def make_rows(n=300, n_classes=3):
+    """Rows: (y, x1, x2, cat_feat, cls) — y linear in x's + cat effect."""
+    cls = RNG.integers(0, n_classes, n)
+    x1 = RNG.normal(0, 1, n) + cls * 2.0
+    x2 = RNG.normal(0, 1, n) - cls * 1.0
+    cat_feat = RNG.integers(10, 13, n)  # values 10,11,12
+    effect = {10: 0.0, 11: 2.5, 12: -1.0}
+    y = 3.0 + 2.0 * x1 - 1.5 * x2 + np.array([effect[c] for c in cat_feat])
+    y = y + RNG.normal(0, 0.01, n)
+    return [
+        (float(y[i]), float(x1[i]), float(x2[i]), int(cat_feat[i]), int(cls[i]))
+        for i in range(n)
+    ]
+
+
+def triple_of(rows, num_idx, cat_idx, nb=False):
+    t = None
+    for r in rows:
+        lifted = Triple.lift([r[i] for i in num_idx], [r[i] for i in cat_idx], nb=nb)
+        t = lifted if t is None else t + lifted
+    return t
+
+
+def design(rows, num_idx, cat_idx, cat_dicts):
+    """Z = [1 | nums | one-hot cats] with sorted per-column dictionaries."""
+    Z = []
+    for r in rows:
+        row = [1.0] + [float(r[i]) for i in num_idx]
+        for j, ci in enumerate(cat_idx):
+            row += [1.0 if r[ci] == k else 0.0 for k in cat_dicts[j]]
+        Z.append(row)
+    return np.array(Z)
+
+
+@pytest.fixture(scope="module")
+def data():
+    rows = make_rows()
+    t = triple_of(rows, [0, 1, 2], [3, 4])
+    return rows, t
+
+
+def test_sigma_equals_gram_matrix(data):
+    rows, t = data
+    cat_idxs, cat_array = one_hot_dictionary([t])
+    sigma = build_sigma(t, cat_idxs, cat_array)
+    dicts = [cat_array[cat_idxs[j] : cat_idxs[j + 1]] for j in range(2)]
+    Z = design(rows, [0, 1, 2], [3, 4], dicts)
+    assert np.allclose(sigma, Z.T @ Z, rtol=1e-9, atol=1e-6)
+
+
+def test_sigma_label_excluded(data):
+    rows, t = data
+    cat_idxs, cat_array = one_hot_dictionary([t])
+    sigma = build_sigma(t, cat_idxs, cat_array, label_cat=1)
+    dicts = [cat_array[cat_idxs[0] : cat_idxs[1]]]
+    Z = design(rows, [0, 1, 2], [3], dicts)
+    assert np.allclose(sigma, Z.T @ Z, rtol=1e-9, atol=1e-6)
+
+
+def test_linreg_closed_matches_pinv_oracle(data):
+    rows, t = data
+    model = linreg_train(t, label=0, method="closed")
+    cat_idxs, cat_array = one_hot_dictionary([t])
+    dicts = [cat_array[cat_idxs[j] : cat_idxs[j + 1]] for j in range(2)]
+    Zf = design(rows, [1, 2], [3, 4], dicts)
+    y = np.array([r[0] for r in rows])
+    w = np.linalg.pinv(Zf) @ y
+    got = np.array([model.intercept] + model.coef_num
+                   + [v for m in model.coef_cat for _, v in sorted(m.items())])
+    assert np.allclose(got, w, atol=1e-5)
+
+
+def test_linreg_bgd_agrees_with_closed(data):
+    rows, _ = data
+    t = triple_of(rows, [0, 1, 2], [])  # numeric-only, well-conditioned
+    closed = linreg_train(t, label=0, lambda_=1e-3, method="closed")
+    bgd = linreg_train(
+        t, label=0, step_size=1e-3, lambda_=1e-3, max_iter=20000, method="bgd"
+    )
+    pred_c = np.array([closed.intercept + closed.coef_num[0] * r[1] + closed.coef_num[1] * r[2] for r in rows])
+    pred_b = np.array([bgd.intercept + bgd.coef_num[0] * r[1] + bgd.coef_num[1] * r[2] for r in rows])
+    assert np.allclose(pred_c, pred_b, atol=1e-2)
+
+
+def test_linreg_normalize_same_predictions(data):
+    rows, _ = data
+    t = triple_of(rows, [0, 1, 2], [])
+    raw = linreg_train(t, label=0, method="closed")
+    norm = linreg_train(t, label=0, method="closed", normalize=True)
+    for r in rows[:20]:
+        p1 = raw.intercept + raw.coef_num[0] * r[1] + raw.coef_num[1] * r[2]
+        p2 = norm.intercept + norm.coef_num[0] * r[1] + norm.coef_num[1] * r[2]
+        assert abs(p1 - p2) < 1e-6
+
+
+def test_linreg_variance(data):
+    rows, _ = data
+    t = triple_of(rows, [0, 1, 2], [])
+    m = linreg_train(t, label=0, compute_variance=True, method="closed")
+    resid = []
+    for r in rows:
+        resid.append(r[0] - (m.intercept + m.coef_num[0] * r[1] + m.coef_num[1] * r[2]))
+    assert m.std == pytest.approx(np.sqrt(np.mean(np.square(resid))), rel=1e-6)
+
+
+def _lda_oracle(rows, num_idx, feat_cat_idx, label_idx, cat_dicts, shrinkage=0.0):
+    Z = design(rows, num_idx, feat_cat_idx, cat_dicts)[:, 1:]  # no intercept col
+    y = np.array([r[label_idx] for r in rows])
+    classes = np.unique(y)
+    p = Z.shape[1]
+    S = np.zeros((p, p))
+    M = np.zeros((p, len(classes)))
+    for k, cval in enumerate(classes):
+        Zc = Z[y == cval]
+        mu = Zc.mean(axis=0)
+        M[:, k] = mu
+        S += (Zc - mu).T @ (Zc - mu)
+    mu_tr = np.trace(S) / p
+    S = S * (1 - shrinkage)
+    S[np.diag_indices(p)] += shrinkage * mu_tr
+    S /= len(rows)
+    coef, *_ = np.linalg.lstsq(S, M, rcond=-1)
+    icpt = [
+        -0.5 * M[:, k] @ coef[:, k] + math.log((y == cval).mean())
+        for k, cval in enumerate(classes)
+    ]
+    return classes, coef, np.array(icpt)
+
+
+def test_lda_matches_direct_oracle(data):
+    rows, t = data
+    model = lda_train(t, label=1)  # class = cat col index 1 (cls)
+    cat_idxs, cat_array = one_hot_dictionary([t])
+    dicts = [cat_array[cat_idxs[0] : cat_idxs[1]]]
+    classes, coef, icpt = _lda_oracle(rows, [0, 1, 2], [3], 4, dicts)
+    assert model.class_keys == [int(c) for c in classes]
+    got_coef = np.array(
+        [
+            model.coef_num[k]
+            + [v for _, v in sorted(model.coef_cat[k][0].items())]
+            for k in range(len(classes))
+        ]
+    ).T
+    assert np.allclose(got_coef, coef, atol=1e-6)
+    assert np.allclose(model.intercept, icpt, atol=1e-6)
+
+
+def test_lda_shrinkage(data):
+    rows, t = data
+    model = lda_train(t, label=1, shrinkage=0.3)
+    cat_idxs, cat_array = one_hot_dictionary([t])
+    dicts = [cat_array[cat_idxs[0] : cat_idxs[1]]]
+    classes, coef, icpt = _lda_oracle(rows, [0, 1, 2], [3], 4, dicts, shrinkage=0.3)
+    got_coef = np.array(
+        [
+            model.coef_num[k]
+            + [v for _, v in sorted(model.coef_cat[k][0].items())]
+            for k in range(len(classes))
+        ]
+    ).T
+    assert np.allclose(got_coef, coef, atol=1e-6)
+    assert np.allclose(model.intercept, icpt, atol=1e-6)
+
+
+def test_qda_separates_classes():
+    n = 400
+    cls0 = RNG.multivariate_normal([0, 0], [[1.0, 0.3], [0.3, 0.5]], n)
+    cls1 = RNG.multivariate_normal([3, 3], [[0.5, -0.2], [-0.2, 1.5]], n)
+    rows0 = [(float(a), float(b)) for a, b in cls0]
+    rows1 = [(float(a), float(b)) for a, b in cls1]
+    t0 = triple_of(rows0, [0, 1], [])
+    t1 = triple_of(rows1, [0, 1], [])
+    model = qda_train([t0, t1], labels=[0, 1])
+
+    def score(x, k):
+        x = np.asarray(x)
+        return x @ model.quad[k] @ x + model.lin[k] @ x + model.intercept[k]
+
+    correct = sum(score(r, 0) > score(r, 1) for r in rows0)
+    correct += sum(score(r, 1) > score(r, 0) for r in rows1)
+    assert correct / (2 * n) > 0.95
+    # covariance inverse sanity: -2*quad ≈ inv(cov of class 0)
+    cov0 = np.cov(cls0.T, bias=True)
+    assert np.allclose(-2 * model.quad[0], np.linalg.inv(cov0), atol=1e-6)
+
+
+def test_nb_params_match_direct():
+    rows = make_rows(400)
+    classes = sorted({r[4] for r in rows})
+    triples = [
+        triple_of([r for r in rows if r[4] == c], [0, 1, 2], [3], nb=True)
+        for c in classes
+    ]
+    model = nb_train(triples, labels=classes)
+    for k, c in enumerate(classes):
+        sub = [r for r in rows if r[4] == c]
+        assert model.prior[k] == pytest.approx(len(sub) / len(rows))
+        xs = np.array([r[1] for r in sub])
+        assert model.mean[k][1] == pytest.approx(xs.mean(), rel=1e-9)
+        assert model.var[k][1] == pytest.approx(xs.var(), rel=1e-6)
+        f10 = sum(1 for r in sub if r[3] == 10) / len(sub)
+        assert model.freq[k][0].get(10, 0.0) == pytest.approx(f10)
+
+
+# ---- Spark predict expressions match driver-side math -----------------
+
+
+def test_predict_exprs_on_spark(spark):
+    rows = make_rows(200)
+    df = spark.createDataFrame(
+        rows, "y double, x1 double, x2 double, catf int, cls int"
+    )
+    t = triple_of(rows, [0, 1, 2], [3, 4])
+
+    lr = linreg_train(t, label=0, compute_variance=True)
+    out = df.withColumn(
+        "pred", lr.predict_expr(["x1", "x2"], ["catf", "cls"])
+    ).collect()
+    cat_idxs, cat_array = one_hot_dictionary([t])
+    for r in out[:50]:
+        exp = (
+            lr.intercept
+            + lr.coef_num[0] * r["x1"]
+            + lr.coef_num[1] * r["x2"]
+            + lr.coef_cat[0][r["catf"]]
+            + lr.coef_cat[1][r["cls"]]
+        )
+        assert r["pred"] == pytest.approx(exp, rel=1e-9)
+
+    # stochastic: noise is seed-reproducible
+    p1 = df.withColumn("p", lr.predict_expr(["x1", "x2"], ["catf", "cls"], add_noise=True, seed=7)).collect()
+    p2 = df.withColumn("p", lr.predict_expr(["x1", "x2"], ["catf", "cls"], add_noise=True, seed=7)).collect()
+    assert [r["p"] for r in p1] == [r["p"] for r in p2]
+
+    lda = lda_train(t, label=1)
+    got = df.withColumn("pred", lda.predict_expr(["y", "x1", "x2"], ["catf"])).collect()
+    acc = np.mean([r["pred"] == r["cls"] for r in got])
+    assert acc > 0.8  # classes are well separated in x1/x2
+
+    classes = sorted({r[4] for r in rows})
+    nb_triples = [
+        triple_of([r for r in rows if r[4] == c], [1, 2], [3], nb=True)
+        for c in classes
+    ]
+    nbm = nb_train(nb_triples, labels=classes)
+    got = df.withColumn("pred", nbm.predict_expr(["x1", "x2"], ["catf"])).collect()
+    acc = np.mean([r["pred"] == r["cls"] for r in got])
+    assert acc > 0.8
+
+    qda_triples = [
+        triple_of([r for r in rows if r[4] == c], [1, 2], [3]) for c in classes
+    ]
+    qdam = qda_train(qda_triples, labels=classes)
+    got = df.withColumn("pred", qdam.predict_expr(["x1", "x2"], ["catf"])).collect()
+    acc = np.mean([r["pred"] == r["cls"] for r in got])
+    assert acc > 0.8
