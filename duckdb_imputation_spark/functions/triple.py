@@ -209,17 +209,32 @@ class Triple:
         t.n = int(get("N"))
         t.lin = lin
         t.quad = quad
+        # NULL category keys (rows aggregated before imputation filled them)
+        # carry no usable one-hot slot — drop them, as the reference's MICE
+        # does by mean/mode-filling before aggregation (partition.cpp:43-57).
         t.lin_cat = [
-            {int(e["key"]): float(e["value"]) for e in (grp or [])}
+            {
+                int(e["key"]): float(e["value"])
+                for e in (grp or [])
+                if e["key"] is not None
+            }
             for grp in lin_cat_raw
         ]
         if not nb:
             t.quad_num_cat = [
-                {int(e["key"]): float(e["value"]) for e in (grp or [])}
+                {
+                    int(e["key"]): float(e["value"])
+                    for e in (grp or [])
+                    if e["key"] is not None and e["value"] is not None
+                }
                 for grp in (qnc_raw or [])
             ]
             t.quad_cat = [
-                {(int(e["key1"]), int(e["key2"])): float(e["value"]) for e in (grp or [])}
+                {
+                    (int(e["key1"]), int(e["key2"])): float(e["value"])
+                    for e in (grp or [])
+                    if e["key1"] is not None and e["key2"] is not None
+                }
                 for grp in (qcc_raw or [])
             ]
         return t
