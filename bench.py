@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+from duckdb_imputation_spark.mice import mice_impute
+from duckdb_imputation_spark.queries import QUERIES
+from duckdb_imputation_spark.session import get_spark
+from duckdb_imputation_spark.sources import load_table
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "triple_lineitem_grouped",
+    "triple_lineitem_full",
+    "triple_factorized_join",
+    "nb_triple_orders",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "orders_window_top3",
+]
+
+
+def bench_mice(spark) -> float:
+    """MICE-low, 2 iters, 2 null columns over lineitem (deterministic mask)."""
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.dayofmonth("l_shipdate").cast("double").alias("x"),
+        F.when(F.col("l_orderkey") % 5 == 0, None)
+        .otherwise(F.col("l_quantity"))
+        .alias("y"),
+        F.when(F.col("l_orderkey") % 7 == 0, None)
+        .otherwise(F.round(F.col("l_discount") * 100))
+        .alias("z"),
+    )
+    t0 = time.perf_counter()
+    res = mice_impute(
+        li,
+        cont_cols=["y", "z", "x"],
+        cat_cols=["l_linenumber"],
+        cont_nulls=["y", "z"],
+        cat_nulls=[],
+        iters=2,
+        strategy="low",
+        noise=False,
+    )
+    res.df.select(F.count(F.lit(1))).collect()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    spark = get_spark("bench")
+    # warm up the JVM / parquet footer caches with a trivial action
+    load_table(spark, SF_DIR, "region").count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).collect()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    times["mice_low_2iter"] = round(bench_mice(spark), 3)
+
+    out = {
+        "metric": "headline_queries_total_wall_clock",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf_val,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,620 @@
+"""Query catalog: every operator from SURVEY §2 as a (Spark DataFrame
+query, ANSI-SQL DuckDB oracle) pair over the driver testdata tables.
+
+Design rules for cross-engine hash-exactness:
+  * every aggregated quantity is integer-valued (prices → cents via
+    ROUND(x*100)); sums of integers are exact in both engines regardless
+    of accumulation order;
+  * every computed column is aliased identically on both sides;
+  * only deterministic total orders feed LIMIT;
+  * transcendental results (ML coefficients, sqrt/ln/cos) are rounded to
+    6 decimals on both sides.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.triple import Triple
+from .ml.linreg import linreg_train
+from .operators.cofactor import sum_to_triple
+from .operators.flatten import flatten_triple, triple_entries, triple_entries_sql
+from .operators.multiply import triple_over_join
+from .sources import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = " ".join(oracle.split())
+        return fn
+
+    return deco
+
+
+def _li(spark, sf):
+    return load_table(spark, sf, "lineitem")
+
+
+def _cents(col):  # price columns carry 2 decimals
+    return F.round(F.col(col) * 100).cast("long")
+
+
+# --------------------------------------------------------------------- #
+# 1. Ring / cofactor aggregates (SURVEY §2.1 #1-8)                       #
+# --------------------------------------------------------------------- #
+
+_LI_NUM_SQL = [
+    "l_quantity",
+    "ROUND(l_discount*100)",
+    "ROUND(l_tax*100)",
+]
+_LI_CAT_SQL = ["l_linenumber", "CAST(year(l_shipdate) AS INT)"]
+
+
+def _li_prepped(spark, sf):
+    return (
+        _li(spark, sf)
+        .withColumn("disc_c", F.round(F.col("l_discount") * 100).cast("double"))
+        .withColumn("tax_c", F.round(F.col("l_tax") * 100).cast("double"))
+        .withColumn("l_year", F.year("l_shipdate"))
+    )
+
+
+@register(
+    "triple_lineitem_full",
+    oracle=triple_entries_sql("lineitem", _LI_NUM_SQL, _LI_CAT_SQL),
+)
+def triple_lineitem_full(spark, sf):
+    """Full-table fused lift+sum (sum_to_triple_3_2), flattened."""
+    return triple_entries(
+        _li_prepped(spark, sf),
+        ["l_quantity", "disc_c", "tax_c"],
+        ["l_linenumber", "l_year"],
+    )
+
+
+@register(
+    "triple_lineitem_grouped",
+    oracle=triple_entries_sql(
+        "lineitem", _LI_NUM_SQL, _LI_CAT_SQL, group_by=["l_returnflag"]
+    ),
+)
+def triple_lineitem_grouped(spark, sf):
+    """GROUP BY cofactor (partial+final hash agg in one shuffle)."""
+    return triple_entries(
+        _li_prepped(spark, sf),
+        ["l_quantity", "disc_c", "tax_c"],
+        ["l_linenumber", "l_year"],
+        group_by=["l_returnflag"],
+    )
+
+
+@register(
+    "nb_triple_orders",
+    oracle=triple_entries_sql(
+        "orders",
+        ["CAST(month(o_orderdate) AS DOUBLE)", "CAST(day(o_orderdate) AS DOUBLE)"],
+        ["ascii(o_orderstatus)", "ascii(o_orderpriority)"],
+        nb=True,
+    ),
+)
+def nb_triple_orders(spark, sf):
+    """Naive-Bayes aggregate (diagonal quad, no cross maps)."""
+    o = (
+        load_table(spark, sf, "orders")
+        .withColumn("o_month", F.month("o_orderdate").cast("double"))
+        .withColumn("o_day", F.dayofmonth("o_orderdate").cast("double"))
+        .withColumn("o_status", F.ascii("o_orderstatus"))
+        .withColumn("o_prio", F.ascii("o_orderpriority"))
+    )
+    return triple_entries(o, ["o_month", "o_day"], ["o_status", "o_prio"], nb=True)
+
+
+@register(
+    "triple_factorized_join",
+    oracle=triple_entries_sql(
+        "(SELECT * FROM lineitem JOIN orders ON l_orderkey = o_orderkey)",
+        ["l_quantity", "CAST(month(o_orderdate) AS DOUBLE)"],
+        ["l_linenumber", "ascii(o_orderstatus)"],
+    ),
+)
+def triple_factorized_join(spark, sf):
+    """sum_triple(multiply_triple(A,B)) over the orderkey join — must equal
+    the cofactor over the materialized join (the factorization theorem);
+    the oracle computes the latter."""
+    li = _li(spark, sf)
+    o = (
+        load_table(spark, sf, "orders")
+        .withColumn("o_month", F.month("o_orderdate").cast("double"))
+        .withColumn("o_status", F.ascii("o_orderstatus"))
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+    )
+    t = triple_over_join(
+        li,
+        o,
+        on="l_orderkey",
+        num1=["l_quantity"],
+        cat1=["l_linenumber"],
+        num2=["o_month"],
+        cat2=["o_status"],
+    )
+    return flatten_triple(t, 2, 2)
+
+
+# --------------------------------------------------------------------- #
+# 2. Host-engine surface (SURVEY §2.3)                                   #
+# --------------------------------------------------------------------- #
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_c,
+           CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                    * CAST(100 - ROUND(l_discount*100) AS BIGINT)) AS BIGINT) AS sum_disc_price_c,
+           CAST(COUNT(*) AS BIGINT) AS count_order,
+           CAST(SUM(l_quantity) AS DOUBLE) / COUNT(*) AS avg_qty
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf):
+    li = _li(spark, sf).filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").cast("double").alias("sum_qty"),
+        F.sum(_cents("l_extendedprice")).alias("sum_price_c"),
+        F.sum(
+            _cents("l_extendedprice")
+            * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+        ).alias("sum_disc_price_c"),
+        F.count(F.lit(1)).alias("count_order"),
+        (F.sum("l_quantity").cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                    * CAST(100 - ROUND(l_discount*100) AS BIGINT)) AS BIGINT) AS revenue_c,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue_c DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark, sf):
+    c = load_table(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = _li(spark, sf).filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.sum(
+                _cents("l_extendedprice")
+                * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+            ).alias("revenue_c")
+        )
+        .select(
+            "l_orderkey",
+            "revenue_c",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.desc("revenue_c"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_region_revenue",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                    * CAST(100 - ROUND(l_discount*100) AS BIGINT)) AS BIGINT) AS revenue_c
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def q5_region_revenue(spark, sf):
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    li = _li(spark, sf)
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            s,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                _cents("l_extendedprice")
+                * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+            ).alias("revenue_c")
+        )
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                    * CAST(ROUND(l_discount*100) AS BIGINT)) AS BIGINT) AS revenue_c,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND ROUND(l_discount*100) BETWEEN 5 AND 7
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark, sf):
+    li = _li(spark, sf).filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & F.round(F.col("l_discount") * 100).between(5, 7)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(
+            _cents("l_extendedprice") * F.round(F.col("l_discount") * 100).cast("long")
+        ).alias("revenue_c"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "orders_window_top3",
+    oracle="""
+    SELECT o_custkey, o_orderkey, rn FROM (
+      SELECT o_custkey, o_orderkey,
+             CAST(row_number() OVER (PARTITION BY o_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+      FROM orders) t
+    WHERE rn <= 3
+    """,
+)
+def orders_window_top3(spark, sf):
+    o = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+
+
+@register(
+    "semi_join_urgent_customers",
+    oracle="""
+    SELECT c_custkey, c_nationkey FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    """,
+)
+def semi_join_urgent_customers(spark, sf):
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_nationkey"
+    )
+
+
+@register(
+    "anti_join_customers_no_orders",
+    oracle="""
+    SELECT c_custkey FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def anti_join_customers_no_orders(spark, sf):
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+
+
+@register(
+    "distinct_category_dictionary",
+    oracle="SELECT DISTINCT l_linenumber FROM lineitem ORDER BY l_linenumber",
+)
+def distinct_category_dictionary(spark, sf):
+    """The reference's category-dictionary query (partition.cpp:722-733)."""
+    return _li(spark, sf).select("l_linenumber").distinct().orderBy("l_linenumber")
+
+
+@register(
+    "union_partition_counts",
+    oracle="""
+    SELECT 'low' AS bucket, CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem WHERE l_quantity < 25
+    UNION ALL
+    SELECT 'high' AS bucket, CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem WHERE l_quantity >= 25
+    """,
+)
+def union_partition_counts(spark, sf):
+    li = _li(spark, sf)
+    low = li.filter("l_quantity < 25").agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("low").alias("bucket"), "n"
+    )
+    high = li.filter("l_quantity >= 25").agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("high").alias("bucket"), "n"
+    )
+    return low.unionAll(high)
+
+
+@register(
+    "mean_mode_stats",
+    oracle="""
+    SELECT 'mean_qty' AS stat,
+           CAST(SUM(l_quantity) AS DOUBLE) / COUNT(*) AS value
+    FROM lineitem
+    UNION ALL
+    SELECT 'mode_linenumber' AS stat, CAST(m AS DOUBLE) AS value FROM (
+      SELECT l_linenumber AS m FROM lineitem
+      GROUP BY l_linenumber ORDER BY COUNT(*) DESC, l_linenumber LIMIT 1) t
+    """,
+)
+def mean_mode_stats(spark, sf):
+    """AVG + MODE — the MICE pre-fill statistics (partition.cpp:43-57)."""
+    li = _li(spark, sf)
+    mean = li.agg(
+        (F.sum("l_quantity").cast("double") / F.count(F.lit(1))).alias("value")
+    ).select(F.lit("mean_qty").alias("stat"), "value")
+    mode = (
+        li.groupBy("l_linenumber")
+        .count()
+        .orderBy(F.desc("count"), "l_linenumber")
+        .limit(1)
+        .select(
+            F.lit("mode_linenumber").alias("stat"),
+            F.col("l_linenumber").cast("double").alias("value"),
+        )
+    )
+    return mean.unionAll(mode)
+
+
+@register(
+    "case_when_null_buckets",
+    oracle="""
+    SELECT CASE WHEN l_quantity < 10 THEN 'small'
+                WHEN l_quantity < 30 THEN 'mid'
+                ELSE 'large' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS returned
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def case_when_null_buckets(spark, sf):
+    li = _li(spark, sf)
+    bucket = (
+        F.when(F.col("l_quantity") < 10, "small")
+        .when(F.col("l_quantity") < 30, "mid")
+        .otherwise("large")
+    )
+    return li.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("returned"),
+    )
+
+
+@register(
+    "casts_and_dates",
+    oracle="""
+    SELECT CAST(year(l_shipdate) AS INT) AS year,
+           CAST(CAST(l_quantity AS INT) AS BIGINT) AS qty_int,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+)
+def casts_and_dates(spark, sf):
+    li = _li(spark, sf)
+    return li.groupBy(
+        F.year("l_shipdate").alias("year"),
+        F.col("l_quantity").cast("int").cast("long").alias("qty_int"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "list_extract_position",
+    oracle="""
+    SELECT l_linenumber,
+           list_extract(['a','b','c','d','e','f','g'],
+             list_position([1,2,3,4,5,6,7], l_linenumber)) AS letter,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY 1, 2
+    """,
+)
+def list_extract_position(spark, sf):
+    """The coefficient-lookup pattern of generated predict SQL
+    (partition.cpp:749-801): list_extract + list_position."""
+    li = _li(spark, sf)
+    letters = F.array(*[F.lit(x) for x in "abcdefg"])
+    idx = F.array(*[F.lit(i) for i in range(1, 8)])
+    return li.groupBy(
+        "l_linenumber",
+        F.element_at(letters, F.array_position(idx, F.col("l_linenumber")).cast("int")).alias(
+            "letter"
+        ),
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "math_scalar_functions",
+    oracle="""
+    SELECT l_linenumber,
+           ROUND(sqrt(CAST(l_linenumber AS DOUBLE)), 6) AS sqrt_ln,
+           ROUND(ln(CAST(l_linenumber AS DOUBLE)), 6) AS log_ln,
+           ROUND(cos(2 * pi() * l_linenumber / 7), 6) AS cos_ln,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY 1, 2, 3, 4
+    """,
+)
+def math_scalar_functions(spark, sf):
+    """sqrt/ln/cos/pi — the Box–Muller ingredient functions
+    (imputation_low.cpp:136), rounded to dodge libm last-ulp skew."""
+    import math
+
+    li = _li(spark, sf)
+    x = F.col("l_linenumber").cast("double")
+    return li.groupBy(
+        "l_linenumber",
+        F.round(F.sqrt(x), 6).alias("sqrt_ln"),
+        F.round(F.log(x), 6).alias("log_ln"),
+        F.round(F.cos(F.lit(2 * math.pi) * x / 7), 6).alias("cos_ln"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "json_extract_events",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS min_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def json_extract_events(spark, sf):
+    ev = load_table(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@register(
+    "events_hourly_rollup",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(value) AS min_v, MAX(value) AS max_v
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_hourly_rollup(spark, sf):
+    """Batch equivalent of the streaming hourly rollup (min/max/count are
+    accumulation-order-independent, hence hash-exact)."""
+    ev = load_table(spark, sf, "events")
+    return ev.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias("hour"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("min_v"),
+        F.max("value").alias("max_v"),
+    )
+
+
+# --------------------------------------------------------------------- #
+# 3. ML path with a SQL-expressible oracle                               #
+# --------------------------------------------------------------------- #
+
+
+@register(
+    "linreg_via_triple_vs_regr",
+    oracle="""
+    SELECT ROUND(regr_slope(l_quantity, CAST(day(l_shipdate) AS DOUBLE)), 6) AS slope,
+           ROUND(regr_intercept(l_quantity, CAST(day(l_shipdate) AS DOUBLE)), 6) AS intercept
+    FROM lineitem
+    """,
+)
+def linreg_via_triple_vs_regr(spark, sf):
+    """linreg_train on a 2-column triple vs DuckDB's regr_slope/intercept:
+    the whole aggregate→collect→train path has an exact SQL oracle."""
+    li = _li(spark, sf).withColumn("x", F.dayofmonth("l_shipdate").cast("double"))
+    row = sum_to_triple(li, ["l_quantity", "x"]).collect()[0]["triple"]
+    t = Triple.from_row(row)
+    m = linreg_train(t, label=0, method="closed")
+    return spark.createDataFrame(
+        [(round(m.coef_num[0], 6), round(m.intercept, 6))], "slope double, intercept double"
+    )
+
+
+@register(
+    "mice_single_col_sql_oracle",
+    oracle="""
+    WITH masked AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(day(l_shipdate) AS DOUBLE) AS x,
+             CASE WHEN l_orderkey % 5 = 0 THEN NULL ELSE l_quantity END AS y
+      FROM lineitem
+    ), fit AS (
+      SELECT regr_slope(y, x) AS b1, regr_intercept(y, x) AS b0
+      FROM masked WHERE y IS NOT NULL
+    )
+    SELECT l_orderkey, l_linenumber,
+           ROUND(COALESCE(y, b0 + b1 * x), 4) AS y_imputed
+    FROM masked, fit
+    """,
+)
+def mice_single_col_sql_oracle(spark, sf):
+    """MICE baseline, 1 iter, 1 numeric column, no noise — small enough to
+    have a full ANSI-SQL oracle (deterministic l_orderkey%5 mask)."""
+    from .mice import mice_impute
+
+    li = _li(spark, sf).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.dayofmonth("l_shipdate").cast("double").alias("x"),
+        F.when(F.col("l_orderkey") % 5 == 0, None)
+        .otherwise(F.col("l_quantity"))
+        .alias("y"),
+    )
+    res = mice_impute(
+        li,
+        cont_cols=["y", "x"],
+        cat_cols=[],
+        cont_nulls=["y"],
+        cat_nulls=[],
+        iters=1,
+        strategy="baseline",
+        noise=False,
+    )
+    return res.df.select(
+        "l_orderkey", "l_linenumber", F.round("y", 4).alias("y_imputed")
+    )

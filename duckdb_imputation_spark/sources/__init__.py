@@ -1,0 +1,59 @@
+"""Data sources: the driver's testdata star schema and generic readers.
+
+Equivalent of the reference's scan surface (SURVEY §2.3): CSV with
+header/auto-detect (main.cpp:53 ``read_csv(..., AUTO_DETECT)``) →
+``spark.read.csv(header, inferSchema)``; in-memory fixtures →
+``createDataFrame``; plus parquet/json, which Spark gives natively.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+__all__ = ["TABLES", "load_tables", "load_table", "read_csv_auto"]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS) which Spark's parquet
+        # reader rejects by default; read nanos as long, convert to a
+        # microsecond timestamp (what DuckDB's CAST(ts AS TIMESTAMP) does).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, register_views: bool = True
+) -> dict[str, DataFrame]:
+    out = {}
+    for name in TABLES:
+        df = load_table(spark, sf_dir, name)
+        if register_views:
+            df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def read_csv_auto(spark: SparkSession, path: str, **options) -> DataFrame:
+    """CSV with header + type auto-detection (the reference's read_csv)."""
+    opts = {"header": "true", "inferSchema": "true", **options}
+    return spark.read.options(**opts).csv(path)

@@ -1,0 +1,69 @@
+"""Replay of the driver's correctness gate: run every catalog query on
+Spark AND its ANSI-SQL oracle on DuckDB over the same parquet, compare
+row counts and (column-name-sorted, row-sorted) values exactly."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    return con
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif df[c].dtype == object:
+            df[c] = df[c].map(lambda x: str(x) if x is not None else None)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+ALL = sorted(entry_mod.queries().keys())
+
+
+@pytest.mark.parametrize("name", ALL)
+def test_query_matches_oracle(spark, ddb, name):
+    q = entry_mod.queries()[name]
+    oracles = entry_mod.oracle_sql()
+    got = q(spark, SF_DIR).toPandas()
+    assert len(got) >= 0  # smoke: runs
+    if name not in oracles:
+        pytest.skip("rows-only query (no SQL oracle)")
+    exp = ddb.execute(oracles[name]).df()
+    assert len(got) == len(exp), f"row count {len(got)} != oracle {len(exp)}"
+    g, e = canon(got), canon(exp)
+    assert list(g.columns) == list(e.columns), (g.columns, e.columns)
+    for c in g.columns:
+        if pd.api.types.is_float_dtype(g[c]):
+            assert np.array_equal(
+                g[c].to_numpy(), e[c].to_numpy(), equal_nan=True
+            ), f"column {c} differs"
+        else:
+            assert g[c].equals(e[c]), f"column {c} differs"
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) >= {"part", "i", "j", "k1", "k2", "val"}
