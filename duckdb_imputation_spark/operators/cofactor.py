@@ -324,120 +324,99 @@ def sum_triples(
     """⊕-aggregate a column of triples (reference ``sum_triple``,
     sum.cpp:57-261) — e.g. after :mod:`multiply` in a factorized join.
 
-    Declarative: dense arrays via element-wise sums, sparse maps via
-    explode → re-aggregate → collect, all JVM-side.
+    Single-pass: each triple is lowered to flat entry rows with ONE
+    generate (so the upstream plan executes once — an earlier 4-scan
+    version re-ran the whole upstream join per statistic family), summed
+    with one grouped aggregation (map-side combine bounds the shuffle by
+    the number of distinct statistics, not input rows), and reassembled
+    into the nested struct with one more grouping.
     """
+    from .flatten import flatten_triple  # local import to avoid a cycle
+
     group_by = list(group_by)
     internal_key = not group_by
     if internal_key:
         df = df.withColumn("__g", F.lit(0))
         group_by = ["__g"]
-    t = F.col(triple_col)
     d, c = d_num, d_cat
-    nq = d if nb else n_quad(d)
 
-    dense_aggs = [F.sum(t["N"]).alias("__n")]
-    dense_aggs += [
-        F.sum(F.element_at(t["lin_agg"], i + 1)).alias(f"__lin_{i}") for i in range(d)
+    entries = flatten_triple(df, d, c, group_by, nb=nb, triple_col=triple_col)
+    summed = entries.groupBy(*group_by, "part", "i", "j", "k1", "k2").agg(
+        F.sum("val").alias("val")
+    )
+    assembled = summed.groupBy(*group_by).agg(
+        F.collect_list(F.struct("part", "i", "j", "k1", "k2", "val")).alias("__e")
+    )
+
+    e = F.col("__e")
+
+    def matches(part: str, i: int, j: int):
+        return lambda x: (
+            (x["part"] == F.lit(part)) & (x["i"] == F.lit(i)) & (x["j"] == F.lit(j))
+        )
+
+    def scalar(part: str, i: int, j: int) -> Column:
+        return F.element_at(F.filter(e, matches(part, i, j)), 1)["val"]
+
+    def kv_list(part: str, i: int, j: int) -> Column:
+        return F.sort_array(
+            F.transform(
+                F.filter(e, matches(part, i, j)),
+                lambda x: F.struct(x["k1"].alias("key"), x["val"].alias("value")),
+            )
+        )
+
+    def kkv_list(i: int, j: int) -> Column:
+        return F.sort_array(
+            F.transform(
+                F.filter(e, matches("quad_cat", i, j)),
+                lambda x: F.struct(
+                    x["k1"].alias("key1"),
+                    x["k2"].alias("key2"),
+                    x["val"].alias("value"),
+                ),
+            )
+        )
+
+    quad_pairs = [(i, i) for i in range(d)] if nb else [
+        (i, j) for i in range(d) for j in range(i, d)
     ]
-    dense_aggs += [
-        F.sum(F.element_at(t["quad_agg"], p + 1)).alias(f"__quad_{p}")
-        for p in range(nq)
-    ]
-    dense = df.groupBy(*group_by).agg(*dense_aggs)
-
-    def kv_part(field: str, n_lists: int, out_names=("key", "value")) -> DataFrame:
-        ent = (
-            df.select(
-                *group_by,
-                F.posexplode(t[field]).alias("__li", "__lst"),
-            )
-            .select(*group_by, "__li", F.explode("__lst").alias("__e"))
-        )
-        if len(out_names) == 2:
-            ent = ent.select(
-                *group_by,
-                "__li",
-                F.col("__e.key").alias("__k1"),
-                F.lit(0).alias("__k2"),
-                F.col("__e.value").alias("__v"),
-            )
-        else:
-            ent = ent.select(
-                *group_by,
-                "__li",
-                F.col("__e.key1").alias("__k1"),
-                F.col("__e.key2").alias("__k2"),
-                F.col("__e.value").alias("__v"),
-            )
-        agg = (
-            ent.groupBy(*group_by, "__li", "__k1", "__k2")
-            .agg(F.sum("__v").alias("__v"))
-            .groupBy(*group_by)
-            .agg(
-                F.collect_list(F.struct("__li", "__k1", "__k2", "__v")).alias(
-                    f"__{field}_entries"
-                )
-            )
-        )
-        return agg
-
-    merged = dense
-    parts: list[tuple[str, int, tuple]] = [("lin_cat", c, ("key", "value"))]
-    if not nb:
-        parts += [
-            ("quad_num_cat", d * c, ("key", "value")),
-            ("quad_cat", n_quad(c), ("key1", "key2", "value")),
-        ]
-    if c > 0:
-        for field, n_lists, names in parts:
-            merged = _join_on(merged, kv_part(field, n_lists, names), group_by)
-
-    def assemble(field: str, n_lists: int, names: tuple) -> Column:
-        col = F.col(f"__{field}_entries")
-        if c == 0:
-            typ = _KKV_T if len(names) == 3 else _KV_T
-            return F.expr("array()").cast(f"array<{typ}>")
-        mk = (
-            (
-                lambda e: F.struct(
-                    e["__k1"].alias("key1"),
-                    e["__k2"].alias("key2"),
-                    e["__v"].alias("value"),
-                )
-            )
-            if len(names) == 3
-            else (
-                lambda e: F.struct(e["__k1"].alias("key"), e["__v"].alias("value"))
-            )
-        )
-        def one(li: int) -> Column:
-            return F.sort_array(
-                F.transform(F.filter(col, lambda e: e["__li"] == F.lit(li)), mk)
-            )
-
-        return F.array(*[one(li) for li in range(n_lists)])
-
     fields = [
-        F.col("__n").alias("N"),
+        scalar("N", -1, -1).cast("long").alias("N"),
         (
-            F.array(*[F.col(f"__lin_{i}") for i in range(d)])
+            F.array(*[scalar("lin", i, -1) for i in range(d)])
             if d
             else F.expr("array()").cast("array<double>")
         ).alias("lin_agg"),
         (
-            F.array(*[F.col(f"__quad_{p}") for p in range(nq)])
+            F.array(*[scalar("quad", i, j) for (i, j) in quad_pairs])
             if d
             else F.expr("array()").cast("array<double>")
         ).alias("quad_agg"),
-        assemble("lin_cat", c, ("key", "value")).alias("lin_cat"),
+        (
+            F.array(*[kv_list("lin_cat", j, -1) for j in range(c)])
+            if c
+            else F.expr("array()").cast(f"array<{_KV_T}>")
+        ).alias("lin_cat"),
     ]
     if not nb:
         fields += [
-            assemble("quad_num_cat", d * c, ("key", "value")).alias("quad_num_cat"),
-            assemble("quad_cat", n_quad(c), ("key1", "key2", "value")).alias(
-                "quad_cat"
-            ),
+            (
+                F.array(
+                    *[
+                        kv_list("quad_num_cat", i, j)
+                        for i in range(d)
+                        for j in range(c)
+                    ]
+                )
+                if c and d
+                else F.expr("array()").cast(f"array<{_KV_T}>")
+            ).alias("quad_num_cat"),
+            (
+                F.array(*[kkv_list(a, b) for (a, b) in cat_pairs(c)])
+                if c
+                else F.expr("array()").cast(f"array<{_KKV_T}>")
+            ).alias("quad_cat"),
         ]
-    out = merged.select(*group_by, F.struct(*fields).alias(result_col))
+    out = assembled.select(*group_by, F.struct(*fields).alias(result_col))
     return out.drop("__g") if internal_key else out
