@@ -1,0 +1,343 @@
+"""Deduplication operators for training-data pipelines.
+
+Five strategies, all shuffle-bounded and oracle-reproducible:
+
+* **exact**        — md5(text) hash → one shuffle, keep min-id per hash.
+* **MinHash+LSH**  — char-shingles → k md5-seeded min-hashes → b bands;
+                     only rows sharing a band bucket are pair-joined, so
+                     the candidate join is |bucket|²-bounded, never n².
+* **SimHash**      — 60-bit weighted-majority token hash; near-dups block
+                     on 15-bit bands (Hamming-distance style).
+* **n-gram Jaccard** — inverted-index blocking on token n-grams, exact
+                     Jaccard verify on candidates.
+* **embedding cosine** — random-hyperplane LSH buckets, exact cosine
+                     verify (see also :mod:`simsearch`).
+
+At 100 TB: every strategy is (signature scan) + (groupBy/band shuffle)
++ (bounded candidate join).  Nothing collects to the driver; canonical
+selection is min-id within a duplicate group (single-link, one hop —
+iterate for transitive closure if needed).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .hashing import md5_int32, md5_int60, shingles, ws_tokens
+
+__all__ = [
+    "exact_dedup",
+    "minhash_signature",
+    "minhash_lsh_pairs",
+    "minhash_dedup",
+    "simhash",
+    "simhash_pairs",
+    "ngram_jaccard_pairs",
+    "embedding_dup_pairs",
+]
+
+
+# ------------------------------------------------------------------ exact
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the smallest-id row per identical text (hash-groupBy; the md5
+    collision probability is negligible and the oracle uses the same
+    hash).  One shuffle on the 32-hex digest."""
+    h = F.md5(F.col(text_col))
+    w = Window.partitionBy(h).orderBy(F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------- minhash
+
+
+def minhash_signature(col: Column, k: int = 16, shingle: int = 5) -> Column:
+    """Array of k min-hashes over character shingles (seeded md5 family)."""
+    sh = shingles(col, shingle)
+
+    def slot(i: int) -> Column:
+        # closure, not a default arg: a 2-arg lambda would be read by
+        # F.transform as (element, index)
+        return F.array_min(
+            F.transform(sh, lambda s: md5_int32(F.concat(F.lit(f"{i}:"), s)))
+        )
+
+    return F.array(*[slot(i) for i in range(k)])
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 16,
+    bands: int = 4,
+    shingle: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Verified near-duplicate pairs (id_a < id_b, jaccard >= threshold).
+
+    shingle→minhash→band→bucket-join: rows are exploded to ``bands``
+    rows keyed by the md5 of their band slice; the self-join happens per
+    bucket only.  Candidates are verified with exact shingle-set Jaccard.
+    """
+    assert k % bands == 0, "k must divide into equal bands"
+    rows = k // bands
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(text_col).alias("__text"),
+        minhash_signature(F.col(text_col), k, shingle).alias("__sig"),
+        F.array_distinct(shingles(F.col(text_col), shingle)).alias("__sh"),
+    )
+    banded = base.select(
+        "__id",
+        "__sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            ",", *[F.element_at("__sig", b * rows + r + 1) for r in range(rows)]
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("__band", "__bucket"),
+    )
+    left = banded.alias("L")
+    right = banded.alias("R")
+    cand = (
+        left.join(
+            right,
+            (F.col("L.__band") == F.col("R.__band"))
+            & (F.col("L.__bucket") == F.col("R.__bucket"))
+            & (F.col("L.__id") < F.col("R.__id")),
+        )
+        .select(
+            F.col("L.__id").alias("id_a"),
+            F.col("R.__id").alias("id_b"),
+            F.col("L.__sh").alias("__sh_a"),
+            F.col("R.__sh").alias("__sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("__sh_a", "__sh_b"))
+    union = F.size(F.array_union("__sh_a", "__sh_b"))
+    return (
+        cand.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_dedup(
+    df: DataFrame, text_col: str, id_col: str, **kwargs
+) -> DataFrame:
+    """Drop rows that near-duplicate a smaller-id row (one-hop
+    single-link: b is dropped if any pair (a,b) with a<b verifies)."""
+    pairs = minhash_lsh_pairs(df, text_col, id_col, **kwargs)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------- simhash
+
+_SIMHASH_BITS = 60
+
+
+def simhash(col: Column) -> Column:
+    """60-bit SimHash over whitespace tokens: per-bit majority vote of
+    md5-hashed tokens, packed into a BIGINT."""
+    hashes = F.transform(ws_tokens(col), lambda t: md5_int60(t))
+    n = F.size(hashes)
+
+    def bit_sum(b: int) -> Column:
+        return F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + F.shiftright(h, b).bitwiseAND(F.lit(1)),
+        )
+
+    return sum(
+        (F.when(bit_sum(b) * 2 > n, F.lit(2**b).cast("long")).otherwise(F.lit(0)))
+        for b in range(_SIMHASH_BITS)
+    ).cast("long")
+
+
+def simhash_pairs(
+    df: DataFrame, text_col: str, id_col: str, bands: int = 4, max_hamming: int = 8
+) -> DataFrame:
+    """Candidate near-dup pairs: equal 15-bit SimHash band (pigeonhole for
+    Hamming distance < bands), verified by exact popcount distance."""
+    width = _SIMHASH_BITS // bands
+    base = df.select(
+        F.col(id_col).alias("__id"), simhash(F.col(text_col)).alias("__sh")
+    )
+    banded = base.select(
+        "__id",
+        "__sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("__sh"), b * width)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    .alias(f"b{b}")
+                    for b in range(bands)
+                ]
+            )
+        ).alias("__band", "__chunk"),
+    )
+    L, R = banded.alias("L"), banded.alias("R")
+    cand = (
+        L.join(
+            R,
+            (F.col("L.__band") == F.col("R.__band"))
+            & (F.col("L.__chunk") == F.col("R.__chunk"))
+            & (F.col("L.__id") < F.col("R.__id")),
+        )
+        .select(
+            F.col("L.__id").alias("id_a"),
+            F.col("R.__id").alias("id_b"),
+            F.col("L.__sh").alias("__ha"),
+            F.col("R.__sh").alias("__hb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------- n-gram Jaccard
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Exact token-n-gram Jaccard over candidates sharing ≥1 n-gram
+    (inverted-index blocking).  For heavy-tailed n-gram frequencies at
+    scale, prefer :func:`minhash_lsh_pairs`; this is the exact verifier."""
+    toks = ws_tokens(F.col(text_col))
+    grams = F.when(F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    base = df.select(
+        F.col(id_col).alias("__id"), F.array_distinct(grams).alias("__g")
+    )
+    inv = base.select("__id", "__g", F.explode("__g").alias("__gram"))
+    L, R = inv.alias("L"), inv.alias("R")
+    cand = (
+        L.join(
+            R,
+            (F.col("L.__gram") == F.col("R.__gram"))
+            & (F.col("L.__id") < F.col("R.__id")),
+        )
+        .select(
+            F.col("L.__id").alias("id_a"),
+            F.col("R.__id").alias("id_b"),
+            F.col("L.__g").alias("__ga"),
+            F.col("R.__g").alias("__gb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    jac = F.round(
+        F.size(F.array_intersect("__ga", "__gb"))
+        / F.size(F.array_union("__ga", "__gb")),
+        6,
+    )
+    return (
+        cand.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ------------------------------------------------------- embedding cosine
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ threshold.
+
+    Random-hyperplane LSH: ``n_planes`` signed projections → ``bands``
+    buckets; pairs sharing a bucket get exact cosine verification.
+    Hyperplanes are seeded and inlined as literals (broadcast-free)."""
+    assert n_planes % bands == 0
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(n_planes, dim))
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    bits = [
+        (_dot(v, F.array(*[F.lit(float(x)) for x in planes[p]])) > 0).cast("int")
+        for p in range(n_planes)
+    ]
+    width = n_planes // bands
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        v.alias("__v"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "", *[bits[b * width + r].cast("string") for r in range(width)]
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("__band", "__bucket"),
+    )
+    L, R = base.alias("L"), base.alias("R")
+    cand = (
+        L.join(
+            R,
+            (F.col("L.__band") == F.col("R.__band"))
+            & (F.col("L.__bucket") == F.col("R.__bucket"))
+            & (F.col("L.__id") < F.col("R.__id")),
+        )
+        .select(
+            F.col("L.__id").alias("id_a"),
+            F.col("R.__id").alias("id_b"),
+            F.col("L.__v").alias("__va"),
+            F.col("R.__v").alias("__vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cos = _dot(F.col("__va"), F.col("__vb")) / (
+        F.sqrt(_dot(F.col("__va"), F.col("__va")))
+        * F.sqrt(_dot(F.col("__vb"), F.col("__vb")))
+    )
+    return (
+        cand.withColumn("cosine", F.round(cos, 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,187 @@
+"""Text analysis for large-scale training-data pipelines.
+
+Language-ID (stopword-hit heuristic), quality scoring (length / punct /
+stopword ratios), token counting (whitespace + a BPE-ish regex), and
+document fingerprinting (rolling polynomial hash over md5'd tokens).
+
+All pure Column expressions — whole-stage-codegen'd, no Python in the
+row path — and every op has a deterministic ANSI-SQL twin for the
+DuckDB oracle (same formulas, same md5-based hashing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .hashing import md5_int32, ws_tokens
+
+__all__ = [
+    "token_count_ws",
+    "token_count_regex",
+    "quality_metrics",
+    "quality_score",
+    "lang_id",
+    "fingerprint",
+    "STOPWORDS",
+]
+
+# Tiny per-language stopword lists — the lang-ID heuristic's n-gram model.
+# Deliberately small and embedded so the oracle SQL can inline them.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "ein", "zu", "den"],
+    "fr": ["le", "la", "les", "et", "de", "un", "une", "est", "pour", "que"],
+    "es": ["el", "la", "los", "y", "de", "un", "una", "es", "por", "que"],
+    "it": ["il", "la", "di", "e", "un", "una", "per", "che", "non", "sono"],
+}
+
+_PUNCT_RE = r"[.,!?;:'\"()\[\]{}<>/\\|@#$%^&*_+=~`-]"
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+_FP_MOD = 1_000_000_007
+
+
+def token_count_ws(col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(ws_tokens(col)).cast("long")
+
+
+def token_count_regex(col: Column) -> Column:
+    """BPE-ish token count: letter runs, digit runs, single symbols —
+    a cheap proxy for subword tokenizer counts."""
+    return F.size(F.regexp_extract_all(col, F.lit(_BPE_RE), 0)).cast("long")
+
+
+def quality_metrics(col: Column) -> dict[str, Column]:
+    """Raw quality features as named columns."""
+    toks = ws_tokens(col)
+    n_char = F.length(col).cast("long")
+    n_tok = F.size(toks).cast("long")
+    n_punct = (F.length(col) - F.length(F.regexp_replace(col, _PUNCT_RE, ""))).cast(
+        "long"
+    )
+    stop = [F.lit(w) for w in STOPWORDS["en"]]
+    n_stop = F.size(
+        F.filter(toks, lambda t: F.array_contains(F.array(*stop), F.lower(t)))
+    ).cast("long")
+    mean_tok_len = F.when(n_tok > 0, (n_char - (n_tok - 1)) / n_tok).otherwise(
+        F.lit(0.0)
+    )
+    return {
+        "n_chars": n_char,
+        "n_tokens": n_tok,
+        "punct_ratio": F.when(n_char > 0, n_punct / n_char).otherwise(0.0),
+        "stopword_ratio": F.when(n_tok > 0, n_stop / n_tok).otherwise(0.0),
+        "mean_token_len": mean_tok_len,
+    }
+
+
+def quality_score(col: Column) -> Column:
+    """Composite quality in [0,1]: rewards stopword presence and sane
+    token lengths, penalizes punctuation soup and trivial length.
+    Deterministic formula — mirrored 1:1 in the SQL oracle."""
+    m = quality_metrics(col)
+    len_term = F.least(m["n_tokens"] / F.lit(100.0), F.lit(1.0))
+    stop_term = F.least(m["stopword_ratio"] * 2.0, F.lit(1.0))
+    punct_term = F.greatest(F.lit(1.0) - m["punct_ratio"] * 5.0, F.lit(0.0))
+    wordlen_term = F.when(
+        (m["mean_token_len"] >= 2.0) & (m["mean_token_len"] <= 12.0), 1.0
+    ).otherwise(0.5)
+    return F.round(
+        (len_term + stop_term + punct_term + wordlen_term) / 4.0, 6
+    )
+
+
+def lang_id(col: Column) -> Column:
+    """argmax over languages of stopword hits; 'und' (undetermined) when
+    nothing matches."""
+    toks = F.transform(ws_tokens(col), lambda t: F.lower(t))
+    scores = []
+    for lang in sorted(STOPWORDS):
+        stop = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        scores.append(
+            F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+        )
+    arr = F.array(*scores)
+    best = F.array_max(arr)
+    langs = F.array(*[F.lit(x) for x in sorted(STOPWORDS)])
+    return F.when(best == 0, F.lit("und")).otherwise(
+        F.element_at(langs, F.array_position(arr, best).cast("int"))
+    )
+
+
+def fingerprint(col: Column) -> Column:
+    """Order-sensitive document fingerprint: rolling polynomial hash
+    h = (h*31 + md5_32(token)) mod 1e9+7 over whitespace tokens."""
+    toks = ws_tokens(col)
+    hashes = F.transform(toks, lambda t: md5_int32(t))
+    return F.aggregate(
+        hashes,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * 31 + h) % F.lit(_FP_MOD),
+    )
+
+
+# ---------------------------------------------------------------- SQL twins
+
+def token_count_ws_sql(expr: str) -> str:
+    return (
+        f"CASE WHEN length(trim({expr})) = 0 THEN 0 ELSE "
+        f"CAST(length(regexp_split_to_array(trim({expr}), '\\s+')) AS BIGINT) END"
+    )
+
+
+def token_count_regex_sql(expr: str) -> str:
+    return (
+        f"CAST(length(regexp_extract_all({expr}, '{_BPE_RE}')) AS BIGINT)"
+    )
+
+
+def fingerprint_sql(expr: str) -> str:
+    toks = (
+        f"CASE WHEN length(trim({expr})) = 0 THEN [] "
+        f"ELSE regexp_split_to_array(trim({expr}), '\\s+') END"
+    )
+    hashes = (
+        f"list_transform({toks}, t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT))"
+    )
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), {hashes}), "
+        f"(acc, h) -> (acc * 31 + h) % {_FP_MOD})"
+    )
+
+
+def quality_score_sql(expr: str) -> str:
+    toks = f"regexp_split_to_array(trim({expr}), '\\s+')"
+    n_char = f"length({expr})"
+    n_tok = f"(CASE WHEN length(trim({expr})) = 0 THEN 0 ELSE length({toks}) END)"
+    punct_sql = _PUNCT_RE.replace("'", "''")
+    n_punct = f"(length({expr}) - length(regexp_replace({expr}, '{punct_sql}', '', 'g')))"
+    stoplist = "[" + ", ".join(f"'{w}'" for w in STOPWORDS["en"]) + "]"
+    n_stop = f"length(list_filter({toks}, t -> list_contains({stoplist}, lower(t))))"
+    mean_tok = f"(CASE WHEN {n_tok} > 0 THEN CAST({n_char} - ({n_tok} - 1) AS DOUBLE) / {n_tok} ELSE 0.0 END)"
+    len_term = f"LEAST({n_tok} / 100.0, 1.0)"
+    stop_term = f"LEAST((CASE WHEN {n_tok} > 0 THEN CAST({n_stop} AS DOUBLE) / {n_tok} ELSE 0.0 END) * 2.0, 1.0)"
+    punct_term = f"GREATEST(1.0 - (CASE WHEN {n_char} > 0 THEN CAST({n_punct} AS DOUBLE) / {n_char} ELSE 0.0 END) * 5.0, 0.0)"
+    wordlen_term = f"(CASE WHEN {mean_tok} >= 2.0 AND {mean_tok} <= 12.0 THEN 1.0 ELSE 0.5 END)"
+    return f"ROUND(({len_term} + {stop_term} + {punct_term} + {wordlen_term}) / 4.0, 6)"
+
+
+def lang_id_sql(expr: str) -> str:
+    toks = (
+        f"list_transform(CASE WHEN length(trim({expr})) = 0 THEN [] "
+        f"ELSE regexp_split_to_array(trim({expr}), '\\s+') END, t -> lower(t))"
+    )
+    langs = sorted(STOPWORDS)
+    scores = []
+    for lang in langs:
+        stoplist = "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+        scores.append(
+            f"length(list_filter({toks}, t -> list_contains({stoplist}, t)))"
+        )
+    arr = "[" + ", ".join(scores) + "]"
+    lang_arr = "[" + ", ".join(f"'{x}'" for x in langs) + "]"
+    return (
+        f"CASE WHEN list_max({arr}) = 0 THEN 'und' "
+        f"ELSE list_extract({lang_arr}, list_position({arr}, list_max({arr}))) END"
+    )

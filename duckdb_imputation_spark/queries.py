@@ -618,3 +618,226 @@ def mice_single_col_sql_oracle(spark, sf):
     return res.df.select(
         "l_orderkey", "l_linenumber", F.round("y", 4).alias("y_imputed")
     )
+
+
+# --------------------------------------------------------------------- #
+# 4. Training-data pipeline ops: text analysis, dedup, similarity       #
+# --------------------------------------------------------------------- #
+
+from .operators import textstats as _ts  # noqa: E402
+from .operators import dedup as _dd  # noqa: E402
+from .operators import simsearch as _ss  # noqa: E402
+from .operators.hashing import md5_int32, md5_int32_sql, shingles_sql  # noqa: E402
+
+
+@register(
+    "text_stats_documents",
+    oracle=f"""
+    SELECT doc_id,
+           {_ts.token_count_ws_sql('text')} AS n_ws_tokens,
+           {_ts.token_count_regex_sql('text')} AS n_re_tokens,
+           {_ts.fingerprint_sql('text')} AS fp,
+           {_ts.quality_score_sql('text')} AS quality,
+           {_ts.lang_id_sql('text')} AS lang
+    FROM documents
+    """,
+)
+def text_stats_documents(spark, sf):
+    """Token counting, fingerprinting, quality scoring and language ID in
+    one pass over the documents table (all Column expressions)."""
+    d = load_table(spark, sf, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        _ts.token_count_ws(t).alias("n_ws_tokens"),
+        _ts.token_count_regex(t).alias("n_re_tokens"),
+        _ts.fingerprint(t).alias("fp"),
+        _ts.quality_score(t).alias("quality"),
+        _ts.lang_id(t).alias("lang"),
+    )
+
+
+@register(
+    "exact_dedup_documents",
+    oracle="""
+    WITH unioned AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 5
+    )
+    SELECT doc_id FROM unioned
+    QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+    """,
+)
+def exact_dedup_documents(spark, sf):
+    """Exact dedup (hash-groupBy, keep min id) over documents plus five
+    injected exact copies."""
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    copies = d.filter("doc_id < 5").select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return _dd.exact_dedup(d.unionAll(copies), "text", "doc_id").select("doc_id")
+
+
+def _minhash_slot_sql(i: int, shingle: int) -> str:
+    sh = shingles_sql("text", shingle)
+    h = md5_int32_sql(f"CONCAT('{i}:', s)")
+    return f"list_min(list_transform({sh}, s -> {h}))"
+
+
+_MINHASH_ORACLE = "\nUNION ALL\n".join(
+    f"SELECT doc_id, CAST({i} AS INT) AS hash_idx, "
+    f"{_minhash_slot_sql(i, 5)} AS minhash "
+    f"FROM documents WHERE doc_id < 100"
+    for i in range(8)
+)
+
+
+@register("minhash_signatures", oracle=_MINHASH_ORACLE)
+def minhash_signatures(spark, sf):
+    """MinHash signatures (k=8, 5-char shingles), exploded to one row per
+    hash slot — bit-exact across engines via the seeded md5 family."""
+    d = load_table(spark, sf, "documents").filter("doc_id < 100")
+    sig = _dd.minhash_signature(F.col("text"), k=8, shingle=5)
+    return d.select("doc_id", F.posexplode(sig).alias("hash_idx", "minhash"))
+
+
+@register(
+    "ngram_jaccard_dups",
+    oracle="""
+    WITH unioned AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 40
+      UNION ALL
+      SELECT doc_id + 10000 AS doc_id, text || ' extraword' AS text
+      FROM documents WHERE doc_id < 5
+    ), grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, GREATEST(length(toks) - 2, 1) + 1),
+               i -> array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+2], ' ')
+             )) AS g
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+            FROM unioned)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(length(list_intersect(a.g, b.g)) AS DOUBLE)
+                 / length(list_distinct(list_concat(a.g, b.g))), 6) AS jaccard
+    FROM grams a, grams b
+    WHERE a.doc_id < b.doc_id
+      AND CAST(length(list_intersect(a.g, b.g)) AS DOUBLE)
+          / length(list_distinct(list_concat(a.g, b.g))) >= 0.3
+    """,
+)
+def ngram_jaccard_dups(spark, sf):
+    """Token-3-gram Jaccard near-dup pairs over documents plus injected
+    near-copies; the oracle computes all-pairs Jaccard (blocking only
+    changes what is *computed*, not what passes the threshold)."""
+    d = load_table(spark, sf, "documents").filter("doc_id < 40").select("doc_id", "text")
+    near = (
+        load_table(spark, sf, "documents")
+        .filter("doc_id < 5")
+        .select(
+            (F.col("doc_id") + 10000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" extraword")).alias("text"),
+        )
+    )
+    return _dd.ngram_jaccard_pairs(
+        d.unionAll(near), "text", "doc_id", n=3, threshold=0.3
+    )
+
+
+@register(
+    "simhash_documents",
+    oracle="""
+    SELECT doc_id,
+           CAST(list_sum(list_transform(range(0, 60), b ->
+             CASE WHEN 2 * list_sum(list_transform(hs, h -> (h >> b) & 1))
+                       > length(hs)
+                  THEN (CAST(1 AS BIGINT) << b) ELSE 0 END
+           )) AS BIGINT) AS sh
+    FROM (
+      SELECT doc_id,
+             list_transform(
+               CASE WHEN length(trim(text)) = 0 THEN []
+                    ELSE regexp_split_to_array(trim(text), '\\s+') END,
+               t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)) AS hs
+      FROM documents WHERE doc_id < 100)
+    """,
+)
+def simhash_documents(spark, sf):
+    """60-bit SimHash per document — per-bit majority of md5'd tokens,
+    bit-exact across engines."""
+    d = load_table(spark, sf, "documents").filter("doc_id < 100")
+    return d.select("doc_id", _dd.simhash(F.col("text")).alias("sh"))
+
+
+def _emb_query_vec(sf: str | None = None) -> list[float]:
+    """Fixed synthetic unit query (dim 64, sin-derived) — data- and
+    scale-factor-independent so the SQL oracle can inline it."""
+    import numpy as _np
+
+    v = _np.sin(_np.arange(1, 65, dtype=_np.float64))
+    return list(v / _np.linalg.norm(v))
+
+
+@register("embedding_cosine_scores")
+def embedding_cosine_scores(spark, sf):
+    """Brute-force cosine against a fixed synthetic query, ALL rows —
+    set-equality is robust to rank ties; the dot is an explicitly
+    sequential fold in both engines, so the rounded doubles are
+    bit-identical."""
+    q = _emb_query_vec(sf)
+    e = load_table(spark, sf, "embeddings")
+    from .operators.simsearch import _dot
+
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    qv = F.array(*[F.lit(x) for x in q])
+    score = F.round(_dot(v, qv) / F.sqrt(_dot(v, v)), 6)
+    return e.select("vec_id", score.alias("score"))
+
+
+def _embedding_oracle(sf: str | None = None) -> str:
+    q = _emb_query_vec(sf)
+    qlit = "[" + ", ".join(repr(x) for x in q) + "]"
+    dot = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(range(1, length(embedding) + 1), "
+        f"i -> CAST(embedding[CAST(i AS INT)] AS DOUBLE) * ({qlit})[CAST(i AS INT)])), "
+        "(a, b) -> a + b)"
+    )
+    self_dot = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(range(1, length(embedding) + 1), "
+        "i -> CAST(embedding[CAST(i AS INT)] AS DOUBLE) * CAST(embedding[CAST(i AS INT)] AS DOUBLE))), "
+        "(a, b) -> a + b)"
+    )
+    return (
+        f"SELECT vec_id, ROUND({dot} / sqrt({self_dot}), 6) AS score FROM embeddings"
+    )
+
+
+ORACLES["embedding_cosine_scores"] = " ".join(_embedding_oracle().split())
+
+
+@register("ann_ivf_topk")
+def ann_ivf_topk_query(spark, sf):
+    """IVF approximate nearest neighbours (kmeans on a driver sample,
+    nprobe=4 of nlist=8) — no SQL oracle (iterative algorithm), driver
+    records the rows-only check."""
+    q = _emb_query_vec(sf)
+    e = load_table(spark, sf, "embeddings")
+    return _ss.ann_ivf_topk(e, q, k=10, nlist=8, nprobe=4)
+
+
+@register("minhash_dedup_survivors")
+def minhash_dedup_survivors(spark, sf):
+    """End-to-end MinHash-LSH dedup (rows-only: the survivor set depends
+    on banding internals; the signature query above is the exact gate)."""
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    near = d.filter("doc_id < 5").select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extraword")).alias("text"),
+    )
+    return _dd.minhash_dedup(
+        d.unionAll(near), "text", "doc_id", k=16, bands=4, shingle=5, threshold=0.5
+    ).select("doc_id")

@@ -1,0 +1,208 @@
+"""Training-data pipeline ops: dedup, similarity search, text analysis,
+multimodal plumbing — on the driver's documents/embeddings tables plus
+crafted near-duplicates."""
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_imputation_spark.operators import dedup as dd
+from duckdb_imputation_spark.operators import multimodal as mm
+from duckdb_imputation_spark.operators import simsearch as ss
+from duckdb_imputation_spark.operators import textstats as ts
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+# ------------------------------------------------------------- textstats
+
+
+def test_token_counts_match_python(docs):
+    rows = docs.select(
+        "doc_id",
+        "text",
+        ts.token_count_ws(F.col("text")).alias("ws"),
+    ).collect()
+    for r in rows[:50]:
+        assert r["ws"] == len(r["text"].split()), r["text"][:40]
+
+
+def test_fingerprint_matches_python(docs):
+    rows = docs.select(
+        "text", ts.fingerprint(F.col("text")).alias("fp")
+    ).collect()
+    for r in rows[:20]:
+        h = 0
+        for tok in r["text"].split():
+            th = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+            h = (h * 31 + th) % 1_000_000_007
+        assert r["fp"] == h
+
+
+def test_lang_id_english_docs(docs):
+    got = docs.select(ts.lang_id(F.col("text")).alias("lang")).collect()
+    langs = {r["lang"] for r in got}
+    assert langs <= {"en", "und"}  # word-soup docs: en when stopwords present
+
+
+def test_quality_score_bounds(docs):
+    got = docs.select(ts.quality_score(F.col("text")).alias("q")).collect()
+    assert all(0.0 <= r["q"] <= 1.0 for r in got)
+
+
+# ----------------------------------------------------------------- dedup
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark, docs):
+    """documents ∪ near-copies (doc_id+10000, one word changed) ∪ one
+    exact copy (doc_id+20000)."""
+    near = docs.limit(5).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extraword")).alias("text"),
+    )
+    exact = docs.limit(3).select(
+        (F.col("doc_id") + 20000).alias("doc_id"), F.col("text")
+    )
+    return docs.select("doc_id", "text").unionAll(near).unionAll(exact).cache()
+
+
+def test_exact_dedup(dup_docs, docs):
+    n_docs = docs.count()
+    kept = dd.exact_dedup(dup_docs, "text", "doc_id")
+    assert kept.count() == n_docs + 5  # exact copies dropped, near kept
+    assert kept.filter(F.col("doc_id") >= 20000).count() == 0
+
+
+def test_minhash_lsh_finds_near_dups(dup_docs):
+    pairs = dd.minhash_lsh_pairs(
+        dup_docs, "text", "doc_id", k=16, bands=4, shingle=5, threshold=0.5
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    # each near-copy (id+10000) must pair with its source
+    for base in range(5):
+        assert any(a == base and b == base + 10000 for a, b in found), (
+            base,
+            sorted(found)[:10],
+        )
+    deduped = dd.minhash_dedup(
+        dup_docs, "text", "doc_id", k=16, bands=4, shingle=5, threshold=0.5
+    )
+    assert deduped.filter(F.col("doc_id") >= 20000).count() == 0
+
+
+def test_simhash_near_dups(dup_docs):
+    pairs = dd.simhash_pairs(dup_docs, "text", "doc_id", max_hamming=6).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    hits = sum(
+        1 for base in range(5) if any(a == base and b == base + 10000 for a, b in found)
+    )
+    assert hits >= 3  # simhash is approximate; most near-copies collide
+
+
+def test_ngram_jaccard_pairs(dup_docs):
+    pairs = dd.ngram_jaccard_pairs(
+        dup_docs.filter("doc_id < 3 OR doc_id IN (10000, 10001, 10002)"),
+        "text",
+        "doc_id",
+        n=3,
+        threshold=0.3,
+    ).collect()
+    found = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert (0, 10000) in found and found[(0, 10000)] > 0.5
+
+
+def test_embedding_dup_pairs(spark, emb):
+    near = emb.limit(3).select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.001).alias("embedding"),
+    )
+    both = emb.select("vec_id", "embedding").unionAll(near)
+    dim = len(emb.first()["embedding"])
+    pairs = dd.embedding_dup_pairs(
+        both, "embedding", "vec_id", dim=dim, threshold=0.99
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    for base in range(3):
+        assert (base, base + 1000) in found
+
+
+# ------------------------------------------------------------- simsearch
+
+
+def test_cosine_topk_self_first(emb):
+    q = emb.first()["embedding"]
+    top = ss.cosine_topk(emb, q, k=5).collect()
+    assert top[0]["vec_id"] == 0 and top[0]["score"] == pytest.approx(1.0)
+    scores = [r["score"] for r in top]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_ann_recall_vs_brute(emb):
+    q = list(emb.filter("vec_id = 7").first()["embedding"])
+    brute = {r["vec_id"] for r in ss.cosine_topk(emb, q, k=10).collect()}
+    ivf = {r["vec_id"] for r in ss.ann_ivf_topk(emb, q, k=10, nlist=8, nprobe=4).collect()}
+    lsh = {r["vec_id"] for r in ss.ann_lsh_topk(emb, q, k=10, n_planes=12, max_hamming=5).collect()}
+    assert len(brute & ivf) >= 5  # recall@10 ≥ 0.5 with half the lists probed
+    assert len(brute & lsh) >= 5
+    assert 7 in ivf and 7 in lsh
+
+
+# ------------------------------------------------------------ multimodal
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [(i, bytes([i % 256]) * (50 + i)) for i in range(20)]
+    return spark.createDataFrame(rows, "mid long, payload binary")
+
+
+def test_attach_media_meta(media):
+    out = mm.attach_media_meta(media, "payload", fmt="img").collect()
+    assert out[0]["payload_meta"]["n_bytes"] == 50
+    assert out[0]["payload_meta"]["format"] == "img"
+    assert len(out[0]["payload_meta"]["sha"]) == 64
+
+
+def test_decode_images_deterministic(media):
+    a = mm.decode_images(media, "payload", "mid", height=4, width=4).collect()
+    b = mm.decode_images(media, "payload", "mid", height=4, width=4).collect()
+    am = {r["id"]: r["pixels"] for r in a}
+    bm = {r["id"]: r["pixels"] for r in b}
+    assert am == bm
+    assert all(len(px) == 16 for px in am.values())
+    r0 = next(r for r in a if r["id"] == 0)
+    assert r0["mean_pixel"] == pytest.approx(np.mean(r0["pixels"]))
+
+
+def test_decode_images_real_path_stubbed(media):
+    with pytest.raises(Exception, match="NotImplementedError|real image decode"):
+        mm.decode_images(media, "payload", "mid", fake=False).collect()
+
+
+def test_image_features_unit_norm(media):
+    out = mm.image_features(media, "payload", "mid", dim=8).collect()
+    for r in out:
+        assert np.linalg.norm(r["feature"]) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_sample_video_frames(media):
+    out = mm.sample_video_frames(media, "payload", "mid", every_n=10, max_frames=3)
+    rows = out.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["id"], []).append(r["frame_idx"])
+    assert per[0] == [0, 1, 2]
+    assert all(len(v) <= 3 for v in per.values())
