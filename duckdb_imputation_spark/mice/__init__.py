@@ -1,6 +1,6 @@
 """MICE imputation loops (SURVEY §2.2)."""
 
-from .partition import column_stats, flag_and_fill, null_flag
+from .partition import column_stats, flag_and_fill, inject_nulls, null_flag
 from .run import MiceResult, mice_impute
 
 __all__ = [
@@ -9,4 +9,5 @@ __all__ = [
     "column_stats",
     "flag_and_fill",
     "null_flag",
+    "inject_nulls",
 ]

@@ -21,7 +21,20 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["column_stats", "flag_and_fill", "null_flag"]
+__all__ = ["column_stats", "flag_and_fill", "null_flag", "inject_nulls"]
+
+
+def inject_nulls(
+    df: DataFrame, cols: Sequence[str], fraction: float, seed: int = 42
+) -> DataFrame:
+    """Null out a random ``fraction`` of each listed column — the
+    reference's experiment sampler (extract_sample, main.cpp:14-38),
+    seeded ``rand`` instead of Fisher–Yates so it stays distributed."""
+    out = df
+    for idx, c in enumerate(cols):
+        mask = F.rand(seed + idx) < fraction
+        out = out.withColumn(c, F.when(mask, None).otherwise(F.col(c)))
+    return out
 
 
 def null_flag(col: str) -> str:

@@ -1,0 +1,69 @@
+"""Name-compat registry shims + physical-plan assertions (the plans we
+designed for must actually materialize)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_imputation_spark.functions import registry as reg
+from duckdb_imputation_spark.functions.triple import Triple
+from duckdb_imputation_spark.mice import inject_nulls
+from duckdb_imputation_spark.operators.cofactor import sum_to_triple
+from duckdb_imputation_spark.plans import (
+    count_hash_aggregates,
+    has_broadcast_join,
+    pushed_filters,
+    read_schema,
+)
+
+
+def test_fused_shim_names_exist():
+    for name in ["sum_to_triple_0_0", "sum_to_triple_3_3", "sum_to_triple_19_19",
+                 "sum_to_nb_agg_2_1", "to_cofactor", "multiply_triple", "quack"]:
+        assert hasattr(reg, name), name
+    assert reg.quack("x") == "Quack x 🐥"
+
+
+def test_fused_shim_matches_generic(ring_fixture):
+    got = reg.sum_to_triple_3_3(ring_fixture, "a", "b", "c", "d", "e", "f").collect()
+    exp = sum_to_triple(ring_fixture, ["a", "b", "c"], ["d", "e", "f"]).collect()
+    assert Triple.from_row(got[0]["triple"]).to_dict() == Triple.from_row(
+        exp[0]["triple"]
+    ).to_dict()
+    with pytest.raises(TypeError, match="expects 6"):
+        reg.sum_to_triple_3_3(ring_fixture, "a", "b")
+
+
+def test_inject_nulls_fraction(spark):
+    df = spark.range(10_000).select(F.col("id"), F.lit(1.0).alias("x"))
+    out = inject_nulls(df, ["x"], 0.2, seed=1)
+    frac = out.filter("x IS NULL").count() / 10_000
+    assert 0.15 < frac < 0.25
+
+
+# ---------------------------------------------------------------- plans
+
+
+def test_cofactor_scan_prunes_columns(spark):
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    df = sum_to_triple(li, ["l_quantity"], ["l_linenumber"])
+    cols = set(read_schema(df))
+    assert cols == {"l_quantity", "l_linenumber"}, cols
+
+
+def test_dense_cofactor_partial_final_agg(spark):
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    df = sum_to_triple(li, ["l_quantity", "l_discount"], [], group_by=["l_returnflag"])
+    assert count_hash_aggregates(df) == 2  # partial + final
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    df = li.filter(F.col("l_quantity") < 10).select("l_quantity")
+    assert "LessThan(l_quantity" in pushed_filters(df)
+
+
+def test_small_dim_join_broadcasts(spark):
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    sup = spark.read.parquet("/root/testdata/sf0.001/supplier.parquet")
+    j = li.join(sup, li.l_suppkey == sup.s_suppkey).groupBy("s_nationkey").count()
+    assert has_broadcast_join(j)

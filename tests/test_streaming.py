@@ -1,0 +1,62 @@
+"""Streaming cofactor: event-time windows + watermark, and equivalence
+with the batch aggregate when the stream completes."""
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_imputation_spark.functions.triple import Triple
+from duckdb_imputation_spark.operators.cofactor import sum_to_triple
+from duckdb_imputation_spark.streaming import (
+    merge_stream_triples,
+    streaming_triple_parts,
+)
+
+
+@pytest.fixture()
+def event_rows(spark):
+    rows = []
+    for h in range(3):
+        for i in range(20):
+            rows.append(
+                (f"2024-01-01 0{h}:{i:02d}:00", float(i % 5), (i % 3) + 1)
+            )
+    df = spark.createDataFrame(rows, "ts_s string, x double, k int").select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "x", "k"
+    )
+    return df
+
+
+def test_stream_matches_batch(spark, event_rows, tmp_path):
+    src = str(tmp_path / "src")
+    event_rows.write.parquet(src)
+    stream = spark.readStream.schema(event_rows.schema).parquet(src)
+    out = streaming_triple_parts(
+        stream, ["x"], ["k"], ts_col="ts", window="1 hour", watermark="5 minutes"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("triples")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM triples").collect()
+    # three hourly windows
+    assert len({r["window_start"] for r in got}) == 3
+
+    # ⊕-fold all windows → must equal the batch cofactor over everything
+    t_stream = merge_stream_triples(got, 1, 1)
+    t_batch = Triple.from_row(
+        sum_to_triple(event_rows, ["x"], ["k"]).collect()[0]["triple"]
+    )
+    assert t_stream.to_dict() == t_batch.to_dict()
+
+    # and each window's N is the per-hour row count
+    per_window = {}
+    for r in got:
+        if r["part"] == "N":
+            per_window[r["window_start"].hour] = int(r["val"])
+    assert per_window == {0: 20, 1: 20, 2: 20}
