@@ -147,98 +147,103 @@ def sum_to_triple(
         out = dense.select(*group_by, F.struct(*fields).alias(result_col))
         return out.drop("__g") if internal_key else out
 
-    # ---- sparse part 1: per-(cat col, key) counts and numeric sums -------
-    singles = (
-        base.select(
-            *group_by,
-            *[F.col(f"__x{i}") for i in range(d)],
-            F.posexplode(F.array(*[F.col(f"__k{j}") for j in range(c)])).alias(
-                "__ci", "__key"
-            ),
+    # ---- sparse part: ONE scan for both the per-(cat,key) stats and the
+    # cat×cat pairs.  Each row explodes to c + c(c+1)/2 tagged entries
+    # (kind 0 = single, kind 1 = pair); a two-level aggregation reduces
+    # them map-side to the distinct-(group, entry) space before any
+    # shuffle, then one collect per group assembles the maps.
+    carry_sums = d > 0 and not nb
+    entry_structs = [
+        F.struct(
+            F.lit(0).alias("__kind"),
+            F.lit(j).cast("int").alias("__idx"),
+            F.col(f"__k{j}").alias("__e1"),
+            F.lit(0).alias("__e2"),
         )
-        .groupBy(*group_by, "__ci", "__key")
-        .agg(
-            F.count(F.lit(1)).cast("double").alias("__cnt"),
-            *[F.sum(F.col(f"__x{i}")).alias(f"__s{i}") for i in range(d)],
-        )
-        .groupBy(*group_by)
-        .agg(
-            F.collect_list(
-                F.struct(
-                    F.col("__ci"),
-                    F.col("__key"),
-                    F.col("__cnt"),
-                    *[F.col(f"__s{i}") for i in range(d)],
-                )
-            ).alias("__singles")
-        )
+        for j in range(c)
+    ]
+    if not nb:
+        entry_structs += [
+            F.struct(
+                F.lit(1).alias("__kind"),
+                F.lit(p).cast("int").alias("__idx"),
+                F.col(f"__k{a}").alias("__e1"),
+                F.col(f"__k{b}").alias("__e2"),
+            )
+            for p, (a, b) in enumerate(cat_pairs(c))
+        ]
+    exploded = base.select(
+        *group_by,
+        *([F.col(f"__x{i}") for i in range(d)] if carry_sums else []),
+        F.explode(F.array(*entry_structs)).alias("__e"),
+    ).select(
+        *group_by,
+        *([F.col(f"__x{i}") for i in range(d)] if carry_sums else []),
+        F.col("__e.__kind").alias("__kind"),
+        F.col("__e.__idx").alias("__idx"),
+        F.col("__e.__e1").alias("__e1"),
+        F.col("__e.__e2").alias("__e2"),
+    )
+    per_key = exploded.groupBy(*group_by, "__kind", "__idx", "__e1", "__e2").agg(
+        F.count(F.lit(1)).cast("double").alias("__cnt"),
+        *([F.sum(F.col(f"__x{i}")).alias(f"__s{i}") for i in range(d)] if carry_sums else []),
+    )
+    entries = per_key.groupBy(*group_by).agg(
+        F.collect_list(
+            F.struct(
+                "__kind",
+                "__idx",
+                "__e1",
+                "__e2",
+                "__cnt",
+                *([f"__s{i}" for i in range(d)] if carry_sums else []),
+            )
+        ).alias("__entries")
     )
 
-    def kv_for(ci: int, value_field: str) -> Column:
+    ecol = F.col("__entries")
+
+    def _single(j: int, value_field: str) -> Column:
         return F.sort_array(
             F.transform(
-                F.filter(F.col("__singles"), lambda e: e["__ci"] == F.lit(ci)),
-                lambda e: F.struct(
-                    e["__key"].alias("key"),
-                    F.coalesce(e[value_field], F.lit(0.0)).alias("value"),
+                F.filter(
+                    ecol,
+                    lambda x: (x["__kind"] == F.lit(0)) & (x["__idx"] == F.lit(j)),
+                ),
+                lambda x: F.struct(
+                    x["__e1"].alias("key"),
+                    F.coalesce(x[value_field], F.lit(0.0)).alias("value"),
                 ),
             )
         )
 
-    lin_cat = F.array(*[kv_for(j, "__cnt") for j in range(c)])
-    quad_num_cat = (
-        F.array(*[kv_for(j, f"__s{i}") for i in range(d) for j in range(c)])
-        if d and not nb
-        else F.expr("array()").cast(f"array<{_KV_T}>")
-    )
-
-    merged = _join_on(dense, singles, group_by)
-
-    # ---- sparse part 2: cat×cat co-occurrence pairs -----------------------
-    if not nb:
-        pairs = cat_pairs(c)
-        pair_structs = [
-            F.struct(
-                F.col(f"__k{a}").alias("k1"), F.col(f"__k{b}").alias("k2")
-            )
-            for (a, b) in pairs
-        ]
-        pair_entries = (
-            base.select(
-                *group_by,
-                F.posexplode(F.array(*pair_structs)).alias("__pi", "__kk"),
-            )
-            .select(
-                *group_by,
-                "__pi",
-                F.col("__kk.k1").alias("__k1"),
-                F.col("__kk.k2").alias("__k2"),
-            )
-            .groupBy(*group_by, "__pi", "__k1", "__k2")
-            .agg(F.count(F.lit(1)).cast("double").alias("__cnt"))
-            .groupBy(*group_by)
-            .agg(
-                F.collect_list(
-                    F.struct("__pi", "__k1", "__k2", "__cnt")
-                ).alias("__pairs")
+    def _pair(p: int) -> Column:
+        return F.sort_array(
+            F.transform(
+                F.filter(
+                    ecol,
+                    lambda x: (x["__kind"] == F.lit(1)) & (x["__idx"] == F.lit(p)),
+                ),
+                lambda x: F.struct(
+                    x["__e1"].alias("key1"),
+                    x["__e2"].alias("key2"),
+                    x["__cnt"].alias("value"),
+                ),
             )
         )
-        def pair_kv(p: int) -> Column:
-            # NB: a two-argument lambda would be read by F.filter as
-            # (element, index) — close over p instead.
-            return F.sort_array(
-                F.transform(
-                    F.filter(F.col("__pairs"), lambda e: e["__pi"] == F.lit(p)),
-                    lambda e: F.struct(
-                        e["__k1"].alias("key1"),
-                        e["__k2"].alias("key2"),
-                        e["__cnt"].alias("value"),
-                    ),
-                )
-            )
 
-        quad_cat = F.array(*[pair_kv(p) for p in range(len(pairs))])
-        merged = _join_on(merged, pair_entries, group_by)
+    lin_cat = F.array(*[_single(j, "__cnt") for j in range(c)])
+    quad_num_cat = (
+        F.array(*[_single(j, f"__s{i}") for i in range(d) for j in range(c)])
+        if carry_sums
+        else F.expr("array()").cast(f"array<{_KV_T}>")
+    )
+    quad_cat = (
+        F.array(*[_pair(p) for p in range(len(cat_pairs(c)))])
+        if not nb
+        else None
+    )
+    merged = _join_on(dense, entries, group_by)
 
     fields = [
         F.col("__n").alias("N"),
