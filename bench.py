@@ -32,6 +32,11 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_region_revenue",
     "orders_window_top3",
+    # training-data pipeline ops
+    "text_stats_documents",
+    "minhash_dedup_survivors",
+    "simhash_documents",
+    "embedding_cosine_scores",
 ]
 
 

@@ -58,18 +58,51 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 # ---------------------------------------------------------------- minhash
 
 
-def minhash_signature(col: Column, k: int = 16, shingle: int = 5) -> Column:
-    """Array of k min-hashes over character shingles (seeded md5 family)."""
-    sh = shingles(col, shingle)
+_MINHASH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
 
-    def slot(i: int) -> Column:
-        # closure, not a default arg: a 2-arg lambda would be read by
-        # F.transform as (element, index)
-        return F.array_min(
-            F.transform(sh, lambda s: md5_int32(F.concat(F.lit(f"{i}:"), s)))
+
+def minhash_params(k: int) -> list[tuple[int, int]]:
+    """Deterministic universal-hash family (aᵢ, bᵢ): derived from md5 so
+    the SQL oracle can inline the same constants."""
+    import hashlib
+
+    out = []
+    for i in range(k):
+        a = int(hashlib.md5(f"minhash-a-{i}".encode()).hexdigest()[:8], 16)
+        b = int(hashlib.md5(f"minhash-b-{i}".encode()).hexdigest()[:8], 16)
+        out.append((a % (_MINHASH_P - 1) + 1, b % _MINHASH_P))
+    return out
+
+
+def minhash_signature(col: Column, k: int = 16, shingle: int = 5) -> Column:
+    """Array of k min-hashes over character shingles.
+
+    One md5 per shingle; the k family members are affine transforms
+    (aᵢ·h + bᵢ) mod 2³¹−1 of that base hash (universal hashing) — k
+    cheap integer ops instead of k md5 passes, exact in int64 in both
+    engines (a·h < 2^63).
+
+    The base-hash array is bound ONCE through a lambda variable
+    (``transform`` over a single-element array): embedding it directly in
+    each of the k slot expressions would re-evaluate the md5 pass k
+    times — Catalyst does not CSE across sibling aggregate expressions.
+    """
+    base = F.transform(shingles(col, shingle), lambda s: md5_int32(s))
+    params = minhash_params(k)
+
+    def all_slots(bh: Column) -> Column:
+        return F.array(
+            *[
+                F.array_min(
+                    F.transform(
+                        bh, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_MINHASH_P)
+                    )
+                )
+                for a, b in params
+            ]
         )
 
-    return F.array(*[slot(i) for i in range(k)])
+    return F.element_at(F.transform(F.array(base), all_slots), 1)
 
 
 def minhash_lsh_pairs(
@@ -111,6 +144,9 @@ def minhash_lsh_pairs(
             )
         ).alias("__band", "__bucket"),
     )
+    # self-join: materialize once instead of re-deriving signatures for
+    # both sides (MEMORY_AND_DISK — spills rather than recomputes at scale)
+    banded = banded.persist()
     left = banded.alias("L")
     right = banded.alias("R")
     cand = (
@@ -152,10 +188,15 @@ def minhash_dedup(
 _SIMHASH_BITS = 60
 
 
-def simhash(col: Column) -> Column:
-    """60-bit SimHash over whitespace tokens: per-bit majority vote of
-    md5-hashed tokens, packed into a BIGINT."""
-    hashes = F.transform(ws_tokens(col), lambda t: md5_int60(t))
+def token_hashes(col: Column) -> Column:
+    """60-bit md5 hash per whitespace token — materialize this with a
+    ``withColumn`` before feeding :func:`simhash_from_hashes` so the md5
+    pass runs once, not once per bit position."""
+    return F.transform(ws_tokens(col), lambda t: md5_int60(t))
+
+
+def simhash_from_hashes(hashes: Column) -> Column:
+    """Pack the per-bit majority vote of pre-hashed tokens into a BIGINT."""
     n = F.size(hashes)
 
     def bit_sum(b: int) -> Column:
@@ -171,6 +212,13 @@ def simhash(col: Column) -> Column:
     ).cast("long")
 
 
+def simhash(col: Column) -> Column:
+    """60-bit SimHash over whitespace tokens: per-bit majority vote of
+    md5-hashed tokens, packed into a BIGINT.  Convenience form — prefer
+    materializing :func:`token_hashes` first on big data."""
+    return simhash_from_hashes(token_hashes(col))
+
+
 def simhash_pairs(
     df: DataFrame, text_col: str, id_col: str, bands: int = 4, max_hamming: int = 8
 ) -> DataFrame:
@@ -178,8 +226,8 @@ def simhash_pairs(
     Hamming distance < bands), verified by exact popcount distance."""
     width = _SIMHASH_BITS // bands
     base = df.select(
-        F.col(id_col).alias("__id"), simhash(F.col(text_col)).alias("__sh")
-    )
+        F.col(id_col).alias("__id"), token_hashes(F.col(text_col)).alias("__hs")
+    ).select("__id", simhash_from_hashes(F.col("__hs")).alias("__sh"))
     banded = base.select(
         "__id",
         "__sh",
@@ -194,6 +242,7 @@ def simhash_pairs(
             )
         ).alias("__band", "__chunk"),
     )
+    banded = banded.persist()
     L, R = banded.alias("L"), banded.alias("R")
     cand = (
         L.join(
@@ -241,7 +290,7 @@ def ngram_jaccard_pairs(
     base = df.select(
         F.col(id_col).alias("__id"), F.array_distinct(grams).alias("__g")
     )
-    inv = base.select("__id", "__g", F.explode("__g").alias("__gram"))
+    inv = base.select("__id", "__g", F.explode("__g").alias("__gram")).persist()
     L, R = inv.alias("L"), inv.alias("R")
     cand = (
         L.join(
@@ -316,6 +365,7 @@ def embedding_dup_pairs(
             )
         ).alias("__band", "__bucket"),
     )
+    base = base.persist()
     L, R = base.alias("L"), base.alias("R")
     cand = (
         L.join(

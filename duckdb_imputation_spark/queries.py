@@ -679,17 +679,20 @@ def exact_dedup_documents(spark, sf):
     return _dd.exact_dedup(d.unionAll(copies), "text", "doc_id").select("doc_id")
 
 
-def _minhash_slot_sql(i: int, shingle: int) -> str:
+def _minhash_slot_sql(a: int, b: int, shingle: int) -> str:
     sh = shingles_sql("text", shingle)
-    h = md5_int32_sql(f"CONCAT('{i}:', s)")
-    return f"list_min(list_transform({sh}, s -> {h}))"
+    base = f"list_transform({sh}, s -> {md5_int32_sql('s')})"
+    return (
+        f"list_min(list_transform({base}, "
+        f"h -> (CAST({a} AS BIGINT) * h + {b}) % 2147483647))"
+    )
 
 
 _MINHASH_ORACLE = "\nUNION ALL\n".join(
     f"SELECT doc_id, CAST({i} AS INT) AS hash_idx, "
-    f"{_minhash_slot_sql(i, 5)} AS minhash "
+    f"{_minhash_slot_sql(a, b, 5)} AS minhash "
     f"FROM documents WHERE doc_id < 100"
-    for i in range(8)
+    for i, (a, b) in enumerate(_dd.minhash_params(8))
 )
 
 
@@ -766,9 +769,11 @@ def ngram_jaccard_dups(spark, sf):
 )
 def simhash_documents(spark, sf):
     """60-bit SimHash per document — per-bit majority of md5'd tokens,
-    bit-exact across engines."""
+    bit-exact across engines (token hashes materialized once)."""
     d = load_table(spark, sf, "documents").filter("doc_id < 100")
-    return d.select("doc_id", _dd.simhash(F.col("text")).alias("sh"))
+    return d.select(
+        "doc_id", _dd.token_hashes(F.col("text")).alias("__hs")
+    ).select("doc_id", _dd.simhash_from_hashes(F.col("__hs")).alias("sh"))
 
 
 def _emb_query_vec(sf: str | None = None) -> list[float]:
@@ -841,3 +846,35 @@ def minhash_dedup_survivors(spark, sf):
     return _dd.minhash_dedup(
         d.unionAll(near), "text", "doc_id", k=16, bands=4, shingle=5, threshold=0.5
     ).select("doc_id")
+
+
+@register("multimodal_decode_stub")
+def multimodal_decode_stub(spark, sf):
+    """Binary-column plumbing end to end: documents' text bytes as opaque
+    payloads → Arrow-batched mapInPandas pseudo-decode → per-item stats.
+    Rows-only (the md5-stream fake decoder is not SQL-expressible)."""
+    from .operators.multimodal import decode_images
+
+    d = (
+        load_table(spark, sf, "documents")
+        .filter("doc_id < 50")
+        .select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    )
+    out = decode_images(d, "payload", "doc_id", height=8, width=8)
+    return out.select("id", "width", "height", F.round("mean_pixel", 6).alias("mean_pixel"))
+
+
+@register(
+    "sequence_id_generation",
+    oracle="""
+    SELECT CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS seq_id,
+           doc_id
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def sequence_id_generation(spark, sf):
+    """Sequence / id generation (reference CREATE SEQUENCE + nextval,
+    main.cpp:55-56) — deterministic via row_number over a total order."""
+    d = load_table(spark, sf, "documents").filter("doc_id < 100")
+    w = Window.orderBy("doc_id")
+    return d.select(F.row_number().over(w).cast("long").alias("seq_id"), "doc_id")

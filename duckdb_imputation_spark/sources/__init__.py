@@ -57,3 +57,25 @@ def read_csv_auto(spark: SparkSession, path: str, **options) -> DataFrame:
     """CSV with header + type auto-detection (the reference's read_csv)."""
     opts = {"header": "true", "inferSchema": "true", **options}
     return spark.read.options(**opts).csv(path)
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Sink surface (the reference's CREATE TABLE ... AS SELECT,
+    e.g. imputation_low.cpp:140).  ``partition_by`` maps hot filter
+    columns to physical partition pruning at read time."""
+    w = df.write.format(fmt).mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(path)
+
+
+def register_view(df: DataFrame, name: str) -> None:
+    """CREATE OR REPLACE (temp) VIEW — the lightweight sink the MICE
+    loops use between rounds."""
+    df.createOrReplaceTempView(name)

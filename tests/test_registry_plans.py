@@ -67,3 +67,21 @@ def test_small_dim_join_broadcasts(spark):
     sup = spark.read.parquet("/root/testdata/sf0.001/supplier.parquet")
     j = li.join(sup, li.l_suppkey == sup.s_suppkey).groupBy("s_nationkey").count()
     assert has_broadcast_join(j)
+
+
+def test_csv_auto_reader(spark, tmp_path):
+    from duckdb_imputation_spark.sources import read_csv_auto, write_table
+
+    p = str(tmp_path / "iris.csv")
+    with open(p, "w") as f:
+        f.write("sepal_len,petal_len,species\n5.1,1.4,0\n4.9,1.5,1\n")
+    df = read_csv_auto(spark, p)
+    assert df.columns == ["sepal_len", "petal_len", "species"]
+    assert dict(df.dtypes)["sepal_len"] == "double"
+    assert df.count() == 2
+
+    out = str(tmp_path / "sink")
+    write_table(df, out, partition_by=["species"])
+    back = spark.read.parquet(out)
+    assert back.count() == 2
+    assert {r["species"] for r in back.collect()} == {0, 1}
