@@ -25,6 +25,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 HEADLINE = [
     "triple_lineitem_grouped",
+    "triple_lineitem_wide",
     "triple_lineitem_full",
     "triple_factorized_join",
     "nb_triple_orders",

@@ -227,6 +227,7 @@ def triple_over_join(
     nb: bool = False,
     keep_key: bool = False,
     broadcast_right: bool = False,
+    group_by: Sequence[str] = (),
     result_col: str = "triple",
 ) -> DataFrame:
     """Factorized cofactor over an equi-join (README.md:166-174):
@@ -240,10 +241,15 @@ def triple_over_join(
     one row per key per side.  ``broadcast_right=True`` hints the grouped
     right side to broadcast (correct when |distinct keys| is dim-sized).
     With ``keep_key=True`` returns one product triple per key (skips the
-    final ⊕).
+    final ⊕); ``group_by`` (columns of df1, e.g. a coarser key) yields one
+    summed triple per group — the reference's ``GROUP BY gb`` over the
+    join (README.md:166-172).
     """
     keys = [on] if isinstance(on, str) else list(on)
-    g1 = sum_to_triple(df1, num1, cat1, group_by=keys, nb=nb, result_col="__t1")
+    group_by = list(group_by)
+    g1 = sum_to_triple(
+        df1, num1, cat1, group_by=keys + group_by, nb=nb, result_col="__t1"
+    )
     g2 = sum_to_triple(df2, num2, cat2, group_by=keys, nb=nb, result_col="__t2")
     g2 = g2.withColumnsRenamed({k: f"__rhs_{k}" for k in keys})
     if broadcast_right:
@@ -255,6 +261,7 @@ def triple_over_join(
     joined = g1.join(g2, cond, "inner").drop(*[f"__rhs_{k}" for k in keys])
     prod = joined.select(
         *keys,
+        *group_by,
         multiply_triples(
             F.col("__t1"),
             F.col("__t2"),
@@ -270,6 +277,7 @@ def triple_over_join(
         result_col,
         len(num1) + len(num2),
         len(cat1) + len(cat2),
+        group_by=group_by,
         nb=nb,
         result_col=result_col,
     )

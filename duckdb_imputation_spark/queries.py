@@ -878,3 +878,107 @@ def sequence_id_generation(spark, sf):
     d = load_table(spark, sf, "documents").filter("doc_id < 100")
     w = Window.orderBy("doc_id")
     return d.select(F.row_number().over(w).cast("long").alias("seq_id"), "doc_id")
+
+
+@register(
+    "triple_factorized_join_grouped",
+    oracle=triple_entries_sql(
+        "(SELECT * FROM lineitem JOIN orders ON l_orderkey = o_orderkey)",
+        ["l_quantity", "CAST(month(o_orderdate) AS DOUBLE)"],
+        ["l_linenumber"],
+        group_by=["l_returnflag"],
+    ),
+)
+def triple_factorized_join_grouped(spark, sf):
+    """Factorized cofactor with a GROUP BY above the join (the reference's
+    grouped README pattern, generalized to group != join key)."""
+    li = _li(spark, sf)
+    o = (
+        load_table(spark, sf, "orders")
+        .withColumn("o_month", F.month("o_orderdate").cast("double"))
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+        .select("l_orderkey", "o_month")
+    )
+    t = triple_over_join(
+        li, o, on="l_orderkey",
+        num1=["l_quantity"], cat1=["l_linenumber"],
+        num2=["o_month"], cat2=[],
+        group_by=["l_returnflag"],
+    )
+    return flatten_triple(t, 2, 1, group_by=["l_returnflag"])
+
+
+@register(
+    "cross_join_triples",
+    oracle=triple_entries_sql(
+        "(SELECT l.l_quantity, n.n_nationkey FROM "
+        "(SELECT l_quantity FROM lineitem WHERE l_linenumber = 1) l, "
+        "(SELECT n_nationkey FROM nation) n)",
+        ["l_quantity"],
+        ["n_nationkey"],
+    ),
+)
+def cross_join_triples(spark, sf):
+    """Cross-join factorized form (reference test_mul.py INNER JOIN ON
+    TRUE): A ⊗ B of two full-table triples == the cofactor over the
+    cartesian product — computed WITHOUT materializing it."""
+    li = _li(spark, sf).filter("l_linenumber = 1")
+    n = load_table(spark, sf, "nation")
+    a = sum_to_triple(li, ["l_quantity"], [], result_col="A")
+    b = sum_to_triple(n, [], ["n_nationkey"], result_col="B")
+    from .operators.multiply import multiply_triples
+
+    prod = a.crossJoin(b).select(
+        multiply_triples(F.col("A"), F.col("B"), (1, 0), (0, 1)).alias("triple")
+    )
+    return flatten_triple(prod, 1, 1)
+
+
+_WIDE_NUM_SQL = [
+    "l_quantity",
+    "ROUND(l_discount*100)",
+    "ROUND(l_tax*100)",
+    "CAST(day(l_shipdate) AS DOUBLE)",
+    "CAST(month(l_shipdate) AS DOUBLE)",
+    "CAST(quarter(l_shipdate) AS DOUBLE)",
+    "CAST(dayofyear(l_shipdate) AS DOUBLE)",
+    "CAST(year(l_shipdate) - 1995 AS DOUBLE)",
+]
+_WIDE_CAT_SQL = [
+    "l_linenumber",
+    "CAST(year(l_shipdate) AS INT)",
+    "CAST(month(l_shipdate) AS INT)",
+    "CAST(quarter(l_shipdate) AS INT)",
+]
+
+
+@register(
+    "triple_lineitem_wide",
+    oracle=triple_entries_sql(
+        "lineitem", _WIDE_NUM_SQL, _WIDE_CAT_SQL, group_by=["l_returnflag"]
+    ),
+)
+def triple_lineitem_wide(spark, sf):
+    """Column-scalability shape (the reference's column_scalability.h
+    experiment): 8 continuous x 4 categorical grouped cofactor —
+    44 dense sums + 4 maps + 32 num-cat maps + 10 pair maps."""
+    li = (
+        _li(spark, sf)
+        .withColumn("disc_c", F.round(F.col("l_discount") * 100).cast("double"))
+        .withColumn("tax_c", F.round(F.col("l_tax") * 100).cast("double"))
+        .withColumn("d_day", F.dayofmonth("l_shipdate").cast("double"))
+        .withColumn("d_month", F.month("l_shipdate").cast("double"))
+        .withColumn("d_quarter", F.quarter("l_shipdate").cast("double"))
+        .withColumn("d_doy", F.dayofyear("l_shipdate").cast("double"))
+        .withColumn("d_yr", (F.year("l_shipdate") - 1995).cast("double"))
+        .withColumn("c_ln", F.col("l_linenumber"))
+        .withColumn("c_year", F.year("l_shipdate"))
+        .withColumn("c_month", F.month("l_shipdate"))
+        .withColumn("c_quarter", F.quarter("l_shipdate"))
+    )
+    return triple_entries(
+        li,
+        ["l_quantity", "disc_c", "tax_c", "d_day", "d_month", "d_quarter", "d_doy", "d_yr"],
+        ["c_ln", "c_year", "c_month", "c_quarter"],
+        group_by=["l_returnflag"],
+    )

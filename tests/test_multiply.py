@@ -96,3 +96,32 @@ def test_multiply_nb_variant(ring_fixture):
         rows_g = [r for r in ROWS if r[0] == g]
         exp = (agg(rows_g, [2], [4], nb=True) * agg(rows_g, [1], [6], nb=True)).to_dict()
         assert got[g] == exp
+
+
+def test_triple_over_join_grouped_equals_materialized(spark):
+    """Factorized cofactor grouped by a df1 column == plain cofactor over
+    the materialized join with the same grouping."""
+    from duckdb_imputation_spark.operators.flatten import flatten_triple
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    o = (
+        spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+        .select("l_orderkey", F.month("o_orderdate").cast("double").alias("o_month"))
+    )
+    fact = triple_over_join(
+        li, o, on="l_orderkey",
+        num1=["l_quantity"], cat1=["l_linenumber"],
+        num2=["o_month"], cat2=[],
+        group_by=["l_returnflag"],
+    )
+    got = {r["l_returnflag"]: Triple.from_row(r["triple"]) for r in fact.collect()}
+
+    joined = li.join(o, "l_orderkey")
+    exp_rows = sum_to_triple(
+        joined, ["l_quantity", "o_month"], ["l_linenumber"], group_by=["l_returnflag"]
+    ).collect()
+    exp = {r["l_returnflag"]: Triple.from_row(r["triple"]) for r in exp_rows}
+    assert set(got) == set(exp)
+    for k in got:
+        assert got[k].to_dict() == exp[k].to_dict()
