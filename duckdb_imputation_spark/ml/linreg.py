@@ -58,6 +58,59 @@ class LinRegModel:
     ) -> Column:
         return linreg_predict_expr(self, num_cols, cat_cols, add_noise, seed)
 
+    def to_params_blob(self) -> list[float]:
+        """Serialize to the reference's flat FLOAT[] layout
+        (regression.cpp:289-353): [n_cat, cat_idxs(n_cat+1)…, cat_array…,
+        intercept, num coefs (label removed), 1-hot coefs…, (std)].
+        Means are not stored — normalization is folded into the intercept
+        at train time (PARITY.md #4)."""
+        n_cat = len(self.coef_cat)
+        blob: list[float] = [float(n_cat)]
+        if n_cat:
+            idxs = [0]
+            cat_array: list[int] = []
+            for m in self.coef_cat:
+                cat_array.extend(sorted(m))
+                idxs.append(len(cat_array))
+            blob += [float(x) for x in idxs]
+            blob += [float(k) for k in cat_array]
+        blob.append(float(self.intercept))
+        blob += [float(w) for w in self.coef_num]
+        for m in self.coef_cat:
+            blob += [float(m[k]) for k in sorted(m)]
+        if self.std is not None:
+            blob.append(float(self.std))
+        return blob
+
+    @classmethod
+    def from_params_blob(
+        cls, blob: list[float], n_num_features: int, has_std: bool = False
+    ) -> "LinRegModel":
+        """Parse the reference layout back (regression.cpp:421-467)."""
+        n_cat = int(blob[0])
+        pos = 1
+        cat_idxs, cat_array = [0], []
+        if n_cat:
+            cat_idxs = [int(x) for x in blob[pos : pos + n_cat + 1]]
+            pos += n_cat + 1
+            cat_array = [int(x) for x in blob[pos : pos + cat_idxs[-1]]]
+            pos += cat_idxs[-1]
+        intercept = float(blob[pos])
+        pos += 1
+        coef_num = [float(x) for x in blob[pos : pos + n_num_features]]
+        pos += n_num_features
+        coef_cat = []
+        for j in range(n_cat):
+            keys = cat_array[cat_idxs[j] : cat_idxs[j + 1]]
+            coef_cat.append(
+                {k: float(v) for k, v in zip(keys, blob[pos : pos + len(keys)])}
+            )
+            pos += len(keys)
+        std = float(blob[pos]) if has_std else None
+        return cls(
+            intercept=intercept, coef_num=coef_num, coef_cat=coef_cat, std=std
+        )
+
 
 def _theta_to_model(
     theta: np.ndarray,

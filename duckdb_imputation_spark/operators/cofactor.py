@@ -44,10 +44,6 @@ _KV_T = "array<struct<key:int,value:double>>"
 _KKV_T = "array<struct<key1:int,key2:int,value:double>>"
 
 
-def _empty(arr_type: str) -> Column:
-    return F.lit(None).cast(f"array<{arr_type}>")
-
-
 def _join_on(left: DataFrame, right: DataFrame, keys: Sequence[str]) -> DataFrame:
     # Rename the right side's keys first: both sides usually derive from the
     # same base plan, and Spark's self-join attribute resolution would make

@@ -982,3 +982,23 @@ def triple_lineitem_wide(spark, sf):
         ["c_ln", "c_year", "c_month", "c_quarter"],
         group_by=["l_returnflag"],
     )
+
+
+_SHARED_SQL_Q = """
+SELECT l_returnflag,
+       CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_quantity < 30
+GROUP BY l_returnflag
+"""
+
+
+@register("sql_passthrough_shared_dialect", oracle=_SHARED_SQL_Q)
+def sql_passthrough_shared_dialect(spark, sf):
+    """The SAME SQL text executed by spark.sql and by the DuckDB oracle —
+    the engine's SQL entry point is dialect-compatible for the shared
+    ANSI core the reference's generated queries use."""
+    load_table(spark, sf, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_SHARED_SQL_Q)

@@ -280,3 +280,36 @@ def test_predict_exprs_on_spark(spark):
     got = df.withColumn("pred", qdam.predict_expr(["x1", "x2"], ["catf"])).collect()
     acc = np.mean([r["pred"] == r["cls"] for r in got])
     assert acc > 0.8
+
+
+def test_linreg_params_blob_roundtrip(data):
+    rows, t = data
+    m = linreg_train(t, label=0, compute_variance=True)
+    blob = m.to_params_blob()
+    # layout header: n_cat, then 3 idxs (2 cat cols + 1), then dictionary
+    assert blob[0] == 2.0
+    assert blob[1:4] == [0.0, 3.0, 6.0]  # catf has 3 values, cls has 3
+    from duckdb_imputation_spark.ml.linreg import LinRegModel
+
+    back = LinRegModel.from_params_blob(blob, n_num_features=2, has_std=True)
+    assert back.intercept == pytest.approx(m.intercept)
+    assert back.coef_num == pytest.approx(m.coef_num)
+    assert back.coef_cat == m.coef_cat
+    assert back.std == pytest.approx(m.std)
+
+
+def test_ml_edge_cases(data):
+    rows, _ = data
+    # constant column: closed-form must not blow up (lstsq min-norm)
+    t = triple_of([(r[0], r[1], 1.0) for r in rows], [0, 1, 2], [])
+    m = linreg_train(t, label=0, method="closed")
+    assert np.isfinite(m.intercept) and all(np.isfinite(c) for c in m.coef_num)
+    # label out of range
+    with pytest.raises(ValueError, match="out of range"):
+        linreg_train(t, label=5)
+    # LDA with a single class: coef solve degenerates but stays finite
+    one_cls = [(r[0], r[1], r[2], r[3], 0) for r in rows[:50]]
+    t1 = triple_of(one_cls, [0, 1, 2], [3, 4])
+    lm = lda_train(t1, label=1)
+    assert lm.class_keys == [0]
+    assert all(np.isfinite(v) for v in lm.intercept)
