@@ -23,6 +23,7 @@ __all__ = [
     "quality_score",
     "lang_id",
     "fingerprint",
+    "text_stats",
     "STOPWORDS",
 ]
 
@@ -120,6 +121,67 @@ def fingerprint(col: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, h: (acc * 31 + h) % F.lit(_FP_MOD),
     )
+
+
+def text_stats(col: Column) -> Column:
+    """All text metrics in one struct with the token array tokenized ONCE
+    (bound through a lambda variable — Catalyst does not CSE the
+    tokenization across sibling metric expressions; the per-metric
+    convenience functions above re-tokenize each time).
+
+    Fields: n_ws_tokens, n_re_tokens, fp, quality, lang.
+    """
+    n_char = F.length(col).cast("long")
+    n_punct = (F.length(col) - F.length(F.regexp_replace(col, _PUNCT_RE, ""))).cast(
+        "long"
+    )
+    n_re = F.size(F.regexp_extract_all(col, F.lit(_BPE_RE), 0)).cast("long")
+    langs = sorted(STOPWORDS)
+
+    def build(toks: Column) -> Column:
+        lower = F.transform(toks, lambda t: F.lower(t))
+        n_tok = F.size(toks).cast("long")
+        hashes = F.transform(toks, lambda t: md5_int32(t))
+        fp = F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: (acc * 31 + h) % F.lit(_FP_MOD),
+        )
+        hits = []
+        for lang in langs:
+            stop = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+            hits.append(F.size(F.filter(lower, lambda t: F.array_contains(stop, t))))
+        hit_arr = F.array(*hits)
+        best = F.array_max(hit_arr)
+        lang_arr = F.array(*[F.lit(x) for x in langs])
+        lang = F.when(best == 0, F.lit("und")).otherwise(
+            F.element_at(lang_arr, F.array_position(hit_arr, best).cast("int"))
+        )
+        n_stop_en = hits[langs.index("en")].cast("long")
+        mean_tok_len = F.when(n_tok > 0, (n_char - (n_tok - 1)) / n_tok).otherwise(
+            F.lit(0.0)
+        )
+        len_term = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+        stop_term = F.least(
+            F.when(n_tok > 0, n_stop_en / n_tok).otherwise(0.0) * 2.0, F.lit(1.0)
+        )
+        punct_term = F.greatest(
+            F.lit(1.0) - F.when(n_char > 0, n_punct / n_char).otherwise(0.0) * 5.0,
+            F.lit(0.0),
+        )
+        wordlen_term = F.when(
+            (mean_tok_len >= 2.0) & (mean_tok_len <= 12.0), 1.0
+        ).otherwise(0.5)
+        quality = F.round((len_term + stop_term + punct_term + wordlen_term) / 4.0, 6)
+        return F.struct(
+            n_tok.alias("n_ws_tokens"),
+            n_re.alias("n_re_tokens"),
+            fp.alias("fp"),
+            quality.alias("quality"),
+            lang.alias("lang"),
+        )
+
+    return F.element_at(F.transform(F.array(ws_tokens(col)), build), 1)
 
 
 # ---------------------------------------------------------------- SQL twins

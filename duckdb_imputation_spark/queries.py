@@ -644,16 +644,18 @@ from .operators.hashing import md5_int32, md5_int32_sql, shingles_sql  # noqa: E
 )
 def text_stats_documents(spark, sf):
     """Token counting, fingerprinting, quality scoring and language ID in
-    one pass over the documents table (all Column expressions)."""
+    one pass over the documents table (single-bind struct: the text is
+    tokenized once per row)."""
     d = load_table(spark, sf, "documents")
-    t = F.col("text")
-    return d.select(
+    # materialize the struct in its own projection — field access on an
+    # inline struct expression would re-evaluate it per field
+    return d.select("doc_id", _ts.text_stats(F.col("text")).alias("__s")).select(
         "doc_id",
-        _ts.token_count_ws(t).alias("n_ws_tokens"),
-        _ts.token_count_regex(t).alias("n_re_tokens"),
-        _ts.fingerprint(t).alias("fp"),
-        _ts.quality_score(t).alias("quality"),
-        _ts.lang_id(t).alias("lang"),
+        F.col("__s.n_ws_tokens").alias("n_ws_tokens"),
+        F.col("__s.n_re_tokens").alias("n_re_tokens"),
+        F.col("__s.fp").alias("fp"),
+        F.col("__s.quality").alias("quality"),
+        F.col("__s.lang").alias("lang"),
     )
 
 
