@@ -74,6 +74,7 @@ def sum_to_triple(
     nb: bool = False,
     result_col: str = "triple",
     strategy: str = "twolevel",
+    max_categories: int | None = None,
 ) -> DataFrame:
     """Aggregate ``df`` into one triple per group.
 
@@ -93,6 +94,21 @@ def sum_to_triple(
     cat_cols = list(cat_cols)
     group_by = list(group_by)
     d, c = len(num_cols), len(cat_cols)
+
+    if max_categories is not None and c > 0:
+        # Opt-in scale guard: the categorical maps (and the driver-side
+        # dictionaries the ML path builds from them, partition.cpp:34-37)
+        # are only safe for bounded-cardinality columns.  One cheap
+        # approx-distinct scan up front beats an executor OOM later.
+        counts = df.agg(
+            *[F.approx_count_distinct(col).alias(col) for col in cat_cols]
+        ).collect()[0]
+        bad = {col: counts[col] for col in cat_cols if counts[col] > max_categories}
+        if bad:
+            raise ValueError(
+                f"categorical columns exceed max_categories={max_categories}: "
+                f"{bad} — these look like IDs, not categories"
+            )
 
     if strategy == "collect" and c > 0:
         return _sum_to_triple_collect(

@@ -1004,3 +1004,34 @@ def sql_passthrough_shared_dialect(spark, sf):
     ANSI core the reference's generated queries use."""
     load_table(spark, sf, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_SHARED_SQL_Q)
+
+
+@register(
+    "rollup_lineitem",
+    oracle="""
+    SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
+           COALESCE(l_linestatus, '<all>') AS linestatus,
+           CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_lineitem(spark, sf):
+    """Hierarchical ROLLUP aggregation (beyond the reference's surface —
+    Spark gives grouping sets natively; NULL grouping markers normalized
+    so both engines emit identical rows)."""
+    return (
+        _li(spark, sf)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
+            "sum_qty",
+            "n",
+        )
+    )

@@ -1,0 +1,76 @@
+"""Randomized (seeded) equivalence: the distributed aggregation must match
+the pure-Python driver algebra on arbitrary data, for every strategy and
+shape — the cross-implementation safety net behind the golden fixtures."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_imputation_spark.functions.triple import Triple
+from duckdb_imputation_spark.operators.cofactor import sum_to_triple
+
+RNG = np.random.default_rng(123)
+
+
+def random_frame(spark, n=200, d=2, c=2, n_groups=3, null_frac=0.0):
+    rows = []
+    for _ in range(n):
+        g = int(RNG.integers(0, n_groups))
+        nums = [float(np.round(RNG.normal(0, 10), 3)) for _ in range(d)]
+        cats = [int(RNG.integers(0, 6)) for _ in range(c)]
+        rows.append((g, *nums, *cats))
+    fields = (
+        ["g int"]
+        + [f"x{i} double" for i in range(d)]
+        + [f"k{j} int" for j in range(c)]
+    )
+    return spark.createDataFrame(rows, ", ".join(fields)), rows
+
+
+def python_agg(rows, d, c, group=None, nb=False):
+    t = Triple.zero(d, c, nb=nb)
+    for r in rows:
+        if group is not None and r[0] != group:
+            continue
+        t = t + Triple.lift(r[1 : 1 + d], r[1 + d : 1 + d + c], nb=nb)
+    return t
+
+
+def close(a: Triple, b: Triple):
+    assert a.n == b.n
+    assert np.allclose(a.lin, b.lin, rtol=1e-9, atol=1e-6)
+    assert np.allclose(a.quad, b.quad, rtol=1e-9, atol=1e-6)
+    for m1, m2 in zip(
+        a.lin_cat + a.quad_num_cat + a.quad_cat,
+        b.lin_cat + b.quad_num_cat + b.quad_cat,
+    ):
+        assert set(m1) == set(m2)
+        for k in m1:
+            assert abs(m1[k] - m2[k]) < 1e-6 + 1e-9 * abs(m1[k])
+
+
+@pytest.mark.parametrize("d,c,nb", [(1, 1, False), (3, 2, False), (2, 3, True), (4, 0, False), (0, 2, False)])
+@pytest.mark.parametrize("strategy", ["twolevel", "collect"])
+def test_spark_agg_equals_python_algebra(spark, d, c, nb, strategy):
+    if strategy == "collect" and c == 0:
+        pytest.skip("collect strategy only differs when cats exist")
+    df, rows = random_frame(spark, n=150, d=d, c=c)
+    num = [f"x{i}" for i in range(d)]
+    cat = [f"k{j}" for j in range(c)]
+    out = sum_to_triple(df, num, cat, group_by=["g"], nb=nb, strategy=strategy)
+    got = {r["g"]: Triple.from_row(r["triple"], d_num=d, d_cat=c) for r in out.collect()}
+    for g in got:
+        close(got[g], python_agg(rows, d, c, group=g, nb=nb))
+
+
+def test_max_categories_guard(spark):
+    df = spark.range(5000).select(
+        F.lit(1.0).alias("x"), F.col("id").cast("int").alias("k")
+    )
+    with pytest.raises(ValueError, match="max_categories"):
+        sum_to_triple(df, ["x"], ["k"], max_categories=100)
+    # bounded column passes
+    df2 = spark.range(5000).select(
+        F.lit(1.0).alias("x"), (F.col("id") % 5).cast("int").alias("k")
+    )
+    assert sum_to_triple(df2, ["x"], ["k"], max_categories=100).count() == 1
