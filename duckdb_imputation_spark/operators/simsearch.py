@@ -22,7 +22,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["cosine_topk", "ann_ivf_topk", "ann_lsh_topk", "kmeans_fit"]
+__all__ = ["cosine_topk", "ann_ivf_topk", "ann_lsh_topk", "kmeans_fit", "IVFIndex"]
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -161,3 +161,47 @@ def ann_lsh_topk(
         .orderBy(F.desc("score"), F.col(id_col))
         .limit(k)
     )
+
+
+class IVFIndex:
+    """Persisted IVF index: build once (k-means + cluster assignment,
+    materialized MEMORY_AND_DISK), search many times touching only
+    ``nprobe``/``nlist`` of the data per query.
+
+    At cluster scale, write ``assigned`` out with
+    ``write_table(..., partition_by=["__cluster"])`` instead of
+    persisting — probe filters then become physical partition pruning.
+    """
+
+    def __init__(
+        self,
+        df: DataFrame,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        nlist: int = 16,
+        seed: int = 42,
+    ):
+        self.vec_col = vec_col
+        self.id_col = id_col
+        self.centroids = kmeans_fit(df, vec_col, nlist, seed=seed)
+        v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        self.assigned = df.withColumn(
+            "__cluster", _assign_expr(v, self.centroids)
+        ).persist()
+
+    def search(self, query: Sequence[float], k: int = 10, nprobe: int = 4) -> DataFrame:
+        q = np.asarray(query, dtype=np.float64)
+        d2 = ((self.centroids - q[None, :]) ** 2).sum(1)
+        probes = [int(i) for i in d2.argsort()[:nprobe]]
+        v = F.transform(F.col(self.vec_col), lambda x: x.cast("double"))
+        cand = self.assigned.filter(F.col("__cluster").isin(probes))
+        return (
+            cand.select(
+                F.col(self.id_col), F.round(_cosine(v, query), 6).alias("score")
+            )
+            .orderBy(F.desc("score"), F.col(self.id_col))
+            .limit(k)
+        )
+
+    def unpersist(self) -> None:
+        self.assigned.unpersist()

@@ -206,3 +206,18 @@ def test_sample_video_frames(media):
         per.setdefault(r["id"], []).append(r["frame_idx"])
     assert per[0] == [0, 1, 2]
     assert all(len(v) <= 3 for v in per.values())
+
+
+def test_ivf_index_reuse(emb):
+    idx = ss.IVFIndex(emb, nlist=8, seed=1)
+    try:
+        hits = 0
+        for vid in (3, 11, 42):
+            q = list(emb.filter(f"vec_id = {vid}").first()["embedding"])
+            brute = {r["vec_id"] for r in ss.cosine_topk(emb, q, k=10).collect()}
+            ivf = {r["vec_id"] for r in idx.search(q, k=10, nprobe=4).collect()}
+            assert vid in ivf
+            hits += len(brute & ivf)
+        assert hits >= 15  # mean recall@10 ≥ 0.5 across queries
+    finally:
+        idx.unpersist()
