@@ -128,25 +128,26 @@ def sum_to_triple(
 
     # ---- dense part: pure codegen'd partial+final hash aggregation -------
     quad_idx = _quad_pairs(num_cols, nb)
-    dense_aggs = [F.count(F.lit(1)).alias("__n")]
-    dense_aggs += [F.sum(F.col(f"__x{i}")).alias(f"__lin_{i}") for i in range(d)]
+    dense_aggs = [F.expr("count(1)").alias("__n")]
+    dense_aggs += [F.expr(f"sum(__x{i})").alias(f"__lin_{i}") for i in range(d)]
     dense_aggs += [
-        F.sum(F.col(f"__x{i}") * F.col(f"__x{j}")).alias(f"__quad_{p}")
+        F.expr(f"sum(__x{i} * __x{j})").alias(f"__quad_{p}")
         for p, (i, j) in enumerate(quad_idx)
     ]
     dense = base.groupBy(*group_by).agg(*dense_aggs)
 
     lin_arr = (
-        F.array(*[F.coalesce(F.col(f"__lin_{i}"), F.lit(0.0)) for i in range(d)])
+        F.expr(
+            "array(" + ", ".join(f"coalesce(__lin_{i}, 0.0d)" for i in range(d)) + ")"
+        )
         if d
         else F.lit(None).cast("array<double>")
     )
     quad_arr = (
-        F.array(
-            *[
-                F.coalesce(F.col(f"__quad_{p}"), F.lit(0.0))
-                for p in range(len(quad_idx))
-            ]
+        F.expr(
+            "array("
+            + ", ".join(f"coalesce(__quad_{p}, 0.0d)" for p in range(len(quad_idx)))
+            + ")"
         )
         if d
         else F.lit(None).cast("array<double>")
@@ -173,29 +174,23 @@ def sum_to_triple(
     # them map-side to the distinct-(group, entry) space before any
     # shuffle, then one collect per group assembles the maps.
     carry_sums = d > 0 and not nb
-    entry_structs = [
-        F.struct(
-            F.lit(0).alias("__kind"),
-            F.lit(j).cast("int").alias("__idx"),
-            F.col(f"__k{j}").alias("__e1"),
-            F.lit(0).alias("__e2"),
+
+    def _estruct(kind: int, idx: int, e1: str, e2: str) -> str:
+        return (
+            f"named_struct('__kind', {kind}, '__idx', CAST({idx} AS INT), "
+            f"'__e1', {e1}, '__e2', {e2})"
         )
-        for j in range(c)
-    ]
+
+    entry_sqls = [_estruct(0, j, f"__k{j}", "0") for j in range(c)]
     if not nb:
-        entry_structs += [
-            F.struct(
-                F.lit(1).alias("__kind"),
-                F.lit(p).cast("int").alias("__idx"),
-                F.col(f"__k{a}").alias("__e1"),
-                F.col(f"__k{b}").alias("__e2"),
-            )
+        entry_sqls += [
+            _estruct(1, p, f"__k{a}", f"__k{b}")
             for p, (a, b) in enumerate(cat_pairs(c))
         ]
     exploded = base.select(
         *group_by,
         *([F.col(f"__x{i}") for i in range(d)] if carry_sums else []),
-        F.explode(F.array(*entry_structs)).alias("__e"),
+        F.explode(F.expr("array(" + ", ".join(entry_sqls) + ")")).alias("__e"),
     ).select(
         *group_by,
         *([F.col(f"__x{i}") for i in range(d)] if carry_sums else []),
@@ -221,45 +216,37 @@ def sum_to_triple(
         ).alias("__entries")
     )
 
-    ecol = F.col("__entries")
-
-    def _single(j: int, value_field: str) -> Column:
-        return F.sort_array(
-            F.transform(
-                F.filter(
-                    ecol,
-                    lambda x: (x["__kind"] == F.lit(0)) & (x["__idx"] == F.lit(j)),
-                ),
-                lambda x: F.struct(
-                    x["__e1"].alias("key"),
-                    F.coalesce(x[value_field], F.lit(0.0)).alias("value"),
-                ),
-            )
+    # assembly generated as SQL text: one F.expr parse instead of a py4j
+    # round trip per sub-expression (the Column-object version dominated
+    # wall clock at small scale factors)
+    def _single(j: int, value_field: str) -> str:
+        return (
+            f"sort_array(transform(filter(__entries, x -> x.__kind = 0 AND "
+            f"x.__idx = {j}), x -> named_struct('key', x.__e1, 'value', "
+            f"coalesce(x.{value_field}, CAST(0.0 AS DOUBLE)))))"
         )
 
-    def _pair(p: int) -> Column:
-        return F.sort_array(
-            F.transform(
-                F.filter(
-                    ecol,
-                    lambda x: (x["__kind"] == F.lit(1)) & (x["__idx"] == F.lit(p)),
-                ),
-                lambda x: F.struct(
-                    x["__e1"].alias("key1"),
-                    x["__e2"].alias("key2"),
-                    x["__cnt"].alias("value"),
-                ),
-            )
+    def _pair(p: int) -> str:
+        return (
+            f"sort_array(transform(filter(__entries, x -> x.__kind = 1 AND "
+            f"x.__idx = {p}), x -> named_struct('key1', x.__e1, 'key2', "
+            f"x.__e2, 'value', x.__cnt)))"
         )
 
-    lin_cat = F.array(*[_single(j, "__cnt") for j in range(c)])
+    lin_cat = F.expr("array(" + ", ".join(_single(j, "__cnt") for j in range(c)) + ")")
     quad_num_cat = (
-        F.array(*[_single(j, f"__s{i}") for i in range(d) for j in range(c)])
+        F.expr(
+            "array("
+            + ", ".join(_single(j, f"__s{i}") for i in range(d) for j in range(c))
+            + ")"
+        )
         if carry_sums
         else F.expr("array()").cast(f"array<{_KV_T}>")
     )
     quad_cat = (
-        F.array(*[_pair(p) for p in range(len(cat_pairs(c)))])
+        F.expr(
+            "array(" + ", ".join(_pair(p) for p in range(len(cat_pairs(c)))) + ")"
+        )
         if not nb
         else None
     )
@@ -373,53 +360,49 @@ def sum_triples(
         F.collect_list(F.struct("part", "i", "j", "k1", "k2", "val")).alias("__e")
     )
 
-    e = F.col("__e")
+    # reassembly generated as SQL text (single parse, no per-expression
+    # py4j round trips)
+    def match(part: str, i: int, j: int) -> str:
+        return f"filter(__e, x -> x.part = '{part}' AND x.i = {i} AND x.j = {j})"
 
-    def matches(part: str, i: int, j: int):
-        return lambda x: (
-            (x["part"] == F.lit(part)) & (x["i"] == F.lit(i)) & (x["j"] == F.lit(j))
+    def scalar(part: str, i: int, j: int) -> str:
+        return f"element_at({match(part, i, j)}, 1).val"
+
+    def kv_list(part: str, i: int, j: int) -> str:
+        return (
+            f"sort_array(transform({match(part, i, j)}, "
+            f"x -> named_struct('key', x.k1, 'value', x.val)))"
         )
 
-    def scalar(part: str, i: int, j: int) -> Column:
-        return F.element_at(F.filter(e, matches(part, i, j)), 1)["val"]
-
-    def kv_list(part: str, i: int, j: int) -> Column:
-        return F.sort_array(
-            F.transform(
-                F.filter(e, matches(part, i, j)),
-                lambda x: F.struct(x["k1"].alias("key"), x["val"].alias("value")),
-            )
-        )
-
-    def kkv_list(i: int, j: int) -> Column:
-        return F.sort_array(
-            F.transform(
-                F.filter(e, matches("quad_cat", i, j)),
-                lambda x: F.struct(
-                    x["k1"].alias("key1"),
-                    x["k2"].alias("key2"),
-                    x["val"].alias("value"),
-                ),
-            )
+    def kkv_list(i: int, j: int) -> str:
+        return (
+            f"sort_array(transform({match('quad_cat', i, j)}, "
+            f"x -> named_struct('key1', x.k1, 'key2', x.k2, 'value', x.val)))"
         )
 
     quad_pairs = [(i, i) for i in range(d)] if nb else [
         (i, j) for i in range(d) for j in range(i, d)
     ]
     fields = [
-        scalar("N", -1, -1).cast("long").alias("N"),
+        F.expr(f"CAST({scalar('N', -1, -1)} AS BIGINT)").alias("N"),
         (
-            F.array(*[scalar("lin", i, -1) for i in range(d)])
+            F.expr("array(" + ", ".join(scalar("lin", i, -1) for i in range(d)) + ")")
             if d
             else F.expr("array()").cast("array<double>")
         ).alias("lin_agg"),
         (
-            F.array(*[scalar("quad", i, j) for (i, j) in quad_pairs])
+            F.expr(
+                "array("
+                + ", ".join(scalar("quad", i, j) for (i, j) in quad_pairs)
+                + ")"
+            )
             if d
             else F.expr("array()").cast("array<double>")
         ).alias("quad_agg"),
         (
-            F.array(*[kv_list("lin_cat", j, -1) for j in range(c)])
+            F.expr(
+                "array(" + ", ".join(kv_list("lin_cat", j, -1) for j in range(c)) + ")"
+            )
             if c
             else F.expr("array()").cast(f"array<{_KV_T}>")
         ).alias("lin_cat"),
@@ -427,18 +410,22 @@ def sum_triples(
     if not nb:
         fields += [
             (
-                F.array(
-                    *[
+                F.expr(
+                    "array("
+                    + ", ".join(
                         kv_list("quad_num_cat", i, j)
                         for i in range(d)
                         for j in range(c)
-                    ]
+                    )
+                    + ")"
                 )
                 if c and d
                 else F.expr("array()").cast(f"array<{_KV_T}>")
             ).alias("quad_num_cat"),
             (
-                F.array(*[kkv_list(a, b) for (a, b) in cat_pairs(c)])
+                F.expr(
+                    "array(" + ", ".join(kkv_list(a, b) for (a, b) in cat_pairs(c)) + ")"
+                )
                 if c
                 else F.expr("array()").cast(f"array<{_KKV_T}>")
             ).alias("quad_cat"),
@@ -489,59 +476,33 @@ def _sum_to_triple_collect(
         ).alias("__rows")
     )
     g = base.groupBy(*group_by).agg(*aggs)
-    rows = F.col("__rows")
+    # builders generated as SQL text — see flatten_triple for why
+    def col_keys(j: int) -> str:
+        return f"array_sort(array_distinct(transform(__rows, e -> e.__k{j})))"
 
-    def col_keys(j: int) -> Column:
-        return F.array_sort(F.array_distinct(F.transform(rows, lambda e: e[f"__k{j}"])))
-
-    def kv_count(j: int) -> Column:
-        return F.transform(
-            col_keys(j),
-            lambda k: F.struct(
-                k.alias("key"),
-                F.size(
-                    F.filter(rows, lambda e: e[f"__k{j}"].eqNullSafe(k))
-                ).cast("double").alias("value"),
-            ),
+    def kv_count(j: int) -> str:
+        return (
+            f"transform({col_keys(j)}, k -> named_struct('key', k, 'value', "
+            f"CAST(size(filter(__rows, e -> e.__k{j} <=> k)) AS DOUBLE)))"
         )
 
-    def kv_sum(i: int, j: int) -> Column:
-        return F.transform(
-            col_keys(j),
-            lambda k: F.struct(
-                k.alias("key"),
-                F.aggregate(
-                    F.filter(rows, lambda e: e[f"__k{j}"].eqNullSafe(k)),
-                    F.lit(0.0),
-                    lambda a, e: a + e[f"__x{i}"],
-                ).alias("value"),
-            ),
+    def kv_sum(i: int, j: int) -> str:
+        return (
+            f"transform({col_keys(j)}, k -> named_struct('key', k, 'value', "
+            f"aggregate(filter(__rows, e -> e.__k{j} <=> k), "
+            f"CAST(0.0 AS DOUBLE), (a, e) -> a + e.__x{i})))"
         )
 
-    def kkv(a: int, b: int) -> Column:
-        pair_keys = F.array_sort(
-            F.array_distinct(
-                F.transform(
-                    rows,
-                    lambda e: F.struct(
-                        e[f"__k{a}"].alias("key1"), e[f"__k{b}"].alias("key2")
-                    ),
-                )
-            )
+    def kkv(a: int, b: int) -> str:
+        pair_keys = (
+            f"array_sort(array_distinct(transform(__rows, "
+            f"e -> named_struct('key1', e.__k{a}, 'key2', e.__k{b}))))"
         )
-        return F.transform(
-            pair_keys,
-            lambda kk: F.struct(
-                kk["key1"].alias("key1"),
-                kk["key2"].alias("key2"),
-                F.size(
-                    F.filter(
-                        rows,
-                        lambda e: e[f"__k{a}"].eqNullSafe(kk["key1"])
-                        & e[f"__k{b}"].eqNullSafe(kk["key2"]),
-                    )
-                ).cast("double").alias("value"),
-            ),
+        return (
+            f"transform({pair_keys}, kk -> named_struct("
+            f"'key1', kk.key1, 'key2', kk.key2, 'value', "
+            f"CAST(size(filter(__rows, e -> e.__k{a} <=> kk.key1 AND "
+            f"e.__k{b} <=> kk.key2)) AS DOUBLE)))"
         )
 
     fields = [
@@ -561,16 +522,24 @@ def _sum_to_triple_collect(
             if d
             else F.expr("array()").cast("array<double>")
         ).alias("quad_agg"),
-        F.array(*[kv_count(j) for j in range(c)]).alias("lin_cat"),
+        F.expr("array(" + ", ".join(kv_count(j) for j in range(c)) + ")").alias(
+            "lin_cat"
+        ),
     ]
     if not nb:
         fields += [
             (
-                F.array(*[kv_sum(i, j) for i in range(d) for j in range(c)])
+                F.expr(
+                    "array("
+                    + ", ".join(kv_sum(i, j) for i in range(d) for j in range(c))
+                    + ")"
+                )
                 if d
                 else F.expr("array()").cast(f"array<{_KV_T}>")
             ).alias("quad_num_cat"),
-            F.array(*[kkv(a, b) for (a, b) in cat_pairs(c)]).alias("quad_cat"),
+            F.expr(
+                "array(" + ", ".join(kkv(a, b) for (a, b) in cat_pairs(c)) + ")"
+            ).alias("quad_cat"),
         ]
     out = g.select(*group_by, F.struct(*fields).alias(result_col))
     return out.drop("__g") if internal_key else out

@@ -67,56 +67,56 @@ def flatten_triple(
     triple_col: str = "triple",
 ) -> DataFrame:
     """Flatten an existing triple-column DataFrame (e.g. the output of
-    ``sum_to_triple`` or ``triple_over_join``) to entry rows."""
-    group_by = list(group_by)
-    tc = F.col(triple_col)
-    neg = F.lit(-1)
+    ``sum_to_triple`` or ``triple_over_join``) to entry rows.
 
-    arrays: list[Column] = [
-        F.array(_entry("N", -1, -1, neg, neg, tc["N"]))
-    ]
+    The generator expression is built as ONE SQL string parsed JVM-side:
+    building it from Column objects costs a py4j round trip per call
+    (thousands for wide triples — it dominated wall clock at small SF).
+    """
+    group_by = list(group_by)
+    tc = triple_col
+
+    def ent(part: str, i: int, j: int, k1: str, k2: str, val: str) -> str:
+        return (
+            f"named_struct('part', '{part}', 'i', CAST({i} AS INT), "
+            f"'j', CAST({j} AS INT), 'k1', CAST({k1} AS INT), "
+            f"'k2', CAST({k2} AS INT), 'val', CAST({val} AS DOUBLE))"
+        )
+
+    arrays = [f"array({ent('N', -1, -1, '-1', '-1', f'{tc}.N')})"]
     for i in range(d):
         arrays.append(
-            F.array(_entry("lin", i, -1, neg, neg, F.element_at(tc["lin_agg"], i + 1)))
+            f"array({ent('lin', i, -1, '-1', '-1', f'{tc}.lin_agg[{i}]')})"
         )
     quad_pairs = [(i, i) for i in range(d)] if nb else [
         (i, j) for i in range(d) for j in range(i, d)
     ]
     for p, (i, j) in enumerate(quad_pairs):
         arrays.append(
-            F.array(
-                _entry("quad", i, j, neg, neg, F.element_at(tc["quad_agg"], p + 1))
-            )
+            f"array({ent('quad', i, j, '-1', '-1', f'{tc}.quad_agg[{p}]')})"
         )
-    # closure factories: a default-arg lambda would be mistaken for the
-    # (element, index) two-argument form by F.transform
-    def _kv_entries(part: str, i: int, j: int, arr: Column) -> Column:
-        return F.transform(
-            arr, lambda e: _entry(part, i, j, e["key"], neg, e["value"])
-        )
-
-    def _kkv_entries(a: int, b: int, arr: Column) -> Column:
-        return F.transform(
-            arr, lambda e: _entry("quad_cat", a, b, e["key1"], e["key2"], e["value"])
-        )
-
     for j in range(c):
-        arrays.append(_kv_entries("lin_cat", j, -1, F.element_at(tc["lin_cat"], j + 1)))
+        arrays.append(
+            f"transform({tc}.lin_cat[{j}], e -> "
+            + ent("lin_cat", j, -1, "e.key", "-1", "e.value")
+            + ")"
+        )
     if not nb:
         for i in range(d):
             for j in range(c):
                 arrays.append(
-                    _kv_entries(
-                        "quad_num_cat",
-                        i,
-                        j,
-                        F.element_at(tc["quad_num_cat"], i * c + j + 1),
-                    )
+                    f"transform({tc}.quad_num_cat[{i * c + j}], e -> "
+                    + ent("quad_num_cat", i, j, "e.key", "-1", "e.value")
+                    + ")"
                 )
         for p, (a, b) in enumerate(cat_pairs(c)):
-            arrays.append(_kkv_entries(a, b, F.element_at(tc["quad_cat"], p + 1)))
-    entries = F.concat(*arrays) if len(arrays) > 1 else arrays[0]
-    return t.select(*group_by, F.inline(entries))
+            arrays.append(
+                f"transform({tc}.quad_cat[{p}], e -> "
+                + ent("quad_cat", a, b, "e.key1", "e.key2", "e.value")
+                + ")"
+            )
+    entries_sql = "concat(" + ", ".join(arrays) + ")" if len(arrays) > 1 else arrays[0]
+    return t.select(*group_by, F.inline(F.expr(entries_sql)))
 
 
 def triple_entries_sql(
