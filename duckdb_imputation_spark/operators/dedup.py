@@ -87,7 +87,12 @@ def minhash_signature(col: Column, k: int = 16, shingle: int = 5) -> Column:
     each of the k slot expressions would re-evaluate the md5 pass k
     times — Catalyst does not CSE across sibling aggregate expressions.
     """
-    base = F.transform(shingles(col, shingle), lambda s: md5_int32(s))
+    return minhash_signature_from_shingles(shingles(col, shingle), k)
+
+
+def minhash_signature_from_shingles(sh: Column, k: int = 16) -> Column:
+    """Signature from a (pre-materialized) shingle array column."""
+    base = F.transform(sh, lambda s: md5_int32(s))
     params = minhash_params(k)
 
     def all_slots(bh: Column) -> Column:
@@ -122,11 +127,17 @@ def minhash_lsh_pairs(
     """
     assert k % bands == 0, "k must divide into equal bands"
     rows = k // bands
+    # one shingle pass: the distinct shingle set feeds BOTH the signature
+    # (min over a set == min over the multiset) and the exact-Jaccard
+    # verification; hashing only distinct shingles also halves the md5
+    # work on repetitive text
     base = df.select(
         F.col(id_col).alias("__id"),
-        F.col(text_col).alias("__text"),
-        minhash_signature(F.col(text_col), k, shingle).alias("__sig"),
         F.array_distinct(shingles(F.col(text_col), shingle)).alias("__sh"),
+    ).select(
+        "__id",
+        "__sh",
+        minhash_signature_from_shingles(F.col("__sh"), k).alias("__sig"),
     )
     banded = base.select(
         "__id",
