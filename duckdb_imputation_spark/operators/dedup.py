@@ -25,7 +25,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .hashing import md5_int32, md5_int60, shingles, ws_tokens
+from .hashing import ensure_parallelism, md5_int32, md5_int60, shingles, ws_tokens
 
 __all__ = [
     "exact_dedup",
@@ -127,6 +127,7 @@ def minhash_lsh_pairs(
     """
     assert k % bands == 0, "k must divide into equal bands"
     rows = k // bands
+    df = ensure_parallelism(df)
     # one shingle pass: the distinct shingle set feeds BOTH the signature
     # (min over a set == min over the multiset) and the exact-Jaccard
     # verification; hashing only distinct shingles also halves the md5
@@ -236,6 +237,7 @@ def simhash_pairs(
     """Candidate near-dup pairs: equal 15-bit SimHash band (pigeonhole for
     Hamming distance < bands), verified by exact popcount distance."""
     width = _SIMHASH_BITS // bands
+    df = ensure_parallelism(df)
     base = df.select(
         F.col(id_col).alias("__id"), token_hashes(F.col(text_col)).alias("__hs")
     ).select("__id", simhash_from_hashes(F.col("__hs")).alias("__sh"))
@@ -298,7 +300,7 @@ def ngram_jaccard_pairs(
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
         )
     ).otherwise(F.array(F.concat_ws(" ", toks)))
-    base = df.select(
+    base = ensure_parallelism(df).select(
         F.col(id_col).alias("__id"), F.array_distinct(grams).alias("__g")
     )
     inv = base.select("__id", "__g", F.explode("__g").alias("__gram")).persist()

@@ -17,7 +17,20 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["md5_int32", "md5_int60", "shingles", "ws_tokens"]
+__all__ = ["md5_int32", "md5_int60", "shingles", "ws_tokens", "ensure_parallelism"]
+
+
+def ensure_parallelism(df, min_fraction: float = 0.5):
+    """Repartition a DataFrame whose input is a few small files up to the
+    cluster's default parallelism — CPU-bound per-row stages (shingling,
+    hashing) otherwise serialize on one task.  No-op when the input is
+    already well-partitioned (the 100 TB case), so the extra shuffle only
+    happens when it is cheap by construction."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < max(1, int(target * min_fraction)):
+        return df.repartition(target)
+    return df
 
 
 def md5_int32(col: Column, seed: str = "") -> Column:

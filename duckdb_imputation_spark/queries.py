@@ -646,7 +646,9 @@ def text_stats_documents(spark, sf):
     """Token counting, fingerprinting, quality scoring and language ID in
     one pass over the documents table (single-bind struct: the text is
     tokenized once per row)."""
-    d = load_table(spark, sf, "documents")
+    from .operators.hashing import ensure_parallelism
+
+    d = ensure_parallelism(load_table(spark, sf, "documents"))
     # materialize the struct in its own projection — field access on an
     # inline struct expression would re-evaluate it per field
     return d.select("doc_id", _ts.text_stats(F.col("text")).alias("__s")).select(
@@ -772,7 +774,9 @@ def ngram_jaccard_dups(spark, sf):
 def simhash_documents(spark, sf):
     """60-bit SimHash per document — per-bit majority of md5'd tokens,
     bit-exact across engines (token hashes materialized once)."""
-    d = load_table(spark, sf, "documents").filter("doc_id < 100")
+    from .operators.hashing import ensure_parallelism
+
+    d = ensure_parallelism(load_table(spark, sf, "documents").filter("doc_id < 100"))
     return d.select(
         "doc_id", _dd.token_hashes(F.col("text")).alias("__hs")
     ).select("doc_id", _dd.simhash_from_hashes(F.col("__hs")).alias("sh"))
