@@ -1039,3 +1039,51 @@ def rollup_lineitem(spark, sf):
             "n",
         )
     )
+
+
+@register("lda_train_predict_histogram")
+def lda_train_predict_histogram(spark, sf):
+    """Full LDA train+predict loop in-catalog: cofactor → driver train →
+    Column-expr argmax scoring; output = predicted-class histogram
+    (deterministic; rows-only — LAPACK lstsq is not SQL-expressible)."""
+    from .ml.lda import lda_train
+
+    li = _li(spark, sf).select(
+        F.col("l_quantity").alias("q"),
+        F.round(F.col("l_discount") * 100).cast("double").alias("disc"),
+        F.round(F.col("l_tax") * 100).cast("double").alias("tax"),
+        F.col("l_linenumber").alias("ln"),
+    )
+    t = Triple.from_row(
+        sum_to_triple(li, ["q", "disc", "tax"], ["ln"]).collect()[0]["triple"]
+    )
+    model = lda_train(t, label=0)
+    return (
+        li.withColumn("pred", model.predict_expr(["q", "disc", "tax"], []))
+        .groupBy("pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register("nb_train_predict_histogram")
+def nb_train_predict_histogram(spark, sf):
+    """Gaussian+categorical NB: per-class NB aggregates via GROUP BY label
+    → driver train → log-space Column-expr scoring (rows-only)."""
+    from .ml.nb import nb_train
+
+    o = load_table(spark, sf, "orders").select(
+        F.month("o_orderdate").cast("double").alias("m"),
+        F.dayofmonth("o_orderdate").cast("double").alias("d"),
+        F.ascii("o_orderpriority").alias("prio"),
+        F.ascii("o_orderstatus").alias("status"),
+    )
+    per_class = sum_to_triple(o, ["m", "d"], ["prio"], group_by=["status"], nb=True)
+    rows = per_class.collect()
+    labels = [r["status"] for r in rows]
+    triples = [Triple.from_row(r["triple"], d_num=2, d_cat=1) for r in rows]
+    model = nb_train(triples, labels=labels)
+    return (
+        o.withColumn("pred", model.predict_expr(["m", "d"], ["prio"]))
+        .groupBy("pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
