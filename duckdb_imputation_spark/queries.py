@@ -487,7 +487,7 @@ def list_extract_position(spark, sf):
     SELECT l_linenumber,
            ROUND(sqrt(CAST(l_linenumber AS DOUBLE)), 6) AS sqrt_ln,
            ROUND(ln(CAST(l_linenumber AS DOUBLE)), 6) AS log_ln,
-           ROUND(cos(2 * pi() * l_linenumber / 7), 6) AS cos_ln,
+           ROUND(cos(2 * pi() * l_linenumber / 7), 6) + 0.0 AS cos_ln,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM lineitem GROUP BY 1, 2, 3, 4
     """,
@@ -503,7 +503,7 @@ def math_scalar_functions(spark, sf):
         "l_linenumber",
         F.round(F.sqrt(x), 6).alias("sqrt_ln"),
         F.round(F.log(x), 6).alias("log_ln"),
-        F.round(F.cos(F.lit(2 * math.pi) * x / 7), 6).alias("cos_ln"),
+        (F.round(F.cos(F.lit(2 * math.pi) * x / 7), 6) + F.lit(0.0)).alias("cos_ln"),
     ).agg(F.count(F.lit(1)).alias("n"))
 
 
@@ -558,8 +558,8 @@ def events_hourly_rollup(spark, sf):
 @register(
     "linreg_via_triple_vs_regr",
     oracle="""
-    SELECT ROUND(regr_slope(l_quantity, CAST(day(l_shipdate) AS DOUBLE)), 6) AS slope,
-           ROUND(regr_intercept(l_quantity, CAST(day(l_shipdate) AS DOUBLE)), 6) AS intercept
+    SELECT ROUND(regr_slope(l_quantity, CAST(day(l_shipdate) AS DOUBLE)), 6) + 0.0 AS slope,
+           ROUND(regr_intercept(l_quantity, CAST(day(l_shipdate) AS DOUBLE)), 6) + 0.0 AS intercept
     FROM lineitem
     """,
 )
@@ -571,7 +571,7 @@ def linreg_via_triple_vs_regr(spark, sf):
     t = Triple.from_row(row)
     m = linreg_train(t, label=0, method="closed")
     return spark.createDataFrame(
-        [(round(m.coef_num[0], 6), round(m.intercept, 6))], "slope double, intercept double"
+        [(round(m.coef_num[0], 6) + 0.0, round(m.intercept, 6) + 0.0)], "slope double, intercept double"
     )
 
 
@@ -803,7 +803,7 @@ def embedding_cosine_scores(spark, sf):
 
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     qv = F.array(*[F.lit(x) for x in q])
-    score = F.round(_dot(v, qv) / F.sqrt(_dot(v, v)), 6)
+    score = F.round(_dot(v, qv) / F.sqrt(_dot(v, v)), 6) + F.lit(0.0)
     return e.select("vec_id", score.alias("score"))
 
 
@@ -823,7 +823,7 @@ def _embedding_oracle(sf: str | None = None) -> str:
         "(a, b) -> a + b)"
     )
     return (
-        f"SELECT vec_id, ROUND({dot} / sqrt({self_dot}), 6) AS score FROM embeddings"
+        f"SELECT vec_id, ROUND({dot} / sqrt({self_dot}), 6) + 0.0 AS score FROM embeddings"
     )
 
 
