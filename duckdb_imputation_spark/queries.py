@@ -1087,3 +1087,51 @@ def nb_train_predict_histogram(spark, sf):
         .groupBy("pred")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "sessionize_events",
+    oracle="""
+    WITH trunc AS (
+      SELECT user_id, date_trunc('second', ts) AS ts,
+             CAST(ROUND(value * 100) AS BIGINT) AS value_c
+      FROM events
+    ), marked AS (
+      SELECT user_id, ts, value_c,
+             CASE WHEN epoch(ts) - epoch(lag(ts, 1, TIMESTAMP '1970-01-01')
+                  OVER (PARTITION BY user_id ORDER BY ts)) > 600
+                  THEN 1 ELSE 0 END AS new_s
+      FROM trunc
+    ), sess AS (
+      SELECT user_id, ts, value_c,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+           CAST(COUNT(*) AS INT) AS n_events,
+           CAST(SUM(value_c) AS BIGINT) AS sum_value_c
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def sessionize_events(spark, sf):
+    """Gap-based sessionization of the events stream table (batch form of
+    the stateful streaming operator; 10-minute inactivity gap).  Values
+    in cents and second-truncated timestamps keep both engines exact."""
+    from .streaming.sessionize import sessionize_batch
+
+    ev = load_table(spark, sf, "events").select(
+        F.date_trunc("second", "ts").alias("ts"),
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("value_c"),
+    )
+    out = sessionize_batch(ev, gap_seconds=600, value_col="value_c")
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+        F.col("sum_value").cast("long").alias("sum_value_c"),
+    )

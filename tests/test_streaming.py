@@ -96,3 +96,54 @@ def test_late_data_within_watermark_counts(spark, tmp_path):
     # 09:00+10min — here we just verify windows are keyed correctly
     hours = sorted({r["window_start"].hour for r in got})
     assert hours == [9, 10, 12] or hours == [10, 12]
+
+
+def test_sessionize_batch_and_stream(spark, tmp_path):
+    """Stateful sessionization: the streaming applyInPandasWithState path
+    must produce the same closed sessions the batch window plan does."""
+    from duckdb_imputation_spark.streaming.sessionize import (
+        sessionize_batch,
+        sessionize_stream,
+    )
+
+    rows = []
+    for user in (1, 2):
+        # session A: 3 events 1min apart; 30min silence; session B: 2 events
+        for i in range(3):
+            rows.append((f"2024-01-01 08:0{i}:00", user, 1.0 * (i + 1)))
+        rows.append(("2024-01-01 08:40:00", user, 10.0))
+        rows.append(("2024-01-01 08:45:00", user, 20.0))
+    # sentinel far in the future so every real session times out
+    rows.append(("2024-01-02 00:00:00", 99, 0.0))
+    df = spark.createDataFrame(rows, "ts_s string, user_id long, value double").select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "user_id", "value"
+    )
+
+    batch = sessionize_batch(df, gap_seconds=600)
+    got_b = {
+        (r["user_id"], r["session_start"].isoformat()): (r["n_events"], r["sum_value"])
+        for r in batch.collect()
+    }
+    assert got_b[(1, "2024-01-01T08:00:00")] == (3, 6.0)
+    assert got_b[(1, "2024-01-01T08:40:00")] == (2, 30.0)
+
+    src = str(tmp_path / "sess_src")
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = sessionize_stream(stream, gap_seconds=600, watermark="1 minute")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got_s = {
+        (r["user_id"], r["session_start"].isoformat()): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM sessions").collect()
+    }
+    # all user 1/2 sessions must be closed (the sentinel advanced the watermark)
+    for key, val in got_b.items():
+        if key[0] in (1, 2):
+            assert got_s.get(key) == val, (key, val, got_s)
