@@ -32,6 +32,8 @@ __all__ = [
     "minhash_signature",
     "minhash_lsh_pairs",
     "minhash_dedup",
+    "minhash_dedup_transitive",
+    "dedup_components",
     "simhash",
     "simhash_pairs",
     "ngram_jaccard_pairs",
@@ -404,3 +406,72 @@ def embedding_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# ------------------------------------------------ transitive components
+
+
+def dedup_components(
+    pairs: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Connected components over verified duplicate pairs → (id, canonical)
+    with canonical = min id of the component (transitive closure; the
+    one-hop functions above under-merge when duplicates only touch via a
+    shared neighbor).
+
+    Iterative min-label propagation: each round every vertex takes the
+    minimum label among itself and its neighbors; lineage is cut per
+    round with localCheckpoint.  Rounds needed = graph diameter (small
+    for dedup graphs); each round is one join + one groupBy.
+    """
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    sym = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor = (
+            sym.join(labels.withColumnRenamed("id", "dst2"),
+                     F.col("dst") == F.col("dst2"))
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        updated = (
+            labels.join(neighbor.withColumnRenamed("src", "id2"),
+                        F.col("id") == F.col("id2"), "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
+            )
+        )
+        updated = updated.localCheckpoint()
+        changed = (
+            updated.withColumnRenamed("label", "new_label")
+            .join(labels.withColumnRenamed("id", "id2"), F.col("id") == F.col("id2"))
+            .filter(F.col("new_label") != F.col("label"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("canonical"))
+
+
+def minhash_dedup_transitive(
+    df: DataFrame, text_col: str, id_col: str, **kwargs
+) -> DataFrame:
+    """MinHash dedup with full transitive closure: only the min-id member
+    of each duplicate component survives."""
+    pairs = minhash_lsh_pairs(df, text_col, id_col, **kwargs)
+    comp = dedup_components(pairs)
+    losers = comp.filter(F.col("id") != F.col("canonical")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

@@ -221,3 +221,22 @@ def test_ivf_index_reuse(emb):
         assert hits >= 15  # mean recall@10 ≥ 0.5 across queries
     finally:
         idx.unpersist()
+
+
+def test_dedup_components_transitive(spark):
+    """Component closure merges what one-hop misses: with pairs (0,2) and
+    (1,2) only, one-hop keeps {0,1}; components keep only 0."""
+    pairs = spark.createDataFrame(
+        [(0, 2, 0.9), (1, 2, 0.9), (5, 7, 0.9)], "id_a long, id_b long, jaccard double"
+    )
+    comp = {r["id"]: r["canonical"] for r in dd.dedup_components(pairs).collect()}
+    assert comp == {0: 0, 1: 0, 2: 0, 5: 5, 7: 5}
+
+
+def test_minhash_dedup_transitive(dup_docs):
+    out = dd.minhash_dedup_transitive(
+        dup_docs, "text", "doc_id", k=16, bands=4, shingle=5, threshold=0.5
+    )
+    kept = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert all(k < 20000 for k in kept)  # exact copies gone
+    assert not any(10000 <= k < 10005 for k in kept)  # near-copies gone
