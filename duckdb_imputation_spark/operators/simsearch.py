@@ -22,7 +22,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["cosine_topk", "ann_ivf_topk", "ann_lsh_topk", "kmeans_fit", "IVFIndex"]
+__all__ = ["cosine_topk", "ann_ivf_topk", "ann_lsh_topk", "kmeans_fit", "kmeans_fit_distributed", "IVFIndex"]
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -205,3 +205,41 @@ class IVFIndex:
 
     def unpersist(self) -> None:
         self.assigned.unpersist()
+
+
+def kmeans_fit_distributed(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Lloyd k-means over the FULL table: each iteration is one scan
+    (Column-expr assignment) + one posexplode/groupBy mean; only the
+    (nlist × dim) centroid matrix ever reaches the driver.  Use instead
+    of the sampled :func:`kmeans_fit` when nlist is large or the sample
+    would miss rare clusters."""
+    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = int(first["d"])
+    init = df.select(vec_col).limit(nlist).collect()
+    cent = np.asarray([r[0] for r in init], dtype=np.float64)
+    if len(cent) < nlist:
+        nlist = len(cent)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    for _ in range(iters):
+        assigned = df.select(
+            _assign_expr(v, cent).alias("__cluster"),
+            F.posexplode(v).alias("__dim", "__x"),
+        )
+        means = (
+            assigned.groupBy("__cluster", "__dim")
+            .agg(F.avg("__x").alias("m"))
+            .collect()
+        )
+        new = cent.copy()
+        for r in means:
+            new[r["__cluster"], r["__dim"]] = r["m"]
+        if np.allclose(new, cent, atol=1e-9):
+            break
+        cent = new
+    return cent

@@ -240,3 +240,19 @@ def test_minhash_dedup_transitive(dup_docs):
     kept = {r["doc_id"] for r in out.select("doc_id").collect()}
     assert all(k < 20000 for k in kept)  # exact copies gone
     assert not any(10000 <= k < 10005 for k in kept)  # near-copies gone
+
+
+def test_kmeans_distributed_clusters(emb):
+    cent = ss.kmeans_fit_distributed(emb, nlist=4, iters=8)
+    assert cent.shape == (4, 64)
+    # assignment must be non-degenerate and reduce within-cluster distance
+    import numpy as np
+
+    X = np.asarray([r["embedding"] for r in emb.select("embedding").collect()], dtype=float)
+    d2 = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+    assign = d2.argmin(1)
+    assert len(set(assign.tolist())) >= 2
+    within = d2[np.arange(len(X)), assign].mean()
+    random_centroids = X[:4]
+    d2r = ((X[:, None, :] - random_centroids[None, :, :]) ** 2).sum(-1)
+    assert within <= d2r.min(1).mean() + 1e-9
