@@ -38,6 +38,8 @@ HEADLINE = [
     "minhash_dedup_survivors",
     "simhash_documents",
     "embedding_cosine_scores",
+    "sessionize_events",
+    "rollup_lineitem",
 ]
 
 

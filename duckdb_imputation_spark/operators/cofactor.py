@@ -95,6 +95,15 @@ def sum_to_triple(
     group_by = list(group_by)
     d, c = len(num_cols), len(cat_cols)
 
+    overlap = set(num_cols) & set(cat_cols)
+    if overlap:
+        raise ValueError(
+            f"columns cannot be both continuous and categorical: {sorted(overlap)}"
+        )
+    clash = (set(num_cols) | set(cat_cols)) & set(group_by)
+    if clash:
+        raise ValueError(f"group keys overlap aggregated columns: {sorted(clash)}")
+
     if max_categories is not None and c > 0:
         # Opt-in scale guard: the categorical maps (and the driver-side
         # dictionaries the ML path builds from them, partition.cpp:34-37)

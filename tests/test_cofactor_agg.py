@@ -122,3 +122,12 @@ def test_collect_strategy_nb_and_global(ring_fixture):
     a = sum_to_triple(ring_fixture, NUM, CAT, nb=True, strategy="collect").collect()
     b = sum_to_triple(ring_fixture, NUM, CAT, nb=True).collect()
     assert triple_dict(a[0]["triple"]) == triple_dict(b[0]["triple"])
+
+
+def test_input_validation(ring_fixture):
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="both continuous and categorical"):
+        sum_to_triple(ring_fixture, ["a", "b"], ["b"])
+    with _pt.raises(ValueError, match="group keys overlap"):
+        sum_to_triple(ring_fixture, ["a"], ["d"], group_by=["a"])
