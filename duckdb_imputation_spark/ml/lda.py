@@ -43,6 +43,33 @@ class LDAModel:
     def predict_expr(self, num_cols: list[str], cat_cols: list[str] = ()) -> Column:
         return lda_predict_expr(self, num_cols, cat_cols)
 
+    def to_params_blob(self) -> list[float]:
+        """Serialize to the reference's flat FLOAT[] layout
+        (lda.cpp:336-380): [n_classes, size_idxs, feature cat_idxs
+        (label slots removed), feature cat dictionary, class labels,
+        per-class coefficient rows (nums then one-hots), intercepts]."""
+        K = len(self.class_keys)
+        n_feat_cats = len(self.coef_cat[0]) if K else 0
+        blob: list[float] = [float(K)]
+        # size_idxs: 0 when the label was the only categorical column
+        size_idxs = 0 if n_feat_cats == 0 else n_feat_cats + 1
+        blob.append(float(size_idxs))
+        if n_feat_cats:
+            idxs = [0]
+            cat_array: list[int] = []
+            for m in self.coef_cat[0]:
+                cat_array.extend(sorted(m))
+                idxs.append(len(cat_array))
+            blob += [float(x) for x in idxs]
+            blob += [float(k) for k in cat_array]
+        blob += [float(k) for k in self.class_keys]
+        for k in range(K):
+            blob += [float(w) for w in self.coef_num[k]]
+            for m in self.coef_cat[k]:
+                blob += [float(m[key]) for key in sorted(m)]
+        blob += [float(b) for b in self.intercept]
+        return blob
+
 
 def lda_train(
     triple: Triple,

@@ -313,3 +313,19 @@ def test_ml_edge_cases(data):
     lm = lda_train(t1, label=1)
     assert lm.class_keys == [0]
     assert all(np.isfinite(v) for v in lm.intercept)
+
+
+def test_lda_params_blob_layout(data):
+    rows, t = data
+    m = lda_train(t, label=1)
+    blob = m.to_params_blob()
+    K = len(m.class_keys)
+    assert blob[0] == float(K)
+    assert blob[1] == 2.0  # one feature cat col -> size_idxs = 2
+    assert blob[2:4] == [0.0, 3.0]  # catf has 3 values
+    assert blob[4:7] == [10.0, 11.0, 12.0]  # dictionary
+    assert blob[7 : 7 + K] == [float(k) for k in m.class_keys]
+    p = 3 + 3  # 3 nums + 3 one-hots
+    coefs = blob[7 + K : 7 + K + K * p]
+    assert coefs[:3] == [pytest.approx(x) for x in m.coef_num[0]]
+    assert blob[-K:] == [pytest.approx(b) for b in m.intercept]
