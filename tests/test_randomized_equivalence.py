@@ -74,3 +74,50 @@ def test_max_categories_guard(spark):
         F.lit(1.0).alias("x"), (F.col("id") % 5).cast("int").alias("k")
     )
     assert sum_to_triple(df2, ["x"], ["k"], max_categories=100).count() == 1
+
+
+@pytest.mark.parametrize(
+    "n1,c1,n2,c2,nb",
+    [
+        (1, 1, 1, 1, False),
+        (2, 0, 1, 2, False),
+        (0, 2, 2, 0, False),
+        (0, 1, 0, 1, False),
+        (2, 1, 1, 1, True),
+    ],
+)
+def test_factorized_equals_materialized_shapes(spark, n1, c1, n2, c2, nb):
+    """⊗ over the join == cofactor over the materialized join, across
+    degenerate shapes (numeric-only side, categorical-only side, NB)."""
+    from duckdb_imputation_spark.operators.multiply import triple_over_join
+
+    left_rows, right_rows = [], []
+    for i in range(120):
+        key = int(RNG.integers(0, 20))
+        left_rows.append(
+            (key,
+             *[float(np.round(RNG.normal(0, 5), 2)) for _ in range(n1)],
+             *[int(RNG.integers(0, 4)) for _ in range(c1)])
+        )
+    for i in range(40):
+        key = int(RNG.integers(0, 20))
+        right_rows.append(
+            (key,
+             *[float(np.round(RNG.normal(0, 5), 2)) for _ in range(n2)],
+             *[int(RNG.integers(0, 4)) for _ in range(c2)])
+        )
+    ls = ", ".join(["k int"] + [f"a{i} double" for i in range(n1)] + [f"p{j} int" for j in range(c1)])
+    rs = ", ".join(["k int"] + [f"b{i} double" for i in range(n2)] + [f"q{j} int" for j in range(c2)])
+    ldf = spark.createDataFrame(left_rows, ls)
+    rdf = spark.createDataFrame(right_rows, rs)
+    num1, cat1 = [f"a{i}" for i in range(n1)], [f"p{j}" for j in range(c1)]
+    num2, cat2 = [f"b{i}" for i in range(n2)], [f"q{j}" for j in range(c2)]
+
+    fact = triple_over_join(
+        ldf, rdf, on="k", num1=num1, cat1=cat1, num2=num2, cat2=cat2, nb=nb
+    ).collect()
+    joined = ldf.join(rdf, "k")
+    mat = sum_to_triple(joined, num1 + num2, cat1 + cat2, nb=nb).collect()
+    a = Triple.from_row(fact[0]["triple"], d_num=n1 + n2, d_cat=c1 + c2)
+    b = Triple.from_row(mat[0]["triple"], d_num=n1 + n2, d_cat=c1 + c2)
+    close(a, b)
