@@ -40,6 +40,38 @@ class NBModel:
     def predict_expr(self, num_cols: list[str], cat_cols: list[str] = ()) -> Column:
         return nb_predict_expr(self, num_cols, cat_cols)
 
+    def to_params_blob(self) -> list[float]:
+        """Serialize to the reference's flat FLOAT[] layout
+        (naive_bayes.cpp:44-136): [n_classes, n_cat+1 (or 0), cat_idxs,
+        cat_array, class labels, priors, then per class: (mean, var) per
+        numeric column followed by the per-category frequency slots]."""
+        K = len(self.class_labels)
+        n_cat = len(self.freq[0]) if K else 0
+        blob: list[float] = [float(K)]
+        cat_idxs, cat_array = [0], []
+        if n_cat:
+            blob.append(float(n_cat + 1))
+            keys_per_col = [
+                sorted({k for f in self.freq for k in f[j]}) for j in range(n_cat)
+            ]
+            for keys in keys_per_col:
+                cat_array.extend(keys)
+                cat_idxs.append(len(cat_array))
+            blob += [float(x) for x in cat_idxs]
+            blob += [float(k) for k in cat_array]
+        else:
+            blob.append(0.0)
+        blob += [float(x) for x in self.class_labels]
+        blob += [float(p) for p in self.prior]
+        for k in range(K):
+            for mu, var in zip(self.mean[k], self.var[k]):
+                blob += [float(mu), float(var)]
+            if n_cat:
+                for j in range(n_cat):
+                    keys = cat_array[cat_idxs[j] : cat_idxs[j + 1]]
+                    blob += [float(self.freq[k][j].get(key, 0.0)) for key in keys]
+        return blob
+
 
 def nb_train(nb_triples: list[Triple], labels: list[int]) -> NBModel:
     """Train from one NB aggregate per class (labels[i] names class i)."""

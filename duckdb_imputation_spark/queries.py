@@ -1135,3 +1135,34 @@ def sessionize_events(spark, sf):
         "n_events",
         F.col("sum_value").cast("long").alias("sum_value_c"),
     )
+
+
+@register(
+    "brand_revenue",
+    oracle="""
+    SELECT p_brand,
+           CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                    * CAST(100 - ROUND(l_discount*100) AS BIGINT)) AS BIGINT) AS revenue_c,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(MAX(p_retailprice) AS DOUBLE) AS max_retail
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def brand_revenue(spark, sf):
+    """lineitem ⋈ part revenue by brand (broadcast dim join; completes
+    catalog coverage of every testdata table)."""
+    li = _li(spark, sf)
+    p = load_table(spark, sf, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(
+                _cents("l_extendedprice")
+                * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+            ).alias("revenue_c"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.max("p_retailprice").cast("double").alias("max_retail"),
+        )
+    )

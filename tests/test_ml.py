@@ -329,3 +329,27 @@ def test_lda_params_blob_layout(data):
     coefs = blob[7 + K : 7 + K + K * p]
     assert coefs[:3] == [pytest.approx(x) for x in m.coef_num[0]]
     assert blob[-K:] == [pytest.approx(b) for b in m.intercept]
+
+
+def test_nb_params_blob_layout():
+    rows = make_rows(200)
+    classes = sorted({r[4] for r in rows})
+    triples = [
+        triple_of([r for r in rows if r[4] == c], [1, 2], [3], nb=True)
+        for c in classes
+    ]
+    m = nb_train(triples, labels=classes)
+    blob = m.to_params_blob()
+    K = len(classes)
+    assert blob[0] == float(K)
+    assert blob[1] == 2.0  # 1 cat col -> n_cat+1
+    assert blob[2:4] == [0.0, 3.0]
+    assert blob[4:7] == [10.0, 11.0, 12.0]
+    assert blob[7 : 7 + K] == [float(c) for c in classes]
+    priors = blob[7 + K : 7 + 2 * K]
+    assert sum(priors) == pytest.approx(1.0)
+    # class 0 block: (mean,var) x2 nums then 3 freq slots
+    block = blob[7 + 2 * K : 7 + 2 * K + 7]
+    assert block[0] == pytest.approx(m.mean[0][0])
+    assert block[3] == pytest.approx(m.var[0][1])
+    assert sum(block[4:7]) == pytest.approx(1.0)  # frequencies sum to 1
