@@ -52,18 +52,46 @@ def qda_train(
     triples: list[Triple], labels: list[int], normalize: bool = False
 ) -> QDAModel:
     """Train QDA from one triple per class (labels[i] names triples[i]'s
-    class).  The label column itself must not be in the triples."""
-    if normalize:
-        raise NotImplementedError(
-            "normalize=True is not supported yet for QDA (reference parity "
-            "pending); standardize inputs upstream instead"
-        )
+    class).  The label column itself must not be in the triples.
+
+    ``normalize=True`` standardizes with POOLED means/stds computed from
+    the summed class sigmas (qda.cpp:128-143) and folds the standardized
+    model back into a raw-space quadratic form, so prediction stays the
+    same ``xᵀQx + Lx + b``.  QDA is affine-invariant, so this changes
+    conditioning, not (up to numerics) predictions.
+    """
     cat_idxs, cat_array = one_hot_dictionary(triples, drop_first=True)
     d = triples[0].d_num
     n_total = float(sum(t.n for t in triples))
+    sigmas = [build_sigma(t, cat_idxs, cat_array, label_cat=-1) for t in triples]
+
+    g_means = g_stds = None
+    if normalize:
+        size = sigmas[0].shape[0]
+        g_means = np.zeros(size)
+        g_var = np.zeros(size)
+        for s_m in sigmas:
+            g_means += s_m[0, :]
+            g_var += np.diag(s_m)
+        g_means /= n_total
+        g_stds = np.sqrt(np.maximum(g_var / n_total - g_means**2, 1e-30))
+        g_stds[0] = 1.0
+        for s_m in sigmas:
+            n_c = s_m[0, 0]
+            raw0 = s_m[0, :].copy()
+            for i in range(1, size):
+                for j in range(1, size):
+                    s_m[i, j] = (
+                        s_m[i, j]
+                        - g_means[i] * raw0[j]
+                        - g_means[j] * raw0[i]
+                        + n_c * g_means[i] * g_means[j]
+                    ) / (g_stds[i] * g_stds[j])
+            for i in range(1, size):
+                s_m[0, i] = s_m[i, 0] = (raw0[i] - g_means[i] * n_c) / g_stds[i]
+
     quads, lins, intercepts = [], [], []
-    for t in triples:
-        sigma = build_sigma(t, cat_idxs, cat_array, label_cat=-1)
+    for sigma in sigmas:
         n_c = sigma[0, 0]
         s = sigma[0, 1:]
         mu = s / n_c
@@ -75,12 +103,24 @@ def qda_train(
         sinv = np.where(sv > 1e-9, 1.0 / np.where(sv > 1e-9, sv, 1.0), sv)
         inv = vt.T @ np.diag(sinv) @ u.T
         det = float(np.prod(sv))
-        quads.append(-inv / 2.0)
-        lin = inv @ mu
-        lins.append(lin)
-        intercepts.append(
-            float(-0.5 * mu @ lin - 0.5 * math.log(det) + math.log(n_c / n_total))
+        quad_z = -inv / 2.0
+        lin_z = inv @ mu
+        icpt_z = float(
+            -0.5 * mu @ lin_z - 0.5 * math.log(det) + math.log(n_c / n_total)
         )
+        if normalize:
+            # fold z = (x − m)/s back to raw space:
+            # Q_raw = D⁻¹ Q D⁻¹ ;  L_raw = D⁻¹L − 2 D⁻¹Q D⁻¹ m
+            # b_raw = mᵀD⁻¹Q D⁻¹m − LᵀD⁻¹m + b   (Q symmetric)
+            Dinv = 1.0 / g_stds[1:]
+            m_f = g_means[1:]
+            Qr = quad_z * np.outer(Dinv, Dinv)
+            Lr = Dinv * lin_z - 2.0 * (Qr @ m_f)
+            br = float(m_f @ (Qr @ m_f) - (Dinv * lin_z) @ m_f + icpt_z)
+            quad_z, lin_z, icpt_z = Qr, Lr, br
+        quads.append(quad_z)
+        lins.append(lin_z)
+        intercepts.append(icpt_z)
     return QDAModel(
         class_labels=[int(x) for x in labels],
         quad=quads,

@@ -353,3 +353,24 @@ def test_nb_params_blob_layout():
     assert block[0] == pytest.approx(m.mean[0][0])
     assert block[3] == pytest.approx(m.var[0][1])
     assert sum(block[4:7]) == pytest.approx(1.0)  # frequencies sum to 1
+
+
+def test_qda_normalize_same_predictions():
+    """QDA is affine-invariant: pooled-standardization training folded
+    back to raw space must predict the same classes."""
+    n = 300
+    cls0 = RNG.multivariate_normal([0, 0], [[1.0, 0.3], [0.3, 0.5]], n)
+    cls1 = RNG.multivariate_normal([30, 300], [[50.0, -2.0], [-2.0, 1500.0]], n)
+    rows0 = [(float(a), float(b)) for a, b in cls0]
+    rows1 = [(float(a), float(b)) for a, b in cls1]
+    t0, t1 = triple_of(rows0, [0, 1], []), triple_of(rows1, [0, 1], [])
+    raw = qda_train([t0, t1], labels=[0, 1])
+    norm = qda_train([t0, t1], labels=[0, 1], normalize=True)
+
+    def pred(model, x):
+        x = np.asarray(x)
+        s = [x @ model.quad[k] @ x + model.lin[k] @ x + model.intercept[k] for k in (0, 1)]
+        return int(np.argmax(s))
+
+    agree = sum(pred(raw, r) == pred(norm, r) for r in rows0 + rows1)
+    assert agree / (2 * n) > 0.99
