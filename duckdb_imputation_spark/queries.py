@@ -1166,3 +1166,36 @@ def brand_revenue(spark, sf):
             F.max("p_retailprice").cast("double").alias("max_retail"),
         )
     )
+
+
+@register(
+    "rolling_customer_spend",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS rolling_spend_c,
+           CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS window_n
+    FROM orders
+    """,
+)
+def rolling_customer_spend(spark, sf):
+    """Rolling 3-order spend per customer — window frames (ROWS BETWEEN)
+    with a deterministic total order."""
+    o = load_table(spark, sf, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .over(w)
+        .alias("rolling_spend_c"),
+        F.count(F.lit(1)).over(w).alias("window_n"),
+    )

@@ -131,3 +131,25 @@ def test_input_validation(ring_fixture):
         sum_to_triple(ring_fixture, ["a", "b"], ["b"])
     with _pt.raises(ValueError, match="group keys overlap"):
         sum_to_triple(ring_fixture, ["a"], ["d"], group_by=["a"])
+
+
+def test_incremental_cofactor_view(ring_fixture):
+    """insert/insert/delete folds must equal a fresh aggregate over the
+    net table (F-IVM pattern)."""
+    from duckdb_imputation_spark.operators.incremental import IncrementalCofactor
+
+    g1 = ring_fixture.filter("gb = 1")
+    g2 = ring_fixture.filter("gb = 2")
+    view = IncrementalCofactor(NUM, CAT)
+    view.insert(g1).insert(g2).delete(g1)
+    fresh = Triple.from_row(
+        sum_to_triple(g2, NUM, CAT).collect()[0]["triple"]
+    )
+    got = view.triple
+    assert got.n == fresh.n
+    import numpy as np
+
+    assert np.allclose(got.lin, fresh.lin)
+    assert np.allclose(got.quad, fresh.quad)
+    for m1, m2 in zip(got.lin_cat, fresh.lin_cat):
+        assert {k: v for k, v in m1.items() if v != 0} == m2
