@@ -81,12 +81,17 @@ def main() -> None:
     # warm up the JVM / parquet footer caches with a trivial action
     load_table(spark, SF_DIR, "region").count()
 
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        t0 = time.perf_counter()
-        fn(spark, SF_DIR).collect()
-        times[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(max(repeats, 1)):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).collect()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        times[name] = round(best, 3)
 
     times["mice_low_2iter"] = round(bench_mice(spark), 3)
 

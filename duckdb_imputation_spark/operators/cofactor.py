@@ -123,7 +123,11 @@ def sum_to_triple(
         return _sum_to_triple_collect(
             df, num_cols, cat_cols, group_by, nb=nb, result_col=result_col
         )
-    if strategy not in ("twolevel", "collect"):
+    if strategy == "pandas":
+        return _sum_to_triple_pandas(
+            df, num_cols, cat_cols, group_by, nb=nb, result_col=result_col
+        )
+    if strategy not in ("twolevel", "collect", "pandas"):
         raise ValueError(f"unknown strategy {strategy!r}")
 
     internal_key = not group_by
@@ -551,4 +555,102 @@ def _sum_to_triple_collect(
             ).alias("quad_cat"),
         ]
     out = g.select(*group_by, F.struct(*fields).alias(result_col))
+    return out.drop("__g") if internal_key else out
+
+
+def _sum_to_triple_pandas(
+    df: DataFrame,
+    num_cols: list[str],
+    cat_cols: list[str],
+    group_by: list[str],
+    nb: bool = False,
+    result_col: str = "triple",
+) -> DataFrame:
+    """Arrow ``applyInPandas`` fallback: one NumPy-computed triple per
+    group.  This is the documented slow path for semantics the built-in
+    operators can't express — kept as a third strategy so the declarative
+    paths always have an independent implementation to diff against.
+    Groups are pulled into Python whole, so use it only when every group
+    fits in executor memory; NULL categorical keys are not supported here
+    (the JVM strategies carry them)."""
+    from collections import Counter
+
+    import numpy as np
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.types import StructField, StructType
+
+    from ..functions.triple import nb_schema, triple_schema
+
+    d, c = len(num_cols), len(cat_cols)
+    internal_key = not group_by
+    if internal_key:
+        df = df.withColumn("__g", F.lit(0))
+        group_by = ["__g"]
+    base = df.select(
+        *group_by,
+        *[F.col(x).cast("double").alias(f"__x{i}") for i, x in enumerate(num_cols)],
+        *[F.col(x).cast("int").alias(f"__k{j}") for j, x in enumerate(cat_cols)],
+    )
+    group_fields = [base.schema[g] for g in group_by]
+    t_schema = nb_schema() if nb else triple_schema()
+    out_schema = StructType(group_fields + [StructField(result_col, t_schema)])
+    pairs = cat_pairs(c)
+
+    def fn(pdf):
+        n = len(pdf)
+        X = pdf[[f"__x{i}" for i in range(d)]].to_numpy(dtype=float) if d else None
+        lin = X.sum(axis=0) if d else []
+        if d:
+            if nb:
+                quad = (X * X).sum(axis=0)
+            else:
+                G = X.T @ X
+                quad = [G[i, j] for i in range(d) for j in range(i, d)]
+        else:
+            quad = []
+        K = (
+            pdf[[f"__k{j}" for j in range(c)]].to_numpy(dtype="int64")
+            if c
+            else None
+        )
+        lin_cat = []
+        for j in range(c):
+            cnt = Counter(K[:, j].tolist())
+            lin_cat.append(
+                [{"key": int(k), "value": float(v)} for k, v in sorted(cnt.items())]
+            )
+        triple = {
+            "N": int(n),
+            "lin_agg": [float(v) for v in lin],
+            "quad_agg": [float(v) for v in quad],
+            "lin_cat": lin_cat,
+        }
+        if not nb:
+            qnc = []
+            for i in range(d):
+                for j in range(c):
+                    sums: dict = {}
+                    for key, x in zip(K[:, j].tolist(), X[:, i].tolist()):
+                        sums[key] = sums.get(key, 0.0) + x
+                    qnc.append(
+                        [{"key": int(k), "value": float(v)} for k, v in sorted(sums.items())]
+                    )
+            qcc = []
+            for a, b in pairs:
+                cnt = Counter(zip(K[:, a].tolist(), K[:, b].tolist()))
+                qcc.append(
+                    [
+                        {"key1": int(k1), "key2": int(k2), "value": float(v)}
+                        for (k1, k2), v in sorted(cnt.items())
+                    ]
+                )
+            triple["quad_num_cat"] = qnc
+            triple["quad_cat"] = qcc
+        out = {g: [pdf[g].iloc[0]] for g in group_by}
+        out[result_col] = [triple]
+        import pandas as _pd
+
+        return _pd.DataFrame(out)
+
+    out = base.groupBy(*group_by).applyInPandas(fn, schema=out_schema)
     return out.drop("__g") if internal_key else out

@@ -50,10 +50,12 @@ def close(a: Triple, b: Triple):
 
 
 @pytest.mark.parametrize("d,c,nb", [(1, 1, False), (3, 2, False), (2, 3, True), (4, 0, False), (0, 2, False)])
-@pytest.mark.parametrize("strategy", ["twolevel", "collect"])
+@pytest.mark.parametrize("strategy", ["twolevel", "collect", "pandas"])
 def test_spark_agg_equals_python_algebra(spark, d, c, nb, strategy):
     if strategy == "collect" and c == 0:
         pytest.skip("collect strategy only differs when cats exist")
+    if strategy == "pandas" and nb:
+        pass  # pandas strategy supports nb too
     df, rows = random_frame(spark, n=150, d=d, c=c)
     num = [f"x{i}" for i in range(d)]
     cat = [f"k{j}" for j in range(c)]
