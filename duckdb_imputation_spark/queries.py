@@ -1199,3 +1199,48 @@ def rolling_customer_spend(spark, sf):
         .alias("rolling_spend_c"),
         F.count(F.lit(1)).over(w).alias("window_n"),
     )
+
+
+@register(
+    "asof_join_click_to_view",
+    oracle="""
+    WITH clicks AS (
+      SELECT event_id, user_id, date_trunc('second', ts) AS ts
+      FROM events WHERE event_type = 'click'
+    ), views AS (
+      SELECT user_id, date_trunc('second', ts) AS vts,
+             CAST(ROUND(value*100) AS BIGINT) AS view_value_c
+      FROM events WHERE event_type = 'view'
+    )
+    SELECT c.event_id,
+           strftime(v.vts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+           v.view_value_c
+    FROM clicks c ASOF LEFT JOIN views v
+      ON c.user_id = v.user_id AND v.vts <= c.ts
+    """,
+)
+def asof_join_click_to_view(spark, sf):
+    """As-of join (union-marker + window, one shuffle): each click matched
+    to the user's latest preceding view; DuckDB's native ASOF JOIN is the
+    oracle."""
+    from .operators.asof import as_of_join
+
+    ev = load_table(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_trunc("second", "ts").alias("ts"),
+        F.round(F.col("value") * 100).cast("long").alias("value_c"),
+    )
+    clicks = ev.filter("event_type = 'click'").select("event_id", "user_id", "ts")
+    views = ev.filter("event_type = 'view'").select(
+        "user_id",
+        F.col("ts").alias("vts"),
+        F.col("value_c").alias("view_value_c"),
+    )
+    out = as_of_join(clicks, views, on="user_id", left_ts="ts", right_ts="vts")
+    return out.select(
+        "event_id",
+        F.date_format("vts_matched", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+        "view_value_c",
+    )

@@ -256,3 +256,30 @@ def test_kmeans_distributed_clusters(emb):
     random_centroids = X[:4]
     d2r = ((X[:, None, :] - random_centroids[None, :, :]) ** 2).sum(-1)
     assert within <= d2r.min(1).mean() + 1e-9
+
+
+def test_as_of_join_semantics(spark):
+    from duckdb_imputation_spark.operators.asof import as_of_join
+
+    trades = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:05", 100.0), (1, "2024-01-01 10:00:30", 101.0),
+         (2, "2024-01-01 10:00:10", 50.0), (1, "2024-01-01 09:59:00", 99.0)],
+        "sym int, ts_s string, px double",
+    ).select("sym", F.col("ts_s").cast("timestamp").alias("ts"), "px")
+    quotes = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 9.5), (1, "2024-01-01 10:00:30", 9.9),
+         (2, "2024-01-01 09:00:00", 4.0)],
+        "sym int, ts_s string, bid double",
+    ).select("sym", F.col("ts_s").cast("timestamp").alias("qts"), "bid")
+
+    out = as_of_join(trades, quotes, on="sym", left_ts="ts", right_ts="qts")
+    got = {(r["sym"], r["ts"].isoformat()): r["bid"] for r in out.collect()}
+    assert got[(1, "2024-01-01T10:00:05")] == 9.5
+    assert got[(1, "2024-01-01T10:00:30")] == 9.9  # ties take the right row
+    assert got[(1, "2024-01-01T09:59:00")] is None  # nothing precedes
+    assert got[(2, "2024-01-01T10:00:10")] == 4.0
+    # tolerance drops stale matches
+    tol = as_of_join(trades, quotes, on="sym", left_ts="ts", right_ts="qts",
+                     tolerance_seconds=60)
+    got_t = {(r["sym"], r["ts"].isoformat()): r["bid"] for r in tol.collect()}
+    assert got_t[(2, "2024-01-01T10:00:10")] is None  # >1h old
