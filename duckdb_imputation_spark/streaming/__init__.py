@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from ..functions.triple import Triple, cat_pairs
 
-__all__ = ["streaming_triple_parts", "merge_stream_triples"]
+__all__ = ["streaming_triple_parts", "merge_stream_triples", "streaming_exact_dedup"]
 
 
 def streaming_triple_parts(
@@ -139,3 +139,22 @@ def merge_stream_triples(rows, d_num: int, d_cat: int) -> Triple:
             key = (r["k1"], r["k2"])
             m[key] = m.get(key, 0.0) + v
     return t
+
+
+def streaming_exact_dedup(
+    stream,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+):
+    """Streaming exact dedup: drop rows whose md5(text) was already seen
+    within the watermark horizon (state = one digest per distinct text,
+    expired by the watermark — bounded, unlike an unbounded seen-set)."""
+    from pyspark.sql import functions as F
+
+    return (
+        stream.withColumn("__h", F.md5(F.col(text_col)))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["__h"])
+        .drop("__h")
+    )

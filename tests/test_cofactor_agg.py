@@ -153,3 +153,40 @@ def test_incremental_cofactor_view(ring_fixture):
     assert np.allclose(got.quad, fresh.quad)
     for m1, m2 in zip(got.lin_cat, fresh.lin_cat):
         assert {k: v for k, v in m1.items() if v != 0} == m2
+
+
+def test_spark_lift_matches_reference_golden(ring_fixture):
+    """lift_columns (to_cofactor) on Spark vs the reference's per-row
+    golden literal (test_lift.py row 1)."""
+    row = (
+        ring_fixture.filter("a = 1.0")
+        .select(lift_columns(NUM, CAT).alias("t"))
+        .collect()[0]["t"]
+    )
+    got = Triple.from_row(row).to_dict(lin_name="lin_num", quad_name="quad_num")
+    from test_triple_algebra import ROWS  # noqa: F401
+    exp = Triple.lift([1.0, 2.0, 3.0], [4, 5, 6]).to_dict(
+        lin_name="lin_num", quad_name="quad_num"
+    )
+    assert got == exp
+
+
+def test_max_arity_19_19(spark):
+    """The registry's largest instance: 19 num × 19 cat (190 quads,
+    361 num-cat maps, 190 pair maps) builds and aggregates correctly."""
+    import numpy as np
+    from duckdb_imputation_spark.functions import registry as reg
+
+    rng = np.random.default_rng(0)
+    rows = [
+        tuple([float(x) for x in rng.normal(0, 1, 19)] + [int(k) for k in rng.integers(0, 3, 19)])
+        for _ in range(30)
+    ]
+    schema = ", ".join([f"x{i} double" for i in range(19)] + [f"k{j} int" for j in range(19)])
+    df = spark.createDataFrame(rows, schema)
+    cols = [f"x{i}" for i in range(19)] + [f"k{j}" for j in range(19)]
+    t = reg.sum_to_triple_19_19(df, *cols).collect()[0]["triple"]
+    assert t["N"] == 30
+    assert len(t["quad_agg"]) == 190
+    assert len(t["quad_num_cat"]) == 361
+    assert len(t["quad_cat"]) == 190

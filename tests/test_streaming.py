@@ -147,3 +147,31 @@ def test_sessionize_batch_and_stream(spark, tmp_path):
     for key, val in got_b.items():
         if key[0] in (1, 2):
             assert got_s.get(key) == val, (key, val, got_s)
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    from duckdb_imputation_spark.streaming import streaming_exact_dedup
+
+    rows = [
+        ("2024-01-01 10:00:00", "alpha"),
+        ("2024-01-01 10:01:00", "beta"),
+        ("2024-01-01 10:02:00", "alpha"),  # dup within watermark → dropped
+        ("2024-01-01 10:03:00", "gamma"),
+    ]
+    df = spark.createDataFrame(rows, "ts_s string, text string").select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "text"
+    )
+    src = str(tmp_path / "dd_src")
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = streaming_exact_dedup(stream, watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["text"] for r in spark.sql("SELECT * FROM dedup_stream").collect())
+    assert got == ["alpha", "beta", "gamma"]
