@@ -120,8 +120,14 @@ def lda_train(
     ]
 
     if normalize:
+        # Rescale coefficients to raw space and fold the mean-centering into
+        # the intercepts (the reference centers by stored means at predict
+        # time, lda.cpp:533-549; like linreg we make the model plain affine:
+        # coef_z·(x−μ)/σ + b  ≡  (coef_z/σ)·x + (b − (coef_z/σ)·μ)).
         with np.errstate(divide="ignore", invalid="ignore"):
             coef = np.where(stds[1:, None] > 0, coef / stds[1:, None], 0.0)
+        for k in range(K):
+            intercept[k] -= float(coef[:, k] @ means[1:])
 
     # slice coef rows back into numeric + per-cat-column maps
     label_width = cat_idxs[label + 1] - cat_idxs[label]

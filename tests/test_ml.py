@@ -171,6 +171,31 @@ def test_lda_matches_direct_oracle(data):
     assert np.allclose(model.intercept, icpt, atol=1e-6)
 
 
+def test_lda_normalize_same_predictions(data):
+    """normalize=True must yield the same argmax predictions as raw
+    training: coefficients rescaled to raw space and the mean-centering
+    folded into the intercepts (ADVICE r1 — the centering term was
+    dropped, shifting scores by a class-dependent constant)."""
+    rows, t = data
+
+    def predict(model, r):
+        best, best_s = None, -math.inf
+        for k in range(len(model.class_keys)):
+            s = model.intercept[k]
+            s += model.coef_num[k][0] * r[0]
+            s += model.coef_num[k][1] * r[1]
+            s += model.coef_num[k][2] * r[2]
+            s += model.coef_cat[k][0].get(int(r[3]), 0.0)
+            if s > best_s:
+                best, best_s = model.class_keys[k], s
+        return best
+
+    raw = lda_train(t, label=1)
+    norm = lda_train(t, label=1, normalize=True)
+    for r in rows[:100]:
+        assert predict(raw, r) == predict(norm, r), r
+
+
 def test_lda_shrinkage(data):
     rows, t = data
     model = lda_train(t, label=1, shrinkage=0.3)

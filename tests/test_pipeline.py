@@ -139,6 +139,40 @@ def test_embedding_dup_pairs(spark, emb):
         assert (base, base + 1000) in found
 
 
+def test_hot_bucket_cap_skew(spark):
+    """1k identical docs: every LSH bucket is degenerate (|bucket| = 1000),
+    so with the cap in place each strategy must complete WITHOUT the
+    |bucket|² pair explosion — zero candidate pairs, not 499 500 per band."""
+    rows = [(i, "the same boilerplate header text repeated everywhere") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert dd.minhash_lsh_pairs(df, "text", "doc_id", bucket_cap=100).count() == 0
+    assert dd.simhash_pairs(df, "text", "doc_id", bucket_cap=100).count() == 0
+    assert dd.ngram_jaccard_pairs(df, "text", "doc_id", df_cap=100).count() == 0
+    # with the cap lifted the pairs reappear (semantics unchanged, only guarded)
+    small = spark.createDataFrame(rows[:20], "doc_id long, text string")
+    assert dd.minhash_lsh_pairs(small, "text", "doc_id", bucket_cap=512).count() == 190
+
+
+def test_bucket_cap_does_not_change_results(dup_docs):
+    """On a non-degenerate corpus the default cap must not bind: pairs are
+    identical with the cap at default vs effectively unlimited."""
+    lo = dd.minhash_lsh_pairs(dup_docs, "text", "doc_id", bucket_cap=512)
+    hi = dd.minhash_lsh_pairs(dup_docs, "text", "doc_id", bucket_cap=1_000_000)
+    a = {(r["id_a"], r["id_b"], r["jaccard"]) for r in lo.collect()}
+    b = {(r["id_a"], r["id_b"], r["jaccard"]) for r in hi.collect()}
+    assert a == b and a
+
+
+def test_bucket_skew_stats(spark):
+    rows = [(i, "identical text for everyone") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    slim = dd.minhash_band_buckets(df, "text", "doc_id", k=16, bands=4)
+    stats = dd.bucket_skew_stats(slim, cap=10)
+    assert stats["max_bucket"] == 50
+    assert stats["dropped_buckets"] == 4  # one degenerate bucket per band
+    assert stats["dropped_rows"] == 200
+
+
 # ------------------------------------------------------------- simsearch
 
 
