@@ -31,6 +31,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from duckdb_imputation_spark.queries import ORACLES
+    """Static oracles plus data-dependent ML oracles (trained-coefficient
+    SQL twins) resolved at the driver's sf0.01 gate by default; override
+    the training scale with $SPARK_GRAFT_ORACLE_SF_DIR when replaying the
+    harness at a different SF."""
+    from duckdb_imputation_spark.queries import resolve_oracles
 
-    return dict(ORACLES)
+    return resolve_oracles()

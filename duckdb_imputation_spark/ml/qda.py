@@ -47,6 +47,35 @@ class QDAModel:
     def predict_expr(self, num_cols: list[str], cat_cols: list[str] = ()) -> Column:
         return qda_predict_expr(self, num_cols, cat_cols)
 
+    def to_params_blob(self) -> list[float]:
+        """Serialize to the reference's flat FLOAT[] layout
+        (qda.cpp:67-109 header, 252-293 per-class blocks):
+        [n_classes, n_cat+1 (or 0), cat_idxs (drop-first), cat_array,
+        class labels, then per class: m×m quadratic term (−½Σ⁻¹,
+        row-major), m linear terms (Σ⁻¹μ), intercept].
+
+        Only the default (non-normalized) training is serialized: the
+        reference's normalize blob stores z-space parameters plus the
+        column means (qda.cpp:330-336) for centering at predict time,
+        while this implementation folds the standardization back into
+        raw-space parameters at train time (qda_train docstring)."""
+        K = len(self.class_labels)
+        c = len(self.cat_idxs) - 1
+        m = self.m
+        blob: list[float] = [float(K)]
+        if c > 0:
+            blob.append(float(c + 1))
+            blob += [float(x) for x in self.cat_idxs]
+            blob += [float(k) for k in self.cat_array]
+        else:
+            blob.append(0.0)
+        blob += [float(x) for x in self.class_labels]
+        for k in range(K):
+            blob += [float(self.quad[k][i, j]) for i in range(m) for j in range(m)]
+            blob += [float(x) for x in self.lin[k]]
+            blob.append(float(self.intercept[k]))
+        return blob
+
 
 def qda_train(
     triples: list[Triple], labels: list[int], normalize: bool = False

@@ -30,6 +30,12 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+# Oracles whose SQL depends on the data (trained-coefficient ML twins):
+# name -> fn(sf_dir) -> SQL.  Resolved lazily per scale factor by
+# resolve_oracles(); the driver's oracle_sql() resolves at the gate SF.
+ORACLE_FACTORIES: dict[str, Callable[[str], str]] = {}
+_FACTORY_CACHE: dict[tuple[str, str], str] = {}
+
 
 def register(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
@@ -39,6 +45,23 @@ def register(name: str, oracle: str | None = None):
         return fn
 
     return deco
+
+
+def resolve_oracles(sf_dir: str | None = None) -> dict[str, str]:
+    """Static oracles plus data-dependent ones generated for ``sf_dir``
+    (default: $SPARK_GRAFT_ORACLE_SF_DIR or the driver's sf0.01 gate)."""
+    import os
+
+    sf_dir = sf_dir or os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    out = dict(ORACLES)
+    for name, fn in ORACLE_FACTORIES.items():
+        key = (name, sf_dir)
+        if key not in _FACTORY_CACHE:
+            _FACTORY_CACHE[key] = " ".join(fn(sf_dir).split())
+        out[name] = _FACTORY_CACHE[key]
+    return out
 
 
 def _li(spark, sf):
@@ -840,10 +863,66 @@ def ann_ivf_topk_query(spark, sf):
     return _ss.ann_ivf_topk(e, q, k=10, nlist=8, nprobe=4)
 
 
-@register("minhash_dedup_survivors")
+def _minhash_survivors_oracle() -> str:
+    """SQL twin of the full MinHash-LSH dedup pipeline: distinct shingles
+    → seeded signature → band md5 buckets → bucket cap → candidate pairs
+    → exact-Jaccard verify → min-id anti-join.  Every stage mirrors
+    operators/dedup.py bit-for-bit (md5 hashing, integer affine family,
+    concat_ws band keys), so the survivor set hash-matches."""
+    from .operators.hashing import md5_int32_sql
+
+    k, bands, cap, thr = 16, 4, 512, 0.5
+    rows_per = k // bands
+    sh = shingles_sql("text", 5)
+    slots = ", ".join(
+        f"list_min(list_transform(bh, h -> (CAST({a} AS BIGINT) * h + {b}) % 2147483647))"
+        for a, b in _dd.minhash_params(k)
+    )
+    band_rows = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {b} AS band, md5(concat_ws(',', "
+        + ", ".join(
+            f"CAST(sig[{b * rows_per + r + 1}] AS VARCHAR)" for r in range(rows_per)
+        )
+        + ")) AS bucket FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+    WITH unioned AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000 AS doc_id, text || ' extraword' AS text
+      FROM documents WHERE doc_id < 5
+    ), shing AS (
+      SELECT doc_id, list_distinct({sh}) AS s FROM unioned
+    ), sig AS (
+      SELECT doc_id, [{slots}] AS sig
+      FROM (SELECT doc_id, list_transform(s, h -> {md5_int32_sql('h')}) AS bh
+            FROM shing)
+    ), banded AS (
+      {band_rows}
+    ), kept AS (
+      SELECT band, bucket FROM banded GROUP BY band, bucket
+      HAVING COUNT(*) BETWEEN 2 AND {cap}
+    ), cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM banded l JOIN kept USING (band, bucket)
+           JOIN banded r USING (band, bucket)
+      WHERE l.doc_id < r.doc_id
+    ), losers AS (
+      SELECT DISTINCT c.id_b
+      FROM cand c JOIN shing a ON a.doc_id = c.id_a
+                  JOIN shing b ON b.doc_id = c.id_b
+      WHERE ROUND(CAST(length(list_intersect(a.s, b.s)) AS DOUBLE)
+                  / length(list_distinct(list_concat(a.s, b.s))), 6) >= {thr}
+    )
+    SELECT doc_id FROM unioned WHERE doc_id NOT IN (SELECT id_b FROM losers)
+    """
+
+
+@register("minhash_dedup_survivors", oracle=_minhash_survivors_oracle())
 def minhash_dedup_survivors(spark, sf):
-    """End-to-end MinHash-LSH dedup (rows-only: the survivor set depends
-    on banding internals; the signature query above is the exact gate)."""
+    """End-to-end MinHash-LSH dedup with a full SQL oracle twin — the
+    flagship LLM-pipeline operator is hash-gated stage by stage."""
     d = load_table(spark, sf, "documents").select("doc_id", "text")
     near = d.filter("doc_id < 5").select(
         (F.col("doc_id") + 10000).alias("doc_id"),
@@ -1041,11 +1120,40 @@ def rollup_lineitem(spark, sf):
     )
 
 
+# Shared feature projections for the ML train+predict queries: {src} is
+# either the driver-registered view name (predict oracle) or a
+# read_parquet() call (oracle-side training).  Features are
+# integer-valued so both engines' triple sums are bit-exact.
+_LDA_REL = (
+    "(SELECT l_quantity AS q, CAST(ROUND(l_discount*100) AS DOUBLE) AS disc, "
+    "CAST(ROUND(l_tax*100) AS DOUBLE) AS tax, l_linenumber AS ln FROM {src})"
+)
+_NB_REL = (
+    "(SELECT CAST(month(o_orderdate) AS DOUBLE) AS m, "
+    "CAST(day(o_orderdate) AS DOUBLE) AS d, ascii(o_orderpriority) AS prio, "
+    "ascii(o_orderstatus) AS status FROM {src})"
+)
+
+
+def _pq(sf_dir: str, table: str) -> str:
+    return f"read_parquet('{sf_dir}/{table}.parquet')"
+
+
+def _hist_sql(pred_sql: str, rel_view: str) -> str:
+    return (
+        f"SELECT pred, COUNT(*) AS n FROM "
+        f"(SELECT {pred_sql} AS pred FROM {rel_view}) GROUP BY pred"
+    )
+
+
 @register("lda_train_predict_histogram")
 def lda_train_predict_histogram(spark, sf):
     """Full LDA train+predict loop in-catalog: cofactor → driver train →
-    Column-expr argmax scoring; output = predicted-class histogram
-    (deterministic; rows-only — LAPACK lstsq is not SQL-expressible)."""
+    Column-expr argmax scoring; output = predicted-class histogram.
+    Hash-gated: the oracle factory retrains the same model from
+    DuckDB-computed triples and bakes the (bit-identical) coefficients
+    into generated SQL — the reference's own oracle pattern
+    (imputation_low.cpp:125-136)."""
     from .ml.lda import lda_train
 
     li = _li(spark, sf).select(
@@ -1065,10 +1173,30 @@ def lda_train_predict_histogram(spark, sf):
     )
 
 
+def _lda_hist_oracle(sf_dir: str) -> str:
+    import duckdb
+
+    from .ml import sql_twin as _tw
+    from .ml.lda import lda_train
+
+    con = duckdb.connect()
+    t = _tw.full_triple_duckdb(
+        con, _LDA_REL.format(src=_pq(sf_dir, "lineitem")), ["q", "disc", "tax"], ["ln"]
+    )
+    model = lda_train(t, label=0)
+    pred = _tw.lda_predict_sql(model, ["q", "disc", "tax"])
+    return _hist_sql(pred, _LDA_REL.format(src="lineitem"))
+
+
+ORACLE_FACTORIES["lda_train_predict_histogram"] = _lda_hist_oracle
+
+
 @register("nb_train_predict_histogram")
 def nb_train_predict_histogram(spark, sf):
     """Gaussian+categorical NB: per-class NB aggregates via GROUP BY label
-    → driver train → log-space Column-expr scoring (rows-only)."""
+    → driver train → log-space Column-expr scoring.  Hash-gated via the
+    baked-coefficient oracle factory (class rows sorted by label so
+    argmax tie-breaking matches the oracle's class order)."""
     from .ml.nb import nb_train
 
     o = load_table(spark, sf, "orders").select(
@@ -1078,7 +1206,7 @@ def nb_train_predict_histogram(spark, sf):
         F.ascii("o_orderstatus").alias("status"),
     )
     per_class = sum_to_triple(o, ["m", "d"], ["prio"], group_by=["status"], nb=True)
-    rows = per_class.collect()
+    rows = sorted(per_class.collect(), key=lambda r: r["status"])
     labels = [r["status"] for r in rows]
     triples = [Triple.from_row(r["triple"], d_num=2, d_cat=1) for r in rows]
     model = nb_train(triples, labels=labels)
@@ -1087,6 +1215,78 @@ def nb_train_predict_histogram(spark, sf):
         .groupBy("pred")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def _nb_hist_oracle(sf_dir: str) -> str:
+    import duckdb
+
+    from .ml import sql_twin as _tw
+    from .ml.nb import nb_train
+
+    con = duckdb.connect()
+    labels, triples = _tw.class_triples_duckdb(
+        con, _NB_REL.format(src=_pq(sf_dir, "orders")), ["m", "d"], ["prio"],
+        "status", nb=True,
+    )
+    model = nb_train(triples, labels=labels)
+    pred = _tw.nb_predict_sql(model, ["m", "d"], ["prio"])
+    return _hist_sql(pred, _NB_REL.format(src="orders"))
+
+
+ORACLE_FACTORIES["nb_train_predict_histogram"] = _nb_hist_oracle
+
+
+@register("qda_train_predict_histogram")
+def qda_train_predict_histogram(spark, sf):
+    """Full QDA flow matching the reference's README.md:179 usage:
+    per-class cofactors via GROUP BY label (list(agg) per class →
+    qda_train, qda.cpp:27-328), driver-side SVD train, per-row quadratic
+    scoring (qda.cpp:338-498), predicted-class histogram.
+
+    Scoring uses the shared-dialect SQL form (ml/sql_twin.qda_predict_sql)
+    via ``F.expr`` on BOTH engines so the quadratic-form accumulation
+    order is identical — the pandas-UDF scorer (qda_predict_expr) is the
+    generic API but its einsum order is not specified cross-platform;
+    tests assert both scorers agree."""
+    from .ml.qda import qda_train
+    from .ml.sql_twin import qda_predict_sql
+
+    li = _li(spark, sf).select(
+        F.col("l_quantity").alias("q"),
+        F.round(F.col("l_discount") * 100).cast("double").alias("disc"),
+        F.round(F.col("l_tax") * 100).cast("double").alias("tax"),
+        F.col("l_linenumber").alias("ln"),
+    )
+    per_class = sum_to_triple(li, ["q", "disc", "tax"], [], group_by=["ln"])
+    rows = sorted(per_class.collect(), key=lambda r: r["ln"])
+    labels = [int(r["ln"]) for r in rows]
+    triples = [Triple.from_row(r["triple"], d_num=3, d_cat=0) for r in rows]
+    model = qda_train(triples, labels=labels)
+    pred = qda_predict_sql(model, ["q", "disc", "tax"])
+    return (
+        li.withColumn("pred", F.expr(pred))
+        .groupBy("pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _qda_hist_oracle(sf_dir: str) -> str:
+    import duckdb
+
+    from .ml import sql_twin as _tw
+    from .ml.qda import qda_train
+
+    con = duckdb.connect()
+    labels, triples = _tw.class_triples_duckdb(
+        con, _LDA_REL.format(src=_pq(sf_dir, "lineitem")), ["q", "disc", "tax"],
+        [], "ln",
+    )
+    model = qda_train(triples, labels=labels)
+    pred = _tw.qda_predict_sql(model, ["q", "disc", "tax"])
+    return _hist_sql(pred, _LDA_REL.format(src="lineitem"))
+
+
+ORACLE_FACTORIES["qda_train_predict_histogram"] = _qda_hist_oracle
 
 
 @register(

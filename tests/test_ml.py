@@ -380,6 +380,70 @@ def test_nb_params_blob_layout():
     assert sum(block[4:7]) == pytest.approx(1.0)  # frequencies sum to 1
 
 
+def test_qda_params_blob_layout():
+    """Reference FLOAT[] layout (qda.cpp:67-109 header, 252-293 blocks):
+    [K, 0 (no cats), labels, then per class m*m quad | m lin | intercept]."""
+    rows = make_rows(300)
+    classes = sorted({r[4] for r in rows})
+    triples = [
+        triple_of([r for r in rows if r[4] == c], [0, 1, 2], []) for c in classes
+    ]
+    m_model = qda_train(triples, labels=classes)
+    blob = m_model.to_params_blob()
+    K, m = len(classes), 3
+    assert blob[0] == float(K)
+    assert blob[1] == 0.0  # numeric-only: no cat header
+    assert blob[2 : 2 + K] == [float(c) for c in classes]
+    assert len(blob) == 2 + K + K * (m * m + m + 1)
+    for k in range(K):
+        base = 2 + K + k * (m * m + m + 1)
+        quad = np.asarray(blob[base : base + m * m]).reshape(m, m)
+        assert np.allclose(quad, m_model.quad[k], atol=1e-12)
+        assert blob[base + m * m : base + m * m + m] == [
+            pytest.approx(x) for x in m_model.lin[k]
+        ]
+        assert blob[base + m * m + m] == pytest.approx(m_model.intercept[k])
+
+
+def test_qda_blob_layout_with_cats():
+    rows = make_rows(300)
+    classes = sorted({r[4] for r in rows})
+    triples = [
+        triple_of([r for r in rows if r[4] == c], [0, 1], [3]) for c in classes
+    ]
+    m_model = qda_train(triples, labels=classes)
+    blob = m_model.to_params_blob()
+    c = 1
+    assert blob[0] == float(len(classes))
+    assert blob[1] == float(c + 1)
+    n_keys = m_model.cat_idxs[-1]
+    assert blob[2 : 2 + c + 1] == [float(x) for x in m_model.cat_idxs]
+    assert blob[3 + c : 3 + c + n_keys] == [float(k) for k in m_model.cat_array]
+
+
+def test_qda_sql_scorer_matches_pandas_udf(spark):
+    """The shared-dialect SQL quadratic scorer (used by the catalog query
+    for cross-engine exactness) must agree with the pandas-UDF scorer
+    (the generic API)."""
+    from duckdb_imputation_spark.ml.sql_twin import qda_predict_sql
+    from pyspark.sql import functions as F
+
+    rows = make_rows(400)
+    classes = sorted({r[4] for r in rows})
+    triples = [
+        triple_of([r for r in rows if r[4] == c], [0, 1, 2], []) for c in classes
+    ]
+    model = qda_train(triples, labels=classes)
+    df = spark.createDataFrame(
+        rows, "y double, x1 double, x2 double, catf int, cls int"
+    )
+    out = df.withColumn(
+        "p_udf", model.predict_expr(["y", "x1", "x2"], [])
+    ).withColumn("p_sql", F.expr(qda_predict_sql(model, ["y", "x1", "x2"])))
+    diff = out.filter(F.col("p_udf") != F.col("p_sql")).count()
+    assert diff == 0
+
+
 def test_qda_normalize_same_predictions():
     """QDA is affine-invariant: pooled-standardization training folded
     back to raw space must predict the same classes."""

@@ -2,14 +2,19 @@
 Spark AND its ANSI-SQL oracle on DuckDB over the same parquet, compare
 row counts and (column-name-sorted, row-sorted) values exactly."""
 
+import os
+
 import duckdb
 import numpy as np
 import pandas as pd
 import pytest
 
-import __spark_entry__ as entry_mod
-
 SF_DIR = "/root/testdata/sf0.001"
+# data-dependent oracles (baked ML coefficients) must train at the SF
+# this replay compares at
+os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = SF_DIR
+
+import __spark_entry__ as entry_mod  # noqa: E402
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
