@@ -32,7 +32,10 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
+    "q6_forecast_revenue",
     "orders_window_top3",
+    "rolling_customer_spend",
+    "asof_join_click_to_view",
     # training-data pipeline ops
     "text_stats_documents",
     "minhash_dedup_survivors",

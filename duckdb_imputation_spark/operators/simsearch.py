@@ -22,7 +22,16 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["cosine_topk", "ann_ivf_topk", "ann_lsh_topk", "kmeans_fit", "kmeans_fit_distributed", "IVFIndex"]
+__all__ = [
+    "cosine_topk",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "kmeans_np",
+    "kmeans_fit",
+    "kmeans_fit_distributed",
+    "assign_clusters",
+    "IVFIndex",
+]
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -60,23 +69,12 @@ def cosine_topk(
     )
 
 
-def kmeans_fit(
-    df: DataFrame,
-    vec_col: str,
-    nlist: int,
-    sample: int = 10_000,
-    iters: int = 10,
-    seed: int = 42,
+def kmeans_np(
+    X: np.ndarray, nlist: int, iters: int = 10, seed: int = 42
 ) -> np.ndarray:
-    """Plain Lloyd k-means on a driver-collected sample → (nlist, dim)
-    centroids.  The sample is small by construction; the full data never
-    leaves the cluster."""
-    rows = (
-        df.select(vec_col)
-        .limit(sample)
-        .collect()
-    )
-    X = np.asarray([r[0] for r in rows], dtype=np.float64)
+    """Plain Lloyd k-means on an in-memory matrix (the shared driver-side
+    core — also used by the SQL-oracle factory so both engines bake the
+    same centroid bits)."""
     rng = np.random.default_rng(seed)
     cent = X[rng.choice(len(X), size=min(nlist, len(X)), replace=False)]
     for _ in range(iters):
@@ -89,8 +87,40 @@ def kmeans_fit(
     return cent
 
 
+def kmeans_fit(
+    df: DataFrame,
+    vec_col: str,
+    nlist: int,
+    sample: int = 10_000,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Lloyd k-means on a seeded RANDOM driver sample → (nlist, dim)
+    centroids.  A plain ``limit(sample)`` would take the first partitions
+    only — on partition-correlated data (any real 100 TB layout) the
+    centroids would train on one shard's distribution and recall would
+    collapse, so we sample uniformly (parquet count is metadata-cheap)."""
+    n = df.count()
+    sampled = df.select(vec_col)
+    if n > sample:
+        # oversample slightly so the post-sample limit rarely undershoots
+        sampled = sampled.sample(
+            withReplacement=False, fraction=min(1.0, 1.2 * sample / n), seed=seed
+        )
+    rows = sampled.limit(sample).collect()
+    X = np.asarray([r[0] for r in rows], dtype=np.float64)
+    return kmeans_np(X, nlist, iters=iters, seed=seed)
+
+
+# expression-tree cells (nlist × dim) above which assignment switches from
+# inlined literals to a broadcast single-row join — the Catalyst tree for
+# the literal form is O(nlist·dim) and explodes at e.g. nlist=4096/dim=768
+_MAX_INLINE_CELLS = 4096
+
+
 def _assign_expr(vec: Column, centroids: np.ndarray) -> Column:
-    """argmin ||v - c||² == argmax (v·c - ||c||²/2) — pure Column expr."""
+    """argmin ||v - c||² == argmax (v·c - ||c||²/2) — pure Column expr
+    with inlined centroid literals (small nlist·dim only)."""
     scores = F.array(
         *[
             _dot(vec, _lit_vec(c)) - F.lit(float(c @ c) / 2.0)
@@ -98,6 +128,39 @@ def _assign_expr(vec: Column, centroids: np.ndarray) -> Column:
         ]
     )
     return F.array_position(scores, F.array_max(scores)).cast("int") - 1
+
+
+def assign_clusters(
+    df: DataFrame,
+    vec_col: str,
+    centroids: np.ndarray,
+    out_col: str = "__cluster",
+    max_inline_cells: int = _MAX_INLINE_CELLS,
+) -> DataFrame:
+    """Nearest-centroid assignment, scale-adaptive: small centroid sets
+    are inlined as literals (whole-stage codegen friendly); large ones
+    ride a broadcast single-row join so the plan stays O(1) in nlist·dim
+    and the matrix ships to executors once, not per-expression."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    if centroids.size <= max_inline_cells:
+        return df.withColumn(out_col, _assign_expr(v, centroids))
+    spark = df.sparkSession
+    cents = [[float(x) for x in c] for c in centroids]
+    norms = [float(c @ c) / 2.0 for c in centroids]
+    aux = spark.createDataFrame(
+        [(cents, norms)], "__cents array<array<double>>, __cnorm2 array<double>"
+    )
+    scores = F.zip_with(
+        F.col("__cents"), F.col("__cnorm2"), lambda c, n: _dot(v, c) - n
+    )
+    return (
+        df.crossJoin(F.broadcast(aux))
+        .withColumn(
+            out_col,
+            F.array_position(scores, F.array_max(scores)).cast("int") - 1,
+        )
+        .drop("__cents", "__cnorm2")
+    )
 
 
 def ann_ivf_topk(
@@ -120,7 +183,7 @@ def ann_ivf_topk(
     q = np.asarray(query, dtype=np.float64)
     d2 = ((centroids - q[None, :]) ** 2).sum(1)
     probes = [int(i) for i in d2.argsort()[:nprobe]]
-    assigned = df.withColumn("__cluster", _assign_expr(v, centroids))
+    assigned = assign_clusters(df, vec_col, centroids)
     cand = assigned.filter(F.col("__cluster").isin(probes))
     return (
         cand.select(F.col(id_col), F.round(_cosine(v, query), 6).alias("score"))
@@ -184,10 +247,7 @@ class IVFIndex:
         self.vec_col = vec_col
         self.id_col = id_col
         self.centroids = kmeans_fit(df, vec_col, nlist, seed=seed)
-        v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-        self.assigned = df.withColumn(
-            "__cluster", _assign_expr(v, self.centroids)
-        ).persist()
+        self.assigned = assign_clusters(df, vec_col, self.centroids).persist()
 
     def search(self, query: Sequence[float], k: int = 10, nprobe: int = 4) -> DataFrame:
         q = np.asarray(query, dtype=np.float64)
@@ -219,17 +279,21 @@ def kmeans_fit_distributed(
     (nlist × dim) centroid matrix ever reaches the driver.  Use instead
     of the sampled :func:`kmeans_fit` when nlist is large or the sample
     would miss rare clusters."""
-    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
-    dim = int(first["d"])
-    init = df.select(vec_col).limit(nlist).collect()
+    n = df.count()
+    init_df = df.select(vec_col)
+    if n > nlist:
+        # seeded uniform init — limit() alone would take one shard's rows
+        init_df = init_df.sample(
+            withReplacement=False, fraction=min(1.0, (nlist * 3 + 64) / n), seed=seed
+        )
+    init = init_df.limit(nlist).collect()
     cent = np.asarray([r[0] for r in init], dtype=np.float64)
     if len(cent) < nlist:
         nlist = len(cent)
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     for _ in range(iters):
-        assigned = df.select(
-            _assign_expr(v, cent).alias("__cluster"),
-            F.posexplode(v).alias("__dim", "__x"),
+        assigned = assign_clusters(df, vec_col, cent).select(
+            "__cluster", F.posexplode(v).alias("__dim", "__x")
         )
         means = (
             assigned.groupBy("__cluster", "__dim")

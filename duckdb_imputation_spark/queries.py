@@ -853,14 +853,83 @@ def _embedding_oracle(sf: str | None = None) -> str:
 ORACLES["embedding_cosine_scores"] = " ".join(_embedding_oracle().split())
 
 
+def _ivf_catalog_centroids(X) -> "np.ndarray":
+    import numpy as _np
+
+    return _ss.kmeans_np(_np.asarray(X, dtype=_np.float64), nlist=8, seed=42)
+
+
 @register("ann_ivf_topk")
 def ann_ivf_topk_query(spark, sf):
-    """IVF approximate nearest neighbours (kmeans on a driver sample,
-    nprobe=4 of nlist=8) — no SQL oracle (iterative algorithm), driver
-    records the rows-only check."""
+    """IVF approximate nearest neighbours (nprobe=4 of nlist=8),
+    hash-gated end to end: k-means trains on a DETERMINISTIC sorted
+    subset (vec_id % 5 = 0, ordered) so the oracle factory reproduces the
+    exact centroid bits from the same parquet with the same NumPy code,
+    then bakes centroids, probe list and the query vector into plain SQL
+    (sequential-fold dots, first-max assignment — the engine's own
+    argmax semantics)."""
     q = _emb_query_vec(sf)
     e = load_table(spark, sf, "embeddings")
-    return _ss.ann_ivf_topk(e, q, k=10, nlist=8, nprobe=4)
+    sub = e.filter("vec_id % 5 = 0").orderBy("vec_id").select("embedding").collect()
+    cent = _ivf_catalog_centroids([r[0] for r in sub])
+    return _ss.ann_ivf_topk(e, q, k=10, nlist=8, nprobe=4, centroids=cent)
+
+
+def _ann_ivf_oracle(sf_dir: str) -> str:
+    import duckdb
+    import numpy as np
+
+    from .ml.sql_twin import flit
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
+        "WHERE vec_id % 5 = 0 ORDER BY vec_id"
+    ).fetchall()
+    cent = _ivf_catalog_centroids([list(r[0]) for r in rows])
+    dim = cent.shape[1]
+    q = np.asarray(_emb_query_vec(), dtype=np.float64)
+    probes = [int(i) for i in ((cent - q[None, :]) ** 2).sum(1).argsort()[:4]]
+    # _cosine re-normalizes the query vector; bake the renormalized bits
+    q2 = q / np.linalg.norm(q)
+
+    def dot_sql(vec_lit: str) -> str:
+        # sequential fold, same order as Spark's aggregate(zip_with(...))
+        return (
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(range(1, {dim + 1}), "
+            f"i -> CAST(embedding[CAST(i AS INT)] AS DOUBLE) * ({vec_lit})[CAST(i AS INT)])), "
+            "(a, b) -> a + b)"
+        )
+
+    def vlit(v) -> str:
+        return "[" + ", ".join(flit(x) for x in v) + "]"
+
+    scores = ", ".join(
+        f"({dot_sql(vlit(c))} - {flit(float(c @ c) / 2.0)})" for c in cent
+    )
+    cos = f"{dot_sql(vlit(q2))} / sqrt({dot_sql('embedding')})"
+    # self-dot: Spark computes _dot(v, v) on the cast-to-double array
+    self_dot = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, {dim + 1}), "
+        "i -> CAST(embedding[CAST(i AS INT)] AS DOUBLE) * CAST(embedding[CAST(i AS INT)] AS DOUBLE))), "
+        "(a, b) -> a + b)"
+    )
+    cos = f"{dot_sql(vlit(q2))} / sqrt({self_dot})"
+    return f"""
+    WITH scored AS (
+      SELECT vec_id, embedding, [{scores}] AS s FROM embeddings
+    ), probed AS (
+      SELECT vec_id, embedding FROM scored
+      WHERE list_position(s, list_max(s)) - 1 IN ({', '.join(map(str, probes))})
+    )
+    SELECT vec_id, ROUND({cos}, 6) AS score FROM probed
+    ORDER BY score DESC, vec_id LIMIT 10
+    """
+
+
+ORACLE_FACTORIES["ann_ivf_topk"] = _ann_ivf_oracle
 
 
 def _minhash_survivors_oracle() -> str:
