@@ -144,6 +144,26 @@ def nb_triple_orders(spark, sf):
 
 
 @register(
+    "lift_sum_equivalence",
+    oracle=triple_entries_sql("lineitem", _LI_NUM_SQL, _LI_CAT_SQL),
+)
+def lift_sum_equivalence(spark, sf):
+    """sum_triples(lift_columns(...)) must equal the fused sum_to_triple —
+    the reference's own equivalence test (test/python/test_sum.py:22-52,
+    lift.cpp:15-243 composed with sum.cpp:57-261).  The oracle is the
+    fused cofactor's SQL, so the hash row IS the equivalence assertion:
+    the per-row lift path and the fused path agree bit-for-bit."""
+    from .operators.cofactor import lift_columns, sum_triples
+
+    li = _li_prepped(spark, sf).withColumn(
+        "triple",
+        lift_columns(["l_quantity", "disc_c", "tax_c"], ["l_linenumber", "l_year"]),
+    )
+    t = sum_triples(li, "triple", d_num=3, d_cat=2)
+    return flatten_triple(t, 3, 2)
+
+
+@register(
     "triple_factorized_join",
     oracle=triple_entries_sql(
         "(SELECT * FROM lineitem JOIN orders ON l_orderkey = o_orderkey)",
