@@ -952,15 +952,14 @@ def _ann_ivf_oracle(sf_dir: str) -> str:
 ORACLE_FACTORIES["ann_ivf_topk"] = _ann_ivf_oracle
 
 
-def _minhash_survivors_oracle() -> str:
-    """SQL twin of the full MinHash-LSH dedup pipeline: distinct shingles
-    → seeded signature → band md5 buckets → bucket cap → candidate pairs
-    → exact-Jaccard verify → min-id anti-join.  Every stage mirrors
-    operators/dedup.py bit-for-bit (md5 hashing, integer affine family,
-    concat_ws band keys), so the survivor set hash-matches."""
+def _minhash_pairs_ctes(
+    union_sql: str, k: int = 16, bands: int = 4, cap: int = 512, thr: float = 0.5
+) -> str:
+    """Shared CTE chain mirroring operators/dedup.py bit-for-bit: distinct
+    shingles → seeded md5 signature → band md5 buckets → bucket cap →
+    candidate pairs → exact-Jaccard verify (table ``ver``: id_a, id_b)."""
     from .operators.hashing import md5_int32_sql
 
-    k, bands, cap, thr = 16, 4, 512, 0.5
     rows_per = k // bands
     sh = shingles_sql("text", 5)
     slots = ", ".join(
@@ -975,12 +974,8 @@ def _minhash_survivors_oracle() -> str:
         + ")) AS bucket FROM sig"
         for b in range(bands)
     )
-    return f"""
-    WITH unioned AS (
-      SELECT doc_id, text FROM documents
-      UNION ALL
-      SELECT doc_id + 10000 AS doc_id, text || ' extraword' AS text
-      FROM documents WHERE doc_id < 5
+    return f"""unioned AS (
+      {union_sql}
     ), shing AS (
       SELECT doc_id, list_distinct({sh}) AS s FROM unioned
     ), sig AS (
@@ -997,15 +992,79 @@ def _minhash_survivors_oracle() -> str:
       FROM banded l JOIN kept USING (band, bucket)
            JOIN banded r USING (band, bucket)
       WHERE l.doc_id < r.doc_id
-    ), losers AS (
-      SELECT DISTINCT c.id_b
+    ), ver AS (
+      SELECT c.id_a, c.id_b
       FROM cand c JOIN shing a ON a.doc_id = c.id_a
                   JOIN shing b ON b.doc_id = c.id_b
       WHERE ROUND(CAST(length(list_intersect(a.s, b.s)) AS DOUBLE)
                   / length(list_distinct(list_concat(a.s, b.s))), 6) >= {thr}
-    )
-    SELECT doc_id FROM unioned WHERE doc_id NOT IN (SELECT id_b FROM losers)
+    )"""
+
+
+_SURVIVORS_UNION = """SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000 AS doc_id, text || ' extraword' AS text
+      FROM documents WHERE doc_id < 5"""
+
+
+def _minhash_survivors_oracle() -> str:
+    """SQL twin of the full MinHash-LSH dedup pipeline ending in the
+    min-id anti-join, so the survivor set hash-matches."""
+    return f"""
+    WITH {_minhash_pairs_ctes(_SURVIVORS_UNION)}
+    SELECT doc_id FROM unioned
+    WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM ver)
     """
+
+
+_COMPONENTS_UNION = """SELECT doc_id, text FROM documents WHERE doc_id < 40
+      UNION ALL
+      SELECT doc_id + 10000 AS doc_id, text || ' extraword' AS text
+      FROM documents WHERE doc_id < 5
+      UNION ALL
+      SELECT doc_id + 20000 AS doc_id, text || ' extraword extrasecond' AS text
+      FROM documents WHERE doc_id < 5"""
+
+
+def _dedup_components_oracle() -> str:
+    """Transitive closure of verified MinHash pairs as a recursive CTE:
+    canonical(id) = MIN(reachable id) — exactly what the distributed
+    min-label propagation (dedup.py dedup_components) converges to."""
+    return f"""
+    WITH RECURSIVE {_minhash_pairs_ctes(_COMPONENTS_UNION)},
+    sym AS (
+      SELECT id_a AS src, id_b AS dst FROM ver
+      UNION ALL SELECT id_b AS src, id_a AS dst FROM ver
+    ), reach(id, r) AS (
+      SELECT DISTINCT src, src FROM sym
+      UNION
+      SELECT s.src, re.r FROM sym s JOIN reach re ON re.id = s.dst
+    )
+    SELECT id AS doc_id, MIN(r) AS canonical FROM reach GROUP BY id
+    """
+
+
+@register("dedup_components_transitive", oracle=_dedup_components_oracle())
+def dedup_components_transitive(spark, sf):
+    """Connected components over verified near-duplicate pairs (two-hop
+    duplicate chains force genuine transitive merging); hash-gated
+    against a recursive-CTE closure in the oracle."""
+    d = load_table(spark, sf, "documents").filter("doc_id < 40").select("doc_id", "text")
+    l1 = load_table(spark, sf, "documents").filter("doc_id < 5").select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extraword")).alias("text"),
+    )
+    l2 = load_table(spark, sf, "documents").filter("doc_id < 5").select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extraword extrasecond")).alias("text"),
+    )
+    pairs = _dd.minhash_lsh_pairs(
+        d.unionAll(l1).unionAll(l2), "text", "doc_id",
+        k=16, bands=4, shingle=5, threshold=0.5,
+    )
+    return _dd.dedup_components(pairs).select(
+        F.col("id").alias("doc_id"), "canonical"
+    )
 
 
 @register("minhash_dedup_survivors", oracle=_minhash_survivors_oracle())
