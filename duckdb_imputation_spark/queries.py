@@ -663,6 +663,80 @@ def mice_single_col_sql_oracle(spark, sf):
     )
 
 
+_MICE_MASKED_SQL = """
+    WITH masked AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(day(l_shipdate) AS DOUBLE) AS x,
+             CASE WHEN l_orderkey % 5 = 0 THEN NULL ELSE l_quantity END AS y
+      FROM lineitem
+    )"""
+
+
+def _mice_single_col(spark, sf, strategy: str):
+    from .mice import mice_impute
+
+    li = _li(spark, sf).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.dayofmonth("l_shipdate").cast("double").alias("x"),
+        F.when(F.col("l_orderkey") % 5 == 0, None)
+        .otherwise(F.col("l_quantity"))
+        .alias("y"),
+    )
+    res = mice_impute(
+        li, cont_cols=["y", "x"], cat_cols=[], cont_nulls=["y"], cat_nulls=[],
+        iters=1, strategy=strategy, noise=False,
+    )
+    return res.df.select(
+        "l_orderkey", "l_linenumber", F.round("y", 4).alias("y_imputed")
+    )
+
+
+@register(
+    "mice_low_sql_oracle",
+    oracle=_MICE_MASKED_SQL + """
+    , fit AS (
+      SELECT regr_slope(y, x) AS b1, regr_intercept(y, x) AS b0
+      FROM masked WHERE y IS NOT NULL
+    )
+    SELECT l_orderkey, l_linenumber,
+           ROUND(COALESCE(y, b0 + b1 * x), 4) AS y_imputed
+    FROM masked, fit
+    """,
+)
+def mice_low_sql_oracle(spark, sf):
+    """MICE-low (incremental: full cofactor ⊖ delta, ⊕ delta′ after
+    imputation — imputation_low.cpp:42-194) against the SAME oracle as
+    the baseline strategy: the ⊕/⊖ ring algebra must reproduce the
+    direct train bit-for-bit on integer-valued sums, so the hash row
+    verifies the incremental bookkeeping end-to-end."""
+    return _mice_single_col(spark, sf, "low")
+
+
+@register(
+    "mice_high_sql_oracle",
+    oracle=_MICE_MASKED_SQL + """
+    , stats AS (SELECT avg(y) AS m FROM masked),
+    filled AS (
+      SELECT l_orderkey, l_linenumber, x, y, COALESCE(y, m) AS yf
+      FROM masked, stats
+    ), fit AS (
+      SELECT regr_slope(yf, x) AS b1, regr_intercept(yf, x) AS b0 FROM filled
+    )
+    SELECT l_orderkey, l_linenumber,
+           ROUND(COALESCE(y, b0 + b1 * x), 4) AS y_imputed
+    FROM filled, fit
+    """,
+)
+def mice_high_sql_oracle(spark, sf):
+    """MICE-high (static cofactor over the fully-null partition ⊕
+    per-column delta, imputation_high.cpp:20-35,70,211).  By design the
+    static partition contributes MEAN-FILLED rows to training — the
+    oracle mirrors that semantic (train on COALESCE(y, avg(y)) over all
+    rows), distinguishing high's model from baseline/low's."""
+    return _mice_single_col(spark, sf, "high")
+
+
 # --------------------------------------------------------------------- #
 # 4. Training-data pipeline ops: text analysis, dedup, similarity       #
 # --------------------------------------------------------------------- #
@@ -1264,6 +1338,132 @@ def rollup_lineitem(spark, sf):
             F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
             "sum_qty",
             "n",
+        )
+    )
+
+
+@register(
+    "cube_lineitem",
+    oracle="""
+    SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
+           COALESCE(l_linestatus, '<all>') AS linestatus,
+           CAST(SUM(ROUND(l_extendedprice * 100)) AS BIGINT) AS sum_price_c,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_lineitem(spark, sf):
+    """Full CUBE grouping sets (all four combinations) — completes the
+    grouping-sets family next to ROLLUP."""
+    return (
+        _li(spark, sf)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100)).cast("long").alias("sum_price_c"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
+            "sum_price_c",
+            "n",
+        )
+    )
+
+
+@register(
+    "intersect_except_parts",
+    oracle="""
+    SELECT 'both' AS src, p_type FROM (
+      SELECT p_type FROM part WHERE p_size > 30
+      INTERSECT
+      SELECT p_type FROM part WHERE p_retailprice > 1500
+    )
+    UNION ALL
+    SELECT 'large_only' AS src, p_type FROM (
+      SELECT p_type FROM part WHERE p_size > 30
+      EXCEPT
+      SELECT p_type FROM part WHERE p_retailprice > 1500
+    )
+    """,
+)
+def intersect_except_parts(spark, sf):
+    """INTERSECT / EXCEPT set operators (distinct semantics on both
+    engines), tagged and unioned into one result."""
+    p = load_table(spark, sf, "part")
+    large = p.filter("p_size > 30").select("p_type")
+    pricey = p.filter("p_retailprice > 1500").select("p_type")
+    both = large.intersect(pricey).select(F.lit("both").alias("src"), "p_type")
+    only = large.exceptAll(pricey).distinct().select(
+        F.lit("large_only").alias("src"), "p_type"
+    )
+    return both.unionAll(only)
+
+
+@register(
+    "string_functions_parts",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand) AS up,
+           lower(p_type) AS lo,
+           substr(p_name, 1, 8) AS pre,
+           replace(p_type, ' ', '_') AS rep,
+           CAST(length(p_name) AS INT) AS len,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS padded,
+           reverse(p_brand) AS rev,
+           split_part(p_type, ' ', 2) AS midword,
+           CAST(levenshtein(p_brand, p_name) AS INT) AS lev
+    FROM part WHERE p_partkey < 500
+    """,
+)
+def string_functions_parts(spark, sf):
+    """String-function surface shared by both dialects: case mapping,
+    substring, replace, length, padding, reverse, split_part and
+    Levenshtein distance."""
+    return (
+        load_table(spark, sf, "part")
+        .filter("p_partkey < 500")
+        .select(
+            "p_partkey",
+            F.upper("p_brand").alias("up"),
+            F.lower("p_type").alias("lo"),
+            F.substring("p_name", 1, 8).alias("pre"),
+            F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("rep"),
+            F.length("p_name").alias("len"),
+            F.lpad(F.col("p_size").cast("string"), 4, "0").alias("padded"),
+            F.reverse("p_brand").alias("rev"),
+            F.split_part(F.col("p_type"), F.lit(" "), F.lit(2)).alias("midword"),
+            F.levenshtein("p_brand", "p_name").alias("lev"),
+        )
+    )
+
+
+@register(
+    "percentile_quantities",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS q25,
+           quantile_cont(l_quantity, 0.5) AS q50,
+           quantile_cont(l_quantity, 0.75) AS q75,
+           CAST(quantile_disc(l_quantity, 0.9) AS DOUBLE) AS q90_disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def percentile_quantities(spark, sf):
+    """Exact percentiles (continuous interpolation + discrete) per group —
+    integer-valued input keeps the interpolated doubles identical across
+    engines."""
+    return (
+        _li(spark, sf)
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_quantity", F.lit(0.25)).alias("q25"),
+            F.percentile("l_quantity", F.lit(0.5)).alias("q50"),
+            F.percentile("l_quantity", F.lit(0.75)).alias("q75"),
+            F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity)")
+            .cast("double")
+            .alias("q90_disc"),
         )
     )
 

@@ -149,6 +149,77 @@ def test_sessionize_batch_and_stream(spark, tmp_path):
             assert got_s.get(key) == val, (key, val, got_s)
 
 
+def test_streaming_minhash_pairs(spark, tmp_path):
+    """Near-copies arriving over a stream must pair with their earlier
+    source via per-bucket signature state; unrelated docs must not."""
+    from duckdb_imputation_spark.streaming.dedup_stream import streaming_minhash_pairs
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter("doc_id < 8")
+        .collect()
+    )
+    rows = []
+    for i, r in enumerate(docs):
+        rows.append((f"2024-01-01 10:0{i}:00", r["doc_id"], r["text"]))
+    for i, r in enumerate(docs[:3]):  # near-copies arrive later
+        rows.append((f"2024-01-01 10:3{i}:00", r["doc_id"] + 100, r["text"] + " extraword"))
+    df = spark.createDataFrame(rows, "ts_s string, doc_id long, text string").select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "doc_id", "text"
+    )
+    src = str(tmp_path / "mh_src")
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = streaming_minhash_pairs(stream, watermark="10 minutes", threshold=0.5)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("mh_pairs")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in spark.sql("SELECT * FROM mh_pairs").collect()
+    }
+    for base in range(3):
+        assert (base, base + 100) in pairs, (base, sorted(pairs))
+    # distinct originals must not pair with each other
+    assert not any(a < 8 and b < 8 for a, b in pairs), sorted(pairs)
+
+
+def test_streaming_minhash_state_cap(spark, tmp_path):
+    """FIFO state cap: with cap=2 only the 2 most recent bucket members
+    can pair — a flood of identical docs stays O(cap) per batch."""
+    from duckdb_imputation_spark.streaming.dedup_stream import streaming_minhash_pairs
+
+    text = "the same boilerplate text repeated in every message of this stream"
+    rows = [(f"2024-01-01 10:{i:02d}:00", i, text) for i in range(8)]
+    df = spark.createDataFrame(rows, "ts_s string, doc_id long, text string").select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "doc_id", "text"
+    )
+    src = str(tmp_path / "cap_src")
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = streaming_minhash_pairs(stream, watermark="10 minutes", state_cap=2)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cap_pairs")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    pairs = {
+        (r["id_a"], r["id_b"], r["band"])
+        for r in spark.sql("SELECT * FROM cap_pairs").collect()
+    }
+    # all docs identical: each doc pairs only against the ≤2 in state
+    per_band_pairs = len({(a, b) for a, b, _ in pairs})
+    assert 0 < per_band_pairs < 28  # full cross product would be 28
+
+
 def test_streaming_exact_dedup(spark, tmp_path):
     from duckdb_imputation_spark.streaming import streaming_exact_dedup
 
