@@ -1,0 +1,115 @@
+"""Text preparation operators for LLM training-data pipelines:
+PII scrubbing, quality filtering, deterministic stratified sampling and
+context-window sequence packing.
+
+All are pure Column expressions (JVM-side, whole-stage codegen) with SQL
+twins for the DuckDB oracle.  Regex patterns are written in the common
+subset of Java regex (Spark) and RE2 (DuckDB) — no backreferences, no
+lookaround — so both engines transform text identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .hashing import md5_int32, md5_int32_sql, ws_tokens
+
+__all__ = [
+    "scrub_pii",
+    "scrub_pii_sql",
+    "quality_filter",
+    "deterministic_sample",
+    "deterministic_sample_sql",
+    "pack_sequences",
+]
+
+# pattern, replacement — order matters (emails before bare domains, etc.)
+_PII_RULES: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b\+?\d[\d ()-]{7,}\d\b", "<PHONE>"),
+    (r"https?://[^\s]+", "<URL>"),
+]
+
+
+def scrub_pii(col: Column) -> Column:
+    """Redact emails, IPv4 addresses, phone-like digit runs and URLs with
+    typed placeholders (the standard pre-training scrub pass)."""
+    out = col
+    for pat, repl in _PII_RULES:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def scrub_pii_sql(expr: str) -> str:
+    """DuckDB twin — note DuckDB's regexp_replace needs the 'g' flag to
+    replace ALL occurrences (Spark replaces all by default)."""
+    out = expr
+    for pat, repl in _PII_RULES:
+        p = pat.replace("'", "''")
+        out = f"regexp_replace({out}, '{p}', '{repl}', 'g')"
+    return out
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str,
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    max_mean_token_len: float = 15.0,
+) -> DataFrame:
+    """Heuristic quality gate: token-count window plus a mean-token-length
+    cap (catches binary junk / no-whitespace blobs).  One narrow scan."""
+    toks = ws_tokens(F.col(text_col))
+    n = F.size(toks)
+    mean_len = (F.length(F.trim(F.col(text_col))) - (n - 1)) / n
+    return df.filter(
+        (n >= min_tokens) & (n <= max_tokens) & (mean_len <= max_mean_token_len)
+    )
+
+
+def deterministic_sample(
+    df: DataFrame, id_col: str, keep_per_mille: int, salt: str = "sample"
+) -> DataFrame:
+    """Keep ~keep_per_mille/1000 of rows by md5 threshold — deterministic,
+    engine-independent, and stratification-safe (apply after a groupBy
+    key or per-language partition to downsample each stratum equally).
+    Unlike rand(), re-running or re-partitioning never changes the
+    sample."""
+    h = md5_int32(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    return df.filter(h % 1000 < keep_per_mille)
+
+
+def deterministic_sample_sql(id_expr: str, keep_per_mille: int, salt: str = "sample") -> str:
+    salted = f"'{salt}' || CAST({id_expr} AS VARCHAR)"
+    return f"{md5_int32_sql(salted)} % 1000 < {keep_per_mille}"
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    id_col: str,
+    target_tokens: int,
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
+    """Assign documents to context-window bins: deterministic id order,
+    exclusive running token total, bin = floor(running / target) — the
+    prefix-sum approximation of greedy packing (a bin may overflow by at
+    most one document, which downstream truncation handles; exact greedy
+    packing is inherently sequential).
+
+    With ``partition_cols`` the cumulative sum runs per partition key —
+    at 100 TB pack within shards (e.g. by date or hash prefix); a global
+    sort-order window would serialize on one task.
+    """
+    keys = partition_cols or []
+    w = (
+        Window.partitionBy(*keys).orderBy(id_col)
+        if keys
+        else Window.partitionBy(F.lit(0)).orderBy(id_col)
+    )
+    running = F.sum(F.col(token_col)).over(w) - F.col(token_col)
+    return df.withColumn(
+        "bin", F.floor(running / F.lit(target_tokens)).cast("long")
+    )

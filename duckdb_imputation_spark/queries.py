@@ -1178,6 +1178,78 @@ def minhash_dedup_survivors(spark, sf):
     ).select("doc_id")
 
 
+from .operators import textprep as _tp  # noqa: E402
+
+
+def _pii_oracle() -> str:
+    injected = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com"
+        " or 10.0.0.' || CAST(doc_id % 256 AS VARCHAR) ||"
+        " ' via https://ex.com/p/' || CAST(doc_id AS VARCHAR)"
+    )
+    return f"""
+    SELECT doc_id, {_tp.scrub_pii_sql(injected)} AS scrubbed
+    FROM documents WHERE doc_id < 100
+    """
+
+
+@register("pii_scrub_documents", oracle=_pii_oracle())
+def pii_scrub_documents(spark, sf):
+    """PII scrubbing (emails / IPv4 / phone runs / URLs → typed
+    placeholders) over documents with synthetic PII injected — the
+    standard pre-training redaction pass, as a pure codegen'd
+    regexp_replace chain with a shared Java-regex/RE2 pattern subset."""
+    d = load_table(spark, sf, "documents").filter("doc_id < 100")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or 10.0.0."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(" via https://ex.com/p/"), F.col("doc_id").cast("string"),
+    )
+    return d.select("doc_id", _tp.scrub_pii(injected).alias("scrubbed"))
+
+
+def _pack_oracle() -> str:
+    n = _ts.token_count_ws_sql("text")
+    mean_len = f"(length(trim(text)) - ({n} - 1.0)) / {n}"
+    keep = _tp.deterministic_sample_sql("doc_id", 800)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {n} AS n_tokens, {mean_len} AS mean_len FROM documents
+    ), filtered AS (
+      SELECT doc_id, n_tokens FROM toks
+      WHERE n_tokens >= 5 AND n_tokens <= 100000 AND mean_len <= 15.0
+    ), sampled AS (
+      SELECT doc_id, n_tokens FROM filtered WHERE {keep}
+    ), packed AS (
+      SELECT doc_id, n_tokens,
+             CAST(FLOOR((SUM(n_tokens) OVER (ORDER BY doc_id) - n_tokens)
+                        / 512.0) AS BIGINT) AS bin
+      FROM sampled
+    )
+    SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+    FROM packed GROUP BY bin
+    """
+
+
+@register("pack_documents_bins", oracle=_pack_oracle())
+def pack_documents_bins(spark, sf):
+    """The LLM-data packing pipeline end to end: quality gate →
+    deterministic md5 sampling (repartition-stable, unlike rand()) →
+    context-window sequence packing (512-token bins via exclusive
+    prefix sum) → per-bin stats."""
+    d = load_table(spark, sf, "documents")
+    filtered = _tp.quality_filter(d, "text", min_tokens=5, max_tokens=100_000)
+    sampled = _tp.deterministic_sample(filtered, "doc_id", 800)
+    with_toks = sampled.withColumn("n_tokens", _ts.token_count_ws(F.col("text")))
+    packed = _tp.pack_sequences(with_toks, "n_tokens", "doc_id", 512)
+    return packed.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("bin_tokens"),
+    )
+
+
 @register("multimodal_decode_stub")
 def multimodal_decode_stub(spark, sf):
     """Binary-column plumbing end to end: documents' text bytes as opaque

@@ -231,6 +231,62 @@ def test_ann_recall_vs_brute(emb):
     assert 7 in ivf and 7 in lsh
 
 
+# -------------------------------------------------------------- textprep
+
+
+def test_scrub_pii(spark):
+    from duckdb_imputation_spark.operators import textprep as tp
+
+    rows = [
+        (1, "mail me at bob.smith+x@corp.io thanks"),
+        (2, "server at 192.168.1.100 is down"),
+        (3, "call +1 (555) 123-4567 now"),
+        (4, "see https://example.com/a?b=1 for details"),
+        (5, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: r["s"] for r in df.select("id", tp.scrub_pii(F.col("text")).alias("s")).collect()}
+    assert got[1] == "mail me at <EMAIL> thanks"
+    assert got[2] == "server at <IP> is down"
+    assert "<PHONE>" in got[3]
+    assert got[4] == "see <URL> for details"
+    assert got[5] == "nothing sensitive here"
+
+
+def test_quality_filter_and_sample(spark, docs):
+    from duckdb_imputation_spark.operators import textprep as tp
+
+    junk = spark.createDataFrame(
+        [(9001, "x"), (9002, "a" * 500)], "doc_id long, text string"
+    )
+    df = docs.select("doc_id", "text").unionAll(junk)
+    kept = tp.quality_filter(df, "text", min_tokens=5)
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert 9001 not in ids and 9002 not in ids  # too short / one giant token
+    sampled = tp.deterministic_sample(kept, "doc_id", 500)
+    n1, n2 = sampled.count(), tp.deterministic_sample(kept, "doc_id", 500).count()
+    assert n1 == n2  # deterministic
+    assert 0 < n1 < kept.count()
+
+
+def test_pack_sequences(spark):
+    from duckdb_imputation_spark.operators import textprep as tp
+
+    rows = [(i, 100) for i in range(10)]  # 10 docs x 100 tokens
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    packed = tp.pack_sequences(df, "n", "doc_id", target_tokens=300)
+    bins = {r["doc_id"]: r["bin"] for r in packed.collect()}
+    # exclusive prefix sum: docs 0-2 -> bin 0, 3-5 -> bin 1, ...
+    assert bins[0] == 0 and bins[2] == 0 and bins[3] == 1 and bins[9] == 3
+    # partitioned packing restarts the running total per key
+    df2 = spark.createDataFrame(
+        [(i, 100, i % 2) for i in range(10)], "doc_id long, n long, shard int"
+    )
+    p2 = tp.pack_sequences(df2, "n", "doc_id", 300, partition_cols=["shard"])
+    per_shard = {(r["shard"], r["doc_id"]): r["bin"] for r in p2.collect()}
+    assert per_shard[(0, 0)] == 0 and per_shard[(0, 8)] == 1
+
+
 # ------------------------------------------------------------ multimodal
 
 
