@@ -38,6 +38,7 @@ HEADLINE = [
     "asof_join_click_to_view",
     # training-data pipeline ops
     "text_stats_documents",
+    "pack_documents_bins",
     "minhash_dedup_survivors",
     "simhash_documents",
     "embedding_cosine_scores",

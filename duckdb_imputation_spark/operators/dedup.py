@@ -43,6 +43,8 @@ __all__ = [
     "minhash_lsh_pairs",
     "minhash_dedup",
     "minhash_dedup_transitive",
+    "exact_decontaminate",
+    "minhash_decontaminate",
     "dedup_components",
     "simhash",
     "simhash_pairs",
@@ -556,6 +558,72 @@ def dedup_components(
             max_iter, changed,
         )
     return labels.select("id", F.col("label").alias("canonical"))
+
+
+def exact_decontaminate(
+    train: DataFrame, contamination: DataFrame, text_col: str
+) -> DataFrame:
+    """Drop training rows whose text exactly matches any contamination
+    (eval/benchmark) row — broadcast-able anti-join on the md5 digest."""
+    taint = contamination.select(F.md5(F.col(text_col)).alias("__h")).distinct()
+    return (
+        train.withColumn("__h", F.md5(F.col(text_col)))
+        .join(taint, "__h", "left_anti")
+        .drop("__h")
+    )
+
+
+def minhash_decontaminate(
+    train: DataFrame,
+    contamination: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 16,
+    bands: int = 4,
+    shingle: int = 5,
+    threshold: float = 0.5,
+    bucket_cap: int = 512,
+) -> DataFrame:
+    """Test-set decontamination: drop training rows that NEAR-duplicate
+    any contamination row (MinHash-LSH blocking over the tagged union,
+    cross-source pairs only, exact-Jaccard verified).
+
+    Ids are composite-encoded (id·2 + source) so the two datasets need
+    not share an id space; the source tag rides the slim blocking rows
+    (1 byte) and pairs within the same dataset are discarded before
+    verification — a train-vs-train duplicate is NOT contamination."""
+    uid = (F.col(id_col) * 2).cast("long")
+    a = train.select(uid.alias("__uid"), F.col(text_col).alias("__text"))
+    b = contamination.select(
+        (F.col(id_col) * 2 + 1).cast("long").alias("__uid"),
+        F.col(text_col).alias("__text"),
+    )
+    u = ensure_parallelism(a.unionAll(b))
+    logger.info(
+        "minhash_decontaminate: k=%d bands=%d bucket_cap=%d", k, bands, bucket_cap
+    )
+    slim = minhash_band_buckets(u, "__text", "__uid", k, bands, shingle)
+    pairs = _bucket_pairs(slim, bucket_cap).filter(
+        (F.col("id_a") % 2) != (F.col("id_b") % 2)
+    )
+    payload = u.select(
+        F.col("__uid").alias("__id"),
+        F.array_distinct(shingles(F.col("__text"), shingle)).alias("__sh"),
+    )
+    cand = _join_payload(_join_payload(pairs, payload, "a"), payload, "b")
+    inter = F.size(F.array_intersect("__sh_a", "__sh_b"))
+    union = F.size(F.array_union("__sh_a", "__sh_b"))
+    verified = cand.filter(F.round(inter / union, 6) >= threshold)
+    tainted = (
+        verified.select(
+            F.when(F.col("id_a") % 2 == 0, F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("__uid")
+        )
+        .distinct()
+        .select((F.col("__uid") / 2).cast("long").alias(id_col))
+    )
+    return train.join(tainted, id_col, "left_anti")
 
 
 def minhash_dedup_transitive(

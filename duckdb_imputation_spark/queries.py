@@ -1164,6 +1164,40 @@ def dedup_components_transitive(spark, sf):
     )
 
 
+_DECONTAM_UNION = """SELECT doc_id * 2 AS doc_id, text FROM documents
+      UNION ALL
+      SELECT (doc_id - 400) * 2 + 1 AS doc_id, text || ' extraword' AS text
+      FROM documents WHERE doc_id BETWEEN 400 AND 419"""
+
+
+def _decontaminate_oracle() -> str:
+    """Cross-source near-dup pairs (train uid even, eval uid odd) →
+    survivors = train docs whose uid never appears on the train side of
+    a verified cross pair."""
+    return f"""
+    WITH {_minhash_pairs_ctes(_DECONTAM_UNION)}
+    SELECT doc_id FROM documents WHERE doc_id NOT IN (
+      SELECT (CASE WHEN id_a % 2 = 0 THEN id_a ELSE id_b END) // 2
+      FROM ver WHERE (id_a % 2) != (id_b % 2)
+    )
+    """
+
+
+@register("decontaminate_documents", oracle=_decontaminate_oracle())
+def decontaminate_documents(spark, sf):
+    """Test-set decontamination: training docs that near-duplicate any
+    eval/benchmark doc are dropped (a core LLM-pipeline op — eval
+    leakage inflates benchmarks).  Eval set = 20 near-copies of docs
+    400-419; the oracle reproduces the tagged-union LSH pipeline and the
+    cross-source filter."""
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    eval_df = d.filter("doc_id BETWEEN 400 AND 419").select(
+        (F.col("doc_id") - 400).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extraword")).alias("text"),
+    )
+    return _dd.minhash_decontaminate(d, eval_df, "text", "doc_id").select("doc_id")
+
+
 @register("minhash_dedup_survivors", oracle=_minhash_survivors_oracle())
 def minhash_dedup_survivors(spark, sf):
     """End-to-end MinHash-LSH dedup with a full SQL oracle twin — the

@@ -231,6 +231,26 @@ def test_ann_recall_vs_brute(emb):
     assert 7 in ivf and 7 in lsh
 
 
+def test_decontaminate(spark, docs):
+    """Train docs near-duplicating the eval set are dropped; train-vs-train
+    duplicates are NOT treated as contamination."""
+    train = docs.select("doc_id", "text")
+    # eval set: near-copies of docs 0-2 plus one exact copy of doc 3
+    ev = train.filter("doc_id < 3").select(
+        F.col("doc_id").alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extraword")).alias("text"),
+    ).unionAll(train.filter("doc_id = 3").select("doc_id", "text"))
+    out = dd.minhash_decontaminate(train, ev, "text", "doc_id")
+    kept = {r["doc_id"] for r in out.select("doc_id").collect()}
+    for tainted in (0, 1, 2, 3):
+        assert tainted not in kept
+    assert len(kept) >= train.count() - 10  # only the tainted few dropped
+    # exact variant
+    out2 = dd.exact_decontaminate(train, ev, "text")
+    kept2 = {r["doc_id"] for r in out2.select("doc_id").collect()}
+    assert 3 not in kept2 and 0 in kept2  # exact match only
+
+
 # -------------------------------------------------------------- textprep
 
 
