@@ -23,7 +23,15 @@ TABLES = [
     "embeddings",
 ]
 
-__all__ = ["TABLES", "load_tables", "load_table", "read_csv_auto"]
+__all__ = [
+    "TABLES",
+    "load_tables",
+    "load_table",
+    "read_csv_auto",
+    "write_table",
+    "write_bucketed_table",
+    "register_view",
+]
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -80,3 +88,26 @@ def register_view(df: DataFrame, name: str) -> None:
     """CREATE OR REPLACE (temp) VIEW — the lightweight sink the MICE
     loops use between rounds."""
     df.createOrReplaceTempView(name)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed (hash-clustered) managed table.
+
+    The 100 TB co-location path: two tables bucketed on the same join key
+    with the same bucket count sort-merge-join WITHOUT a shuffle on
+    either side (the scan itself reports the hash partitioning), turning
+    the biggest repeated cost of fact-fact joins — re-shuffling both
+    inputs per query — into a one-time write-side layout decision.
+    Optional ``sort_cols`` additionally pre-sorts within buckets so the
+    merge needs no sort either."""
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").saveAsTable(name)

@@ -69,6 +69,58 @@ def test_small_dim_join_broadcasts(spark):
     assert has_broadcast_join(j)
 
 
+def test_bucketed_join_no_shuffle(spark):
+    """Two tables bucketed on the join key with equal bucket counts must
+    sort-merge-join with ZERO shuffle exchanges — the write-side layout
+    replaces the per-query re-shuffle (the 100 TB co-location path)."""
+    from duckdb_imputation_spark.plans import count_exchanges
+    from duckdb_imputation_spark.sources import write_bucketed_table
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    write_bucketed_table(li, "t_li_b", ["l_orderkey"], 8, sort_cols=["l_orderkey"])
+    write_bucketed_table(o, "t_o_b", ["o_orderkey"], 8, sort_cols=["o_orderkey"])
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        a = spark.table("t_li_b")
+        b = spark.table("t_o_b")
+        j = a.join(b, a.l_orderkey == b.o_orderkey).select("l_quantity", "o_totalprice")
+        assert count_exchanges(j) == 0, j._jdf.queryExecution().executedPlan().toString()
+        # sanity: the same join over the raw parquet DOES shuffle both sides
+        raw = li.join(o, li.l_orderkey == o.o_orderkey).select(
+            "l_quantity", "o_totalprice"
+        )
+        assert count_exchanges(raw) >= 2
+        assert j.count() == raw.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS t_li_b")
+        spark.sql("DROP TABLE IF EXISTS t_o_b")
+
+
+def test_lsh_band_shuffle_is_slim(spark):
+    """The banded exchange's input must carry ids and band hashes only —
+    shingle payload through the band shuffle was the r1 scale defect
+    (docs/PLANS_r2.md records the rewrite)."""
+    from duckdb_imputation_spark.operators import dedup as dd
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = dd.minhash_lsh_pairs(docs, "text", "doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    lines = plan.split("\n")
+    found = False
+    for i, line in enumerate(lines):
+        if "hashpartitioning(__band" in line:
+            found = True
+            child = lines[i + 1] if i + 1 < len(lines) else ""
+            assert "__sh" not in child, child
+    assert found, plan
+
+
 def test_csv_auto_reader(spark, tmp_path):
     from duckdb_imputation_spark.sources import read_csv_auto, write_table
 
