@@ -3,12 +3,18 @@
 Media travel as opaque ``binary`` columns with a typed metadata struct;
 decode / feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` stages so bytes never round-trip through Python row by
-row.  Decode libraries (PIL/torchvision/ffmpeg) are NOT in this
-container, so the actual byte→pixel step is stubbed: with
-``fake=True`` a deterministic md5-derived stand-in is produced (so the
-Spark-side plumbing — schema, batching, partitioning — is fully real and
-testable); with ``fake=False`` a clearly-marked NotImplementedError
-surfaces at execution time.
+row.
+
+Decode coverage is honest about the environment: formats decodable with
+numpy + the stdlib are decoded FOR REAL — netpbm images (P5/PGM, P6/PPM:
+header parse + ``np.frombuffer`` + nearest-neighbor resize) and WAV
+audio (stdlib ``wave`` + ``np.frombuffer``).  Formats that require
+external codecs (JPEG/PNG via PIL/opencv, video via ffmpeg — not in this
+container) are stubbed: with ``fake=True`` a deterministic md5-derived
+stand-in is produced (so the Spark-side plumbing — schema, batching,
+partitioning — is fully real and testable); with ``fake=False`` a
+clearly-marked NotImplementedError surfaces unless the payload is a
+format the real decoder handles.
 
 At 100 TB: binary payloads dominate IO — these stages are narrow (no
 shuffle); ``repartition`` upstream only to bound per-task memory
@@ -39,8 +45,10 @@ __all__ = [
     "MEDIA_META_SCHEMA",
     "attach_media_meta",
     "decode_images",
+    "decode_audio_wav",
     "image_features",
     "sample_video_frames",
+    "decode_netpbm_bytes",
 ]
 
 MEDIA_META_SCHEMA = StructType(
@@ -85,6 +93,53 @@ def _fake_pixels(payload: bytes, h: int, w: int) -> np.ndarray:
     return out.reshape(h, w)
 
 
+def decode_netpbm_bytes(payload: bytes) -> np.ndarray | None:
+    """REAL image decode for binary netpbm: P5 (PGM, grayscale) and P6
+    (PPM, RGB — averaged to grayscale).  Header parse + np.frombuffer;
+    returns an (h, w) uint8 array, or None if not netpbm."""
+    if not payload or payload[:2] not in (b"P5", b"P6"):
+        return None
+    rgb = payload[:2] == b"P6"
+    # header: magic, width, height, maxval — whitespace separated,
+    # '#' comments allowed until the maxval terminator
+    fields: list[int] = []
+    i = 2
+    while len(fields) < 3 and i < len(payload):
+        ch = payload[i : i + 1]
+        if ch == b"#":
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+        elif ch.isspace():
+            i += 1
+        else:
+            j = i
+            while j < len(payload) and not payload[j : j + 1].isspace():
+                j += 1
+            fields.append(int(payload[i:j]))
+            i = j
+    i += 1  # single whitespace after maxval
+    if len(fields) < 3:
+        return None
+    w, h, maxval = fields
+    n = w * h * (3 if rgb else 1)
+    raw = np.frombuffer(payload, dtype=np.uint8, count=n, offset=i)
+    if rgb:
+        img = raw.reshape(h, w, 3).astype(np.uint16)
+        img = ((img[:, :, 0] + img[:, :, 1] + img[:, :, 2]) // 3).astype(np.uint8)
+    else:
+        img = raw.reshape(h, w)
+    if maxval != 255 and maxval > 0:
+        img = (img.astype(np.float64) * 255.0 / maxval).astype(np.uint8)
+    return img
+
+
+def _nn_resize(img: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Nearest-neighbor resize by index sampling — no image library."""
+    ys = (np.arange(h) * img.shape[0] // h).clip(0, img.shape[0] - 1)
+    xs = (np.arange(w) * img.shape[1] // w).clip(0, img.shape[1] - 1)
+    return img[np.ix_(ys, xs)]
+
+
 _DECODE_SCHEMA = StructType(
     [
         StructField("id", LongType()),
@@ -106,17 +161,14 @@ def decode_images(
 ) -> DataFrame:
     """binary → (id, width, height, mean_pixel, pixels) via mapInPandas.
 
-    ``fake=True`` uses the deterministic md5 pseudo-decoder; real decode
-    is stubbed (no PIL/opencv in this environment)."""
+    ``fake=True`` uses the deterministic md5 pseudo-decoder for every
+    payload.  ``fake=False`` REALLY decodes netpbm (P5/P6) payloads —
+    header parse + frombuffer + nearest-neighbor resize, numpy only —
+    and raises NotImplementedError for formats that need external codecs
+    (JPEG/PNG: PIL/opencv are not in this container)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real image decode requires PIL/opencv, which are not "
-                    "available in this container; pass fake=True for the "
-                    "deterministic stand-in"
-                )
             out = {
                 "id": pdf[id_col].astype("int64"),
                 "width": width,
@@ -125,12 +177,71 @@ def decode_images(
                 "pixels": [],
             }
             for payload in pdf[binary_col]:
-                px = _fake_pixels(bytes(payload) if payload is not None else b"", height, width)
+                data = bytes(payload) if payload is not None else b""
+                if fake:
+                    px = _fake_pixels(data, height, width)
+                else:
+                    img = decode_netpbm_bytes(data)
+                    if img is None:
+                        raise NotImplementedError(
+                            "real decode supports netpbm (P5/P6) only in "
+                            "this container — JPEG/PNG need PIL/opencv; "
+                            "pass fake=True for the deterministic stand-in"
+                        )
+                    px = _nn_resize(img, height, width)
                 out["mean_pixel"].append(float(px.mean()))
                 out["pixels"].append([int(x) for x in px.ravel()])
             yield pd.DataFrame(out)
 
     return df.select(id_col, binary_col).mapInPandas(run, schema=_DECODE_SCHEMA)
+
+
+_WAV_SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("rms", DoubleType()),
+        StructField("peak", DoubleType()),
+    ]
+)
+
+
+def decode_audio_wav(df: DataFrame, binary_col: str, id_col: str) -> DataFrame:
+    """REAL audio decode for WAV payloads (stdlib ``wave`` +
+    ``np.frombuffer`` — no external codec): per-clip sample rate,
+    channel count, length, RMS and peak amplitude (normalized to
+    [-1, 1]).  Arrow-batched, narrow, no shuffle."""
+    import io
+    import wave
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("id", "sample_rate", "n_channels", "n_samples", "rms", "peak")}
+            for rid, payload in zip(pdf[id_col], pdf[binary_col]):
+                data = bytes(payload) if payload is not None else b""
+                with wave.open(io.BytesIO(data)) as wf:
+                    sw = wf.getsampwidth()
+                    frames = wf.readframes(wf.getnframes())
+                dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(sw)
+                if dtype is None:
+                    raise NotImplementedError(f"unsupported WAV sample width {sw}")
+                x = np.frombuffer(frames, dtype=dtype).astype(np.float64)
+                if sw == 1:
+                    x = (x - 128.0) / 128.0
+                else:
+                    x = x / float(2 ** (8 * sw - 1))
+                out["id"].append(int(rid))
+                with wave.open(io.BytesIO(data)) as wf:
+                    out["sample_rate"].append(wf.getframerate())
+                    out["n_channels"].append(wf.getnchannels())
+                out["n_samples"].append(int(len(x)))
+                out["rms"].append(float(np.sqrt(np.mean(x * x))) if len(x) else 0.0)
+                out["peak"].append(float(np.abs(x).max()) if len(x) else 0.0)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, binary_col).mapInPandas(run, schema=_WAV_SCHEMA)
 
 
 _FEAT_SCHEMA = StructType(

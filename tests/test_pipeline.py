@@ -345,6 +345,55 @@ def test_image_features_unit_norm(media):
         assert np.linalg.norm(r["feature"]) == pytest.approx(1.0, abs=1e-9)
 
 
+def test_decode_netpbm_real(spark):
+    """fake=False REALLY decodes P5/P6 netpbm payloads (numpy only)."""
+    import numpy as np_
+
+    rng = np_.random.default_rng(3)
+    img = rng.integers(0, 256, size=(16, 12), dtype=np_.uint8)
+    pgm = b"P5\n12 16\n255\n" + img.tobytes()
+    rgb = rng.integers(0, 256, size=(8, 8, 3), dtype=np_.uint8)
+    ppm = b"P6\n# a comment\n8 8\n255\n" + rgb.tobytes()
+    df = spark.createDataFrame([(1, pgm), (2, ppm)], "mid long, payload binary")
+    got = {r["id"]: r for r in mm.decode_images(df, "payload", "mid", height=4, width=4, fake=False).collect()}
+    direct = mm.decode_netpbm_bytes(pgm)
+    assert direct.shape == (16, 12) and (direct == img).all()
+    exp = direct[np_.ix_([0, 4, 8, 12], [0, 3, 6, 9])]
+    assert got[1]["pixels"] == [int(x) for x in exp.ravel()]
+    gray2 = mm.decode_netpbm_bytes(ppm)
+    assert gray2.shape == (8, 8)
+    assert got[2]["mean_pixel"] == pytest.approx(
+        float(gray2[np_.ix_([0, 2, 4, 6], [0, 2, 4, 6])].mean())
+    )
+    # non-netpbm payload under fake=False surfaces the honest stub
+    bad = spark.createDataFrame([(3, b"\x89PNG....")], "mid long, payload binary")
+    with pytest.raises(Exception, match="netpbm|NotImplemented"):
+        mm.decode_images(bad, "payload", "mid", fake=False).collect()
+
+
+def test_decode_audio_wav_real(spark):
+    """Stdlib-wave decode: sample rate, length, RMS of a synthetic sine."""
+    import io
+    import wave
+
+    import numpy as np_
+
+    sr, n = 8000, 4000
+    t = np_.arange(n) / sr
+    x = (0.5 * np_.sin(2 * np_.pi * 440 * t) * 32767).astype(np_.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sr)
+        wf.writeframes(x.tobytes())
+    df = spark.createDataFrame([(7, buf.getvalue())], "mid long, payload binary")
+    row = mm.decode_audio_wav(df, "payload", "mid").collect()[0]
+    assert row["sample_rate"] == sr and row["n_samples"] == n and row["n_channels"] == 1
+    assert row["rms"] == pytest.approx(0.5 / np_.sqrt(2), rel=1e-3)
+    assert row["peak"] == pytest.approx(0.5, rel=1e-3)
+
+
 def test_sample_video_frames(media):
     out = mm.sample_video_frames(media, "payload", "mid", every_n=10, max_frames=3)
     rows = out.collect()
