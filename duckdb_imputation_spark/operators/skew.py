@@ -1,0 +1,47 @@
+"""Skew mitigation helpers.
+
+AQE's skew-join split (enabled in session.py) handles most sort-merge
+skew at runtime; explicit salting remains the tool for the cases AQE
+can't rewrite — a broadcast-ineligible right side with a handful of
+pathological keys, or a deliberately pre-partitioned pipeline where a
+runtime re-plan is unwanted.  ``salted_join`` spreads each skewed key
+over ``n_salts`` shuffle partitions by salting the big side and
+replicating the small side per salt.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["salted_join"]
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    n_salts: int = 8,
+    how: str = "inner",
+    seed: int = 42,
+) -> DataFrame:
+    """Join a skew-prone ``big`` side against ``small`` with key salting:
+    big rows get a uniform salt in [0, n_salts); small is replicated once
+    per salt value, so each (key, salt) shuffle partition carries ~1/n of
+    the hot key's rows.  Costs n_salts× the small side's shuffle volume —
+    use when the hot keys would otherwise serialize on single tasks and
+    broadcast is off the table.
+
+    Semantics match ``big.join(small, on, how)`` for inner/left joins
+    (every big row keeps exactly its one salt; every small row exists for
+    every salt).
+    """
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
+    salted_big = big.withColumn("__salt", (F.rand(seed) * n_salts).cast("int"))
+    salts = big.sparkSession.range(n_salts).select(
+        F.col("id").cast("int").alias("__salt")
+    )
+    salted_small = small.crossJoin(F.broadcast(salts))
+    out = salted_big.join(salted_small, [*on, "__salt"], how)
+    return out.drop("__salt")

@@ -102,6 +102,28 @@ def test_bucketed_join_no_shuffle(spark):
         spark.sql("DROP TABLE IF EXISTS t_o_b")
 
 
+def test_salted_join_matches_plain(spark):
+    """Salting must not change join semantics: 90%-skewed key join equals
+    the plain join row-for-row, for inner and left."""
+    from duckdb_imputation_spark.operators.skew import salted_join
+
+    big = spark.range(10_000).select(
+        F.when(F.col("id") % 10 < 9, 1).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    small = spark.range(50).select(F.col("id").alias("k"), (F.col("id") * 100).alias("w"))
+    for how in ("inner", "left"):
+        plain = big.join(small, ["k"], how).groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")
+        )
+        salted = salted_join(big, small, ["k"], n_salts=4, how=how).groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")
+        )
+        a = {r["k"]: (r["n"], r["sv"]) for r in plain.collect()}
+        b = {r["k"]: (r["n"], r["sv"]) for r in salted.collect()}
+        assert a == b, how
+
+
 def test_lsh_band_shuffle_is_slim(spark):
     """The banded exchange's input must carry ids and band hashes only —
     shingle payload through the band shuffle was the r1 scale defect
