@@ -123,3 +123,41 @@ def test_factorized_equals_materialized_shapes(spark, n1, c1, n2, c2, nb):
     a = Triple.from_row(fact[0]["triple"], d_num=n1 + n2, d_cat=c1 + c2)
     b = Triple.from_row(mat[0]["triple"], d_num=n1 + n2, d_cat=c1 + c2)
     close(a, b)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_bucket_pairs_equals_naive_self_join(spark, seed):
+    """_bucket_pairs (capped collect+explode) must produce exactly the
+    id-pairs a naive bucket self-join would, for random bucket layouts
+    below the cap."""
+    from duckdb_imputation_spark.operators.dedup import _bucket_pairs
+
+    rng = np.random.default_rng(seed)
+    rows = [
+        (int(i), int(rng.integers(0, 3)), f"b{rng.integers(0, 6)}")
+        for i in range(120)
+    ]
+    slim = spark.createDataFrame(rows, "__id long, __band int, __bucket string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in _bucket_pairs(slim, cap=1000).collect()
+    }
+    L, R = slim.alias("L"), slim.alias("R")
+    naive = {
+        (r["a"], r["b"])
+        for r in L.join(
+            R,
+            (F.col("L.__band") == F.col("R.__band"))
+            & (F.col("L.__bucket") == F.col("R.__bucket"))
+            & (F.col("L.__id") < F.col("R.__id")),
+        )
+        .select(F.col("L.__id").alias("a"), F.col("R.__id").alias("b"))
+        .distinct()
+        .collect()
+    }
+    assert got == naive
+    # with a cap, pairs from oversized buckets disappear, none are invented
+    capped = {
+        (r["id_a"], r["id_b"]) for r in _bucket_pairs(slim, cap=10).collect()
+    }
+    assert capped <= naive
