@@ -22,6 +22,9 @@ __all__ = [
     "deterministic_sample",
     "deterministic_sample_sql",
     "pack_sequences",
+    "chunk_documents",
+    "build_vocabulary",
+    "stratified_sample",
 ]
 
 # pattern, replacement — order matters (emails before bare domains, etc.)
@@ -84,6 +87,77 @@ def deterministic_sample(
 def deterministic_sample_sql(id_expr: str, keep_per_mille: int, salt: str = "sample") -> str:
     salted = f"'{salt}' || CAST({id_expr} AS VARCHAR)"
     return f"{md5_int32_sql(salted)} % 1000 < {keep_per_mille}"
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+) -> DataFrame:
+    """Split documents into overlapping token windows (the standard
+    long-document → context-window preprocessing): chunk i covers tokens
+    [i·step, i·step + chunk_tokens) with step = chunk_tokens − overlap.
+    Pure Column expressions (sequence + slice + posexplode) — one narrow
+    scan, rows out = Σ ceil(n_tokens/step)."""
+    assert 0 <= overlap < chunk_tokens
+    step = chunk_tokens - overlap
+    toks = ws_tokens(F.col(text_col))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(step)
+    )
+    chunks = F.transform(
+        starts, lambda s: F.concat_ws(" ", F.slice(toks, s + 1, chunk_tokens))
+    )
+    out = df.select(
+        F.col(id_col),
+        F.size(toks).alias("__n"),
+        F.posexplode(chunks).alias("chunk_idx", "chunk_text"),
+    )
+    n_chunk = F.least(
+        F.lit(chunk_tokens), F.col("__n") - F.col("chunk_idx") * step
+    )
+    return out.select(
+        id_col,
+        "chunk_idx",
+        "chunk_text",
+        F.greatest(n_chunk, F.lit(0)).cast("int").alias("chunk_tokens"),
+    )
+
+
+def build_vocabulary(
+    df: DataFrame, text_col: str, min_count: int = 1, top_k: int | None = None
+) -> DataFrame:
+    """Corpus vocabulary by global token frequency (tokenizer-training
+    prep): (token, count, token_id) with ids assigned by count desc then
+    token asc — fully deterministic.  One explode + one groupBy; the
+    ranking window is a single partition over the VOCABULARY (bounded by
+    distinct tokens, not corpus size)."""
+    counts = (
+        df.select(F.explode(ws_tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .filter(F.col("count") >= min_count)
+    )
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("count"), F.col("token"))
+    ranked = counts.withColumn("token_id", F.row_number().over(w).cast("long"))
+    return ranked.filter(F.col("token_id") <= top_k) if top_k else ranked
+
+
+def stratified_sample(
+    df: DataFrame, strata_col: str, id_col: str, k: int, salt: str = "strat"
+) -> DataFrame:
+    """Exactly ≤k rows per stratum, chosen by deterministic md5 order —
+    balanced downsampling across languages/domains without rand()'s
+    repartitioning instability.  One shuffle on the stratum key."""
+    h = md5_int32(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(strata_col).orderBy(h, F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
 
 
 def pack_sequences(

@@ -1284,6 +1284,75 @@ def pack_documents_bins(spark, sf):
     )
 
 
+def _chunk_oracle() -> str:
+    from .operators.hashing import ws_tokens_sql
+
+    t = ws_tokens_sql("text")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {t} AS t FROM documents WHERE doc_id < 50
+    )
+    SELECT doc_id,
+           CAST(i // 96 AS INT) AS chunk_idx,
+           array_to_string(t[CAST(i + 1 AS INT):CAST(i + 128 AS INT)], ' ') AS chunk_text,
+           CAST(GREATEST(LEAST(128, length(t) - i), 0) AS INT) AS chunk_tokens
+    FROM toks, UNNEST(range(0, GREATEST(length(t) - 1, 0) + 1, 96)) AS u(i)
+    """
+
+
+@register("chunk_documents_catalog", oracle=_chunk_oracle())
+def chunk_documents_catalog(spark, sf):
+    """Long-document chunking into overlapping context windows (128
+    tokens, 32 overlap) — rows out = Σ ceil(n/96) per doc, pure
+    sequence+slice+posexplode."""
+    d = load_table(spark, sf, "documents").filter("doc_id < 50")
+    return _tp.chunk_documents(d, "text", "doc_id", chunk_tokens=128, overlap=32)
+
+
+from .operators.hashing import ws_tokens_sql as _ws_sql  # noqa: E402
+
+
+@register(
+    "vocabulary_top_tokens",
+    oracle=f"""
+    WITH tk AS (
+      SELECT unnest({_ws_sql('text')}) AS token
+      FROM documents
+    ), counts AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS count FROM tk GROUP BY token
+    )
+    SELECT token, count,
+           CAST(row_number() OVER (ORDER BY count DESC, token) AS BIGINT) AS token_id
+    FROM counts QUALIFY token_id <= 200
+    """,
+)
+def vocabulary_top_tokens(spark, sf):
+    """Corpus vocabulary by global token frequency, top 200 — tokenizer
+    training prep; ids deterministic (count desc, token asc)."""
+    d = load_table(spark, sf, "documents")
+    return _tp.build_vocabulary(d, "text", top_k=200)
+
+
+@register(
+    "stratified_sample_documents",
+    oracle=f"""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, {_ts.lang_id_sql('text')} AS lang,
+             {md5_int32_sql("'strat' || CAST(doc_id AS VARCHAR)")} AS h
+      FROM documents
+    ) QUALIFY row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) <= 20
+    """,
+)
+def stratified_sample_documents(spark, sf):
+    """Balanced per-stratum downsampling: ≤20 docs per detected language,
+    chosen by deterministic md5 order (stable under repartitioning,
+    unlike rand())."""
+    d = load_table(spark, sf, "documents").withColumn(
+        "lang", _ts.lang_id(F.col("text"))
+    )
+    return _tp.stratified_sample(d, "lang", "doc_id", k=20).select("doc_id", "lang")
+
+
 @register("multimodal_decode_stub")
 def multimodal_decode_stub(spark, sf):
     """Binary-column plumbing end to end: documents' text bytes as opaque

@@ -289,6 +289,39 @@ def test_quality_filter_and_sample(spark, docs):
     assert 0 < n1 < kept.count()
 
 
+def test_chunk_documents_overlap(spark):
+    from duckdb_imputation_spark.operators import textprep as tp
+
+    text = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = sorted(
+        (r["chunk_idx"], r["chunk_text"], r["chunk_tokens"])
+        for r in tp.chunk_documents(df, "text", "doc_id", chunk_tokens=4, overlap=2).collect()
+    )
+    # step=2: starts 0,2,4,6,8 → windows of 4 tokens, last ones clipped
+    assert got[0] == (0, "w0 w1 w2 w3", 4)
+    assert got[1] == (1, "w2 w3 w4 w5", 4)
+    assert got[4] == (4, "w8 w9", 2)
+    assert len(got) == 5
+
+
+def test_build_vocabulary_and_stratified(spark):
+    from duckdb_imputation_spark.operators import textprep as tp
+
+    df = spark.createDataFrame(
+        [(1, "a b a c a b"), (2, "b c d")], "doc_id long, text string"
+    )
+    v = {r["token"]: (r["count"], r["token_id"]) for r in tp.build_vocabulary(df, "text").collect()}
+    assert v["a"] == (3, 1) and v["b"] == (3, 2)  # tie broken by token asc
+    assert v["c"][0] == 2 and v["d"][0] == 1
+    strat = spark.createDataFrame(
+        [(i, "x" if i < 50 else "y") for i in range(80)], "doc_id long, s string"
+    )
+    out = tp.stratified_sample(strat, "s", "doc_id", k=10)
+    counts = {r["s"]: r["n"] for r in out.groupBy("s").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"x": 10, "y": 10}
+
+
 def test_pack_sequences(spark):
     from duckdb_imputation_spark.operators import textprep as tp
 
