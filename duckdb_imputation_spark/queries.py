@@ -1000,7 +1000,7 @@ def _ann_ivf_oracle(sf_dir: str) -> str:
 
     con = duckdb.connect()
     rows = con.sql(
-        f"SELECT embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
+        f"SELECT embedding FROM {_pq(sf_dir, 'embeddings')} "
         "WHERE vec_id % 5 = 0 ORDER BY vec_id"
     ).fetchall()
     cent = _ivf_catalog_centroids([list(r[0]) for r in rows])
@@ -1353,6 +1353,68 @@ def stratified_sample_documents(spark, sf):
     return _tp.stratified_sample(d, "lang", "doc_id", k=20).select("doc_id", "lang")
 
 
+@register(
+    "unigram_logprob_scores",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, unnest({_ws_sql('text')}) AS token FROM documents
+    ), vocab AS (
+      SELECT token, CAST(COUNT(*) AS DOUBLE) AS c FROM tk GROUP BY token
+    ), tot AS (SELECT SUM(c) AS t FROM vocab)
+    SELECT doc_id,
+           ROUND(SUM(ln(c / t)) / COUNT(*), 6) AS avg_logprob,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens
+    FROM tk JOIN vocab USING (token), tot
+    GROUP BY doc_id
+    """,
+)
+def unigram_logprob_scores(spark, sf):
+    """CCNet-style quality signal: per-document mean unigram
+    log-probability under the corpus's own unigram LM (explode → count →
+    broadcast join → per-doc mean).  Low scores flag out-of-distribution
+    or junk documents.  The LM join is broadcast-able (vocabulary-sized);
+    the per-doc aggregate is one shuffle on doc_id."""
+    d = load_table(spark, sf, "documents")
+    tk = d.select("doc_id", F.explode(_dd.ws_tokens(F.col("text"))).alias("token"))
+    vocab = tk.groupBy("token").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    total = vocab.agg(F.sum("c").alias("t"))
+    scored = tk.join(F.broadcast(vocab), "token").crossJoin(F.broadcast(total))
+    return scored.groupBy("doc_id").agg(
+        F.round(F.sum(F.log(F.col("c") / F.col("t"))) / F.count(F.lit(1)), 6).alias(
+            "avg_logprob"
+        ),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
+
+
+@register(
+    "token_entropy_documents",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, unnest({_ws_sql('text')}) AS token FROM documents
+    ), per AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS DOUBLE) AS c FROM tk
+      GROUP BY doc_id, token
+    ), n AS (
+      SELECT doc_id, SUM(c) AS n FROM per GROUP BY doc_id
+    )
+    SELECT doc_id, ROUND(-SUM((c / n) * ln(c / n)), 6) AS entropy
+    FROM per JOIN n USING (doc_id)
+    GROUP BY doc_id
+    """,
+)
+def token_entropy_documents(spark, sf):
+    """Per-document Shannon entropy of the token distribution — a
+    repetition detector (boilerplate / looped generations score low)."""
+    d = load_table(spark, sf, "documents")
+    tk = d.select("doc_id", F.explode(_dd.ws_tokens(F.col("text"))).alias("token"))
+    per = tk.groupBy("doc_id", "token").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    n = per.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    j = per.join(n, "doc_id")
+    p = F.col("c") / F.col("n")
+    return j.groupBy("doc_id").agg(F.round(-F.sum(p * F.log(p)), 6).alias("entropy"))
+
+
 @register("multimodal_decode_stub")
 def multimodal_decode_stub(spark, sf):
     """Binary-column plumbing end to end: documents' text bytes as opaque
@@ -1682,7 +1744,14 @@ _NB_REL = (
 
 
 def _pq(sf_dir: str, table: str) -> str:
-    return f"read_parquet('{sf_dir}/{table}.parquet')"
+    # Spark-written tables are DIRECTORIES of part files; DuckDB needs a
+    # glob for those, a plain path for single-file testdata
+    import os
+
+    path = f"{sf_dir}/{table}.parquet"
+    if os.path.isdir(path):
+        return f"read_parquet('{path}/*.parquet')"
+    return f"read_parquet('{path}')"
 
 
 def _hist_sql(pred_sql: str, rel_view: str) -> str:
