@@ -1415,6 +1415,25 @@ def token_entropy_documents(spark, sf):
     return j.groupBy("doc_id").agg(F.round(-F.sum(p * F.log(p)), 6).alias("entropy"))
 
 
+def _bm25_oracle() -> str:
+    from .operators.retrieval import bm25_topk_sql
+
+    return bm25_topk_sql(
+        "documents", _ws_sql("text"), "doc_id",
+        ["hash", "join", "filter"], k=15,
+    )
+
+
+@register("bm25_search_documents", oracle=_bm25_oracle())
+def bm25_search_documents(spark, sf):
+    """Full-text BM25 retrieval: top-15 documents for a 3-term query —
+    one corpus scan, term stats broadcast, TakeOrdered winners only."""
+    from .operators.retrieval import bm25_topk
+
+    d = load_table(spark, sf, "documents")
+    return bm25_topk(d, "text", "doc_id", ["hash", "join", "filter"], k=15)
+
+
 @register("multimodal_decode_stub")
 def multimodal_decode_stub(spark, sf):
     """Binary-column plumbing end to end: documents' text bytes as opaque
