@@ -29,7 +29,13 @@ from pyspark.sql import functions as F
 
 from ..functions.triple import Triple, cat_pairs
 
-__all__ = ["streaming_triple_parts", "merge_stream_triples", "streaming_exact_dedup"]
+__all__ = [
+    "streaming_triple_parts",
+    "merge_stream_triples",
+    "streaming_exact_dedup",
+    "streaming_corpus_stats",
+    "corpus_stats_batch",
+]
 
 
 def streaming_triple_parts(
@@ -139,6 +145,58 @@ def merge_stream_triples(rows, d_num: int, d_cat: int) -> Triple:
             key = (r["k1"], r["k2"])
             m[key] = m.get(key, 0.0) + v
     return t
+
+
+def _corpus_stat_exprs(text_col: str):
+    from ..operators.textstats import quality_score, token_count_ws
+
+    t = F.col(text_col)
+    return [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count_ws(t)).alias("n_tokens"),
+        F.round(F.avg(quality_score(t)), 6).alias("avg_quality"),
+        F.round(F.avg(F.length(t)).cast("double"), 6).alias("avg_chars"),
+    ]
+
+
+def streaming_corpus_stats(
+    stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Live ingestion-quality monitor: per event-time window, document
+    count, token volume and mean quality/length — the dashboard feed a
+    training-data pipeline watches for upstream regressions (sudden
+    quality drops, empty-doc floods).  Plain watermarked windowed
+    aggregation: state is one row per open window."""
+    win = F.window(F.col(ts_col), window)
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("__w"))
+        .agg(*_corpus_stat_exprs(text_col))
+        .select(
+            F.col("__w.start").alias("window_start"),
+            "n_docs", "n_tokens", "avg_quality", "avg_chars",
+        )
+    )
+
+
+def corpus_stats_batch(
+    df: DataFrame, text_col: str = "text", ts_col: str = "ts", window: str = "1 hour"
+) -> DataFrame:
+    """Batch twin of :func:`streaming_corpus_stats` (same expressions,
+    same windows) — the oracle for the streaming path."""
+    win = F.window(F.col(ts_col), window)
+    return (
+        df.groupBy(win.alias("__w"))
+        .agg(*_corpus_stat_exprs(text_col))
+        .select(
+            F.col("__w.start").alias("window_start"),
+            "n_docs", "n_tokens", "avg_quality", "avg_chars",
+        )
+    )
 
 
 def streaming_exact_dedup(

@@ -149,6 +149,47 @@ def test_sessionize_batch_and_stream(spark, tmp_path):
             assert got_s.get(key) == val, (key, val, got_s)
 
 
+def test_streaming_corpus_stats_matches_batch(spark, tmp_path):
+    from duckdb_imputation_spark.streaming import (
+        corpus_stats_batch,
+        streaming_corpus_stats,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter("doc_id < 60")
+        .collect()
+    )
+    rows = [
+        (f"2024-01-01 {10 + i // 30}:{i % 30:02d}:00", r["text"])
+        for i, r in enumerate(docs)
+    ]
+    df = spark.createDataFrame(rows, "ts_s string, text string").select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "text"
+    )
+    src = str(tmp_path / "cs_src")
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        streaming_corpus_stats(stream, window="30 minutes", watermark="5 minutes")
+        .writeStream.format("memory")
+        .queryName("cs_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["window_start"]: (r["n_docs"], r["n_tokens"], r["avg_quality"])
+        for r in spark.sql("SELECT * FROM cs_stream").collect()
+    }
+    exp = {
+        r["window_start"]: (r["n_docs"], r["n_tokens"], r["avg_quality"])
+        for r in corpus_stats_batch(df, window="30 minutes").collect()
+    }
+    assert got == exp and len(exp) >= 2
+
+
 def test_streaming_minhash_pairs(spark, tmp_path):
     """Near-copies arriving over a stream must pair with their earlier
     source via per-bucket signature state; unrelated docs must not."""
