@@ -72,14 +72,18 @@ def shingles_sql(expr: str, k: int) -> str:
 
 
 def ws_tokens(col: Column) -> Column:
-    """Whitespace tokenization; empty string → empty array."""
-    return F.when(F.length(F.trim(col)) == 0, F.array().cast("array<string>")).otherwise(
-        F.split(F.trim(col), r"\s+")
+    """Whitespace tokenization; empty (or NULL) string → empty array.
+    NULL-coalescing here makes every downstream text operator null-safe
+    with one shared semantic: no text ≡ no tokens."""
+    c = F.trim(F.coalesce(col, F.lit("")))
+    return F.when(F.length(c) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(c, r"\s+")
     )
 
 
 def ws_tokens_sql(expr: str) -> str:
+    e = f"trim(COALESCE({expr}, ''))"
     return (
-        f"CASE WHEN length(trim({expr})) = 0 THEN [] "
-        f"ELSE regexp_split_to_array(trim({expr}), '\\s+') END"
+        f"CASE WHEN length({e}) = 0 THEN [] "
+        f"ELSE regexp_split_to_array({e}, '\\s+') END"
     )

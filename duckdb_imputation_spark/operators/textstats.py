@@ -50,11 +50,14 @@ def token_count_ws(col: Column) -> Column:
 def token_count_regex(col: Column) -> Column:
     """BPE-ish token count: letter runs, digit runs, single symbols —
     a cheap proxy for subword tokenizer counts."""
-    return F.size(F.regexp_extract_all(col, F.lit(_BPE_RE), 0)).cast("long")
+    return F.size(
+        F.regexp_extract_all(F.coalesce(col, F.lit("")), F.lit(_BPE_RE), 0)
+    ).cast("long")
 
 
 def quality_metrics(col: Column) -> dict[str, Column]:
     """Raw quality features as named columns."""
+    col = F.coalesce(col, F.lit(""))
     toks = ws_tokens(col)
     n_char = F.length(col).cast("long")
     n_tok = F.size(toks).cast("long")
@@ -130,7 +133,9 @@ def text_stats(col: Column) -> Column:
     convenience functions above re-tokenize each time).
 
     Fields: n_ws_tokens, n_re_tokens, fp, quality, lang.
+    NULL text ≡ empty text (shared semantic with ws_tokens).
     """
+    col = F.coalesce(col, F.lit(""))
     n_char = F.length(col).cast("long")
     n_punct = (F.length(col) - F.length(F.regexp_replace(col, _PUNCT_RE, ""))).cast(
         "long"

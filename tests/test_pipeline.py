@@ -231,6 +231,41 @@ def test_ann_recall_vs_brute(emb):
     assert 7 in ivf and 7 in lsh
 
 
+def test_adversarial_inputs_no_crash(spark):
+    """Nulls, empty strings, whitespace-only and unicode text must flow
+    through the pipeline ops without crashing, and null/empty docs must
+    not fabricate duplicate pairs with each other via degenerate
+    signatures (the cap guard or empty-shingle handling absorbs them)."""
+    from duckdb_imputation_spark.operators import textprep as tp
+
+    rows = [
+        (1, None),
+        (2, ""),
+        (3, "   "),
+        (4, "héllo wörld 模型 тест emoji 🚀 text"),
+        (5, "normal words appear here today"),
+        (6, "normal words appear here today"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # dedup family
+    assert dd.exact_dedup(df, "text", "doc_id").count() <= 6
+    pairs = dd.minhash_lsh_pairs(df, "text", "doc_id").collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (5, 6) in found or dd.exact_dedup(df, "text", "doc_id").count() == 5
+    assert dd.simhash_pairs(df, "text", "doc_id").count() >= 0
+    assert dd.ngram_jaccard_pairs(df, "text", "doc_id").count() >= 0
+    # textstats / textprep
+    out = df.select(
+        "doc_id",
+        ts.text_stats(F.col("text")).alias("s"),
+        tp.scrub_pii(F.col("text")).alias("scrubbed"),
+    ).collect()
+    assert len(out) == 6
+    assert tp.quality_filter(df, "text", min_tokens=1).count() >= 2
+    chunks = tp.chunk_documents(df.filter("text IS NOT NULL"), "text", "doc_id")
+    assert chunks.count() >= 4  # one chunk per non-null doc at minimum
+
+
 def test_decontaminate(spark, docs):
     """Train docs near-duplicating the eval set are dropped; train-vs-train
     duplicates are NOT treated as contamination."""
