@@ -1622,6 +1622,64 @@ def rollup_lineitem(spark, sf):
 
 
 @register(
+    "pivot_order_status",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS BIGINT) AS f,
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS BIGINT) AS o,
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS BIGINT) AS p
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_order_status(spark, sf):
+    """PIVOT: order counts cross-tabulated priority × status.  Spark's
+    native pivot with explicit values (no extra distinct pass); the
+    oracle uses the equivalent conditional aggregation, which is also the
+    scale-safe form PIVOT compiles to."""
+    return (
+        load_table(spark, sf, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("f"),
+            F.coalesce("O", F.lit(0)).alias("o"),
+            F.coalesce("P", F.lit(0)).alias("p"),
+        )
+    )
+
+
+@register(
+    "unpivot_lineitem_charges",
+    oracle="""
+    SELECT l_returnflag, kind, CAST(SUM(v) AS BIGINT) AS total_c
+    FROM (
+      SELECT l_returnflag, 'price' AS kind, ROUND(l_extendedprice * 100) AS v FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'disc', ROUND(l_discount * 100) FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'tax', ROUND(l_tax * 100) FROM lineitem
+    ) GROUP BY l_returnflag, kind
+    """,
+)
+def unpivot_lineitem_charges(spark, sf):
+    """UNPIVOT (melt): wide charge columns → long (kind, value) rows,
+    aggregated per returnflag — Spark's native unpivot, one scan."""
+    li = _li(spark, sf).select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).alias("price"),
+        F.round(F.col("l_discount") * 100).alias("disc"),
+        F.round(F.col("l_tax") * 100).alias("tax"),
+    )
+    return (
+        li.unpivot("l_returnflag", ["price", "disc", "tax"], "kind", "v")
+        .groupBy("l_returnflag", "kind")
+        .agg(F.sum("v").cast("long").alias("total_c"))
+    )
+
+
+@register(
     "cube_lineitem",
     oracle="""
     SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
