@@ -760,6 +760,67 @@ def mice_high_sql_oracle(spark, sf):
     return _mice_single_col(spark, sf, "high")
 
 
+_MICE_CAT_REL = (
+    "(SELECT l_orderkey, l_linenumber, l_quantity AS q, "
+    "CAST(ROUND(l_discount*100) AS DOUBLE) AS disc, "
+    "CAST(ROUND(l_tax*100) AS DOUBLE) AS tax, "
+    "CASE WHEN l_orderkey % 7 = 0 THEN NULL ELSE l_linenumber END AS ln "
+    "FROM {src})"
+)
+
+
+@register("mice_categorical_sql_oracle")
+def mice_categorical_sql_oracle(spark, sf):
+    """Categorical MICE — the reference's headline flow (imputation via
+    LDA, imputation_base.cpp:46-49 with lda_train): mask l_linenumber on
+    a deterministic key, train LDA on the clean partition, impute the
+    masked rows with the argmax class.  Hash-gated end to end via the
+    baked-coefficient oracle factory (DuckDB-trained bit-identical LDA,
+    shared first-max argmax)."""
+    from .mice import mice_impute
+
+    li = _li(spark, sf).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").alias("q"),
+        F.round(F.col("l_discount") * 100).cast("double").alias("disc"),
+        F.round(F.col("l_tax") * 100).cast("double").alias("tax"),
+        F.when(F.col("l_orderkey") % 7 == 0, None)
+        .otherwise(F.col("l_linenumber"))
+        .alias("ln"),
+    )
+    res = mice_impute(
+        li, cont_cols=["q", "disc", "tax"], cat_cols=["ln"],
+        cont_nulls=[], cat_nulls=["ln"], iters=1, strategy="baseline",
+        noise=False,
+    )
+    return res.df.select(
+        "l_orderkey", "l_linenumber", F.col("ln").cast("int").alias("ln_imputed")
+    )
+
+
+def _mice_cat_oracle(sf_dir: str) -> str:
+    import duckdb
+
+    from .ml import sql_twin as _tw
+    from .ml.lda import lda_train
+
+    con = duckdb.connect()
+    rel = _MICE_CAT_REL.format(src=_pq(sf_dir, "lineitem"))
+    clean = f"(SELECT * FROM {rel} WHERE ln IS NOT NULL)"
+    t = _tw.full_triple_duckdb(con, clean, ["q", "disc", "tax"], ["ln"])
+    model = lda_train(t, label=0)
+    pred = _tw.lda_predict_sql(model, ["q", "disc", "tax"])
+    return f"""
+    SELECT l_orderkey, l_linenumber,
+           CAST(CASE WHEN ln IS NULL THEN {pred} ELSE ln END AS INT) AS ln_imputed
+    FROM {_MICE_CAT_REL.format(src='lineitem')}
+    """
+
+
+ORACLE_FACTORIES["mice_categorical_sql_oracle"] = _mice_cat_oracle
+
+
 # --------------------------------------------------------------------- #
 # 4. Training-data pipeline ops: text analysis, dedup, similarity       #
 # --------------------------------------------------------------------- #
