@@ -163,6 +163,23 @@ def test_bucket_cap_does_not_change_results(dup_docs):
     assert a == b and a
 
 
+def test_embedding_zero_vectors_no_blowup(spark):
+    """All-zero vectors land in one degenerate LSH bucket: the cap drops
+    it, and any surviving zero-vector pair is NaN-cosine → filtered, so
+    the operator completes and reports no false duplicates."""
+    rows = [(i, [0.0] * 8) for i in range(300)] + [
+        (1000, [1.0] * 8),
+        (1001, [1.0001] * 8),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = dd.embedding_dup_pairs(
+        df, "embedding", "vec_id", dim=8, threshold=0.99, bucket_cap=100
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1000, 1001) in found
+    assert all(a >= 1000 for a, b in found), found  # no zero-vector pairs
+
+
 def test_bucket_skew_stats(spark):
     rows = [(i, "identical text for everyone") for i in range(50)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
