@@ -1651,6 +1651,27 @@ def sql_passthrough_shared_dialect(spark, sf):
     return spark.sql(_SHARED_SQL_Q)
 
 
+_SUBQ_SQL = """
+SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c
+FROM orders
+WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+  AND o_orderkey NOT IN (SELECT l_orderkey FROM lineitem WHERE l_tax > 0.07)
+"""
+
+
+@register("correlated_subqueries_orders", oracle=_SUBQ_SQL)
+def correlated_subqueries_orders(spark, sf):
+    """Scalar subquery + correlated EXISTS + NOT IN in one statement —
+    the SAME SQL text on both engines (Catalyst rewrites the EXISTS to a
+    semi join and the NOT IN to a null-aware anti join; .explain shows no
+    per-row subquery execution)."""
+    load_table(spark, sf, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_SUBQ_SQL)
+
+
 @register(
     "rollup_lineitem",
     oracle="""

@@ -30,6 +30,7 @@ __all__ = [
     "read_csv_auto",
     "write_table",
     "write_bucketed_table",
+    "compact_table",
     "register_view",
 ]
 
@@ -88,6 +89,32 @@ def register_view(df: DataFrame, name: str) -> None:
     """CREATE OR REPLACE (temp) VIEW — the lightweight sink the MICE
     loops use between rounds."""
     df.createOrReplaceTempView(name)
+
+
+def compact_table(
+    spark: SparkSession, path: str, target_files: int, fmt: str = "parquet"
+) -> int:
+    """Small-files compaction: rewrite a table directory into
+    ``target_files`` files (staging dir + atomic swap, so a failed
+    rewrite never clobbers the source).  The operational companion to
+    streaming/incremental sinks — thousands of micro-batch part files
+    regress scan parallelism bookkeeping and parquet footer overhead at
+    scale.  Returns the file count after compaction."""
+    import os
+    import shutil
+
+    staging = path.rstrip("/") + "__compact_staging"
+    df = spark.read.format(fmt).load(path)
+    df.repartition(target_files).write.format(fmt).mode("overwrite").save(staging)
+    backup = path.rstrip("/") + "__compact_backup"
+    os.rename(path, backup)
+    try:
+        os.rename(staging, path)
+    except Exception:
+        os.rename(backup, path)  # roll back
+        raise
+    shutil.rmtree(backup)
+    return sum(1 for f in os.listdir(path) if f.endswith((".parquet", ".orc", ".json")))
 
 
 def write_bucketed_table(

@@ -102,6 +102,20 @@ def test_bucketed_join_no_shuffle(spark):
         spark.sql("DROP TABLE IF EXISTS t_o_b")
 
 
+def test_compact_table(spark, tmp_path):
+    from duckdb_imputation_spark.sources import compact_table
+
+    p = str(tmp_path / "frag")
+    spark.range(10_000).repartition(64).write.parquet(p)
+    import os
+
+    before = sum(1 for f in os.listdir(p) if f.endswith(".parquet"))
+    assert before >= 32
+    after = compact_table(spark, p, target_files=4)
+    assert after == 4
+    assert spark.read.parquet(p).count() == 10_000
+
+
 def test_salted_join_matches_plain(spark):
     """Salting must not change join semantics: 90%-skewed key join equals
     the plain join row-for-row, for inner and left."""
