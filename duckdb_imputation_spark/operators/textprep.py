@@ -178,11 +178,13 @@ def pack_sequences(
     sort-order window would serialize on one task.
     """
     keys = partition_cols or []
-    w = (
-        Window.partitionBy(*keys).orderBy(id_col)
-        if keys
-        else Window.partitionBy(F.lit(0)).orderBy(id_col)
+    base = (
+        Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(0))
     )
+    # explicit ROWS frame: the default RANGE frame sums ALL peer rows on
+    # order-key ties, collapsing the prefix sum — id_col should still be
+    # unique for a deterministic packing
+    w = base.orderBy(id_col).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     running = F.sum(F.col(token_col)).over(w) - F.col(token_col)
     return df.withColumn(
         "bin", F.floor(running / F.lit(target_tokens)).cast("long")

@@ -1,0 +1,64 @@
+#!/usr/bin/env python
+"""End-to-end LLM training-data pipeline demo over the testdata corpus:
+
+  scrub PII → quality filter → exact + MinHash dedup → decontaminate
+  against an eval set → stratified sample → chunk → pack into
+  context-window bins → corpus stats
+
+Each stage is the production operator from the package; run with
+``python examples/pipeline_demo.py [sf_dir]``.
+"""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import functions as F
+
+from duckdb_imputation_spark.operators import dedup as dd
+from duckdb_imputation_spark.operators import textprep as tp
+from duckdb_imputation_spark.operators import textstats as ts
+from duckdb_imputation_spark.session import get_spark
+from duckdb_imputation_spark.sources import load_table
+
+
+def main() -> None:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("pipeline-demo")
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    n0 = docs.count()
+
+    clean = docs.withColumn("text", tp.scrub_pii(F.col("text")))
+    clean = tp.quality_filter(clean, "text", min_tokens=5)
+    n1 = clean.count()
+
+    deduped = dd.minhash_dedup(dd.exact_dedup(clean, "text", "doc_id"), "text", "doc_id")
+    n2 = deduped.count()
+
+    eval_set = docs.filter("doc_id % 97 = 0")  # stand-in benchmark set
+    decontaminated = dd.minhash_decontaminate(deduped, eval_set, "text", "doc_id")
+    n3 = decontaminated.count()
+
+    sampled = tp.stratified_sample(
+        decontaminated.withColumn("lang", ts.lang_id(F.col("text"))),
+        "lang", "doc_id", k=200,
+    )
+    chunked = tp.chunk_documents(sampled, "text", "doc_id", chunk_tokens=128, overlap=32)
+    # packing needs a UNIQUE order key — (doc, chunk) composite
+    chunked = chunked.withColumn(
+        "chunk_uid", F.col("doc_id") * 1000 + F.col("chunk_idx")
+    )
+    packed = tp.pack_sequences(
+        chunked.withColumnRenamed("chunk_tokens", "n_tok"), "n_tok", "chunk_uid", 512
+    )
+    bins = packed.agg(
+        F.countDistinct("bin").alias("bins"), F.count(F.lit(1)).alias("chunks")
+    ).first()
+
+    print(f"docs {n0} -> quality {n1} -> dedup {n2} -> decontaminated {n3}")
+    print(f"packed {bins['chunks']} chunks into {bins['bins']} bins of <=512 tokens")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
