@@ -87,17 +87,24 @@ def main() -> None:
 
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
     times: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
         best = None
-        for _ in range(max(repeats, 1)):
-            t0 = time.perf_counter()
-            fn(spark, SF_DIR).collect()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        times[name] = round(best, 3)
+        try:
+            for _ in range(max(repeats, 1)):
+                t0 = time.perf_counter()
+                fn(spark, SF_DIR).collect()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            times[name] = round(best, 3)
+        except Exception as ex:  # one broken query must not kill the run
+            errors[name] = str(ex)[:200]
 
-    times["mice_low_2iter"] = round(bench_mice(spark), 3)
+    try:
+        times["mice_low_2iter"] = round(bench_mice(spark), 3)
+    except Exception as ex:
+        errors["mice_low_2iter"] = str(ex)[:200]
 
     out = {
         "metric": "headline_queries_total_wall_clock",
@@ -106,6 +113,8 @@ def main() -> None:
         "queries": times,
         "sf": sf_val,
     }
+    if errors:
+        out["errors"] = errors
     print(json.dumps(out))
     spark.stop()
 
