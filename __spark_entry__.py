@@ -25,9 +25,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from duckdb_imputation_spark.queries import QUERIES
+    from duckdb_imputation_spark.queries import ordered_queries
 
-    return dict(QUERIES)
+    return ordered_queries()
 
 
 def oracle_sql() -> dict[str, str]:

@@ -64,6 +64,73 @@ def resolve_oracles(sf_dir: str | None = None) -> dict[str, str]:
     return out
 
 
+# --------------------------------------------------------------------- #
+# Driver ordering.  The correctness harness verifies the FIRST 50        #
+# registered queries; registration order alone left the newest oracles   #
+# (ML histograms, pivot/cube breadth, …) past the cutoff in round 2.     #
+# _DRIVER_PRIORITY pins the queries that most need a driver hash row to  #
+# the front; long-stable rows (hash-green in BOTH r1 and r2 driver runs) #
+# are rotated behind them and stay covered by the local 66-query replay  #
+# (tests/test_oracle_parity.py).                                         #
+# --------------------------------------------------------------------- #
+
+_DRIVER_PRIORITY: list[str] = [
+    # never driver-verified before round 3 (VERDICT r2 "What's missing" #1)
+    "qda_train_predict_histogram",
+    "nb_train_predict_histogram",
+    "lda_train_predict_histogram",
+    "sql_passthrough_shared_dialect",
+    "correlated_subqueries_orders",
+    "rollup_lineitem",
+    "pivot_order_status",
+    "unpivot_lineitem_charges",
+    "cube_lineitem",
+    "intersect_except_parts",
+    "string_functions_parts",
+    "percentile_quantities",
+    "sessionize_events",
+    "brand_revenue",
+    "rolling_customer_spend",
+    "asof_join_click_to_view",
+]
+
+
+# Hash-green in BOTH the r1 and r2 driver runs and untouched since;
+# rotated past the 50-query cutoff to make room.  Still verified every
+# round by the local full-catalog replay.
+_DRIVER_DEMOTE: list[str] = [
+    "orders_window_top3",
+    "semi_join_urgent_customers",
+    "anti_join_customers_no_orders",
+    "distinct_category_dictionary",
+    "union_partition_counts",
+    "mean_mode_stats",
+    "case_when_null_buckets",
+    "casts_and_dates",
+    "list_extract_position",
+    "math_scalar_functions",
+    "json_extract_events",
+    "events_hourly_rollup",
+    "text_stats_documents",
+    "exact_dedup_documents",
+    "minhash_signatures",
+    "ngram_jaccard_dups",
+    "simhash_documents",
+    "cross_join_triples",
+]
+
+
+def ordered_queries() -> dict[str, QueryFn]:
+    """Registration dict reordered so _DRIVER_PRIORITY names come first
+    and _DRIVER_DEMOTE names last (names not yet registered are
+    skipped); everything else keeps registration order in between."""
+    front = [n for n in _DRIVER_PRIORITY if n in QUERIES]
+    back = [n for n in _DRIVER_DEMOTE if n in QUERIES]
+    pinned = set(front) | set(back)
+    mid = [n for n in QUERIES if n not in pinned]
+    return {n: QUERIES[n] for n in front + mid + back}
+
+
 def _li(spark, sf):
     return load_table(spark, sf, "lineitem")
 
