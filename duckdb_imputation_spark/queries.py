@@ -75,7 +75,18 @@ def resolve_oracles(sf_dir: str | None = None) -> dict[str, str]:
 # --------------------------------------------------------------------- #
 
 _DRIVER_PRIORITY: list[str] = [
-    # never driver-verified before round 3 (VERDICT r2 "What's missing" #1)
+    # round 4: new rows (never driver-verified) and queries whose
+    # implementation changed this round — their hashes need fresh
+    # driver evidence even though the results are designed to be
+    # unchanged
+    "multimodal_decode_netpbm",
+    "embedding_dup_pairs_lsh",
+    "pack_documents_bins",
+    "sequence_id_generation",
+    "vocabulary_top_tokens",
+    "intersect_except_parts",
+    # pinned since round 3 (first driver-hash-green in r3; some were
+    # also green in r1 before rotating out of the r2 window)
     "qda_train_predict_histogram",
     "nb_train_predict_histogram",
     "lda_train_predict_histogram",
@@ -85,7 +96,6 @@ _DRIVER_PRIORITY: list[str] = [
     "pivot_order_status",
     "unpivot_lineitem_charges",
     "cube_lineitem",
-    "intersect_except_parts",
     "string_functions_parts",
     "percentile_quantities",
     "sessionize_events",
@@ -1177,6 +1187,100 @@ def _ann_ivf_oracle(sf_dir: str) -> str:
 ORACLE_FACTORIES["ann_ivf_topk"] = _ann_ivf_oracle
 
 
+def _embedding_dup_oracle(
+    n_planes: int = 16, bands: int = 4, dim: int = 64,
+    thr: float = 0.95, cap: int = 512, seed: int = 42,
+) -> str:
+    """SQL twin of operators/dedup.py embedding_dup_pairs: the seeded
+    hyperplanes are regenerated with the same NumPy call and inlined as
+    literals; sign bits, band buckets, the 2..cap bucket filter, ordered
+    candidate pairs and the exact-cosine verify all mirror the Spark
+    pipeline expression for expression (sequential-fold dots, so the
+    float64 signs and rounded cosines are bit-identical)."""
+    import numpy as np
+
+    from .ml.sql_twin import flit
+
+    planes = np.random.default_rng(seed).normal(size=(n_planes, dim))
+
+    def vlit(v) -> str:
+        return "[" + ", ".join(flit(float(x)) for x in v) + "]"
+
+    def dot(vec: str, other: str) -> str:
+        # sequential left fold, same order as Spark's
+        # aggregate(zip_with(a, b, x*y), 0.0, acc+v)
+        return (
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(range(1, {dim + 1}), "
+            f"i -> CAST({vec}[CAST(i AS INT)] AS DOUBLE) * {other})), "
+            "(a, b) -> a + b)"
+        )
+
+    bits = ", ".join(
+        "CASE WHEN "
+        + dot("embedding", f"({vlit(p)})[CAST(i AS INT)]")
+        + " > 0 THEN 1 ELSE 0 END"
+        for p in planes
+    )
+    width = n_planes // bands
+    band_rows = "\n      UNION ALL\n      ".join(
+        f"SELECT vec_id, {b} AS band, "
+        + " || ".join(
+            f"CAST(bit[{b * width + r + 1}] AS VARCHAR)" for r in range(width)
+        )
+        + " AS bucket FROM bits"
+        for b in range(bands)
+    )
+    pair_dot = dot("a.embedding", "CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)")
+    self_dot_a = dot("a.embedding", "CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)")
+    self_dot_b = dot("b.embedding", "CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)")
+    return f"""
+    WITH unioned AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < 60
+      UNION ALL
+      SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings WHERE vec_id < 10
+    ), bits AS (
+      SELECT vec_id, [{bits}] AS bit FROM unioned
+    ), banded AS (
+      {band_rows}
+    ), kept AS (
+      SELECT band, bucket FROM banded GROUP BY band, bucket
+      HAVING COUNT(*) BETWEEN 2 AND {cap}
+    ), cand AS (
+      SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+      FROM banded l JOIN kept USING (band, bucket)
+           JOIN banded r USING (band, bucket)
+      WHERE l.vec_id < r.vec_id
+    )
+    SELECT id_a, id_b, cosine FROM (
+      SELECT c.id_a, c.id_b,
+             ROUND({pair_dot} / (sqrt({self_dot_a}) * sqrt({self_dot_b})), 6)
+               AS cosine
+      FROM cand c JOIN unioned a ON a.vec_id = c.id_a
+                  JOIN unioned b ON b.vec_id = c.id_b
+    ) WHERE cosine >= {thr}
+    """
+
+
+@register("embedding_dup_pairs_lsh", oracle=_embedding_dup_oracle())
+def embedding_dup_pairs_lsh(spark, sf):
+    """Embedding near-duplicate pairs by random-hyperplane LSH + exact
+    cosine verify (the embedding-space member of the dedup family, the
+    last one without a hash row).  Ten exact copies (vec_id+10000) are
+    unioned in so the ≥0.95 verify has true positives; random cross
+    pairs that share a 4-bit band bucket are real candidates the exact
+    verify must reject — both paths are hash-gated."""
+    e = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    dup = e.filter("vec_id < 10").select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    u = e.filter("vec_id < 60").unionAll(dup)
+    return _dd.embedding_dup_pairs(
+        u, "embedding", "vec_id", dim=64, threshold=0.95,
+        n_planes=16, bands=4, seed=42,
+    )
+
+
 def _minhash_pairs_ctes(
     union_sql: str, k: int = 16, bands: int = 4, cap: int = 512, thr: float = 0.5
 ) -> str:
@@ -1562,20 +1666,67 @@ def bm25_search_documents(spark, sf):
     return bm25_topk(d, "text", "doc_id", ["hash", "join", "filter"], k=15)
 
 
-@register("multimodal_decode_stub")
-def multimodal_decode_stub(spark, sf):
-    """Binary-column plumbing end to end: documents' text bytes as opaque
-    payloads → Arrow-batched mapInPandas pseudo-decode → per-item stats.
-    Rows-only (the md5-stream fake decoder is not SQL-expressible)."""
+@register(
+    "multimodal_decode_netpbm",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id, r, c,
+             (doc_id * 31 + ((2 * r) * 16 + 2 * c) * 7) % 256 AS v
+      FROM documents, UNNEST(range(0, 8)) t1(r), UNNEST(range(0, 8)) t2(c)
+      WHERE doc_id < 50
+    )
+    SELECT doc_id AS id,
+           CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+           CAST(SUM(v) AS BIGINT) AS sum_pixels,
+           md5(string_agg(CAST(v AS VARCHAR), ',' ORDER BY r, c)) AS pixel_digest
+    FROM px GROUP BY doc_id
+    """,
+)
+def multimodal_decode_netpbm(spark, sf):
+    """REAL image decode end to end: deterministic P5/PGM payloads are
+    synthesized IN-ENGINE (header + unhex'd pixel bytes, pixel(i) =
+    (doc_id·31 + i·7) mod 256 over a 16×16 grid), decoded by the real
+    netpbm parser (header parse + np.frombuffer, multimodal.py
+    decode_netpbm_bytes) through an Arrow-batched mapInPandas stage,
+    nearest-neighbor-resized 16×16 → 8×8 (keeps pixels at even (r,c)),
+    and verified pixel-for-pixel: the oracle recomputes the generating
+    formula in SQL and md5-digests the same pixel sequence."""
     from .operators.multimodal import decode_images
 
+    side = 16
+    header = F.encode(F.lit(f"P5\n{side} {side}\n255\n"), "utf-8")
+    idx = F.sequence(F.lit(0), F.lit(side * side - 1))
+    hexstr = F.concat_ws(
+        "",
+        F.transform(
+            idx,
+            lambda i: F.lpad(
+                F.hex(F.pmod(F.col("doc_id") * 31 + i * 7, F.lit(256))), 2, "0"
+            ),
+        ),
+    )
     d = (
         load_table(spark, sf, "documents")
         .filter("doc_id < 50")
-        .select("doc_id", F.encode("text", "utf-8").alias("payload"))
+        .select("doc_id", F.concat(header, F.unhex(hexstr)).alias("payload"))
     )
-    out = decode_images(d, "payload", "doc_id", height=8, width=8)
-    return out.select("id", "width", "height", F.round("mean_pixel", 6).alias("mean_pixel"))
+    out = decode_images(d, "payload", "doc_id", height=8, width=8, fake=False)
+    return out.select(
+        "id",
+        "width",
+        "height",
+        F.aggregate(
+            F.col("pixels"), F.lit(0).cast("long"), lambda a, v: a + v
+        ).alias("sum_pixels"),
+        F.md5(
+            F.encode(
+                F.concat_ws(
+                    ",", F.transform(F.col("pixels"), lambda v: v.cast("string"))
+                ),
+                "utf-8",
+            )
+        ).alias("pixel_digest"),
+    )
 
 
 @register(

@@ -18,11 +18,15 @@ from duckdb_imputation_spark.queries import (
 )
 
 DRIVER_WINDOW = 50
+# repo root derived from this file's location, not hardcoded — the test
+# must find the CORRECTNESS_r*.json files in any checkout
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def test_priority_and_demote_names_exist():
-    # names in the pin lists must be real registrations (modulo queries
-    # that a later round plans to add — none may be misspelled twice)
+    # every pinned name must be a real registration; ordered_queries()
+    # skipping unknown names is a runtime safety net, not a license for
+    # stale pins
     unknown = [
         n for n in _DRIVER_PRIORITY + _DRIVER_DEMOTE if n not in QUERIES
     ]
@@ -40,13 +44,23 @@ def test_ordering_preserves_catalog():
 
 
 def test_never_driver_verified_queries_inside_window():
-    """Every catalog query that has no hash row in ANY past driver
-    correctness file must sit inside the first-50 window."""
+    """Every catalog query that has never had a PASSING driver hash row
+    (hash_match true, no error — mere presence in a correctness file is
+    not verification) must sit inside the first-50 window."""
     verified: set[str] = set()
-    for fname in sorted(os.listdir("/root/repo")):
+    found_any = False
+    for fname in sorted(os.listdir(ROOT)):
         if fname.startswith("CORRECTNESS_r") and fname.endswith(".json"):
-            with open(os.path.join("/root/repo", fname)) as f:
-                verified |= set(json.load(f))
+            found_any = True
+            with open(os.path.join(ROOT, fname)) as f:
+                data = json.load(f)
+            verified |= {
+                n
+                for n, v in data.items()
+                if v.get("hash_match") and not v.get("err")
+            }
+    if not found_any:
+        pytest.skip("no driver correctness files in this checkout")
     window = list(entry_mod.queries())[:DRIVER_WINDOW]
     outside = [
         n for n in entry_mod.queries() if n not in verified and n not in window
