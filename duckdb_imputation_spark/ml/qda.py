@@ -16,7 +16,7 @@ UDF over broadcast parameters (the documented slow-path exception).
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import numpy as np
 import pandas as pd
@@ -39,6 +39,15 @@ class QDAModel:
     cat_idxs: list[int]  # drop-first dictionary over feature cat cols
     cat_array: list[int]
     d_num: int
+    # normalize=True training also keeps the reference's serialized form:
+    # per class the z-space params with stds folded (Q_z/(std_i·std_j),
+    # L_z/std_j, z-intercept) plus the m pooled means (qda.cpp:245-251,
+    # 269-271, 298-301) — predict centers raw features by the means
+    # (qda.cpp:426-437), which is algebraically the raw-space model above
+    norm_quad: list[np.ndarray] | None = field(default=None)
+    norm_lin: list[np.ndarray] | None = field(default=None)
+    norm_intercept: list[float] | None = field(default=None)
+    norm_means: np.ndarray | None = field(default=None)
 
     @property
     def m(self) -> int:
@@ -54,14 +63,20 @@ class QDAModel:
         class labels, then per class: m×m quadratic term (−½Σ⁻¹,
         row-major), m linear terms (Σ⁻¹μ), intercept].
 
-        Only the default (non-normalized) training is serialized: the
-        reference's normalize blob stores z-space parameters plus the
-        column means (qda.cpp:330-336) for centering at predict time,
-        while this implementation folds the standardization back into
-        raw-space parameters at train time (qda_train docstring)."""
+        A normalize=True model serializes the reference's normalized
+        layout instead: per class the z-space quad scaled by
+        1/(std_i·std_j) (qda.cpp:245-251), the z-space lin scaled by
+        1/std_j (:269-271) and the UNscaled z-space intercept, with the
+        m pooled feature means appended after the class blocks
+        (:298-301) — the reference's predict subtracts the means from
+        the raw features before applying these params (:426-437)."""
         K = len(self.class_labels)
         c = len(self.cat_idxs) - 1
         m = self.m
+        normalized = self.norm_quad is not None
+        quads = self.norm_quad if normalized else self.quad
+        lins = self.norm_lin if normalized else self.lin
+        icpts = self.norm_intercept if normalized else self.intercept
         blob: list[float] = [float(K)]
         if c > 0:
             blob.append(float(c + 1))
@@ -71,9 +86,11 @@ class QDAModel:
             blob.append(0.0)
         blob += [float(x) for x in self.class_labels]
         for k in range(K):
-            blob += [float(self.quad[k][i, j]) for i in range(m) for j in range(m)]
-            blob += [float(x) for x in self.lin[k]]
-            blob.append(float(self.intercept[k]))
+            blob += [float(quads[k][i, j]) for i in range(m) for j in range(m)]
+            blob += [float(x) for x in lins[k]]
+            blob.append(float(icpts[k]))
+        if normalized:
+            blob += [float(x) for x in self.norm_means]
         return blob
 
 
@@ -120,6 +137,7 @@ def qda_train(
                 s_m[0, i] = s_m[i, 0] = (raw0[i] - g_means[i] * n_c) / g_stds[i]
 
     quads, lins, intercepts = [], [], []
+    n_quads, n_lins, n_icpts = [], [], []
     for sigma in sigmas:
         n_c = sigma[0, 0]
         s = sigma[0, 1:]
@@ -146,10 +164,30 @@ def qda_train(
             Qr = quad_z * np.outer(Dinv, Dinv)
             Lr = Dinv * lin_z - 2.0 * (Qr @ m_f)
             br = float(m_f @ (Qr @ m_f) - (Dinv * lin_z) @ m_f + icpt_z)
+            # the reference's serialized normalized form: std-folded
+            # params WITHOUT the mean shift (predict centers by the
+            # appended means instead, qda.cpp:426-437)
+            n_quads.append(Qr)
+            n_lins.append(Dinv * lin_z)
+            n_icpts.append(float(icpt_z))
             quad_z, lin_z, icpt_z = Qr, Lr, br
         quads.append(quad_z)
         lins.append(lin_z)
         intercepts.append(icpt_z)
+    if normalize:
+        return QDAModel(
+            class_labels=[int(x) for x in labels],
+            quad=quads,
+            lin=lins,
+            intercept=intercepts,
+            cat_idxs=cat_idxs,
+            cat_array=cat_array,
+            d_num=d,
+            norm_quad=n_quads,
+            norm_lin=n_lins,
+            norm_intercept=n_icpts,
+            norm_means=np.asarray(g_means[1:], dtype=float),
+        )
     return QDAModel(
         class_labels=[int(x) for x in labels],
         quad=quads,

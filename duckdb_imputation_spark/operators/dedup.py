@@ -522,7 +522,8 @@ def dedup_components(
         .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+    changed = -1
+    for it in range(max_iter):
         neighbor = (
             sym.join(labels.withColumnRenamed("id", "dst2"),
                      F.col("dst") == F.col("dst2"))
@@ -538,12 +539,18 @@ def dedup_components(
             )
         )
         updated = updated.localCheckpoint()
-        changed = (
-            updated.withColumnRenamed("label", "new_label")
-            .join(labels.withColumnRenamed("id", "id2"), F.col("id") == F.col("id2"))
-            .filter(F.col("new_label") != F.col("label"))
-            .count()
-        )
+        # convergence check (a count() action) only every 2nd round:
+        # labels decrease monotonically, so a zero one-round delta at a
+        # check point proves global convergence; at worst one extra
+        # (no-op) propagation round runs, for half the driver actions
+        if it % 2 == 1 or it == max_iter - 1:
+            changed = (
+                updated.withColumnRenamed("label", "new_label")
+                .join(labels.withColumnRenamed("id", "id2"),
+                      F.col("id") == F.col("id2"))
+                .filter(F.col("new_label") != F.col("label"))
+                .count()
+            )
         labels = updated
         if changed == 0:
             break
@@ -591,8 +598,21 @@ def minhash_decontaminate(
     Ids are composite-encoded (id·2 + source) so the two datasets need
     not share an id space; the source tag rides the slim blocking rows
     (1 byte) and pairs within the same dataset are discarded before
-    verification — a train-vs-train duplicate is NOT contamination."""
-    uid = (F.col(id_col) * 2).cast("long")
+    verification — a train-vs-train duplicate is NOT contamination.
+
+    The encoding is integer arithmetic end to end (encode ·2, decode via
+    an arithmetic shift), so it is exact over the full long range; a
+    non-integral id column would silently truncate, so it raises."""
+    _INTEGRAL = ("tinyint", "smallint", "int", "bigint")
+    for side, frame in (("train", train), ("contamination", contamination)):
+        dtype = dict(frame.dtypes)[id_col]
+        if dtype not in _INTEGRAL:
+            raise TypeError(
+                f"minhash_decontaminate needs an integral id column; "
+                f"{side}[{id_col!r}] is {dtype} — hash or dense-rank it "
+                f"to a long first"
+            )
+    uid = (F.col(id_col).cast("long") * 2)
     a = train.select(uid.alias("__uid"), F.col(text_col).alias("__text"))
     b = contamination.select(
         (F.col(id_col) * 2 + 1).cast("long").alias("__uid"),
@@ -621,7 +641,9 @@ def minhash_decontaminate(
             .alias("__uid")
         )
         .distinct()
-        .select((F.col("__uid") / 2).cast("long").alias(id_col))
+        # arithmetic shift = floor division by 2: exact for every long,
+        # unlike float `/` which loses ids above 2^53
+        .select(F.shiftright(F.col("__uid"), 1).alias(id_col))
     )
     return train.join(tainted, id_col, "left_anti")
 

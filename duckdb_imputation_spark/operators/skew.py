@@ -35,10 +35,20 @@ def salted_join(
     Semantics match ``big.join(small, on, how)`` for inner/left joins
     (every big row keeps exactly its one salt; every small row exists for
     every salt).
+
+    The salt is ``pmod(hash(<all big columns>, seed), n_salts)`` — a pure
+    function of row content, so retries / speculative tasks / AQE
+    replans recompute the SAME salt (``rand(seed)`` is seeded per
+    partition and shifts when partitioning changes).  Hashing the whole
+    row, not just the join keys: a hot key's rows must land on
+    DIFFERENT salts to spread, and they differ in their payload columns.
     """
     if how not in ("inner", "left", "left_outer"):
         raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
-    salted_big = big.withColumn("__salt", (F.rand(seed) * n_salts).cast("int"))
+    salted_big = big.withColumn(
+        "__salt",
+        F.pmod(F.hash(*[F.col(c) for c in big.columns], F.lit(seed)), F.lit(n_salts)),
+    )
     salts = big.sparkSession.range(n_salts).select(
         F.col("id").cast("int").alias("__salt")
     )

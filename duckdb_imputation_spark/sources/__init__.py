@@ -95,18 +95,32 @@ def compact_table(
     spark: SparkSession, path: str, target_files: int, fmt: str = "parquet"
 ) -> int:
     """Small-files compaction: rewrite a table directory into
-    ``target_files`` files (staging dir + atomic swap, so a failed
-    rewrite never clobbers the source).  The operational companion to
-    streaming/incremental sinks — thousands of micro-batch part files
-    regress scan parallelism bookkeeping and parquet footer overhead at
-    scale.  Returns the file count after compaction."""
+    ``target_files`` files (staging dir + rename swap).  The operational
+    companion to streaming/incremental sinks — thousands of micro-batch
+    part files regress scan parallelism bookkeeping and parquet footer
+    overhead at scale.  Returns the file count after compaction.
+
+    Crash safety: a crash can interrupt between the two renames, leaving
+    only the backup dir (POSIX offers no atomic two-directory swap) —
+    the next call detects that state and restores the source before
+    compacting, so no committed data is ever lost and the operation is
+    safely re-runnable."""
     import os
     import shutil
 
     staging = path.rstrip("/") + "__compact_staging"
+    backup = path.rstrip("/") + "__compact_backup"
+    # recover from a previously interrupted swap: source missing but the
+    # backup (the pre-compaction data, still complete) present
+    if os.path.exists(backup):
+        if not os.path.exists(path):
+            os.rename(backup, path)
+        else:
+            shutil.rmtree(backup)  # swap completed; stale backup
+    if os.path.exists(staging):
+        shutil.rmtree(staging)  # incomplete staging from a crashed run
     df = spark.read.format(fmt).load(path)
     df.repartition(target_files).write.format(fmt).mode("overwrite").save(staging)
-    backup = path.rstrip("/") + "__compact_backup"
     os.rename(path, backup)
     try:
         os.rename(staging, path)

@@ -53,6 +53,10 @@ _STATE_SCHEMA = StructType(
     [
         StructField("ids", ArrayType(LongType())),
         StructField("sigs", ArrayType(LongType())),  # k slots per id, flat
+        # high-water event time (µs) across ALL batches seen by this
+        # bucket — keeps the expiry timeout monotone when a later batch
+        # carries only older (out-of-order) events
+        StructField("max_ts", LongType()),
     ]
 )
 
@@ -115,12 +119,13 @@ def streaming_minhash_pairs(
             return
         rows = pd.concat(list(pdfs)).sort_values("__id")
         if state.exists:
-            ids, sigs = state.get
+            ids, sigs, prev_max_ts = state.get
             ids, sigs = list(ids), list(sigs)
+            max_ts_us = int(prev_max_ts or 0)
         else:
             ids, sigs = [], []
+            max_ts_us = 0
         out = {"id_a": [], "id_b": [], "est_jaccard": [], "band": []}
-        max_ts_us = 0
         for _, r in rows.iterrows():
             new_sig = [int(x) for x in r["__sig"]]
             new_id = int(r["__id"])
@@ -141,7 +146,9 @@ def streaming_minhash_pairs(
             if len(ids) > state_cap:  # FIFO eviction keeps state bounded
                 ids = ids[-state_cap:]
                 sigs = sigs[-state_cap * k :]
-        state.update((ids, sigs))
+        state.update((ids, sigs, max_ts_us))
+        # max_ts_us is seeded from state, so the timeout never moves
+        # backwards when a batch arrives with only out-of-order events
         state.setTimeoutTimestamp(max_ts_us // 1000 + horizon_seconds * 1000)
         if out["id_a"]:
             yield pd.DataFrame(out)

@@ -405,6 +405,43 @@ def test_qda_params_blob_layout():
         assert blob[base + m * m + m] == pytest.approx(m_model.intercept[k])
 
 
+def test_qda_normalized_blob_reference_semantics():
+    """normalize=True blob (qda.cpp:245-251, 269-271, 298-301): per-class
+    std-folded z-space params + the m pooled means appended.  Scoring the
+    blob the way the reference's predict does — center raw features by
+    the appended means, then xᵀQx + Lx + b — must reproduce the raw-space
+    model's argmax (and, up to float noise, its score differences)."""
+    rows = make_rows(300)
+    classes = sorted({r[4] for r in rows})
+    triples = [
+        triple_of([r for r in rows if r[4] == c], [0, 1, 2], []) for c in classes
+    ]
+    raw = qda_train(triples, labels=classes, normalize=False)
+    norm = qda_train(triples, labels=classes, normalize=True)
+    blob = norm.to_params_blob()
+    K, m = len(classes), 3
+    assert len(blob) == 2 + K + K * (m * m + m + 1) + m  # + means tail
+    means = np.asarray(blob[-m:])
+    assert np.allclose(means, norm.norm_means)
+    for r in rows[:40]:
+        x = np.asarray(r[:3], dtype=float)
+        z = x - means  # reference predict: subtract appended means
+        scores_blob, scores_raw = [], []
+        for k in range(K):
+            base = 2 + K + k * (m * m + m + 1)
+            Q = np.asarray(blob[base : base + m * m]).reshape(m, m)
+            L = np.asarray(blob[base + m * m : base + m * m + m])
+            b = blob[base + m * m + m]
+            scores_blob.append(z @ Q @ z + L @ z + b)
+            scores_raw.append(
+                x @ raw.quad[k] @ x + raw.lin[k] @ x + raw.intercept[k]
+            )
+        assert int(np.argmax(scores_blob)) == int(np.argmax(scores_raw))
+        d_blob = np.asarray(scores_blob) - scores_blob[0]
+        d_raw = np.asarray(scores_raw) - scores_raw[0]
+        assert np.allclose(d_blob, d_raw, rtol=1e-6, atol=1e-6)
+
+
 def test_qda_blob_layout_with_cats():
     rows = make_rows(300)
     classes = sorted({r[4] for r in rows})

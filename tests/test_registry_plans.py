@@ -173,3 +173,78 @@ def test_csv_auto_reader(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 2
     assert {r["species"] for r in back.collect()} == {0, 1}
+
+
+def test_salted_join_salt_is_deterministic_and_spreads(spark):
+    """The salt is a pure function of row content: repartitioning must
+    not change any row's salt (rand(seed) fails this), and a hot key's
+    rows must still spread over multiple salts."""
+    from pyspark.sql import functions as F
+
+    big = spark.range(2_000).select(
+        F.lit(1).alias("k"), F.col("id").alias("v")
+    )
+    salt = F.pmod(F.hash(F.col("k"), F.col("v"), F.lit(42)), F.lit(4))
+    a = {r["v"]: r["s"] for r in big.withColumn("s", salt).collect()}
+    b = {
+        r["v"]: r["s"]
+        for r in big.repartition(13, "v").withColumn("s", salt).collect()
+    }
+    assert a == b  # repartition-stable
+    assert len(set(a.values())) == 4  # hot key spreads over all salts
+
+
+def test_decontaminate_rejects_non_integral_ids(spark):
+    from duckdb_imputation_spark.operators import dedup as dd
+
+    t = spark.createDataFrame([("x", "some text here")], "doc_id string, text string")
+    with pytest.raises(TypeError, match="integral id"):
+        dd.minhash_decontaminate(t, t, "text", "doc_id")
+
+
+def test_decontaminate_huge_ids_roundtrip(spark):
+    """Ids above 2^53 must survive the uid encode/decode exactly (float
+    division would corrupt them)."""
+    from duckdb_imputation_spark.operators import dedup as dd
+
+    base = 2**53 + 12345
+    txt = "the quick brown fox jumps over the lazy dog " * 3
+    train = spark.createDataFrame(
+        [(base, txt), (base + 1, "completely different words entirely " * 3)],
+        "doc_id long, text string",
+    )
+    contam = spark.createDataFrame([(7, txt)], "doc_id long, text string")
+    kept = sorted(
+        r["doc_id"]
+        for r in dd.minhash_decontaminate(train, contam, "text", "doc_id").collect()
+    )
+    assert kept == [base + 1]  # exact id dropped, neighbor kept bit-exactly
+
+
+def test_compact_table_recovers_from_interrupted_swap(spark, tmp_path):
+    """Crash between the two renames leaves only the backup dir; the next
+    call must restore it and complete the compaction."""
+    import os
+
+    from duckdb_imputation_spark.sources import compact_table
+
+    p = str(tmp_path / "tbl")
+    spark.range(1_000).repartition(16).write.parquet(p)
+    os.rename(p, p + "__compact_backup")  # simulate the crash window
+    after = compact_table(spark, p, target_files=2)
+    assert after == 2
+    assert spark.read.parquet(p).count() == 1_000
+    assert not os.path.exists(p + "__compact_backup")
+
+
+def test_dedup_components_long_chain_converges(spark):
+    """A 10-hop duplicate chain needs 10 propagation rounds; the
+    every-2nd-round convergence check must still produce the exact
+    min-label closure."""
+    from duckdb_imputation_spark.operators.dedup import dedup_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "id_a long, id_b long"
+    )
+    got = {r["id"]: r["canonical"] for r in dedup_components(pairs).collect()}
+    assert got == {i: 0 for i in range(11)}
