@@ -4,20 +4,30 @@ replacement for ``Window.partitionBy(F.lit(0)).orderBy(...)``.
 A single-partition window serializes the whole input through one task
 (Spark logs ``WindowExec: No Partition Defined`` and moves ALL data to
 one partition) — at 100 TB that is the difference between a running
-pipeline and a dead one.  The classic fix is the two-pass shard-offset
-prefix sum:
+pipeline and a dead one.  The fix is the classic hierarchical prefix
+sum, expressed fully inside one Spark plan:
 
-1. shard the rows into order-preserving ranges of the order column
-   (boundaries baked as literals, so the assignment is a pure function
-   of the row — AQE/retry/replan-proof, unlike ``spark_partition_id``);
-2. pass A: per-shard totals of the summed value — one map-side-combined
-   aggregation, S rows back to the driver;
-3. pass B: per-shard ROWS-frame window prefix sum + the broadcast
-   cumulative offset of all lower shards.
+1. shard rows into order-preserving ranges of the order column
+   (boundaries baked as literals from a cheap quantile sketch, so the
+   assignment is a pure function of the row — AQE/retry/replan-proof,
+   unlike ``spark_partition_id``);
+2. one hash exchange on ``__shard`` feeds a window that computes BOTH
+   the within-shard ROWS-frame prefix AND the shard total;
+3. the distinct (shard, total) rows — at most ``n_shards`` of them —
+   get an exclusive running total via a trivially small window, and
+   broadcast-join back as per-shard offsets.
 
-The result is bit-identical to the global window for any boundary
-placement (equal order keys land in one shard, so even ties behave the
-same), while the heavy pass runs with S-way parallelism.
+No driver-side collect, no checkpoint: the expensive input is computed
+once (both branches read the same shuffle files via exchange reuse),
+and the result is bit-identical to the global window for any boundary
+placement (equal order keys land in one shard, so ties behave the
+same).
+
+The boundary sketch is one extra job over ``bounds_src`` (default: the
+input itself).  When the order column exists upstream of an expensive
+derivation — e.g. doc ids in a parquet scan feeding a tokenizer — pass
+the pruned upstream frame so the sketch reads one integer column
+instead of re-running the derivation.
 """
 
 from __future__ import annotations
@@ -25,7 +35,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["order_preserving_shards", "global_running_sum", "global_row_number"]
+__all__ = [
+    "order_preserving_shards",
+    "global_running_sum",
+    "global_row_number",
+    "default_n_shards",
+]
 
 
 def _shard_bounds(df: DataFrame, order_col: str, n_shards: int) -> list[float]:
@@ -40,33 +55,64 @@ def _shard_bounds(df: DataFrame, order_col: str, n_shards: int) -> list[float]:
 
 
 def order_preserving_shards(
-    df: DataFrame, order_col: str, n_shards: int
+    df: DataFrame,
+    order_col: str,
+    n_shards: int,
+    bounds_src: DataFrame | None = None,
+    bounds: list[float] | None = None,
 ) -> tuple[DataFrame, list[float]]:
     """Attach ``__shard`` — an order-preserving range id of ``order_col``
     (rows with a lower order value never get a higher shard).  The
     boundaries are baked literals: a pure row-local expression, no
-    dependence on physical partitioning."""
-    bounds = _shard_bounds(df, order_col, n_shards)
+    dependence on physical partitioning.  ``bounds_src`` optionally
+    supplies a cheaper frame for the boundary sketch (see module
+    docstring); a superset/subset of ``df``'s rows only shifts balance,
+    never correctness.  ``bounds`` skips the sketch entirely — ANY
+    boundary list is correct, so callers should sketch once per dataset
+    version and reuse (the 100 TB pattern; see pack_documents_bins)."""
+    if bounds is not None:
+        bounds = sorted(set(bounds))
+    else:
+        src = bounds_src if bounds_src is not None else df
+        bounds = _shard_bounds(src, order_col, n_shards)
     c = F.col(order_col)
     shard: Column = F.lit(0)
     for b in bounds:
         shard = shard + (c > F.lit(b)).cast("int")
-    return df.withColumn("__shard", shard), bounds
+    # coalesce makes __shard provably non-nullable (null order keys →
+    # shard 0, where a null-first ordering puts them anyway): the later
+    # offsets join then infers NO isnotnull filter, keeping both plan
+    # branches byte-identical so the shard exchange is planned once and
+    # its shuffle reused instead of re-running the upstream twice
+    return df.withColumn("__shard", F.coalesce(shard, F.lit(0))), bounds
 
 
-def _offset_expr(totals: list[tuple[int, int]]) -> Column:
-    """Exclusive cumulative offsets per shard, baked as a literal map."""
-    offsets: list[Column] = []
-    acc = 0
-    for shard_id, tot in sorted(totals):
-        offsets += [F.lit(int(shard_id)), F.lit(int(acc))]
-        acc += int(tot or 0)
-    if not offsets:  # empty input
-        return F.lit(0).cast("long")
-    mapping = F.create_map(*offsets)
-    return F.coalesce(
-        F.element_at(mapping, F.col("__shard")), F.lit(0)
-    ).cast("long")
+def _with_offsets(tagged: DataFrame, order_col: str) -> DataFrame:
+    """Join each row with ``__off`` — the per-shard total summed over all
+    strictly-lower shards.  The shard total is read off the prefix
+    column itself (``max_by(__loc, order)`` = the LAST prefix value —
+    exact for any value signs), so this branch consumes exactly the
+    same columns as the main branch and the expensive shard exchange is
+    planned ONCE and reused (a groupBy straight off the values would
+    let column pruning specialize a second scan).  The offsets frame is
+    at most n_shards rows, ranked by a trivially small window and
+    broadcast."""
+    totals = tagged.groupBy("__shard").agg(
+        F.max_by("__loc", order_col).alias("__tot")
+    )
+    # constant-valued but non-foldable partition key: one group (the
+    # frame is bounded by n_shards rows) without the misleading
+    # no-partition warning
+    w = (
+        Window.partitionBy(F.pmod(F.col("__shard"), F.lit(1)))
+        .orderBy("__shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "__shard",
+        F.coalesce(F.sum("__tot").over(w), F.lit(0)).cast("long").alias("__off"),
+    )
+    return tagged.join(F.broadcast(offsets), "__shard")
 
 
 def global_running_sum(
@@ -76,56 +122,57 @@ def global_running_sum(
     n_shards: int,
     out_col: str = "__running",
     exclusive: bool = False,
+    bounds_src: DataFrame | None = None,
+    bounds: list[float] | None = None,
 ) -> DataFrame:
-    """Running total of ``value_col`` over the global ``order_col`` order,
-    computed with the two-pass shard-offset pattern (module docstring).
-    ``exclusive=True`` excludes the current row (the packing form).
+    """Running total of ``value_col`` over the global ``order_col`` order
+    (module docstring pattern).  ``exclusive=True`` excludes the current
+    row (the packing form).
 
     Equal order keys: the ROWS frame makes their relative order within
     the running sum arbitrary — pass a unique order column (same caveat
     as the global-window formulation this replaces)."""
-    sharded, _ = order_preserving_shards(df, order_col, n_shards)
-    totals = [
-        (r["__shard"], r["__tot"])
-        for r in sharded.groupBy("__shard")
-        .agg(F.sum(value_col).alias("__tot"))
-        .collect()
-    ]
-    offset = _offset_expr(totals)
-    w = (
+    sharded, _ = order_preserving_shards(df, order_col, n_shards, bounds_src, bounds)
+    w_loc = (
         Window.partitionBy("__shard")
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    running = offset + F.sum(F.col(value_col)).over(w)
+    tagged = sharded.withColumn("__loc", F.sum(F.col(value_col)).over(w_loc))
+    running = F.col("__off") + F.col("__loc")
     if exclusive:
         running = running - F.col(value_col)
-    return sharded.withColumn(out_col, running.cast("long")).drop("__shard")
+    return (
+        _with_offsets(tagged, order_col)
+        .withColumn(out_col, running.cast("long"))
+        .drop("__shard", "__loc", "__off")
+    )
 
 
 def global_row_number(
-    df: DataFrame, order_col: str, n_shards: int, out_col: str = "__rn"
+    df: DataFrame,
+    order_col: str,
+    n_shards: int,
+    out_col: str = "__rn",
+    bounds_src: DataFrame | None = None,
 ) -> DataFrame:
     """row_number() over a global ORDER BY, distributed: per-shard
-    row_number + the baked count of all lower shards."""
-    sharded, _ = order_preserving_shards(df, order_col, n_shards)
-    totals = [
-        (r["__shard"], r["__n"])
-        for r in sharded.groupBy("__shard")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .collect()
-    ]
-    offset = _offset_expr(totals)
-    w = Window.partitionBy("__shard").orderBy(order_col)
-    return sharded.withColumn(
-        out_col, (offset + F.row_number().over(w)).cast("long")
-    ).drop("__shard")
+    row_number + the count of all strictly-lower shards."""
+    sharded, _ = order_preserving_shards(df, order_col, n_shards, bounds_src)
+    w_loc = Window.partitionBy("__shard").orderBy(order_col)
+    tagged = sharded.withColumn("__loc", F.row_number().over(w_loc))
+    return (
+        _with_offsets(tagged, order_col)
+        .withColumn(out_col, (F.col("__off") + F.col("__loc")).cast("long"))
+        .drop("__shard", "__loc", "__off")
+    )
 
 
 def default_n_shards(df: DataFrame) -> int:
     """Shard count for the two-pass prefix ops: the session's shuffle
     parallelism (at 100 TB set n_shards so each shard's rows fit one
-    task comfortably — totals stay S driver-side longs either way)."""
+    task comfortably — the offsets frame stays n_shards rows either
+    way)."""
     try:
         return max(1, int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")))
     except Exception:

@@ -177,6 +177,8 @@ def pack_sequences(
     id_col: str,
     target_tokens: int,
     partition_cols: list[str] | None = None,
+    bounds_src: DataFrame | None = None,
+    bounds: list[float] | None = None,
 ) -> DataFrame:
     """Assign documents to context-window bins: deterministic id order,
     exclusive running token total, bin = floor(running / target) — the
@@ -186,19 +188,25 @@ def pack_sequences(
 
     With ``partition_cols`` the cumulative sum runs per partition key
     (pack within shards, e.g. by date or hash prefix).  WITHOUT keys the
-    global order is computed with the two-pass shard-offset prefix sum
-    (operators/prefix.py): order-preserving range shards → per-shard
-    token totals → broadcast cumulative offsets → per-shard ROWS-frame
-    window + offset.  Bit-identical to a global sort-order window, but
-    the heavy pass keeps full shuffle parallelism instead of moving the
-    corpus through one task.  Numeric ``id_col`` required for the global
-    path (range boundaries come from a quantile sketch); non-numeric ids
-    should pack within ``partition_cols``.
+    global order is computed with the shard-offset prefix sum
+    (operators/prefix.py): order-preserving range shards → one shuffle
+    whose window computes both the within-shard ROWS prefix and the
+    shard totals → broadcast offsets join.  Bit-identical to a global
+    sort-order window, but the heavy pass keeps full shuffle parallelism
+    instead of moving the corpus through one task.  Numeric ``id_col``
+    required for the global path (range boundaries come from a quantile
+    sketch); non-numeric ids should pack within ``partition_cols``.
+
+    The boundary sketch is one extra job over ``bounds_src`` (default:
+    ``df``).  When ``token_col`` is expensive to derive (tokenization),
+    pass the pruned upstream id column so the sketch skips it (see
+    pack_documents_bins).
     """
     keys = partition_cols or []
     if not keys:
         packed = global_running_sum(
-            df, id_col, token_col, default_n_shards(df), exclusive=True
+            df, id_col, token_col, default_n_shards(df),
+            exclusive=True, bounds_src=bounds_src, bounds=bounds,
         )
         return packed.withColumn(
             "bin", F.floor(F.col("__running") / F.lit(target_tokens)).cast("long")

