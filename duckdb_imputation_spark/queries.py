@@ -80,6 +80,7 @@ _DRIVER_PRIORITY: list[str] = [
     # driver evidence even though the results are designed to be
     # unchanged
     "multimodal_decode_netpbm",
+    "multimodal_decode_wav",
     "embedding_dup_pairs_lsh",
     "pack_documents_bins",
     "sequence_id_generation",
@@ -1749,6 +1750,83 @@ def multimodal_decode_netpbm(spark, sf):
                 "utf-8",
             )
         ).alias("pixel_digest"),
+    )
+
+
+@register(
+    "multimodal_decode_wav",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, i, ((doc_id * 7 + i * 13) % 2003) - 1001 AS v
+      FROM documents, UNNEST(range(0, 64)) u(i)
+      WHERE doc_id < 40
+    )
+    SELECT doc_id AS id,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(1 AS INT) AS n_channels,
+           CAST(64 AS BIGINT) AS n_samples,
+           ROUND(sqrt(SUM((v / 32768.0) * (v / 32768.0)) / 64), 6) AS rms,
+           ROUND(MAX(abs(v)) / 32768.0, 6) AS peak
+    FROM s GROUP BY doc_id
+    """,
+)
+def multimodal_decode_wav(spark, sf):
+    """REAL audio decode end to end: PCM16 mono WAV payloads synthesized
+    IN-ENGINE — a constant 44-byte RIFF/fmt/data header literal plus
+    little-endian samples s(i) = ((doc_id·7 + i·13) mod 2003) − 1001 —
+    decoded by the real stdlib ``wave`` parser (multimodal.py
+    decode_audio_wav) through Arrow-batched mapInPandas.  RMS is exact
+    cross-engine: the squared samples are dyadic rationals whose 64-term
+    sum fits float64 exactly, so sqrt/round agree bit-for-bit with the
+    SQL oracle recomputing the generating formula."""
+    from .operators.multimodal import decode_audio_wav
+
+    n, rate = 64, 8000
+    data_size = n * 2
+    header = (
+        b"RIFF"
+        + (36 + data_size).to_bytes(4, "little")
+        + b"WAVEfmt "
+        + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")      # PCM
+        + (1).to_bytes(2, "little")      # mono
+        + rate.to_bytes(4, "little")
+        + (rate * 2).to_bytes(4, "little")  # byte rate
+        + (2).to_bytes(2, "little")      # block align
+        + (16).to_bytes(2, "little")     # bits/sample
+        + b"data"
+        + data_size.to_bytes(4, "little")
+    )
+    idx = F.sequence(F.lit(0), F.lit(n - 1))
+
+    def le16(i):
+        # two's-complement int16, little-endian hex
+        v = F.pmod(
+            F.pmod(F.col("doc_id") * 7 + i * 13, F.lit(2003)) - 1001,
+            F.lit(65536),
+        )
+        return F.concat(
+            F.lpad(F.hex(v % 256), 2, "0"),
+            F.lpad(F.hex(F.floor(v / 256).cast("long")), 2, "0"),
+        )
+
+    hexstr = F.concat_ws("", F.transform(idx, le16))
+    d = (
+        load_table(spark, sf, "documents")
+        .filter("doc_id < 40")
+        .select(
+            "doc_id",
+            F.concat(F.lit(header), F.unhex(hexstr)).alias("payload"),
+        )
+    )
+    out = decode_audio_wav(d, "payload", "doc_id")
+    return out.select(
+        "id",
+        "sample_rate",
+        "n_channels",
+        "n_samples",
+        F.round("rms", 6).alias("rms"),
+        F.round("peak", 6).alias("peak"),
     )
 
 
