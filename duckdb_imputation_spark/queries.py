@@ -81,6 +81,7 @@ _DRIVER_PRIORITY: list[str] = [
     # unchanged
     "multimodal_decode_netpbm",
     "multimodal_decode_wav",
+    "multimodal_media_meta",
     "embedding_dup_pairs_lsh",
     "pack_documents_bins",
     "sequence_id_generation",
@@ -1827,6 +1828,36 @@ def multimodal_decode_wav(spark, sf):
         "n_samples",
         F.round("rms", 6).alias("rms"),
         F.round("peak", 6).alias("peak"),
+    )
+
+
+@register(
+    "multimodal_media_meta",
+    oracle="""
+    SELECT doc_id, 'text/plain' AS fmt,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS sha
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def multimodal_media_meta(spark, sf):
+    """Typed media metadata without decoding (the cheap cataloging pass
+    over opaque binary columns): byte length + sha-256 digest, flattened
+    from attach_media_meta's struct and hash-verified against DuckDB's
+    sha256/octet_length on the same bytes."""
+    from .operators.multimodal import attach_media_meta
+
+    d = (
+        load_table(spark, sf, "documents")
+        .filter("doc_id < 200")
+        .select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    )
+    out = attach_media_meta(d, "payload", fmt="text/plain")
+    return out.select(
+        "doc_id",
+        F.col("payload_meta.format").alias("fmt"),
+        F.col("payload_meta.n_bytes").alias("n_bytes"),
+        F.col("payload_meta.sha").alias("sha"),
     )
 
 
