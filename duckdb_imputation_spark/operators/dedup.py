@@ -303,20 +303,40 @@ def token_hashes(col: Column) -> Column:
 
 
 def simhash_from_hashes(hashes: Column) -> Column:
-    """Pack the per-bit majority vote of pre-hashed tokens into a BIGINT."""
+    """Pack the per-bit majority vote of pre-hashed tokens into a BIGINT.
+
+    Single-pass formulation: one ``aggregate`` folds the token-hash array
+    into a 60-element bit-count vector (``zip_with`` adds each hash's bit
+    decomposition element-wise), then one fold packs the majority bits.
+    The naive form — 60 independent ``aggregate`` calls, one per bit
+    position, summed — builds an expression tree Catalyst spends seconds
+    analyzing and traverses the hash array 60× per row; this one is ~60×
+    smaller and touches each token hash once."""
     n = F.size(hashes)
-
-    def bit_sum(b: int) -> Column:
-        return F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc + F.shiftright(h, b).bitwiseAND(F.lit(1)),
-        )
-
-    return sum(
-        (F.when(bit_sum(b) * 2 > n, F.lit(2**b).cast("long")).otherwise(F.lit(0)))
-        for b in range(_SIMHASH_BITS)
-    ).cast("long")
+    weights = F.array(
+        *[F.lit(1 << b).cast("long") for b in range(_SIMHASH_BITS)]
+    )
+    counts = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), _SIMHASH_BITS),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                weights,
+                lambda w: F.when(h.bitwiseAND(w) != 0, F.lit(1).cast("long"))
+                .otherwise(F.lit(0).cast("long")),
+            ),
+            lambda a, x: a + x,
+        ),
+    )
+    weighted = F.zip_with(
+        counts,
+        weights,
+        lambda c, w: F.when(c * 2 > n, w).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(
+        weighted, F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
 
 
 def simhash(col: Column) -> Column:
