@@ -37,17 +37,26 @@ __all__ = [
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.parquet carries TIMESTAMP(NANOS) which Spark's parquet
-        # reader rejects by default; read nanos as long, convert to a
-        # microsecond timestamp (what DuckDB's CAST(ts AS TIMESTAMP) does).
+        # events.parquet has shipped with two ts encodings across driver
+        # drops: TIMESTAMP(NANOS) (which Spark's reader only accepts as a
+        # long via the legacy flag) and plain timestamp[us] (read as
+        # TIMESTAMP_NTZ). Normalize both to a session-TZ timestamp — the
+        # session is pinned to UTC (session.py:31), so the NTZ cast keeps
+        # the same wall clock DuckDB sees.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        # Integer division, not double: at ~1.7e18 ns a double has 256 ns of
-        # precision, which lands ~13% of rows on a different microsecond than
-        # DuckDB's integer CAST truncation.
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            # Integer division, not double: at ~1.7e18 ns a double has
+            # 256 ns of precision, which lands ~13% of rows on a different
+            # microsecond than DuckDB's integer CAST truncation.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

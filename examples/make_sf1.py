@@ -42,8 +42,9 @@ FAMILY = {
 
 
 def _raw(spark, t):
-    # events: keep ts as the raw nanos long (load_table converts at read
-    # time; writing a converted timestamp would break that contract)
+    # events: pass ts through in whatever encoding the source drop uses
+    # (nanos-as-long for older drops, timestamp[us] for newer ones);
+    # load_table normalizes either at read time.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{SRC}/{t}.parquet")
 
