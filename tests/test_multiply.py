@@ -125,3 +125,23 @@ def test_triple_over_join_grouped_equals_materialized(spark):
     assert set(got) == set(exp)
     for k in got:
         assert got[k].to_dict() == exp[k].to_dict()
+
+
+def test_triple_over_join_null_keys_follow_sql_semantics(spark):
+    """NULL join keys never match by default (SQL inner join, like the
+    reference's JOIN ... ON =); null_safe_keys=True opts into <=>."""
+    left = spark.createDataFrame(
+        [(1, 2.0), (None, 3.0), (None, 5.0)], "k int, x double"
+    )
+    right = spark.createDataFrame(
+        [(1, 10.0), (None, 20.0)], "k int, y double"
+    )
+    sql_t = triple_over_join(left, right, on="k", num1=["x"], num2=["y"])
+    # only k=1 matches: N = 1*1 = 1
+    assert sql_t.collect()[0]["triple"]["N"] == 1
+
+    ns_t = triple_over_join(
+        left, right, on="k", num1=["x"], num2=["y"], null_safe_keys=True
+    )
+    # k=1 (1x1) plus the NULL group (2 left rows x 1 right row) = 3
+    assert ns_t.collect()[0]["triple"]["N"] == 3
