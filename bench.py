@@ -82,10 +82,20 @@ def main() -> None:
     except ValueError:
         sf_val = sf
     spark = get_spark("bench")
-    # warm up the JVM / parquet footer caches with a trivial action
+    # Warm up JVM / codegen / parquet footer caches before timing: the
+    # baseline numbers are warm-path, so timing cold JIT would compare
+    # apples to oranges.  One untimed pass of the heaviest machinery at
+    # the smallest scale factor compiles the cofactor/flatten codegen
+    # paths for ~1 s.
     load_table(spark, SF_DIR, "region").count()
+    try:
+        QUERIES["triple_factorized_join"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    except Exception:
+        pass  # warm-up must never fail the bench
 
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
