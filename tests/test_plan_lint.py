@@ -1,0 +1,73 @@
+"""lint_plan: the SCALING.md checklist as code.
+
+Each red flag is triggered with a deliberately bad plan, then the
+headline pipelines are asserted clean — so a future edit that
+reintroduces a global window or a cartesian product fails CI, not the
+100 TB run.
+"""
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from duckdb_imputation_spark.plans import lint_plan
+from duckdb_imputation_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def codes(df, severity=None):
+    return {
+        f.code
+        for f in lint_plan(df)
+        if severity is None or f.severity == severity
+    }
+
+
+def test_flags_single_partition_window(spark):
+    df = spark.range(100).withColumn(
+        "rn", F.row_number().over(Window.orderBy("id"))
+    )
+    assert "single-partition-exchange" in codes(df, "error")
+
+
+def test_flags_cartesian_product(spark):
+    a, b = spark.range(10), spark.range(10).withColumnRenamed("id", "id2")
+    df = a.crossJoin(b)
+    assert "non-equi-join" in codes(df, "error")
+
+
+def test_flags_row_python_udf(spark):
+    plus_one = F.udf(lambda x: x + 1, T.LongType(), useArrow=False)
+    df = spark.range(10).select(plus_one("id").alias("y"))
+    assert "row-python-udf" in codes(df, "error")
+
+
+def test_clean_aggregation_has_no_errors(spark):
+    df = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .filter(F.col("l_quantity") > 10)
+        .groupBy("l_returnflag")
+        .agg(F.sum("l_extendedprice").alias("s"))
+    )
+    assert codes(df, "error") == set()
+
+
+def test_headline_pipelines_lint_clean(spark):
+    """The scale-critical catalog queries must carry zero error-level
+    findings — this is the executable form of the r2/r3 verdict fixes
+    (no global windows in pack/sequence-id/vocabulary, no cartesian
+    anywhere)."""
+    for name in [
+        "pack_documents_bins",
+        "sequence_id_generation",
+        "vocabulary_top_tokens",
+        "triple_factorized_join",
+        "minhash_dedup_survivors",
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "bm25_search_documents",
+    ]:
+        df = QUERIES[name](spark, SF)
+        errs = [f for f in lint_plan(df) if f.severity == "error"]
+        assert not errs, f"{name}: {errs}"
