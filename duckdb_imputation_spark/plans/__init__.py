@@ -39,13 +39,36 @@ def count_hash_aggregates(df: DataFrame) -> int:
     return executed_plan(df).count("HashAggregate")
 
 
+def _struct_fields(plan: str, start: int) -> list[str]:
+    """Split the body of a ``struct<...>`` starting at ``start`` (the char
+    after the opening ``<``) into top-level fields, tracking ``<>`` depth so
+    nested struct/array/map columns count as ONE field.  Stops at the
+    matching ``>`` or end of line (Spark truncates long schemas)."""
+    fields: list[str] = []
+    depth, buf = 0, []
+    for ch in plan[start:]:
+        if ch == "\n" or (ch == ">" and depth == 0):
+            break
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        if ch == "," and depth == 0:
+            fields.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    if "".join(buf).strip():
+        fields.append("".join(buf))
+    return [f.strip() for f in fields if f.strip()]
+
+
 def read_schema(df: DataFrame) -> list[str]:
     """Columns actually read from parquet (column pruning check)."""
+    plan = executed_plan(df)
     cols: list[str] = []
-    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", executed_plan(df)):
-        cols.extend(
-            fld.split(":")[0].strip() for fld in m.group(1).split(",") if fld
-        )
+    for m in re.finditer(r"ReadSchema: struct<", plan):
+        cols.extend(f.split(":")[0].strip() for f in _struct_fields(plan, m.end()))
     return cols
 
 
@@ -56,6 +79,78 @@ def pushed_filters(df: DataFrame) -> str:
 
 def has_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in executed_plan(df)
+
+
+_TREE_PREFIX = re.compile(r"^([\s:+\-]*)(.*)$")
+_CODEGEN_TAG = re.compile(r"^\*\(\d+\)\s*")
+# Nodes that merely wrap their single child without changing row counts —
+# skipped when identifying what an Exchange/BroadcastExchange actually moves.
+_WRAPPERS = (
+    "AQEShuffleRead",
+    "ShuffleQueryStage",
+    "BroadcastQueryStage",
+    "InputAdapter",
+    "WholeStageCodegen",
+    "ColumnarToRow",
+)
+
+
+def _parse_tree(plan: str) -> list[tuple[int, str]]:
+    """Parse Spark's plan ``toString`` into ``(depth, node_text)`` rows.
+
+    Depth is the length of the ``:  +-`` indentation prefix; node text has
+    the whole-stage-codegen ``*(N)`` tag stripped so shape checks see the
+    operator name first."""
+    nodes: list[tuple[int, str]] = []
+    for line in plan.splitlines():
+        m = _TREE_PREFIX.match(line)
+        text = m.group(2).strip()
+        if not text:
+            continue
+        nodes.append((len(m.group(1)), _CODEGEN_TAG.sub("", text)))
+    return nodes
+
+
+def _children(nodes: list[tuple[int, str]], i: int) -> list[int]:
+    """Indices of node ``i``'s direct children (min-depth rows of its
+    subtree — Spark indents all direct children equally)."""
+    d = nodes[i][0]
+    sub: list[int] = []
+    j = i + 1
+    while j < len(nodes) and nodes[j][0] > d:
+        sub.append(j)
+        j += 1
+    if not sub:
+        return []
+    dmin = min(nodes[j][0] for j in sub)
+    return [j for j in sub if nodes[j][0] == dmin]
+
+
+def _first_real_child(nodes: list[tuple[int, str]], i: int) -> str:
+    """Text of the first non-wrapper descendant below node ``i`` (the
+    operator whose output the node actually consumes)."""
+    kids = _children(nodes, i)
+    while kids:
+        text = nodes[kids[0]][1]
+        if not text.startswith(_WRAPPERS):
+            return text
+        kids = _children(nodes, kids[0])
+    return ""
+
+
+def _is_scalar_agg(text: str) -> bool:
+    """A no-grouping-key HashAggregate — emits at most ONE row per input
+    partition (partial) or ONE row total (final)."""
+    return text.startswith(("HashAggregate(keys=[]", "SortAggregate(keys=[]"))
+
+
+def _ancestors(nodes: list[tuple[int, str]], i: int):
+    """Yield ancestor node texts of ``i``, nearest first."""
+    d = nodes[i][0]
+    for j in range(i - 1, -1, -1):
+        if nodes[j][0] < d:
+            d = nodes[j][0]
+            yield nodes[j][1]
 
 
 class PlanFinding:
@@ -84,9 +179,21 @@ def lint_plan(df: DataFrame) -> list[PlanFinding]:
     on `.explain()` output.
     """
     plan = executed_plan(df)
+    nodes = _parse_tree(plan)
     findings: list[PlanFinding] = []
 
-    n_single = plan.count("Exchange SinglePartition")
+    # Exchange SinglePartition funnels every row below it through ONE
+    # task — UNLESS what it moves is the partial phase of a scalar
+    # (no-grouping-key) aggregate: then exactly one pre-combined row per
+    # upstream task crosses the wire, which is how any engine computes a
+    # global COUNT/AVG and is scale-benign.
+    n_single = n_scalar = 0
+    for i, (_, text) in enumerate(nodes):
+        if text.startswith("Exchange SinglePartition"):
+            if _is_scalar_agg(_first_real_child(nodes, i)):
+                n_scalar += 1
+            else:
+                n_single += 1
     if n_single:
         findings.append(
             PlanFinding(
@@ -98,18 +205,58 @@ def lint_plan(df: DataFrame) -> list[PlanFinding]:
                 "pattern (operators/prefix.py) or partition the window.",
             )
         )
+    if n_scalar:
+        findings.append(
+            PlanFinding(
+                "scalar-aggregate-exchange",
+                "info",
+                f"{n_scalar} SinglePartition exchange(s) above a "
+                "no-grouping-key partial aggregate: one combined row per "
+                "task crosses it — benign at any scale.",
+            )
+        )
 
-    for node in ("CartesianProduct", "BroadcastNestedLoopJoin"):
-        if node in plan:
+    # Nested-loop joins are O(|L|x|R|) — UNLESS the broadcast build side
+    # is a scalar-aggregate subtree (a 1-row cross join attaching global
+    # stats to every row: one extra comparison per probe row, no blow-up).
+    for i, (_, text) in enumerate(nodes):
+        if text.startswith("CartesianProduct"):
             findings.append(
                 PlanFinding(
                     "non-equi-join",
                     "error",
-                    f"{node}: O(|L|x|R|) pairs (or a full broadcast of one "
-                    "side per task). Rewrite as an equi-join on a derived "
-                    "key (banding/bucketing) if at all possible.",
+                    "CartesianProduct: O(|L|x|R|) pairs. Rewrite as an "
+                    "equi-join on a derived key (banding/bucketing) if at "
+                    "all possible.",
                 )
             )
+        elif text.startswith("BroadcastNestedLoopJoin"):
+            kids = _children(nodes, i)
+            build = kids[0] if "BuildLeft" in text else kids[-1] if kids else None
+            build_src = (
+                _first_real_child(nodes, build) if build is not None else ""
+            )
+            if build is not None and _is_scalar_agg(build_src):
+                findings.append(
+                    PlanFinding(
+                        "scalar-broadcast-join",
+                        "info",
+                        "BroadcastNestedLoopJoin whose build side is a "
+                        "scalar aggregate (1-row broadcast) — a global-"
+                        "stats attach, benign at any scale.",
+                    )
+                )
+            else:
+                findings.append(
+                    PlanFinding(
+                        "non-equi-join",
+                        "error",
+                        "BroadcastNestedLoopJoin: a full broadcast of one "
+                        "side, compared against every row per task. "
+                        "Rewrite as an equi-join on a derived key "
+                        "(banding/bucketing) if at all possible.",
+                    )
+                )
 
     if "BatchEvalPython" in plan:
         findings.append(
@@ -124,27 +271,46 @@ def lint_plan(df: DataFrame) -> list[PlanFinding]:
         )
 
     # a Filter directly above a FileScan whose PushedFilters is empty:
-    # the scan reads every row group even though a predicate exists
-    for scan in re.finditer(r"FileScan parquet [^\n]*", plan):
-        if "PushedFilters: []" in scan.group(0):
-            # only complain when some filter exists in the plan at all
-            if "Filter " in plan:
-                findings.append(
-                    PlanFinding(
-                        "filter-not-pushed",
-                        "warn",
-                        "parquet scan with empty PushedFilters while the "
-                        "plan contains Filter nodes — predicate may be "
-                        "non-pushable (UDF/complex expr over the scan "
-                        "column); check row-group pruning is not lost.",
+    # the scan reads every row group even though a predicate exists.
+    # "Directly above" = an ancestor Filter with no row-count-changing
+    # operator (join/agg/generate/window/exchange) in between — a Filter
+    # over some OTHER table in a multi-scan plan must not trigger this.
+    _BOUNDARY = (
+        "Exchange",
+        "BroadcastExchange",
+        "HashAggregate",
+        "SortAggregate",
+        "ObjectHashAggregate",
+        "Generate",
+        "Window",
+        "Expand",
+    )
+    flagged = False
+    for i, (_, text) in enumerate(nodes):
+        if flagged:
+            break
+        if text.startswith("FileScan") and "PushedFilters: []" in text:
+            for anc in _ancestors(nodes, i):
+                if anc.startswith(_BOUNDARY) or "Join" in anc.split("(")[0]:
+                    break
+                if anc.startswith("Filter "):
+                    findings.append(
+                        PlanFinding(
+                            "filter-not-pushed",
+                            "warn",
+                            "parquet scan with empty PushedFilters below a "
+                            "Filter node — predicate may be non-pushable "
+                            "(UDF/complex expr over the scan column); "
+                            "check row-group pruning is not lost.",
+                        )
                     )
-                )
-                break
+                    flagged = True
+                    break
 
     wide_scans = [
-        m.group(1)
-        for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan)
-        if m.group(1).count(",") + 1 > 24
+        m
+        for m in re.finditer(r"ReadSchema: struct<", plan)
+        if len(_struct_fields(plan, m.end())) > 24
     ]
     if wide_scans:
         findings.append(
