@@ -88,12 +88,24 @@ def main() -> None:
     # the smallest scale factor compiles the cofactor/flatten codegen
     # paths for ~1 s.
     load_table(spark, SF_DIR, "region").count()
+    # Warm-up runs at the smallest sibling scale factor of SF_DIR so it
+    # tracks wherever the testdata root lives; falls back to SF_DIR itself.
+    root = os.path.dirname(SF_DIR.rstrip("/"))
+    warm_dir = next(
+        (
+            os.path.join(root, d)
+            for d in ("sf0.001", "sf0.01")
+            if os.path.isdir(os.path.join(root, d))
+        ),
+        SF_DIR,
+    )
+    warmed = True
     try:
-        QUERIES["triple_factorized_join"](
-            spark, "/root/testdata/sf0.001"
-        ).collect()
-    except Exception:
-        pass  # warm-up must never fail the bench
+        QUERIES["triple_factorized_join"](spark, warm_dir).collect()
+    except Exception as ex:  # warm-up must never fail the bench
+        warmed = False
+        print(f"bench: warm-up pass failed ({ex!r:.200}) — "
+              "timings include cold-JIT noise", file=sys.stderr)
 
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     times: dict[str, float] = {}
@@ -122,6 +134,9 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": sf_val,
+        # methodology stamp — cross-round comparisons need these
+        "repeats": max(repeats, 1),
+        "warmed": warmed,
     }
     if errors:
         out["errors"] = errors
