@@ -68,13 +68,21 @@ def resolve_oracles(sf_dir: str | None = None) -> dict[str, str]:
 # Driver ordering.  The correctness harness verifies the FIRST 50        #
 # registered queries; registration order alone left the newest oracles   #
 # (ML histograms, pivot/cube breadth, …) past the cutoff in round 2.     #
-# _DRIVER_PRIORITY pins the queries that most need a driver hash row to  #
-# the front; long-stable rows (hash-green in BOTH r1 and r2 driver runs) #
-# are rotated behind them and stay covered by the local 66-query replay  #
-# (tests/test_oracle_parity.py).                                         #
+# _DRIVER_PRIORITY pins the queries that most need a driver hash row    #
+# (new rows, or rows whose implementation changed since their last      #
+# driver-green round) to the front; long-stable rows are rotated behind #
+# them and stay covered by the local full-catalog replay                #
+# (tests/test_oracle_parity.py).  tests/test_catalog_order.py enforces  #
+# that nothing never-driver-verified sits past the cutoff.              #
 # --------------------------------------------------------------------- #
 
 _DRIVER_PRIORITY: list[str] = [
+    # round 5: rotated back in for one round — simhash_from_hashes was
+    # rewritten to a single-pass fold in r4 (dedup.py) and
+    # triple_lineitem_wide sat at index 50, one past the driver cutoff;
+    # both need a post-change driver hash row (VERDICT r4 item 3)
+    "simhash_documents",
+    "triple_lineitem_wide",
     # round 4: new rows (never driver-verified) and queries whose
     # implementation changed this round — their hashes need fresh
     # driver evidence even though the results are designed to be
@@ -107,9 +115,11 @@ _DRIVER_PRIORITY: list[str] = [
 ]
 
 
-# Hash-green in BOTH the r1 and r2 driver runs and untouched since;
-# rotated past the 50-query cutoff to make room.  Still verified every
-# round by the local full-catalog replay.
+# Hash-green in at least one past driver round (see CORRECTNESS_r*.json)
+# AND implementation-stable since that round; rotated past the 50-query
+# cutoff to make room.  Still verified every round by the local
+# full-catalog replay.  A query whose code changes must move back to
+# _DRIVER_PRIORITY for one round (VERDICT r4 hygiene rule).
 _DRIVER_DEMOTE: list[str] = [
     "orders_window_top3",
     "semi_join_urgent_customers",
@@ -127,7 +137,6 @@ _DRIVER_DEMOTE: list[str] = [
     "exact_dedup_documents",
     "minhash_signatures",
     "ngram_jaccard_dups",
-    "simhash_documents",
     "cross_join_triples",
 ]
 
