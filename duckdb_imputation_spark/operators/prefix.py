@@ -87,7 +87,7 @@ def order_preserving_shards(
     return df.withColumn("__shard", F.coalesce(shard, F.lit(0))), bounds
 
 
-def _with_offsets(tagged: DataFrame, order_col: str) -> DataFrame:
+def _with_offsets(tagged: DataFrame, order_col: str | Column) -> DataFrame:
     """Join each row with ``__off`` — the per-shard total summed over all
     strictly-lower shards.  The shard total is read off the prefix
     column itself (``max_by(__loc, order)`` = the LAST prefix value —
@@ -155,14 +155,28 @@ def global_row_number(
     n_shards: int,
     out_col: str = "__rn",
     bounds_src: DataFrame | None = None,
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
     """row_number() over a global ORDER BY, distributed: per-shard
-    row_number + the count of all strictly-lower shards."""
+    row_number + the count of all strictly-lower shards.
+
+    ``tiebreak_cols`` extends the order to (order_col, *tiebreak_cols)
+    — e.g. rank a vocabulary by (-count, token).  Sharding still ranges
+    over the numeric ``order_col`` alone, which is exact (equal primary
+    keys land in ONE shard, where the window applies the tiebreaks),
+    but a dominant tie class — think count=1 tokens under a zipfian
+    distribution — concentrates in a single shard; bounded by the tie
+    class size, not the corpus, yet worth knowing at 100 TB.  The
+    offsets branch reads the shard total off the row that is maximal in
+    the FULL composite order (struct max_by), so primary-key ties
+    cannot return a mid-tie prefix value."""
+    tb = [F.col(c) for c in (tiebreak_cols or [])]
     sharded, _ = order_preserving_shards(df, order_col, n_shards, bounds_src)
-    w_loc = Window.partitionBy("__shard").orderBy(order_col)
+    w_loc = Window.partitionBy("__shard").orderBy(F.col(order_col), *tb)
     tagged = sharded.withColumn("__loc", F.row_number().over(w_loc))
+    order_expr = F.struct(F.col(order_col), *tb) if tb else order_col
     return (
-        _with_offsets(tagged, order_col)
+        _with_offsets(tagged, order_expr)
         .withColumn(out_col, (F.col("__off") + F.col("__loc")).cast("long"))
         .drop("__shard", "__loc", "__off")
     )

@@ -14,7 +14,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .hashing import md5_int32, md5_int32_sql, ws_tokens
-from .prefix import default_n_shards, global_running_sum
+from .prefix import default_n_shards, global_row_number, global_running_sum
 
 __all__ = [
     "scrub_pii",
@@ -132,9 +132,14 @@ def build_vocabulary(
 ) -> DataFrame:
     """Corpus vocabulary by global token frequency (tokenizer-training
     prep): (token, count, token_id) with ids assigned by count desc then
-    token asc — fully deterministic.  One explode + one groupBy; the
-    ranking window is a single partition over the VOCABULARY (bounded by
-    distinct tokens, not corpus size)."""
+    token asc — fully deterministic.  One explode + one groupBy.
+
+    With ``top_k`` the ranking window touches only the k survivors of a
+    distributed TakeOrdered.  WITHOUT ``top_k`` the rank runs through
+    the shard-offset prefix pattern (operators/prefix.py) over
+    (-count, token) — no single-partition window even when the full
+    vocabulary is ranked (the count=1 tie class still lands in one
+    shard; bounded by that class, not the corpus)."""
     counts = (
         df.select(F.explode(ws_tokens(F.col(text_col))).alias("token"))
         .groupBy("token")
@@ -146,14 +151,22 @@ def build_vocabulary(
         # heaps, no global sort), THEN rank the k survivors; the ranking
         # window touches top_k rows, not the whole vocabulary
         counts = counts.orderBy(F.desc("count"), F.col("token")).limit(top_k)
-    # partition on a constant-valued expression the optimizer cannot fold
-    # away (pmod(col, 1) ≡ 0): one group — required for a global rank —
-    # without WindowExec's misleading no-partition warning; the input
-    # here is bounded by the vocabulary (or top_k), not the corpus
-    w = Window.partitionBy(F.pmod(F.col("count"), F.lit(1))).orderBy(
-        F.desc("count"), F.col("token")
+        # partition on a constant-valued expression the optimizer cannot
+        # fold away (pmod(col, 1) ≡ 0): one group — required for a global
+        # rank — without WindowExec's misleading no-partition warning;
+        # the input here is bounded by top_k rows
+        w = Window.partitionBy(F.pmod(F.col("count"), F.lit(1))).orderBy(
+            F.desc("count"), F.col("token")
+        )
+        return counts.withColumn("token_id", F.row_number().over(w).cast("long"))
+    ranked = global_row_number(
+        counts.withColumn("__negc", (-F.col("count")).cast("double")),
+        "__negc",
+        default_n_shards(counts),
+        out_col="token_id",
+        tiebreak_cols=["token"],
     )
-    return counts.withColumn("token_id", F.row_number().over(w).cast("long"))
+    return ranked.drop("__negc").select("token", "count", "token_id")
 
 
 def stratified_sample(

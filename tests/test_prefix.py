@@ -108,3 +108,46 @@ def test_except_distinct_multiplicity_semantics(spark):
         r["v"] for r in left.exceptAll(right).distinct().collect()
     )
     assert wrong == ["a", "b"]
+
+
+@pytest.mark.parametrize("n_shards", [1, 4, 32])
+def test_global_row_number_tiebreaks(spark, n_shards):
+    """Composite order (primary numeric + string tiebreak) with HEAVY
+    primary ties — the zipfian-vocabulary shape: many rows share the
+    lowest count and must rank alphabetically within the tie class."""
+    rows = [(f"tok{i:04d}", -float(1 + (3 if i < 5 else 1 if i % 2 else 2)))
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "token string, negc double")
+    w = Window.partitionBy(F.lit(0)).orderBy("negc", "token")
+    want = {
+        r["token"]: r["rn"]
+        for r in df.withColumn("rn", F.row_number().over(w).cast("long")).collect()
+    }
+    got = {
+        r["token"]: r["__rn"]
+        for r in global_row_number(
+            df, "negc", n_shards, tiebreak_cols=["token"]
+        ).collect()
+    }
+    assert got == want
+
+
+def test_build_vocabulary_no_topk_matches_window(spark):
+    """top_k=None path: shard-offset ranking must equal the naive global
+    window bit-for-bit, including the count=1 tie class."""
+    from duckdb_imputation_spark.plans import lint_plan
+
+    docs = [(i, " ".join(f"w{j}" for j in range(i % 17 + 1))) for i in range(300)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    v = tp.build_vocabulary(df, "text")
+    assert [f for f in lint_plan(v) if f.severity == "error"] == []
+    counts = (
+        df.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("count"), F.col("token"))
+    want = sorted(
+        counts.withColumn("token_id", F.row_number().over(w).cast("long")).collect()
+    )
+    assert sorted(v.collect()) == want
