@@ -138,10 +138,25 @@ def _first_real_child(nodes: list[tuple[int, str]], i: int) -> str:
     return ""
 
 
+_AGG_KEYS = re.compile(
+    r"^(?:HashAggregate|SortAggregate|ObjectHashAggregate)\(keys=\[([^\]]*)\]"
+)
+# a grouping key that is a literal (or its alias/attribute): `0 AS 0#173`
+# at the partial phase, `0#173` at the final — the single-group trick the
+# full-table cofactor uses, so every group key collapses to ONE group
+_CONST_KEY = re.compile(r"^\d+(?:\.\d+)?(?:L|#\d+L?)?$|^\d+(?:\.\d+)? AS \S+$")
+
+
 def _is_scalar_agg(text: str) -> bool:
-    """A no-grouping-key HashAggregate — emits at most ONE row per input
-    partition (partial) or ONE row total (final)."""
-    return text.startswith(("HashAggregate(keys=[]", "SortAggregate(keys=[]"))
+    """An aggregate that emits at most ONE row per input partition
+    (partial) or ONE row total (final): either no grouping keys, or
+    every grouping key a constant/constant-alias.  Non-constant-looking
+    keys fail closed (treated as real grouping)."""
+    m = _AGG_KEYS.match(text)
+    if not m:
+        return False
+    keys = [k.strip() for k in m.group(1).split(",") if k.strip()]
+    return all(_CONST_KEY.match(k) for k in keys)
 
 
 def _ancestors(nodes: list[tuple[int, str]], i: int):

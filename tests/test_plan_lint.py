@@ -6,6 +6,7 @@ reintroduces a global window or a cartesian product fails CI, not the
 100 TB run.
 """
 
+import pytest
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -53,21 +54,16 @@ def test_clean_aggregation_has_no_errors(spark):
     assert codes(df, "error") == set()
 
 
-def test_headline_pipelines_lint_clean(spark):
-    """The scale-critical catalog queries must carry zero error-level
-    findings — this is the executable form of the r2/r3 verdict fixes
-    (no global windows in pack/sequence-id/vocabulary, no cartesian
-    anywhere)."""
-    for name in [
-        "pack_documents_bins",
-        "sequence_id_generation",
-        "vocabulary_top_tokens",
-        "triple_factorized_join",
-        "minhash_dedup_survivors",
-        "q1_pricing_summary",
-        "q3_shipping_priority",
-        "bm25_search_documents",
-    ]:
-        df = QUERIES[name](spark, SF)
-        errs = [f for f in lint_plan(df) if f.severity == "error"]
-        assert not errs, f"{name}: {errs}"
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_catalog_pipelines_lint_clean(spark, name):
+    """EVERY registered catalog query must carry zero error-level
+    findings — the executable form of the r2-r4 verdict fixes (no
+    global windows, no cartesian blow-ups, no row-Python UDFs).  The
+    known scale-benign shapes — scalar/constant-key aggregate behind a
+    SinglePartition exchange or a 1-row broadcast nested-loop join —
+    are recognized by lint_plan itself (downgraded to info), so a
+    future edit that reintroduces a real serialization point fails CI,
+    not the 100 TB run."""
+    df = QUERIES[name](spark, SF)
+    errs = [f for f in lint_plan(df) if f.severity == "error"]
+    assert not errs, f"{name}: {errs}"
