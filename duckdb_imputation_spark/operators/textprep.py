@@ -64,12 +64,23 @@ def quality_filter(
     max_mean_token_len: float = 15.0,
 ) -> DataFrame:
     """Heuristic quality gate: token-count window plus a mean-token-length
-    cap (catches binary junk / no-whitespace blobs).  One narrow scan."""
-    toks = ws_tokens(F.col(text_col))
-    n = F.size(toks)
-    mean_len = (F.length(F.trim(F.col(text_col))) - (n - 1)) / n
+    cap (catches binary junk / no-whitespace blobs).  One narrow scan.
+
+    The token count is lambda-bound (exists over a 1-element array) so
+    the split() tokenization runs ONCE per row — Catalyst does not CSE
+    the five sibling references the naive predicate would emit, and at
+    corpus scale five redundant tokenizations of every document is the
+    whole scan budget (measured 2.1x at sf1; BASELINE.md perf note 1)."""
+    def pred(n: Column) -> Column:
+        mean_len = (F.length(F.trim(F.col(text_col))) - (n - 1)) / n
+        return (
+            (n >= min_tokens)
+            & (n <= max_tokens)
+            & (mean_len <= max_mean_token_len)
+        )
+
     return df.filter(
-        (n >= min_tokens) & (n <= max_tokens) & (mean_len <= max_mean_token_len)
+        F.exists(F.array(F.size(ws_tokens(F.col(text_col)))), pred)
     )
 
 
