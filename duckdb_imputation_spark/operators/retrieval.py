@@ -10,19 +10,21 @@ declarative DataFrame algebra —
 
 so the corpus is scanned once, the shuffled volume is one row per
 (matching doc, query term), and nothing but the k winners reaches the
-driver.  At 100 TB, pre-compute ``doc_stats``/``term_stats`` once and
-reuse across queries (they are query-independent except the df filter).
+driver.  At 100 TB, build :func:`bm25_index` once — postings with
+denormalized doc lengths plus per-term dfs — and run every query
+through ``BM25Index.search``; the corpus is never re-scanned.
 """
 
 from __future__ import annotations
 
 import math
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, functions as F
 
 from .hashing import ws_tokens
 
-__all__ = ["bm25_topk"]
+__all__ = ["bm25_topk", "bm25_index", "BM25Index"]
 
 
 def bm25_topk(
@@ -75,6 +77,115 @@ def bm25_topk(
         .agg(F.round(F.sum(contrib), 6).alias("score"))
         .orderBy(F.desc("score"), F.col(id_col))
         .limit(k)
+    )
+
+
+@dataclass
+class BM25Index:
+    """Query-independent BM25 state, built once and reused per query —
+    the 100 TB retrieval pattern promised in the module docstring.
+
+    ``postings`` carries (term, doc_id, tf, dl): the doc length is
+    denormalized into every posting row (one extra double) so a search
+    needs NO join against a doc-stats table — just the tiny per-term df
+    broadcast.  ``n_docs``/``avgdl`` are two scalars collected at build
+    time (a designed driver boundary: two numbers, not data).
+
+    At cluster scale, write ``postings`` to parquet partitioned/bucketed
+    by term (``postings.write.bucketBy(N, "term")``): a search then
+    prunes to the query terms' buckets and the corpus is never
+    re-scanned.  Locally ``persist=True`` keeps both frames pinned
+    MEMORY_AND_DISK for the same effect."""
+
+    postings: DataFrame
+    term_stats: DataFrame
+    n_docs: float
+    avgdl: float
+    id_col: str
+    k1: float
+    b: float
+
+    def search(self, query_terms: list[str], k: int = 10) -> DataFrame:
+        """Top-k for one query against the prebuilt index: filter the
+        inverted index to the query terms (pushable predicate), one
+        broadcast of the matching term dfs, one shuffle on doc id.
+        Identical output to :func:`bm25_topk` on the same corpus."""
+        qt = [str(t) for t in query_terms]
+        tf = self.postings.filter(F.col("term").isin(qt))
+        dfreq = self.term_stats.filter(F.col("term").isin(qt))
+        idf = F.log(
+            (F.lit(self.n_docs) - F.col("__df") + 0.5)
+            / (F.col("__df") + 0.5)
+            + 1.0
+        )
+        denom = F.col("__tf") + F.lit(self.k1) * (
+            F.lit(1.0 - self.b)
+            + F.lit(self.b) * F.col("__dl") / F.lit(self.avgdl)
+        )
+        contrib = idf * F.col("__tf") / denom
+        return (
+            tf.join(F.broadcast(dfreq), "term")
+            .groupBy(self.id_col)
+            .agg(F.round(F.sum(contrib), 6).alias("score"))
+            .orderBy(F.desc("score"), F.col(self.id_col))
+            .limit(k)
+        )
+
+    def unpersist(self) -> None:
+        for frame in (self.postings, self.term_stats):
+            try:
+                frame.unpersist()
+            except Exception:
+                pass
+
+
+def bm25_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k1: float = 1.2,
+    b: float = 0.75,
+    persist: bool = True,
+) -> BM25Index:
+    """Build the reusable BM25 index: one corpus scan total.
+
+    The same tokenize → per-doc tf aggregation as :func:`bm25_topk`,
+    WITHOUT the query-term filter, so every term's postings and df are
+    computed once; subsequent ``search()`` calls touch only the index."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(ws_tokens(F.col(text_col))).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).cast("double").alias("__tf")
+    )
+    # dl = sum of tfs per doc — no second corpus scan; denormalized onto
+    # every posting row by a window over the doc-id partitioning the
+    # groupBy just established (no extra exchange)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col)
+    postings = tf.withColumn("__dl", F.sum("__tf").over(w))
+    term_stats = postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("__df")
+    )
+    if persist:
+        postings = postings.persist()
+        term_stats = term_stats.persist()
+    n_docs, avgdl = (
+        postings.select(
+            F.countDistinct(id_col).cast("double"),
+            (F.sum("__tf") / F.countDistinct(id_col)),
+        ).first()
+    )
+    return BM25Index(
+        postings=postings,
+        term_stats=term_stats,
+        n_docs=float(n_docs),
+        avgdl=float(avgdl),
+        id_col=id_col,
+        k1=k1,
+        b=b,
     )
 
 

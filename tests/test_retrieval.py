@@ -1,0 +1,73 @@
+"""BM25: the one-shot scorer vs the prebuilt reusable index.
+
+bm25_index is the 100 TB RAG path (corpus scanned once, searches touch
+only postings); its results must be IDENTICAL to bm25_topk's, and its
+search plan must stay off the corpus scan."""
+
+import pytest
+
+from duckdb_imputation_spark.operators.retrieval import bm25_index, bm25_topk
+from duckdb_imputation_spark.plans import executed_plan, lint_plan
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def index(docs):
+    idx = bm25_index(docs, "text", "doc_id")
+    yield idx
+    idx.unpersist()
+
+
+@pytest.mark.parametrize(
+    "terms,k",
+    [
+        (["hash", "join", "filter"], 15),
+        (["the", "data"], 5),
+        (["zzz_not_in_corpus"], 3),
+    ],
+)
+def test_index_search_matches_oneshot(docs, index, terms, k):
+    want = [tuple(r) for r in bm25_topk(docs, "text", "doc_id", terms, k=k).collect()]
+    got = [tuple(r) for r in index.search(terms, k=k).collect()]
+    assert got == want
+
+
+def test_index_stats_match_corpus(docs, index):
+    from pyspark.sql import functions as F
+
+    from duckdb_imputation_spark.operators.hashing import ws_tokens
+
+    doclen = (
+        docs.select(F.explode(ws_tokens(F.col("text"))).alias("t"), "doc_id")
+        .groupBy("doc_id")
+        .count()
+    )
+    n, avg = doclen.select(
+        F.count(F.lit(1)).cast("double"), F.avg("count")
+    ).first()
+    assert index.n_docs == float(n)
+    assert index.avgdl == pytest.approx(float(avg), rel=0, abs=1e-12)
+
+
+def test_search_plan_avoids_corpus_scan(index):
+    """A search must read the (persisted) postings, not re-tokenize the
+    corpus: no Generate/explode and no documents FileScan in the plan,
+    and zero lint errors."""
+    df = index.search(["hash", "join"], k=5)
+    plan = executed_plan(df)
+    # the postings read is a cache scan with the query-term predicate
+    # pushed into it (the explode/FileScan lines below InMemoryRelation
+    # are the cached frame's BUILD recipe, not the executed path)
+    scans = [
+        l for l in plan.splitlines() if l.strip().startswith(("InMemoryTableScan", "+- InMemoryTableScan")) or "InMemoryTableScan" in l
+    ]
+    postings_scans = [l for l in scans if "term" in l]
+    assert postings_scans, plan
+    assert any("IN (hash,join)" in l for l in postings_scans), postings_scans
+    assert [f for f in lint_plan(df) if f.severity == "error"] == []
