@@ -159,6 +159,52 @@ def _is_scalar_agg(text: str) -> bool:
     return all(_CONST_KEY.match(k) for k in keys)
 
 
+def _paren_args(text: str, start: int) -> list[str]:
+    """Split the argument list starting at ``start`` (the char after the
+    opening ``(``) on top-level commas, tracking paren depth."""
+    args: list[str] = []
+    depth, buf = 0, []
+    for ch in text[start:]:
+        if ch == ")" and depth == 0:
+            break
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            args.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+    if "".join(buf).strip():
+        args.append("".join(buf).strip())
+    return args
+
+
+_CONST_EXPR = re.compile(r"^(?:\d+(?:\.\d+)?|pmod\(.*,\s*1\))(?:#\d+L?)?$")
+
+
+def _is_constant_partition_key(
+    nodes: list[tuple[int, str]], i: int, key: str
+) -> bool:
+    """True when exchange key ``key`` is constant-valued: a literal or a
+    ``pmod(x, 1)`` (≡ 0), either inline or via an alias defined by a
+    Project/Aggregate in the exchange's subtree."""
+    if _CONST_EXPR.match(key):
+        return True
+    # resolve `<expr> AS <key>` in the subtree feeding the exchange
+    pat = re.compile(
+        r"(?:\b\d+(?:\.\d+)?|pmod\([^)]*,\s*1\))\s+AS\s+" + re.escape(key)
+    )
+    d = nodes[i][0]
+    j = i + 1
+    while j < len(nodes) and nodes[j][0] > d:
+        if pat.search(nodes[j][1]):
+            return True
+        j += 1
+    return False
+
+
 def _ancestors(nodes: list[tuple[int, str]], i: int):
     """Yield ancestor node texts of ``i``, nearest first."""
     d = nodes[i][0]
@@ -228,6 +274,33 @@ def lint_plan(df: DataFrame) -> list[PlanFinding]:
                 f"{n_scalar} SinglePartition exchange(s) above a "
                 "no-grouping-key partial aggregate: one combined row per "
                 "task crosses it — benign at any scale.",
+            )
+        )
+
+    # hashpartitioning on a constant-valued key (a literal or pmod(x,1))
+    # is a SinglePartition exchange in disguise: every row hashes to ONE
+    # reducer.  Legitimate on frames already bounded by construction
+    # (top-k survivors, n_shards offset rows) — hence warn, not error —
+    # but fatal if the input is the corpus.
+    n_const = 0
+    for i, (_, text) in enumerate(nodes):
+        if text.startswith("Exchange hashpartitioning("):
+            keys = _paren_args(text, len("Exchange hashpartitioning("))[:-1]
+            if keys and all(
+                _is_constant_partition_key(nodes, i, k) for k in keys
+            ):
+                if not _is_scalar_agg(_first_real_child(nodes, i)):
+                    n_const += 1
+    if n_const:
+        findings.append(
+            PlanFinding(
+                "constant-partition-exchange",
+                "warn",
+                f"{n_const} hash exchange(s) on a constant-valued key "
+                "(literal / pmod(x,1)): all rows land on ONE reducer. "
+                "Fine only when the input is bounded by construction "
+                "(top-k, n_shards offsets); use the shard-offset pattern "
+                "(operators/prefix.py) for unbounded input.",
             )
         )
 

@@ -83,6 +83,8 @@ _DRIVER_PRIORITY: list[str] = [
     # both need a post-change driver hash row (VERDICT r4 item 3)
     "simhash_documents",
     "triple_lineitem_wide",
+    # round 5: new row — the prebuilt-index BM25 path (never verified)
+    "bm25_index_search_documents",
     # round 4: new rows (never driver-verified) and queries whose
     # implementation changed this round — their hashes need fresh
     # driver evidence even though the results are designed to be
@@ -1698,6 +1700,29 @@ def bm25_search_documents(spark, sf):
 
     d = load_table(spark, sf, "documents")
     return bm25_topk(d, "text", "doc_id", ["hash", "join", "filter"], k=15)
+
+
+def _bm25_index_oracle() -> str:
+    from .operators.retrieval import bm25_topk_sql
+
+    return bm25_topk_sql(
+        "documents", _ws_sql("text"), "doc_id",
+        ["group", "sort", "scan"], k=12,
+    )
+
+
+@register("bm25_index_search_documents", oracle=_bm25_index_oracle())
+def bm25_index_search_documents(spark, sf):
+    """The prebuilt-index retrieval path (operators/retrieval.bm25_index):
+    postings with denormalized doc lengths built once, search touches
+    only the index — same scores as the one-shot scorer, which is what
+    the oracle checks.  persist=False here because the driver runs each
+    catalog query once (the index pays off from the second query on)."""
+    from .operators.retrieval import bm25_index
+
+    d = load_table(spark, sf, "documents")
+    idx = bm25_index(d, "text", "doc_id", persist=False)
+    return idx.search(["group", "sort", "scan"], k=12)
 
 
 @register(

@@ -67,3 +67,27 @@ def test_catalog_pipelines_lint_clean(spark, name):
     df = QUERIES[name](spark, SF)
     errs = [f for f in lint_plan(df) if f.severity == "error"]
     assert not errs, f"{name}: {errs}"
+
+
+def test_warns_constant_partition_exchange(spark):
+    """pmod(x, 1) partitioning is SinglePartition in disguise — must
+    surface as a warn (legit only on bounded-by-construction frames)."""
+    df = spark.range(100).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy(F.pmod(F.col("id"), F.lit(1))).orderBy("id")
+        ),
+    )
+    assert "constant-partition-exchange" in codes(df, "warn")
+    # and it is NOT an error: bounded uses (top-k ranks, shard offsets)
+    # stay CI-green
+    assert "constant-partition-exchange" not in codes(df, "error")
+
+
+def test_real_key_exchange_not_warned(spark):
+    df = (
+        spark.range(100)
+        .groupBy((F.col("id") % 7).alias("k"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    assert "constant-partition-exchange" not in codes(df)
