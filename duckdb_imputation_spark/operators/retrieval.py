@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from .hashing import ws_tokens
 
-__all__ = ["bm25_topk", "bm25_index", "BM25Index"]
+__all__ = ["bm25_topk", "bm25_index", "bm25_index_load", "BM25Index"]
 
 
 def bm25_topk(
@@ -104,14 +104,31 @@ class BM25Index:
     id_col: str
     k1: float
     b: float
+    # set on indexes reopened from parquet: postings carry a __bucket
+    # partition column = pmod(hash(term), n_buckets)
+    n_buckets: int | None = None
 
     def search(self, query_terms: list[str], k: int = 10) -> DataFrame:
         """Top-k for one query against the prebuilt index: filter the
         inverted index to the query terms (pushable predicate), one
         broadcast of the matching term dfs, one shuffle on doc id.
-        Identical output to :func:`bm25_topk` on the same corpus."""
+        Identical output to :func:`bm25_topk` on the same corpus.
+
+        On a parquet-backed index the search also applies
+        ``__bucket == pmod(hash(<term literal>), n_buckets)`` per query
+        term — ``hash`` of a literal constant-folds, so Catalyst prunes
+        the postings scan to the query terms' partitions."""
         qt = [str(t) for t in query_terms]
-        tf = self.postings.filter(F.col("term").isin(qt))
+        tf = self.postings
+        if self.n_buckets and "__bucket" in tf.columns:
+            pred = F.lit(False)
+            for t in qt:
+                pred = pred | (
+                    F.col("__bucket")
+                    == F.pmod(F.hash(F.lit(t)), F.lit(self.n_buckets))
+                )
+            tf = tf.filter(pred).drop("__bucket")
+        tf = tf.filter(F.col("term").isin(qt))
         dfreq = self.term_stats.filter(F.col("term").isin(qt))
         idf = F.log(
             (F.lit(self.n_docs) - F.col("__df") + 0.5)
@@ -137,6 +154,46 @@ class BM25Index:
                 frame.unpersist()
             except Exception:
                 pass
+
+    def save(self, path: str, n_buckets: int = 64) -> None:
+        """Materialize the index as parquet tables under ``path`` — the
+        cluster-scale form.  Postings are written bucketed-by-term-hash
+        (``pmod(hash(term), n_buckets)`` as a partition column) so a
+        search's term filter prunes to the query terms' partitions and
+        the corpus is never touched again.  The two corpus scalars ride
+        along as a 1-row parquet."""
+        (
+            self.postings.withColumn(
+                "__bucket", F.pmod(F.hash("term"), F.lit(n_buckets))
+            )
+            .write.partitionBy("__bucket")
+            .mode("overwrite")
+            .parquet(f"{path}/postings")
+        )
+        self.term_stats.write.mode("overwrite").parquet(f"{path}/term_stats")
+        self.postings.sparkSession.createDataFrame(
+            [(self.n_docs, self.avgdl, self.id_col, self.k1, self.b, n_buckets)],
+            "n_docs double, avgdl double, id_col string, k1 double, b double, n_buckets int",
+        ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def bm25_index_load(spark, path: str) -> BM25Index:
+    """Reopen an index written by :meth:`BM25Index.save`; ``search`` on
+    it partition-prunes the postings scan via the ``__bucket``
+    predicate (see :meth:`BM25Index.search`)."""
+    meta = spark.read.parquet(f"{path}/meta").first()
+    postings = spark.read.parquet(f"{path}/postings")
+    term_stats = spark.read.parquet(f"{path}/term_stats")
+    return BM25Index(
+        postings=postings,
+        term_stats=term_stats,
+        n_docs=float(meta["n_docs"]),
+        avgdl=float(meta["avgdl"]),
+        id_col=meta["id_col"],
+        k1=float(meta["k1"]),
+        b=float(meta["b"]),
+        n_buckets=int(meta["n_buckets"]),
+    )
 
 
 def bm25_index(

@@ -71,3 +71,32 @@ def test_search_plan_avoids_corpus_scan(index):
     assert postings_scans, plan
     assert any("IN (hash,join)" in l for l in postings_scans), postings_scans
     assert [f for f in lint_plan(df) if f.severity == "error"] == []
+
+
+def test_saved_index_roundtrip_and_pruning(spark, docs, index, tmp_path_factory):
+    """save() → load() → search(): identical results to the in-memory
+    index, and the postings scan prunes to the query terms' buckets
+    (PartitionFilters on __bucket in the FileScan)."""
+    import shutil
+
+    from duckdb_imputation_spark.operators.retrieval import bm25_index_load
+
+    path = "/root/repo/.data/tmp_bm25_index"
+    try:
+        index.save(path, n_buckets=8)
+        loaded = bm25_index_load(spark, path)
+        assert loaded.n_buckets == 8
+        terms = ["hash", "join", "filter"]
+        want = [tuple(r) for r in index.search(terms, k=15).collect()]
+        got_df = loaded.search(terms, k=15)
+        assert [tuple(r) for r in got_df.collect()] == want
+        plan = executed_plan(got_df)
+        scan = next(
+            l for l in plan.splitlines()
+            if "FileScan" in l and "postings" in l
+        )
+        assert "PartitionFilters: [" in scan
+        # the bucket predicate must actually reach the partition filters
+        assert "__bucket" in scan.split("PartitionFilters:")[1].split("]")[0]
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
