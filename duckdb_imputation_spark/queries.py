@@ -85,6 +85,10 @@ _DRIVER_PRIORITY: list[str] = [
     "triple_lineitem_wide",
     # round 5: new row — the prebuilt-index BM25 path (never verified)
     "bm25_index_search_documents",
+    # round 5: retrieval.py gained the index surface this round; keep
+    # the one-shot BM25 row in-window for a post-change hash row even
+    # though bm25_topk's own body is untouched (hygiene rule)
+    "bm25_search_documents",
     # round 4: new rows (never driver-verified) and queries whose
     # implementation changed this round — their hashes need fresh
     # driver evidence even though the results are designed to be
