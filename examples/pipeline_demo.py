@@ -11,7 +11,10 @@ Each stage is the production operator from the package; run with
 
 from __future__ import annotations
 
+import os
 import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from pyspark.sql import functions as F
 
@@ -57,6 +60,16 @@ def main() -> None:
 
     print(f"docs {n0} -> quality {n1} -> dedup {n2} -> decontaminated {n3}")
     print(f"packed {bins['chunks']} chunks into {bins['bins']} bins of <=512 tokens")
+
+    # retrieval over the cleaned corpus: build the BM25 index once,
+    # run several queries without re-scanning the documents
+    from duckdb_imputation_spark.operators.retrieval import bm25_index
+
+    idx = bm25_index(decontaminated, "text", "doc_id")
+    for q in (["hash", "join"], ["data", "scan"]):
+        top = idx.search(q, k=3).collect()
+        print(f"bm25 {q}: " + ", ".join(f"doc {r['doc_id']} ({r['score']})" for r in top))
+    idx.unpersist()
     spark.stop()
 
 
