@@ -112,29 +112,43 @@ def chunk_documents(
     long-document → context-window preprocessing): chunk i covers tokens
     [i·step, i·step + chunk_tokens) with step = chunk_tokens − overlap.
     Pure Column expressions (sequence + slice + posexplode) — one narrow
-    scan, rows out = Σ ceil(n_tokens/step)."""
+    scan, rows out = Σ ceil(n_tokens/step).
+
+    The token array is lambda-bound (transform over a 1-element array)
+    so the split() runs ONCE per document; the naive formulation
+    re-evaluated the tokenization inside every chunk's slice() — k
+    splits for a k-chunk document (same no-CSE trap as quality_filter;
+    measured 1.5x at sf1)."""
     assert 0 <= overlap < chunk_tokens
     step = chunk_tokens - overlap
-    toks = ws_tokens(F.col(text_col))
-    starts = F.sequence(
-        F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(step)
-    )
-    chunks = F.transform(
-        starts, lambda s: F.concat_ws(" ", F.slice(toks, s + 1, chunk_tokens))
+
+    def per_doc(t: Column) -> Column:
+        starts = F.sequence(
+            F.lit(0), F.greatest(F.size(t) - 1, F.lit(0)), F.lit(step)
+        )
+        return F.transform(
+            starts,
+            lambda s: F.struct(
+                F.concat_ws(" ", F.slice(t, s + 1, chunk_tokens)).alias(
+                    "chunk_text"
+                ),
+                F.greatest(F.least(F.lit(chunk_tokens), F.size(t) - s), F.lit(0))
+                .cast("int")
+                .alias("chunk_tokens"),
+            ),
+        )
+
+    chunks = F.get(
+        F.transform(F.array(ws_tokens(F.col(text_col))), per_doc), 0
     )
     out = df.select(
-        F.col(id_col),
-        F.size(toks).alias("__n"),
-        F.posexplode(chunks).alias("chunk_idx", "chunk_text"),
-    )
-    n_chunk = F.least(
-        F.lit(chunk_tokens), F.col("__n") - F.col("chunk_idx") * step
+        F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "__c")
     )
     return out.select(
         id_col,
         "chunk_idx",
-        "chunk_text",
-        F.greatest(n_chunk, F.lit(0)).cast("int").alias("chunk_tokens"),
+        F.col("__c.chunk_text").alias("chunk_text"),
+        F.col("__c.chunk_tokens").alias("chunk_tokens"),
     )
 
 
