@@ -89,6 +89,10 @@ _DRIVER_PRIORITY: list[str] = [
     # the one-shot BM25 row in-window for a post-change hash row even
     # though bm25_topk's own body is untouched (hygiene rule)
     "bm25_search_documents",
+    # round 5: text_stats gained the nested lower-bind and
+    # chunk_documents the token-array bind — post-change hash rows
+    "text_stats_documents",
+    "chunk_documents_catalog",
     # round 4: new rows (never driver-verified) and queries whose
     # implementation changed this round — their hashes need fresh
     # driver evidence even though the results are designed to be
@@ -139,7 +143,6 @@ _DRIVER_DEMOTE: list[str] = [
     "math_scalar_functions",
     "json_extract_events",
     "events_hourly_rollup",
-    "text_stats_documents",
     "exact_dedup_documents",
     "minhash_signatures",
     "ngram_jaccard_dups",
