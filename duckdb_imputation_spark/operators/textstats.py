@@ -24,6 +24,7 @@ __all__ = [
     "lang_id",
     "fingerprint",
     "text_stats",
+    "repetition_metrics",
     "STOPWORDS",
 ]
 
@@ -198,6 +199,90 @@ def text_stats(col: Column) -> Column:
                     lambda lower: build(toks, lower),
                 ),
                 1,
+            ),
+        ),
+        1,
+    )
+
+
+def repetition_metrics(col: Column, n: int = 2) -> Column:
+    """Gopher-style repetition filters (Rae et al. 2021, the standard
+    web-corpus boilerplate detectors), per document as one struct:
+
+    * ``dup_line_frac``  — fraction of non-empty trimmed lines that
+      duplicate an earlier line;
+    * ``dup_ngram_frac`` — fraction of word ``n``-grams that are repeats;
+    * ``top_ngram_frac`` — occurrences of the most frequent ``n``-gram
+      over total ``n``-grams (boilerplate loops score near 1).
+
+    Pure Column HOFs, O(k log k) per doc: the top-gram count folds over
+    the SORTED gram array (longest equal run) instead of the naive
+    O(k²) count-per-distinct-gram.  Every expensive array is
+    lambda-bound once (the no-CSE rule).  Rounded to 6 decimals for
+    cross-engine hash stability; NULL text ≡ empty text."""
+    c = F.coalesce(col, F.lit(""))
+
+    def line_frac(ls: Column) -> Column:
+        sz = F.size(ls)
+        return F.when(
+            sz > 0,
+            (sz - F.size(F.array_distinct(ls))) / sz.cast("double"),
+        ).otherwise(F.lit(0.0))
+
+    lines = F.filter(
+        F.transform(F.split(c, r"\n"), lambda l: F.trim(l)),
+        lambda l: F.length(l) > 0,
+    )
+
+    def gram_fracs(g: Column) -> Column:
+        sz = F.size(g)
+        dup = F.when(
+            sz > 0, (sz - F.size(F.array_distinct(g))) / sz.cast("double")
+        ).otherwise(F.lit(0.0))
+        run = F.aggregate(
+            F.array_sort(g),
+            F.struct(
+                F.lit("").alias("prev"),
+                F.lit(0).alias("run"),
+                F.lit(0).alias("best"),
+            ),
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+                F.greatest(
+                    acc.best,
+                    F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)),
+                ).alias("best"),
+            ),
+            lambda acc: acc.best,
+        )
+        top = F.when(sz > 0, run / sz.cast("double")).otherwise(F.lit(0.0))
+        return F.struct(
+            F.round(dup, 6).alias("dup_ngram_frac"),
+            F.round(top, 6).alias("top_ngram_frac"),
+        )
+
+    def build(toks: Column) -> Column:
+        grams = F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return F.element_at(F.transform(F.array(grams), gram_fracs), 1)
+
+    gf = F.element_at(F.transform(F.array(ws_tokens(c)), build), 1)
+    lf = F.element_at(F.transform(F.array(lines), line_frac), 1)
+    # bind gf once — two direct field references would re-run the whole
+    # gram pipeline (the exact no-CSE trap this module documents)
+    return F.element_at(
+        F.transform(
+            F.array(gf),
+            lambda s: F.struct(
+                F.round(lf, 6).alias("dup_line_frac"),
+                s["dup_ngram_frac"].alias("dup_ngram_frac"),
+                s["top_ngram_frac"].alias("top_ngram_frac"),
             ),
         ),
         1,

@@ -93,6 +93,8 @@ _DRIVER_PRIORITY: list[str] = [
     # chunk_documents the token-array bind — post-change hash rows
     "text_stats_documents",
     "chunk_documents_catalog",
+    # round 5: new row — Gopher repetition filters (never verified)
+    "repetition_metrics_documents",
     # round 4: new rows (never driver-verified) and queries whose
     # implementation changed this round — their hashes need fresh
     # driver evidence even though the results are designed to be
@@ -1688,6 +1690,58 @@ def token_entropy_documents(spark, sf):
     j = per.join(n, "doc_id")
     p = F.col("c") / F.col("n")
     return j.groupBy("doc_id").agg(F.round(-F.sum(p * F.log(p)), 6).alias("entropy"))
+
+
+def _repetition_oracle() -> str:
+    tk = _ws_sql("text")
+    lines = (
+        "list_filter(list_transform(CASE WHEN length(trim(COALESCE(text, ''))) = 0 "
+        "THEN [] ELSE regexp_split_to_array(trim(COALESCE(text, '')), '\\n') END, "
+        "l -> trim(l)), l -> length(l) > 0)"
+    )
+    grams = (
+        f"CASE WHEN length({tk}) >= 2 THEN "
+        f"list_transform(range(1, length({tk})), "
+        f"i -> array_to_string(({tk})[i:i+1], ' ')) ELSE [] END"
+    )
+    return f"""
+    WITH g AS (
+      SELECT doc_id, {grams} AS grams, {lines} AS L FROM documents
+    ), top AS (
+      SELECT doc_id, MAX(c) AS topc FROM (
+        SELECT doc_id, gram, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(grams) AS gram FROM g)
+        GROUP BY doc_id, gram
+      ) GROUP BY doc_id
+    )
+    SELECT g.doc_id,
+      ROUND(CASE WHEN len(L) = 0 THEN 0
+        ELSE (len(L) - len(list_distinct(L))) / CAST(len(L) AS DOUBLE) END, 6)
+        AS dup_line_frac,
+      ROUND(CASE WHEN len(grams) = 0 THEN 0
+        ELSE (len(grams) - len(list_distinct(grams))) / CAST(len(grams) AS DOUBLE) END, 6)
+        AS dup_ngram_frac,
+      ROUND(CASE WHEN len(grams) = 0 THEN 0
+        ELSE COALESCE(topc, 0) / CAST(len(grams) AS DOUBLE) END, 6)
+        AS top_ngram_frac
+    FROM g LEFT JOIN top USING (doc_id)
+    """
+
+
+@register("repetition_metrics_documents", oracle=_repetition_oracle())
+def repetition_metrics_documents(spark, sf):
+    """Gopher-style repetition filters (duplicate-line / duplicate- and
+    top-2-gram fractions) per document — the standard boilerplate-loop
+    detectors for web-scale corpora.  One narrow scan, O(k log k) per
+    doc (sorted-run fold for the top gram, not count-per-distinct)."""
+    d = load_table(spark, sf, "documents")
+    m = _ts.repetition_metrics(F.col("text"), n=2)
+    return d.select("doc_id", m.alias("__m")).select(
+        "doc_id",
+        "__m.dup_line_frac",
+        "__m.dup_ngram_frac",
+        "__m.top_ngram_frac",
+    )
 
 
 def _bm25_oracle() -> str:

@@ -564,3 +564,32 @@ def test_as_of_join_semantics(spark):
                      tolerance_seconds=60)
     got_t = {(r["sym"], r["ts"].isoformat()): r["bid"] for r in tol.collect()}
     assert got_t[(2, "2024-01-01T10:00:10")] is None  # >1h old
+
+
+def test_repetition_metrics_crafted(spark):
+    """Gopher repetition filters on hand-computable documents."""
+    from duckdb_imputation_spark.operators.textstats import repetition_metrics
+
+    rows = [
+        # 6 tokens "a b a b a b": grams = [ab, ba, ab, ba, ab] (5);
+        # distinct 2 -> dup = 3/5; top (ab x3) = 3/5
+        (1, "a b a b a b"),
+        # all-distinct grams
+        (2, "w x y z"),
+        # duplicate lines: 3 non-empty lines, 2 distinct -> 1/3
+        (3, "same line\nsame line\nother"),
+        (4, ""),  # empty -> all zeros
+        (5, None),  # NULL == empty
+        (6, "single"),  # < n tokens -> no grams
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    got = {
+        r["id"]: (r["m"]["dup_line_frac"], r["m"]["dup_ngram_frac"], r["m"]["top_ngram_frac"])
+        for r in df.select("id", repetition_metrics(F.col("text")).alias("m")).collect()
+    }
+    assert got[1] == (0.0, 0.6, 0.6)
+    assert got[2] == (0.0, 0.0, round(1 / 3, 6))
+    assert got[3][0] == round(1 / 3, 6)
+    assert got[4] == (0.0, 0.0, 0.0)
+    assert got[5] == (0.0, 0.0, 0.0)
+    assert got[6] == (0.0, 0.0, 0.0)
