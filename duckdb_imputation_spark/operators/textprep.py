@@ -25,6 +25,7 @@ __all__ = [
     "pack_sequences",
     "chunk_documents",
     "build_vocabulary",
+    "encode_with_vocabulary",
     "stratified_sample",
 ]
 
@@ -192,6 +193,41 @@ def build_vocabulary(
         tiebreak_cols=["token"],
     )
     return ranked.drop("__negc").select("token", "count", "token_id")
+
+
+def encode_with_vocabulary(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    vocab: DataFrame,
+    oov_id: int = -1,
+) -> DataFrame:
+    """Encode each document as a token-id array under ``vocab``
+    (a (token, token_id) frame, e.g. :func:`build_vocabulary` output) —
+    the tokenizer-apply step after vocabulary training.
+
+    posexplode → broadcast vocab join (vocabulary-sized build side) →
+    one shuffle on the doc id re-assembling ids in position order
+    (sorted struct collect, bounded by document length).  Unknown
+    tokens become ``oov_id`` and are counted in ``n_oov``; token-less
+    documents keep an empty array."""
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(ws_tokens(F.col(text_col))).alias("__pos", "token"),
+    )
+    enc = toks.join(F.broadcast(vocab.select("token", "token_id")), "token", "left")
+    agg = enc.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__pos", "token_id"))),
+            lambda s: F.coalesce(s["token_id"], F.lit(oov_id)).cast("long"),
+        ).alias("token_ids"),
+        F.sum(F.col("token_id").isNull().cast("long")).alias("n_oov"),
+    )
+    return df.select(id_col).join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce("token_ids", F.array().cast("array<long>")).alias("token_ids"),
+        F.coalesce("n_oov", F.lit(0)).cast("long").alias("n_oov"),
+    )
 
 
 def stratified_sample(

@@ -93,8 +93,10 @@ _DRIVER_PRIORITY: list[str] = [
     # chunk_documents the token-array bind — post-change hash rows
     "text_stats_documents",
     "chunk_documents_catalog",
-    # round 5: new row — Gopher repetition filters (never verified)
+    # round 5: new rows — Gopher repetition filters and the
+    # tokenizer-apply encode (never verified)
     "repetition_metrics_documents",
+    "encode_documents_vocab",
     # round 4: new rows (never driver-verified) and queries whose
     # implementation changed this round — their hashes need fresh
     # driver evidence even though the results are designed to be
@@ -1608,6 +1610,46 @@ def vocabulary_top_tokens(spark, sf):
     training prep; ids deterministic (count desc, token asc)."""
     d = load_table(spark, sf, "documents")
     return _tp.build_vocabulary(d, "text", top_k=200)
+
+
+@register(
+    "encode_documents_vocab",
+    oracle=f"""
+    WITH tk0 AS (
+      SELECT unnest({_ws_sql('text')}) AS token FROM documents
+    ), vocab AS (
+      SELECT token, token_id FROM (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS count,
+               CAST(row_number() OVER (ORDER BY COUNT(*) DESC, token) AS BIGINT)
+                 AS token_id
+        FROM tk0 GROUP BY token
+      ) WHERE token_id <= 200
+    ), pos AS (
+      SELECT doc_id, unnest(t) AS token,
+             unnest(range(1, len(t) + 1)) AS i
+      FROM (SELECT doc_id, {_ws_sql('text')} AS t FROM documents)
+    ), enc AS (
+      SELECT p.doc_id, p.i, COALESCE(v.token_id, -1) AS tid
+      FROM pos p LEFT JOIN vocab v USING (token)
+    ), agg AS (
+      SELECT doc_id, list(tid ORDER BY i) AS token_ids,
+             CAST(SUM(CASE WHEN tid = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+      FROM enc GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(a.token_ids, []) AS token_ids,
+           COALESCE(a.n_oov, 0) AS n_oov
+    FROM (SELECT doc_id FROM documents) d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def encode_documents_vocab(spark, sf):
+    """Tokenizer-apply: encode every document as a token-id array under
+    the corpus's own top-200 vocabulary (build_vocabulary →
+    encode_with_vocabulary).  Broadcast vocab join, one doc-id shuffle,
+    OOV → -1 with a per-doc count."""
+    d = load_table(spark, sf, "documents")
+    vocab = _tp.build_vocabulary(d, "text", top_k=200)
+    return _tp.encode_with_vocabulary(d, "text", "doc_id", vocab)
 
 
 @register(

@@ -593,3 +593,22 @@ def test_repetition_metrics_crafted(spark):
     assert got[4] == (0.0, 0.0, 0.0)
     assert got[5] == (0.0, 0.0, 0.0)
     assert got[6] == (0.0, 0.0, 0.0)
+
+
+def test_encode_with_vocabulary_edges(spark):
+    """OOV handling, position order, and empty/NULL documents."""
+    from duckdb_imputation_spark.operators.textprep import encode_with_vocabulary
+
+    docs = spark.createDataFrame(
+        [(1, "b a b zzz"), (2, ""), (3, None), (4, "zzz")],
+        "id int, text string",
+    )
+    vocab = spark.createDataFrame([("a", 1), ("b", 2)], "token string, token_id long")
+    got = {
+        r["id"]: (list(r["token_ids"]), r["n_oov"])
+        for r in encode_with_vocabulary(docs, "text", "id", vocab).collect()
+    }
+    assert got[1] == ([2, 1, 2, -1], 1)
+    assert got[2] == ([], 0)
+    assert got[3] == ([], 0)
+    assert got[4] == ([-1], 1)
