@@ -31,6 +31,7 @@ __all__ = [
     "kmeans_fit_distributed",
     "assign_clusters",
     "IVFIndex",
+    "ivf_index_load",
 ]
 
 
@@ -231,9 +232,11 @@ class IVFIndex:
     materialized MEMORY_AND_DISK), search many times touching only
     ``nprobe``/``nlist`` of the data per query.
 
-    At cluster scale, write ``assigned`` out with
-    ``write_table(..., partition_by=["__cluster"])`` instead of
-    persisting — probe filters then become physical partition pruning.
+    At cluster scale, :meth:`save` writes the assigned vectors to
+    parquet partitioned by ``__cluster`` and :func:`ivf_index_load`
+    reopens them — the probe filter (``__cluster IN (literal ids)``)
+    then becomes physical partition pruning: a search reads only the
+    ``nprobe`` probed clusters' files, never the corpus.
     """
 
     def __init__(
@@ -243,11 +246,32 @@ class IVFIndex:
         id_col: str = "vec_id",
         nlist: int = 16,
         seed: int = 42,
+        _prebuilt: tuple | None = None,
     ):
+        if _prebuilt is not None:
+            self.vec_col, self.id_col, self.centroids, self.assigned = _prebuilt
+            return
         self.vec_col = vec_col
         self.id_col = id_col
         self.centroids = kmeans_fit(df, vec_col, nlist, seed=seed)
         self.assigned = assign_clusters(df, vec_col, self.centroids).persist()
+
+    def save(self, path: str) -> None:
+        """Materialize to parquet: ``vectors/`` partitioned by cluster id
+        (probe-time partition pruning) + the (nlist × dim) centroid
+        matrix as one row per centroid."""
+        self.assigned.write.partitionBy("__cluster").mode("overwrite").parquet(
+            f"{path}/vectors"
+        )
+        spark = self.assigned.sparkSession
+        cent = [
+            (int(i), [float(x) for x in row], self.vec_col, self.id_col)
+            for i, row in enumerate(self.centroids)
+        ]
+        spark.createDataFrame(
+            cent,
+            "cluster int, centroid array<double>, vec_col string, id_col string",
+        ).write.mode("overwrite").parquet(f"{path}/centroids")
 
     def search(self, query: Sequence[float], k: int = 10, nprobe: int = 4) -> DataFrame:
         q = np.asarray(query, dtype=np.float64)
@@ -265,6 +289,21 @@ class IVFIndex:
 
     def unpersist(self) -> None:
         self.assigned.unpersist()
+
+
+def ivf_index_load(spark, path: str) -> IVFIndex:
+    """Reopen an index written by :meth:`IVFIndex.save`; searches
+    partition-prune the vectors scan to the probed clusters."""
+    rows = sorted(
+        spark.read.parquet(f"{path}/centroids").collect(),
+        key=lambda r: r["cluster"],
+    )
+    centroids = np.array([r["centroid"] for r in rows], dtype=np.float64)
+    assigned = spark.read.parquet(f"{path}/vectors")
+    return IVFIndex(
+        None,
+        _prebuilt=(rows[0]["vec_col"], rows[0]["id_col"], centroids, assigned),
+    )
 
 
 def kmeans_fit_distributed(

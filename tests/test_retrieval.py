@@ -100,3 +100,34 @@ def test_saved_index_roundtrip_and_pruning(spark, docs, index, tmp_path_factory)
         assert "__bucket" in scan.split("PartitionFilters:")[1].split("]")[0]
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_ivf_index_save_load_pruning(spark):
+    """IVFIndex parquet round trip: identical search results and
+    physical partition pruning on the probed clusters."""
+    import shutil
+
+    from duckdb_imputation_spark.operators.simsearch import (
+        IVFIndex,
+        ivf_index_load,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    idx = IVFIndex(emb, "embedding", "vec_id", nlist=8)
+    path = "/root/repo/.data/tmp_ivf_index"
+    try:
+        idx.save(path)
+        loaded = ivf_index_load(spark, path)
+        q = [float(x) for x in emb.first()["embedding"]]
+        want = [tuple(r) for r in idx.search(q, k=5, nprobe=3).collect()]
+        got_df = loaded.search(q, k=5, nprobe=3)
+        assert [tuple(r) for r in got_df.collect()] == want
+        plan = executed_plan(got_df)
+        scan = next(
+            l for l in plan.splitlines() if "FileScan" in l and "vectors" in l
+        )
+        pf = scan.split("PartitionFilters:")[1].split("]")[0]
+        assert "__cluster" in pf, scan
+    finally:
+        idx.unpersist()
+        shutil.rmtree(path, ignore_errors=True)
