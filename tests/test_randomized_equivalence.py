@@ -161,3 +161,68 @@ def test_bucket_pairs_equals_naive_self_join(spark, seed):
         (r["id_a"], r["id_b"]) for r in _bucket_pairs(slim, cap=10).collect()
     }
     assert capped <= naive
+
+
+# ---------------- round-5 text operators vs pure-Python references ----
+
+
+def _py_repetition(text, n=2):
+    text = text or ""
+    lines = [l.strip() for l in text.split("\n") if l.strip()]
+    dl = 0.0 if not lines else round((len(lines) - len(set(lines))) / len(lines), 6)
+    toks = text.strip().split() if text.strip() else []
+    grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+    if not grams:
+        return (dl, 0.0, 0.0)
+    dg = round((len(grams) - len(set(grams))) / len(grams), 6)
+    top = round(max(grams.count(g) for g in set(grams)) / len(grams), 6)
+    return (dl, dg, top)
+
+
+def test_repetition_metrics_random(spark):
+    from duckdb_imputation_spark.operators.textstats import repetition_metrics
+
+    words = ["a", "bb", "ccc", "dd d", "x"]  # "dd d" never appears: split is ws
+    vocab = ["a", "bb", "ccc", "x", "yy"]
+    docs = []
+    for i in range(60):
+        k = int(RNG.integers(0, 30))
+        toks = [vocab[int(RNG.integers(0, len(vocab)))] for _ in range(k)]
+        text = " ".join(toks)
+        if i % 7 == 0:
+            text = text + "\n" + text  # force duplicate lines
+        docs.append((i, text if i % 11 else None))
+    df = spark.createDataFrame(docs, "id long, text string")
+    got = {
+        r["id"]: (
+            r["m"]["dup_line_frac"],
+            r["m"]["dup_ngram_frac"],
+            r["m"]["top_ngram_frac"],
+        )
+        for r in df.select("id", repetition_metrics(F.col("text")).alias("m")).collect()
+    }
+    for i, text in docs:
+        assert got[i] == _py_repetition(text), (i, text)
+
+
+def test_encode_with_vocabulary_random(spark):
+    from duckdb_imputation_spark.operators.textprep import encode_with_vocabulary
+
+    vocab_tokens = {"a": 1, "bb": 2, "ccc": 3}
+    pool = list(vocab_tokens) + ["oov1", "oov2"]
+    docs = []
+    for i in range(50):
+        k = int(RNG.integers(0, 12))
+        docs.append((i, " ".join(pool[int(RNG.integers(0, len(pool)))] for _ in range(k))))
+    df = spark.createDataFrame(docs, "id long, text string")
+    vdf = spark.createDataFrame(
+        list(vocab_tokens.items()), "token string, token_id long"
+    )
+    got = {
+        r["id"]: (list(r["token_ids"]), r["n_oov"])
+        for r in encode_with_vocabulary(df, "text", "id", vdf).collect()
+    }
+    for i, text in docs:
+        toks = text.split() if text.strip() else []
+        ids = [vocab_tokens.get(t, -1) for t in toks]
+        assert got[i] == (ids, ids.count(-1)), (i, text)
