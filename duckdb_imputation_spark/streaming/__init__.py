@@ -148,7 +148,11 @@ def merge_stream_triples(rows, d_num: int, d_cat: int) -> Triple:
 
 
 def _corpus_stat_exprs(text_col: str):
-    from ..operators.textstats import quality_score, token_count_ws
+    from ..operators.textstats import (
+        quality_score,
+        repetition_metrics,
+        token_count_ws,
+    )
 
     t = F.col(text_col)
     return [
@@ -156,6 +160,10 @@ def _corpus_stat_exprs(text_col: str):
         F.sum(token_count_ws(t)).alias("n_tokens"),
         F.round(F.avg(quality_score(t)), 6).alias("avg_quality"),
         F.round(F.avg(F.length(t)).cast("double"), 6).alias("avg_chars"),
+        # boilerplate-flood detector: mean top-2-gram repetition
+        F.round(
+            F.avg(repetition_metrics(t)["top_ngram_frac"]), 6
+        ).alias("avg_top_ngram_frac"),
     ]
 
 
@@ -179,6 +187,7 @@ def streaming_corpus_stats(
         .select(
             F.col("__w.start").alias("window_start"),
             "n_docs", "n_tokens", "avg_quality", "avg_chars",
+            "avg_top_ngram_frac",
         )
     )
 
@@ -195,6 +204,7 @@ def corpus_stats_batch(
         .select(
             F.col("__w.start").alias("window_start"),
             "n_docs", "n_tokens", "avg_quality", "avg_chars",
+            "avg_top_ngram_frac",
         )
     )
 
