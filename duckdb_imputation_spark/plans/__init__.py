@@ -189,7 +189,15 @@ def _is_constant_partition_key(
 ) -> bool:
     """True when exchange key ``key`` is constant-valued: a literal or a
     ``pmod(x, 1)`` (≡ 0), either inline or via an alias defined by a
-    Project/Aggregate in the exchange's subtree."""
+    Project/Aggregate in the exchange's subtree.
+
+    Known blind spot: when the alias is computed inside an aggregate's
+    result projection, plan toString prints only the attribute name in
+    ``output=[...]`` with no defining expression — those exchanges are
+    not recognized (e.g. the bounded offsets branch of
+    operators/prefix.py, which is fine to miss).  A window partitioned
+    on pmod over raw data always gets a visible Project, so the misuse
+    case this warn exists for IS caught."""
     if _CONST_EXPR.match(key):
         return True
     # resolve `<expr> AS <key>` in the subtree feeding the exchange
