@@ -45,6 +45,7 @@ __all__ = [
     "minhash_dedup_transitive",
     "exact_decontaminate",
     "minhash_decontaminate",
+    "ngram_decontaminate",
     "dedup_components",
     "simhash",
     "simhash_pairs",
@@ -394,13 +395,20 @@ def simhash_pairs(
 
 
 def _token_ngrams(text: Column, n: int) -> Column:
-    toks = ws_tokens(text)
-    return F.when(F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        )
-    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    # token array lambda-bound once: the per-gram slice() lambda would
+    # otherwise re-evaluate the captured split() for every gram (the
+    # no-CSE trap — see PLANS_r5.md §8); short docs (< n tokens) fall
+    # back to one whole-document gram
+    def grams(toks: Column) -> Column:
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+    return F.element_at(F.transform(F.array(ws_tokens(text)), grams), 1)
 
 
 def ngram_jaccard_pairs(
@@ -585,6 +593,45 @@ def dedup_components(
             max_iter, changed,
         )
     return labels.select("id", F.col("label").alias("canonical"))
+
+
+def ngram_decontaminate(
+    train: DataFrame,
+    contamination: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 13,
+    broadcast_taint: bool = True,
+) -> DataFrame:
+    """GPT-3-style n-gram-overlap decontamination (Brown et al. 2020,
+    appendix C): drop every training row that shares ANY token
+    ``n``-gram with the contamination (eval/benchmark) set.  Stricter
+    than :func:`exact_decontaminate` (substring overlap counts) and
+    cheaper than :func:`minhash_decontaminate` (no signatures, no
+    banding) — the standard middle ground for benchmark leakage.
+
+    Grams travel as md5-int60 hashes (8 bytes, not strings); the taint
+    side is distinct gram hashes — benchmark-sized, broadcast by
+    default, so the corpus side is ONE scan + map-side semi join with
+    no shuffle of corpus data (set ``broadcast_taint=False`` for a
+    contamination set too large to broadcast).  Documents shorter than
+    ``n`` tokens contribute their whole text as one gram (exact match
+    of a short doc still counts as contamination)."""
+    taint = (
+        contamination.select(
+            F.explode(_token_ngrams(F.col(text_col), n)).alias("__g")
+        )
+        .select(md5_int60(F.col("__g")).alias("__h"))
+        .distinct()
+    )
+    if broadcast_taint:
+        taint = F.broadcast(taint)
+    corp = train.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(_token_ngrams(F.col(text_col), n))).alias("__g"),
+    ).select(id_col, md5_int60(F.col("__g")).alias("__h"))
+    tainted = corp.join(taint, "__h", "left_semi").select(id_col).distinct()
+    return train.join(tainted, id_col, "left_anti")
 
 
 def exact_decontaminate(

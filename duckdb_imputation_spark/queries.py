@@ -93,10 +93,14 @@ _DRIVER_PRIORITY: list[str] = [
     # chunk_documents the token-array bind — post-change hash rows
     "text_stats_documents",
     "chunk_documents_catalog",
-    # round 5: new rows — Gopher repetition filters and the
-    # tokenizer-apply encode (never verified)
+    # round 5: new rows — Gopher repetition filters, the tokenizer-apply
+    # encode, and 13-gram decontamination (never verified)
     "repetition_metrics_documents",
     "encode_documents_vocab",
+    "ngram_decontaminate_documents",
+    # round 5: _token_ngrams gained the token-array bind — post-change
+    # hash row for its existing consumer
+    "ngram_jaccard_dups",
     # round 4: new rows (never driver-verified) and queries whose
     # implementation changed this round — their hashes need fresh
     # driver evidence even though the results are designed to be
@@ -149,7 +153,6 @@ _DRIVER_DEMOTE: list[str] = [
     "events_hourly_rollup",
     "exact_dedup_documents",
     "minhash_signatures",
-    "ngram_jaccard_dups",
     "cross_join_triples",
 ]
 
@@ -1784,6 +1787,49 @@ def repetition_metrics_documents(spark, sf):
         "__m.dup_ngram_frac",
         "__m.top_ngram_frac",
     )
+
+
+def _ngram_decontaminate_oracle() -> str:
+    from .operators.hashing import md5_int60_sql
+
+    def grams(col: str) -> str:
+        toks = _ws_sql(col)
+        return (
+            f"CASE WHEN length({toks}) >= 13 THEN "
+            f"list_transform(range(1, length({toks}) - 12 + 1), "
+            f"i -> array_to_string(({toks})[CAST(i AS INT):CAST(i AS INT) + 12], ' ')) "
+            f"ELSE [array_to_string({toks}, ' ')] END"
+        )
+
+    h = md5_int60_sql("g")
+    return f"""
+    WITH tg AS (
+      SELECT DISTINCT {h} AS h FROM (
+        SELECT unnest({grams('text')}) AS g
+        FROM documents WHERE doc_id % 97 = 0
+      )
+    ), bad AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_id, {h} AS h FROM (
+          SELECT doc_id, unnest(list_distinct({grams('text')})) AS g
+          FROM documents
+        )
+      ) WHERE h IN (SELECT h FROM tg)
+    )
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+    """
+
+
+@register("ngram_decontaminate_documents", oracle=_ngram_decontaminate_oracle())
+def ngram_decontaminate_documents(spark, sf):
+    """GPT-3-style 13-gram-overlap decontamination of the corpus against
+    a stand-in benchmark slice (doc_id % 97): surviving doc ids.  Taint
+    grams travel as md5-int60 hashes, broadcast — one corpus scan, no
+    corpus shuffle."""
+    d = load_table(spark, sf, "documents")
+    ev = d.filter("doc_id % 97 = 0")
+    return _dd.ngram_decontaminate(d, ev, "text", "doc_id", n=13).select("doc_id")
 
 
 def _bm25_oracle() -> str:

@@ -612,3 +612,29 @@ def test_encode_with_vocabulary_edges(spark):
     assert got[2] == ([], 0)
     assert got[3] == ([], 0)
     assert got[4] == ([-1], 1)
+
+
+def test_ngram_decontaminate_crafted(spark):
+    """13-gram overlap semantics: long shared run taints, short docs
+    taint only on whole-text match."""
+    from duckdb_imputation_spark.operators.dedup import ngram_decontaminate
+
+    run13 = " ".join(f"w{i}" for i in range(13))
+    train = spark.createDataFrame(
+        [
+            (1, f"intro {run13} outro"),        # shares the eval 13-gram
+            (2, "totally different text here"),  # clean (short: whole-gram)
+            (3, "short eval"),                   # exact short match -> tainted
+            (4, "short eval plus"),              # superset of a short eval doc:
+                                                 # its whole-text gram differs -> clean
+        ],
+        "id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, f"eval prefix {run13}"), (101, "short eval")],
+        "id long, text string",
+    )
+    kept = sorted(
+        r["id"] for r in ngram_decontaminate(train, ev, "text", "id").collect()
+    )
+    assert kept == [2, 4]
