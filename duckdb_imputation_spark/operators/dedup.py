@@ -51,6 +51,7 @@ __all__ = [
     "simhash_pairs",
     "ngram_jaccard_pairs",
     "embedding_dup_pairs",
+    "embedding_dedup",
     "bucket_skew_stats",
 ]
 
@@ -593,6 +594,48 @@ def dedup_components(
             max_iter, changed,
         )
     return labels.select("id", F.col("label").alias("canonical"))
+
+
+def embedding_dedup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    bucket_cap: int = 512,
+    max_iter: int = 20,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): rows whose embeddings form a near-duplicate
+    cluster (pairwise cosine ≥ ``threshold``, closed transitively) keep
+    only one representative — the minimum-id member — and every other
+    cluster member is dropped.
+
+    Composition of the family's scale-safe pieces: hyperplane-LSH
+    candidate pairs with exact-cosine verify
+    (:func:`embedding_dup_pairs` — ids-only banded shuffle, bucket cap),
+    then min-label propagation (:func:`dedup_components`), then ONE
+    broadcast-able anti-join of the dropped-id set against the corpus.
+    No all-pairs path: pair count is bounded by ``bucket_cap²`` per
+    bucket, and the component graph holds only verified-duplicate ids
+    (tiny vs the corpus at real dup rates).
+    """
+    pairs = embedding_dup_pairs(
+        df, vec_col, id_col, dim,
+        threshold=threshold, n_planes=n_planes, bands=bands,
+        seed=seed, bucket_cap=bucket_cap,
+    )
+    comp = dedup_components(pairs, max_iter=max_iter)
+    dropped = comp.filter(F.col("id") != F.col("canonical")).select(
+        F.col("id").alias(id_col)
+    )
+    # ids-only anti-join; AQE broadcasts the dropped set when it is
+    # small (the common case) and falls back to a shuffled anti-join
+    # when the dup rate makes it large — don't force either.
+    return df.join(dropped, id_col, "left_anti")
 
 
 def ngram_decontaminate(

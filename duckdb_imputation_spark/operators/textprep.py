@@ -27,6 +27,7 @@ __all__ = [
     "build_vocabulary",
     "encode_with_vocabulary",
     "stratified_sample",
+    "temperature_sample",
 ]
 
 # pattern, replacement — order matters (emails before bare domains, etc.)
@@ -243,6 +244,89 @@ def stratified_sample(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def temperature_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    target_frac: float = 0.5,
+    salt: str = "mix",
+) -> DataFrame:
+    """Temperature-weighted domain mixing (the multinomial-sampling
+    scheme of XLM-R / mT5, temperature fixed at α = 0.5): stratum ``s``
+    with ``n_s`` rows is sampled with probability ``q_s ∝ √n_s``, so
+    small domains are up-weighted relative to their natural share and
+    head domains are damped.  Expected output size ≈ ``target_frac·N``
+    rows; a stratum whose quota exceeds its population is kept whole
+    (rate capped at 1, so the realized total can undershoot when many
+    strata saturate).
+
+    Row selection is the deterministic md5 threshold of
+    :func:`deterministic_sample` — re-running, re-partitioning, or a
+    different engine yields the identical sample.  α is fixed at 0.5
+    because ``sqrt`` is IEEE-exact in every engine, keeping the
+    per-stratum thresholds bit-reproducible across Spark and the DuckDB
+    oracle; an arbitrary-α variant would ride on ``pow``, whose last-ULP
+    rounding is libm-dependent.
+
+    Scale shape: ONE map-side-combined count shuffle over ``|strata|``
+    keys, a scalar aggregate over the tiny counts relation, and a
+    broadcast rates join back onto the corpus — the corpus itself is
+    scanned once and never shuffled.
+    """
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    # sums derives from counts, so the cross join below is a self-join:
+    # qualify both sides to keep attribute resolution unambiguous
+    sums = counts.agg(
+        F.sum("__cnt").alias("__tot"),
+        # cross-stratum float sum: round to 6 so the Spark/DuckDB
+        # accumulation orders cannot disagree in the last ULP
+        F.round(F.sum(F.sqrt(F.col("__cnt").cast("double"))), 6).alias("__den"),
+    ).alias("s")
+    rate = (
+        F.lit(target_frac)
+        * F.col("s.__tot")
+        * F.sqrt(F.col("c.__cnt").cast("double"))
+        / F.col("s.__den")
+        / F.col("c.__cnt")
+    )
+    rates = counts.alias("c").crossJoin(F.broadcast(sums)).select(
+        F.col("c." + strata_col),
+        F.floor(F.round(F.least(F.lit(1.0), rate) * 1_000_000, 3)).alias("__thresh"),
+    )
+    h = md5_int32(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .filter(h % 1_000_000 < F.col("__thresh"))
+        .drop("__thresh")
+    )
+
+
+def temperature_sample_sql(
+    rel: str, strata_col: str, id_expr: str,
+    target_frac: float = 0.5, salt: str = "mix",
+) -> str:
+    """DuckDB twin of :func:`temperature_sample` (expression order kept
+    identical so every double matches bit for bit)."""
+    salted = f"'{salt}' || CAST({id_expr} AS VARCHAR)"
+    return f"""
+    WITH __counts AS (
+      SELECT {strata_col}, COUNT(*) AS __cnt FROM {rel} GROUP BY {strata_col}
+    ), __sums AS (
+      SELECT SUM(__cnt) AS __tot,
+             ROUND(SUM(sqrt(CAST(__cnt AS DOUBLE))), 6) AS __den
+      FROM __counts
+    ), __rates AS (
+      SELECT {strata_col},
+             CAST(floor(ROUND(LEAST(CAST(1.0 AS DOUBLE),
+               {target_frac} * __tot * sqrt(CAST(__cnt AS DOUBLE)) / __den / __cnt
+             ) * 1000000, 3)) AS BIGINT) AS __thresh
+      FROM __counts, __sums
+    )
+    SELECT t.* FROM {rel} t JOIN __rates r USING ({strata_col})
+    WHERE {md5_int32_sql(salted)} % 1000000 < r.__thresh
+    """
 
 
 def pack_sequences(

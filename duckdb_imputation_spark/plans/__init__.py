@@ -92,6 +92,11 @@ _WRAPPERS = (
     "InputAdapter",
     "WholeStageCodegen",
     "ColumnarToRow",
+    # row-preserving movement: a broadcast build side behind an AQE
+    # BroadcastQueryStage prints as QueryStage > BroadcastExchange >
+    # <real operator> — both layers must be skipped to judge the
+    # operator that actually produces the broadcast rows
+    "BroadcastExchange",
 )
 
 

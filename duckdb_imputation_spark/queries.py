@@ -77,6 +77,10 @@ def resolve_oracles(sf_dir: str | None = None) -> dict[str, str]:
 # --------------------------------------------------------------------- #
 
 _DRIVER_PRIORITY: list[str] = [
+    # round 6: new rows (never driver-verified) — SemDeDup-style
+    # embedding-component dedup and temperature-weighted domain mixing
+    "semantic_dedup_survivors",
+    "temperature_mix_sample",
     # round 5: rotated back in for one round — simhash_from_hashes was
     # rewritten to a single-pass fold in r4 (dedup.py) and
     # triple_lineitem_wide sat at index 50, one past the driver cutoff;
@@ -1214,16 +1218,19 @@ def _ann_ivf_oracle(sf_dir: str) -> str:
 ORACLE_FACTORIES["ann_ivf_topk"] = _ann_ivf_oracle
 
 
-def _embedding_dup_oracle(
+def _embedding_pairs_ctes(
+    union_sql: str,
     n_planes: int = 16, bands: int = 4, dim: int = 64,
     thr: float = 0.95, cap: int = 512, seed: int = 42,
 ) -> str:
-    """SQL twin of operators/dedup.py embedding_dup_pairs: the seeded
-    hyperplanes are regenerated with the same NumPy call and inlined as
-    literals; sign bits, band buckets, the 2..cap bucket filter, ordered
-    candidate pairs and the exact-cosine verify all mirror the Spark
-    pipeline expression for expression (sequential-fold dots, so the
-    float64 signs and rounded cosines are bit-identical)."""
+    """CTE chain twinning operators/dedup.py embedding_dup_pairs over
+    ``union_sql`` (the input relation), ending in ``ver`` =
+    (id_a, id_b, cosine) verified pairs: the seeded hyperplanes are
+    regenerated with the same NumPy call and inlined as literals; sign
+    bits, band buckets, the 2..cap bucket filter, ordered candidate
+    pairs and the exact-cosine verify all mirror the Spark pipeline
+    expression for expression (sequential-fold dots, so the float64
+    signs and rounded cosines are bit-identical)."""
     import numpy as np
 
     from .ml.sql_twin import flit
@@ -1261,11 +1268,8 @@ def _embedding_dup_oracle(
     pair_dot = dot("a.embedding", "CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)")
     self_dot_a = dot("a.embedding", "CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)")
     self_dot_b = dot("b.embedding", "CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)")
-    return f"""
-    WITH unioned AS (
-      SELECT vec_id, embedding FROM embeddings WHERE vec_id < 60
-      UNION ALL
-      SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings WHERE vec_id < 10
+    return f"""unioned AS (
+      {union_sql}
     ), bits AS (
       SELECT vec_id, [{bits}] AS bit FROM unioned
     ), banded AS (
@@ -1278,14 +1282,53 @@ def _embedding_dup_oracle(
       FROM banded l JOIN kept USING (band, bucket)
            JOIN banded r USING (band, bucket)
       WHERE l.vec_id < r.vec_id
+    ), ver AS (
+      SELECT id_a, id_b, cosine FROM (
+        SELECT c.id_a, c.id_b,
+               ROUND({pair_dot} / (sqrt({self_dot_a}) * sqrt({self_dot_b})), 6)
+                 AS cosine
+        FROM cand c JOIN unioned a ON a.vec_id = c.id_a
+                    JOIN unioned b ON b.vec_id = c.id_b
+      ) WHERE cosine >= {thr}
+    )"""
+
+
+_EMBED_DUP_UNION = """SELECT vec_id, embedding FROM embeddings WHERE vec_id < 60
+      UNION ALL
+      SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings WHERE vec_id < 10"""
+
+
+def _embedding_dup_oracle() -> str:
+    return f"""
+    WITH {_embedding_pairs_ctes(_EMBED_DUP_UNION)}
+    SELECT id_a, id_b, cosine FROM ver
+    """
+
+
+_SEMANTIC_DEDUP_UNION = """SELECT vec_id, embedding FROM embeddings WHERE vec_id < 60
+      UNION ALL
+      SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings WHERE vec_id < 10
+      UNION ALL
+      SELECT vec_id + 20000 AS vec_id, embedding FROM embeddings WHERE vec_id < 10"""
+
+
+def _semantic_dedup_oracle() -> str:
+    """Verified cosine pairs → recursive transitive closure → drop every
+    component member except its minimum id — the SQL twin of
+    dedup.embedding_dedup's survivor set."""
+    return f"""
+    WITH RECURSIVE {_embedding_pairs_ctes(_SEMANTIC_DEDUP_UNION)},
+    sym AS (
+      SELECT id_a AS src, id_b AS dst FROM ver
+      UNION ALL SELECT id_b AS src, id_a AS dst FROM ver
+    ), reach(id, r) AS (
+      SELECT DISTINCT src, src FROM sym
+      UNION
+      SELECT s.src, re.r FROM sym s JOIN reach re ON re.id = s.dst
     )
-    SELECT id_a, id_b, cosine FROM (
-      SELECT c.id_a, c.id_b,
-             ROUND({pair_dot} / (sqrt({self_dot_a}) * sqrt({self_dot_b})), 6)
-               AS cosine
-      FROM cand c JOIN unioned a ON a.vec_id = c.id_a
-                  JOIN unioned b ON b.vec_id = c.id_b
-    ) WHERE cosine >= {thr}
+    SELECT vec_id FROM unioned WHERE vec_id NOT IN (
+      SELECT id FROM reach GROUP BY id HAVING MIN(r) != id
+    )
     """
 
 
@@ -1306,6 +1349,28 @@ def embedding_dup_pairs_lsh(spark, sf):
         u, "embedding", "vec_id", dim=64, threshold=0.95,
         n_planes=16, bands=4, seed=42,
     )
+
+
+@register("semantic_dedup_survivors", oracle=_semantic_dedup_oracle())
+def semantic_dedup_survivors(spark, sf):
+    """SemDeDup-style semantic dedup (dedup.embedding_dedup): embedding
+    near-dup clusters keep only their min-id representative.  Two copy
+    generations (vec_id+10000, vec_id+20000) make every duplicated
+    vector a 3-member component, so the transitive closure and the
+    keep-one-per-component rule are both load-bearing; the oracle closes
+    the verified-pair graph with a recursive CTE."""
+    e = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    dups = [
+        e.filter("vec_id < 10").select(
+            (F.col("vec_id") + off).alias("vec_id"), "embedding"
+        )
+        for off in (10000, 20000)
+    ]
+    u = e.filter("vec_id < 60").unionAll(dups[0]).unionAll(dups[1])
+    return _dd.embedding_dedup(
+        u, "embedding", "vec_id", dim=64, threshold=0.95,
+        n_planes=16, bands=4, seed=42,
+    ).select("vec_id")
 
 
 def _minhash_pairs_ctes(
@@ -1673,6 +1738,26 @@ def stratified_sample_documents(spark, sf):
         "lang", _ts.lang_id(F.col("text"))
     )
     return _tp.stratified_sample(d, "lang", "doc_id", k=20).select("doc_id", "lang")
+
+
+@register(
+    "temperature_mix_sample",
+    oracle=f"""
+    SELECT doc_id, source FROM (
+      {_tp.temperature_sample_sql('documents', 'source', 'doc_id', target_frac=0.5)}
+    )
+    """,
+)
+def temperature_mix_sample(spark, sf):
+    """Temperature-weighted domain mixing (α=0.5 multinomial sampling a
+    la XLM-R/mT5): per-source keep rates ∝ √n_s, deterministic md5 row
+    selection, expected half the corpus.  Head sources are damped, tail
+    sources up-weighted — the standard pretraining-mixture sampler,
+    hash-gated against its SQL twin."""
+    d = load_table(spark, sf, "documents")
+    return _tp.temperature_sample(d, "source", "doc_id", target_frac=0.5).select(
+        "doc_id", "source"
+    )
 
 
 @register(

@@ -638,3 +638,47 @@ def test_ngram_decontaminate_crafted(spark):
         r["id"] for r in ngram_decontaminate(train, ev, "text", "id").collect()
     )
     assert kept == [2, 4]
+
+
+def test_embedding_dedup_keeps_one_per_cluster(spark, emb):
+    """Two copy generations of each of 10 vectors: all copies must drop,
+    all originals and non-duplicated vectors must survive."""
+    e = emb.select("vec_id", "embedding").filter("vec_id < 60")
+    dups = [
+        emb.filter("vec_id < 10").select(
+            (F.col("vec_id") + off).alias("vec_id"), "embedding"
+        )
+        for off in (10000, 20000)
+    ]
+    u = e.unionAll(dups[0]).unionAll(dups[1])
+    kept = {
+        r["vec_id"]
+        for r in dd.embedding_dedup(
+            u, "embedding", "vec_id", dim=64, threshold=0.95,
+            n_planes=16, bands=4, seed=42,
+        ).select("vec_id").collect()
+    }
+    assert not any(v >= 10000 for v in kept)  # every copy dropped
+    assert set(range(10)) <= kept  # min-id representative survives
+    assert len(kept) == 60  # untouched vectors all pass through
+
+
+def test_temperature_sample_rates(spark):
+    """α=0.5 mixing: the head stratum is damped below its natural share
+    and the tail stratum up-weighted above it; selection is a
+    deterministic function of the id so a rerun is identical."""
+    from duckdb_imputation_spark.operators import textprep as tp
+
+    rows = [(i, "head" if i < 900 else "tail") for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    out = tp.temperature_sample(df, "s", "id", target_frac=0.5)
+    got = {(r["id"], r["s"]) for r in out.collect()}
+    again = {(r["id"], r["s"]) for r in tp.temperature_sample(
+        df, "s", "id", target_frac=0.5).collect()}
+    assert got == again  # deterministic
+    n_head = sum(1 for _, s in got if s == "head")
+    n_tail = sum(1 for _, s in got if s == "tail")
+    # expected rates: q_head = sqrt(900)/(sqrt(900)+sqrt(100)) = 0.75
+    # -> head keep-rate (0.5*1000*0.75)/900 = 0.4167, tail = 1.25 -> capped 1.0
+    assert n_tail == 100  # tail saturates: kept whole
+    assert 290 <= n_head <= 460  # md5 noise around expected 375
