@@ -32,6 +32,9 @@ __all__ = [
     "assign_clusters",
     "IVFIndex",
     "ivf_index_load",
+    "quantize_int8",
+    "quantize_int8_py",
+    "quantized_cosine_topk",
 ]
 
 
@@ -223,6 +226,96 @@ def ann_lsh_topk(
     return (
         cand.select(F.col(id_col), F.round(_cosine(v, query), 6).alias("score"))
         .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def _idot(a: Column, b: Column) -> Column:
+    """Exact integer dot product (int64 accumulate — order-independent,
+    so unlike the float fold it needs no sequential-order discipline)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def quantize_int8(
+    df: DataFrame, vec_col: str, id_col: str
+) -> DataFrame:
+    """Per-vector symmetric int8 scalar quantization:
+    ``scale = max|x|/127``, ``q_i = round(x_i/scale)`` ∈ [-127, 127] —
+    (id, qvec array<int>, scale).  4× smaller than float32 at rest
+    (16× vs the float64 math path), which at 100 TB turns a scan-bound
+    ANN rerank into a quarter of the I/O; cosine over the quantized
+    ints needs no dequantization because the per-vector scales cancel.
+
+    The scale is lambda-bound (transform over a 1-element array) so the
+    ``array_max`` runs once per vector, not once per element — the same
+    no-CSE trap as quality_filter (BASELINE.md perf note 1).  Rounding
+    is HALF_UP (away from zero), matching DuckDB's ``round()``.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+    def with_scale(s: Column) -> Column:
+        return F.struct(
+            F.transform(v, lambda x: F.round(x / s).cast("int")).alias("qvec"),
+            s.alias("scale"),
+        )
+
+    amax = F.array_max(F.transform(v, F.abs))
+    scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(1.0))
+    q = F.get(F.transform(F.array(scale), with_scale), 0)
+    return df.select(
+        F.col(id_col),
+        q["qvec"].alias("qvec"),
+        q["scale"].alias("scale"),
+    )
+
+
+def quantize_int8_py(vec: Sequence[float]) -> list[int]:
+    """Driver-side twin of :func:`quantize_int8` for query vectors
+    (explicit half-away-from-zero to match Spark/DuckDB ``round``;
+    Python's built-in round is half-even)."""
+    import math
+
+    amax = max(abs(float(x)) for x in vec)
+    scale = amax / 127.0 if amax > 0 else 1.0
+    return [
+        int(math.copysign(math.floor(abs(float(x) / scale) + 0.5), x))
+        for x in vec
+    ]
+
+
+def quantized_cosine_topk(
+    df: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate cosine top-k over int8-quantized vectors: the
+    per-vector scales cancel in the cosine, so the score is
+    ``Σq_d·q_q / (√Σq_d² · √Σq_q²)`` — all-integer dot products (exact
+    in any engine, any order) with one float division at the end.
+    Max quantization error ≈ 1/127 per axis; rank agreement with the
+    exact float path is near-total except between near-tied scores.
+    All-zero vectors (quantized norm 0) are dropped rather than scored
+    NaN."""
+    qq = quantize_int8_py(query)
+    qqv = F.array(*[F.lit(int(x)) for x in qq])
+    qq_norm = float(np.sqrt(sum(x * x for x in qq)))
+    quant = quantize_int8(df, vec_col, id_col)
+    self2 = _idot(F.col("qvec"), F.col("qvec"))
+    score = F.round(
+        _idot(F.col("qvec"), qqv)
+        / (F.sqrt(self2.cast("double")) * F.lit(qq_norm)),
+        6,
+    )
+    return (
+        quant.filter(self2 > 0)
+        .select(F.col(id_col), score.alias("qscore"))
+        .orderBy(F.desc("qscore"), F.col(id_col))
         .limit(k)
     )
 

@@ -78,9 +78,11 @@ def resolve_oracles(sf_dir: str | None = None) -> dict[str, str]:
 
 _DRIVER_PRIORITY: list[str] = [
     # round 6: new rows (never driver-verified) — SemDeDup-style
-    # embedding-component dedup and temperature-weighted domain mixing
+    # embedding-component dedup, temperature-weighted domain mixing,
+    # and the int8-quantized similarity-search path
     "semantic_dedup_survivors",
     "temperature_mix_sample",
+    "quantized_cosine_topk",
     # round 5: rotated back in for one round — simhash_from_hashes was
     # rewritten to a single-pass fold in r4 (dedup.py) and
     # triple_lineitem_wide sat at index 50, one past the driver cutoff;
@@ -1305,6 +1307,59 @@ def _embedding_dup_oracle() -> str:
     """
 
 
+def _quantized_topk_oracle() -> str:
+    """SQL twin of simsearch.quantize_int8 + quantized_cosine_topk: the
+    quantized query ints and its norm are computed driver-side with the
+    same half-away-from-zero rule and inlined; per-vector quantization
+    mirrors the Spark expressions (round is HALF_UP in both engines —
+    verified on ties), and the integer dot products are order-exact."""
+    from .operators import simsearch as _ssm
+
+    q = _emb_query_vec()
+    qq = _ssm.quantize_int8_py(q)
+    import numpy as _np
+
+    qq_norm = repr(float(_np.sqrt(sum(x * x for x in qq))))
+    qlit = "[" + ", ".join(str(int(x)) for x in qq) + "]"
+
+    def idot(a: str, b: str) -> str:
+        return (
+            "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            "list_transform(range(1, 65), "
+            f"i -> CAST({a}[CAST(i AS INT)] AS BIGINT) * {b}[CAST(i AS INT)])), "
+            "(a, b) -> a + b)"
+        )
+
+    return f"""
+    WITH amaxed AS (
+      SELECT vec_id,
+             embedding,
+             list_max(list_transform(embedding,
+               x -> abs(CAST(x AS DOUBLE)))) AS amax
+      FROM embeddings
+    ), scaled AS (
+      SELECT vec_id, embedding,
+             CASE WHEN amax > 0 THEN amax / CAST(127.0 AS DOUBLE)
+                  ELSE CAST(1.0 AS DOUBLE) END AS scale
+      FROM amaxed
+    ), qt AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) / scale) AS INT)) AS qvec
+      FROM scaled
+    ), scored AS (
+      SELECT vec_id,
+             {idot('qvec', 'qvec')} AS self2,
+             ROUND(CAST({idot('qvec', f'({qlit})')} AS DOUBLE)
+                   / (sqrt(CAST({idot('qvec', 'qvec')} AS DOUBLE)) * {qq_norm}),
+                   6) AS qscore
+      FROM qt
+    )
+    SELECT vec_id, qscore FROM scored WHERE self2 > 0
+    ORDER BY qscore DESC, vec_id LIMIT 10
+    """
+
+
 _SEMANTIC_DEDUP_UNION = """SELECT vec_id, embedding FROM embeddings WHERE vec_id < 60
       UNION ALL
       SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings WHERE vec_id < 10
@@ -1349,6 +1404,19 @@ def embedding_dup_pairs_lsh(spark, sf):
         u, "embedding", "vec_id", dim=64, threshold=0.95,
         n_planes=16, bands=4, seed=42,
     )
+
+
+@register("quantized_cosine_topk", oracle=_quantized_topk_oracle())
+def quantized_cosine_topk_query(spark, sf):
+    """int8 scalar-quantized cosine top-10 against the fixed synthetic
+    query (simsearch.quantize_int8 → quantized_cosine_topk): per-vector
+    scales cancel in the cosine, so the score path is exact integer dot
+    products plus one rounded float division — bit-reproducible across
+    engines without the sequential-fold discipline the float path
+    needs."""
+    q = _emb_query_vec(sf)
+    e = load_table(spark, sf, "embeddings")
+    return _ss.quantized_cosine_topk(e, q, k=10)
 
 
 @register("semantic_dedup_survivors", oracle=_semantic_dedup_oracle())

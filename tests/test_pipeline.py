@@ -682,3 +682,28 @@ def test_temperature_sample_rates(spark):
     # -> head keep-rate (0.5*1000*0.75)/900 = 0.4167, tail = 1.25 -> capped 1.0
     assert n_tail == 100  # tail saturates: kept whole
     assert 290 <= n_head <= 460  # md5 noise around expected 375
+
+
+def test_quantized_topk_close_to_exact(emb):
+    """int8 quantization: per-axis error ≤ scale/2 = amax/254, so the
+    quantized cosine stays within a small bound of the exact one and the
+    top-10 sets overlap nearly completely."""
+    q = list(np.sin(np.arange(1, 65)))
+    exact = ss.cosine_topk(emb, q, k=10)
+    quant = ss.quantized_cosine_topk(emb, q, k=10)
+    e = {r["vec_id"]: r["score"] for r in exact.collect()}
+    g = {r["vec_id"]: r["qscore"] for r in quant.collect()}
+    assert len(set(e) & set(g)) >= 8  # near-total rank agreement
+    both = set(e) & set(g)
+    assert all(abs(e[v] - g[v]) < 0.02 for v in both)
+
+
+def test_quantize_int8_roundtrip(spark):
+    """Quantization bounds: |q_i| <= 127, the max-|x| element hits ±127
+    exactly, and dequantized values land within scale/2 of the input."""
+    rows = [(1, [1.0, -0.5, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    out = {r["id"]: r for r in ss.quantize_int8(df, "v", "id").collect()}
+    assert out[1]["qvec"] == [127, -64, 32, 0]  # -0.5/scale = -63.5 -> away from zero
+    assert abs(out[1]["scale"] - 1.0 / 127) < 1e-12
+    assert out[2]["qvec"] == [0, 0, 0, 0] and out[2]["scale"] == 1.0
