@@ -83,6 +83,7 @@ _DRIVER_PRIORITY: list[str] = [
     "semantic_dedup_survivors",
     "temperature_mix_sample",
     "quantized_cosine_topk",
+    "doc_quality_nb_histogram",
     # round 5: rotated back in for one round — simhash_from_hashes was
     # rewritten to a single-pass fold in r4 (dedup.py) and
     # triple_lineitem_wide sat at index 50, one past the driver cutoff;
@@ -2755,6 +2756,68 @@ def _qda_hist_oracle(sf_dir: str) -> str:
 
 
 ORACLE_FACTORIES["qda_train_predict_histogram"] = _qda_hist_oracle
+
+
+# documents-table NB relation: integer-valued features (char count,
+# whitespace token count — bit-exact triple sums), source id as the
+# categorical feature, language (2nd char: n/e/h/r/s — the 1st collides
+# on en/es) as the class label
+_DOCNB_REL = (
+    "(SELECT CAST(n_chars AS DOUBLE) AS nc, "
+    "CAST({tc} AS DOUBLE) AS tc, "
+    "CAST(substr(source, 4) AS INT) AS src, "
+    "ascii(substr(lang, 2, 1)) AS lg FROM {{src}})"
+)
+
+
+@register("doc_quality_nb_histogram")
+def doc_quality_nb_histogram(spark, sf):
+    """The reference's in-database ML applied to the LLM-pipeline tables:
+    Gaussian+categorical NB trained from per-class ring aggregates
+    (GROUP BY language) over document features — char count, token
+    count, source id — then per-document language prediction, output as
+    a histogram.  Same train/predict machinery as
+    nb_train_predict_histogram (sum_to_triple nb=True → nb_train →
+    log-space Column scoring); the oracle factory retrains from
+    DuckDB-computed class triples and bakes the coefficients."""
+    from .ml.nb import nb_train
+
+    d = load_table(spark, sf, "documents").select(
+        F.col("n_chars").cast("double").alias("nc"),
+        _ts.token_count_ws(F.col("text")).cast("double").alias("tc"),
+        F.substring("source", 4, 10).cast("int").alias("src"),
+        F.ascii(F.substring("lang", 2, 1)).alias("lg"),
+    )
+    per_class = sum_to_triple(d, ["nc", "tc"], ["src"], group_by=["lg"], nb=True)
+    rows = sorted(per_class.collect(), key=lambda r: r["lg"])
+    labels = [r["lg"] for r in rows]
+    triples = [Triple.from_row(r["triple"], d_num=2, d_cat=1) for r in rows]
+    model = nb_train(triples, labels=labels)
+    return (
+        d.withColumn("pred", model.predict_expr(["nc", "tc"], ["src"]))
+        .groupBy("pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _doc_nb_hist_oracle(sf_dir: str) -> str:
+    import duckdb
+
+    from .ml import sql_twin as _tw
+    from .ml.nb import nb_train
+
+    rel = _DOCNB_REL.format(tc=_ts.token_count_ws_sql("text"))
+    con = duckdb.connect()
+    labels, triples = _tw.class_triples_duckdb(
+        con, rel.format(src=_pq(sf_dir, "documents")), ["nc", "tc"], ["src"],
+        "lg", nb=True,
+    )
+    model = nb_train(triples, labels=labels)
+    pred = _tw.nb_predict_sql(model, ["nc", "tc"], ["src"])
+    return _hist_sql(pred, rel.format(src="documents"))
+
+
+ORACLE_FACTORIES["doc_quality_nb_histogram"] = _doc_nb_hist_oracle
 
 
 @register(
