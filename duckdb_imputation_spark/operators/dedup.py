@@ -52,6 +52,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "embedding_dup_pairs",
     "embedding_dedup",
+    "line_dedup",
     "bucket_skew_stats",
 ]
 
@@ -636,6 +637,54 @@ def embedding_dedup(
     # small (the common case) and falls back to a shuffled anti-join
     # when the dup rate makes it large — don't force either.
     return df.join(dropped, id_col, "left_anti")
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_chars: int = 10,
+) -> DataFrame:
+    """C4-style cross-document line deduplication (Raffel et al. 2020,
+    §2.2 "three-sentence span" rule at line granularity): every line of
+    ``min_chars``+ characters that occurs verbatim anywhere else in the
+    corpus keeps only its first occurrence — ordered by (doc id,
+    position) — and is removed everywhere else; shorter lines pass
+    through untouched.  Documents are reassembled with surviving lines
+    in original order; a document whose every line is dropped vanishes.
+
+    Shape: posexplode → ONE winner-election shuffle keyed on (line hash,
+    line) → one doc-id shuffle to reassemble.  The window shuffle
+    carries (line, id, pos); the md5-int60 leading key keeps partition
+    routing narrow and comparisons short-circuited — at 100 TB you
+    would route on the hash alone and verify equality on collision,
+    which this keying is one `.drop` away from.
+    """
+    lines = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
+    )
+    h = md5_int60(F.col("__line"))
+    w = Window.partitionBy(h, F.col("__line")).orderBy("__id", "__pos")
+    kept = (
+        lines.withColumn(
+            "__rn",
+            F.when(
+                F.length("__line") >= min_chars, F.row_number().over(w)
+            ).otherwise(F.lit(1)),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return kept.groupBy("__id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                lambda x: x["__line"],
+            ),
+        ).alias(text_col)
+    ).select(F.col("__id").alias(id_col), text_col)
 
 
 def ngram_decontaminate(

@@ -84,6 +84,7 @@ _DRIVER_PRIORITY: list[str] = [
     "temperature_mix_sample",
     "quantized_cosine_topk",
     "doc_quality_nb_histogram",
+    "line_dedup_documents",
     # round 5: rotated back in for one round — simhash_from_hashes was
     # rewritten to a single-pass fold in r4 (dedup.py) and
     # triple_lineitem_wide sat at index 50, one past the driver cutoff;
@@ -1440,6 +1441,56 @@ def semantic_dedup_survivors(spark, sf):
         u, "embedding", "vec_id", dim=64, threshold=0.95,
         n_planes=16, bands=4, seed=42,
     ).select("vec_id")
+
+
+@register(
+    "line_dedup_documents",
+    oracle="""
+    WITH pieces AS (
+      SELECT doc_id, substr(text, 1, 50) AS piece FROM documents
+    ), built AS (
+      SELECT b.doc_id,
+             b.piece || chr(10) || p7.piece || chr(10) || p13.piece AS text
+      FROM pieces b
+      JOIN pieces p7 ON p7.doc_id = b.doc_id % 7
+      JOIN pieces p13 ON p13.doc_id = b.doc_id % 13
+      WHERE b.doc_id < 100
+    ), lines AS (
+      SELECT doc_id,
+             unnest(generate_series(1, len(parts))) AS pos,
+             unnest(parts) AS line
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS parts FROM built)
+    ), kept AS (
+      SELECT doc_id, pos, line FROM lines
+      QUALIFY (CASE WHEN length(line) >= 10
+               THEN row_number() OVER (PARTITION BY line ORDER BY doc_id, pos)
+               ELSE 1 END) = 1
+    )
+    SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+    FROM kept GROUP BY doc_id
+    """,
+)
+def line_dedup_documents(spark, sf):
+    """C4-style cross-document line dedup (dedup.line_dedup): 100 docs
+    are built as 3-line composites whose 2nd/3rd lines are shared with
+    the doc at id%7 / id%13, so within-doc repeats, cross-doc repeats
+    and first-occurrence-wins are all load-bearing; the oracle replays
+    winner election and reassembly in SQL."""
+    d = load_table(spark, sf, "documents").select(
+        "doc_id", F.substring("text", 1, 50).alias("piece")
+    )
+    base = d.filter("doc_id < 100")
+    p7 = d.select(F.col("doc_id").alias("k7"), F.col("piece").alias("piece7"))
+    p13 = d.select(F.col("doc_id").alias("k13"), F.col("piece").alias("piece13"))
+    built = (
+        base.join(p7, base["doc_id"] % 7 == p7["k7"])
+        .join(p13, base["doc_id"] % 13 == p13["k13"])
+        .select(
+            "doc_id",
+            F.concat_ws("\n", "piece", "piece7", "piece13").alias("text"),
+        )
+    )
+    return _dd.line_dedup(built, "text", "doc_id")
 
 
 def _minhash_pairs_ctes(

@@ -707,3 +707,22 @@ def test_quantize_int8_roundtrip(spark):
     assert out[1]["qvec"] == [127, -64, 32, 0]  # -0.5/scale = -63.5 -> away from zero
     assert abs(out[1]["scale"] - 1.0 / 127) < 1e-12
     assert out[2]["qvec"] == [0, 0, 0, 0] and out[2]["scale"] == 1.0
+
+
+def test_line_dedup_crafted(spark):
+    """First occurrence (by doc id, position) wins globally; short lines
+    never dedup; a document losing every line disappears."""
+    long_a = "this is a long repeated line"
+    long_b = "another long line kept once"
+    docs = [
+        (1, f"{long_a}\nok\n{long_a}"),        # within-doc repeat
+        (2, f"{long_a}\n{long_b}"),            # cross-doc repeats, later
+        (3, long_a),                            # all lines dropped
+        (4, "ok\nok"),                          # short lines always pass
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r["text"] for r in dd.line_dedup(df, "text", "doc_id").collect()}
+    assert out[1] == f"{long_a}\nok"   # second copy dropped
+    assert out[2] == long_b            # lost the shared line, kept its own
+    assert 3 not in out                # vanished
+    assert out[4] == "ok\nok"          # short lines untouched
