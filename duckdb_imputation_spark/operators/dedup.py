@@ -53,6 +53,7 @@ __all__ = [
     "embedding_dup_pairs",
     "embedding_dedup",
     "line_dedup",
+    "duplicate_passage_flags",
     "bucket_skew_stats",
 ]
 
@@ -685,6 +686,59 @@ def line_dedup(
             ),
         ).alias(text_col)
     ).select(F.col("__id").alias(id_col), text_col)
+
+
+def duplicate_passage_flags(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 13,
+    min_run: int = 3,
+) -> DataFrame:
+    """Duplicated-passage detection (the span-dedup signal of Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better",
+    at token-n-gram resolution instead of suffix arrays): a run of
+    ``min_run`` consecutive n-grams each shared with at least one OTHER
+    document marks a verbatim passage of ≥ ``n + min_run − 1`` tokens.
+    Returns one row per input row: (id, max_dup_run, flagged) where
+    ``max_dup_run`` is the longest such consecutive-shared-gram run.
+
+    Shape: positional gram explode → distinct-(gram, doc) df count
+    (ids+hash only — the corpus text never shuffles) → semi join back →
+    one per-document window for run detection (gaps-and-islands:
+    ``pos − row_number``).  Three slim shuffles, all keyed wide (gram
+    hash / doc id); no all-pairs path and no driver materialization.
+    """
+    grams = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(_token_ngrams(F.col(text_col), n)).alias("__pos", "__g"),
+    ).select("__id", "__pos", md5_int60(F.col("__g")).alias("__h"))
+    shared = (
+        grams.select("__h", "__id")
+        .distinct()
+        .groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") >= 2)
+        .select("__h")
+    )
+    dup = grams.join(shared, "__h", "left_semi")
+    w = Window.partitionBy("__id").orderBy("__pos")
+    runs = (
+        dup.withColumn("__grp", F.col("__pos") - F.row_number().over(w))
+        .groupBy("__id", "__grp")
+        .agg(F.count(F.lit(1)).alias("__run"))
+        .groupBy("__id")
+        .agg(F.max("__run").alias("max_dup_run"))
+    )
+    return df.select(F.col(id_col)).join(
+        runs.withColumnRenamed("__id", id_col), id_col, "left"
+    ).select(
+        id_col,
+        F.coalesce(F.col("max_dup_run"), F.lit(0)).alias("max_dup_run"),
+        (F.coalesce(F.col("max_dup_run"), F.lit(0)) >= min_run)
+        .cast("int")
+        .alias("flagged"),
+    )
 
 
 def ngram_decontaminate(

@@ -85,6 +85,7 @@ _DRIVER_PRIORITY: list[str] = [
     "quantized_cosine_topk",
     "doc_quality_nb_histogram",
     "line_dedup_documents",
+    "duplicate_passage_flags",
     # round 5: rotated back in for one round — simhash_from_hashes was
     # rewritten to a single-pass fold in r4 (dedup.py) and
     # triple_lineitem_wide sat at index 50, one past the driver cutoff;
@@ -2024,6 +2025,69 @@ def _ngram_decontaminate_oracle() -> str:
     SELECT doc_id FROM documents
     WHERE doc_id NOT IN (SELECT doc_id FROM bad)
     """
+
+
+def _dup_passage_oracle(n: int = 5, min_run: int = 3) -> str:
+    from .operators.hashing import md5_int60_sql
+
+    def grams(col: str) -> str:
+        toks = _ws_sql(col)
+        return (
+            f"CASE WHEN length({toks}) >= {n} THEN "
+            f"list_transform(range(1, length({toks}) - {n - 1} + 1), "
+            f"i -> array_to_string(({toks})[CAST(i AS INT):CAST(i AS INT) + {n - 1}], ' ')) "
+            f"ELSE [array_to_string({toks}, ' ')] END"
+        )
+
+    h = md5_int60_sql("g")
+    return f"""
+    WITH unioned AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 5
+    ), grams AS (
+      SELECT doc_id, pos, {h} AS h FROM (
+        SELECT doc_id,
+               unnest(generate_series(1, length(gs))) AS pos,
+               unnest(gs) AS g
+        FROM (SELECT doc_id, {grams('text')} AS gs FROM unioned)
+      )
+    ), shared AS (
+      SELECT h FROM (
+        SELECT h, COUNT(*) AS c
+        FROM (SELECT DISTINCT doc_id, h FROM grams) GROUP BY h
+      ) WHERE c >= 2
+    ), runs AS (
+      SELECT doc_id,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM grams WHERE h IN (SELECT h FROM shared)
+    ), mx AS (
+      SELECT doc_id, MAX(c) AS max_dup_run FROM (
+        SELECT doc_id, grp, COUNT(*) AS c FROM runs GROUP BY doc_id, grp
+      ) GROUP BY doc_id
+    )
+    SELECT u.doc_id,
+           COALESCE(mx.max_dup_run, 0) AS max_dup_run,
+           CAST(COALESCE(mx.max_dup_run, 0) >= {min_run} AS INT) AS flagged
+    FROM unioned u LEFT JOIN mx USING (doc_id)
+    """
+
+
+@register("duplicate_passage_flags", oracle=_dup_passage_oracle())
+def duplicate_passage_flags_query(spark, sf):
+    """Span-dedup signal (dedup.duplicate_passage_flags, 5-grams,
+    min_run=3): five exact copies guarantee full-length duplicated
+    runs, and the small synthetic vocabulary makes natural cross-doc
+    5-gram collisions a real no-flag/short-run negative path; the
+    oracle replays gram df counting and gaps-and-islands run detection
+    in SQL."""
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    copies = d.filter("doc_id < 5").select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    return _dd.duplicate_passage_flags(
+        d.unionAll(copies), "text", "doc_id", n=5, min_run=3
+    )
 
 
 @register("ngram_decontaminate_documents", oracle=_ngram_decontaminate_oracle())

@@ -726,3 +726,22 @@ def test_line_dedup_crafted(spark):
     assert out[2] == long_b            # lost the shared line, kept its own
     assert 3 not in out                # vanished
     assert out[4] == "ok\nok"          # short lines untouched
+
+
+def test_duplicate_passage_flags_crafted(spark):
+    """Run detection: a shared 5-token passage in two docs yields a run
+    of (passage_tokens - n + 1) consecutive shared grams; within-doc
+    repetition alone never flags."""
+    passage = "alpha beta gamma delta epsilon zeta eta"  # 7 tokens -> 3 shared 5-grams
+    docs = [
+        (1, f"one two {passage} three four"),
+        (2, f"{passage} five six seven eight nine"),
+        (3, "solo text with no overlap at all here"),
+        (4, "rep rep rep rep rep rep rep rep"),  # self-repeats only
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: (r["max_dup_run"], r["flagged"]) for r in
+           dd.duplicate_passage_flags(df, "text", "doc_id", n=5, min_run=3).collect()}
+    assert out[1] == (3, 1) and out[2] == (3, 1)  # 7-token passage = 3 grams
+    assert out[3] == (0, 0)
+    assert out[4] == (0, 0)  # shared-with-ANOTHER-doc required
