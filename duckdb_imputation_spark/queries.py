@@ -86,6 +86,7 @@ _DRIVER_PRIORITY: list[str] = [
     "doc_quality_nb_histogram",
     "line_dedup_documents",
     "duplicate_passage_flags",
+    "pq_cosine_topk",
     # round 5: rotated back in for one round — simhash_from_hashes was
     # rewritten to a single-pass fold in r4 (dedup.py) and
     # triple_lineitem_wide sat at index 50, one past the driver cutoff;
@@ -1407,6 +1408,93 @@ def embedding_dup_pairs_lsh(spark, sf):
         u, "embedding", "vec_id", dim=64, threshold=0.95,
         n_planes=16, bands=4, seed=42,
     )
+
+
+def _pq_catalog_codebooks(X) -> "np.ndarray":
+    import numpy as _np
+
+    return _ss.pq_train_np(
+        _np.asarray(X, dtype=_np.float64), m=8, ksub=16, seed=42
+    )
+
+
+@register("pq_cosine_topk")
+def pq_cosine_topk_query(spark, sf):
+    """Product-quantization ANN (m=8 subspaces × 16 centroids → 8
+    nibbles per vector, 32× compression): codebooks train on the same
+    deterministic sorted subset as the IVF row, asymmetric-distance
+    scoring via inlined lookup tables.  The oracle factory retrains
+    bit-identical codebooks from the same parquet and replays code
+    assignment (first-max argmax) and the fixed-order table-sum in
+    SQL."""
+    q = _emb_query_vec(sf)
+    e = load_table(spark, sf, "embeddings")
+    sub = e.filter("vec_id % 5 = 0").orderBy("vec_id").select("embedding").collect()
+    cb = _pq_catalog_codebooks([r[0] for r in sub])
+    return _ss.pq_topk(e, q, cb, k=10)
+
+
+def _pq_topk_oracle(sf_dir: str) -> str:
+    import duckdb
+    import numpy as np
+
+    from .ml.sql_twin import flit
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT embedding FROM {_pq(sf_dir, 'embeddings')} "
+        "WHERE vec_id % 5 = 0 ORDER BY vec_id"
+    ).fetchall()
+    cb = _pq_catalog_codebooks([list(r[0]) for r in rows])
+    m, ksub, dsub = cb.shape
+    q = np.asarray(_emb_query_vec(), dtype=np.float64)
+    qu = q / np.linalg.norm(q)
+
+    def vlit(v) -> str:
+        return "[" + ", ".join(flit(float(x)) for x in v) + "]"
+
+    def sub_dot(j: int, clit: str) -> str:
+        # sequential fold over subspace j, same order as Spark's
+        # aggregate(zip_with(slice(...), c)) — offset into the embedding
+        return (
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(range(1, {dsub + 1}), "
+            f"i -> CAST(embedding[CAST(i AS INT) + {j * dsub}] AS DOUBLE)"
+            f" * ({clit})[CAST(i AS INT)])), (a, b) -> a + b)"
+        )
+
+    code_cols = []
+    for j in range(m):
+        scores = ", ".join(
+            f"({sub_dot(j, vlit(c))} - {flit(float(c @ c) / 2.0)})"
+            for c in cb[j]
+        )
+        # 1-based first-max position == Spark's (array_position-1)+1 lookup
+        code_cols.append(
+            f"list_position([{scores}], list_max([{scores}])) AS c{j}"
+        )
+    num = " + ".join(
+        f"({vlit(qu[j * dsub:(j + 1) * dsub] @ cb[j].T)})[c{j}]" for j in range(m)
+    )
+    den2 = " + ".join(
+        f"({vlit([float(c @ c) for c in cb[j]])})[c{j}]" for j in range(m)
+    )
+    return f"""
+    WITH coded AS (
+      SELECT vec_id, {', '.join(code_cols)} FROM embeddings
+    ), scored AS (
+      SELECT vec_id,
+             CAST(0.0 AS DOUBLE) + {den2} AS den2,
+             ROUND((CAST(0.0 AS DOUBLE) + {num})
+                   / sqrt(CAST(0.0 AS DOUBLE) + {den2}), 6) AS pq_score
+      FROM coded
+    )
+    SELECT vec_id, pq_score FROM scored WHERE den2 > 0
+    ORDER BY pq_score DESC, vec_id LIMIT 10
+    """
+
+
+ORACLE_FACTORIES["pq_cosine_topk"] = _pq_topk_oracle
 
 
 @register("quantized_cosine_topk", oracle=_quantized_topk_oracle())

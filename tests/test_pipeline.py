@@ -745,3 +745,28 @@ def test_duplicate_passage_flags_crafted(spark):
     assert out[1] == (3, 1) and out[2] == (3, 1)  # 7-token passage = 3 grams
     assert out[3] == (0, 0)
     assert out[4] == (0, 0)  # shared-with-ANOTHER-doc required
+
+
+def test_pq_topk_score_error_bounded(emb):
+    """PQ (m=8, ksub=16) on the synthetic 64-dim embeddings: these are
+    near-random (no low-dim structure — the PQ worst case), so the
+    honest properties are a bounded score error vs the exact cosine
+    (measured mean ≈ 0.088) and sane score range — not high top-10
+    recall, which near-tied random scores cannot support."""
+    X = np.asarray(
+        [r["embedding"] for r in
+         emb.filter("vec_id % 5 = 0").orderBy("vec_id").collect()],
+        dtype=np.float64,
+    )
+    cb = ss.pq_train_np(X, m=8, ksub=16, seed=42)
+    assert cb.shape == (8, 16, 8)
+    qv = np.sin(np.arange(1, 65))
+    qu = qv / np.linalg.norm(qv)
+    exact = {
+        r["vec_id"]: r["score"]
+        for r in ss.cosine_topk(emb, list(qv), k=500).collect()
+    }
+    got = ss.pq_topk(emb, list(qv), cb, k=500).collect()
+    assert all(-1.001 <= r["pq_score"] <= 1.001 for r in got)
+    errs = [abs(r["pq_score"] - exact[r["vec_id"]]) for r in got]
+    assert np.mean(errs) < 0.15 and max(errs) < 0.5
