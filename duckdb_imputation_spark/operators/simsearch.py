@@ -38,6 +38,7 @@ __all__ = [
     "pq_train_np",
     "pq_encode",
     "pq_topk",
+    "ann_ivfpq_topk",
 ]
 
 
@@ -424,6 +425,32 @@ def pq_topk(
         .orderBy(F.desc("pq_score"), F.col(id_col))
         .limit(k)
     )
+
+
+def ann_ivfpq_topk(
+    df: DataFrame,
+    query: Sequence[float],
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF+PQ — the standard billion-scale ANN recipe (Jégou et al.
+    2011; what FAISS calls IVFx,PQy): coarse centroids prune the corpus
+    to ``nprobe``/``nlist`` lists, then PQ asymmetric-distance scoring
+    ranks the survivors from their 8-nibble codes.  Composition of the
+    two pruning axes this module already ships: the IVF filter cuts
+    *rows* (partition pruning when the assignment is stored, see
+    IVFIndex), PQ cuts *bytes per row* (32×) — together a probe touches
+    ~nprobe/nlist of the corpus at 1/32nd the I/O of raw vectors."""
+    q = np.asarray(query, dtype=np.float64)
+    d2 = ((centroids - q[None, :]) ** 2).sum(1)
+    probes = [int(i) for i in d2.argsort()[:nprobe]]
+    assigned = assign_clusters(df, vec_col, centroids)
+    cand = assigned.filter(F.col("__cluster").isin(probes)).drop("__cluster")
+    return pq_topk(cand, query, codebooks, k=k, vec_col=vec_col, id_col=id_col)
 
 
 class IVFIndex:

@@ -87,6 +87,7 @@ _DRIVER_PRIORITY: list[str] = [
     "line_dedup_documents",
     "duplicate_passage_flags",
     "pq_cosine_topk",
+    "ann_ivfpq_topk",
     # round 5: rotated back in for one round — simhash_from_hashes was
     # rewritten to a single-pass fold in r4 (dedup.py) and
     # triple_lineitem_wide sat at index 50, one past the driver cutoff;
@@ -1434,18 +1435,27 @@ def pq_cosine_topk_query(spark, sf):
     return _ss.pq_topk(e, q, cb, k=10)
 
 
-def _pq_topk_oracle(sf_dir: str) -> str:
+def _pq_catalog_cb(sf_dir: str) -> "np.ndarray":
+    """Codebooks retrained from the same deterministic parquet subset the
+    Spark query collects (sorted, % 5) — bit-identical NumPy path."""
     import duckdb
-    import numpy as np
-
-    from .ml.sql_twin import flit
 
     con = duckdb.connect()
     rows = con.sql(
         f"SELECT embedding FROM {_pq(sf_dir, 'embeddings')} "
         "WHERE vec_id % 5 = 0 ORDER BY vec_id"
     ).fetchall()
-    cb = _pq_catalog_codebooks([list(r[0]) for r in rows])
+    return _pq_catalog_codebooks([list(r[0]) for r in rows])
+
+
+def _pq_score_sql(cb, source: str) -> str:
+    """coded/pqscored CTE chain + final top-10 SELECT twinning
+    operators/simsearch.pq_topk over relation ``source`` (which must
+    expose vec_id, embedding)."""
+    import numpy as np
+
+    from .ml.sql_twin import flit
+
     m, ksub, dsub = cb.shape
     q = np.asarray(_emb_query_vec(), dtype=np.float64)
     qu = q / np.linalg.norm(q)
@@ -1479,22 +1489,86 @@ def _pq_topk_oracle(sf_dir: str) -> str:
     den2 = " + ".join(
         f"({vlit([float(c @ c) for c in cb[j]])})[c{j}]" for j in range(m)
     )
-    return f"""
-    WITH coded AS (
-      SELECT vec_id, {', '.join(code_cols)} FROM embeddings
-    ), scored AS (
+    return f"""coded AS (
+      SELECT vec_id, {', '.join(code_cols)} FROM {source}
+    ), pqscored AS (
       SELECT vec_id,
              CAST(0.0 AS DOUBLE) + {den2} AS den2,
              ROUND((CAST(0.0 AS DOUBLE) + {num})
                    / sqrt(CAST(0.0 AS DOUBLE) + {den2}), 6) AS pq_score
       FROM coded
     )
-    SELECT vec_id, pq_score FROM scored WHERE den2 > 0
-    ORDER BY pq_score DESC, vec_id LIMIT 10
-    """
+    SELECT vec_id, pq_score FROM pqscored WHERE den2 > 0
+    ORDER BY pq_score DESC, vec_id LIMIT 10"""
+
+
+def _pq_topk_oracle(sf_dir: str) -> str:
+    return f"\n    WITH {_pq_score_sql(_pq_catalog_cb(sf_dir), 'embeddings')}\n    "
 
 
 ORACLE_FACTORIES["pq_cosine_topk"] = _pq_topk_oracle
+
+
+@register("ann_ivfpq_topk")
+def ann_ivfpq_topk_query(spark, sf):
+    """IVF+PQ composed (the FAISS IVFx,PQy recipe): coarse-centroid
+    probe pruning (nprobe=4 of nlist=8, same deterministic training
+    subset as ann_ivf_topk) followed by PQ asymmetric-distance scoring
+    of the survivors.  Hash-gated end to end — the oracle replays
+    first-max cluster assignment, the probe filter, code assignment and
+    the fixed-order table sums."""
+    q = _emb_query_vec(sf)
+    e = load_table(spark, sf, "embeddings")
+    sub = e.filter("vec_id % 5 = 0").orderBy("vec_id").select("embedding").collect()
+    X = [r[0] for r in sub]
+    cent = _ivf_catalog_centroids(X)
+    cb = _pq_catalog_codebooks(X)
+    return _ss.ann_ivfpq_topk(e, q, cent, cb, k=10, nprobe=4)
+
+
+def _ivfpq_topk_oracle(sf_dir: str) -> str:
+    import duckdb
+    import numpy as np
+
+    from .ml.sql_twin import flit
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT embedding FROM {_pq(sf_dir, 'embeddings')} "
+        "WHERE vec_id % 5 = 0 ORDER BY vec_id"
+    ).fetchall()
+    X = [list(r[0]) for r in rows]
+    cent = _ivf_catalog_centroids(X)
+    cb = _pq_catalog_codebooks(X)
+    dim = cent.shape[1]
+    q = np.asarray(_emb_query_vec(), dtype=np.float64)
+    probes = [int(i) for i in ((cent - q[None, :]) ** 2).sum(1).argsort()[:4]]
+
+    def vlit(v) -> str:
+        return "[" + ", ".join(flit(float(x)) for x in v) + "]"
+
+    def dot_sql(vec_lit: str) -> str:
+        return (
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(range(1, {dim + 1}), "
+            f"i -> CAST(embedding[CAST(i AS INT)] AS DOUBLE) * ({vec_lit})[CAST(i AS INT)])), "
+            "(a, b) -> a + b)"
+        )
+
+    scores = ", ".join(
+        f"({dot_sql(vlit(c))} - {flit(float(c @ c) / 2.0)})" for c in cent
+    )
+    return f"""
+    WITH ivfscored AS (
+      SELECT vec_id, embedding, [{scores}] AS s FROM embeddings
+    ), probed AS (
+      SELECT vec_id, embedding FROM ivfscored
+      WHERE list_position(s, list_max(s)) - 1 IN ({', '.join(map(str, probes))})
+    ), {_pq_score_sql(cb, 'probed')}
+    """
+
+
+ORACLE_FACTORIES["ann_ivfpq_topk"] = _ivfpq_topk_oracle
 
 
 @register("quantized_cosine_topk", oracle=_quantized_topk_oracle())

@@ -770,3 +770,27 @@ def test_pq_topk_score_error_bounded(emb):
     assert all(-1.001 <= r["pq_score"] <= 1.001 for r in got)
     errs = [abs(r["pq_score"] - exact[r["vec_id"]]) for r in got]
     assert np.mean(errs) < 0.15 and max(errs) < 0.5
+
+
+def test_ivfpq_subset_of_probed(emb):
+    """IVF+PQ results must come from the probed clusters only, and agree
+    with running PQ directly on that probed subset."""
+    X = np.asarray(
+        [r["embedding"] for r in
+         emb.filter("vec_id % 5 = 0").orderBy("vec_id").collect()],
+        dtype=np.float64,
+    )
+    cent = ss.kmeans_np(X, nlist=8, seed=42)
+    cb = ss.pq_train_np(X, m=8, ksub=16, seed=42)
+    q = list(np.sin(np.arange(1, 65)))
+    got = ss.ann_ivfpq_topk(emb, q, cent, cb, k=10, nprobe=4).collect()
+    qv = np.asarray(q); probes = set(
+        int(i) for i in ((cent - qv[None, :]) ** 2).sum(1).argsort()[:4])
+    assigned = {r["vec_id"]: r["__cluster"]
+                for r in ss.assign_clusters(emb, "embedding", cent).collect()}
+    assert all(assigned[r["vec_id"]] in probes for r in got)
+    direct = ss.pq_topk(
+        ss.assign_clusters(emb, "embedding", cent)
+        .filter(F.col("__cluster").isin(list(probes))).drop("__cluster"),
+        q, cb, k=10)
+    assert [r["vec_id"] for r in got] == [r["vec_id"] for r in direct.collect()]
