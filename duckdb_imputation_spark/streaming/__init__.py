@@ -35,6 +35,7 @@ __all__ = [
     "streaming_exact_dedup",
     "streaming_corpus_stats",
     "corpus_stats_batch",
+    "streaming_decontaminate",
 ]
 
 
@@ -226,3 +227,41 @@ def streaming_exact_dedup(
         .dropDuplicatesWithinWatermark(["__h"])
         .drop("__h")
     )
+
+
+def streaming_decontaminate(
+    stream,
+    contamination: DataFrame,
+    text_col: str = "text",
+    n: int = 13,
+):
+    """Streaming n-gram decontamination: arriving documents sharing ANY
+    token ``n``-gram with the static contamination (eval/benchmark) set
+    are dropped in-flight — the streaming twin of
+    ``dedup.ngram_decontaminate``.
+
+    The taint gram hashes are collected ONCE at plan time and inlined
+    as an array literal, so the stream side is a pure narrow filter:
+    no state, no watermark requirement, no stream-static join (Spark
+    supports stream-static left_semi but not the left_anti this needs).
+    The driver-resident taint contract is the use case's own bound —
+    eval sets are benchmark-sized by nature; decontaminating against a
+    corpus-sized taint belongs in the batch operator.
+    """
+    from ..operators.dedup import _token_ngrams
+    from ..operators.hashing import md5_int60
+
+    taint = sorted(
+        r["__h"]
+        for r in contamination.select(
+            F.explode(_token_ngrams(F.col(text_col), n)).alias("__g")
+        )
+        .select(md5_int60(F.col("__g")).alias("__h"))
+        .distinct()
+        .collect()
+    )
+    taint_arr = F.array(*[F.lit(int(h)) for h in taint])
+    grams_h = F.transform(
+        _token_ngrams(F.col(text_col), n), lambda g: md5_int60(g)
+    )
+    return stream.filter(~F.arrays_overlap(grams_h, taint_arr))

@@ -287,3 +287,41 @@ def test_streaming_exact_dedup(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(r["text"] for r in spark.sql("SELECT * FROM dedup_stream").collect())
     assert got == ["alpha", "beta", "gamma"]
+
+
+def test_streaming_decontaminate_matches_batch(spark, tmp_path):
+    from duckdb_imputation_spark.operators.dedup import ngram_decontaminate
+    from duckdb_imputation_spark.streaming import streaming_decontaminate
+
+    run13 = " ".join(f"w{i}" for i in range(13))
+    rows = [
+        (1, f"intro {run13} outro"),
+        (2, "totally different text here without overlap"),
+        (3, "short eval"),
+        (4, "clean and short"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(100, f"eval prefix {run13}"), (101, "short eval")],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "decon_src")
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = streaming_decontaminate(stream, ev, "text", n=13)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("decon_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        r["doc_id"] for r in spark.sql("SELECT doc_id FROM decon_stream").collect()
+    )
+    batch = sorted(
+        r["doc_id"]
+        for r in ngram_decontaminate(df, ev, "text", "doc_id", n=13).collect()
+    )
+    assert got == batch == [2, 4]
