@@ -88,6 +88,7 @@ _DRIVER_PRIORITY: list[str] = [
     "duplicate_passage_flags",
     "pq_cosine_topk",
     "ann_ivfpq_topk",
+    "minhash_index_dedup_new",
     # round 5: rotated back in for one round — simhash_from_hashes was
     # rewritten to a single-pass fold in r4 (dedup.py) and
     # triple_lineitem_wide sat at index 50, one past the driver cutoff;
@@ -2233,6 +2234,89 @@ def _dup_passage_oracle(n: int = 5, min_run: int = 3) -> str:
            CAST(COALESCE(mx.max_dup_run, 0) >= {min_run} AS INT) AS flagged
     FROM unioned u LEFT JOIN mx USING (doc_id)
     """
+
+
+def _mh_sig_ctes(prefix: str, rel: str, k: int = 16, bands: int = 4) -> str:
+    """Signature + banded CTEs (``{prefix}sig``, ``{prefix}banded``) for
+    relation ``rel`` — the same seeded md5 pipeline as
+    _minhash_pairs_ctes, parameterized so the index oracle can run it
+    over two relations (corpus and batch)."""
+    from .operators.hashing import md5_int32_sql
+
+    rows_per = k // bands
+    sh = shingles_sql("text", 5)
+    slots = ", ".join(
+        f"list_min(list_transform(bh, h -> (CAST({a} AS BIGINT) * h + {b}) % 2147483647))"
+        for a, b in _dd.minhash_params(k)
+    )
+    band_rows = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {b} AS band, md5(concat_ws(',', "
+        + ", ".join(
+            f"CAST(sig[{b * rows_per + r + 1}] AS VARCHAR)" for r in range(rows_per)
+        )
+        + ")) AS bucket FROM {p}sig"
+        for b in range(bands)
+    ).replace("{p}", prefix)
+    return f"""{prefix}sig AS (
+      SELECT doc_id, [{slots}] AS sig
+      FROM (SELECT doc_id, list_transform(list_distinct({sh}), h -> {md5_int32_sql('h')}) AS bh
+            FROM {rel})
+    ), {prefix}banded AS (
+      {band_rows}
+    )"""
+
+
+_MH_INDEX_BATCH = """SELECT doc_id + 5000 AS doc_id, text FROM documents WHERE doc_id < 3
+      UNION ALL
+      SELECT doc_id, text FROM documents WHERE doc_id BETWEEN 300 AND 304"""
+
+
+def _minhash_index_oracle() -> str:
+    """Index-dedup twin: corpus and batch each get the signature/band
+    pipeline; candidates share a (band, bucket); the MinHash estimator
+    (matching-slot fraction, multiples of 1/16 — exact doubles) gates
+    the taint; survivors are the batch's anti-set."""
+    return f"""
+    WITH corpus_rel AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 200
+    ), batch_rel AS (
+      {_MH_INDEX_BATCH}
+    ), {_mh_sig_ctes('c_', 'corpus_rel')}, {_mh_sig_ctes('b_', 'batch_rel')},
+    cand AS (
+      SELECT DISTINCT b.doc_id AS new_id, c.doc_id AS corpus_id
+      FROM b_banded b JOIN c_banded c USING (band, bucket)
+    ), tainted AS (
+      SELECT DISTINCT new_id FROM cand
+      JOIN b_sig bs ON bs.doc_id = cand.new_id
+      JOIN c_sig cs ON cs.doc_id = cand.corpus_id
+      WHERE CAST(length(list_filter(
+              list_transform(range(1, 17),
+                i -> bs.sig[CAST(i AS INT)] = cs.sig[CAST(i AS INT)]),
+              x -> x)) AS DOUBLE) / 16.0 >= 0.5
+    )
+    SELECT doc_id FROM batch_rel
+    WHERE doc_id NOT IN (SELECT new_id FROM tainted)
+    """
+
+
+@register("minhash_index_dedup_new", oracle=_minhash_index_oracle())
+def minhash_index_dedup_new(spark, sf):
+    """Incremental dedup against the persisted-signature MinHash index
+    (operators/minhash_index.py): a new batch of 3 exact copies + 5
+    fresh docs dedups against a 200-doc indexed corpus without re-
+    signaturing it; survivors hash-gated against a full SQL replay of
+    signatures, banding, and the matching-slot Jaccard estimator."""
+    from .operators.minhash_index import minhash_index as _mhi
+
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    corpus = d.filter("doc_id < 200")
+    batch = (
+        d.filter("doc_id < 3")
+        .select((F.col("doc_id") + 5000).alias("doc_id"), "text")
+        .unionAll(d.filter("doc_id BETWEEN 300 AND 304"))
+    )
+    idx = _mhi(corpus, "text", "doc_id", k=16, bands=4, shingle=5)
+    return idx.dedup_new(batch, "text", "doc_id", threshold=0.5).select("doc_id")
 
 
 @register("duplicate_passage_flags", oracle=_dup_passage_oracle())

@@ -131,3 +131,51 @@ def test_ivf_index_save_load_pruning(spark):
     finally:
         idx.unpersist()
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_minhash_index_round_trip(spark, tmp_path):
+    """Incremental dedup against a persisted signature index: exact and
+    near copies of indexed docs are dropped, fresh docs survive, the
+    reopened index gives identical results, and its banded scan is
+    partition-pruned by the batch's bucket predicate."""
+    from duckdb_imputation_spark.operators.minhash_index import (
+        minhash_index, minhash_index_load,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.filter("doc_id < 200").select("doc_id", "text")
+    idx = minhash_index(corpus, "text", "doc_id", k=16, bands=4, shingle=5)
+
+    from pyspark.sql import functions as F
+    batch = (
+        docs.filter("doc_id < 3")  # exact copies of indexed docs
+        .select((F.col("doc_id") + 5000).alias("doc_id"), "text")
+        .unionAll(
+            docs.filter("doc_id BETWEEN 300 AND 304")  # NOT in the index
+            .select("doc_id", "text")
+        )
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in idx.dedup_new(batch, "text", "doc_id", threshold=0.5).collect()
+    )
+    assert kept == [300, 301, 302, 303, 304]
+
+    path = str(tmp_path / "mh_idx")
+    idx.save(path)
+    re = minhash_index_load(spark, path)
+    kept2 = sorted(
+        r["doc_id"]
+        for r in re.dedup_new(batch, "text", "doc_id", threshold=0.5).collect()
+    )
+    assert kept2 == kept
+
+    tainted = re.tainted_ids(batch, "text", "doc_id", threshold=0.5)
+    tainted.collect()
+    plan = tainted._jdf.queryExecution().executedPlan().toString()
+    # the reopened banded scan (the only one projecting __band) must be
+    # partition-pruned to the batch's bucket hashes
+    scans = [l for l in plan.split("\n") if "FileScan" in l and "__band" in l]
+    assert scans
+    assert all("__pbucket" in l.split("PartitionFilters:")[1].split("]")[0]
+               for l in scans)
