@@ -1,9 +1,10 @@
 #!/usr/bin/env python
 """End-to-end LLM training-data pipeline demo over the testdata corpus:
 
-  scrub PII → quality filter → exact + MinHash dedup → decontaminate
-  against an eval set → stratified sample → chunk → pack into
-  context-window bins → corpus stats
+  scrub PII → quality filter → exact + MinHash dedup → line dedup →
+  passage-flag filter → decontaminate against an eval set →
+  temperature-weighted domain mix → chunk → pack into context-window
+  bins → BM25 retrieval
 
 Each stage is the production operator from the package; run with
 ``python examples/pipeline_demo.py [sf_dir]``.
@@ -38,13 +39,19 @@ def main() -> None:
     deduped = dd.minhash_dedup(dd.exact_dedup(clean, "text", "doc_id"), "text", "doc_id")
     n2 = deduped.count()
 
+    deduped = dd.line_dedup(deduped, "text", "doc_id")  # C4-style lines
+    flags = dd.duplicate_passage_flags(deduped, "text", "doc_id", n=5)
+    deduped = deduped.join(
+        flags.filter("flagged = 0").select("doc_id"), "doc_id", "left_semi"
+    )
+
     eval_set = docs.filter("doc_id % 97 = 0")  # stand-in benchmark set
     decontaminated = dd.minhash_decontaminate(deduped, eval_set, "text", "doc_id")
     n3 = decontaminated.count()
 
-    sampled = tp.stratified_sample(
-        decontaminated.withColumn("lang", ts.lang_id(F.col("text"))),
-        "lang", "doc_id", k=200,
+    sampled = tp.temperature_sample(
+        decontaminated.withColumn("src", F.col("doc_id") % 7),
+        "src", "doc_id", target_frac=0.8,
     )
     chunked = tp.chunk_documents(sampled, "text", "doc_id", chunk_tokens=128, overlap=32)
     # packing needs a UNIQUE order key — (doc, chunk) composite
