@@ -49,9 +49,12 @@ def salted_join(
         "__salt",
         F.pmod(F.hash(*[F.col(c) for c in big.columns], F.lit(seed)), F.lit(n_salts)),
     )
-    salts = big.sparkSession.range(n_salts).select(
-        F.col("id").cast("int").alias("__salt")
+    # replicate the small side per salt with a narrow explode of a
+    # literal array — no join node (the crossJoin(broadcast(range))
+    # formulation plans as a BroadcastNestedLoopJoin, which the plan
+    # lint rightly treats as a red flag; a generate is cheaper anyway)
+    salted_small = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i).cast("int") for i in range(n_salts)]))
     )
-    salted_small = small.crossJoin(F.broadcast(salts))
     out = salted_big.join(salted_small, [*on, "__salt"], how)
     return out.drop("__salt")

@@ -89,6 +89,7 @@ _DRIVER_PRIORITY: list[str] = [
     "pq_cosine_topk",
     "ann_ivfpq_topk",
     "minhash_index_dedup_new",
+    "salted_join_segment_revenue",
     # round 5: rotated back in for one round — simhash_from_hashes was
     # rewritten to a single-pass fold in r4 (dedup.py) and
     # triple_lineitem_wide sat at index 50, one past the driver cutoff;
@@ -2269,6 +2270,39 @@ def _mh_sig_ctes(prefix: str, rel: str, k: int = 16, bands: int = 4) -> str:
 _MH_INDEX_BATCH = """SELECT doc_id + 5000 AS doc_id, text FROM documents WHERE doc_id < 3
       UNION ALL
       SELECT doc_id, text FROM documents WHERE doc_id BETWEEN 300 AND 304"""
+
+
+@register(
+    "salted_join_segment_revenue",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_c
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def salted_join_segment_revenue(spark, sf):
+    """Skew-salted join (operators/skew.salted_join) hash-gated for
+    semantics: orders (big, salted on full row content) joins customer
+    (small, replicated per salt) — the explicit mitigation for hot keys
+    AQE can't rewrite — and the result must equal the plain SQL join
+    exactly.  Salting changes the physical shuffle layout only; any
+    semantic drift (lost rows, duplicated small-side matches) breaks
+    the hash."""
+    from .operators.skew import salted_join
+
+    o = load_table(spark, sf, "orders").select(
+        "o_custkey", _cents("o_totalprice").alias("price_c")
+    )
+    c = load_table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    joined = salted_join(o, c, on=["o_custkey"], n_salts=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("price_c").cast("long").alias("revenue_c"),
+    )
 
 
 def _minhash_index_oracle() -> str:
