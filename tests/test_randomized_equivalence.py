@@ -226,3 +226,127 @@ def test_encode_with_vocabulary_random(spark):
         toks = text.split() if text.strip() else []
         ids = [vocab_tokens.get(t, -1) for t in toks]
         assert got[i] == (ids, ids.count(-1)), (i, text)
+
+
+# ---------------------------------------------------------------------- #
+# Round-6 pipeline ops vs pure-Python references on randomized corpora   #
+# ---------------------------------------------------------------------- #
+
+
+def _random_line_docs(n_docs=40, n_lines=5, vocab=12, seed=7):
+    rng = np.random.default_rng(seed)
+    # a small pool of long lines so cross-doc repeats are common, plus
+    # per-doc unique lines and short lines that must never dedup
+    pool = [
+        "shared line %d %s" % (i, " ".join(f"w{rng.integers(0, vocab)}" for _ in range(6)))
+        for i in range(10)
+    ]
+    docs = []
+    for d in range(n_docs):
+        lines = []
+        for p in range(n_lines):
+            r = rng.random()
+            if r < 0.4:
+                lines.append(pool[int(rng.integers(0, len(pool)))])
+            elif r < 0.6:
+                lines.append("ok")  # short: always passes
+            else:
+                lines.append(f"unique doc{d} pos{p} " + " ".join(
+                    f"u{rng.integers(0, 999999)}" for _ in range(4)))
+        docs.append((d, "\n".join(lines)))
+    return docs
+
+
+def _py_line_dedup(docs, min_chars=10):
+    first = {}
+    for d, text in sorted(docs):
+        for p, line in enumerate(text.split("\n")):
+            if len(line) >= min_chars and line not in first:
+                first[line] = (d, p)
+    out = {}
+    for d, text in docs:
+        kept = [
+            line
+            for p, line in enumerate(text.split("\n"))
+            if len(line) < min_chars or first[line] == (d, p)
+        ]
+        if kept:
+            out[d] = "\n".join(kept)
+    return out
+
+
+def test_line_dedup_matches_python_reference(spark):
+    from duckdb_imputation_spark.operators import dedup as dd
+
+    docs = _random_line_docs()
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r["text"] for r in dd.line_dedup(df, "text", "doc_id").collect()}
+    assert got == _py_line_dedup(docs)
+
+
+def _py_passage_runs(docs, n=3):
+    from collections import defaultdict
+
+    def grams(text):
+        toks = text.split()
+        if len(toks) >= n:
+            return [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+        return [" ".join(toks)]
+
+    owners = defaultdict(set)
+    for d, text in docs:
+        for g in grams(text):
+            owners[g].add(d)
+    out = {}
+    for d, text in docs:
+        run = best = 0
+        for g in grams(text):
+            run = run + 1 if len(owners[g]) >= 2 else 0
+            best = max(best, run)
+        out[d] = best
+    return out
+
+
+def test_duplicate_passage_runs_match_python_reference(spark):
+    from duckdb_imputation_spark.operators import dedup as dd
+
+    rng = np.random.default_rng(11)
+    docs = [
+        (d, " ".join(f"t{rng.integers(0, 6)}" for _ in range(20)))
+        for d in range(30)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["max_dup_run"]
+        for r in dd.duplicate_passage_flags(df, "text", "doc_id", n=3, min_run=3).collect()
+    }
+    assert got == _py_passage_runs(docs, n=3)
+
+
+def test_temperature_sample_rates_match_python_reference(spark):
+    """The per-stratum thresholds must equal the driver-side formula, and
+    membership must equal the md5 predicate row by row."""
+    import hashlib
+    import math
+
+    from duckdb_imputation_spark.operators import textprep as tp
+
+    rng = np.random.default_rng(5)
+    rows = [(i, f"s{int(rng.integers(0, 4))}") for i in range(800)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    got = {r["id"] for r in tp.temperature_sample(df, "s", "id", target_frac=0.4).collect()}
+
+    from collections import Counter
+    counts = Counter(s for _, s in rows)
+    N = sum(counts.values())
+    D = round(sum(math.sqrt(c) for c in counts.values()), 6)
+    thresh = {
+        s: math.floor(round(min(1.0, 0.4 * N * math.sqrt(c) / D / c) * 1_000_000, 3))
+        for s, c in counts.items()
+    }
+
+    def h(i):
+        return int(hashlib.md5(f"mix{i}".encode()).hexdigest()[:8], 16)
+
+    expect = {i for i, s in rows if h(i) % 1_000_000 < thresh[s]}
+    assert got == expect
