@@ -56,12 +56,24 @@ class MinHashIndex:
         shingle: int,
         id_col: str,
         n_buckets: int = 64,
+        persist: bool = False,
     ) -> None:
+        # a freshly-BUILT index persists its corpus pipelines (else every
+        # dedup_new would re-signature the corpus — the cost the index
+        # exists to amortize); a LOADED index reads parquet, which is its
+        # own materialization, so no cache layer on top
+        if persist:
+            banded = banded.persist()
+            sigs = sigs.persist()
         self.banded = banded
         self.sigs = sigs
         self.k, self.bands, self.shingle = k, bands, shingle
         self.id_col = id_col
         self.n_buckets = n_buckets
+
+    def unpersist(self) -> None:
+        self.banded.unpersist()
+        self.sigs.unpersist()
 
     def save(self, path: str) -> None:
         """Materialize as parquet under ``path``: banded rows partitioned
@@ -186,7 +198,7 @@ def minhash_index(
     sigs = df.select(F.col(id_col).alias("__id"), sig.alias("__sig"))
     return MinHashIndex(
         banded, sigs, k=k, bands=bands, shingle=shingle,
-        id_col=id_col, n_buckets=n_buckets,
+        id_col=id_col, n_buckets=n_buckets, persist=True,
     )
 
 
