@@ -90,6 +90,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ann_ivfpq_topk",
     "minhash_index_dedup_new",
     "salted_join_segment_revenue",
+    "corpus_data_card",
     # round 5: rotated back in for one round — simhash_from_hashes was
     # rewritten to a single-pass fold in r4 (dedup.py) and
     # triple_lineitem_wide sat at index 50, one past the driver cutoff;
@@ -2270,6 +2271,36 @@ def _mh_sig_ctes(prefix: str, rel: str, k: int = 16, bands: int = 4) -> str:
 _MH_INDEX_BATCH = """SELECT doc_id + 5000 AS doc_id, text FROM documents WHERE doc_id < 3
       UNION ALL
       SELECT doc_id, text FROM documents WHERE doc_id BETWEEN 300 AND 304"""
+
+
+@register(
+    "corpus_data_card",
+    oracle=f"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM({_ts.token_count_ws_sql('text')}) AS BIGINT) AS total_tokens,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           ROUND(AVG({_ts.quality_score_sql('text')}), 6) AS mean_quality,
+           CAST(COUNT(DISTINCT {_ts.lang_id_sql('text')}) AS BIGINT) AS n_langs
+    FROM documents GROUP BY source
+    """,
+)
+def corpus_data_card(spark, sf):
+    """Per-source corpus data card (the summary sheet a dataset release
+    ships): document count, token volume, char-length range, mean
+    heuristic quality, detected-language count — one scan, one
+    map-side-combined shuffle on source, every expression an existing
+    hash-gated textstats twin."""
+    d = load_table(spark, sf, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(_ts.token_count_ws(F.col("text"))).cast("long").alias("total_tokens"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+        F.round(F.avg(_ts.quality_score(F.col("text"))), 6).alias("mean_quality"),
+        F.countDistinct(_ts.lang_id(F.col("text"))).alias("n_langs"),
+    )
 
 
 @register(
