@@ -91,6 +91,8 @@ _DRIVER_PRIORITY: list[str] = [
     "minhash_index_dedup_new",
     "salted_join_segment_revenue",
     "corpus_data_card",
+    "funnel_view_click_purchase",
+    "dedup_cluster_sizes",
     # round 5: rotated back in for one round — simhash_from_hashes was
     # rewritten to a single-pass fold in r4 (dedup.py) and
     # triple_lineitem_wide sat at index 50, one past the driver cutoff;
@@ -3244,6 +3246,111 @@ def _doc_nb_hist_oracle(sf_dir: str) -> str:
 
 
 ORACLE_FACTORIES["doc_quality_nb_histogram"] = _doc_nb_hist_oracle
+
+
+@register(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_type, date_trunc('second', ts) AS ts FROM events
+    ), v AS (SELECT user_id, MIN(ts) AS t_view FROM ev
+             WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT ev.user_id, MIN(ev.ts) AS t_click
+          FROM ev JOIN v ON ev.user_id = v.user_id
+          WHERE event_type = 'click' AND ev.ts >= v.t_view GROUP BY ev.user_id),
+    p AS (SELECT ev.user_id, MIN(ev.ts) AS t_purchase
+          FROM ev JOIN c ON ev.user_id = c.user_id
+          WHERE event_type = 'purchase' AND ev.ts >= c.t_click GROUP BY ev.user_id)
+    SELECT 'view' AS stage, CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_users
+    UNION ALL
+    SELECT 'click' AS stage, CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_users
+    UNION ALL
+    SELECT 'purchase' AS stage, CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_users
+    """,
+)
+def funnel_view_click_purchase(spark, sf):
+    """Ordered funnel analysis over the event stream: users who viewed,
+    then clicked at-or-after their first view, then purchased
+    at-or-after that first qualifying click — per-stage user counts
+    (the standard product-analytics conversion funnel).  Three
+    map-side-combined min-aggregations chained by user-id joins; no
+    window over the full stream."""
+    ev = load_table(spark, sf, "events").select(
+        "user_id", "event_type", F.date_trunc("second", "ts").alias("ts")
+    )
+    v = (
+        ev.filter("event_type = 'view'")
+        .groupBy("user_id").agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter("event_type = 'click'")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("t_view"))
+        .groupBy("user_id").agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter("event_type = 'purchase'")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("t_click"))
+        .groupBy("user_id").agg(F.min("ts").alias("t_purchase"))
+    )
+    spark_counts = [
+        v.agg(F.count(F.lit(1)).cast("long").alias("n_users")).withColumn("stage", F.lit("view")),
+        c.agg(F.count(F.lit(1)).cast("long").alias("n_users")).withColumn("stage", F.lit("click")),
+        p.agg(F.count(F.lit(1)).cast("long").alias("n_users")).withColumn("stage", F.lit("purchase")),
+    ]
+    out = spark_counts[0]
+    for s in spark_counts[1:]:
+        out = out.unionAll(s)
+    return out.select("stage", "n_users")
+
+
+@register(
+    "dedup_cluster_sizes",
+    oracle=f"""
+    WITH RECURSIVE {_minhash_pairs_ctes(_COMPONENTS_UNION)},
+    sym AS (
+      SELECT id_a AS src, id_b AS dst FROM ver
+      UNION ALL SELECT id_b AS src, id_a AS dst FROM ver
+    ), reach(id, r) AS (
+      SELECT DISTINCT src, src FROM sym
+      UNION
+      SELECT s.src, re.r FROM sym s JOIN reach re ON re.id = s.dst
+    ), comp AS (
+      SELECT id, MIN(r) AS canonical FROM reach GROUP BY id
+    ), sizes AS (
+      SELECT canonical, COUNT(*) AS cluster_size FROM comp GROUP BY canonical
+    )
+    SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+    FROM sizes GROUP BY cluster_size
+    """,
+)
+def dedup_cluster_sizes(spark, sf):
+    """Duplicate-cluster size histogram (the dedup audit artifact: how
+    much of the corpus sits in how-large duplicate families) from the
+    transitive components of verified MinHash pairs — same input as
+    dedup_components_transitive, aggregated to (cluster_size,
+    n_clusters)."""
+    d = load_table(spark, sf, "documents").filter("doc_id < 40").select("doc_id", "text")
+    l1 = load_table(spark, sf, "documents").filter("doc_id < 5").select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extraword")).alias("text"),
+    )
+    l2 = load_table(spark, sf, "documents").filter("doc_id < 5").select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extraword extrasecond")).alias("text"),
+    )
+    pairs = _dd.minhash_lsh_pairs(
+        d.unionAll(l1).unionAll(l2), "text", "doc_id",
+        k=16, bands=4, shingle=5, threshold=0.5,
+    )
+    comp = _dd.dedup_components(pairs)
+    return (
+        comp.groupBy("canonical")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+    )
 
 
 @register(
