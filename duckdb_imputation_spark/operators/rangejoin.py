@@ -1,0 +1,131 @@
+"""Range (interval-containment) join — match points to the intervals
+that contain them, as an EQUI-join.
+
+DuckDB executes ``a.x BETWEEN b.lo AND b.hi`` with its IEJoin/range-join
+physical operator (reference host-engine surface, SURVEY §2.3); Spark
+has no such operator — the naive formulation becomes a
+``BroadcastNestedLoopJoin`` or ``CartesianProduct``, both O(|L|x|R|)
+and red-flagged by ``plans.lint_plan``.  This implementation restores
+the scalable path with *bucketing*:
+
+    1. pick a bucket width ``w`` (caller-given, or derived from the
+       interval-length distribution: 2x the p50 length, one driver-side
+       ``approxQuantile``),
+    2. each interval explodes to the integer buckets it covers
+       (``sequence(floor(lo/w), floor(hi/w))``) — each point maps to
+       exactly ONE bucket (``floor(x/w)``),
+    3. equi-join on (keys..., bucket), then the exact residual
+       ``lo <= x <= hi`` filter.
+
+Because a point lives in exactly one bucket and an interval appears at
+most once per bucket, every qualifying (point, interval) pair surfaces
+EXACTLY once — no post-join dedup.  Cost: one hash-shuffle equi-join on
+(keys, bucket); the explode factor is |interval|/w + 1, bounded by
+``max_span_buckets`` (runtime ``raise_error`` on pathological intervals
+instead of a silent blow-up).  At 100 TB this is the difference between
+a shuffle join and an impossible nested loop.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["range_join"]
+
+
+def _auto_width(
+    right: DataFrame, lo: str, hi: str, max_span_buckets: int
+) -> float:
+    """Bucket width from the interval-length distribution (one tiny
+    driver-side stat job): 2x the median, floored so a p99-length
+    interval still fits in half the span cap.  Degenerate/empty
+    intervals (len <= 0) would otherwise drive the median to zero and
+    the bucket count to infinity."""
+    lens = right.select((F.col(hi) - F.col(lo)).cast("double").alias("__len"))
+    p50, p99 = lens.stat.approxQuantile("__len", [0.5, 0.99], 0.01)
+    return max(
+        float(p50) * 2.0, float(p99) / max(max_span_buckets // 2, 1), 1e-9
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    point: str,
+    lo: str,
+    hi: str,
+    on: str | Sequence[str] | None = None,
+    bucket_width: float | None = None,
+    max_span_buckets: int = 256,
+    how: str = "inner",
+) -> DataFrame:
+    """Join each left row to every right row whose ``[lo, hi]`` interval
+    contains ``left.point`` (closed on both ends, matching SQL
+    ``BETWEEN``), plus optional equi-keys ``on``.
+
+    ``point``/``lo``/``hi`` are numeric (cast timestamps to epoch
+    seconds first).  ``how`` is ``inner`` or ``left`` (unmatched left
+    rows padded with NULLs).  Intervals covering more than
+    ``max_span_buckets`` buckets raise at execution time — widen
+    ``bucket_width`` or pre-split pathological intervals.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    keys = [on] if isinstance(on, str) else list(on or [])
+    overlap = set(left.columns) & set(right.columns) - set(keys)
+    if overlap:
+        raise ValueError(
+            f"ambiguous columns on both sides (rename first): {sorted(overlap)}"
+        )
+    w = (
+        bucket_width
+        if bucket_width is not None
+        else _auto_width(right, lo, hi, max_span_buckets)
+    )
+    if w <= 0:
+        raise ValueError(f"bucket_width must be positive, got {w}")
+
+    def bucket(c: Column) -> Column:
+        return F.floor(c.cast("double") / F.lit(float(w))).cast("long")
+
+    lo_b, hi_b = bucket(F.col(lo)), bucket(F.col(hi))
+    span = hi_b - lo_b
+    # order matters: an empty interval (lo > hi) must hit the empty-array
+    # branch FIRST — its span is negative, so it would pass the cap check
+    # and F.sequence would generate a huge DESCENDING bucket list
+    rhs = right.withColumn(
+        "__bucket",
+        F.explode(
+            F.when(span < 0, F.array().cast("array<long>"))
+            .when(span < F.lit(int(max_span_buckets)), F.sequence(lo_b, hi_b))
+            .otherwise(
+                F.raise_error(
+                    F.format_string(
+                        "range_join: interval spans %s buckets (cap "
+                        + str(int(max_span_buckets))
+                        + ") - widen bucket_width or pre-split long intervals",
+                        span + F.lit(1),
+                    )
+                )
+            )
+        ),
+    )
+    right_payload = [c for c in right.columns if c not in keys]
+    lhs = left.withColumn("__bucket", bucket(F.col(point)))
+    if how == "left":
+        # a stable per-row id lets unmatched rows rejoin without keying
+        # on (possibly null / duplicated) payload columns
+        lhs = lhs.withColumn("__rid", F.monotonically_increasing_id())
+    matched = lhs.join(rhs, on=keys + ["__bucket"], how="inner").filter(
+        F.col(point).cast("double").between(
+            F.col(lo).cast("double"), F.col(hi).cast("double")
+        )
+    )
+    if how == "inner":
+        return matched.select(*left.columns, *right_payload)
+    return lhs.join(
+        matched.select("__rid", *right_payload), on="__rid", how="left"
+    ).select(*left.columns, *right_payload)

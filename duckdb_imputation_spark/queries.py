@@ -77,6 +77,8 @@ def resolve_oracles(sf_dir: str | None = None) -> dict[str, str]:
 # --------------------------------------------------------------------- #
 
 _DRIVER_PRIORITY: list[str] = [
+    # round 6: new row (never driver-verified) — bucketed range join
+    "range_join_click_view_window",
     # round 6: new rows (never driver-verified) — SemDeDup-style
     # embedding-component dedup, temperature-weighted domain mixing,
     # and the int8-quantized similarity-search path
@@ -3507,4 +3509,62 @@ def asof_join_click_to_view(spark, sf):
         "event_id",
         F.date_format("vts_matched", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
         "view_value_c",
+    )
+
+
+@register(
+    "range_join_click_view_window",
+    oracle="""
+    WITH clicks AS (
+      SELECT event_id, user_id,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS cts
+      FROM events WHERE event_type = 'click'
+    ), views AS (
+      SELECT user_id,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS vlo,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) + 3600 AS vhi,
+             event_id AS view_id
+      FROM events WHERE event_type = 'view'
+    )
+    SELECT c.event_id,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           MIN(v.view_id) AS first_view_id
+    FROM clicks c JOIN views v
+      ON c.user_id = v.user_id AND c.cts BETWEEN v.vlo AND v.vhi
+    GROUP BY c.event_id
+    """,
+)
+def range_join_click_view_window(spark, sf):
+    """Range/interval-containment join (DuckDB IEJoin surface, SURVEY
+    §2.3) as a bucketed EQUI-join: clicks matched to every view whose
+    1-hour window contains them.  The naive Spark formulation is a
+    nested-loop theta join; operators/rangejoin.py restores the
+    shuffle-join path (explode intervals to covered buckets, equi-join
+    on (user_id, bucket), exact residual BETWEEN filter — each pair
+    surfaces exactly once, no dedup)."""
+    from .operators.rangejoin import range_join
+
+    ev = load_table(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_trunc("second", F.col("ts").cast("timestamp"))
+        .cast("long")
+        .alias("ets"),
+    )
+    clicks = ev.filter("event_type = 'click'").select(
+        "event_id", "user_id", F.col("ets").alias("cts")
+    )
+    views = ev.filter("event_type = 'view'").select(
+        "user_id",
+        F.col("ets").alias("vlo"),
+        (F.col("ets") + 3600).alias("vhi"),
+        F.col("event_id").alias("view_id"),
+    )
+    out = range_join(
+        clicks, views, "cts", "vlo", "vhi", on="user_id", bucket_width=3600.0
+    )
+    return out.groupBy("event_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_windows"),
+        F.min("view_id").alias("first_view_id"),
     )

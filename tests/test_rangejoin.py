@@ -1,0 +1,126 @@
+"""range_join: bucketed equi-join formulation of interval containment.
+
+Reference surface: DuckDB's IEJoin / range-join physical operator
+(``a.x BETWEEN b.lo AND b.hi``, SURVEY §2.3); checked here against a
+pure-Python nested-loop reference and for its plan shape (must be an
+equi-join — no BroadcastNestedLoopJoin / CartesianProduct)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from duckdb_imputation_spark.operators.rangejoin import range_join
+from duckdb_imputation_spark.plans import executed_plan, lint_plan
+
+
+@pytest.fixture(scope="module")
+def points(spark):
+    rows = [(i, i % 3, float(i)) for i in range(30)]
+    return spark.createDataFrame(rows, "pid int, k int, x double")
+
+
+@pytest.fixture(scope="module")
+def intervals(spark):
+    # per key: one short, one long, one degenerate (lo == hi), one empty
+    rows = []
+    for k in range(3):
+        rows += [
+            (100 + k, k, 2.0, 5.0),     # short
+            (200 + k, k, 0.0, 25.0),    # long (spans many buckets)
+            (300 + k, k, 7.0, 7.0),     # degenerate point interval
+            (400 + k, k, 9.0, 8.0),     # empty (lo > hi): matches nothing
+        ]
+    return spark.createDataFrame(rows, "iid int, k int, lo double, hi double")
+
+
+def _reference(points, intervals, keyed=True):
+    out = set()
+    for pid, pk, x in points:
+        for iid, ik, lo, hi in intervals:
+            if (not keyed or pk == ik) and lo <= x <= hi:
+                out.add((pid, iid))
+    return out
+
+
+def _pairs(df):
+    return {(r.pid, r.iid) for r in df.select("pid", "iid").collect()}
+
+
+@pytest.mark.parametrize("width", [1.0, 3.0, 100.0])
+def test_matches_nested_loop_reference(spark, points, intervals, width):
+    prows = [(r.pid, r.k, r.x) for r in points.collect()]
+    irows = [(r.iid, r.k, r.lo, r.hi) for r in intervals.collect()]
+    got = range_join(
+        points, intervals, "x", "lo", "hi", on="k", bucket_width=width
+    )
+    assert _pairs(got) == _reference(prows, irows)
+    # each qualifying pair appears EXACTLY once regardless of width
+    assert got.count() == len(_reference(prows, irows))
+
+
+def test_no_keys_cross_product_semantics(spark, points, intervals):
+    prows = [(r.pid, r.k, r.x) for r in points.collect()]
+    irows = [(r.iid, r.k, r.lo, r.hi) for r in intervals.collect()]
+    got = range_join(
+        points.drop("k"),
+        intervals.drop("k"),
+        "x",
+        "lo",
+        "hi",
+        bucket_width=4.0,
+    )
+    assert _pairs(got) == _reference(prows, irows, keyed=False)
+
+
+def test_closed_bounds_and_degenerate_interval(spark):
+    p = spark.createDataFrame([(1, 5.0), (2, 7.0), (3, 7.0001)], "pid int, x double")
+    iv = spark.createDataFrame([(10, 5.0, 7.0)], "iid int, lo double, hi double")
+    got = _pairs(range_join(p, iv, "x", "lo", "hi", bucket_width=2.0))
+    assert got == {(1, 10), (2, 10)}  # both endpoints inclusive, 7.0001 out
+
+
+def test_left_join_pads_unmatched(spark, points, intervals):
+    got = range_join(
+        points, intervals, "x", "lo", "hi", on="k", bucket_width=3.0, how="left"
+    )
+    # every left point survives at least once
+    assert got.select("pid").distinct().count() == points.count()
+    unmatched = got.filter(F.col("iid").isNull())
+    # x >= 26: outside every interval (long ones end at 25)
+    assert {r.pid for r in unmatched.select("pid").collect()} == {26, 27, 28, 29}
+
+
+def test_auto_width(points, intervals):
+    got = range_join(points, intervals, "x", "lo", "hi", on="k")
+    prows = [(r.pid, r.k, r.x) for r in points.collect()]
+    irows = [(r.iid, r.k, r.lo, r.hi) for r in intervals.collect()]
+    assert _pairs(got) == _reference(prows, irows)
+
+
+def test_span_cap_raises(spark, points, intervals):
+    with pytest.raises(Exception, match="spans .* buckets"):
+        range_join(
+            points,
+            intervals,
+            "x",
+            "lo",
+            "hi",
+            on="k",
+            bucket_width=1.0,
+            max_span_buckets=4,
+        ).collect()
+
+
+def test_ambiguous_columns_rejected(spark, points):
+    iv = points.select("pid", F.col("x").alias("lo"), (F.col("x") + 1).alias("hi"))
+    with pytest.raises(ValueError, match="ambiguous"):
+        range_join(points, iv, "x", "lo", "hi")
+
+
+def test_plan_is_equi_join(spark, points, intervals):
+    got = range_join(points, intervals, "x", "lo", "hi", on="k", bucket_width=3.0)
+    got.collect()  # finalize AQE plan
+    plan = executed_plan(got)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert [f for f in lint_plan(got) if f.severity == "error"] == []
