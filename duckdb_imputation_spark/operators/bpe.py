@@ -1,0 +1,257 @@
+"""Byte-pair-encoding subword tokenizer: distributed frequency pass,
+driver-side merge learning, Arrow-batched distributed encode.
+
+The reference engine tokenizes only at word granularity (its text
+surface is SQL string functions); a training-data pipeline needs the
+subword step.  The scale split follows sentencepiece/HF-BPE practice:
+
+* the CORPUS-sized work — word counting — is one distributed
+  ``groupBy(word)`` shuffle + a ``TakeOrderedAndProject`` top-k,
+* merge LEARNING runs on the driver over the word-frequency table
+  (bounded by ``max_words``, like the reference's driver-resident
+  categorical dictionaries, partition.cpp:34-37),
+* ENCODE returns to the cluster as a pandas UDF over Arrow batches
+  with a per-executor word->tokens memo (corpus word frequency is
+  Zipfian — the memo hit rate is the point).
+
+Merges apply in learned-rank order, each to fixpoint with left-to-right
+scanning (GPT-2-style word-internal BPE, no end-of-word marker).  Rank
+order to fixpoint is equivalent to lowest-rank-first priority merging:
+a later merge can never create a pair for an earlier one, because the
+earlier pair's elements existed before the later merge's output token.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType
+
+__all__ = [
+    "PRETOKEN_RE",
+    "word_frequencies",
+    "bpe_train",
+    "bpe_encode",
+    "bpe_merge_table",
+    "bpe_apply_word",
+]
+
+# letter runs | digit runs | single symbol — the same BPE-ish shape as
+# textstats.token_count_regex, lowercased for a compact vocabulary
+PRETOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def _pretokens(col: Column) -> Column:
+    return F.regexp_extract_all(
+        F.lower(F.coalesce(col, F.lit(""))), F.lit(PRETOKEN_RE), 0
+    )
+
+
+def word_frequencies(df: DataFrame, text_col: str) -> DataFrame:
+    """(word, count) over the corpus — ONE shuffle, partial-aggregated
+    map-side (explode feeds a hash aggregate, no row blow-up past it)."""
+    return (
+        df.select(F.explode(_pretokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str,
+    num_merges: int,
+    min_pair_freq: int = 2,
+    max_words: int = 100_000,
+) -> list[tuple[str, str]]:
+    """Learn ``num_merges`` BPE merges from the corpus.
+
+    Learning sees the top ``max_words`` words by (count desc, word) — a
+    documented truncation matching how subword tokenizers train on
+    word-frequency tables, not raw corpora; the distributed side stays
+    one shuffle + TakeOrdered regardless of corpus size."""
+    top = (
+        word_frequencies(df, text_col)
+        .orderBy(F.desc("count"), F.asc("word"))
+        .limit(int(max_words))
+        .collect()
+    )
+    return learn_merges(
+        {r["word"]: int(r["count"]) for r in top}, num_merges, min_pair_freq
+    )
+
+
+def learn_merges(
+    word_counts: dict[str, int],
+    num_merges: int,
+    min_pair_freq: int = 2,
+) -> list[tuple[str, str]]:
+    """Classic BPE merge learning over a word-frequency table (pure
+    Python, driver-side — the table is the bounded object, never the
+    corpus).  Ties on pair frequency break to the lexicographically
+    smallest (left, right) so training is deterministic."""
+    vocab: dict[tuple[str, ...], int] = {}
+    for word, cnt in word_counts.items():
+        key = tuple(word)
+        vocab[key] = vocab.get(key, 0) + int(cnt)
+    merges: list[tuple[str, str]] = []
+    for _ in range(int(num_merges)):
+        pairs: dict[tuple[str, str], int] = {}
+        for word, cnt in vocab.items():
+            for i in range(len(word) - 1):
+                p = (word[i], word[i + 1])
+                pairs[p] = pairs.get(p, 0) + cnt
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < int(min_pair_freq):
+            break
+        left, right = best[0]
+        merges.append((left, right))
+        merged = left + right
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for word, cnt in vocab.items():
+            out: list[str] = []
+            i = 0
+            while i < len(word):
+                if (
+                    i + 1 < len(word)
+                    and word[i] == left
+                    and word[i + 1] == right
+                ):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(word[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + cnt
+        vocab = new_vocab
+    return merges
+
+
+def bpe_apply_word(
+    word: str, merges: Sequence[tuple[str, str]]
+) -> list[str]:
+    """Encode ONE pre-token: apply ``merges`` in list (= rank) order,
+    each to fixpoint with a left-to-right scan (pure Python; shared by
+    the distributed encode and the test reference)."""
+    toks = list(word)
+    for left, right in merges:
+        if left not in toks or right not in toks:
+            continue
+        merged = left + right
+        while True:
+            out: list[str] = []
+            i = 0
+            changed = False
+            while i < len(toks):
+                if (
+                    i + 1 < len(toks)
+                    and toks[i] == left
+                    and toks[i + 1] == right
+                ):
+                    out.append(merged)
+                    i += 2
+                    changed = True
+                else:
+                    out.append(toks[i])
+                    i += 1
+            toks = out
+            if not changed:
+                break
+    return toks
+
+
+def bpe_encode(
+    df: DataFrame,
+    text_col: str,
+    merges: Sequence[tuple[str, str]],
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Append ``out_col: array<string>`` — the text's BPE token stream.
+
+    Arrow-batched pandas UDF over the pre-token array; a module-level
+    word->tokens memo per executor process turns the Zipfian word
+    distribution into near-dictionary-lookup cost.  ``merges`` travels
+    in the UDF closure (broadcast once per executor, size = the merge
+    table, never the corpus)."""
+    ordered = [tuple(m) for m in merges]
+    memo: dict[str, list[str]] = {}  # per-worker, via closure pickling
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def encode(words: pd.Series) -> pd.Series:
+        def enc(ws):
+            out: list[str] = []
+            for w in ws:
+                toks = memo.get(w)
+                if toks is None:
+                    toks = bpe_apply_word(w, ordered)
+                    memo[w] = toks
+                out.extend(toks)
+            return out
+
+        return words.apply(enc)
+
+    return df.withColumn(out_col, encode(_pretokens(F.col(text_col))))
+
+
+def bpe_merge_table(spark, merges: Sequence[tuple[str, str]]) -> DataFrame:
+    """The learned merges as (merge_rank, lhs, rhs) rows (lhs/rhs, not
+    left/right — those are join keywords in ANSI SQL)."""
+    return spark.createDataFrame(
+        [(i, l, r) for i, (l, r) in enumerate(merges)],
+        "merge_rank int, lhs string, rhs string",
+    )
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def bpe_encode_sql_ctes(
+    text_expr: str,
+    source: str,
+    id_expr: str,
+    merges: Sequence[tuple[str, str]],
+    passes: int = 3,
+    chunk: int = 20,
+) -> str:
+    """DuckDB CTE chain computing the SAME encode as :func:`bpe_encode`
+    — the oracle twin.  Token streams are modelled as space-separated
+    strings ("␣c␣h␣a␣r␣..."), words separated by a '¤' sentinel (never
+    part of any learned merge, so merges cannot cross word boundaries);
+    each merge is ``replace(' l r ', ' lr ')`` applied ``passes`` times
+    (left-to-right replace-all resolves every other of k
+    boundary-sharing occurrences, so ``passes`` handles runs up to
+    2^passes).  Chunked into one CTE per ``chunk`` merges to stay under
+    DuckDB's 128-deep expression binder.  Returns the WITH body ending
+    in a CTE named ``bpe_enc(id, toks)``."""
+    base = (
+        f"' ' || regexp_replace(regexp_replace(lower({text_expr}), "
+        f"'\\s+', ' ¤ ', 'g'), '(.)', '\\1 ', 'g')"
+    )
+    ctes = [f"bpe_s0 AS (SELECT {id_expr} AS id, {base} AS s FROM {source})"]
+    for ci in range(0, len(merges), chunk):
+        expr = "s"
+        for left, right in merges[ci : ci + chunk]:
+            pat = _sql_quote(f" {left} {right} ")
+            rep = _sql_quote(f" {left}{right} ")
+            for _ in range(passes):
+                expr = f"replace({expr}, {pat}, {rep})"
+        ctes.append(
+            f"bpe_s{ci // chunk + 1} AS "
+            f"(SELECT id, {expr} AS s FROM bpe_s{ci // chunk})"
+        )
+    last = f"bpe_s{(max(len(merges) - 1, 0)) // chunk + 1 if merges else 0}"
+    ctes.append(
+        "bpe_enc AS (SELECT id, "
+        "list_filter(string_split(trim(s), ' '), "
+        "x -> x != '¤' AND x != '') AS toks "
+        f"FROM {last})"
+    )
+    return ",\n".join(ctes)

@@ -77,8 +77,11 @@ def resolve_oracles(sf_dir: str | None = None) -> dict[str, str]:
 # --------------------------------------------------------------------- #
 
 _DRIVER_PRIORITY: list[str] = [
-    # round 6: new row (never driver-verified) — bucketed range join
+    # round 6: new rows (never driver-verified) — bucketed range join,
+    # BPE subword tokenizer train + encode
     "range_join_click_view_window",
+    "bpe_encode_documents",
+    "bpe_train_merges",
     # round 6: new rows (never driver-verified) — SemDeDup-style
     # embedding-component dedup, temperature-weighted domain mixing,
     # and the int8-quantized similarity-search path
@@ -3568,3 +3571,108 @@ def range_join_click_view_window(spark, sf):
         F.count(F.lit(1)).cast("long").alias("n_windows"),
         F.min("view_id").alias("first_view_id"),
     )
+
+
+# --------------------------------------------------------------------- #
+# BPE subword tokenizer (operators/bpe.py)                               #
+# --------------------------------------------------------------------- #
+
+_BPE_NUM_MERGES = 40
+_BPE_ORACLE_MERGES: dict[str, list] = {}
+_BPE_SPARK_MERGES: dict[str, list] = {}
+
+
+def _bpe_merges_duckdb(sf_dir: str) -> list:
+    """Oracle-side training twin: word frequencies computed by DuckDB
+    (engine-independent of the Spark counting pass), merges from the
+    shared pure-Python learner — the trained-coefficient-twin pattern
+    the ML histogram oracles use."""
+    if sf_dir not in _BPE_ORACLE_MERGES:
+        import duckdb
+
+        from .operators.bpe import PRETOKEN_RE, learn_merges
+
+        rows = duckdb.sql(
+            f"""SELECT word, CAST(count(*) AS BIGINT) AS c FROM (
+                  SELECT unnest(regexp_extract_all(lower(text),
+                                '{PRETOKEN_RE}')) AS word
+                  FROM {_pq(sf_dir, 'documents')})
+                GROUP BY word ORDER BY c DESC, word LIMIT 100000"""
+        ).fetchall()
+        _BPE_ORACLE_MERGES[sf_dir] = learn_merges(
+            {w: int(c) for w, c in rows}, _BPE_NUM_MERGES
+        )
+    return _BPE_ORACLE_MERGES[sf_dir]
+
+
+def _bpe_merges_spark(spark, sf_dir: str) -> list:
+    if sf_dir not in _BPE_SPARK_MERGES:
+        from .operators.bpe import bpe_train
+
+        _BPE_SPARK_MERGES[sf_dir] = bpe_train(
+            load_table(spark, sf_dir, "documents"), "text", _BPE_NUM_MERGES
+        )
+    return _BPE_SPARK_MERGES[sf_dir]
+
+
+def _bpe_encode_oracle(sf_dir: str) -> str:
+    from .operators.bpe import bpe_encode_sql_ctes
+
+    ctes = bpe_encode_sql_ctes(
+        "text", "documents", "doc_id", _bpe_merges_duckdb(sf_dir)
+    )
+    return f"""
+    WITH {ctes}
+    SELECT id AS doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           md5(array_to_string(toks, ' ')) AS toks_md5
+    FROM bpe_enc
+    """
+
+
+@register("bpe_encode_documents")
+def bpe_encode_documents(spark, sf):
+    """BPE-encode the corpus with merges learned from it (train: one
+    word-count shuffle + driver loop over the bounded frequency table;
+    encode: Arrow-batched pandas UDF with a per-worker word memo).  The
+    oracle re-trains from DuckDB's own word counts and re-encodes with
+    a chunked replace-chain CTE — both engines must agree on every
+    document's token count and exact token stream (md5)."""
+    from .operators.bpe import bpe_encode
+
+    d = load_table(spark, sf, "documents")
+    out = bpe_encode(d, "text", _bpe_merges_spark(spark, sf))
+    return out.select(
+        "doc_id",
+        F.size("bpe_tokens").cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", "bpe_tokens")).alias("toks_md5"),
+    )
+
+
+ORACLE_FACTORIES["bpe_encode_documents"] = _bpe_encode_oracle
+
+
+def _bpe_train_oracle(sf_dir: str) -> str:
+    vals = ", ".join(
+        f"({i}, '{l}', '{r}')"
+        for i, (l, r) in enumerate(_bpe_merges_duckdb(sf_dir))
+    )
+    return f"""
+    SELECT CAST(r AS INTEGER) AS merge_rank, l AS lhs, rr AS rhs
+    FROM (VALUES {vals}) AS t(r, l, rr)
+    """
+
+
+@register("bpe_train_merges")
+def bpe_train_merges(spark, sf):
+    """The learned merge table itself.  The oracle's VALUES literal is
+    trained from DUCKDB word counts, so the row verifies that the
+    distributed frequency pass matches DuckDB's exactly and that merge
+    learning is deterministic; the learner code is shared (the encode
+    row above is the cross-engine check of the full algorithm)."""
+    from .operators.bpe import bpe_merge_table
+
+    return bpe_merge_table(spark, _bpe_merges_spark(spark, sf))
+
+
+ORACLE_FACTORIES["bpe_train_merges"] = _bpe_train_oracle
