@@ -54,6 +54,7 @@ __all__ = [
     "embedding_dedup",
     "line_dedup",
     "duplicate_passage_flags",
+    "remove_duplicate_passages",
     "bucket_skew_stats",
 ]
 
@@ -738,6 +739,91 @@ def duplicate_passage_flags(
         (F.coalesce(F.col("max_dup_run"), F.lit(0)) >= min_run)
         .cast("int")
         .alias("flagged"),
+    )
+
+
+def remove_duplicate_passages(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 13,
+    min_run: int = 3,
+) -> DataFrame:
+    """Span-level dedup: REMOVE the duplicated passages that
+    :func:`duplicate_passage_flags` detects, keeping the rest of each
+    document (Lee et al. 2022 cut duplicated spans rather than whole
+    documents — whole-doc dedup misses boilerplate shared across
+    otherwise-distinct pages).
+
+    A qualifying run of ``r >= min_run`` consecutive shared n-grams
+    starting at token position ``s`` covers tokens ``[s, s+r+n-2]``;
+    covered tokens are dropped (union over overlapping runs) and the
+    document is rebuilt from the survivors in order.  Returns one row
+    per input row: (id, clean_text, n_removed).
+
+    Shape: the flags pipeline (three slim shuffles, ids+hashes only)
+    plus one token-level anti join and a per-document rebuild
+    aggregate; covered-position explode is bounded by document length.
+    """
+    grams = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(_token_ngrams(F.col(text_col), n)).alias("__pos", "__g"),
+    ).select("__id", "__pos", md5_int60(F.col("__g")).alias("__h"))
+    shared = (
+        grams.select("__h", "__id")
+        .distinct()
+        .groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") >= 2)
+        .select("__h")
+    )
+    dup = grams.join(shared, "__h", "left_semi")
+    w = Window.partitionBy("__id").orderBy("__pos")
+    runs = (
+        dup.withColumn("__grp", F.col("__pos") - F.row_number().over(w))
+        .groupBy("__id", "__grp")
+        .agg(F.min("__pos").alias("__start"), F.count(F.lit(1)).alias("__run"))
+        .filter(F.col("__run") >= min_run)
+    )
+    covered = runs.select(
+        "__id",
+        F.explode(
+            F.sequence(
+                F.col("__start"), F.col("__start") + F.col("__run") + F.lit(n - 2)
+            )
+        ).alias("__tpos"),
+    ).distinct()
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(ws_tokens(F.col(text_col))).alias("__tpos", "__tok"),
+    )
+    rebuilt = (
+        toks.join(covered, ["__id", "__tpos"], "left_anti")
+        .groupBy("__id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__tpos", "__tok"))),
+                    lambda s: s["__tok"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("__kept"),
+        )
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.size(ws_tokens(F.col(text_col))).alias("__ntok"),
+        )
+        .join(rebuilt.withColumnRenamed("__id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            (F.col("__ntok") - F.coalesce(F.col("__kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
     )
 
 

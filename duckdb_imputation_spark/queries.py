@@ -82,6 +82,7 @@ _DRIVER_PRIORITY: list[str] = [
     "range_join_click_view_window",
     "bpe_encode_documents",
     "bpe_train_merges",
+    "remove_duplicate_passages_catalog",
     # round 6: new rows (never driver-verified) — SemDeDup-style
     # embedding-component dedup, temperature-weighted domain mixing,
     # and the int8-quantized similarity-search path
@@ -3676,3 +3677,89 @@ def bpe_train_merges(spark, sf):
 
 
 ORACLE_FACTORIES["bpe_train_merges"] = _bpe_train_oracle
+
+
+def _remove_passages_oracle(n: int = 5, min_run: int = 3) -> str:
+    from .operators.hashing import md5_int60_sql
+
+    def gsql(col: str) -> str:
+        toks = _ws_sql(col)
+        return (
+            f"CASE WHEN length({toks}) >= {n} THEN "
+            f"list_transform(range(1, length({toks}) - {n - 1} + 1), "
+            f"i -> array_to_string(({toks})[CAST(i AS INT):CAST(i AS INT) + {n - 1}], ' ')) "
+            f"ELSE [array_to_string({toks}, ' ')] END"
+        )
+
+    h = md5_int60_sql("g")
+    return f"""
+    WITH unioned AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 5
+    ), grams AS (
+      SELECT doc_id, pos, {h} AS h FROM (
+        SELECT doc_id,
+               unnest(generate_series(1, length(gs))) AS pos,
+               unnest(gs) AS g
+        FROM (SELECT doc_id, {gsql('text')} AS gs FROM unioned)
+      )
+    ), shared AS (
+      SELECT h FROM (
+        SELECT h, COUNT(*) AS c
+        FROM (SELECT DISTINCT doc_id, h FROM grams) GROUP BY h
+      ) WHERE c >= 2
+    ), marked AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM grams WHERE h IN (SELECT h FROM shared)
+    ), runs AS (
+      SELECT doc_id, MIN(pos) AS s, COUNT(*) AS r
+      FROM marked GROUP BY doc_id, grp HAVING COUNT(*) >= {min_run}
+    ), covered AS (
+      SELECT DISTINCT doc_id, unnest(generate_series(s, s + r + {n - 2})) AS tpos
+      FROM runs
+    ), toks AS (
+      SELECT doc_id,
+             unnest(generate_series(1, length(t))) AS tpos,
+             unnest(t) AS tok
+      FROM (SELECT doc_id, {_ws_sql('text')} AS t FROM unioned)
+    ), kept AS (
+      SELECT t.doc_id, t.tpos, t.tok
+      FROM toks t LEFT JOIN covered c
+        ON t.doc_id = c.doc_id AND t.tpos = c.tpos
+      WHERE c.doc_id IS NULL
+    ), reb AS (
+      SELECT doc_id,
+             string_agg(tok, ' ' ORDER BY tpos) AS clean_text,
+             COUNT(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    ), orig AS (
+      SELECT doc_id, length({_ws_sql('text')}) AS ntok FROM unioned
+    )
+    SELECT o.doc_id,
+           md5(COALESCE(reb.clean_text, '')) AS clean_md5,
+           CAST(o.ntok - COALESCE(reb.n_kept, 0) AS BIGINT) AS n_removed
+    FROM orig o LEFT JOIN reb USING (doc_id)
+    """
+
+
+@register("remove_duplicate_passages_catalog", oracle=_remove_passages_oracle())
+def remove_duplicate_passages_catalog(spark, sf):
+    """Span-level dedup REMOVAL (dedup.remove_duplicate_passages): the
+    same 5-copy corpus as duplicate_passage_flags, but the flagged
+    passages are cut and each document rebuilt from surviving tokens;
+    the oracle replays run detection, covered-token expansion, anti
+    join, and ordered reassembly in SQL — clean text md5-exact."""
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    copies = d.filter("doc_id < 5").select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    out = _dd.remove_duplicate_passages(
+        d.unionAll(copies), "text", "doc_id", n=5, min_run=3
+    )
+    return out.select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_md5"),
+        "n_removed",
+    )

@@ -350,3 +350,81 @@ def test_temperature_sample_rates_match_python_reference(spark):
 
     expect = {i for i, s in rows if h(i) % 1_000_000 < thresh[s]}
     assert got == expect
+
+
+def _py_remove_passages(docs, n=3, min_run=3):
+    """Pure-Python reference for remove_duplicate_passages: shared-gram
+    runs >= min_run cover tokens [start, start+run+n-2]; covered tokens
+    drop, the document rebuilds from survivors in order."""
+    from collections import defaultdict
+
+    def grams(text):
+        toks = text.split()
+        if len(toks) >= n:
+            return [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+        return [" ".join(toks)]
+
+    owners = defaultdict(set)
+    for d, text in docs:
+        for g in grams(text):
+            owners[g].add(d)
+    out = {}
+    for d, text in docs:
+        toks = text.split()
+        shared = [len(owners[g]) >= 2 for g in grams(text)]
+        covered = set()
+        i = 0
+        while i < len(shared):
+            if shared[i]:
+                j = i
+                while j < len(shared) and shared[j]:
+                    j += 1
+                if j - i >= min_run:
+                    covered.update(range(i, i + (j - i) + n - 1))
+                i = j
+            else:
+                i += 1
+        kept = [t for p, t in enumerate(toks) if p not in covered]
+        out[d] = (" ".join(kept), len(toks) - len(kept))
+    return out
+
+
+@pytest.mark.parametrize("seed", [3, 4])
+def test_remove_duplicate_passages_matches_python_reference(spark, seed):
+    from duckdb_imputation_spark.operators import dedup as dd
+
+    rng = np.random.default_rng(seed)
+    docs = [
+        (d, " ".join(f"t{rng.integers(0, 6)}" for _ in range(20)))
+        for d in range(30)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in dd.remove_duplicate_passages(
+            df, "text", "doc_id", n=3, min_run=3
+        ).collect()
+    }
+    assert got == _py_remove_passages(docs, n=3, min_run=3)
+
+
+def test_remove_duplicate_passages_short_and_unique_docs(spark):
+    from duckdb_imputation_spark.operators import dedup as dd
+
+    docs = [
+        (0, "a b"),                    # short (< n): whole-doc gram, unique
+        (1, "a b"),                    # short duplicate pair: fully removed
+        (2, "unique words only here"),
+        (3, ""),                       # empty text
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in dd.remove_duplicate_passages(
+            df, "text", "doc_id", n=3, min_run=1
+        ).collect()
+    }
+    assert got[0] == ("", 2)  # shared whole-doc gram with doc 1 -> removed
+    assert got[1] == ("", 2)
+    assert got[2] == ("unique words only here", 0)
+    assert got[3] == ("", 0)
