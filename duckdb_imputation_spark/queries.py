@@ -83,6 +83,7 @@ _DRIVER_PRIORITY: list[str] = [
     "bpe_encode_documents",
     "bpe_train_merges",
     "remove_duplicate_passages_catalog",
+    "pca_project_embeddings",
     # round 6: new rows (never driver-verified) — SemDeDup-style
     # embedding-component dedup, temperature-weighted domain mixing,
     # and the int8-quantized similarity-search path
@@ -142,12 +143,6 @@ _DRIVER_PRIORITY: list[str] = [
     "lda_train_predict_histogram",
     "sql_passthrough_shared_dialect",
     "correlated_subqueries_orders",
-    "rollup_lineitem",
-    "pivot_order_status",
-    "unpivot_lineitem_charges",
-    "cube_lineitem",
-    "string_functions_parts",
-    "percentile_quantities",
     "sessionize_events",
     "brand_revenue",
     "rolling_customer_spend",
@@ -161,6 +156,15 @@ _DRIVER_PRIORITY: list[str] = [
 # full-catalog replay.  A query whose code changes must move back to
 # _DRIVER_PRIORITY for one round (VERDICT r4 hygiene rule).
 _DRIVER_DEMOTE: list[str] = [
+    # rotated out round 6 to make window room for the new rangejoin/bpe/
+    # passage-removal/pca rows: hash-green in BOTH r3 and r4 driver
+    # runs, implementation untouched since
+    "rollup_lineitem",
+    "pivot_order_status",
+    "unpivot_lineitem_charges",
+    "cube_lineitem",
+    "string_functions_parts",
+    "percentile_quantities",
     "orders_window_top3",
     "semi_join_urgent_customers",
     "anti_join_customers_no_orders",
@@ -3763,3 +3767,71 @@ def remove_duplicate_passages_catalog(spark, sf):
         F.md5("clean_text").alias("clean_md5"),
         "n_removed",
     )
+
+
+# --------------------------------------------------------------------- #
+# PCA over embeddings (operators/pca.py)                                 #
+# --------------------------------------------------------------------- #
+
+_PCA_K = 4
+
+
+def _pca_catalog_model(X_rows):
+    """Shared numpy path (single X.T @ X — bit-identical for both
+    engines' deterministically-ordered subset)."""
+    import numpy as np
+
+    from .operators.pca import pca_np
+
+    X = np.asarray(X_rows, dtype=np.float64)
+    return pca_np(len(X), X.sum(0), X.T @ X, _PCA_K)
+
+
+def _pca_model_duckdb(sf_dir: str):
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT embedding FROM {_pq(sf_dir, 'embeddings')} "
+        "WHERE vec_id % 5 = 0 ORDER BY vec_id"
+    ).fetchall()
+    return _pca_catalog_model([list(r[0]) for r in rows])
+
+
+def _pca_project_oracle(sf_dir: str) -> str:
+    model = _pca_model_duckdb(sf_dir)
+    cols = []
+    for j in range(_PCA_K):
+        comp = model.components[j]
+        clit = "[" + ", ".join(repr(float(c)) for c in comp) + "]"
+        shift = repr(float((model.mean * comp).sum()))
+        fold = (
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            "list_transform(range(1, length(embedding) + 1), "
+            f"i -> CAST(embedding[CAST(i AS INT)] AS DOUBLE) * ({clit})[CAST(i AS INT)])), "
+            "(a, b) -> a + b)"
+        )
+        cols.append(f"ROUND({fold} - {shift}, 6) + 0.0 AS pc{j}")
+    return f"SELECT vec_id, {', '.join(cols)} FROM embeddings"
+
+
+@register("pca_project_embeddings")
+def pca_project_embeddings(spark, sf):
+    """PCA projection of every embedding onto the top-4 principal
+    components (operators/pca.py).  The catalog twin trains on the same
+    deterministic sorted subset as the PQ/IVF rows (bit-identical NumPy
+    on both engines — the trained-constant convention); the projection
+    itself is a sequential JVM fold matching DuckDB's list_reduce order,
+    so rounded scores are bit-exact.  The full-corpus EXACT training
+    path is gram_stats/pca_train (mapInPandas partial Gram matrices, no
+    shuffle) — unit-tested against this numpy twin."""
+    from .operators.pca import pca_project
+
+    e = load_table(spark, sf, "embeddings")
+    sub = e.filter("vec_id % 5 = 0").orderBy("vec_id").select("embedding").collect()
+    model = _pca_catalog_model([list(r[0]) for r in sub])
+    return pca_project(e, "embedding", model, round_to=6).select(
+        "vec_id", *[f"pc{j}" for j in range(_PCA_K)]
+    )
+
+
+ORACLE_FACTORIES["pca_project_embeddings"] = _pca_project_oracle
