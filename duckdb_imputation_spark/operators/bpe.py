@@ -35,9 +35,13 @@ __all__ = [
     "PRETOKEN_RE",
     "word_frequencies",
     "bpe_train",
+    "learn_merges",
     "bpe_encode",
     "bpe_merge_table",
     "bpe_apply_word",
+    "bpe_save",
+    "bpe_load",
+    "bpe_encode_sql_ctes",
 ]
 
 # letter runs | digit runs | single symbol — the same BPE-ish shape as
@@ -255,3 +259,16 @@ def bpe_encode_sql_ctes(
         f"FROM {last})"
     )
     return ",\n".join(ctes)
+
+
+def bpe_save(spark, merges: Sequence[tuple[str, str]], path: str) -> None:
+    """Persist the learned merge table as parquet — train once per
+    corpus snapshot, reuse across every downstream encode job (the
+    tokenizer artifact is frozen the moment a model trains on it)."""
+    bpe_merge_table(spark, merges).write.mode("overwrite").parquet(path)
+
+
+def bpe_load(spark, path: str) -> list[tuple[str, str]]:
+    """Reload merges saved by :func:`bpe_save`, in rank order."""
+    rows = spark.read.parquet(path).orderBy("merge_rank").collect()
+    return [(r["lhs"], r["rhs"]) for r in rows]

@@ -121,3 +121,17 @@ def test_encode_is_arrow_batched(spark):
     plan = enc._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_save_load_roundtrip(spark, tmp_path):
+    from duckdb_imputation_spark.operators.bpe import bpe_load, bpe_save
+
+    merges = learn_merges(CLASSIC, 8)
+    path = str(tmp_path / "bpe_merges")
+    bpe_save(spark, merges, path)
+    assert bpe_load(spark, path) == merges
+    # encode with the reloaded artifact is identical
+    df = spark.createDataFrame([(0, "low lower newest")], "doc_id long, text string")
+    a = bpe_encode(df, "text", merges).collect()[0]["bpe_tokens"]
+    b = bpe_encode(df, "text", bpe_load(spark, path)).collect()[0]["bpe_tokens"]
+    assert list(a) == list(b)

@@ -124,3 +124,38 @@ def test_plan_is_equi_join(spark, points, intervals):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert [f for f in lint_plan(got) if f.severity == "error"] == []
+
+
+def test_stream_static_range_join(spark, tmp_path):
+    """The bucketed formulation is stream-compatible: a streaming point
+    source equi-joins a STATIC interval table (stream-static equi-joins
+    are supported; the naive theta-join formulation is not) — output
+    must equal the batch range_join on the same data."""
+    points = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(30)], "pid int, k int, x double"
+    )
+    intervals = spark.createDataFrame(
+        [(100 + k, k, 2.0, 5.0) for k in range(3)]
+        + [(200 + k, k, 0.0, 25.0) for k in range(3)],
+        "iid int, k int, lo double, hi double",
+    )
+    src = str(tmp_path / "pts")
+    points.write.parquet(src)
+    stream = spark.readStream.schema(points.schema).parquet(src)
+    out = range_join(stream, intervals, "x", "lo", "hi", on="k", bucket_width=3.0)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("rj_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.pid, r.iid)
+        for r in spark.sql("SELECT pid, iid FROM rj_stream").collect()
+    }
+    want = _pairs(
+        range_join(points, intervals, "x", "lo", "hi", on="k", bucket_width=3.0)
+    )
+    assert got == want and len(want) > 0
