@@ -39,6 +39,7 @@ __all__ = [
     "pq_encode",
     "pq_topk",
     "ann_ivfpq_topk",
+    "ann_pca_topk",
 ]
 
 
@@ -572,3 +573,52 @@ def kmeans_fit_distributed(
             break
         cent = new
     return cent
+
+
+def ann_pca_topk(
+    df: DataFrame,
+    query: Sequence[float],
+    model,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    rerank: int = 4,
+) -> DataFrame:
+    """ANN via PCA pre-reduction (operators/pca.py): score candidates in
+    the k'-dim principal subspace (cheap fold over k' doubles instead of
+    d), shortlist ``rerank * k`` by approximate score, exact-cosine
+    rerank only the shortlist.
+
+    Standard recall/cost trade for the read side of a 768-dim corpus:
+    the full-dim fold runs on ``rerank*k`` rows instead of n.  The
+    shortlist is a TakeOrdered (no global sort); the rerank filter is an
+    ``isin`` over the collected candidate ids (bounded by rerank*k), so
+    nothing corpus-sized moves.  Approximation comes only from the
+    subspace ordering; shortlist quality tracks the explained-variance
+    ratio at k'.  For ANN prefer a ``center=False`` model: an
+    uncentered orthonormal basis preserves raw dot products (with
+    k' = d exactly), while centering shifts scores by a per-vector
+    ``x . mean`` term."""
+    from .pca import pca_project
+
+    q = np.asarray(query, dtype=np.float64)
+    qp = (q - model.mean) @ model.components.T  # query in subspace
+    kk = len(model.components)
+    proj = pca_project(df, vec_col, model, out_cols=[f"__p{j}" for j in range(kk)])
+    approx = sum(
+        F.col(f"__p{j}") * F.lit(float(qp[j])) for j in range(kk)
+    )
+    shortlist = (
+        proj.select(F.col(id_col), approx.alias("__a"))
+        .orderBy(F.desc("__a"), F.col(id_col))
+        .limit(int(rerank * k))
+        .collect()
+    )
+    ids = [r[id_col] for r in shortlist]
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return (
+        df.filter(F.col(id_col).isin(ids))
+        .select(F.col(id_col), F.round(_cosine(v, query), 6).alias("score"))
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )

@@ -100,3 +100,51 @@ def test_projection_is_jvm_side(spark, data):
     # project path must stay codegen'd: no Python eval of any kind
     assert "ArrowEvalPython" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_ann_pca_topk_recall_anisotropic(spark):
+    """On data with real principal structure (variance concentrated in
+    6 of 32 dims) the 6-dim shortlist + exact rerank recovers the
+    brute-force top-k.  PCA-ANN is exactly as good as the spectrum —
+    the isotropic-testdata case is covered by the k'=d test below."""
+    from duckdb_imputation_spark.operators.pca import pca_train
+    from duckdb_imputation_spark.operators.simsearch import ann_pca_topk, cosine_topk
+
+    rng = np.random.default_rng(9)
+    X = np.zeros((300, 32))
+    X[:, :6] = rng.normal(scale=5.0, size=(300, 6))
+    X += rng.normal(scale=0.05, size=(300, 32))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in r]) for i, r in enumerate(X)],
+        "vec_id long, embedding array<double>",
+    )
+    model = pca_train(df, "embedding", k=6)
+    q = [float(x) for x in X[0] + 0.01]
+    brute = [r["vec_id"] for r in cosine_topk(df, q, k=10).collect()]
+    got = [r["vec_id"] for r in ann_pca_topk(df, q, model, k=10, rerank=4).collect()]
+    assert len(set(brute) & set(got)) / 10 >= 0.8
+    # surviving ids carry the EXACT cosine score (rerank is full-dim)
+    bs = {r["vec_id"]: r["score"] for r in cosine_topk(df, q, k=10).collect()}
+    gs = {r["vec_id"]: r["score"] for r in ann_pca_topk(df, q, model, k=10).collect()}
+    for i in set(bs) & set(gs):
+        assert bs[i] == gs[i]
+
+
+def test_ann_pca_topk_full_rank_is_exact(spark):
+    """k' = d keeps the full space: the shortlist ordering equals exact
+    dot ordering, so the result IS the brute-force top-k — on the real
+    (isotropic, unit-norm) testdata embeddings."""
+    from duckdb_imputation_spark.operators.pca import pca_train
+    from duckdb_imputation_spark.operators.simsearch import ann_pca_topk, cosine_topk
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    # uncentered: a full orthonormal basis preserves raw dot products
+    # exactly (centering would shift scores by a per-vector x.mean term)
+    model = pca_train(df, "embedding", k=64, center=False)
+    q = [0.1] * 64
+    brute = [(r["vec_id"], r["score"]) for r in cosine_topk(df, q, k=10).collect()]
+    got = [
+        (r["vec_id"], r["score"])
+        for r in ann_pca_topk(df, q, model, k=10, rerank=2).collect()
+    ]
+    assert got == brute
