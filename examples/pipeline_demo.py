@@ -2,9 +2,9 @@
 """End-to-end LLM training-data pipeline demo over the testdata corpus:
 
   scrub PII → quality filter → exact + MinHash dedup → line dedup →
-  passage-flag filter → decontaminate against an eval set →
-  temperature-weighted domain mix → chunk → pack into context-window
-  bins → BM25 retrieval
+  duplicate-passage REMOVAL → decontaminate against an eval set →
+  temperature-weighted domain mix → BPE tokenizer train + encode →
+  chunk → pack into context-window bins → BM25 retrieval
 
 Each stage is the production operator from the package; run with
 ``python examples/pipeline_demo.py [sf_dir]``.
@@ -40,10 +40,11 @@ def main() -> None:
     n2 = deduped.count()
 
     deduped = dd.line_dedup(deduped, "text", "doc_id")  # C4-style lines
-    flags = dd.duplicate_passage_flags(deduped, "text", "doc_id", n=5)
-    deduped = deduped.join(
-        flags.filter("flagged = 0").select("doc_id"), "doc_id", "left_semi"
-    )
+    # cut shared passages instead of dropping whole documents
+    deduped = dd.remove_duplicate_passages(
+        deduped, "text", "doc_id", n=5
+    ).select("doc_id", F.col("clean_text").alias("text"))
+    deduped = tp.quality_filter(deduped, "text", min_tokens=5)
 
     eval_set = docs.filter("doc_id % 97 = 0")  # stand-in benchmark set
     decontaminated = dd.minhash_decontaminate(deduped, eval_set, "text", "doc_id")
@@ -53,6 +54,20 @@ def main() -> None:
         decontaminated.withColumn("src", F.col("doc_id") % 7),
         "src", "doc_id", target_frac=0.8,
     )
+    # subword tokenizer: train on the cleaned corpus, encode every doc
+    from duckdb_imputation_spark.operators import bpe
+
+    merges = bpe.bpe_train(sampled, "text", num_merges=60)
+    encoded = bpe.bpe_encode(sampled, "text", merges)
+    tok_stats = encoded.agg(
+        F.sum(F.size("bpe_tokens")).alias("total_tok"),
+        F.round(F.avg(F.size("bpe_tokens")), 1).alias("avg_tok"),
+    ).first()
+    print(
+        f"bpe: {len(merges)} merges; {tok_stats['total_tok']} tokens "
+        f"({tok_stats['avg_tok']}/doc)"
+    )
+
     chunked = tp.chunk_documents(sampled, "text", "doc_id", chunk_tokens=128, overlap=32)
     # packing needs a UNIQUE order key — (doc, chunk) composite
     chunked = chunked.withColumn(
