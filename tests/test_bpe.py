@@ -160,3 +160,17 @@ def test_bpe_properties(counts, num_merges, probe):
         toks = bpe_apply_word(w, merges)
         assert "".join(toks) == w
         assert toks == _priority_encode(w, merges)
+
+
+def test_null_text_encodes_empty(spark):
+    df = spark.createDataFrame([(0, None), (1, "low")], "doc_id long, text string")
+    out = {r["doc_id"]: list(r["bpe_tokens"])
+           for r in bpe_encode(df, "text", learn_merges(CLASSIC, 4)).collect()}
+    assert out[0] == []
+    assert out[1] == ["low"]
+
+
+def test_null_text_word_frequencies(spark):
+    df = spark.createDataFrame([(0, None), (1, "low low")], "doc_id long, text string")
+    freq = {r["word"]: r["count"] for r in word_frequencies(df, "text").collect()}
+    assert freq == {"low": 2}

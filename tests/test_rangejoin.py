@@ -178,3 +178,20 @@ def test_timestamp_columns_accepted(spark):
     )
     got = range_join(p, iv, "ts", "lo", "hi", bucket_width=3600.0)
     assert {(r.pid, r.iid) for r in got.collect()} == {(1, 10)}
+
+
+def test_null_points_and_keys(spark):
+    """NULL point or key never matches (SQL BETWEEN/equi-join
+    semantics); with how='left' such rows still surface, NULL-padded."""
+    p = spark.createDataFrame(
+        [(1, 0, 3.0), (2, 0, None), (3, None, 3.0)],
+        "pid int, k int, x double",
+    )
+    iv = spark.createDataFrame(
+        [(10, 0, 2.0, 5.0)], "iid int, k int, lo double, hi double"
+    )
+    inner = range_join(p, iv, "x", "lo", "hi", on="k", bucket_width=2.0)
+    assert {(r.pid, r.iid) for r in inner.collect()} == {(1, 10)}
+    left = range_join(p, iv, "x", "lo", "hi", on="k", bucket_width=2.0, how="left")
+    got = {(r.pid, r.iid) for r in left.collect()}
+    assert got == {(1, 10), (2, None), (3, None)}
