@@ -31,6 +31,7 @@ __all__ = [
     "write_table",
     "write_bucketed_table",
     "compact_table",
+    "upsert_table",
     "register_view",
 ]
 
@@ -161,3 +162,55 @@ def write_bucketed_table(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.format("parquet").saveAsTable(name)
+
+
+def upsert_table(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_col: str,
+    fmt: str = "parquet",
+) -> int:
+    """Keyed upsert into a table directory: rows whose ``key_col``
+    appears in ``updates`` are replaced, new keys are appended — the
+    MERGE sink an incremental corpus needs (pair with
+    ``minhash_index.dedup_new``: dedup a batch against the index, then
+    upsert the survivors).
+
+    Implementation is read → anti-join (AQE broadcasts a small update
+    set on its own) → union → staged rewrite reusing
+    :func:`compact_table`'s crash-safe two-rename swap, including its
+    backup-recovery preamble — a crash between renames is detected and
+    rolled forward/back on the next call, so committed data survives
+    any single failure.  Returns the row count after the upsert.
+
+    At 100 TB prefer a PARTITIONED table and upsert partition-by-
+    partition (read only affected partitions); this whole-table form is
+    the correct small/medium building block and the semantics oracle.
+    """
+    import os
+    import shutil
+
+    staging = path.rstrip("/") + "__upsert_staging"
+    backup = path.rstrip("/") + "__upsert_backup"
+    if os.path.exists(backup):
+        if not os.path.exists(path):
+            os.rename(backup, path)
+        else:
+            shutil.rmtree(backup)
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+    current = spark.read.format(fmt).load(path)
+    kept = current.join(
+        updates.select(key_col).distinct(), key_col, "left_anti"
+    )
+    merged = kept.unionByName(updates.select(*current.columns))
+    merged.write.format(fmt).mode("overwrite").save(staging)
+    os.rename(path, backup)
+    try:
+        os.rename(staging, path)
+    except Exception:
+        os.rename(backup, path)
+        raise
+    shutil.rmtree(backup)
+    return spark.read.format(fmt).load(path).count()

@@ -248,3 +248,36 @@ def test_dedup_components_long_chain_converges(spark):
     )
     got = {r["id"]: r["canonical"] for r in dedup_components(pairs).collect()}
     assert got == {i: 0 for i in range(11)}
+
+
+def test_upsert_table(spark, tmp_path):
+    from duckdb_imputation_spark.sources import upsert_table
+
+    p = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "id long, payload string"
+    ).write.parquet(p)
+    updates = spark.createDataFrame(
+        [(3, "NEW3"), (7, "NEW7"), (100, "NEW100")], "id long, payload string"
+    )
+    n = upsert_table(spark, p, updates, "id")
+    assert n == 11  # 10 originals - 2 replaced + 3 upserts
+    got = {r.id: r.payload for r in spark.read.parquet(p).collect()}
+    assert got[3] == "NEW3" and got[7] == "NEW7" and got[100] == "NEW100"
+    assert got[0] == "v0" and len(got) == 11
+    # idempotent re-apply
+    assert upsert_table(spark, p, updates, "id") == 11
+
+
+def test_upsert_table_recovers_from_interrupted_swap(spark, tmp_path):
+    import os
+
+    from duckdb_imputation_spark.sources import upsert_table
+
+    p = str(tmp_path / "t")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(p)
+    # simulate a crash between the two renames: only the backup exists
+    os.rename(p, p + "__upsert_backup")
+    updates = spark.createDataFrame([(2, "b")], "id long, v string")
+    assert upsert_table(spark, p, updates, "id") == 2
+    assert {r.id for r in spark.read.parquet(p).collect()} == {1, 2}
