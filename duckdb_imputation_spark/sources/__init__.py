@@ -32,6 +32,7 @@ __all__ = [
     "write_bucketed_table",
     "compact_table",
     "upsert_table",
+    "upsert_table_partitioned",
     "register_view",
 ]
 
@@ -214,3 +215,51 @@ def upsert_table(
         raise
     shutil.rmtree(backup)
     return spark.read.format(fmt).load(path).count()
+
+
+def upsert_table_partitioned(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_col: str,
+    partition_col: str,
+    fmt: str = "parquet",
+) -> int:
+    """The 100 TB upsert: only partitions that actually contain updated
+    keys are read and rewritten.
+
+    1. the update set's distinct partition values are collected (small
+       by assumption — an update batch touches few partitions),
+    2. the current table is read WITH a partition filter (physical
+       pruning — untouched partitions are never opened),
+    3. merged rows overwrite ONLY those partitions via dynamic
+       partition overwrite; every other partition's files are untouched
+       on disk.
+
+    Requires the table to be partitioned by ``partition_col``
+    (``write_table(..., partition_by=[...])``) and every update row to
+    carry its partition value.  Returns rows written (the rewritten
+    partitions' new row count)."""
+    from pyspark.sql import functions as F
+
+    parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    if not parts:
+        return 0
+    current = (
+        spark.read.format(fmt)
+        .load(path)
+        .filter(F.col(partition_col).isin(parts))
+    )
+    kept = current.join(
+        updates.select(key_col).distinct(), key_col, "left_anti"
+    )
+    merged = kept.unionByName(updates.select(*current.columns))
+    n = merged.count()
+    (
+        merged.write.format(fmt)
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .save(path)
+    )
+    return n

@@ -281,3 +281,55 @@ def test_upsert_table_recovers_from_interrupted_swap(spark, tmp_path):
     updates = spark.createDataFrame([(2, "b")], "id long, v string")
     assert upsert_table(spark, p, updates, "id") == 2
     assert {r.id for r in spark.read.parquet(p).collect()} == {1, 2}
+
+
+def test_upsert_table_partitioned_touches_only_affected_partitions(spark, tmp_path):
+    import os
+
+    from duckdb_imputation_spark.sources import upsert_table_partitioned, write_table
+
+    p = str(tmp_path / "pt")
+    df = spark.createDataFrame(
+        [(i, i % 4, f"v{i}") for i in range(40)], "id long, shard int, payload string"
+    )
+    write_table(df, p, partition_by=["shard"])
+    untouched = {}
+    for shard in (2, 3):
+        d = f"{p}/shard={shard}"
+        untouched[shard] = {
+            f: os.path.getmtime(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    updates = spark.createDataFrame(
+        [(0, 0, "NEW0"), (5, 1, "NEW5"), (100, 0, "NEW100")],
+        "id long, shard int, payload string",
+    )
+    n = upsert_table_partitioned(spark, p, updates, "id", "shard")
+    assert n == 21  # shards 0+1 hold 20 rows, -2 replaced +3 new
+
+    got = {r.id: r.payload for r in spark.read.parquet(p).collect()}
+    assert len(got) == 41
+    assert got[0] == "NEW0" and got[5] == "NEW5" and got[100] == "NEW100"
+    assert got[2] == "v2"  # untouched shard-2 row intact
+    # physical check: shard=2/3 files never rewritten
+    for shard, files in untouched.items():
+        d = f"{p}/shard={shard}"
+        now = {
+            f: os.path.getmtime(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+        assert now == files
+
+
+def test_upsert_table_partitioned_empty_updates(spark, tmp_path):
+    from duckdb_imputation_spark.sources import upsert_table_partitioned, write_table
+
+    p = str(tmp_path / "pt2")
+    df = spark.createDataFrame([(1, 0, "a")], "id long, shard int, payload string")
+    write_table(df, p, partition_by=["shard"])
+    empty = df.filter("id < 0")
+    assert upsert_table_partitioned(spark, p, empty, "id", "shard") == 0
+    assert spark.read.parquet(p).count() == 1
