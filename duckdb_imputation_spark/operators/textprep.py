@@ -21,6 +21,7 @@ __all__ = [
     "scrub_pii_sql",
     "quality_filter",
     "deterministic_sample",
+    "hash_split",
     "deterministic_sample_sql",
     "pack_sequences",
     "chunk_documents",
@@ -101,6 +102,44 @@ def deterministic_sample(
 def deterministic_sample_sql(id_expr: str, keep_per_mille: int, salt: str = "sample") -> str:
     salted = f"'{salt}' || CAST({id_expr} AS VARCHAR)"
     return f"{md5_int32_sql(salted)} % 1000 < {keep_per_mille}"
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    splits: "Sequence[tuple[str, int]]",
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row lands in one
+    named split by md5 bucket (per-mille weights, must sum to 1000).
+    Same guarantees as :func:`deterministic_sample` — engine-independent,
+    stable under re-partitioning and re-runs, and a document keeps its
+    split across pipeline versions (no train/test leakage when the
+    corpus is rebuilt)."""
+    if sum(w for _, w in splits) != 1000:
+        raise ValueError("split weights must sum to 1000 (per-mille)")
+    h = md5_int32(F.concat(F.lit(salt), F.col(id_col).cast("string"))) % 1000
+    expr = None
+    cum = 0
+    for name, w in splits:
+        cum += w
+        cond = h < cum
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn(out_col, expr)
+
+
+def hash_split_sql(
+    id_expr: str, splits: "Sequence[tuple[str, int]]", salt: str = "split"
+) -> str:
+    """DuckDB CASE twin of :func:`hash_split`."""
+    salted = f"'{salt}' || CAST({id_expr} AS VARCHAR)"
+    h = f"({md5_int32_sql(salted)} % 1000)"
+    cases, cum = [], 0
+    for name, w in splits:
+        cum += w
+        cases.append(f"WHEN {h} < {cum} THEN '{name}'")
+    return "CASE " + " ".join(cases) + " END"
 
 
 def chunk_documents(

@@ -84,6 +84,7 @@ _DRIVER_PRIORITY: list[str] = [
     "bpe_train_merges",
     "remove_duplicate_passages_catalog",
     "pca_project_embeddings",
+    "train_val_test_split",
     # round 6: new rows (never driver-verified) — SemDeDup-style
     # embedding-component dedup, temperature-weighted domain mixing,
     # and the int8-quantized similarity-search path
@@ -3835,3 +3836,30 @@ def pca_project_embeddings(spark, sf):
 
 
 ORACLE_FACTORIES["pca_project_embeddings"] = _pca_project_oracle
+
+
+def _hash_split_oracle() -> str:
+    from .operators.textprep import hash_split_sql
+
+    case = hash_split_sql("doc_id", [("train", 800), ("val", 100), ("test", 100)])
+    return f"""
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(doc_id) AS min_id
+    FROM (SELECT doc_id, {case} AS split FROM documents)
+    GROUP BY split
+    """
+
+
+@register("train_val_test_split", oracle=_hash_split_oracle())
+def train_val_test_split(spark, sf):
+    """Deterministic 80/10/10 corpus split by md5 bucket
+    (textprep.hash_split): a document keeps its split across pipeline
+    re-runs and re-partitioning, so rebuilt corpora cannot leak val/test
+    into train.  The oracle replays the md5 CASE chain in SQL."""
+    from .operators.textprep import hash_split
+
+    d = load_table(spark, sf, "documents").select("doc_id")
+    out = hash_split(d, "doc_id", [("train", 800), ("val", 100), ("test", 100)])
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("doc_id").alias("min_id"),
+    )

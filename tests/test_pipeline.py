@@ -794,3 +794,36 @@ def test_ivfpq_subset_of_probed(emb):
         .filter(F.col("__cluster").isin(list(probes))).drop("__cluster"),
         q, cb, k=10)
     assert [r["vec_id"] for r in got] == [r["vec_id"] for r in direct.collect()]
+
+
+def test_hash_split_partition_and_determinism(spark):
+    from duckdb_imputation_spark.operators.textprep import hash_split
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    splits = [("train", 800), ("val", 100), ("test", 100)]
+    out = hash_split(df, "doc_id", splits)
+    rows = {r.doc_id: r.split for r in out.collect()}
+    assert set(rows.values()) == {"train", "val", "test"}
+    # every row assigned exactly one split; proportions near 80/10/10
+    from collections import Counter
+
+    c = Counter(rows.values())
+    assert abs(c["train"] - 1600) < 120 and abs(c["val"] - 200) < 80
+    # deterministic under re-partitioning
+    again = {r.doc_id: r.split for r in
+             hash_split(df.repartition(7), "doc_id", splits).collect()}
+    assert again == rows
+    # different salt -> different assignment (not accidentally constant)
+    other = {r.doc_id: r.split for r in
+             hash_split(df, "doc_id", splits, salt="other").collect()}
+    assert other != rows
+
+
+def test_hash_split_rejects_bad_weights(spark):
+    import pytest as _pytest
+
+    from duckdb_imputation_spark.operators.textprep import hash_split
+
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    with _pytest.raises(ValueError, match="sum to 1000"):
+        hash_split(df, "doc_id", [("a", 500), ("b", 400)])
