@@ -10,6 +10,8 @@ lookaround — so both engines transform text identically.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -22,6 +24,7 @@ __all__ = [
     "quality_filter",
     "deterministic_sample",
     "hash_split",
+    "normalize_text",
     "deterministic_sample_sql",
     "pack_sequences",
     "chunk_documents",
@@ -420,3 +423,39 @@ def pack_sequences(
     return df.withColumn(
         "bin", F.floor(running / F.lit(target_tokens)).cast("long")
     )
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str,
+    out_col: str | None = None,
+    form: str = "NFC",
+    collapse_ws: bool = True,
+    strip_control: bool = True,
+) -> DataFrame:
+    """Unicode-normalize a text column (NFC/NFKC/...), optionally strip
+    control characters and collapse whitespace runs — the canonical
+    first stage of a multi-source ingest (mixed encodings produce
+    visually-identical strings with different code points, which breaks
+    exact dedup and vocabulary counting downstream).
+
+    Unicode normalization has no JVM builtin, so it is an Arrow-batched
+    pandas UDF (`unicodedata.normalize`); the whitespace/control steps
+    stay JVM-side regexp_replace.  DuckDB's ``nfc_normalize`` is the
+    cross-engine oracle for the NFC form."""
+    out = out_col or text_col
+
+    @F.pandas_udf("string")
+    def norm(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda t: unicodedata.normalize(form, t) if t is not None else None
+        )
+
+    c = norm(F.col(text_col))
+    if strip_control:
+        c = F.regexp_replace(c, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "")
+    if collapse_ws:
+        c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return df.withColumn(out, c)

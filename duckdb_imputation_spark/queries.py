@@ -85,6 +85,7 @@ _DRIVER_PRIORITY: list[str] = [
     "remove_duplicate_passages_catalog",
     "pca_project_embeddings",
     "train_val_test_split",
+    "normalize_text_documents",
     # round 6: new rows (never driver-verified) — SemDeDup-style
     # embedding-component dedup, temperature-weighted domain mixing,
     # and the int8-quantized similarity-search path
@@ -3862,4 +3863,59 @@ def train_val_test_split(spark, sf):
     return out.groupBy("split").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.min("doc_id").alias("min_id"),
+    )
+
+
+_NORM_EXTRA_ROWS = [
+    # DECOMPOSED on purpose (combining marks) so NFC actually rewrites
+    (10001, "Cafe\u0301  du  Monde"),
+    (10002, "A\u030angstro\u0308m"),
+    (10003, "tab\tand\x01control\x07chars"),
+]
+
+
+def _normalize_text_oracle() -> str:
+    extra = " UNION ALL ".join(
+        f"SELECT {i} AS doc_id, 'Cafe' || chr(769) || '  du  Monde' AS text"
+        if i == 10001
+        else f"SELECT {i}, 'A' || chr(778) || 'ngstro' || chr(776) || 'm'"
+        if i == 10002
+        else f"SELECT {i}, 'tab' || chr(9) || 'and' || chr(1) || 'control' || chr(7) || 'chars'"
+        for i, _ in _NORM_EXTRA_ROWS
+    )
+    return f"""
+    WITH unioned AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL {extra}
+    )
+    SELECT doc_id,
+           md5(trim(regexp_replace(
+                 regexp_replace(nfc_normalize(text),
+                                '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+                 '\\s+', ' ', 'g'))) AS norm_md5,
+           CAST(length(trim(regexp_replace(
+                 regexp_replace(nfc_normalize(text),
+                                '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+                 '\\s+', ' ', 'g'))) AS BIGINT) AS norm_len
+    FROM unioned
+    """
+
+
+@register("normalize_text_documents", oracle=_normalize_text_oracle())
+def normalize_text_documents(spark, sf):
+    """Unicode NFC normalization + control-strip + whitespace collapse
+    (textprep.normalize_text): the corpus plus crafted combining-mark /
+    control-char rows (the ASCII corpus alone would make normalization
+    an identity and the row vacuous).  DuckDB's nfc_normalize is the
+    cross-engine oracle; md5 of the normalized text must match
+    byte-for-byte."""
+    from .operators.textprep import normalize_text
+
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    extra = spark.createDataFrame(_NORM_EXTRA_ROWS, "doc_id long, text string")
+    out = normalize_text(d.unionByName(extra), "text", out_col="norm")
+    return out.select(
+        "doc_id",
+        F.md5("norm").alias("norm_md5"),
+        F.length("norm").cast("long").alias("norm_len"),
     )

@@ -827,3 +827,33 @@ def test_hash_split_rejects_bad_weights(spark):
     df = spark.createDataFrame([(1,)], "doc_id long")
     with _pytest.raises(ValueError, match="sum to 1000"):
         hash_split(df, "doc_id", [("a", 500), ("b", 400)])
+
+
+def test_normalize_text_forms_and_nulls(spark):
+    from duckdb_imputation_spark.operators.textprep import normalize_text
+
+    df = spark.createDataFrame(
+        [
+            (0, "Café   x"),       # decomposed + ws run
+            (1, None),
+            (2, "a\x00b\tc"),            # control char + tab
+            (3, "ﬁne"),             # fi ligature: NFC keeps, NFKC folds
+        ],
+        "id long, text string",
+    )
+    nfc = {r.id: r.text for r in normalize_text(df, "text").collect()}
+    assert nfc[0] == "Café x"
+    assert nfc[1] is None
+    assert nfc[2] == "ab c"
+    assert nfc[3] == "ﬁne"
+    nfkc = {
+        r.id: r.text
+        for r in normalize_text(df, "text", form="NFKC").collect()
+    }
+    assert nfkc[3] == "fine"
+    # out_col leaves the original intact
+    both = normalize_text(df, "text", out_col="norm").collect()
+    assert {r.id: (r.text, r.norm) for r in both}[0] == (
+        "Café   x",
+        "Café x",
+    )
