@@ -174,3 +174,24 @@ def test_null_text_word_frequencies(spark):
     df = spark.createDataFrame([(0, None), (1, "low low")], "doc_id long, text string")
     freq = {r["word"]: r["count"] for r in word_frequencies(df, "text").collect()}
     assert freq == {"low": 2}
+
+
+def test_jvm_encode_agrees_with_pandas_encode(spark):
+    from duckdb_imputation_spark.operators.bpe import bpe_encode_jvm
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["low lower lowest", "newest widest low", "", "ababab abab",
+             "aaaa aa a", None]
+        )],
+        "doc_id long, text string",
+    )
+    merges = learn_merges(
+        {"low": 5, "lower": 2, "newest": 6, "widest": 3,
+         "ababab": 4, "aaaa": 4}, 12, min_pair_freq=1,
+    )
+    a = {r.doc_id: list(r.bpe_tokens) for r in bpe_encode(df, "text", merges).collect()}
+    b = {r.doc_id: list(r.bpe_tokens) for r in bpe_encode_jvm(df, "text", merges).collect()}
+    assert a == b
+    plan = bpe_encode_jvm(df, "text", merges)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan  # truly zero Python stages
