@@ -35,7 +35,7 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["range_join"]
+__all__ = ["range_join", "interval_overlap_join"]
 
 
 def _num(df: DataFrame, name: str) -> Column:
@@ -140,3 +140,78 @@ def range_join(
     return lhs.join(
         matched.select("__rid", *right_payload), on="__rid", how="left"
     ).select(*left.columns, *right_payload)
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    on: str | Sequence[str] | None = None,
+    bucket_width: float | None = None,
+    max_span_buckets: int = 256,
+) -> DataFrame:
+    """Inner join of two INTERVAL tables on overlap
+    (``l.lo <= r.hi AND r.lo <= l.hi``, closed ends) plus optional
+    equi-keys — the second classic IEJoin workload.
+
+    Both sides explode to their covered buckets and equi-join on
+    (keys, bucket); a qualifying pair co-occurs in EVERY bucket their
+    overlap spans, so each pair is emitted only in the overlap's FIRST
+    bucket (``floor(max(l.lo, r.lo)/w)``) — a per-row predicate instead
+    of a corpus-wide ``distinct`` shuffle.  Same span cap and
+    timestamp handling as :func:`range_join`."""
+    keys = [on] if isinstance(on, str) else list(on or [])
+    overlap_cols = set(left.columns) & set(right.columns) - set(keys)
+    if overlap_cols:
+        raise ValueError(
+            f"ambiguous columns on both sides (rename first): {sorted(overlap_cols)}"
+        )
+    if bucket_width is None:
+        w = max(
+            _auto_width(left, left_lo, left_hi, max_span_buckets),
+            _auto_width(right, right_lo, right_hi, max_span_buckets),
+        )
+    else:
+        w = bucket_width
+    if w <= 0:
+        raise ValueError(f"bucket_width must be positive, got {w}")
+
+    def bucket(c: Column) -> Column:
+        return F.floor(c / F.lit(float(w))).cast("long")
+
+    def explode_side(df: DataFrame, lo: str, hi: str) -> DataFrame:
+        lo_b, hi_b = bucket(_num(df, lo)), bucket(_num(df, hi))
+        span = hi_b - lo_b
+        return df.withColumn(
+            "__bucket",
+            F.explode(
+                F.when(span < 0, F.array().cast("array<long>"))
+                .when(
+                    span < F.lit(int(max_span_buckets)), F.sequence(lo_b, hi_b)
+                )
+                .otherwise(
+                    F.raise_error(
+                        F.format_string(
+                            "interval_overlap_join: interval spans %s "
+                            "buckets (cap " + str(int(max_span_buckets)) + ")",
+                            span + F.lit(1),
+                        )
+                    )
+                )
+            ),
+        )
+
+    lhs = explode_side(left, left_lo, left_hi)
+    rhs = explode_side(right, right_lo, right_hi)
+    llo, lhi = _num(left, left_lo), _num(left, left_hi)
+    rlo, rhi = _num(right, right_lo), _num(right, right_hi)
+    first_overlap_bucket = bucket(F.greatest(llo, rlo))
+    return (
+        lhs.join(rhs, on=keys + ["__bucket"], how="inner")
+        .filter((llo <= rhi) & (rlo <= lhi))
+        .filter(F.col("__bucket") == first_overlap_bucket)
+        .select(*left.columns, *[c for c in right.columns if c not in keys])
+    )

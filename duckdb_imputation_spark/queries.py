@@ -86,6 +86,7 @@ _DRIVER_PRIORITY: list[str] = [
     "pca_project_embeddings",
     "train_val_test_split",
     "normalize_text_documents",
+    "interval_overlap_view_purchase",
     # round 6: new rows (never driver-verified) — SemDeDup-style
     # embedding-component dedup, temperature-weighted domain mixing,
     # and the int8-quantized similarity-search path
@@ -3918,4 +3919,68 @@ def normalize_text_documents(spark, sf):
         "doc_id",
         F.md5("norm").alias("norm_md5"),
         F.length("norm").cast("long").alias("norm_len"),
+    )
+
+
+@register(
+    "interval_overlap_view_purchase",
+    oracle="""
+    WITH v AS (
+      SELECT user_id,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS vlo,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) + 1800 AS vhi,
+             event_id AS view_id
+      FROM events WHERE event_type = 'view'
+    ), p AS (
+      SELECT user_id AS pu,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS plo,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) + 1800 AS phi,
+             event_id AS purchase_id
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT v.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           MIN(v.view_id) AS first_view_id,
+           MAX(p.purchase_id) AS last_purchase_id
+    FROM v JOIN p ON v.user_id = p.pu
+                 AND v.vlo <= p.phi AND p.plo <= v.vhi
+    GROUP BY v.user_id
+    """,
+)
+def interval_overlap_view_purchase(spark, sf):
+    """Interval OVERLAP join (operators/rangejoin.interval_overlap_join):
+    per user, every (view, purchase) pair whose 30-minute windows
+    overlap — emitted exactly once via the first-overlap-bucket
+    predicate, no distinct pass; the oracle is DuckDB's native
+    inequality join."""
+    from .operators.rangejoin import interval_overlap_join
+
+    ev = load_table(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_trunc("second", F.col("ts").cast("timestamp"))
+        .cast("long")
+        .alias("ets"),
+    )
+    views = ev.filter("event_type = 'view'").select(
+        "user_id",
+        F.col("ets").alias("vlo"),
+        (F.col("ets") + 1800).alias("vhi"),
+        F.col("event_id").alias("view_id"),
+    )
+    purchases = ev.filter("event_type = 'purchase'").select(
+        "user_id",
+        F.col("ets").alias("plo"),
+        (F.col("ets") + 1800).alias("phi"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    out = interval_overlap_join(
+        views, purchases, "vlo", "vhi", "plo", "phi",
+        on="user_id", bucket_width=1800.0,
+    )
+    return out.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.min("view_id").alias("first_view_id"),
+        F.max("purchase_id").alias("last_purchase_id"),
     )

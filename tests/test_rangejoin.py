@@ -195,3 +195,49 @@ def test_null_points_and_keys(spark):
     left = range_join(p, iv, "x", "lo", "hi", on="k", bucket_width=2.0, how="left")
     got = {(r.pid, r.iid) for r in left.collect()}
     assert got == {(1, 10), (2, None), (3, None)}
+
+
+def _overlap_reference(lrows, rrows, keyed=True):
+    out = set()
+    for lid, lk, llo, lhi in lrows:
+        for rid, rk, rlo, rhi in rrows:
+            if (not keyed or lk == rk) and llo <= rhi and rlo <= lhi:
+                out.add((lid, rid))
+    return out
+
+
+@pytest.mark.parametrize("width", [1.0, 3.0, 50.0])
+def test_interval_overlap_join_matches_reference(spark, width):
+    from duckdb_imputation_spark.operators.rangejoin import interval_overlap_join
+
+    lrows = [
+        (1, 0, 0.0, 10.0), (2, 0, 5.0, 6.0), (3, 0, 20.0, 30.0),
+        (4, 1, 0.0, 3.0), (5, 1, 8.0, 8.0), (6, 0, 9.0, 7.0),  # empty
+    ]
+    rrows = [
+        (10, 0, 9.0, 12.0), (11, 0, 6.0, 6.0), (12, 0, 31.0, 40.0),
+        (13, 1, 3.0, 8.0), (14, 1, 50.0, 60.0),
+    ]
+    l = spark.createDataFrame(lrows, "lid int, k int, llo double, lhi double")
+    r = spark.createDataFrame(rrows, "rid int, k int, rlo double, rhi double")
+    got = interval_overlap_join(
+        l, r, "llo", "lhi", "rlo", "rhi", on="k", bucket_width=width
+    )
+    pairs = [(row.lid, row.rid) for row in got.collect()]
+    assert set(pairs) == _overlap_reference(lrows, rrows)
+    assert len(pairs) == len(set(pairs))  # exactly-once emission
+
+
+def test_interval_overlap_join_no_keys_and_plan(spark):
+    from duckdb_imputation_spark.operators.rangejoin import interval_overlap_join
+
+    lrows = [(1, 0, 0.0, 4.0), (2, 0, 10.0, 14.0)]
+    rrows = [(10, 0, 3.0, 11.0)]
+    l = spark.createDataFrame(lrows, "lid int, k int, llo double, lhi double").drop("k")
+    r = spark.createDataFrame(rrows, "rid int, k int, rlo double, rhi double").drop("k")
+    got = interval_overlap_join(l, r, "llo", "lhi", "rlo", "rhi", bucket_width=4.0)
+    got.collect()
+    assert {(x.lid, x.rid) for x in got.collect()} == {(1, 10), (2, 10)}
+    plan = executed_plan(got)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert [f for f in lint_plan(got) if f.severity == "error"] == []
