@@ -87,6 +87,7 @@ _DRIVER_PRIORITY: list[str] = [
     "train_val_test_split",
     "normalize_text_documents",
     "interval_overlap_view_purchase",
+    "zorder_key_lineitem",
     # round 6: new rows (never driver-verified) — SemDeDup-style
     # embedding-component dedup, temperature-weighted domain mixing,
     # and the int8-quantized similarity-search path
@@ -3983,4 +3984,39 @@ def interval_overlap_view_purchase(spark, sf):
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
         F.min("view_id").alias("first_view_id"),
         F.max("purchase_id").alias("last_purchase_id"),
+    )
+
+
+def _zorder_oracle() -> str:
+    from .operators.zorder import zorder_sql
+
+    z = zorder_sql(
+        ["l_quantity", "ROUND(l_extendedprice * 100)"],
+        [(1.0, 50.0), (90000.0, 10500000.0)],
+        bits=12,
+    )
+    return f"""
+    SELECT l_orderkey, l_linenumber, CAST({z} AS BIGINT) AS zkey
+    FROM lineitem WHERE l_orderkey < 1000
+    """
+
+
+@register("zorder_key_lineitem", oracle=_zorder_oracle())
+def zorder_key_lineitem(spark, sf):
+    """Morton z-key (operators/zorder.py) over (quantity, price-cents)
+    with pinned bounds — the multi-column clustering key behind
+    OPTIMIZE ZORDER-style layout; pure bit-arithmetic Column exprs,
+    bit-exact vs the same interleave in DuckDB SQL."""
+    from .operators.zorder import zorder_value
+
+    li = load_table(spark, sf, "lineitem").filter("l_orderkey < 1000")
+    bounds = {
+        "l_quantity": (1.0, 50.0),
+        "__cents": (90000.0, 10500000.0),
+    }
+    li = li.withColumn("__cents", F.round(F.col("l_extendedprice") * 100))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        zorder_value(["l_quantity", "__cents"], bounds, bits=12).alias("zkey"),
     )
