@@ -88,6 +88,7 @@ _DRIVER_PRIORITY: list[str] = [
     "normalize_text_documents",
     "interval_overlap_view_purchase",
     "zorder_key_lineitem",
+    "bigram_logprob_scores",
     # round 6: new rows (never driver-verified) — SemDeDup-style
     # embedding-component dedup, temperature-weighted domain mixing,
     # and the int8-quantized similarity-search path
@@ -4019,4 +4020,65 @@ def zorder_key_lineitem(spark, sf):
         "l_orderkey",
         "l_linenumber",
         zorder_value(["l_quantity", "__cents"], bounds, bits=12).alias("zkey"),
+    )
+
+
+@register(
+    "bigram_logprob_scores",
+    oracle=f"""
+    WITH tt AS (
+      SELECT doc_id, {_ws_sql('text')} AS t FROM documents
+    ), pairs AS (
+      SELECT doc_id, unnest(
+        CASE WHEN length(t) >= 2 THEN
+          list_transform(range(1, length(t)),
+                         i -> [t[CAST(i AS INT)], t[CAST(i AS INT) + 1]])
+        ELSE [] END) AS pr
+      FROM tt
+    ), bg AS (
+      SELECT doc_id, pr[1] AS w1, pr[2] AS w2 FROM pairs
+    ), ctx AS (
+      SELECT w1, CAST(COUNT(*) AS DOUBLE) AS c1 FROM bg GROUP BY w1
+    ), big AS (
+      SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS c2 FROM bg GROUP BY w1, w2
+    )
+    SELECT doc_id,
+           ROUND(SUM(ln(c2 / c1)) / COUNT(*), 6) AS avg_logprob,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams
+    FROM bg JOIN big USING (w1, w2) JOIN ctx USING (w1)
+    GROUP BY doc_id
+    """,
+)
+def bigram_logprob_scores(spark, sf):
+    """Bigram-LM quality signal (the CCNet idea one order up from
+    unigram_logprob_scores): per-document mean log p(w2|w1) under the
+    corpus's own MLE bigram model.  Conditional structure catches junk
+    that unigram frequency misses (plausible words in implausible
+    order).  Two vocabulary-sized count tables broadcast to the join;
+    the per-doc aggregate is one shuffle on doc_id."""
+    d = load_table(spark, sf, "documents")
+    t = _dd.ws_tokens(F.col("text"))
+    pair_arr = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.struct(
+                F.element_at(t, i).alias("w1"),
+                F.element_at(t, i + F.lit(1)).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bg = d.select("doc_id", F.explode(pair_arr).alias("pr")).select(
+        "doc_id", F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2")
+    )
+    ctx = bg.groupBy("w1").agg(F.count(F.lit(1)).cast("double").alias("c1"))
+    big = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("double").alias("c2"))
+    scored = bg.join(F.broadcast(big), ["w1", "w2"]).join(
+        F.broadcast(ctx), "w1"
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(
+            F.sum(F.log(F.col("c2") / F.col("c1"))) / F.count(F.lit(1)), 6
+        ).alias("avg_logprob"),
+        F.count(F.lit(1)).alias("n_bigrams"),
     )
