@@ -31,7 +31,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["PCAModel", "gram_stats", "pca_np", "pca_train", "pca_project"]
+__all__ = ["PCAModel", "gram_stats", "pca_np", "pca_train", "pca_project", "pca_save", "pca_load"]
 
 
 def gram_stats(df: DataFrame, vec_col: str) -> tuple[int, np.ndarray, np.ndarray]:
@@ -134,3 +134,25 @@ def pca_project(
             proj = F.round(proj, round_to) + F.lit(0.0)
         out = out.withColumn(name, proj)
     return out
+
+
+def pca_save(spark, model: PCAModel, path: str) -> None:
+    """Persist the model as parquet (mean row + one row per component)
+    — train once per corpus snapshot, reuse across projection jobs."""
+    rows = [(-1, [float(x) for x in model.mean], 0.0)] + [
+        (j, [float(x) for x in model.components[j]], float(model.explained_variance[j]))
+        for j in range(len(model.components))
+    ]
+    spark.createDataFrame(
+        rows, "idx int, vec array<double>, explained_variance double"
+    ).write.mode("overwrite").parquet(path)
+
+
+def pca_load(spark, path: str) -> PCAModel:
+    """Reload a model saved by :func:`pca_save`."""
+    rows = {r["idx"]: r for r in spark.read.parquet(path).collect()}
+    mean = np.asarray(rows[-1]["vec"])
+    ks = sorted(k for k in rows if k >= 0)
+    comps = np.asarray([rows[k]["vec"] for k in ks])
+    ev = np.asarray([rows[k]["explained_variance"] for k in ks])
+    return PCAModel(mean, comps, ev)

@@ -148,3 +148,19 @@ def test_ann_pca_topk_full_rank_is_exact(spark):
         for r in ann_pca_topk(df, q, model, k=10, rerank=2).collect()
     ]
     assert got == brute
+
+
+def test_pca_save_load_roundtrip(spark, data, tmp_path):
+    from duckdb_imputation_spark.operators.pca import pca_load, pca_save
+
+    df, _ = data
+    model = pca_train(df, "embedding", k=3)
+    path = str(tmp_path / "pca_model")
+    pca_save(spark, model, path)
+    back = pca_load(spark, path)
+    np.testing.assert_array_equal(back.mean, model.mean)
+    np.testing.assert_array_equal(back.components, model.components)
+    np.testing.assert_array_equal(back.explained_variance, model.explained_variance)
+    a = pca_project(df, "embedding", model).select("pc0").collect()
+    b = pca_project(df, "embedding", back).select("pc0").collect()
+    assert [r.pc0 for r in a] == [r.pc0 for r in b]
