@@ -392,3 +392,39 @@ def test_streaming_asof_join_matches_batch(spark, tmp_path):
     # the tie case (click 2 at the same minute as a view) must have emitted
     assert (2, 20.0) in got
     assert (4, None) in got  # no preceding view -> NULL match
+
+
+def test_streaming_upsert_sink(spark, tmp_path):
+    """foreachBatch + crash-safe upsert: micro-batches MERGE into the
+    table — later batches replace earlier rows with the same key."""
+    from duckdb_imputation_spark.streaming.sinks import streaming_upsert_sink
+
+    target = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(i, "orig") for i in range(10)], "id long, payload string"
+    ).write.parquet(target)
+
+    src = str(tmp_path / "updates")
+    # two files -> two micro-batches; batch 2 overwrites a batch-1 key
+    spark.createDataFrame(
+        [(3, "b1"), (100, "b1")], "id long, payload string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(3, "b2"), (101, "b2")], "id long, payload string"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("id long, payload string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming_upsert_sink(
+        stream, target, "id", checkpoint=str(tmp_path / "ckpt")
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    got = {r.id: r.payload for r in spark.read.parquet(target).collect()}
+    assert len(got) == 12  # 10 originals + ids 100, 101
+    assert got[3] in ("b1", "b2")  # replaced (batch order may interleave)
+    assert got[100] == "b1" and got[101] == "b2"
+    assert got[0] == "orig"
