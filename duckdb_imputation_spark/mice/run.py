@@ -118,6 +118,13 @@ def mice_impute(
         timings["static_cofactor"] = time.perf_counter() - t0
 
     step = 0
+    # `low` lookahead: the post-rewrite delta of column k and the
+    # pre-train delta of column k+1 are both filtered cofactors of the
+    # SAME checkpointed frame — sum_to_triples_conditional computes the
+    # pair in ONE scan (bit-identical to the filtered form), carrying
+    # the second forward.  Halves the low loop's job count.
+    pending_delta = None
+    flat_steps = [(col, is_cat) for _ in range(iters) for col, is_cat in all_nulls]
     for it in range(iters):
         for col, is_cat in all_nulls:
             step += 1
@@ -126,7 +133,10 @@ def mice_impute(
             if strategy == "baseline":
                 train_t = _collect_triple(work.filter(~flag), cont_cols, cat_cols)
             elif strategy == "low":
-                delta = _collect_triple(work.filter(flag), cont_cols, cat_cols)
+                if pending_delta is not None:
+                    delta = pending_delta
+                else:
+                    delta = _collect_triple(work.filter(flag), cont_cols, cat_cols)
                 train_t = full - delta
             else:  # high
                 delta = _collect_triple(
@@ -173,7 +183,20 @@ def mice_impute(
             if strategy == "low":
                 # re-read the delta with the freshly imputed values
                 work = work.localCheckpoint()
-                delta2 = _collect_triple(work.filter(flag), cont_cols, cat_cols)
+                if step < len(flat_steps):
+                    from ..operators.cofactor import sum_to_triples_conditional
+
+                    next_col = flat_steps[step][0]  # step is 1-based here
+                    delta2, pending_delta = sum_to_triples_conditional(
+                        work,
+                        cont_cols,
+                        cat_cols,
+                        [flag, F.col(null_flag(next_col))],
+                    )
+                else:
+                    delta2 = _collect_triple(
+                        work.filter(flag), cont_cols, cat_cols
+                    )
                 full = train_t + delta2
             timings.setdefault("update", 0.0)
             timings["update"] += time.perf_counter() - t0

@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 
 from ..functions.triple import cat_pairs, n_quad
 
-__all__ = ["sum_to_triple", "sum_triples", "lift_columns"]
+__all__ = ["sum_to_triple", "sum_to_triples_conditional", "sum_triples", "lift_columns"]
 
 _KV_T = "array<struct<key:int,value:double>>"
 _KKV_T = "array<struct<key1:int,key2:int,value:double>>"
@@ -654,3 +654,51 @@ def _sum_to_triple_pandas(
 
     out = base.groupBy(*group_by).applyInPandas(fn, schema=out_schema)
     return out.drop("__g") if internal_key else out
+
+
+def sum_to_triples_conditional(
+    df: DataFrame,
+    num_cols: Sequence[str],
+    cat_cols: Sequence[str],
+    conds: Sequence,
+    nb: bool = False,
+):
+    """ONE scan, one triple per condition (a row may satisfy several
+    conditions and contributes to each).
+
+    Rows explode to one copy per satisfied condition tagged with its
+    index, then the ordinary grouped cofactor aggregates per tag —
+    within a partition each tag sees exactly the rows (in the same
+    order) that ``df.filter(cond)`` would, so partial aggregates equal
+    the per-filter form.  Built for driver loops that need several
+    filtered cofactors of the SAME frame state (MICE ``low``: the
+    post-rewrite delta of the current column and the pre-train delta of
+    the next one) — halves the number of jobs without changing any
+    value.
+
+    Returns ``list[Triple]`` aligned with ``conds`` (zero triple for
+    conditions matching no rows)."""
+    from ..functions.triple import Triple
+
+    tags = F.array(
+        *[
+            F.when(c, F.lit(i)).otherwise(F.lit(None).cast("int"))
+            for i, c in enumerate(conds)
+        ]
+    )
+    tagged = df.withColumn(
+        "__cond", F.explode(F.filter(tags, lambda x: x.isNotNull()))
+    )
+    rows = {
+        r["__cond"]: r["triple"]
+        for r in sum_to_triple(
+            tagged, num_cols, cat_cols, group_by=["__cond"], nb=nb
+        ).collect()
+    }
+    d, c = len(num_cols), len(cat_cols)
+    return [
+        Triple.from_row(rows[i], d_num=d, d_cat=c)
+        if i in rows
+        else Triple.zero(d, c, nb=nb)
+        for i in range(len(conds))
+    ]

@@ -190,3 +190,30 @@ def test_max_arity_19_19(spark):
     assert len(t["quad_agg"]) == 190
     assert len(t["quad_num_cat"]) == 361
     assert len(t["quad_cat"]) == 190
+
+
+def test_sum_to_triples_conditional_bit_identical(spark, ring_fixture):
+    """One conditional scan must equal per-filter cofactors bit-for-bit
+    (overlapping conditions included) — the contract the MICE low loop
+    relies on."""
+    from pyspark.sql import functions as F
+
+    from duckdb_imputation_spark.functions.triple import Triple
+    from duckdb_imputation_spark.operators.cofactor import (
+        sum_to_triple,
+        sum_to_triples_conditional,
+    )
+
+    conds = [
+        F.col("gb") == 1,
+        F.col("a") > 1.5,          # overlaps cond 0
+        F.col("gb") == 99,         # matches nothing -> zero triple
+    ]
+    multi = sum_to_triples_conditional(
+        ring_fixture, ["a", "b"], ["d"], conds
+    )
+    for i, c in enumerate(conds[:2]):
+        row = sum_to_triple(ring_fixture.filter(c), ["a", "b"], ["d"]).collect()
+        single = Triple.from_row(row[0]["triple"], d_num=2, d_cat=1)
+        assert multi[i].to_dict() == single.to_dict()
+    assert multi[2].to_dict() == Triple.zero(2, 1).to_dict()
