@@ -96,8 +96,13 @@ def nb_train(nb_triples: list[Triple], labels: list[int]) -> NBModel:
 
 
 def _class_log_score(
-    model: NBModel, k: int, num_cols: list[str], cat_cols: list[str]
+    model: NBModel,
+    k: int,
+    num_cols: list[str],
+    cat_cols: list[str],
+    strict_unseen: bool = False,
 ) -> Column:
+    unseen = F.lit(False)
     expr = F.lit(math.log(model.prior[k]) if model.prior[k] > 0 else _NEG)
     for i, colname in enumerate(num_cols):
         v = model.var[k][i] + 1e-9  # reference's division-by-zero guard
@@ -112,23 +117,40 @@ def _class_log_score(
         log_map = {key: math.log(p) if p > 0 else _NEG for key, p in cmap.items()}
         if not log_map:
             expr = expr + F.lit(_NEG)
+            unseen = F.lit(True)
             continue
         mapping = F.create_map(
             *[F.lit(x) for kv in sorted(log_map.items()) for x in kv]
         )
-        expr = expr + F.coalesce(
-            F.element_at(mapping, F.col(colname).cast("int")), F.lit(_NEG)
-        )
+        looked = F.element_at(mapping, F.col(colname).cast("int"))
+        expr = expr + F.coalesce(looked, F.lit(_NEG))
+        unseen = unseen | looked.isNull()
+    if strict_unseen:
+        # reference semantics (naive_bayes.cpp:236-253): a zero-probability
+        # factor zeroes the whole class score; when EVERY class zeroes,
+        # argmax's first-max rule returns the FIRST class, as the ref does
+        return F.when(unseen, F.lit(float("-inf"))).otherwise(expr)
     return expr
 
 
 def nb_predict_expr(
-    model: NBModel, num_cols: list[str], cat_cols: list[str] = ()
+    model: NBModel,
+    num_cols: list[str],
+    cat_cols: list[str] = (),
+    strict_unseen: bool = False,
 ) -> Column:
-    """argmax_c log-score → class label, pure Column expression."""
+    """argmax_c log-score → class label, pure Column expression.
+
+    Default scoring keeps the prior+Gaussian contribution when a
+    categorical value is unseen in a class (strictly more informative);
+    ``strict_unseen=True`` reproduces the reference's semantics exactly
+    (PARITY #5): any zero-probability factor floors the class to -inf,
+    and a row unseen in EVERY class falls back to the first class."""
     scores = F.array(
         *[
-            _class_log_score(model, k, num_cols, list(cat_cols))
+            _class_log_score(
+                model, k, num_cols, list(cat_cols), strict_unseen=strict_unseen
+            )
             for k in range(len(model.class_labels))
         ]
     )

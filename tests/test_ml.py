@@ -500,3 +500,48 @@ def test_qda_normalize_same_predictions():
 
     agree = sum(pred(raw, r) == pred(norm, r) for r in rows0 + rows1)
     assert agree / (2 * n) > 0.99
+
+
+def test_nb_strict_unseen_matches_reference_tiebreak(spark):
+    """PARITY #5 closed behind a flag: with strict_unseen=True ANY
+    zero-probability factor floors the class to -inf, and a row unseen
+    in every class falls back to the FIRST class (argmax first-max) —
+    the reference's behavior (naive_bayes.cpp:236-253).  The default
+    keeps ordering information: a class missing FEWER factors wins."""
+    from duckdb_imputation_spark.functions.triple import Triple
+    from duckdb_imputation_spark.ml.nb import nb_predict_expr, nb_train
+    from pyspark.sql import functions as F
+
+    # one numeric + TWO categorical columns; class 20 has seen c2=7,
+    # class 10 has seen neither test category
+    t0 = Triple(d_num=1, d_cat=2, n=4, lin=[4.0], quad=[4.0],
+                lin_cat=[{1: 4.0}, {5: 4.0}], nb=True)
+    t1 = Triple(d_num=1, d_cat=2, n=6, lin=[30.0], quad=[151.0],
+                lin_cat=[{2: 6.0}, {7: 6.0}], nb=True)
+    model = nb_train([t0, t1], labels=[10, 20])
+
+    df = spark.createDataFrame(
+        [(0, 5.0, 9, 7), (1, 5.0, 2, 7)], "id long, x double, c1 int, c2 int"
+    )
+    cols = (["x"], ["c1", "c2"])
+    strict = {
+        r.id: r.p
+        for r in df.select(
+            "id",
+            nb_predict_expr(model, *cols, strict_unseen=True).alias("p"),
+        ).collect()
+    }
+    # row 0: c1=9 unseen in BOTH classes -> every score -inf -> FIRST (10)
+    assert strict[0] == 10
+    # row 1: fully seen by class 20 only -> 20
+    assert strict[1] == 20
+    default = {
+        r.id: r.p
+        for r in df.select(
+            "id", nb_predict_expr(model, *cols).alias("p")
+        ).collect()
+    }
+    # default: class 10 misses two factors (-2e30), class 20 one (-1e30)
+    # -> the informative ordering picks 20 where strict falls back to 10
+    assert default[0] == 20
+    assert default[1] == 20
