@@ -241,3 +241,34 @@ def test_interval_overlap_join_no_keys_and_plan(spark):
     plan = executed_plan(got)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert [f for f in lint_plan(got) if f.severity == "error"] == []
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    data=st.data(),
+    width=st.sampled_from([0.7, 2.0, 9.0]),
+)
+def test_range_join_matches_reference_hypothesis(spark, data, width):
+    """Random points/intervals (incl. negatives, duplicates, degenerate
+    and empty intervals) against the nested-loop reference, any width."""
+    nums = st.floats(min_value=-20, max_value=20, allow_nan=False)
+    pts = data.draw(
+        st.lists(st.tuples(st.integers(0, 2), nums), min_size=1, max_size=25)
+    )
+    ivs = data.draw(
+        st.lists(
+            st.tuples(st.integers(0, 2), nums, nums), min_size=1, max_size=15
+        )
+    )
+    prows = [(i, k, float(x)) for i, (k, x) in enumerate(pts)]
+    irows = [(100 + i, k, float(lo), float(hi)) for i, (k, lo, hi) in enumerate(ivs)]
+    p = spark.createDataFrame(prows, "pid int, k int, x double")
+    iv = spark.createDataFrame(irows, "iid int, k int, lo double, hi double")
+    got = _pairs(
+        range_join(p, iv, "x", "lo", "hi", on="k", bucket_width=width)
+    )
+    assert got == _reference(prows, irows)
