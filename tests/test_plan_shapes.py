@@ -5,11 +5,8 @@ The lint (test_plan_lint) catches categorical red flags; this catches
 the quieter regression — an edit that adds an Exchange (a full network
 round of the data below it at scale) without anyone noticing.  Fewer
 exchanges than the snapshot is allowed (improvements ratchet down);
-regenerate after an intentional improvement with:
-
-    python - <<'PY'
-    ... see git log for the generator, or update the entry by hand
-    PY
+regenerate after an intentional improvement or a new catalog row with
+``python docs/gen_plan_shapes.py``.
 """
 
 import json
