@@ -25,6 +25,8 @@ __all__ = [
     "deterministic_sample",
     "hash_split",
     "normalize_text",
+    "strip_html",
+    "strip_html_sql",
     "deterministic_sample_sql",
     "pack_sequences",
     "chunk_documents",
@@ -459,3 +461,49 @@ def normalize_text(
     if collapse_ws:
         c = F.trim(F.regexp_replace(c, r"\s+", " "))
     return df.withColumn(out, c)
+
+
+_HTML_BLOCK_RES = [
+    r"(?is)<script[^>]*>.*?</script>",
+    r"(?is)<style[^>]*>.*?</style>",
+    r"(?is)<!--.*?-->",
+]
+_HTML_ENTITIES = [  # order matters: '&amp;' LAST so '&amp;lt;' single-unescapes
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+]
+
+
+def strip_html(col: Column) -> Column:
+    """HTML → text (the extraction stage of a web-crawl ingest):
+    drop script/style/comment blocks, replace every remaining tag with a
+    space, unescape the common entities, collapse whitespace.
+
+    Deliberately regex-subset-compatible across engines: no
+    backreferences, non-greedy quantifiers only (Java regex and
+    DuckDB's RE2 agree on both), so the DuckDB twin is the same
+    pattern chain verbatim."""
+    c = F.coalesce(col, F.lit(""))
+    for pat in _HTML_BLOCK_RES:
+        c = F.regexp_replace(c, pat, " ")
+    c = F.regexp_replace(c, r"<[^>]+>", " ")
+    for ent, rep in _HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def strip_html_sql(expr: str) -> str:
+    """DuckDB twin of :func:`strip_html` (same chain, same order)."""
+    c = f"COALESCE({expr}, '')"
+    for pat in _HTML_BLOCK_RES:
+        c = f"regexp_replace({c}, '{pat}', ' ', 'g')"
+    c = f"regexp_replace({c}, '<[^>]+>', ' ', 'g')"
+    for ent, rep in _HTML_ENTITIES:
+        rep_sql = rep.replace("'", "''")
+        c = f"replace({c}, '{ent}', '{rep_sql}')"
+    return f"trim(regexp_replace({c}, '\\s+', ' ', 'g'))"

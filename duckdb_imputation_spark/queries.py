@@ -89,6 +89,7 @@ _DRIVER_PRIORITY: list[str] = [
     "interval_overlap_view_purchase",
     "zorder_key_lineitem",
     "bigram_logprob_scores",
+    "strip_html_documents",
     # round 6: new rows (never driver-verified) — SemDeDup-style
     # embedding-component dedup, temperature-weighted domain mixing,
     # and the int8-quantized similarity-search path
@@ -149,7 +150,6 @@ _DRIVER_PRIORITY: list[str] = [
     "sql_passthrough_shared_dialect",
     "correlated_subqueries_orders",
     "sessionize_events",
-    "brand_revenue",
     "rolling_customer_spend",
     "asof_join_click_to_view",
 ]
@@ -170,6 +170,7 @@ _DRIVER_DEMOTE: list[str] = [
     "cube_lineitem",
     "string_functions_parts",
     "percentile_quantities",
+    "brand_revenue",
     "orders_window_top3",
     "semi_join_urgent_customers",
     "anti_join_customers_no_orders",
@@ -4081,4 +4082,55 @@ def bigram_logprob_scores(spark, sf):
             F.sum(F.log(F.col("c2") / F.col("c1"))) / F.count(F.lit(1)), 6
         ).alias("avg_logprob"),
         F.count(F.lit(1)).alias("n_bigrams"),
+    )
+
+
+_HTML_EXTRA_ROWS = [
+    (20001, "<html><head><style>p{color:red}</style></head>"
+            "<body><h1>Title</h1><p>hello <b>world</b></p>"
+            "<script>var x = '<p>not text</p>';</script>"
+            "<!-- comment --><p>a &amp; b &lt;tag&gt; &quot;q&quot;</p>"
+            "</body></html>"),
+    (20002, "no markup at all"),
+    (20003, "<br><br>line&nbsp;break&#39;s</p>"),
+]
+
+
+def _strip_html_oracle() -> str:
+    from .operators.textprep import strip_html_sql
+
+    extra = " UNION ALL ".join(
+        "SELECT {} AS doc_id, '{}' AS text".format(i, t.replace("'", "''"))
+        for i, t in _HTML_EXTRA_ROWS
+    )
+    body = strip_html_sql("text")
+    return f"""
+    WITH unioned AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL {extra}
+    )
+    SELECT doc_id, md5({body}) AS clean_md5,
+           CAST(length({body}) AS BIGINT) AS clean_len
+    FROM unioned
+    """
+
+
+@register("strip_html_documents", oracle=_strip_html_oracle())
+def strip_html_documents(spark, sf):
+    """HTML extraction (textprep.strip_html) over the corpus plus
+    crafted markup rows (script/style/comment blocks, entities, bare
+    text — the ASCII corpus alone has no markup, which would make the
+    row vacuous).  The chain sticks to the regex subset Java and RE2
+    share, so the DuckDB twin runs the SAME patterns verbatim."""
+    from .operators.textprep import strip_html
+
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    extra = spark.createDataFrame(_HTML_EXTRA_ROWS, "doc_id long, text string")
+    out = d.unionByName(extra).select(
+        "doc_id", strip_html(F.col("text")).alias("clean")
+    )
+    return out.select(
+        "doc_id",
+        F.md5("clean").alias("clean_md5"),
+        F.length("clean").cast("long").alias("clean_len"),
     )

@@ -857,3 +857,25 @@ def test_normalize_text_forms_and_nulls(spark):
         "Café   x",
         "Café x",
     )
+
+
+def test_strip_html_edges(spark):
+    from duckdb_imputation_spark.operators.textprep import strip_html
+    from pyspark.sql import functions as F
+
+    rows = [
+        (0, "<p>a</p><p>b</p>"),
+        (1, None),
+        (2, "<script>x<y</script>kept"),        # '<' inside script body
+        (3, "5 &lt; 6 &amp;&amp; 7 &gt; 2"),
+        (4, "<SCRIPT>UPPER</SCRIPT>ok"),         # case-insensitive flag
+        (5, "text with < stray bracket"),        # not a tag: no '>' pair
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r.id: r.c for r in df.select("id", strip_html(F.col("text")).alias("c")).collect()}
+    assert got[0] == "a b"
+    assert got[1] == ""
+    assert got[2] == "kept"
+    assert got[3] == '5 < 6 && 7 > 2'
+    assert got[4] == "ok"
+    assert got[5] == "text with < stray bracket"
