@@ -333,3 +333,22 @@ def test_upsert_table_partitioned_empty_updates(spark, tmp_path):
     empty = df.filter("id < 0")
     assert upsert_table_partitioned(spark, p, empty, "id", "shard") == 0
     assert spark.read.parquet(p).count() == 1
+
+
+@pytest.mark.parametrize("fmt", ["orc", "json"])
+def test_write_table_format_round_trip(spark, tmp_path, fmt):
+    """The generic sink handles Spark's other native formats (reference
+    scan surface is CSV/parquet; ORC/JSON ride the same writer)."""
+    from duckdb_imputation_spark.sources import write_table
+
+    df = spark.createDataFrame(
+        [(i, f"v{i}", float(i) / 4) for i in range(50)],
+        "id long, name string, x double",
+    )
+    p = str(tmp_path / f"t_{fmt}")
+    write_table(df, p, fmt=fmt)
+    back = spark.read.format(fmt).load(p)
+    if fmt == "json":  # json loses column order/types; realign
+        back = back.select("id", "name", F.col("x").cast("double"))
+    assert back.count() == 50
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in df.collect()}
