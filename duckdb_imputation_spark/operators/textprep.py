@@ -26,6 +26,7 @@ __all__ = [
     "hash_split",
     "normalize_text",
     "strip_html",
+    "deterministic_shuffle",
     "strip_html_sql",
     "deterministic_sample_sql",
     "pack_sequences",
@@ -507,3 +508,25 @@ def strip_html_sql(expr: str) -> str:
         rep_sql = rep.replace("'", "''")
         c = f"replace({c}, '{ent}', '{rep_sql}')"
     return f"trim(regexp_replace({c}, '\\s+', ' ', 'g'))"
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str,
+    salt: str = "shuffle",
+    out_col: str = "shuffle_rank",
+) -> DataFrame:
+    """A reproducible global pseudo-random ordering: rank by
+    md5(salt || id) via the shard-offset global row number (no
+    single-partition window).  The standard pre-packing step — training
+    order must be shuffled but REPRODUCIBLE across reruns and
+    repartitioning, which ``orderBy(rand())`` is not."""
+    h = md5_int32(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    with_key = df.withColumn("__shuf", h)
+    return global_row_number(
+        with_key,
+        "__shuf",
+        default_n_shards(df.sparkSession),
+        out_col=out_col,
+        tiebreak_cols=[id_col],
+    ).drop("__shuf")

@@ -879,3 +879,28 @@ def test_strip_html_edges(spark):
     assert got[3] == '5 < 6 && 7 > 2'
     assert got[4] == "ok"
     assert got[5] == "text with < stray bracket"
+
+
+def test_deterministic_shuffle(spark):
+    from duckdb_imputation_spark.operators.textprep import deterministic_shuffle
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    a = {r.doc_id: r.shuffle_rank for r in deterministic_shuffle(df, "doc_id").collect()}
+    # a permutation of 1..n (or 0..n-1), not identity order
+    assert sorted(a.values()) == list(range(min(a.values()), min(a.values()) + 500))
+    identity = sum(1 for i in range(500) if a[i] - min(a.values()) == i)
+    assert identity < 25  # essentially scrambled
+    # stable under repartitioning
+    b = {r.doc_id: r.shuffle_rank
+         for r in deterministic_shuffle(df.repartition(7), "doc_id").collect()}
+    assert b == a
+    # different salt -> different permutation
+    c = {r.doc_id: r.shuffle_rank
+         for r in deterministic_shuffle(df, "doc_id", salt="other").collect()}
+    assert c != a
+    # plan stays free of single-partition windows
+    out = deterministic_shuffle(df, "doc_id")
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowExec: No Partition Defined" not in plan
