@@ -6,10 +6,15 @@ document fingerprinting (rolling polynomial hash over md5'd tokens).
 
 All pure Column expressions — whole-stage-codegen'd, no Python in the
 row path — and every op has a deterministic ANSI-SQL twin for the
-DuckDB oracle (same formulas, same md5-based hashing).
+DuckDB oracle (same formulas, same md5-based hashing).  One exception:
+:func:`compression_ratio` is an Arrow-batched pandas UDF (zlib has no
+SQL equivalent in either engine; verified against the local zlib
+bit-for-bit instead).
 """
 
 from __future__ import annotations
+
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -23,6 +28,7 @@ __all__ = [
     "quality_score",
     "lang_id",
     "fingerprint",
+    "compression_ratio",
     "text_stats",
     "repetition_metrics",
     "STOPWORDS",
@@ -352,3 +358,31 @@ def lang_id_sql(expr: str) -> str:
         f"CASE WHEN list_max({arr}) = 0 THEN 'und' "
         f"ELSE list_extract({lang_arr}, list_position({arr}, list_max({arr}))) END"
     )
+
+
+def compression_ratio(df, text_col: str, out_col: str = "zlib_ratio"):
+    """Per-document zlib compression ratio (compressed/raw bytes) — the
+    classic long-range repetition/boilerplate signal (used alongside
+    Gopher-style heuristics; machine-generated or templated text
+    compresses far below ~0.4 while natural prose sits ~0.5-0.7).
+    Complements token_entropy, which only sees the unigram histogram —
+    a document repeating a 40-token paragraph has high entropy but a
+    tiny ratio.
+
+    Arrow-batched pandas UDF (zlib level 6, deterministic output for a
+    given zlib build — pin the level for reproducibility); empty/null
+    text maps to 1.0 (incompressible by convention)."""
+
+    @F.pandas_udf("double")
+    def ratio(s: pd.Series) -> pd.Series:
+        import zlib
+
+        def one(t):
+            if not t:
+                return 1.0
+            raw = t.encode("utf-8")
+            return len(zlib.compress(raw, 6)) / len(raw)
+
+        return s.map(one)
+
+    return df.withColumn(out_col, ratio(F.coalesce(F.col(text_col), F.lit(""))))

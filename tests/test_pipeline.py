@@ -904,3 +904,25 @@ def test_deterministic_shuffle(spark):
     out.collect()
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowExec: No Partition Defined" not in plan
+
+
+def test_compression_ratio(spark):
+    import zlib
+
+    from duckdb_imputation_spark.operators.textstats import compression_ratio
+
+    rows = [
+        (0, "word " * 200),                       # extreme repetition
+        (1, "the quick brown fox jumps over the lazy dog and then naps"),
+        (2, None),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r.id: r.zlib_ratio for r in compression_ratio(df, "text").collect()}
+    # exact agreement with the local zlib (same library, pinned level)
+    for i, t in rows:
+        want = (
+            len(zlib.compress(t.encode(), 6)) / len(t.encode()) if t else 1.0
+        )
+        assert got[i] == want, (i, got[i], want)
+    assert got[0] < 0.1 < got[1]  # repetition collapses the ratio
