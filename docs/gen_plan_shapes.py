@@ -18,6 +18,7 @@ def main() -> None:
     spark = get_spark("gen-plan-shapes")
     snap = {}
     for name in sorted(QUERIES):
+        spark.catalog.clearCache()
         df = QUERIES[name](spark, SF)
         df.collect()
         p = executed_plan(df)

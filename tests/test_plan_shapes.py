@@ -35,6 +35,9 @@ def test_snapshot_covers_catalog():
 def test_plan_shape_does_not_regress(spark, name):
     if name not in QUERIES:
         pytest.skip("query was removed; prune the snapshot entry")
+    # cached frames from other tests/queries swap exchanges for
+    # InMemoryTableScan and skew the counts — measure uncached
+    spark.catalog.clearCache()
     df = QUERIES[name](spark, SF)
     df.collect()
     p = executed_plan(df)
