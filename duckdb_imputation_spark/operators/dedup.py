@@ -55,6 +55,7 @@ __all__ = [
     "line_dedup",
     "duplicate_passage_flags",
     "remove_duplicate_passages",
+    "dedup_keep_best",
     "bucket_skew_stats",
 ]
 
@@ -958,3 +959,39 @@ def minhash_dedup_transitive(
         F.col("id").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    quality_col: str,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Component dedup that keeps the HIGHEST-QUALITY member of each
+    duplicate cluster (ties -> smallest id) instead of the smallest id.
+
+    Production pipelines rank duplicates (longest text, best quality
+    score, freshest crawl) — min-id survivor selection throws that
+    signal away.  Built on :func:`dedup_components`; the extra cost is
+    one join of the (tiny) component membership against the quality
+    column and one per-component struct-max — nothing corpus-sized.
+    Requires a NUMERIC id (the tie-break negates it)."""
+    comp = dedup_components(pairs, max_iter=max_iter)
+    member = comp.join(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(quality_col).cast("double").alias("__q"),
+        ),
+        "id",
+    )
+    best = member.groupBy("canonical").agg(
+        F.max(
+            F.struct(F.col("__q"), (-F.col("id")).alias("__negid"))
+        ).alias("__b")
+    )
+    keepers = best.select((-F.col("__b.__negid")).alias("id"))
+    dropped = comp.join(keepers, "id", "left_anti").select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(dropped, id_col, "left_anti")

@@ -90,6 +90,7 @@ _DRIVER_PRIORITY: list[str] = [
     "zorder_key_lineitem",
     "bigram_logprob_scores",
     "strip_html_documents",
+    "dedup_keep_best_survivors",
     # round 6: new rows (never driver-verified) — SemDeDup-style
     # embedding-component dedup, temperature-weighted domain mixing,
     # and the int8-quantized similarity-search path
@@ -148,7 +149,6 @@ _DRIVER_PRIORITY: list[str] = [
     "nb_train_predict_histogram",
     "lda_train_predict_histogram",
     "sql_passthrough_shared_dialect",
-    "correlated_subqueries_orders",
     "sessionize_events",
     "rolling_customer_spend",
     "asof_join_click_to_view",
@@ -170,6 +170,7 @@ _DRIVER_DEMOTE: list[str] = [
     "cube_lineitem",
     "string_functions_parts",
     "percentile_quantities",
+    "correlated_subqueries_orders",
     "brand_revenue",
     "orders_window_top3",
     "semi_join_urgent_customers",
@@ -4134,3 +4135,63 @@ def strip_html_documents(spark, sf):
         F.md5("clean").alias("clean_md5"),
         F.length("clean").cast("long").alias("clean_len"),
     )
+
+
+def _keep_best_oracle() -> str:
+    """Quality-aware survivor selection on top of the recursive
+    component closure: per component keep the member with the most
+    tokens (ties -> smallest id)."""
+    toks = _ws_sql("text")
+    return f"""
+    WITH RECURSIVE {_minhash_pairs_ctes(_COMPONENTS_UNION)},
+    sym AS (
+      SELECT id_a AS src, id_b AS dst FROM ver
+      UNION ALL SELECT id_b AS src, id_a AS dst FROM ver
+    ), reach(id, r) AS (
+      SELECT DISTINCT src, src FROM sym
+      UNION
+      SELECT s.src, re.r FROM sym s JOIN reach re ON re.id = s.dst
+    ), comp AS (
+      SELECT id, MIN(r) AS canonical FROM reach GROUP BY id
+    ), q AS (
+      SELECT doc_id, CAST(length({toks}) AS DOUBLE) AS quality
+      FROM ({_COMPONENTS_UNION})
+    ), ranked AS (
+      SELECT c.id, c.canonical,
+             ROW_NUMBER() OVER (PARTITION BY c.canonical
+                                ORDER BY q.quality DESC, c.id ASC) AS rn
+      FROM comp c JOIN q ON q.doc_id = c.id
+    ), dropped AS (
+      SELECT id FROM ranked WHERE rn > 1
+    )
+    SELECT u.doc_id, CAST(length({toks}) AS BIGINT) AS n_tokens
+    FROM ({_COMPONENTS_UNION}) u
+    WHERE u.doc_id NOT IN (SELECT id FROM dropped)
+    """
+
+
+@register("dedup_keep_best_survivors", oracle=_keep_best_oracle())
+def dedup_keep_best_survivors(spark, sf):
+    """Quality-aware cluster survivor selection (dedup.dedup_keep_best):
+    the same three-generation near-dup corpus as
+    dedup_components_transitive, but each cluster keeps its
+    LONGEST member (the +20000 copies carry two extra words) instead of
+    the smallest id — the production rule when duplicates differ in
+    quality.  Recursive-closure + window oracle."""
+    d = load_table(spark, sf, "documents").filter("doc_id < 40").select("doc_id", "text")
+    l1 = load_table(spark, sf, "documents").filter("doc_id < 5").select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extraword")).alias("text"),
+    )
+    l2 = load_table(spark, sf, "documents").filter("doc_id < 5").select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extraword extrasecond")).alias("text"),
+    )
+    corpus = d.unionAll(l1).unionAll(l2).withColumn(
+        "n_tokens", F.size(_dd.ws_tokens(F.col("text"))).cast("long")
+    )
+    pairs = _dd.minhash_lsh_pairs(
+        corpus, "text", "doc_id", k=16, bands=4, shingle=5, threshold=0.5
+    )
+    out = _dd.dedup_keep_best(corpus, pairs, "doc_id", "n_tokens")
+    return out.select("doc_id", "n_tokens")
