@@ -98,7 +98,12 @@ def mice_impute(
     timings: dict[str, float] = {}
     t0 = time.perf_counter()
     stats = column_stats(df, cont_nulls, cat_nulls)
-    work = flag_and_fill(df, cont_nulls, cat_nulls, stats).localCheckpoint()
+    # lazy checkpoint: the next action over `work` (the full/static
+    # cofactor, or the first delta) materializes the checkpoint as a
+    # side effect of its own scan — one pass where eager would take two
+    work = flag_and_fill(df, cont_nulls, cat_nulls, stats).localCheckpoint(
+        eager=False
+    )
     timings["prepare"] = time.perf_counter() - t0
 
     models: dict = {}
@@ -181,8 +186,13 @@ def mice_impute(
                 col, F.when(flag, pred.cast(typ)).otherwise(F.col(col))
             )
             if strategy == "low":
-                # re-read the delta with the freshly imputed values
-                work = work.localCheckpoint()
+                # re-read the delta with the freshly imputed values.
+                # eager=False fuses checkpoint materialization into the
+                # delta scan below (one pass over the frame per step,
+                # not a materialize pass + a scan pass); every rewrite
+                # expression is deterministic (seeded randn), so lazy
+                # materialization yields byte-identical state
+                work = work.localCheckpoint(eager=False)
                 if step < len(flat_steps):
                     from ..operators.cofactor import sum_to_triples_conditional
 
@@ -201,7 +211,7 @@ def mice_impute(
             timings.setdefault("update", 0.0)
             timings["update"] += time.perf_counter() - t0
         if strategy != "low":  # low checkpoints per column already
-            work = work.localCheckpoint()
+            work = work.localCheckpoint(eager=False)
 
     drop = [null_flag(c) for c, _ in all_nulls] + ["__n_nulls"]
     return MiceResult(df=work.drop(*drop), models=models, timings=timings)
