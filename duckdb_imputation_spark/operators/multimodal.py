@@ -7,8 +7,11 @@ row.
 
 Decode coverage is honest about the environment: formats decodable with
 numpy + the stdlib are decoded FOR REAL — netpbm images (P5/PGM, P6/PPM:
-header parse + ``np.frombuffer`` + nearest-neighbor resize) and WAV
-audio (stdlib ``wave`` + ``np.frombuffer``).  Formats that require
+header parse + ``np.frombuffer`` + nearest-neighbor resize), WAV
+audio (stdlib ``wave`` + ``np.frombuffer``), tiny-image features
+(decode → g×g downsample → L2 normalize) and the netpbm-concat video
+container (back-to-back netpbm frames; real per-frame demux by header
+length).  Formats that require
 external codecs (JPEG/PNG via PIL/opencv, video via ffmpeg — not in this
 container) are stubbed: with ``fake=True`` a deterministic md5-derived
 stand-in is produced (so the Spark-side plumbing — schema, batching,
@@ -49,6 +52,7 @@ __all__ = [
     "image_features",
     "sample_video_frames",
     "decode_netpbm_bytes",
+    "demux_netpbm_frames",
 ]
 
 MEDIA_META_SCHEMA = StructType(
@@ -131,6 +135,43 @@ def decode_netpbm_bytes(payload: bytes) -> np.ndarray | None:
     if maxval != 255 and maxval > 0:
         img = (img.astype(np.float64) * 255.0 / maxval).astype(np.uint8)
     return img
+
+
+def demux_netpbm_frames(payload: bytes) -> list[bytes]:
+    """REAL frame demux for the netpbm-concat container: back-to-back
+    P5/P6 frames (the MJPEG idea with a codec this environment CAN
+    parse).  Walks the payload frame by frame — header parse gives each
+    frame's exact byte length — and returns the per-frame payload
+    slices.  Returns [] if the payload is not netpbm-concat."""
+    frames: list[bytes] = []
+    pos = 0
+    while pos < len(payload) and payload[pos : pos + 2] in (b"P5", b"P6"):
+        rgb = payload[pos : pos + 2] == b"P6"
+        fields: list[int] = []
+        i = pos + 2
+        while len(fields) < 3 and i < len(payload):
+            ch = payload[i : i + 1]
+            if ch == b"#":
+                while i < len(payload) and payload[i : i + 1] != b"\n":
+                    i += 1
+            elif ch.isspace():
+                i += 1
+            else:
+                j = i
+                while j < len(payload) and not payload[j : j + 1].isspace():
+                    j += 1
+                fields.append(int(payload[i:j]))
+                i = j
+        i += 1  # single whitespace after maxval
+        if len(fields) < 3:
+            break
+        w, h, _ = fields
+        end = i + w * h * (3 if rgb else 1)
+        if end > len(payload):
+            break
+        frames.append(payload[pos:end])
+        pos = end
+    return frames
 
 
 def _nn_resize(img: np.ndarray, h: int, w: int) -> np.ndarray:
@@ -259,21 +300,36 @@ def image_features(
     dim: int = 16,
     fake: bool = True,
 ) -> DataFrame:
-    """binary → unit-norm feature vector (md5-derived stand-in for a real
-    vision encoder; identical plumbing: Arrow batches in, vectors out)."""
+    """binary → unit-norm feature vector.
+
+    ``fake=False`` extracts REAL features from netpbm payloads: decode
+    (:func:`decode_netpbm_bytes`), nearest-neighbor downsample to a
+    g×g intensity grid (g = sqrt(dim)), flatten, L2-normalize — the
+    classic tiny-image descriptor, zero external codecs.  Non-netpbm
+    payloads raise a clearly-marked NotImplementedError (a real vision
+    encoder is not in this container).  ``fake=True`` keeps the
+    md5-derived stand-in with identical plumbing: Arrow batches in,
+    vectors out."""
+    g = int(round(dim ** 0.5))
+    if not fake and g * g != dim:
+        raise ValueError(f"real features need a square dim, got {dim}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real feature extraction requires a vision model; "
-                    "pass fake=True for the deterministic stand-in"
-                )
             feats = []
             for payload in pdf[binary_col]:
-                px = _fake_pixels(
-                    bytes(payload) if payload is not None else b"", 1, dim
-                ).astype(np.float64)
+                data = bytes(payload) if payload is not None else b""
+                if fake:
+                    px = _fake_pixels(data, 1, dim).astype(np.float64)
+                else:
+                    img = decode_netpbm_bytes(data)
+                    if img is None:
+                        raise NotImplementedError(
+                            "real feature extraction beyond netpbm requires "
+                            "a vision model; pass fake=True for the "
+                            "deterministic stand-in"
+                        )
+                    px = _nn_resize(img, g, g).astype(np.float64)
                 n = np.linalg.norm(px)
                 feats.append(list(px.ravel() / n if n else px.ravel()))
             yield pd.DataFrame({"id": pdf[id_col].astype("int64"), "feature": feats})
@@ -298,25 +354,44 @@ def sample_video_frames(
     max_frames: int = 4,
     fake: bool = True,
 ) -> DataFrame:
-    """binary video → one row per sampled frame.  The fake decoder slices
-    the payload deterministically; a real one would ffmpeg-demux."""
+    """binary video → one row per sampled frame.
+
+    ``fake=False`` REALLY demuxes the netpbm-concat container
+    (:func:`demux_netpbm_frames`: back-to-back P5/P6 frames, each
+    frame's length read from its own header) and emits every
+    ``every_n``-th frame — ``frame_idx`` is the index IN THE CONTAINER
+    (0, every_n, 2·every_n, …), each ``frame`` a standalone decodable
+    netpbm payload.  Containers that need ffmpeg (mp4/webm/…) raise a
+    clearly-marked NotImplementedError.  ``fake=True`` keeps the
+    deterministic byte-slice stand-in with identical plumbing."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real video demux requires ffmpeg; pass fake=True"
-                )
             ids, idxs, frames = [], [], []
             for rid, payload in zip(pdf[id_col], pdf[binary_col]):
                 data = bytes(payload) if payload is not None else b""
-                for fi in range(max_frames):
-                    start = fi * every_n
-                    if start >= max(len(data), 1):
+                if fake:
+                    for fi in range(max_frames):
+                        start = fi * every_n
+                        if start >= max(len(data), 1):
+                            break
+                        ids.append(int(rid))
+                        idxs.append(fi)
+                        frames.append(data[start : start + every_n])
+                    continue
+                all_frames = demux_netpbm_frames(data)
+                if not all_frames:
+                    raise NotImplementedError(
+                        "real demux beyond netpbm-concat requires ffmpeg; "
+                        "pass fake=True for the byte-slice stand-in"
+                    )
+                for k in range(max_frames):
+                    fi = k * every_n
+                    if fi >= len(all_frames):
                         break
                     ids.append(int(rid))
                     idxs.append(fi)
-                    frames.append(data[start : start + every_n])
+                    frames.append(all_frames[fi])
             yield pd.DataFrame({"id": ids, "frame_idx": idxs, "frame": frames})
 
     return df.select(id_col, binary_col).mapInPandas(run, schema=_FRAME_SCHEMA)

@@ -77,6 +77,10 @@ def resolve_oracles(sf_dir: str | None = None) -> dict[str, str]:
 # --------------------------------------------------------------------- #
 
 _DRIVER_PRIORITY: list[str] = [
+    # round 7: new rows (never driver-verified) — real tiny-image
+    # feature extraction and real netpbm-concat frame demux
+    "multimodal_image_features_netpbm",
+    "multimodal_video_frames_netpbm",
     # round 6: new rows (never driver-verified) — bucketed range join,
     # BPE subword tokenizer train + encode
     "range_join_click_view_window",
@@ -140,9 +144,7 @@ _DRIVER_PRIORITY: list[str] = [
     "multimodal_media_meta",
     "embedding_dup_pairs_lsh",
     "pack_documents_bins",
-    "sequence_id_generation",
     "vocabulary_top_tokens",
-    "intersect_except_parts",
     # pinned since round 3 (first driver-hash-green in r3; some were
     # also green in r1 before rotating out of the r2 window)
     "qda_train_predict_histogram",
@@ -161,6 +163,11 @@ _DRIVER_PRIORITY: list[str] = [
 # full-catalog replay.  A query whose code changes must move back to
 # _DRIVER_PRIORITY for one round (VERDICT r4 hygiene rule).
 _DRIVER_DEMOTE: list[str] = [
+    # rotated out round 7 to make window room for the two real-decode
+    # multimodal rows: hash-green in the r4 driver run, implementation
+    # untouched since
+    "sequence_id_generation",
+    "intersect_except_parts",
     # rotated out round 6 to make window room for the new rangejoin/bpe/
     # passage-removal/pca rows: hash-green in BOTH r3 and r4 driver
     # runs, implementation untouched since
@@ -2640,6 +2647,166 @@ def multimodal_media_meta(spark, sf):
         F.col("payload_meta.format").alias("fmt"),
         F.col("payload_meta.n_bytes").alias("n_bytes"),
         F.col("payload_meta.sha").alias("sha"),
+    )
+
+
+@register(
+    "multimodal_image_features_netpbm",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id, r, c,
+             CAST((doc_id * 31 + ((4 * r) * 16 + 4 * c) * 7) % 256 AS DOUBLE) AS v
+      FROM documents, UNNEST(range(0, 4)) t1(r), UNNEST(range(0, 4)) t2(c)
+      WHERE doc_id < 50
+    ), nrm AS (
+      SELECT doc_id, sqrt(SUM(v * v)) AS nn FROM px GROUP BY doc_id
+    )
+    SELECT px.doc_id AS id, CAST(16 AS INT) AS n_dims,
+           ROUND(MAX(CASE WHEN r = 0 AND c = 0 THEN v END) / MAX(nn), 6) AS f0,
+           ROUND(sqrt(SUM((v / nn) * (v / nn))), 6) AS f_l2,
+           md5(string_agg(
+             CAST(CAST(ROUND(v / nn * 1000000, 0) AS BIGINT) AS VARCHAR),
+             ',' ORDER BY r, c)) AS feat_digest
+    FROM px JOIN nrm ON px.doc_id = nrm.doc_id
+    GROUP BY px.doc_id
+    """,
+)
+def multimodal_image_features_netpbm(spark, sf):
+    """REAL image feature extraction end to end (the tiny-image
+    descriptor): deterministic 16×16 P5 payloads synthesized IN-ENGINE
+    (pixel(i) = (doc_id·31 + i·7) mod 256, same generator as the decode
+    row), decoded by the real netpbm parser, nearest-neighbor
+    downsampled to a 4×4 grid (keeps pixels at (4r, 4c)), flattened and
+    L2-normalized (multimodal.image_features fake=False) through an
+    Arrow-batched mapInPandas stage.  Verified feature-for-feature: the
+    oracle recomputes the sampled pixels + normalization in SQL and
+    digests the micro-quantized (×1e6) feature ints — integer strings,
+    so no float-formatting hazard crosses engines."""
+    from .operators.multimodal import image_features
+
+    side = 16
+    header = F.encode(F.lit(f"P5\n{side} {side}\n255\n"), "utf-8")
+    idx = F.sequence(F.lit(0), F.lit(side * side - 1))
+    hexstr = F.concat_ws(
+        "",
+        F.transform(
+            idx,
+            lambda i: F.lpad(
+                F.hex(F.pmod(F.col("doc_id") * 31 + i * 7, F.lit(256))), 2, "0"
+            ),
+        ),
+    )
+    d = (
+        load_table(spark, sf, "documents")
+        .filter("doc_id < 50")
+        .select("doc_id", F.concat(header, F.unhex(hexstr)).alias("payload"))
+    )
+    out = image_features(d, "payload", "doc_id", dim=16, fake=False)
+    micro = F.transform(
+        F.col("feature"),
+        lambda x: F.round(x * 1e6, 0).cast("long").cast("string"),
+    )
+    return out.select(
+        "id",
+        F.size("feature").alias("n_dims"),
+        F.round(F.element_at("feature", 1), 6).alias("f0"),
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.col("feature"), F.lit(0.0), lambda a, x: a + x * x
+                )
+            ),
+            6,
+        ).alias("f_l2"),
+        F.md5(F.encode(F.concat_ws(",", micro), "utf-8")).alias("feat_digest"),
+    )
+
+
+@register(
+    "multimodal_video_frames_netpbm",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id, f, i, (doc_id * 31 + f * 101 + i * 7) % 256 AS v
+      FROM documents, UNNEST([0, 2]) t1(f), UNNEST(range(0, 64)) t2(i)
+      WHERE doc_id < 30
+    )
+    SELECT doc_id AS id, CAST(f AS INT) AS frame_idx,
+           CAST(75 AS BIGINT) AS frame_len,
+           CAST(SUM(v) AS BIGINT) AS sum_pixels,
+           md5(string_agg(CAST(v AS VARCHAR), ',' ORDER BY i)) AS pixel_digest
+    FROM px GROUP BY doc_id, f
+    """,
+)
+def multimodal_video_frames_netpbm(spark, sf):
+    """REAL video frame-sampling end to end over the netpbm-concat
+    container (back-to-back P5 frames — the MJPEG idea with a codec this
+    environment can parse): 4-frame 8×8 payloads synthesized IN-ENGINE
+    (pixel(f, i) = (doc_id·31 + f·101 + i·7) mod 256), demuxed by the
+    real header-length walker (multimodal.demux_netpbm_frames), every
+    2nd frame sampled up to 2 frames → container indices {0, 2}.  Each
+    emitted frame is then verified byte-for-byte IN THE ENGINE: its hex
+    dump is sliced back into pixel ints with JVM expressions (no Python
+    re-decode) and digest-matched against the SQL generating formula."""
+    from .operators.multimodal import sample_video_frames
+
+    side, nframes = 8, 4
+    header = F.encode(F.lit(f"P5\n{side} {side}\n255\n"), "utf-8")
+    idx = F.sequence(F.lit(0), F.lit(side * side - 1))
+    def frame_payload(f: int):
+        # NB: single-arg lambda — a 2-arg transform lambda would be
+        # interpreted as (element, index), clobbering the closure
+        return F.concat(
+            header,
+            F.unhex(
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        idx,
+                        lambda i: F.lpad(
+                            F.hex(
+                                F.pmod(
+                                    F.col("doc_id") * 31 + f * 101 + i * 7,
+                                    F.lit(256),
+                                )
+                            ),
+                            2,
+                            "0",
+                        ),
+                    ),
+                )
+            ),
+        )
+
+    frames = [frame_payload(f) for f in range(nframes)]
+    d = (
+        load_table(spark, sf, "documents")
+        .filter("doc_id < 30")
+        .select("doc_id", F.concat(*frames).alias("payload"))
+    )
+    out = sample_video_frames(
+        d, "payload", "doc_id", every_n=2, max_frames=2, fake=False
+    )
+    hx = F.hex("frame")
+    hdr_len = len(f"P5\n{side} {side}\n255\n")
+    pix = F.transform(
+        F.sequence(F.lit(0), F.lit(side * side - 1)),
+        lambda i: F.conv(
+            F.substring(hx, F.lit(hdr_len * 2 + 1) + i * 2, 2), 16, 10
+        ).cast("long"),
+    )
+    return out.select(
+        "id",
+        "frame_idx",
+        F.length("frame").cast("long").alias("frame_len"),
+        F.aggregate(pix, F.lit(0).cast("long"), lambda a, v: a + v).alias(
+            "sum_pixels"
+        ),
+        F.md5(
+            F.encode(
+                F.concat_ws(",", F.transform(pix, lambda v: v.cast("string"))),
+                "utf-8",
+            )
+        ).alias("pixel_digest"),
     )
 
 

@@ -489,6 +489,68 @@ def test_sample_video_frames(media):
     assert all(len(v) <= 3 for v in per.values())
 
 
+def test_demux_netpbm_frames():
+    """Pure-Python demux walker: frame lengths from each header, mixed
+    sizes/formats, stops cleanly at trailing garbage."""
+    rng = np.random.default_rng(11)
+    f1 = b"P5\n4 3\n255\n" + rng.integers(0, 256, 12, dtype=np.uint8).tobytes()
+    f2 = b"P6\n2 2\n255\n" + rng.integers(0, 256, 12, dtype=np.uint8).tobytes()
+    f3 = b"P5\n# c\n2 1\n255\n" + bytes([7, 9])
+    frames = mm.demux_netpbm_frames(f1 + f2 + f3)
+    assert frames == [f1, f2, f3]
+    # trailing garbage after the last full frame is ignored
+    assert mm.demux_netpbm_frames(f1 + b"\x89PNGjunk") == [f1]
+    # truncated final frame is dropped, earlier frames kept
+    assert mm.demux_netpbm_frames(f1 + f2[:-3]) == [f1]
+    assert mm.demux_netpbm_frames(b"") == []
+    assert mm.demux_netpbm_frames(b"notpbm") == []
+
+
+def test_sample_video_frames_real_netpbm(spark):
+    """fake=False REALLY demuxes netpbm-concat containers: emitted frames
+    are byte-identical slices, frame_idx is the container index, every
+    emitted frame decodes standalone."""
+    rng = np.random.default_rng(5)
+    frames = [
+        b"P5\n3 2\n255\n" + rng.integers(0, 256, 6, dtype=np.uint8).tobytes()
+        for _ in range(5)
+    ]
+    df = spark.createDataFrame(
+        [(1, b"".join(frames))], "mid long, payload binary"
+    )
+    rows = mm.sample_video_frames(
+        df, "payload", "mid", every_n=2, max_frames=3, fake=False
+    ).collect()
+    got = {r["frame_idx"]: bytes(r["frame"]) for r in rows}
+    assert got == {0: frames[0], 2: frames[2], 4: frames[4]}
+    for payload in got.values():
+        assert mm.decode_netpbm_bytes(payload).shape == (2, 3)
+    # non-netpbm container surfaces the honest ffmpeg stub
+    bad = spark.createDataFrame([(2, b"\x00mp4junk")], "mid long, payload binary")
+    with pytest.raises(Exception, match="ffmpeg|NotImplemented"):
+        mm.sample_video_frames(bad, "payload", "mid", fake=False).collect()
+
+
+def test_image_features_real_netpbm(spark):
+    """fake=False real features == decode → nn-resize → L2 normalize
+    computed directly in numpy."""
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 256, size=(10, 8), dtype=np.uint8)
+    pgm = b"P5\n8 10\n255\n" + img.tobytes()
+    df = spark.createDataFrame([(4, pgm)], "mid long, payload binary")
+    row = mm.image_features(df, "payload", "mid", dim=16, fake=False).collect()[0]
+    ys = (np.arange(4) * 10 // 4).clip(0, 9)
+    xs = (np.arange(4) * 8 // 4).clip(0, 7)
+    ref = img[np.ix_(ys, xs)].astype(np.float64).ravel()
+    ref = ref / np.linalg.norm(ref)
+    assert np.allclose(row["feature"], ref, atol=0)
+    with pytest.raises(ValueError, match="square dim"):
+        mm.image_features(df, "payload", "mid", dim=12, fake=False)
+    bad = spark.createDataFrame([(5, b"\x89PNG....")], "mid long, payload binary")
+    with pytest.raises(Exception, match="netpbm|NotImplemented"):
+        mm.image_features(bad, "payload", "mid", dim=16, fake=False).collect()
+
+
 def test_ivf_index_reuse(emb):
     idx = ss.IVFIndex(emb, nlist=8, seed=1)
     try:
