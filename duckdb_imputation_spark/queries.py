@@ -81,6 +81,7 @@ _DRIVER_PRIORITY: list[str] = [
     # feature extraction and real netpbm-concat frame demux
     "multimodal_image_features_netpbm",
     "multimodal_video_frames_netpbm",
+    "snapshot_diff_documents",
     # round 6: new rows (never driver-verified) — bucketed range join,
     # BPE subword tokenizer train + encode
     "range_join_click_view_window",
@@ -147,7 +148,6 @@ _DRIVER_PRIORITY: list[str] = [
     "vocabulary_top_tokens",
     # pinned since round 3 (first driver-hash-green in r3; some were
     # also green in r1 before rotating out of the r2 window)
-    "qda_train_predict_histogram",
     "nb_train_predict_histogram",
     "lda_train_predict_histogram",
     "sql_passthrough_shared_dialect",
@@ -168,6 +168,9 @@ _DRIVER_DEMOTE: list[str] = [
     # untouched since
     "sequence_id_generation",
     "intersect_except_parts",
+    # rotated out round 7 for the snapshot-diff row: hash-green in r3
+    # AND r4 driver runs, implementation untouched since
+    "qda_train_predict_histogram",
     # rotated out round 6 to make window room for the new rangejoin/bpe/
     # passage-removal/pca rows: hash-green in BOTH r3 and r4 driver
     # runs, implementation untouched since
@@ -2808,6 +2811,62 @@ def multimodal_video_frames_netpbm(spark, sf):
             )
         ).alias("pixel_digest"),
     )
+
+
+@register(
+    "snapshot_diff_documents",
+    oracle="""
+    WITH newsnap AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 53 = 0 THEN text || ' [edited]' ELSE text END
+               AS text,
+             lang, source
+      FROM documents WHERE doc_id % 97 <> 0
+      UNION ALL
+      SELECT doc_id + 10000000, text, lang, source
+      FROM documents WHERE doc_id % 41 = 0
+    ), d AS (
+      SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+             CASE WHEN o.doc_id IS NULL THEN 'added'
+                  WHEN n.doc_id IS NULL THEN 'removed'
+                  WHEN o.text IS DISTINCT FROM n.text
+                    OR o.lang IS DISTINCT FROM n.lang
+                    OR o.source IS DISTINCT FROM n.source THEN 'changed'
+             END AS change_type
+      FROM documents o FULL OUTER JOIN newsnap n ON o.doc_id = n.doc_id
+    )
+    SELECT doc_id, change_type FROM d WHERE change_type IS NOT NULL
+    """,
+)
+def snapshot_diff_documents(spark, sf):
+    """Corpus snapshot diff (dataset versioning for incremental
+    pipelines, operators/snapshot.py): a simulated next snapshot —
+    doc_id % 97 rows dropped, % 53 texts edited, % 41 re-added under
+    shifted ids — diffed against the original via null-sentinel content
+    digests and one full outer key join; output is delta-sized.  The
+    oracle recomputes the classification with a plain FULL OUTER JOIN
+    and IS DISTINCT FROM column compares — digest-free, so it also
+    cross-checks that the md5 digest introduces no false (in)equality."""
+    from .operators.snapshot import snapshot_diff
+
+    d = load_table(spark, sf, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    new = (
+        d.filter(F.col("doc_id") % 97 != 0)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 53 == 0, F.concat("text", F.lit(" [edited]"))
+            ).otherwise(F.col("text")),
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 41 == 0).withColumn(
+                "doc_id", F.col("doc_id") + 10000000
+            )
+        )
+    )
+    return snapshot_diff(d, new, ["doc_id"], ["text", "lang", "source"])
 
 
 @register(

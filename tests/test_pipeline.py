@@ -988,3 +988,70 @@ def test_compression_ratio(spark):
         )
         assert got[i] == want, (i, got[i], want)
     assert got[0] < 0.1 < got[1]  # repetition collapses the ratio
+
+
+# ------------------------------------------------------------ snapshot diff
+
+
+def test_snapshot_diff_classification(spark):
+    from duckdb_imputation_spark.operators.snapshot import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", None), (2, "b", "s"), (3, "c", "s"), (4, None, "s")],
+        "k long, text string, src string",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", "s"), (3, "CHANGED", "s"), (4, None, "s"), (5, "e", None)],
+        "k long, text string, src string",
+    )
+    got = {
+        r["k"]: r["change_type"]
+        for r in snapshot_diff(old, new, ["k"]).collect()
+    }
+    # 1 removed, 3 changed, 5 added; 2 and 4 (NULL-equal) dropped
+    assert got == {1: "removed", 3: "changed", 5: "added"}
+    full = {
+        r["k"]: r["change_type"]
+        for r in snapshot_diff(
+            old, new, ["k"], include_unchanged=True
+        ).collect()
+    }
+    assert full[2] == "unchanged" and full[4] == "unchanged"
+    # NULL vs empty-string and separator injection must NOT collide
+    o2 = spark.createDataFrame([(1, None, "b"), (2, "a|b", "c")],
+                               "k long, x string, y string")
+    n2 = spark.createDataFrame([(1, "", "b"), (2, "a", "b|c")],
+                               "k long, x string, y string")
+    g2 = {r["k"]: r["change_type"] for r in snapshot_diff(o2, n2, ["k"]).collect()}
+    assert g2 == {1: "changed", 2: "changed"}
+
+
+def test_snapshot_apply_round_trip(spark):
+    from duckdb_imputation_spark.operators.snapshot import (
+        snapshot_apply,
+        snapshot_diff,
+    )
+
+    d = spark.range(0, 500).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).cast("string").alias("text"),
+    )
+    new = (
+        d.filter(F.col("k") % 11 != 0)
+        .withColumn(
+            "text",
+            F.when(F.col("k") % 13 == 0, F.lit("edit")).otherwise(
+                F.col("text")
+            ),
+        )
+        .unionByName(
+            d.filter(F.col("k") % 17 == 0).withColumn(
+                "k", F.col("k") + 1000
+            )
+        )
+    )
+    diff = snapshot_diff(d, new, ["k"])
+    rebuilt = snapshot_apply(d, new, diff, ["k"])
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(
+        map(tuple, new.collect())
+    )
