@@ -1,0 +1,109 @@
+"""Mergeable sketches — sublinear statistics that survive incremental
+corpus maintenance.
+
+At 100 TB, "how many distinct URLs / tokens / users" is a sketch
+problem, not a COUNT(DISTINCT) problem: an exact distinct shuffles every
+distinct value; an HLL sketch ships ~2^lgk bytes per group no matter the
+cardinality, and — the property everything here builds on — sketches
+MERGE losslessly: ``union(sketch(A), sketch(B)) == sketch(A ∪ B)``
+register-for-register.  So per-partition / per-day / per-source sketch
+tables can be persisted once and combined forever without rescanning the
+corpus (the F-IVM idea applied to distinct counts).
+
+Built on Spark's Apache DataSketches bindings (``hll_sketch_agg`` /
+``hll_union_agg`` / ``hll_sketch_estimate``, JVM-side, whole-stage
+codegen'd) — no Python in the hot path.  Quantiles ride on
+``percentile_approx`` (Greenwald-Khanna, also mergeable map-side).
+
+Estimates are approximate BY DESIGN; they are also fully deterministic
+for a given input multiset (register max is order- and
+partitioning-independent), which is what makes them testable.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "distinct_sketch",
+    "merge_distinct_sketches",
+    "estimate_distinct",
+    "quantile_summary",
+]
+
+
+def distinct_sketch(
+    df: DataFrame,
+    value_col: str,
+    by_cols: Sequence[str] = (),
+    lgk: int = 12,
+) -> DataFrame:
+    """Per-group HLL sketch of ``value_col``'s distinct values:
+    (by_cols..., sketch binary, n_rows).  One keyed shuffle moving one
+    ~2^lgk-byte partial per (task, group) — the corpus never crosses the
+    wire.  Persist the result as the incremental state table; refresh a
+    batch by unioning its sketch frame in via
+    :func:`merge_distinct_sketches` (no rescan of old data)."""
+    by = list(by_cols)
+    return df.groupBy(*by).agg(
+        F.hll_sketch_agg(value_col, F.lit(lgk)).alias("sketch"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def merge_distinct_sketches(
+    *sketch_dfs: DataFrame, by_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Combine sketch frames (same shape as :func:`distinct_sketch`
+    output) into one: register-max union per group — LOSSLESS, i.e.
+    bit-identical to sketching the concatenated inputs directly.
+    ``allowDifferentLgConfigK=True`` so states built at different
+    precisions still merge (result takes the coarser precision)."""
+    by = list(by_cols)
+    frames = list(sketch_dfs)
+    u = frames[0]
+    for f in frames[1:]:
+        u = u.unionByName(f)
+    return u.groupBy(*by).agg(
+        F.hll_union_agg("sketch", F.lit(True)).alias("sketch"),
+        F.sum("n_rows").alias("n_rows"),
+    )
+
+
+def estimate_distinct(
+    sketch_df: DataFrame, by_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Read estimates out of a sketch frame: (by_cols..., n_distinct
+    estimate, n_rows).  Pure projection — no shuffle, no rescan."""
+    by = list(by_cols)
+    return sketch_df.select(
+        *by,
+        F.hll_sketch_estimate("sketch").alias("n_distinct"),
+        "n_rows",
+    )
+
+
+def quantile_summary(
+    df: DataFrame,
+    value_col: str,
+    by_cols: Sequence[str] = (),
+    probs: Sequence[float] = (0.25, 0.5, 0.75, 0.95),
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Per-group approximate quantiles (Greenwald-Khanna, map-side
+    mergeable): (by_cols..., q_<prob> columns...).  Error is bounded by
+    1/accuracy in rank; one keyed shuffle of fixed-size summaries."""
+    by = list(by_cols)
+    agg = df.groupBy(*by).agg(
+        F.percentile_approx(
+            value_col, F.array(*[F.lit(p) for p in probs]), F.lit(accuracy)
+        ).alias("__qs")
+    )
+    cols = [
+        F.element_at("__qs", i + 1).alias(f"q_{str(p).replace('.', '_')}")
+        for i, p in enumerate(probs)
+    ]
+    return agg.select(*by, *cols)

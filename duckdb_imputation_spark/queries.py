@@ -82,6 +82,7 @@ _DRIVER_PRIORITY: list[str] = [
     "multimodal_image_features_netpbm",
     "multimodal_video_frames_netpbm",
     "snapshot_diff_documents",
+    "sketch_distinct_tokens",
     # round 6: new rows (never driver-verified) — bucketed range join,
     # BPE subword tokenizer train + encode
     "range_join_click_view_window",
@@ -149,7 +150,6 @@ _DRIVER_PRIORITY: list[str] = [
     # pinned since round 3 (first driver-hash-green in r3; some were
     # also green in r1 before rotating out of the r2 window)
     "nb_train_predict_histogram",
-    "lda_train_predict_histogram",
     "sql_passthrough_shared_dialect",
     "sessionize_events",
     "rolling_customer_spend",
@@ -168,9 +168,10 @@ _DRIVER_DEMOTE: list[str] = [
     # untouched since
     "sequence_id_generation",
     "intersect_except_parts",
-    # rotated out round 7 for the snapshot-diff row: hash-green in r3
-    # AND r4 driver runs, implementation untouched since
+    # rotated out round 7 for the snapshot-diff and sketch rows:
+    # hash-green in r3 AND r4 driver runs, implementation untouched since
     "qda_train_predict_histogram",
+    "lda_train_predict_histogram",
     # rotated out round 6 to make window room for the new rangejoin/bpe/
     # passage-removal/pca rows: hash-green in BOTH r3 and r4 driver
     # runs, implementation untouched since
@@ -2867,6 +2868,78 @@ def snapshot_diff_documents(spark, sf):
         )
     )
     return snapshot_diff(d, new, ["doc_id"], ["text", "lang", "source"])
+
+
+@register(
+    "sketch_distinct_tokens",
+    oracle="""
+    WITH tk AS (
+      SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+      FROM documents WHERE trim(COALESCE(text, '')) <> ''
+    )
+    SELECT source,
+           CAST(COUNT(DISTINCT t) AS BIGINT) AS n_exact,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           TRUE AS merge_lossless,
+           TRUE AS est_within_5pct
+    FROM tk GROUP BY source
+    """,
+)
+def sketch_distinct_tokens(spark, sf):
+    """Mergeable HLL distinct sketches (operators/sketches.py) over
+    per-source token vocabularies.  The exact distinct count and token
+    count are hash-matched against DuckDB; the sketch itself is
+    verified IN THE ENGINE through the two properties that make it a
+    100 TB tool, emitted as oracle-gated booleans: (a) merge_lossless —
+    union of per-half sketches estimates EXACTLY what one whole-corpus
+    sketch estimates (register-max merge, the incremental-maintenance
+    contract), (b) est_within_5pct — the estimate lands inside the
+    documented HLL error envelope of the exact count.  A broken sketch
+    flips a boolean and fails the hash gate."""
+    from .operators.hashing import ws_tokens
+    from .operators.sketches import (
+        distinct_sketch,
+        estimate_distinct,
+        merge_distinct_sketches,
+    )
+
+    toks = (
+        load_table(spark, sf, "documents")
+        .select("doc_id", "source", F.explode(ws_tokens(F.col("text"))).alias("t"))
+    )
+    whole = estimate_distinct(
+        distinct_sketch(toks, "t", ["source"]), ["source"]
+    ).select(
+        "source",
+        F.col("n_distinct").alias("est_whole"),
+        F.col("n_rows").alias("n_tokens"),
+    )
+    halves = merge_distinct_sketches(
+        distinct_sketch(toks.filter(F.col("doc_id") % 2 == 0), "t", ["source"]),
+        distinct_sketch(toks.filter(F.col("doc_id") % 2 == 1), "t", ["source"]),
+        by_cols=["source"],
+    )
+    merged = estimate_distinct(halves, ["source"]).select(
+        "source", F.col("n_distinct").alias("est_merged")
+    )
+    exact = toks.groupBy("source").agg(
+        F.countDistinct("t").alias("n_exact")
+    )
+    return (
+        exact.join(whole, "source")
+        .join(merged, "source")
+        .select(
+            "source",
+            "n_exact",
+            "n_tokens",
+            (F.col("est_merged") == F.col("est_whole")).alias("merge_lossless"),
+            (
+                F.abs(F.col("est_whole") - F.col("n_exact"))
+                / F.col("n_exact")
+                <= 0.05
+            ).alias("est_within_5pct"),
+        )
+    )
 
 
 @register(

@@ -1055,3 +1055,85 @@ def test_snapshot_apply_round_trip(spark):
     assert sorted(map(tuple, rebuilt.collect())) == sorted(
         map(tuple, new.collect())
     )
+
+
+# --------------------------------------------------------------- sketches
+
+
+def test_hll_sketch_merge_lossless(spark):
+    """union(sketch(A), sketch(B)) estimates EXACTLY what sketch(A∪B)
+    does — the property incremental maintenance relies on — regardless
+    of how the split or the partitioning falls."""
+    from duckdb_imputation_spark.operators import sketches as sk
+
+    df = spark.range(0, 20000).select(
+        (F.col("id") % 3).alias("g"),
+        ((F.col("id") * 2654435761) % 7919).cast("string").alias("v"),
+    )
+    whole = {
+        r["g"]: r["n_distinct"]
+        for r in sk.estimate_distinct(
+            sk.distinct_sketch(df, "v", ["g"]), ["g"]
+        ).collect()
+    }
+    a = df.filter(F.col("id") % 5 < 2).repartition(3)
+    b = df.filter(F.col("id") % 5 >= 2).repartition(7)
+    merged = sk.merge_distinct_sketches(
+        sk.distinct_sketch(a, "v", ["g"]),
+        sk.distinct_sketch(b, "v", ["g"]),
+        by_cols=["g"],
+    )
+    got = {
+        r["g"]: r["n_distinct"]
+        for r in sk.estimate_distinct(merged, ["g"]).collect()
+    }
+    assert got == whole
+    # n_rows tallies exactly through the merge
+    n = {r["g"]: r["n_rows"] for r in merged.collect()}
+    exact_n = {
+        r["g"]: r["cnt"]
+        for r in df.groupBy("g").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert n == exact_n
+
+
+def test_hll_estimate_within_error(spark):
+    from duckdb_imputation_spark.operators import sketches as sk
+
+    df = spark.range(0, 50000).select(
+        ((F.col("id") * 48271) % 9973).cast("string").alias("v")
+    )
+    est = sk.estimate_distinct(sk.distinct_sketch(df, "v")).first()[
+        "n_distinct"
+    ]
+    assert abs(est - 9973) / 9973 < 0.05
+
+
+def test_hll_merge_mixed_precision(spark):
+    from duckdb_imputation_spark.operators import sketches as sk
+
+    df = spark.range(0, 5000).select((F.col("id") % 997).cast("string").alias("v"))
+    a = sk.distinct_sketch(df.filter("id < 2500"), "v", lgk=14)
+    b = sk.distinct_sketch(df.filter("id >= 2500"), "v", lgk=10)
+    est = sk.estimate_distinct(sk.merge_distinct_sketches(a, b)).first()[
+        "n_distinct"
+    ]
+    assert abs(est - 997) / 997 < 0.10  # coarser precision governs
+
+
+def test_quantile_summary_rank_error(spark):
+    from duckdb_imputation_spark.operators import sketches as sk
+
+    n = 20000
+    df = spark.range(0, n).select(
+        (F.col("id") % 4).alias("g"), F.col("id").cast("double").alias("v")
+    )
+    rows = sk.quantile_summary(df, "v", ["g"], probs=(0.5, 0.9)).collect()
+    for r in rows:
+        vals = sorted(
+            x["v"] for x in df.filter(F.col("g") == r["g"]).collect()
+        )
+        m = len(vals)
+        for p, col in ((0.5, "q_0_5"), (0.9, "q_0_9")):
+            rank = vals.index(r[col])
+            assert abs(rank - p * m) <= max(2, m / 1000), (r["g"], p)
