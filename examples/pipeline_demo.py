@@ -81,6 +81,30 @@ def main() -> None:
     ).first()
 
     print(f"docs {n0} -> quality {n1} -> dedup {n2} -> decontaminated {n3}")
+
+    # dataset-versioning view of what the pipeline did: diff the cleaned
+    # corpus against the raw snapshot (removed = filtered/deduped docs,
+    # changed = passage-cut or line-deduped text)
+    from duckdb_imputation_spark.operators.snapshot import snapshot_diff
+
+    delta = (
+        snapshot_diff(docs.select("doc_id", "text"), decontaminated,
+                      ["doc_id"], ["text"])
+        .groupBy("change_type").count().collect()
+    )
+    print("snapshot diff vs raw: " +
+          ", ".join(f"{r['change_type']}={r['count']}" for r in sorted(
+              delta, key=lambda r: r["change_type"])))
+
+    # corpus cardinality card from mergeable HLL sketches (the state a
+    # 100 TB pipeline would persist per batch and union incrementally)
+    from duckdb_imputation_spark.operators import sketches as sk
+    from duckdb_imputation_spark.operators.hashing import ws_tokens
+
+    toks = decontaminated.select(F.explode(ws_tokens(F.col("text"))).alias("t"))
+    vocab_est = sk.estimate_distinct(sk.distinct_sketch(toks, "t")).first()
+    print(f"~{vocab_est['n_distinct']} distinct tokens across "
+          f"{vocab_est['n_rows']} (HLL estimate)")
     print(f"packed {bins['chunks']} chunks into {bins['bins']} bins of <=512 tokens")
 
     # retrieval over the cleaned corpus: build the BM25 index once,
