@@ -5,10 +5,15 @@ At 100 TB, "how many distinct URLs / tokens / users" is a sketch
 problem, not a COUNT(DISTINCT) problem: an exact distinct shuffles every
 distinct value; an HLL sketch ships ~2^lgk bytes per group no matter the
 cardinality, and — the property everything here builds on — sketches
-MERGE losslessly: ``union(sketch(A), sketch(B)) == sketch(A ∪ B)``
-register-for-register.  So per-partition / per-day / per-source sketch
-tables can be persisted once and combined forever without rescanning the
-corpus (the F-IVM idea applied to distinct counts).
+MERGE: ``union(sketch(A), sketch(B))`` holds exactly the register state
+of ``sketch(A ∪ B)`` (set-lossless), so per-partition / per-day /
+per-source sketch tables can be persisted once and combined forever
+without rescanning the corpus (the F-IVM idea applied to distinct
+counts).  One honest caveat: DataSketches estimates a DIRECTLY-built
+sketch with the HIP estimator but a UNION result with the composite
+estimator, so a merged estimate can differ from the single-pass estimate
+by a fraction of the error envelope — re-merging the SAME data is
+bit-idempotent (register max), which is what crash/replay recovery needs.
 
 Built on Spark's Apache DataSketches bindings (``hll_sketch_agg`` /
 ``hll_union_agg`` / ``hll_sketch_estimate``, JVM-side, whole-stage
@@ -58,10 +63,13 @@ def merge_distinct_sketches(
     *sketch_dfs: DataFrame, by_cols: Sequence[str] = ()
 ) -> DataFrame:
     """Combine sketch frames (same shape as :func:`distinct_sketch`
-    output) into one: register-max union per group — LOSSLESS, i.e.
-    bit-identical to sketching the concatenated inputs directly.
-    ``allowDifferentLgConfigK=True`` so states built at different
-    precisions still merge (result takes the coarser precision)."""
+    output) into one: register-max union per group.  Set-lossless (the
+    union's register state is exactly the state of sketching the
+    concatenated inputs) and idempotent under replay; the ESTIMATE read
+    from a union can differ from a direct single-pass sketch's by a
+    fraction of the error envelope (composite vs HIP estimator — module
+    docstring).  ``allowDifferentLgConfigK=True`` so states built at
+    different precisions still merge (result takes the coarser one)."""
     by = list(by_cols)
     frames = list(sketch_dfs)
     u = frames[0]

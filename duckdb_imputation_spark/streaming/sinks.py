@@ -11,8 +11,9 @@ scale rewrites only the partitions the batch touches).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
-__all__ = ["streaming_upsert_sink"]
+__all__ = ["streaming_upsert_sink", "streaming_sketch_sink"]
 
 
 def streaming_upsert_sink(
@@ -44,6 +45,65 @@ def streaming_upsert_sink(
             )
         else:
             upsert_table(spark, path, batch, key_col, fmt=fmt)
+
+    writer = stream.writeStream.foreachBatch(apply)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer
+
+
+def streaming_sketch_sink(
+    stream: DataFrame,
+    path: str,
+    value_col: str,
+    by_cols=(),
+    lgk: int = 12,
+    checkpoint: str | None = None,
+):
+    """Continuously maintain a persisted HLL distinct-count state table
+    (operators/sketches.py) from a stream: per micro-batch, sketch the
+    batch, merge it into the stored state for ONLY the groups the batch
+    touches (left-semi read), and upsert those delta-sized rows through
+    the crash-safe staged swap.  Old data is never rescanned — the whole
+    point of mergeable sketch state.  Returns the writer (caller picks
+    the trigger).
+
+    Recovery note: re-merging a replayed batch is IDEMPOTENT for the
+    distinct estimate (HLL register max of a set with itself is itself),
+    so estimates converge exactly after any crash/replay; the ``n_rows``
+    tally is at-least-once under replay — pair with ``checkpoint`` for
+    exactly-once row counts."""
+    from ..operators.sketches import distinct_sketch, merge_distinct_sketches
+    from ..sources import upsert_table
+
+    by = list(by_cols)
+
+    def key_expr():
+        if not by:
+            return F.lit("__all__")
+        return F.concat_ws(
+            "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in by]
+        )
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        spark = batch.sparkSession
+        bsk = distinct_sketch(batch, value_col, by, lgk)
+        try:
+            state = spark.read.parquet(path).select(*by, "sketch", "n_rows")
+        except Exception:
+            state = None
+        if state is not None:
+            touched = state.join(bsk.select(*by), on=by, how="left_semi") if by else state
+            merged = merge_distinct_sketches(touched, bsk, by_cols=by)
+        else:
+            merged = bsk
+        keyed = merged.withColumn("__key", key_expr())
+        if state is not None:
+            upsert_table(spark, path, keyed, "__key")
+        else:
+            keyed.write.mode("overwrite").parquet(path)
 
     writer = stream.writeStream.foreachBatch(apply)
     if checkpoint:

@@ -1060,10 +1060,12 @@ def test_snapshot_apply_round_trip(spark):
 # --------------------------------------------------------------- sketches
 
 
-def test_hll_sketch_merge_lossless(spark):
-    """union(sketch(A), sketch(B)) estimates EXACTLY what sketch(A∪B)
-    does — the property incremental maintenance relies on — regardless
-    of how the split or the partitioning falls."""
+def test_hll_sketch_merge_consistent(spark):
+    """union(sketch(A), sketch(B)) agrees with sketch(A∪B) inside the
+    error envelope regardless of split/partitioning (register state is
+    lossless; the union estimator may differ from single-pass HIP by a
+    fraction of the envelope), and re-merging the SAME sketch is
+    bit-idempotent — the crash/replay recovery property."""
     from duckdb_imputation_spark.operators import sketches as sk
 
     df = spark.range(0, 20000).select(
@@ -1087,7 +1089,8 @@ def test_hll_sketch_merge_lossless(spark):
         r["g"]: r["n_distinct"]
         for r in sk.estimate_distinct(merged, ["g"]).collect()
     }
-    assert got == whole
+    for g, est in whole.items():
+        assert abs(got[g] - est) <= 0.01 * est, (g, got[g], est)
     # n_rows tallies exactly through the merge
     n = {r["g"]: r["n_rows"] for r in merged.collect()}
     exact_n = {
@@ -1095,6 +1098,16 @@ def test_hll_sketch_merge_lossless(spark):
         for r in df.groupBy("g").agg(F.count("*").alias("cnt")).collect()
     }
     assert n == exact_n
+    # replay idempotence: merging the merged state with itself leaves
+    # the estimate EXACTLY unchanged (register max of a set with itself)
+    twice = {
+        r["g"]: r["n_distinct"]
+        for r in sk.estimate_distinct(
+            sk.merge_distinct_sketches(merged, merged, by_cols=["g"]),
+            ["g"],
+        ).collect()
+    }
+    assert twice == got
 
 
 def test_hll_estimate_within_error(spark):

@@ -428,3 +428,74 @@ def test_streaming_upsert_sink(spark, tmp_path):
     assert got[3] in ("b1", "b2")  # replaced (batch order may interleave)
     assert got[100] == "b1" and got[101] == "b2"
     assert got[0] == "orig"
+
+
+def test_streaming_sketch_sink_matches_batch(spark, tmp_path):
+    """Incrementally-maintained HLL state agrees with one batch sketch
+    over the whole stream (inside the envelope — union vs HIP
+    estimator) and with the exact counts; replaying the stream (no
+    checkpoint) leaves the estimates bit-unchanged (register-max
+    idempotence)."""
+    from duckdb_imputation_spark.operators import sketches as sk
+    from duckdb_imputation_spark.streaming.sinks import streaming_sketch_sink
+
+    df = spark.range(0, 3000).select(
+        (F.col("id") % 4).alias("g"),
+        ((F.col("id") * 2654435761) % 613).cast("string").alias("v"),
+    )
+    src = str(tmp_path / "sk_src")
+    # several files -> several micro-batches with maxFilesPerTrigger=1
+    df.repartition(4).write.parquet(src)
+    state = str(tmp_path / "sk_state")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            streaming_sketch_sink(stream, state, "v", ["g"])
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    got = {
+        r["g"]: (r["n_distinct"], r["n_rows"])
+        for r in sk.estimate_distinct(
+            spark.read.parquet(state).select("g", "sketch", "n_rows"), ["g"]
+        ).collect()
+    }
+    want = {
+        r["g"]: (r["n_distinct"], r["n_rows"])
+        for r in sk.estimate_distinct(
+            sk.distinct_sketch(df, "v", ["g"]), ["g"]
+        ).collect()
+    }
+    exact = {
+        r["g"]: r["d"]
+        for r in df.groupBy("g")
+        .agg(F.countDistinct("v").alias("d"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for g, (est, n) in want.items():
+        g_est, g_n = got[g]
+        assert g_n == n  # row tallies are exact
+        assert abs(g_est - est) <= 0.02 * est  # union vs HIP estimator
+        assert abs(g_est - exact[g]) <= 0.05 * exact[g]  # error envelope
+
+    # replay the same data (fresh query, no checkpoint): estimates are
+    # bit-idempotent under re-merge; n_rows doubles (documented
+    # at-least-once)
+    run_once()
+    again = {
+        r["g"]: (r["n_distinct"], r["n_rows"])
+        for r in sk.estimate_distinct(
+            spark.read.parquet(state).select("g", "sketch", "n_rows"), ["g"]
+        ).collect()
+    }
+    for g, (est, n) in got.items():
+        assert again[g] == (est, 2 * n)
