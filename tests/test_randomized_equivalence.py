@@ -428,3 +428,56 @@ def test_remove_duplicate_passages_short_and_unique_docs(spark):
     assert got[1] == ("", 2)
     assert got[2] == ("unique words only here", 0)
     assert got[3] == ("", 0)
+
+
+# ------------------------------------------------- snapshot diff / apply
+
+
+def _py_snapshot_diff(old, new):
+    """Pure-Python reference: dicts key -> value tuple."""
+    out = {}
+    for k in old.keys() | new.keys():
+        if k not in old:
+            out[k] = "added"
+        elif k not in new:
+            out[k] = "removed"
+        elif old[k] != new[k]:
+            out[k] = "changed"
+    return out
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_snapshot_diff_matches_python_reference(spark, seed):
+    from duckdb_imputation_spark.operators.snapshot import (
+        snapshot_apply,
+        snapshot_diff,
+    )
+
+    rng = np.random.default_rng(seed)
+    vals = [None, "", "a", "b", "a|b", "x\x1fy"]
+
+    def mk():
+        return {
+            int(k): (
+                vals[rng.integers(len(vals))],
+                vals[rng.integers(len(vals))],
+            )
+            for k in rng.choice(200, size=120, replace=False)
+        }
+
+    old, new = mk(), mk()
+    o = spark.createDataFrame(
+        [(k, a, b) for k, (a, b) in old.items()], "k long, x string, y string"
+    )
+    n = spark.createDataFrame(
+        [(k, a, b) for k, (a, b) in new.items()], "k long, x string, y string"
+    )
+    got = {
+        r["k"]: r["change_type"]
+        for r in snapshot_diff(o, n, ["k"]).collect()
+    }
+    assert got == _py_snapshot_diff(old, new)
+    rebuilt = snapshot_apply(o, n, snapshot_diff(o, n, ["k"]), ["k"])
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(
+        map(tuple, n.collect())
+    )
