@@ -24,7 +24,13 @@ from pyspark.sql import DataFrame, functions as F
 
 from .hashing import ws_tokens
 
-__all__ = ["bm25_topk", "bm25_index", "bm25_index_load", "BM25Index"]
+__all__ = [
+    "bm25_topk",
+    "bm25_index",
+    "bm25_index_load",
+    "bm25_index_update",
+    "BM25Index",
+]
 
 
 def bm25_topk(
@@ -244,6 +250,96 @@ def bm25_index(
         k1=k1,
         b=b,
     )
+
+
+def bm25_index_update(
+    spark, path: str, new_df: DataFrame, text_col: str, id_col: str
+) -> BM25Index:
+    """Merge a batch of NEW documents into a parquet-backed index
+    (:meth:`BM25Index.save`) WITHOUT rebuilding — the incremental
+    corpus-maintenance path: only the batch is tokenized; existing
+    postings are never rescanned.
+
+    Steps, in crash-ordered sequence:
+
+    1. the batch's postings (term, doc_id, tf, dl, __bucket) are
+       APPENDED to the postings table — new files only, partition
+       layout preserved, so search-time bucket pruning keeps working;
+    2. per-term document frequencies are additive: the batch's term dfs
+       are merged into ``term_stats`` through the crash-safe keyed
+       upsert (``sources.upsert_table``);
+    3. ``meta`` is rewritten with the incrementally-updated scalars
+       (n_docs += batch docs; avgdl from total token mass, exact).
+
+    Caller contract: ``new_df``'s ids must not already be indexed (pair
+    with ``minhash_index.dedup_new`` / ``snapshot_diff`` upstream — an
+    id-level anti-join here would rescan the whole postings table,
+    defeating the point).  Crash caveat: a failure between steps leaves
+    appended postings without matching stats; re-apply the SAME batch
+    after removing its appended files, or rebuild — the steps are
+    ordered so stats never reference missing postings.
+
+    Returns the reopened index."""
+    from ..sources import upsert_table
+
+    meta = spark.read.parquet(f"{path}/meta").first()
+    n_buckets = int(meta["n_buckets"])
+    toks = new_df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(ws_tokens(F.col(text_col))).alias("term"),
+    )
+    tf = toks.groupBy("__id", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("__tf")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__id")
+    postings = tf.withColumn("__dl", F.sum("__tf").over(w)).select(
+        F.col("__id").alias(meta["id_col"]),
+        "term",
+        "__tf",
+        "__dl",
+        F.pmod(F.hash("term"), F.lit(n_buckets)).alias("__bucket"),
+    )
+    # batch scalars BEFORE the append (one tiny agg over the batch only)
+    b = postings.agg(
+        F.countDistinct(meta["id_col"]).cast("double").alias("nd"),
+        F.sum("__tf").alias("mass"),
+        F.count(F.lit(1)).cast("double").alias("npost"),
+    ).first()
+    if not b["nd"]:
+        return bm25_index_load(spark, path)
+    postings.write.partitionBy("__bucket").mode("append").parquet(
+        f"{path}/postings"
+    )
+    batch_stats = postings.groupBy("term").agg(
+        F.countDistinct(meta["id_col"]).cast("double").alias("__bdf")
+    )
+    old_stats = spark.read.parquet(f"{path}/term_stats")
+    # delta-sized: dfs are additive, so only terms the batch touched
+    # need new rows — batch-side left join, then keyed upsert
+    merged = batch_stats.join(old_stats, "term", "left_outer").select(
+        "term",
+        (F.col("__bdf") + F.coalesce(F.col("__df"), F.lit(0.0))).alias("__df"),
+    )
+    upsert_table(spark, f"{path}/term_stats", merged, "term")
+    n_old, avg_old = float(meta["n_docs"]), float(meta["avgdl"])
+    n_new = n_old + float(b["nd"])
+    avg_new = (avg_old * n_old + float(b["mass"])) / n_new
+    spark.createDataFrame(
+        [
+            (
+                n_new,
+                avg_new,
+                meta["id_col"],
+                float(meta["k1"]),
+                float(meta["b"]),
+                n_buckets,
+            )
+        ],
+        "n_docs double, avgdl double, id_col string, k1 double, b double, n_buckets int",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+    return bm25_index_load(spark, path)
 
 
 def bm25_topk_sql(

@@ -179,3 +179,61 @@ def test_minhash_index_round_trip(spark, tmp_path):
     assert scans
     assert all("__pbucket" in l.split("PartitionFilters:")[1].split("]")[0]
                for l in scans)
+
+
+def test_index_incremental_update_matches_rebuild(spark, docs, tmp_path):
+    """bm25_index_update: merging a new batch into a saved index gives
+    IDENTICAL search results to rebuilding over the full corpus, the
+    corpus-level scalars stay exact, bucket pruning survives the
+    append, and an empty batch is a no-op."""
+    from pyspark.sql import functions as F
+
+    from duckdb_imputation_spark.operators.retrieval import (
+        bm25_index_load,
+        bm25_index_update,
+    )
+
+    a = docs.filter("doc_id < 300")
+    b = docs.filter("doc_id >= 300")
+    path = str(tmp_path / "bm25")
+    idx_a = bm25_index(a, "text", "doc_id", persist=False)
+    idx_a.save(path, n_buckets=16)
+
+    updated = bm25_index_update(spark, path, b, "text", "doc_id")
+    full = bm25_index(docs, "text", "doc_id", persist=False)
+    assert updated.n_docs == full.n_docs
+    assert updated.avgdl == pytest.approx(full.avgdl, rel=1e-12)
+
+    for terms in (["hash", "join"], ["the", "data", "scan"]):
+        got = [tuple(r) for r in updated.search(terms, k=12).collect()]
+        want = [tuple(r) for r in full.search(terms, k=12).collect()]
+        assert got == want, terms
+    # per-term dfs merged exactly (spot-check against the full rebuild)
+    gstats = {
+        r["term"]: r["__df"]
+        for r in updated.term_stats.filter(
+            F.col("term").isin(["the", "data", "hash"])
+        ).collect()
+    }
+    wstats = {
+        r["term"]: r["__df"]
+        for r in full.term_stats.filter(
+            F.col("term").isin(["the", "data", "hash"])
+        ).collect()
+    }
+    assert gstats == wstats
+    # bucket pruning still physical after the append
+    plan = executed_plan(
+        updated.search(["data"], k=3).limit(3)
+    )
+    for line in plan.splitlines():
+        if "FileScan" in line and "postings" in line:
+            assert "PartitionFilters: [" in line
+            assert "__bucket" in line.split("PartitionFilters:")[1].split("]")[0]
+    # empty batch: no-op
+    before = updated.search(["data"], k=5).collect()
+    noop = bm25_index_update(
+        spark, path, b.filter("doc_id < 0"), "text", "doc_id"
+    )
+    assert noop.n_docs == updated.n_docs
+    assert noop.search(["data"], k=5).collect() == before
