@@ -32,6 +32,7 @@ __all__ = [
     "assign_clusters",
     "IVFIndex",
     "ivf_index_load",
+    "ivf_index_add",
     "quantize_int8",
     "quantize_int8_py",
     "quantized_cosine_topk",
@@ -531,6 +532,35 @@ def ivf_index_load(spark, path: str) -> IVFIndex:
         None,
         _prebuilt=(rows[0]["vec_col"], rows[0]["id_col"], centroids, assigned),
     )
+
+
+def ivf_index_add(spark, path: str, new_df: DataFrame) -> IVFIndex:
+    """Merge a batch of NEW vectors into a parquet-backed IVF index
+    (:meth:`IVFIndex.save`) WITHOUT rebuilding: assign the batch to the
+    EXISTING centroids (broadcast/inlined — one narrow pass over the
+    batch only) and append into the cluster-partitioned layout, so
+    probe-time partition pruning keeps working and old vectors are
+    never rescanned.
+
+    Centroids are frozen by design — the standard IVF maintenance
+    contract (FAISS ``add`` after ``train``): recall degrades only if
+    the new data's distribution drifts from the training sample, in
+    which case rebuild.  Caller contract: new ids must not already be
+    indexed.  Appending is new-files-only; a crash mid-append can leave
+    a partial batch — re-apply after removing the batch's files.
+
+    Returns the reopened index."""
+    rows = sorted(
+        spark.read.parquet(f"{path}/centroids").collect(),
+        key=lambda r: r["cluster"],
+    )
+    centroids = np.array([r["centroid"] for r in rows], dtype=np.float64)
+    vec_col, id_col = rows[0]["vec_col"], rows[0]["id_col"]
+    if new_df.head(1):
+        assign_clusters(new_df, vec_col, centroids).write.partitionBy(
+            "__cluster"
+        ).mode("append").parquet(f"{path}/vectors")
+    return ivf_index_load(spark, path)
 
 
 def kmeans_fit_distributed(

@@ -237,3 +237,52 @@ def test_index_incremental_update_matches_rebuild(spark, docs, tmp_path):
     )
     assert noop.n_docs == updated.n_docs
     assert noop.search(["data"], k=5).collect() == before
+
+
+def test_ivf_index_incremental_add(spark, tmp_path):
+    """ivf_index_add: appending a new batch against the frozen
+    centroids yields searches identical to assigning the full corpus
+    against those same centroids; pruning survives; empty batch no-op."""
+    from duckdb_imputation_spark.operators.simsearch import (
+        IVFIndex,
+        assign_clusters,
+        ivf_index_add,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    a = emb.filter("vec_id % 2 = 0")
+    b = emb.filter("vec_id % 2 = 1")
+    path = str(tmp_path / "ivf")
+    idx = IVFIndex(a, nlist=8, seed=3)
+    idx.save(path)
+    idx.unpersist()
+
+    updated = ivf_index_add(spark, path, b)
+    # reference: same frozen centroids, full corpus assigned fresh
+    ref = IVFIndex(
+        None,
+        _prebuilt=(
+            "embedding",
+            "vec_id",
+            updated.centroids,
+            assign_clusters(emb, "embedding", updated.centroids),
+        ),
+    )
+    for vid in (1, 7, 42):
+        q = list(emb.filter(f"vec_id = {vid}").first()["embedding"])
+        got = [tuple(r) for r in updated.search(q, k=8, nprobe=3).collect()]
+        want = [tuple(r) for r in ref.search(q, k=8, nprobe=3).collect()]
+        assert got == want
+        assert got[0][0] == vid  # new vectors are themselves findable
+    # probe filter still prunes partitions after the append
+    probe_df = updated.search([0.1] * len(q), k=3, nprobe=2)
+    probe_df.collect()  # finalize the AQE plan before inspecting it
+    plan = executed_plan(probe_df)
+    # NB: Location strings truncate in plan output, so match the filter
+    # itself — the vectors read is the plan's only FileScan
+    scans = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert scans and all("PartitionFilters: [__cluster" in ln for ln in scans)
+    # empty batch: no-op
+    n_before = updated.assigned.count()
+    noop = ivf_index_add(spark, path, b.filter("vec_id < 0"))
+    assert noop.assigned.count() == n_before
