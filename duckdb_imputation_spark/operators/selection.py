@@ -1,0 +1,148 @@
+"""Data selection for training corpora — importance weighting and
+perplexity partitioning.
+
+Two standard levers for choosing WHAT to train on once dedup and
+quality filters have done their work:
+
+* **DSIR-style importance weights** (Xie et al., "Data Selection for
+  Language Models via Importance Resampling", NeurIPS 2023): score each
+  document by how much more likely its tokens are under a TARGET
+  distribution (a trusted high-quality subset) than under the SOURCE
+  distribution (the whole corpus), using smoothed unigram language
+  models.  Documents with high weight "look like" the target domain;
+  resampling by weight shifts the training mixture toward it without
+  hand-written rules.
+
+* **CCNet-style perplexity buckets** (Wenzek et al., "CCNet: Extracting
+  High Quality Monolingual Datasets from Web Crawl Data", LREC 2020):
+  rank the corpus by language-model score and split it into
+  equal-sized head / middle / tail thirds.  CCNet trains on head (and
+  sometimes middle); tail is the junk drawer.  Rank-based terciles (not
+  score thresholds) make the split exact, deterministic, and free of
+  floating-point threshold edge cases.
+
+Scale shape: the unigram models are vocabulary-sized count tables that
+broadcast to a token-level join (the same plan as the green
+``unigram_logprob_scores`` catalog row); the per-document aggregate is
+one shuffle on doc id.  The global rank rides
+:func:`..operators.prefix.global_row_number` — the shard-offset pattern,
+never a single-partition window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .hashing import ws_tokens
+from .prefix import global_row_number
+
+__all__ = ["importance_weights", "perplexity_buckets"]
+
+
+def _doc_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(
+        id_col, F.explode(ws_tokens(F.col(text_col))).alias("token")
+    )
+
+
+def importance_weights(
+    df: DataFrame,
+    target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Per-document DSIR importance weight: mean over the document's
+    tokens of ``ln(p_target(tok) / p_source(tok))`` under add-one
+    smoothed unigram models, where the target model is estimated from
+    the rows matching the ``target`` predicate and the source model
+    from the full ``df``.
+
+    Returns (id_col, imp_weight, n_tokens) for every document with at
+    least one token.  Positive = looks more like the target than the
+    average document; ``exp(imp_weight * n_tokens)`` recovers the raw
+    likelihood ratio if resampling needs it.
+
+    Smoothing shares ONE vocabulary (the source's, which contains the
+    target's): ``p(tok|model) = (c_model(tok)+1) / (N_model + V)``, so
+    target-unseen tokens pull the weight down rather than zeroing it.
+    The log is taken of a single ratio of products — the exact
+    expression shape the DuckDB oracle replays bit-for-bit."""
+    toks = _doc_tokens(df, id_col, text_col)
+    tgt_toks = _doc_tokens(df.where(target), id_col, text_col)
+
+    src_cnt = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("double").alias("c_src")
+    )
+    tgt_cnt = tgt_toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("double").alias("c_tgt")
+    )
+    vocab = src_cnt.join(F.broadcast(tgt_cnt), "token", "left").select(
+        "token", "c_src", F.coalesce("c_tgt", F.lit(0.0)).alias("c_tgt")
+    )
+    # scalar totals: N_src, N_tgt, V — one row, broadcast to every token
+    totals = vocab.agg(
+        F.sum("c_src").alias("n_src"),
+        F.sum("c_tgt").alias("n_tgt"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    model = vocab.crossJoin(F.broadcast(totals))
+    scored = toks.join(F.broadcast(model), "token").select(
+        id_col,
+        F.log(
+            ((F.col("c_tgt") + 1.0) * (F.col("n_src") + F.col("v")))
+            / ((F.col("c_src") + 1.0) * (F.col("n_tgt") + F.col("v")))
+        ).alias("__lr"),
+    )
+    w = F.sum("__lr") / F.count(F.lit(1))
+    if round_digits is not None:
+        w = F.round(w, round_digits)
+    return scored.groupBy(id_col).agg(
+        w.alias("imp_weight"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
+
+
+def perplexity_buckets(
+    scores: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    n_shards: int = 32,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Split a scored corpus into equal-sized ``head`` / ``middle`` /
+    ``tail`` thirds by descending model score (head = most fluent, the
+    CCNet split).  Rank-based, so the cut is exact integer arithmetic:
+    rank r of n lands in head iff ``3r <= n``, middle iff ``3r <= 2n``.
+    Ties on the score break by ``id_col`` for full determinism.
+
+    Adds ``ppl_rank`` (1-based global rank) and ``ppl_bucket`` to the
+    input.  The global rank uses the shard-offset pattern
+    (:func:`..operators.prefix.global_row_number`) — one range exchange
+    plus a broadcast of ``n_shards`` offsets, never a single-partition
+    window; n arrives via a 1-row scalar-aggregate broadcast.
+
+    ``checkpoint=True`` (default) materializes ``scores`` once with
+    ``localCheckpoint`` before ranking: the ranking machinery reads the
+    scored frame from FOUR branches (shard-bounds job, per-shard
+    window, shard-totals offsets, the global count), and scores are
+    usually the output of an expensive corpus scan (a token-level LM
+    join) that must not run four times.  The scored frame itself is
+    doc-level — corpus row count, not token count — so the
+    materialization is the cheap side of that trade at any scale."""
+    if checkpoint:
+        scores = scores.localCheckpoint(eager=False)
+    neg = scores.withColumn("__neg", -F.col(score_col))
+    ranked = global_row_number(
+        neg, "__neg", n_shards, out_col="ppl_rank", tiebreak_cols=[id_col]
+    ).drop("__neg")
+    n = scores.agg(F.count(F.lit(1)).alias("__n"))
+    return ranked.crossJoin(F.broadcast(n)).select(
+        *scores.columns,
+        "ppl_rank",
+        F.when(F.col("ppl_rank") * 3 <= F.col("__n"), F.lit("head"))
+        .when(F.col("ppl_rank") * 3 <= F.col("__n") * 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("ppl_bucket"),
+    )

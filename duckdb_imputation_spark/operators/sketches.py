@@ -37,6 +37,9 @@ __all__ = [
     "merge_distinct_sketches",
     "estimate_distinct",
     "quantile_summary",
+    "countmin_sketch",
+    "merge_countmin",
+    "countmin_estimate",
 ]
 
 
@@ -115,3 +118,114 @@ def quantile_summary(
         for i, p in enumerate(probs)
     ]
     return agg.select(*by, *cols)
+
+
+# --------------------------------------------------------------------- #
+# Count-min sketch: approximate FREQUENCIES (the multiset complement of #
+# the HLL's distinct counts).  "How often does each token / URL / user  #
+# appear" at 100 TB is a d×w counter matrix, not a vocabulary-sized     #
+# exact count table: the sketch is bounded at depth*width cells no      #
+# matter the cardinality, merges by cell-wise ADDITION (exact — unlike  #
+# HLL there is no estimator asymmetry: est(merge(A,B)) ==               #
+# est(sketch(A∪B)) cell-for-cell), and only ever OVER-estimates         #
+# (collisions add, never subtract), with the classic guarantee          #
+# err <= 2N/width at probability 1 - (1/2)^depth.                       #
+#                                                                       #
+# Representation: a DataFrame (by_cols..., row, bucket, cnt) rather     #
+# than a driver-side matrix — the sketch STAYS distributed, persists as #
+# a table, and merges with plain union+groupBy.  Hashing rides the      #
+# repo-wide md5 primitives (hashing.py) so a DuckDB oracle reproduces   #
+# every cell and every estimate bit-for-bit.                            #
+# --------------------------------------------------------------------- #
+
+
+def _cm_bucket(value, row: int, width: int):
+    from .hashing import md5_int32
+
+    return md5_int32(value, seed=f"cm{row}|") % F.lit(width)
+
+
+def countmin_sketch(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    weight_col: str | None = None,
+    by_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Build a count-min sketch of ``value_col``'s frequencies:
+    (by_cols..., row, bucket, cnt) with at most depth*width rows per
+    group.  The depth-way explode happens BEFORE the exchange, but
+    map-side partial aggregation collapses each task's contribution to
+    <= depth*width cells, so the shuffle moves O(tasks * depth * width)
+    rows — never the corpus.  ``weight_col`` supports pre-aggregated
+    input (value, count) so an exact count table can be sketched
+    without re-expanding it."""
+    by = list(by_cols)
+    w8 = F.col(weight_col) if weight_col else F.lit(1)
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"),
+                _cm_bucket(F.col(value_col), r, width).alias("bucket"),
+            )
+            for r in range(depth)
+        ]
+    )
+    return (
+        df.select(*by, F.explode(cells).alias("__rb"), w8.alias("__w"))
+        .groupBy(*by, F.col("__rb.row").alias("row"), F.col("__rb.bucket").alias("bucket"))
+        .agg(F.sum("__w").cast("long").alias("cnt"))
+    )
+
+
+def merge_countmin(
+    *sketch_dfs: DataFrame, by_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Cell-wise addition of count-min sketches built with the SAME
+    (depth, width).  Exact and order-independent: the merged sketch is
+    identical to sketching the concatenated inputs — the property that
+    lets per-day / per-source sketch tables accumulate forever without
+    rescanning old data."""
+    by = list(by_cols)
+    u = sketch_dfs[0]
+    for f in sketch_dfs[1:]:
+        u = u.unionByName(f)
+    return u.groupBy(*by, "row", "bucket").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+
+
+def countmin_estimate(
+    sketch_df: DataFrame,
+    queries_df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    est_col: str = "cm_est",
+) -> DataFrame:
+    """Point-frequency estimates: for each row of ``queries_df``, the
+    minimum over the sketch's ``depth`` counters at that value's
+    buckets (missing cell = 0).  The sketch side is bounded at
+    depth*width rows, so it broadcasts; the probe is one narrow pass
+    over the queries — no corpus-sized movement anywhere."""
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"),
+                _cm_bucket(F.col(value_col), r, width).alias("bucket"),
+            )
+            for r in range(depth)
+        ]
+    )
+    probes = queries_df.select(
+        "*", F.posexplode(cells).alias("__i", "__rb")
+    ).select(
+        *queries_df.columns,
+        F.col("__rb.row").alias("row"),
+        F.col("__rb.bucket").alias("bucket"),
+    )
+    joined = probes.join(F.broadcast(sketch_df), ["row", "bucket"], "left")
+    return joined.groupBy(*queries_df.columns).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias(est_col)
+    )

@@ -147,13 +147,15 @@ _DRIVER_PRIORITY: list[str] = [
     "embedding_dup_pairs_lsh",
     "pack_documents_bins",
     "vocabulary_top_tokens",
+    # round 5 (late): new rows (never driver-verified) — DSIR importance
+    # weighting, CCNet perplexity terciles, count-min sketch round trip
+    "dsir_importance_weights",
+    "perplexity_buckets_documents",
+    "cmsketch_token_counts",
     # pinned since round 3 (first driver-hash-green in r3; some were
     # also green in r1 before rotating out of the r2 window)
     "nb_train_predict_histogram",
-    "sql_passthrough_shared_dialect",
     "sessionize_events",
-    "rolling_customer_spend",
-    "asof_join_click_to_view",
 ]
 
 
@@ -163,6 +165,11 @@ _DRIVER_PRIORITY: list[str] = [
 # full-catalog replay.  A query whose code changes must move back to
 # _DRIVER_PRIORITY for one round (VERDICT r4 hygiene rule).
 _DRIVER_DEMOTE: list[str] = [
+    # rotated out late round 5 for the selection/count-min rows:
+    # hash-green in r3 AND r4 driver runs, implementation untouched
+    "sql_passthrough_shared_dialect",
+    "rolling_customer_spend",
+    "asof_join_click_to_view",
     # rotated out round 7 to make window room for the two real-decode
     # multimodal rows: hash-green in the r4 driver run, implementation
     # untouched since
@@ -4388,6 +4395,156 @@ def bigram_logprob_scores(spark, sf):
         ).alias("avg_logprob"),
         F.count(F.lit(1)).alias("n_bigrams"),
     )
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, unnest({_ws_sql('text')}) AS token FROM documents
+    ), tgt_tk AS (
+      SELECT doc_id, unnest({_ws_sql('text')}) AS token FROM documents
+      WHERE lang = 'en'
+    ), src AS (
+      SELECT token, CAST(COUNT(*) AS DOUBLE) AS c_src FROM tk GROUP BY token
+    ), tgt AS (
+      SELECT token, CAST(COUNT(*) AS DOUBLE) AS c_tgt FROM tgt_tk GROUP BY token
+    ), vocab AS (
+      SELECT s.token, s.c_src, COALESCE(t.c_tgt, 0) AS c_tgt
+      FROM src s LEFT JOIN tgt t USING (token)
+    ), tot AS (
+      SELECT SUM(c_src) AS n_src, SUM(c_tgt) AS n_tgt,
+             CAST(COUNT(*) AS DOUBLE) AS v
+      FROM vocab
+    )
+    SELECT doc_id,
+           ROUND(SUM(ln(((c_tgt + 1) * (n_src + v)) /
+                        ((c_src + 1) * (n_tgt + v)))) / COUNT(*), 6)
+             AS imp_weight,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens
+    FROM tk JOIN vocab USING (token), tot
+    GROUP BY doc_id
+    """,
+)
+def dsir_importance_weights(spark, sf):
+    """DSIR importance weights (selection.importance_weights) with the
+    English subset as the target domain: per-document mean token
+    log-likelihood-ratio between add-one-smoothed target and source
+    unigram LMs.  Resampling the corpus by these weights shifts the
+    training mixture toward the target without hand-written rules
+    (Xie et al., NeurIPS 2023).  Vocabulary-sized model broadcast to a
+    token-level join; one doc_id shuffle — the unigram_logprob_scores
+    plan shape with a second count column."""
+    from .operators.selection import importance_weights
+
+    d = load_table(spark, sf, "documents")
+    return importance_weights(d, F.col("lang") == "en")
+
+
+@register(
+    "perplexity_buckets_documents",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, unnest({_ws_sql('text')}) AS token FROM documents
+    ), vocab AS (
+      SELECT token, CAST(COUNT(*) AS DOUBLE) AS c FROM tk GROUP BY token
+    ), tot AS (SELECT SUM(c) AS t FROM vocab),
+    scored AS (
+      SELECT doc_id,
+             ROUND(SUM(ln(c / t)) / COUNT(*), 6) AS avg_logprob
+      FROM tk JOIN vocab USING (token), tot
+      GROUP BY doc_id
+    ), ranked AS (
+      SELECT doc_id, avg_logprob,
+             CAST(ROW_NUMBER() OVER (ORDER BY avg_logprob DESC, doc_id)
+                  AS BIGINT) AS ppl_rank,
+             COUNT(*) OVER () AS n
+      FROM scored
+    )
+    SELECT doc_id, avg_logprob, ppl_rank,
+           CASE WHEN ppl_rank * 3 <= n THEN 'head'
+                WHEN ppl_rank * 3 <= n * 2 THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM ranked
+    """,
+)
+def perplexity_buckets_documents(spark, sf):
+    """CCNet head/middle/tail split (selection.perplexity_buckets):
+    rank every document by its unigram-LM score (the green
+    unigram_logprob_scores signal) and cut the corpus into equal
+    thirds — head is what CCNet keeps for training.  Rank-based
+    terciles are exact integer arithmetic (no float thresholds); the
+    global rank is the shard-offset pattern (operators/prefix.py), so
+    the oracle's single-partition ROW_NUMBER() OVER () never appears
+    in the Spark plan."""
+    from .operators.selection import perplexity_buckets
+
+    d = load_table(spark, sf, "documents")
+    tk = d.select("doc_id", F.explode(_dd.ws_tokens(F.col("text"))).alias("token"))
+    vocab = tk.groupBy("token").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    total = vocab.agg(F.sum("c").alias("t"))
+    scored = (
+        tk.join(F.broadcast(vocab), "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.log(F.col("c") / F.col("t"))) / F.count(F.lit(1)), 6
+            ).alias("avg_logprob")
+        )
+    )
+    return perplexity_buckets(scored, "avg_logprob")
+
+
+@register(
+    "cmsketch_token_counts",
+    oracle=f"""
+    WITH tk AS (
+      SELECT unnest({_ws_sql('text')}) AS token FROM documents
+    ), expanded AS (
+      SELECT g.s AS row,
+             CAST('0x' || substr(md5('cm' || g.s || '|' || token), 1, 8)
+                  AS BIGINT) % 512 AS bucket
+      FROM tk, generate_series(0, 3) g(s)
+    ), sketch AS (
+      SELECT row, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM expanded GROUP BY row, bucket
+    ), true_cnt AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS true_cnt
+      FROM tk GROUP BY token
+    ), top AS (
+      SELECT token, true_cnt FROM true_cnt
+      ORDER BY true_cnt DESC, token LIMIT 20
+    ), probe AS (
+      SELECT t.token, t.true_cnt, g.s AS row,
+             CAST('0x' || substr(md5('cm' || g.s || '|' || t.token), 1, 8)
+                  AS BIGINT) % 512 AS bucket
+      FROM top t, generate_series(0, 3) g(s)
+    )
+    SELECT p.token, p.true_cnt,
+           CAST(MIN(COALESCE(sk.cnt, 0)) AS BIGINT) AS cm_est
+    FROM probe p LEFT JOIN sketch sk USING (row, bucket)
+    GROUP BY p.token, p.true_cnt
+    """,
+)
+def cmsketch_token_counts(spark, sf):
+    """Count-min sketch round trip (sketches.countmin_sketch /
+    countmin_estimate): sketch every token occurrence into a 4x512
+    counter matrix, then read back estimated frequencies for the 20
+    most frequent tokens next to their exact counts.  CM estimates
+    only ever over-count (collisions add), merge by exact cell-wise
+    addition, and the whole sketch is bounded at depth*width cells —
+    the frequency complement of the HLL distinct sketch.  The md5
+    bucket hash is the repo-wide cross-engine primitive, so the DuckDB
+    twin reproduces every cell and every min() bit-for-bit."""
+    from .operators.sketches import countmin_estimate, countmin_sketch
+
+    d = load_table(spark, sf, "documents")
+    tk = d.select(F.explode(_dd.ws_tokens(F.col("text"))).alias("token"))
+    sketch = countmin_sketch(tk, "token", depth=4, width=512)
+    true = tk.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("true_cnt"))
+    top = true.orderBy(F.desc("true_cnt"), "token").limit(20)
+    return countmin_estimate(sketch, top, "token", depth=4, width=512)
 
 
 _HTML_EXTRA_ROWS = [
