@@ -13,7 +13,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["streaming_upsert_sink", "streaming_sketch_sink"]
+__all__ = [
+    "streaming_upsert_sink",
+    "streaming_sketch_sink",
+    "streaming_countmin_sink",
+]
 
 
 def streaming_upsert_sink(
@@ -45,6 +49,64 @@ def streaming_upsert_sink(
             )
         else:
             upsert_table(spark, path, batch, key_col, fmt=fmt)
+
+    writer = stream.writeStream.foreachBatch(apply)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer
+
+
+def streaming_countmin_sink(
+    stream: DataFrame,
+    path: str,
+    value_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    weight_col: str | None = None,
+    checkpoint: str | None = None,
+):
+    """Continuously maintain a persisted count-min FREQUENCY sketch
+    (operators/sketches.py) from a stream: per micro-batch, sketch the
+    batch (bounded at depth*width cells no matter the batch size),
+    merge it into the stored state for ONLY the cells the batch touches
+    (left-semi read), and upsert those delta-sized rows through the
+    crash-safe staged swap.  Old data is never rescanned.  Returns the
+    writer (caller picks the trigger).
+
+    Recovery note — the honest difference from the HLL sink: CM merge
+    is cell-wise ADDITION, so replaying a batch double-counts (unlike
+    the HLL register max, which is idempotent).  A ``checkpoint`` dir
+    is therefore REQUIRED for exactly-once estimates, not just for the
+    row tally; without one, estimates after a crash are an upper bound
+    (CM errors are one-sided already, so over-count stays over-count)."""
+    from ..operators.sketches import countmin_sketch, merge_countmin
+    from ..sources import upsert_table
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        spark = batch.sparkSession
+        bsk = countmin_sketch(
+            batch, value_col, depth=depth, width=width, weight_col=weight_col
+        )
+        try:
+            state = spark.read.parquet(path).select("row", "bucket", "cnt")
+        except Exception:
+            state = None
+        if state is not None:
+            touched = state.join(
+                bsk.select("row", "bucket"), on=["row", "bucket"], how="left_semi"
+            )
+            merged = merge_countmin(touched, bsk)
+        else:
+            merged = bsk
+        keyed = merged.withColumn(
+            "__key", F.concat_ws("|", F.col("row"), F.col("bucket"))
+        )
+        if state is not None:
+            upsert_table(spark, path, keyed, "__key")
+        else:
+            keyed.write.mode("overwrite").parquet(path)
 
     writer = stream.writeStream.foreachBatch(apply)
     if checkpoint:

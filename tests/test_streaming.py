@@ -499,3 +499,66 @@ def test_streaming_sketch_sink_matches_batch(spark, tmp_path):
     }
     for g, (est, n) in got.items():
         assert again[g] == (est, 2 * n)
+
+
+def test_streaming_countmin_sink_matches_batch(spark, tmp_path):
+    """Incrementally-maintained count-min state is CELL-IDENTICAL to
+    one batch sketch over the whole stream (CM merge is exact addition,
+    no estimator asymmetry); replaying without a checkpoint doubles
+    every cell (documented non-idempotence — the honest difference
+    from the HLL sink)."""
+    from duckdb_imputation_spark.operators import sketches as sk
+    from duckdb_imputation_spark.streaming.sinks import streaming_countmin_sink
+
+    df = spark.range(0, 2000).select(
+        ((F.col("id") * 48271) % 97).cast("string").alias("v")
+    )
+    src = str(tmp_path / "cm_src")
+    df.repartition(4).write.parquet(src)
+    state = str(tmp_path / "cm_state")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            streaming_countmin_sink(stream, state, "v", depth=4, width=64)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    got = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in spark.read.parquet(state).select("row", "bucket", "cnt").collect()
+    }
+    want = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in sk.countmin_sketch(df, "v", depth=4, width=64).collect()
+    }
+    assert got == want
+
+    # estimates from the streamed state never under-count the truth
+    est = {
+        r["v"]: r["cm_est"]
+        for r in sk.countmin_estimate(
+            spark.read.parquet(state).select("row", "bucket", "cnt"),
+            df.distinct(),
+            "v",
+            depth=4,
+            width=64,
+        ).collect()
+    }
+    exact = {r["v"]: r["c"] for r in df.groupBy("v").agg(F.count(F.lit(1)).alias("c")).collect()}
+    assert all(est[v] >= c for v, c in exact.items())
+
+    # replay without checkpoint: cell-wise addition doubles every count
+    run_once()
+    again = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in spark.read.parquet(state).select("row", "bucket", "cnt").collect()
+    }
+    assert again == {k: 2 * c for k, c in got.items()}
