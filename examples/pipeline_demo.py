@@ -3,6 +3,7 @@
 
   scrub PII → quality filter → exact + MinHash dedup → line dedup →
   duplicate-passage REMOVAL → decontaminate against an eval set →
+  CCNet perplexity split (drop the tail) + DSIR importance weights →
   temperature-weighted domain mix → BPE tokenizer train + encode →
   chunk → pack into context-window bins → BM25 retrieval
 
@@ -50,8 +51,36 @@ def main() -> None:
     decontaminated = dd.minhash_decontaminate(deduped, eval_set, "text", "doc_id")
     n3 = decontaminated.count()
 
+    # data selection: CCNet-style perplexity terciles on the corpus's
+    # own unigram LM — train on head+middle, drop the tail — plus DSIR
+    # importance weights toward the docs the eval stand-in looks like
+    from duckdb_imputation_spark.operators.hashing import ws_tokens as _wt
+    from duckdb_imputation_spark.operators.selection import (
+        importance_weights,
+        perplexity_buckets,
+    )
+
+    tk = decontaminated.select("doc_id", F.explode(_wt(F.col("text"))).alias("t"))
+    lm = tk.groupBy("t").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    tot = lm.agg(F.sum("c").alias("n"))
+    scores = (
+        tk.join(F.broadcast(lm), "t").crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg((F.sum(F.log(F.col("c") / F.col("n"))) / F.count(F.lit(1))).alias("lp"))
+    )
+    buckets = perplexity_buckets(scores, "lp")
+    kept_ids = buckets.where(F.col("ppl_bucket") != "tail").select("doc_id")
+    selected = decontaminated.join(kept_ids, "doc_id")
+    dsir = importance_weights(
+        decontaminated, F.col("doc_id") % 97 == 0
+    ).agg(F.round(F.avg("imp_weight"), 4).alias("w")).first()
+    print(
+        f"selection: kept head+middle = {selected.count()} docs; "
+        f"mean DSIR weight toward eval-like docs {dsir['w']}"
+    )
+
     sampled = tp.temperature_sample(
-        decontaminated.withColumn("src", F.col("doc_id") % 7),
+        selected.withColumn("src", F.col("doc_id") % 7),
         "src", "doc_id", target_frac=0.8,
     )
     # subword tokenizer: train on the cleaned corpus, encode every doc
@@ -105,6 +134,15 @@ def main() -> None:
     vocab_est = sk.estimate_distinct(sk.distinct_sketch(toks, "t")).first()
     print(f"~{vocab_est['n_distinct']} distinct tokens across "
           f"{vocab_est['n_rows']} (HLL estimate)")
+    # ...and a count-min frequency card for the same card (bounded at
+    # depth*width cells; per-batch CM tables merge by exact addition)
+    cm = sk.countmin_sketch(toks, "t", depth=4, width=512)
+    top_true = toks.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    probe = top_true.orderBy(F.desc("c"), "t").limit(3)
+    ests = sk.countmin_estimate(cm, probe, "t", depth=4, width=512).collect()
+    print("cm top tokens: " + ", ".join(
+        f"{r['t']}~{r['cm_est']} (true {r['c']})"
+        for r in sorted(ests, key=lambda r: -r["c"])))
     print(f"packed {bins['chunks']} chunks into {bins['bins']} bins of <=512 tokens")
 
     # retrieval over the cleaned corpus: build the BM25 index once,
