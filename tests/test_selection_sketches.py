@@ -190,3 +190,125 @@ def test_importance_weights_token_counts(spark, domain_df):
     out = importance_weights(domain_df, F.col("lang") == "en")
     n = {r["doc_id"]: r["n_tokens"] for r in out.collect()}
     assert n == {1: 4, 2: 3, 3: 3, 4: 2, 5: 2}
+
+
+# --------------------------------------------------------------------- #
+# randomized cross-implementation references (seeded)                   #
+# --------------------------------------------------------------------- #
+
+import hashlib
+import random
+
+
+def _py_bucket(tok: str, row: int, width: int) -> int:
+    h = hashlib.md5(f"cm{row}|{tok}".encode()).hexdigest()
+    return int(h[:8], 16) % width
+
+
+def _py_cm(tokens, depth, width):
+    cells = {}
+    for t in tokens:
+        for r in range(depth):
+            k = (r, _py_bucket(t, r, width))
+            cells[k] = cells.get(k, 0) + 1
+    return cells
+
+
+def test_countmin_matches_python_reference(spark):
+    rng = random.Random(7)
+    vocab = [f"tok{i}" for i in range(40)]
+    tokens = [rng.choice(vocab) for _ in range(800)]
+    df = spark.createDataFrame([(t,) for t in tokens], "token string")
+    got = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in countmin_sketch(df, "token", depth=3, width=32).collect()
+    }
+    assert got == _py_cm(tokens, 3, 32)
+    # estimates == min over the reference's rows for every distinct token
+    est = {
+        r["token"]: r["cm_est"]
+        for r in countmin_estimate(
+            countmin_sketch(df, "token", depth=3, width=32),
+            df.distinct(),
+            "token",
+            depth=3,
+            width=32,
+        ).collect()
+    }
+    ref = _py_cm(tokens, 3, 32)
+    for t in set(tokens):
+        want = min(ref[(r, _py_bucket(t, r, 32))] for r in range(3))
+        assert est[t] == want
+
+
+def test_countmin_merge_associative_random_split(spark):
+    rng = random.Random(11)
+    tokens = [f"t{rng.randrange(25)}" for _ in range(600)]
+    parts = [[], [], []]
+    for t in tokens:
+        parts[rng.randrange(3)].append(t)
+    dfs = [
+        spark.createDataFrame([(t,) for t in p] or [("__e__",)], "token string")
+        for p in parts
+    ]
+    sks = [countmin_sketch(d, "token", depth=3, width=16) for d in dfs]
+    left = merge_countmin(merge_countmin(sks[0], sks[1]), sks[2])
+    right = merge_countmin(sks[0], merge_countmin(sks[1], sks[2]))
+    a = {(r["row"], r["bucket"]): r["cnt"] for r in left.collect()}
+    b = {(r["row"], r["bucket"]): r["cnt"] for r in right.collect()}
+    assert a == b
+
+
+def test_perplexity_buckets_matches_python_reference(spark):
+    rng = random.Random(3)
+    rows = [(i, round(rng.uniform(-5, 0), 2)) for i in range(101)]  # ties likely
+    df = spark.createDataFrame(rows, "doc_id long, score double")
+    got = {
+        r["doc_id"]: (r["ppl_rank"], r["ppl_bucket"])
+        for r in perplexity_buckets(df, "score", n_shards=4).collect()
+    }
+    ordered = sorted(rows, key=lambda r: (-r[1], r[0]))
+    n = len(rows)
+    for rank0, (doc, _) in enumerate(ordered):
+        rank = rank0 + 1
+        want = (
+            "head" if rank * 3 <= n else "middle" if rank * 3 <= 2 * n else "tail"
+        )
+        assert got[doc] == (rank, want), doc
+
+
+def test_importance_weights_matches_python_reference(spark):
+    rng = random.Random(5)
+    vocab = [f"w{i}" for i in range(15)]
+    rows = []
+    for i in range(30):
+        lang = "en" if rng.random() < 0.4 else "xx"
+        text = " ".join(rng.choice(vocab) for _ in range(rng.randrange(1, 12)))
+        rows.append((i, lang, text))
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    src_cnt, tgt_cnt = {}, {}
+    for _, lang, text in rows:
+        for t in text.split():
+            src_cnt[t] = src_cnt.get(t, 0) + 1
+            if lang == "en":
+                tgt_cnt[t] = tgt_cnt.get(t, 0) + 1
+    n_src = sum(src_cnt.values())
+    n_tgt = sum(tgt_cnt.values())
+    v = len(src_cnt)
+
+    def py_weight(text):
+        toks = text.split()
+        s = sum(
+            math.log(
+                ((tgt_cnt.get(t, 0) + 1) * (n_src + v))
+                / ((src_cnt[t] + 1) * (n_tgt + v))
+            )
+            for t in toks
+        )
+        return s / len(toks)
+
+    out = importance_weights(df, F.col("lang") == "en", round_digits=None)
+    got = {r["doc_id"]: r["imp_weight"] for r in out.collect()}
+    for i, _, text in rows:
+        assert abs(got[i] - py_weight(text)) < 1e-9, i
