@@ -17,6 +17,7 @@ __all__ = [
     "streaming_upsert_sink",
     "streaming_sketch_sink",
     "streaming_countmin_sink",
+    "streaming_rollup_sink",
 ]
 
 
@@ -162,6 +163,92 @@ def streaming_sketch_sink(
         else:
             merged = bsk
         keyed = merged.withColumn("__key", key_expr())
+        if state is not None:
+            upsert_table(spark, path, keyed, "__key")
+        else:
+            keyed.write.mode("overwrite").parquet(path)
+
+    writer = stream.writeStream.foreachBatch(apply)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer
+
+
+def streaming_rollup_sink(
+    stream: DataFrame,
+    path: str,
+    key_cols,
+    aggs: dict,
+    checkpoint: str | None = None,
+):
+    """Continuously maintain a persisted rollup table (the hypertable
+    "continuous aggregate" pattern): per micro-batch, aggregate the
+    batch by ``key_cols`` (typically a time bucket + dimensions), merge
+    into the stored state for ONLY the touched keys (left-semi read),
+    and upsert those delta-sized rows through the crash-safe staged
+    swap.  Old buckets are never rescanned; the per-batch cost is
+    O(|batch| + touched-buckets), independent of table age.
+
+    ``aggs`` maps output column -> ("count" | "sum" | "min" | "max",
+    input column; the input column is ignored for "count").  Only
+    MERGEABLE aggregates are accepted — count and sum re-merge by sum,
+    min/max by themselves — which is exactly what makes the rollup
+    incrementally maintainable.  avg = sum/count at read time.
+
+    Recovery note: like the count-min sink (and unlike HLL register
+    max), count/sum merges are additive, so replaying a batch
+    double-counts — pair with a ``checkpoint`` dir for exactly-once.
+    min/max ARE idempotent under replay."""
+    from ..sources import upsert_table
+
+    keys = list(key_cols)
+    merge_fn = {"count": F.sum, "sum": F.sum, "min": F.min, "max": F.max}
+    for out, (kind, _) in aggs.items():
+        if kind not in merge_fn:
+            raise ValueError(
+                f"{out}: {kind!r} is not a mergeable rollup aggregate "
+                "(use count/sum/min/max; derive avg as sum/count)"
+            )
+
+    def batch_exprs():
+        exprs = []
+        for out, (kind, col) in aggs.items():
+            if kind == "count":
+                exprs.append(F.count(F.lit(1)).cast("long").alias(out))
+            else:
+                exprs.append(getattr(F, kind)(col).alias(out))
+        return exprs
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        spark = batch.sparkSession
+        b = batch.groupBy(*keys).agg(*batch_exprs())
+        try:
+            state = spark.read.parquet(path).select(*keys, *aggs)
+        except Exception:
+            state = None
+        if state is not None:
+            touched = state.join(b.select(*keys), on=keys, how="left_semi")
+            merged = (
+                touched.unionByName(b)
+                .groupBy(*keys)
+                .agg(
+                    *[
+                        merge_fn[kind](out).alias(out)
+                        for out, (kind, _) in aggs.items()
+                    ]
+                )
+            )
+        else:
+            merged = b
+        keyed = merged.withColumn(
+            "__key",
+            F.concat_ws(
+                "\x1f",
+                *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in keys],
+            ),
+        )
         if state is not None:
             upsert_table(spark, path, keyed, "__key")
         else:

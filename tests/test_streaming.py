@@ -562,3 +562,98 @@ def test_streaming_countmin_sink_matches_batch(spark, tmp_path):
         for r in spark.read.parquet(state).select("row", "bucket", "cnt").collect()
     }
     assert again == {k: 2 * c for k, c in got.items()}
+
+
+def test_streaming_rollup_sink_matches_batch(spark, tmp_path):
+    """Incrementally-maintained hourly rollup equals one batch rollup
+    over the whole stream (count/sum merge by addition, min/max by
+    themselves); replay without checkpoint doubles the additive columns
+    and leaves min/max unchanged (documented semantics)."""
+    from duckdb_imputation_spark.streaming.sinks import streaming_rollup_sink
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select(
+            F.date_trunc("hour", F.col("ts")).alias("hour_bucket"),
+            "event_type",
+            "value",
+        )
+    )
+    src = str(tmp_path / "ru_src")
+    ev.repartition(4).write.parquet(src)
+    state = str(tmp_path / "ru_state")
+    aggs = {
+        "n": ("count", None),
+        "sum_value": ("sum", "value"),
+        "min_value": ("min", "value"),
+        "max_value": ("max", "value"),
+    }
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            streaming_rollup_sink(
+                stream, state, ["hour_bucket", "event_type"], aggs
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+
+    def snap(df):
+        return {
+            (r["hour_bucket"], r["event_type"]): (
+                r["n"],
+                round(r["sum_value"], 6),
+                r["min_value"],
+                r["max_value"],
+            )
+            for r in df.collect()
+        }
+
+    got = snap(
+        spark.read.parquet(state).select(
+            "hour_bucket", "event_type", "n", "sum_value", "min_value", "max_value"
+        )
+    )
+    want = snap(
+        ev.groupBy("hour_bucket", "event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("value").alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+    assert set(got) == set(want)
+    for k, (n, s, lo, hi) in want.items():
+        gn, gs, glo, ghi = got[k]
+        assert gn == n and glo == lo and ghi == hi
+        assert abs(gs - s) < 1e-6  # float sum: merge order differs
+
+    # replay without checkpoint: additive columns double, min/max stable
+    run_once()
+    again = snap(
+        spark.read.parquet(state).select(
+            "hour_bucket", "event_type", "n", "sum_value", "min_value", "max_value"
+        )
+    )
+    for k, (n, s, lo, hi) in got.items():
+        an, a_s, alo, ahi = again[k]
+        assert an == 2 * n and alo == lo and ahi == hi
+        assert abs(a_s - 2 * s) < 1e-5
+
+
+def test_streaming_rollup_sink_rejects_non_mergeable(spark):
+    from duckdb_imputation_spark.streaming.sinks import streaming_rollup_sink
+
+    df = spark.range(1)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="mergeable"):
+        streaming_rollup_sink(df, "/tmp/x", ["id"], {"a": ("avg", "id")})
