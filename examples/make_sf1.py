@@ -11,6 +11,8 @@ from __future__ import annotations
 import os
 import sys
 
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 from pyspark.sql import functions as F
 
 from duckdb_imputation_spark.session import get_spark
