@@ -1,0 +1,122 @@
+"""Link-graph analytics — PageRank as a corpus quality signal.
+
+Web-scale corpus curation weighs documents by the importance of the
+pages they came from (the Common Crawl practice since the original
+PageRank paper: Page, Brin, Motwani & Winograd, "The PageRank Citation
+Ranking", 1999).  This module runs fixed-iteration weighted PageRank on
+an edge DataFrame — here derived from user navigation transitions, in
+production from a hyperlink table.
+
+Scale shape: ranks and the normalized edge list are the only state.
+Each iteration is ONE equi-join (ranks ⋈ edges on src, broadcast-able
+when ranks fit, shuffle-partitioned otherwise) and ONE keyed aggregate
+on dst; the dangling-node mass is a scalar aggregate collected to the
+driver per iteration (a designed stats boundary, like the k-means
+round in simsearch).  Lineage is cut with ``localCheckpoint`` every
+``checkpoint_every`` iterations so the plan stays bounded for long
+runs.
+
+Determinism: given a fixed edge multiset, every iteration is a pure
+deterministic computation (sums of doubles; partitioning only affects
+addition order, which the catalog row's ``round(,6)`` output absorbs —
+the same argument as the LM-score rows)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pagerank", "navigation_edges"]
+
+
+def navigation_edges(
+    events: DataFrame,
+    user_col: str,
+    page_col: str,
+    order_cols,
+) -> DataFrame:
+    """Per-user navigation transitions: consecutive events of the same
+    user (ordered by ``order_cols``) become a (src, dst) edge with a
+    transition count as weight.  The window is partitioned per user —
+    never global."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(*order_cols)
+    trans = events.select(
+        F.col(page_col).alias("src"),
+        F.lead(page_col).over(w).alias("dst"),
+    ).where(F.col("dst").isNotNull())
+    return trans.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("double").alias("weight")
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight_col: str | None = "weight",
+    iters: int = 3,
+    damping: float = 0.85,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Weighted PageRank with uniform teleport and uniform dangling-mass
+    redistribution, run for exactly ``iters`` power iterations from the
+    uniform start — the textbook update:
+
+        r'(v) = (1-d)/n + d * ( Σ_{u→v} r(u)·w(u,v)/out_w(u) + dm/n )
+
+    where ``dm`` is the total rank mass sitting on dangling nodes (no
+    out-edges).  Returns (node, rank); ranks sum to 1 after every
+    iteration by construction.
+
+    Fixed iterations (not convergence-tested) keep the computation
+    exactly reproducible — the catalog row's DuckDB oracle unrolls the
+    same three iterations as CTEs."""
+    w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    e = edges.groupBy(src, dst).agg(F.sum(w).alias("__w"))
+    out_w = e.groupBy(src).agg(F.sum("__w").alias("__ow"))
+    norm = (
+        e.join(out_w, src)
+        .select(
+            F.col(src).alias("__src"),
+            F.col(dst).alias("__dst"),
+            (F.col("__w") / F.col("__ow")).alias("__p"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    src_nodes = out_w.select(F.col(src).alias("node")).distinct()
+
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    for i in range(iters):
+        dm = (
+            ranks.join(src_nodes, "node", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+            .collect()[0]["dm"]
+        )
+        contrib = (
+            ranks.join(norm, ranks["node"] == norm["__src"])
+            .groupBy("__dst")
+            .agg(F.sum(F.col("rank") * F.col("__p")).alias("__c"))
+            .withColumnRenamed("__dst", "node")
+        )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit((1.0 - damping) / n)
+                + F.lit(damping)
+                * (F.coalesce(F.col("__c"), F.lit(0.0)) + F.lit(dm / n))
+            ).alias("rank"),
+        )
+        if (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks

@@ -148,13 +148,14 @@ _DRIVER_PRIORITY: list[str] = [
     "pack_documents_bins",
     "vocabulary_top_tokens",
     # round 5 (late): new rows (never driver-verified) — DSIR importance
-    # weighting, CCNet perplexity terciles, count-min sketch round trip
+    # weighting, CCNet perplexity terciles, count-min sketch round trip,
+    # navigation-graph PageRank
     "dsir_importance_weights",
     "perplexity_buckets_documents",
     "cmsketch_token_counts",
+    "pagerank_navigation",
     # pinned since round 3 (first driver-hash-green in r3; some were
     # also green in r1 before rotating out of the r2 window)
-    "nb_train_predict_histogram",
     "sessionize_events",
 ]
 
@@ -165,11 +166,12 @@ _DRIVER_PRIORITY: list[str] = [
 # full-catalog replay.  A query whose code changes must move back to
 # _DRIVER_PRIORITY for one round (VERDICT r4 hygiene rule).
 _DRIVER_DEMOTE: list[str] = [
-    # rotated out late round 5 for the selection/count-min rows:
+    # rotated out late round 5 for the selection/count-min/pagerank rows:
     # hash-green in r3 AND r4 driver runs, implementation untouched
     "sql_passthrough_shared_dialect",
     "rolling_customer_spend",
     "asof_join_click_to_view",
+    "nb_train_predict_histogram",
     # rotated out round 7 to make window room for the two real-decode
     # multimodal rows: hash-green in the r4 driver run, implementation
     # untouched since
@@ -4545,6 +4547,77 @@ def cmsketch_token_counts(spark, sf):
     true = tk.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("true_cnt"))
     top = true.orderBy(F.desc("true_cnt"), "token").limit(20)
     return countmin_estimate(sketch, top, "token", depth=4, width=512)
+
+
+def _pagerank_oracle(iters: int = 3) -> str:
+    """Unrolled fixed-iteration weighted PageRank over the navigation
+    graph (operators/graph.py is the Spark twin; same update formula,
+    same uniform dangling redistribution)."""
+    ctes = ["""
+    seq AS (
+      SELECT user_id, ts, event_id,
+             CAST(json_extract_string(props, '$.k') AS INT) AS k
+      FROM events
+    ), trans AS (
+      SELECT k AS src,
+             LEAD(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      FROM seq
+    ), edges AS (
+      SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS w
+      FROM trans WHERE dst IS NOT NULL GROUP BY src, dst
+    ), outw AS (
+      SELECT src, SUM(w) AS ow FROM edges GROUP BY src
+    ), p AS (
+      SELECT e.src, e.dst, e.w / o.ow AS p FROM edges e JOIN outw o USING (src)
+    ), nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM edges UNION ALL SELECT dst AS node FROM edges)
+    ), nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    r0 AS (SELECT node, 1.0 / nn.n AS r FROM nodes, nn)"""]
+    for i in range(iters):
+        ctes.append(f"""
+    d{i} AS (
+      SELECT COALESCE(SUM(r), 0) AS dm FROM r{i}
+      WHERE node NOT IN (SELECT src FROM outw)
+    ), r{i + 1} AS (
+      SELECT nodes.node,
+             0.15 / nn.n + 0.85 * (COALESCE(c.c, 0) + d{i}.dm / nn.n) AS r
+      FROM nodes LEFT JOIN (
+        SELECT p.dst AS node, SUM(r{i}.r * p.p) AS c
+        FROM r{i} JOIN p ON r{i}.node = p.src GROUP BY p.dst
+      ) c USING (node), nn, d{i}
+    )""")
+    return (
+        "WITH " + ",".join(ctes)
+        + f"""
+    SELECT node, ROUND(r, 6) AS pagerank FROM r{iters}
+    """
+    )
+
+
+@register("pagerank_navigation", oracle=_pagerank_oracle(3))
+def pagerank_navigation(spark, sf):
+    """PageRank over the user-navigation graph (operators/graph.py):
+    consecutive events of a user form weighted page transitions; three
+    power iterations with uniform teleport and dangling-mass
+    redistribution score each page's importance — the classic
+    corpus-curation quality signal (rank the sources your documents
+    come from).  Per iteration: ONE equi-join + ONE keyed aggregate;
+    the dangling mass is a per-iteration scalar collect (designed
+    driver boundary, like the k-means rounds).  The oracle unrolls the
+    identical three iterations as CTEs."""
+    from .operators.graph import navigation_edges, pagerank
+
+    ev = load_table(spark, sf, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+    edges = navigation_edges(ev, "user_id", "k", ["ts", "event_id"])
+    return pagerank(edges, iters=3).select(
+        "node", F.round("rank", 6).alias("pagerank")
+    )
 
 
 _HTML_EXTRA_ROWS = [

@@ -1,0 +1,96 @@
+"""Unit tests for operators/graph.py — fixed-iteration weighted
+PageRank against a pure-Python reference, including dangling nodes,
+and the navigation-edge builder."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_imputation_spark.operators.graph import navigation_edges, pagerank
+
+
+def _py_pagerank(edge_w, iters=3, damping=0.85):
+    """edge_w: dict (src, dst) -> weight."""
+    nodes = sorted({s for s, _ in edge_w} | {d for _, d in edge_w})
+    out_w = {}
+    for (s, _), w in edge_w.items():
+        out_w[s] = out_w.get(s, 0.0) + w
+    n = len(nodes)
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        dm = sum(r[v] for v in nodes if v not in out_w)
+        contrib = {v: 0.0 for v in nodes}
+        for (s, d), w in edge_w.items():
+            contrib[d] += r[s] * (w / out_w[s])
+        r = {
+            v: (1.0 - damping) / n + damping * (contrib[v] + dm / n)
+            for v in nodes
+        }
+    return r
+
+
+def _spark_ranks(spark, edge_w, **kw):
+    rows = [(s, d, float(w)) for (s, d), w in edge_w.items()]
+    e = spark.createDataFrame(rows, "src int, dst int, weight double")
+    return {r["node"]: r["rank"] for r in pagerank(e, **kw).collect()}
+
+
+def test_pagerank_matches_python_reference(spark):
+    rng = random.Random(42)
+    edge_w = {}
+    for _ in range(60):
+        s, d = rng.randrange(12), rng.randrange(12)
+        if s != d:
+            edge_w[(s, d)] = edge_w.get((s, d), 0) + 1
+    got = _spark_ranks(spark, edge_w, iters=3)
+    want = _py_pagerank(edge_w, iters=3)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-12, v
+
+
+def test_pagerank_with_dangling_nodes(spark):
+    # node 3 has only in-edges: its mass must redistribute, not vanish
+    edge_w = {(0, 1): 1, (1, 2): 1, (2, 3): 1, (0, 3): 2}
+    got = _spark_ranks(spark, edge_w, iters=4)
+    want = _py_pagerank(edge_w, iters=4)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-12
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conserved
+
+
+def test_pagerank_ranks_sum_to_one(spark):
+    edge_w = {(i, (i + 1) % 7): 1 for i in range(7)}
+    got = _spark_ranks(spark, edge_w, iters=5)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    # symmetric cycle: every node identical
+    vals = list(got.values())
+    assert max(vals) - min(vals) < 1e-12
+
+
+def test_pagerank_sink_attracts_mass(spark):
+    # star into node 0 (which loops to 1): 0 must outrank the leaves
+    edge_w = {(i, 0): 1 for i in range(1, 6)}
+    edge_w[(0, 1)] = 1
+    got = _spark_ranks(spark, edge_w, iters=3)
+    assert got[0] > max(got[i] for i in range(2, 6))
+
+
+def test_navigation_edges_counts_transitions(spark):
+    rows = [
+        (1, 1, 10), (1, 2, 20), (1, 3, 30),   # user 1: 10->20->30
+        (2, 1, 10), (2, 2, 20),               # user 2: 10->20
+        (3, 1, 99),                           # singleton: no edge
+    ]
+    ev = spark.createDataFrame(rows, "user_id int, t int, page int")
+    e = {
+        (r["src"], r["dst"]): r["weight"]
+        for r in navigation_edges(ev, "user_id", "page", ["t"]).collect()
+    }
+    assert e == {(10, 20): 2.0, (20, 30): 1.0}
+
+
+def test_pagerank_empty_edges(spark):
+    e = spark.createDataFrame([], "src int, dst int, weight double")
+    assert pagerank(e, iters=2).collect() == []
