@@ -154,9 +154,7 @@ _DRIVER_PRIORITY: list[str] = [
     "perplexity_buckets_documents",
     "cmsketch_token_counts",
     "pagerank_navigation",
-    # pinned since round 3 (first driver-hash-green in r3; some were
-    # also green in r1 before rotating out of the r2 window)
-    "sessionize_events",
+    "resample_interpolate_events",
 ]
 
 
@@ -172,6 +170,7 @@ _DRIVER_DEMOTE: list[str] = [
     "rolling_customer_spend",
     "asof_join_click_to_view",
     "nb_train_predict_histogram",
+    "sessionize_events",
     # rotated out round 7 to make window room for the two real-decode
     # multimodal rows: hash-green in the r4 driver run, implementation
     # untouched since
@@ -4617,6 +4616,77 @@ def pagerank_navigation(spark, sf):
     edges = navigation_edges(ev, "user_id", "k", ["ts", "event_id"])
     return pagerank(edges, iters=3).select(
         "node", F.round("rank", 6).alias("pagerank")
+    )
+
+
+@register(
+    "resample_interpolate_events",
+    oracle="""
+    WITH s0 AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t, value FROM events
+      WHERE user_id < 40
+    ), s AS (
+      SELECT user_id, t, AVG(value) AS v FROM s0 GROUP BY user_id, t
+    ), b AS (
+      SELECT user_id, MIN(t) AS t0, MAX(t) AS t1 FROM s GROUP BY user_id
+    ), grid AS (
+      SELECT user_id, unnest(range(t0, t1 + 1, 86400000000)) AS t FROM b
+    ), u AS (
+      SELECT user_id, t, v, 0 AS g FROM s
+      UNION ALL
+      SELECT user_id, t, NULL AS v, 1 AS g FROM grid
+    ), sw AS (
+      SELECT user_id, t, g,
+        last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+          ORDER BY t, g ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        last_value(CASE WHEN g = 0 THEN t END IGNORE NULLS) OVER (
+          PARTITION BY user_id
+          ORDER BY t, g ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+        last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+          ORDER BY t DESC, g ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nv,
+        last_value(CASE WHEN g = 0 THEN t END IGNORE NULLS) OVER (
+          PARTITION BY user_id
+          ORDER BY t DESC, g ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nt
+      FROM u
+    )
+    SELECT user_id, t AS grid_ts,
+           ROUND(CASE WHEN pt = t THEN pv
+                 ELSE pv + (nv - pv) *
+                      (CAST(t - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+                 END, 6) AS v_interp
+    FROM sw WHERE g = 1
+    """,
+)
+def resample_interpolate_events(spark, sf):
+    """Time-series gap filling (operators/timeseries.py): each user's
+    irregular event values resampled onto a daily grid spanning their
+    observed range, linear interpolation between neighbouring samples,
+    exact hits take the sample value.  The time-series face of the
+    imputation story — missing TIMESTAMPS instead of missing cells.
+    Everything partitions per key (two per-user ordered window sweeps);
+    the oracle runs the identical union + IGNORE-NULLS window plan."""
+    from .operators.timeseries import resample_interpolate
+
+    ev = (
+        load_table(spark, sf, "events")
+        .where(F.col("user_id") < 40)
+        .select(
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+            "value",
+        )
+    )
+    out = resample_interpolate(
+        ev,
+        ["user_id"],
+        "t",
+        "value",
+        step=86_400_000_000,
+        grid_col="grid_ts",
+        out_col="__vi",
+    )
+    return out.select(
+        "user_id", "grid_ts", F.round("__vi", 6).alias("v_interp")
     )
 
 

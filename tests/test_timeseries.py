@@ -1,0 +1,89 @@
+"""Unit tests for operators/timeseries.py resample_interpolate —
+hand-computed interpolations, exact-hit and duplicate semantics, and a
+pure-Python randomized reference."""
+
+import random
+
+from duckdb_imputation_spark.operators.timeseries import resample_interpolate
+
+
+def _run(spark, rows, step, keys=("k",)):
+    df = spark.createDataFrame(rows, "k int, t long, v double")
+    out = resample_interpolate(df, list(keys), "t", "v", step)
+    return {
+        (r["k"], r["grid_ts"]): r["value_interp"] for r in out.collect()
+    }
+
+
+def test_linear_interpolation_hand_computed(spark):
+    rows = [(1, 0, 10.0), (1, 10, 20.0), (1, 40, 80.0)]
+    got = _run(spark, rows, step=5)
+    assert got == {
+        (1, 0): 10.0,
+        (1, 5): 15.0,        # halfway 10 -> 20
+        (1, 10): 20.0,       # exact hit
+        (1, 15): 30.0,       # 20 + (80-20) * 5/30
+        (1, 20): 40.0,
+        (1, 25): 50.0,
+        (1, 30): 60.0,
+        (1, 35): 70.0,
+        (1, 40): 80.0,
+    }
+
+
+def test_grid_spans_observed_range_only(spark):
+    rows = [(1, 3, 1.0), (1, 13, 2.0)]
+    got = _run(spark, rows, step=5)
+    # grid starts AT the first sample (3, 8, 13) — no extrapolation
+    assert set(got) == {(1, 3), (1, 8), (1, 13)}
+    assert got[(1, 3)] == 1.0 and got[(1, 13)] == 2.0
+    assert abs(got[(1, 8)] - 1.5) < 1e-12
+
+
+def test_duplicate_samples_average_first(spark):
+    rows = [(1, 0, 10.0), (1, 0, 30.0), (1, 10, 0.0)]
+    got = _run(spark, rows, step=10)
+    assert got[(1, 0)] == 20.0  # avg of the duplicates
+    assert got[(1, 10)] == 0.0
+
+
+def test_keys_are_independent(spark):
+    rows = [(1, 0, 0.0), (1, 10, 10.0), (2, 5, 100.0), (2, 15, 200.0)]
+    got = _run(spark, rows, step=5)
+    assert got[(1, 5)] == 5.0
+    assert got[(2, 10)] == 150.0
+    assert (2, 0) not in got  # key 2's grid starts at ITS first sample
+
+
+def test_single_sample_key(spark):
+    rows = [(1, 7, 42.0)]
+    got = _run(spark, rows, step=100)
+    assert got == {(1, 7): 42.0}
+
+
+def test_matches_python_reference_randomized(spark):
+    rng = random.Random(9)
+    rows = []
+    samples = {}
+    for k in (1, 2, 3):
+        ts = sorted(rng.sample(range(0, 1000), 12))
+        for t in ts:
+            v = round(rng.uniform(-50, 50), 3)
+            rows.append((k, t, v))
+            samples.setdefault(k, []).append((t, v))
+    got = _run(spark, rows, step=37)
+
+    def py_interp(pts, t):
+        prev = max((p for p in pts if p[0] <= t), key=lambda p: p[0])
+        nxt = min((p for p in pts if p[0] >= t), key=lambda p: p[0])
+        if prev[0] == t:
+            return prev[1]
+        return prev[1] + (nxt[1] - prev[1]) * (t - prev[0]) / (nxt[0] - prev[0])
+
+    n_checked = 0
+    for k, pts in samples.items():
+        t0, t1 = pts[0][0], pts[-1][0]
+        for t in range(t0, t1 + 1, 37):
+            assert abs(got[(k, t)] - py_interp(pts, t)) < 1e-9, (k, t)
+            n_checked += 1
+    assert n_checked == len(got)  # exactly the per-key grids, no extras
