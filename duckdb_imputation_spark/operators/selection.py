@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 from .hashing import ws_tokens
 from .prefix import global_row_number
 
-__all__ = ["importance_weights", "perplexity_buckets"]
+__all__ = ["importance_weights", "perplexity_buckets", "domain_divergence"]
 
 
 def _doc_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -145,4 +145,51 @@ def perplexity_buckets(
         .when(F.col("ppl_rank") * 3 <= F.col("__n") * 2, F.lit("middle"))
         .otherwise(F.lit("tail"))
         .alias("ppl_bucket"),
+    )
+
+
+def domain_divergence(
+    df: DataFrame,
+    domain_col: str,
+    text_col: str = "text",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Per-domain KL divergence KL(P_domain || P_corpus) between MLE
+    unigram distributions — the mixture-monitoring signal: which
+    sources drift away from the corpus average (new crawl snapshot
+    looks different, a source went spammy, a scraper broke).
+
+    No smoothing is needed: the sum runs over the domain's OWN observed
+    tokens (p(t) = 0 terms vanish), and every such token has corpus
+    probability q(t) > 0 because the corpus contains the domain.
+    Returns (domain_col, kl_divergence, n_tokens); KL >= 0, and 0 only
+    for a domain distributed exactly like the corpus.
+
+    Scale shape: one token-level count per (domain, token) — map-side
+    combined — joined against the broadcast corpus vocabulary; the
+    final aggregate is one shuffle on the domain key."""
+    toks = df.select(
+        domain_col, F.explode(ws_tokens(F.col(text_col))).alias("token")
+    )
+    dom = toks.groupBy(domain_col, "token").agg(
+        F.count(F.lit(1)).cast("double").alias("c_d")
+    )
+    corp = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    n_dom = dom.groupBy(domain_col).agg(F.sum("c_d").alias("n_d"))
+    n_all = corp.agg(F.sum("c").alias("n"))
+    j = (
+        dom.join(F.broadcast(corp), "token")
+        .join(F.broadcast(n_dom), domain_col)
+        .crossJoin(F.broadcast(n_all))
+    )
+    p = F.col("c_d") / F.col("n_d")
+    q = F.col("c") / F.col("n")
+    kl = F.sum(p * F.log(p / q))
+    if round_digits is not None:
+        kl = F.round(kl, round_digits)
+    return j.groupBy(domain_col).agg(
+        kl.alias("kl_divergence"),
+        F.sum("c_d").cast("long").alias("n_tokens"),
     )

@@ -312,3 +312,51 @@ def test_importance_weights_matches_python_reference(spark):
     got = {r["doc_id"]: r["imp_weight"] for r in out.collect()}
     for i, _, text in rows:
         assert abs(got[i] - py_weight(text)) < 1e-9, i
+
+
+# --------------------------------------------------------------------- #
+# domain divergence                                                     #
+# --------------------------------------------------------------------- #
+
+
+def test_domain_divergence_matches_python_reference(spark):
+    from duckdb_imputation_spark.operators.selection import domain_divergence
+
+    rows = [
+        (1, "a", "x x y z"),
+        (2, "a", "x y y"),
+        (3, "b", "z z z w"),
+        (4, "b", "w z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        r["source"]: (r["kl_divergence"], r["n_tokens"])
+        for r in domain_divergence(df, "source", round_digits=None).collect()
+    }
+
+    corp, dom = {}, {}
+    for _, s, text in rows:
+        for t in text.split():
+            corp[t] = corp.get(t, 0) + 1
+            dom.setdefault(s, {}).setdefault(t, 0)
+            dom[s][t] += 1
+    n = sum(corp.values())
+    for s, cnts in dom.items():
+        nd = sum(cnts.values())
+        kl = sum(
+            (c / nd) * math.log((c / nd) / (corp[t] / n))
+            for t, c in cnts.items()
+        )
+        got_kl, got_n = out[s]
+        assert got_n == nd
+        assert abs(got_kl - kl) < 1e-12, s
+        assert got_kl >= 0
+
+
+def test_domain_divergence_zero_for_identical_distribution(spark):
+    from duckdb_imputation_spark.operators.selection import domain_divergence
+
+    rows = [(1, "a", "x y"), (2, "b", "x y"), (3, "a", "x y"), (4, "b", "x y")]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["source"]: r["kl_divergence"] for r in domain_divergence(df, "source").collect()}
+    assert out == {"a": 0.0, "b": 0.0}
