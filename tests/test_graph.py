@@ -94,3 +94,57 @@ def test_navigation_edges_counts_transitions(spark):
 def test_pagerank_empty_edges(spark):
     e = spark.createDataFrame([], "src int, dst int, weight double")
     assert pagerank(e, iters=2).collect() == []
+
+
+def _py_hits(edge_w, iters=5):
+    nodes = sorted({s for s, _ in edge_w} | {d for _, d in edge_w})
+    hub = {v: 1.0 for v in nodes}
+    auth = {v: 1.0 for v in nodes}
+    for _ in range(iters):
+        auth = {v: 0.0 for v in nodes}
+        for (s, d), w in edge_w.items():
+            auth[d] += hub[s] * w
+        t = sum(auth.values())
+        auth = {v: a / t for v, a in auth.items()}
+        hub = {v: 0.0 for v in nodes}
+        for (s, d), w in edge_w.items():
+            hub[s] += auth[d] * w
+        t = sum(hub.values())
+        hub = {v: h / t for v, h in hub.items()}
+    return hub, auth
+
+
+def test_hits_matches_python_reference(spark):
+    from duckdb_imputation_spark.operators.graph import hits
+
+    rng = random.Random(17)
+    edge_w = {}
+    for _ in range(40):
+        s, d = rng.randrange(10), rng.randrange(10)
+        if s != d:
+            edge_w[(s, d)] = edge_w.get((s, d), 0) + 1
+    rows = [(s, d, float(w)) for (s, d), w in edge_w.items()]
+    e = spark.createDataFrame(rows, "src int, dst int, weight double")
+    got = {
+        r["node"]: (r["hub"], r["authority"])
+        for r in hits(e, iters=5).collect()
+    }
+    hub, auth = _py_hits(edge_w, iters=5)
+    assert set(got) == set(hub)
+    for v in hub:
+        gh, ga = got[v]
+        assert abs(gh - hub[v]) < 1e-10 and abs(ga - auth[v]) < 1e-10, v
+
+
+def test_hits_hub_vs_authority_roles(spark):
+    from duckdb_imputation_spark.operators.graph import hits
+
+    # node 0 links to everything (pure hub); 1-4 are linked only (authorities)
+    edge_w = {(0, i): 1 for i in range(1, 5)}
+    rows = [(s, d, float(w)) for (s, d), w in edge_w.items()]
+    e = spark.createDataFrame(rows, "src int, dst int, weight double")
+    got = {r["node"]: (r["hub"], r["authority"]) for r in hits(e, iters=3).collect()}
+    assert got[0][0] == 1.0          # all hub mass on node 0
+    assert got[0][1] == 0.0          # no authority (nothing links to it)
+    for i in range(1, 5):
+        assert got[i][0] == 0.0 and abs(got[i][1] - 0.25) < 1e-12
