@@ -113,6 +113,22 @@ def main() -> None:
         est = sk.estimate_distinct(merged).first()
         print(f"sketch after merge: ~{est['n_distinct']} distinct tokens "
               f"over {est['n_rows']} (old data untouched)")
+
+        # count-min frequency state: same incremental story, EXACT
+        # cell-wise merge (no estimator asymmetry at all)
+        base_cm = sk.countmin_sketch(
+            day0.select(F.explode(ws_tokens(F.col("text"))).alias("t")),
+            "t", depth=4, width=512,
+        )
+        batch_cm = sk.countmin_sketch(
+            survivors.select(F.explode(ws_tokens(F.col("text"))).alias("t")),
+            "t", depth=4, width=512,
+        )
+        merged_cm = sk.merge_countmin(base_cm, batch_cm)
+        probe = spark.createDataFrame([("the",), ("data",)], "t string")
+        ests = sk.countmin_estimate(merged_cm, probe, "t", depth=4, width=512)
+        print("count-min after merge: " + ", ".join(
+            f"{r['t']}~{r['cm_est']}" for r in ests.collect()))
     finally:
         shutil.rmtree(root, ignore_errors=True)
         spark.stop()
