@@ -40,6 +40,8 @@ __all__ = [
     "countmin_sketch",
     "merge_countmin",
     "countmin_estimate",
+    "bottomk_sample",
+    "merge_bottomk",
 ]
 
 
@@ -229,3 +231,41 @@ def countmin_estimate(
     return joined.groupBy(*queries_df.columns).agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias(est_col)
     )
+
+
+def bottomk_sample(
+    df: DataFrame,
+    key_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Mergeable uniform sample: the ``k`` rows whose md5(key) hashes
+    lowest — the classic bottom-k sketch.  Because the hash order is a
+    fixed random permutation of the key space, the k smallest hashes
+    are a uniform-without-replacement sample of the DISTINCT keys, and
+    two samples merge by union + re-taking the k smallest (exact: the
+    merged sample equals the sample of the concatenated inputs, the
+    same accumulate-forever property as the other sketches here).
+
+    Returns the sampled rows with their ``__bk_hash`` attached (keep it
+    — merging needs it).  Deterministic for a given (key set, salt);
+    vary ``salt`` to draw an independent sample.  The TakeOrdered plan
+    moves only k rows per partition to the driver-side heap — never the
+    corpus."""
+    from .hashing import md5_int60
+
+    hashed = df.withColumn(
+        "__bk_hash", md5_int60(F.col(key_col).cast("string"), seed=f"bk{salt}|")
+    )
+    return hashed.orderBy("__bk_hash", key_col).limit(k)
+
+
+def merge_bottomk(*samples: DataFrame, k: int, key_col: str) -> DataFrame:
+    """Union bottom-k samples and re-take the k smallest hashes —
+    exactly the sample of the concatenated inputs.  Duplicate keys
+    (the same key present in several samples) collapse to one row."""
+    u = samples[0]
+    for s in samples[1:]:
+        u = u.unionByName(s)
+    dedup = u.dropDuplicates([key_col])
+    return dedup.orderBy("__bk_hash", key_col).limit(k)

@@ -360,3 +360,50 @@ def test_domain_divergence_zero_for_identical_distribution(spark):
     df = spark.createDataFrame(rows, "doc_id long, source string, text string")
     out = {r["source"]: r["kl_divergence"] for r in domain_divergence(df, "source").collect()}
     assert out == {"a": 0.0, "b": 0.0}
+
+
+# --------------------------------------------------------------------- #
+# bottom-k sample                                                       #
+# --------------------------------------------------------------------- #
+
+
+def test_bottomk_merge_equals_single_pass(spark):
+    from duckdb_imputation_spark.operators.sketches import (
+        bottomk_sample,
+        merge_bottomk,
+    )
+
+    rows = [(i, f"doc{i}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = bottomk_sample(df.where("doc_id < 120"), "doc_id", k=15)
+    b = bottomk_sample(df.where("doc_id >= 120"), "doc_id", k=15)
+    merged = {r["doc_id"] for r in merge_bottomk(a, b, k=15, key_col="doc_id").collect()}
+    single = {r["doc_id"] for r in bottomk_sample(df, "doc_id", k=15).collect()}
+    assert merged == single
+
+
+def test_bottomk_deterministic_and_salt_varies(spark):
+    from duckdb_imputation_spark.operators.sketches import bottomk_sample
+
+    rows = [(i,) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long")
+    s1 = {r["doc_id"] for r in bottomk_sample(df, "doc_id", k=20).collect()}
+    s2 = {r["doc_id"] for r in bottomk_sample(df, "doc_id", k=20).collect()}
+    s3 = {r["doc_id"] for r in bottomk_sample(df, "doc_id", k=20, salt="x").collect()}
+    assert s1 == s2          # rerun-stable
+    assert s1 != s3          # independent draw under a different salt
+    assert len(s1) == 20
+
+
+def test_bottomk_overlapping_inputs_dedupe(spark):
+    from duckdb_imputation_spark.operators.sketches import (
+        bottomk_sample,
+        merge_bottomk,
+    )
+
+    rows = [(i,) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long")
+    a = bottomk_sample(df, "doc_id", k=10)
+    m = merge_bottomk(a, a, k=10, key_col="doc_id").collect()
+    assert len(m) == 10
+    assert len({r["doc_id"] for r in m}) == 10
