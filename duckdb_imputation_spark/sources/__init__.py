@@ -34,6 +34,7 @@ __all__ = [
     "upsert_table",
     "upsert_table_partitioned",
     "register_view",
+    "read_binary_dir",
 ]
 
 
@@ -263,3 +264,33 @@ def upsert_table_partitioned(
         .save(path)
     )
     return n
+
+
+def read_binary_dir(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Ingest raw files as rows — the standard multimodal landing path
+    (image / audio / video files on distributed storage become a binary
+    column plus file metadata, ready for operators/multimodal.py):
+
+        (path string, modificationTime timestamp, length long,
+         content binary)
+
+    Wraps Spark's ``binaryFile`` source, so ingestion is distributed,
+    partitioned by Spark's file-splitting policy (one file per row;
+    files are never split), and filter-pushdown applies to the metadata
+    columns — a ``length <= N`` filter prunes oversized blobs BEFORE
+    their bytes are read (``max_bytes`` wires that in directly).
+    ``glob`` narrows the listing (e.g. ``*.ppm``)."""
+    from pyspark.sql import functions as F
+
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    if max_bytes is not None:
+        df = df.where(F.col("length") <= max_bytes)
+    return df

@@ -1150,3 +1150,42 @@ def test_quantile_summary_rank_error(spark):
         for p, col in ((0.5, "q_0_5"), (0.9, "q_0_9")):
             rank = vals.index(r[col])
             assert abs(rank - p * m) <= max(2, m / 1000), (r["g"], p)
+
+
+def test_read_binary_dir_ingests_and_decodes_files(spark, tmp_path):
+    """File-on-disk multimodal landing path: raw .pgm files ingested via
+    the binaryFile source become (path, length, content) rows; the REAL
+    netpbm decoder then runs over the binary column — and the
+    max_bytes guard prunes oversized blobs by metadata."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from duckdb_imputation_spark.operators.multimodal import decode_images
+    from duckdb_imputation_spark.sources import read_binary_dir
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    # two valid 4x2 grayscale PGMs with known pixels + one decoy txt
+    for i, base in enumerate((10, 100)):
+        px = bytes(base + j for j in range(8))
+        (d / f"img{i}.pgm").write_bytes(b"P5\n4 2\n255\n" + px)
+    (d / "notes.txt").write_text("not an image")
+
+    df = read_binary_dir(spark, str(d), glob="*.pgm")
+    rows = df.select("path", "length", "content").collect()
+    assert len(rows) == 2  # the glob excluded the decoy
+    assert all(r["length"] == len(r["content"]) for r in rows)
+
+    with_id = df.select(
+        F.monotonically_increasing_id().alias("id"), "path", "content"
+    )
+    decoded = decode_images(
+        with_id, "content", "id", height=2, width=4, fake=False
+    ).collect()
+    means = sorted(round(r["mean_pixel"], 3) for r in decoded)
+    # mean of base..base+7 = base + 3.5
+    assert means == [13.5, 103.5]
+
+    # metadata pruning: a 5-byte cap excludes both 19-byte files before
+    # any content is touched
+    assert read_binary_dir(spark, str(d), glob="*.pgm", max_bytes=5).count() == 0
