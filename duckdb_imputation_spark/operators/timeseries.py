@@ -30,7 +30,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["resample_interpolate"]
+__all__ = ["resample_interpolate", "fill_forward"]
 
 
 def resample_interpolate(
@@ -105,3 +105,40 @@ def resample_interpolate(
         F.col("__t").alias(grid_col),
         interp.alias(out_col),
     )
+
+
+def fill_forward(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    value_cols: Sequence[str],
+    backward: bool = False,
+    out_suffix: str = "_filled",
+) -> DataFrame:
+    """LOCF gap filling (last observation carried forward) — the other
+    classic time-series imputation next to interpolation: every NULL in
+    ``value_cols`` takes the most recent non-null value of the same key
+    (``backward=True`` carries the NEXT observation backward instead —
+    NOCB).  Leading NULLs (no prior observation) stay NULL.
+
+    ``order_col`` must be unique within a key or the fill is
+    order-dependent (same caveat as every ordered sweep in this repo —
+    and note the synthetic testdata's lineitem is NOT unique on
+    (l_orderkey, l_linenumber); events IS unique on (user_id,
+    event_id)).
+
+    One per-key ordered window sweep per direction — no global window;
+    rows per key bound the cost."""
+    keys = list(key_cols)
+    order = F.col(order_col).desc() if backward else F.col(order_col)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = df
+    for c in value_cols:
+        out = out.withColumn(
+            c + out_suffix, F.last(F.col(c), ignorenulls=True).over(w)
+        )
+    return out

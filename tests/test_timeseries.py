@@ -87,3 +87,50 @@ def test_matches_python_reference_randomized(spark):
             assert abs(got[(k, t)] - py_interp(pts, t)) < 1e-9, (k, t)
             n_checked += 1
     assert n_checked == len(got)  # exactly the per-key grids, no extras
+
+
+def test_fill_forward_locf(spark):
+    from duckdb_imputation_spark.operators.timeseries import fill_forward
+
+    rows = [
+        (1, 1, None), (1, 2, 5.0), (1, 3, None), (1, 4, None), (1, 5, 7.0),
+        (2, 1, 1.0), (2, 2, None),
+    ]
+    df = spark.createDataFrame(rows, "k int, t int, v double")
+    got = {
+        (r["k"], r["t"]): r["v_filled"]
+        for r in fill_forward(df, ["k"], "t", ["v"]).collect()
+    }
+    assert got == {
+        (1, 1): None,   # leading NULL stays NULL
+        (1, 2): 5.0,
+        (1, 3): 5.0,
+        (1, 4): 5.0,
+        (1, 5): 7.0,
+        (2, 1): 1.0,
+        (2, 2): 1.0,    # key 2's own last value, not key 1's
+    }
+
+
+def test_fill_backward_nocb(spark):
+    from duckdb_imputation_spark.operators.timeseries import fill_forward
+
+    rows = [(1, 1, None), (1, 2, 5.0), (1, 3, None)]
+    df = spark.createDataFrame(rows, "k int, t int, v double")
+    got = {
+        (r["k"], r["t"]): r["v_filled"]
+        for r in fill_forward(df, ["k"], "t", ["v"], backward=True).collect()
+    }
+    assert got == {(1, 1): 5.0, (1, 2): 5.0, (1, 3): None}
+
+
+def test_fill_forward_multiple_columns(spark):
+    from duckdb_imputation_spark.operators.timeseries import fill_forward
+
+    rows = [(1, 1, 1.0, None), (1, 2, None, 9.0), (1, 3, None, None)]
+    df = spark.createDataFrame(rows, "k int, t int, a double, b double")
+    r = {
+        r["t"]: (r["a_filled"], r["b_filled"])
+        for r in fill_forward(df, ["k"], "t", ["a", "b"]).collect()
+    }
+    assert r == {1: (1.0, None), 2: (1.0, 9.0), 3: (1.0, 9.0)}
