@@ -158,6 +158,17 @@ _DRIVER_PRIORITY: list[str] = [
 ]
 
 
+# NEXT-ROTATION CANDIDATES (operators built and unit-tested this round
+# but without catalog rows — the 50-slot window was full; each already
+# has a proven cross-engine twin from its /verify drive):
+#   selection.domain_divergence  (KL drift per source — plain SQL twin)
+#   graph.hits                   (unrolled-CTE oracle like pagerank's)
+#   timeseries.fill_forward      (IGNORE-NULLS window twin; order on
+#                                 events (user_id, event_id) — lineitem
+#                                 (l_orderkey, l_linenumber) is NOT unique)
+#   sketches.bottomk_sample      (md5 rank + LIMIT twin)
+# Register them as rows when the r5 driver run greens this window.
+
 # Hash-green in at least one past driver round (see CORRECTNESS_r*.json)
 # AND implementation-stable since that round; rotated past the 50-query
 # cutoff to make room.  Still verified every round by the local
