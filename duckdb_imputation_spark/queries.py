@@ -121,22 +121,20 @@ _DRIVER_PRIORITY: list[str] = [
     "triple_lineitem_wide",
     # round 5: new row — the prebuilt-index BM25 path (never verified)
     "bm25_index_search_documents",
-    # round 5: retrieval.py gained the index surface this round; keep
-    # the one-shot BM25 row in-window for a post-change hash row even
-    # though bm25_topk's own body is untouched (hygiene rule)
-    "bm25_search_documents",
-    # round 5: text_stats gained the nested lower-bind and
-    # chunk_documents the token-array bind — post-change hash rows
-    "text_stats_documents",
-    "chunk_documents_catalog",
+    # late round 5: mice/run.py gained the lazy-checkpoint fuse and
+    # cofactor.py the conditional multi-triple scan (the mice-low delta
+    # lookahead) — execution-semantics changes to the FLAGSHIP surface,
+    # so all four mice rows rotate back in for a post-change driver
+    # hash (the r4-verdict hygiene rule); local replay already green
+    "mice_single_col_sql_oracle",
+    "mice_low_sql_oracle",
+    "mice_high_sql_oracle",
+    "mice_categorical_sql_oracle",
     # round 5: new rows — Gopher repetition filters, the tokenizer-apply
     # encode, and 13-gram decontamination (never verified)
     "repetition_metrics_documents",
     "encode_documents_vocab",
     "ngram_decontaminate_documents",
-    # round 5: _token_ngrams gained the token-array bind — post-change
-    # hash row for its existing consumer
-    "ngram_jaccard_dups",
     # round 4: new rows (never driver-verified) and queries whose
     # implementation changed this round — their hashes need fresh
     # driver evidence even though the results are designed to be
@@ -182,6 +180,17 @@ _DRIVER_DEMOTE: list[str] = [
     "asof_join_click_to_view",
     "nb_train_predict_histogram",
     "sessionize_events",
+    # rotated out late round 5 to make room for the four mice rows
+    # (changed execution semantics outrank changed expression binds):
+    # all four are r1-r4 driver-green; their r5-internal changes are
+    # plan-level binds designed hash-unchanged (text_stats nested
+    # lower-bind, chunk/jaccard token-array bind) or an untouched body
+    # behind a grown module (bm25_topk).  Local replay green; rotate
+    # back for driver evidence next round.
+    "text_stats_documents",
+    "chunk_documents_catalog",
+    "ngram_jaccard_dups",
+    "bm25_search_documents",
     # rotated out round 7 to make window room for the two real-decode
     # multimodal rows: hash-green in the r4 driver run, implementation
     # untouched since
