@@ -1,0 +1,71 @@
+"""Descriptive statistics FROM the cofactor triple — the ring as a
+general analytics primitive.
+
+The triple (count, Σx, Σxxᵀ) is a sufficient statistic for every
+second-order quantity: ONE distributed aggregation pass yields the full
+mean vector, covariance matrix, correlation matrix, and standard
+deviations of any column set — where the naive route runs d(d+1)/2
+separate ``covar_pop`` aggregates (each its own scan or at best its own
+aggregate slot).  This is the same aggregation the ML trainers ride
+(ml/linreg.py trains from exactly these statistics — reference
+ring/ring.cpp builds them the same way); here it is exposed as a plain
+stats API.
+
+Population (1/N) normalization, matching SQL ``covar_pop`` /
+``stddev_pop`` — the DuckDB twin for a catalog row is a plain
+covar_pop/corr aggregate."""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame
+
+from ..functions.triple import Triple, pair_index
+from ..operators.cofactor import sum_to_triple
+
+__all__ = ["second_order_stats", "covariance_matrix", "correlation_matrix"]
+
+
+def second_order_stats(
+    df: DataFrame, cols: Sequence[str]
+) -> tuple[int, np.ndarray, np.ndarray]:
+    """One cofactor pass → (n, mean vector, covariance matrix) for
+    ``cols`` (population normalization).  Rows containing a NULL in any
+    of ``cols`` are excluded (lift semantics)."""
+    cols = list(cols)
+    d = len(cols)
+    row = sum_to_triple(df.dropna(subset=cols), cols, []).collect()
+    t = (
+        Triple.from_row(row[0]["triple"], d_num=d, d_cat=0)
+        if row
+        else Triple.zero(d, 0)
+    )
+    n = int(t.n)
+    if n == 0:
+        return 0, np.zeros(d), np.zeros((d, d))
+    mean = np.asarray(t.lin, dtype=np.float64) / n
+    cov = np.empty((d, d), dtype=np.float64)
+    for i in range(d):
+        for j in range(i, d):
+            exy = t.quad[pair_index(i, j, d)] / n
+            cov[i, j] = cov[j, i] = exy - mean[i] * mean[j]
+    return n, mean, cov
+
+
+def covariance_matrix(df: DataFrame, cols: Sequence[str]) -> np.ndarray:
+    """Population covariance matrix of ``cols`` from one triple pass."""
+    return second_order_stats(df, cols)[2]
+
+
+def correlation_matrix(df: DataFrame, cols: Sequence[str]) -> np.ndarray:
+    """Pearson correlation matrix of ``cols`` from one triple pass.
+    A zero-variance column yields NaN against every other column (and
+    1.0 with itself), matching SQL ``corr`` semantics."""
+    cov = covariance_matrix(df, cols)
+    sd = np.sqrt(np.diag(cov))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        corr = cov / np.outer(sd, sd)
+    np.fill_diagonal(corr, 1.0)
+    return corr

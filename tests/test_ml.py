@@ -545,3 +545,69 @@ def test_nb_strict_unseen_matches_reference_tiebreak(spark):
     # -> the informative ordering picks 20 where strict falls back to 10
     assert default[0] == 20
     assert default[1] == 20
+
+
+# --------------------------------------------------------------------- #
+# second-order stats from the triple (ml/stats.py)                      #
+# --------------------------------------------------------------------- #
+
+
+def test_covariance_matrix_matches_numpy(spark):
+    import numpy as np
+
+    from duckdb_imputation_spark.ml.stats import (
+        correlation_matrix,
+        second_order_stats,
+    )
+
+    rng = np.random.default_rng(31)
+    data = rng.normal(0, 5, size=(300, 3)).round(3)
+    rows = [tuple(float(x) for x in r) for r in data]
+    df = spark.createDataFrame(rows, "a double, b double, c double")
+    n, mean, cov = second_order_stats(df, ["a", "b", "c"])
+    assert n == 300
+    assert np.allclose(mean, data.mean(axis=0), atol=1e-9)
+    assert np.allclose(cov, np.cov(data.T, bias=True), atol=1e-8)
+    corr = correlation_matrix(df, ["a", "b", "c"])
+    assert np.allclose(corr, np.corrcoef(data.T), atol=1e-8)
+
+
+def test_covariance_null_rows_excluded(spark):
+    import numpy as np
+
+    from duckdb_imputation_spark.ml.stats import second_order_stats
+
+    rows = [(1.0, 2.0), (3.0, 6.0), (None, 99.0), (5.0, 10.0)]
+    df = spark.createDataFrame(rows, "a double, b double")
+    n, mean, cov = second_order_stats(df, ["a", "b"])
+    clean = np.array([[1.0, 2.0], [3.0, 6.0], [5.0, 10.0]])
+    assert n == 3
+    assert np.allclose(mean, clean.mean(axis=0))
+    assert np.allclose(cov, np.cov(clean.T, bias=True))
+
+
+def test_correlation_zero_variance_column(spark):
+    import numpy as np
+
+    from duckdb_imputation_spark.ml.stats import correlation_matrix
+
+    rows = [(1.0, 7.0), (2.0, 7.0), (3.0, 7.0)]
+    df = spark.createDataFrame(rows, "a double, b double")
+    corr = correlation_matrix(df, ["a", "b"])
+    assert corr[0, 0] == 1.0 and corr[1, 1] == 1.0
+    assert np.isnan(corr[0, 1]) and np.isnan(corr[1, 0])
+
+
+def test_covariance_matches_spark_builtin(spark):
+    """Triple-derived covariance == Spark's own covar_pop on real data."""
+    from pyspark.sql import functions as F
+
+    from duckdb_imputation_spark.ml.stats import covariance_matrix
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    cov = covariance_matrix(li, cols)
+    for i, a in enumerate(cols):
+        for j, b in enumerate(cols):
+            want = li.agg(F.covar_pop(a, b)).first()[0]
+            assert abs(cov[i, j] - want) < 1e-6 * max(1.0, abs(want)), (a, b)
