@@ -165,6 +165,8 @@ _DRIVER_PRIORITY: list[str] = [
 #                                 events (user_id, event_id) — lineitem
 #                                 (l_orderkey, l_linenumber) is NOT unique)
 #   sketches.bottomk_sample      (md5 rank + LIMIT twin)
+#   ml.stats.covariance_matrix   (covar_pop/corr twin — grouped variant
+#                                 oracles as covar_pop ... GROUP BY)
 # Register them as rows when the r5 driver run greens this window.
 
 # Hash-green in at least one past driver round (see CORRECTNESS_r*.json)
