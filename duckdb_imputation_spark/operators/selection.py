@@ -37,7 +37,12 @@ from pyspark.sql import functions as F
 from .hashing import ws_tokens
 from .prefix import global_row_number
 
-__all__ = ["importance_weights", "perplexity_buckets", "domain_divergence"]
+__all__ = [
+    "importance_weights",
+    "perplexity_buckets",
+    "domain_divergence",
+    "weighted_sample",
+]
 
 
 def _doc_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -193,3 +198,36 @@ def domain_divergence(
         kl.alias("kl_divergence"),
         F.sum("c_d").cast("long").alias("n_tokens"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k rows with inclusion
+    probability proportional to ``weight_col`` — the resampling half of
+    DSIR.  Pair with :func:`importance_weights` via the RAW likelihood
+    ratio ``w = exp(imp_weight * n_tokens)`` (the per-token mean alone
+    compresses weights toward 1 and the draw degenerates to uniform);
+    any positive weight column works.
+
+    Efraimidis–Spirakis A-ES: draw u ~ Uniform(0,1] per row, keep the k
+    largest ``u^(1/w)`` — provably equivalent to sequential weighted
+    draws without replacement.  u comes from the repo's md5 primitive
+    keyed on (salt, id), so the sample is deterministic per salt and
+    reproducible across partitionings; vary ``salt`` for an independent
+    draw.  Rows with weight <= 0 or NULL are excluded.  TakeOrdered
+    moves k rows per partition — never the corpus."""
+    from .hashing import md5_int60
+
+    u = (md5_int60(F.col(id_col).cast("string"), seed=f"ws{salt}|") + 1.0) / float(
+        2**60
+    )
+    key = F.pow(u, 1.0 / F.col(weight_col))
+    keyed = df.where(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    ).withColumn("__ws_key", key)
+    return keyed.orderBy(F.desc("__ws_key"), id_col).limit(k).drop("__ws_key")

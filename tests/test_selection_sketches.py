@@ -407,3 +407,54 @@ def test_bottomk_overlapping_inputs_dedupe(spark):
     m = merge_bottomk(a, a, k=10, key_col="doc_id").collect()
     assert len(m) == 10
     assert len({r["doc_id"] for r in m}) == 10
+
+
+# --------------------------------------------------------------------- #
+# weighted sample (A-ES)                                                #
+# --------------------------------------------------------------------- #
+
+
+def test_weighted_sample_matches_python_formula(spark):
+    import hashlib as _hl
+
+    from duckdb_imputation_spark.operators.selection import weighted_sample
+
+    rows = [(i, float(1 + i % 5)) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = {r["doc_id"] for r in weighted_sample(df, "w", k=10).collect()}
+
+    def u(i):
+        h = _hl.md5(f"ws|{i}".encode()).hexdigest()
+        return (int(h[:15], 16) + 1.0) / float(2**60)
+
+    keys = sorted(
+        ((u(i) ** (1.0 / w), i) for i, w in rows), key=lambda t: (-t[0], t[1])
+    )
+    want = {i for _, i in keys[:10]}
+    assert got == want
+
+
+def test_weighted_sample_bias_toward_heavy_weights(spark):
+    """Across many independent salts, heavy rows must be sampled far
+    more often than light rows (the property DSIR resampling needs)."""
+    from duckdb_imputation_spark.operators.selection import weighted_sample
+
+    rows = [(i, 10.0 if i < 10 else 0.1) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    heavy = 0
+    draws = 12
+    for s in range(draws):
+        got = weighted_sample(df, "w", k=10, salt=str(s)).collect()
+        heavy += sum(1 for r in got if r["doc_id"] < 10)
+    # heavy rows are 10 of 100 ids but carry ~92% of the weight; with
+    # k=10 per draw they must dominate the samples
+    assert heavy > draws * 10 * 0.6, heavy
+
+
+def test_weighted_sample_excludes_nonpositive(spark):
+    from duckdb_imputation_spark.operators.selection import weighted_sample
+
+    rows = [(1, 5.0), (2, 0.0), (3, -1.0), (4, None), (5, 2.0)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = {r["doc_id"] for r in weighted_sample(df, "w", k=10).collect()}
+    assert got == {1, 5}
