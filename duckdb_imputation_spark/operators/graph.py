@@ -72,7 +72,11 @@ def pagerank(
 
     Fixed iterations (not convergence-tested) keep the computation
     exactly reproducible — the catalog row's DuckDB oracle unrolls the
-    same three iterations as CTEs."""
+    same three iterations as CTEs.
+
+    NULL node ids: filter them out beforehand — equi-join semantics
+    make a NULL node's edges inert (it receives only teleport mass and
+    contributes nothing), identically in Spark and any SQL twin."""
     w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
     e = edges.groupBy(src, dst).agg(F.sum(w).alias("__w"))
     out_w = e.groupBy(src).agg(F.sum("__w").alias("__ow"))
