@@ -25,7 +25,12 @@ from pyspark.sql import DataFrame
 from ..functions.triple import Triple, pair_index
 from ..operators.cofactor import sum_to_triple
 
-__all__ = ["second_order_stats", "covariance_matrix", "correlation_matrix"]
+__all__ = [
+    "second_order_stats",
+    "covariance_matrix",
+    "correlation_matrix",
+    "grouped_covariance",
+]
 
 
 def second_order_stats(
@@ -69,3 +74,48 @@ def correlation_matrix(df: DataFrame, cols: Sequence[str]) -> np.ndarray:
         corr = cov / np.outer(sd, sd)
     np.fill_diagonal(corr, 1.0)
     return corr
+
+
+def grouped_covariance(
+    df: DataFrame, cols: Sequence[str], by_cols: Sequence[str]
+) -> DataFrame:
+    """Per-group covariance matrices, fully in-engine: ONE grouped
+    cofactor pass, then pure Column arithmetic unpacks every (i, j)
+    pair from the triple struct — no driver collect, no per-statistic
+    re-aggregation (the naive route is d(d+1)/2 covar_pop aggregate
+    slots, or worse, separate scans).
+
+    Returns long form (by_cols..., col_x, col_y, n, cov) with one row
+    per group per unordered pair i <= j, population normalization —
+    exactly what a ``covar_pop ... GROUP BY`` oracle produces.  Rows
+    with a NULL in any of ``cols`` are excluded (lift semantics)."""
+    from pyspark.sql import functions as F
+
+    cols = list(cols)
+    d = len(cols)
+    t = sum_to_triple(df.dropna(subset=list(cols)), cols, [], group_by=list(by_cols))
+    n = F.col("triple.N").cast("double")
+    pairs = []
+    for i in range(d):
+        for j in range(i, d):
+            q = F.element_at("triple.quad_agg", pair_index(i, j, d) + 1)
+            li_ = F.element_at("triple.lin_agg", i + 1)
+            lj = F.element_at("triple.lin_agg", j + 1)
+            pairs.append(
+                F.struct(
+                    F.lit(cols[i]).alias("col_x"),
+                    F.lit(cols[j]).alias("col_y"),
+                    (q / n - (li_ / n) * (lj / n)).alias("cov"),
+                )
+            )
+    return t.select(
+        *by_cols,
+        F.col("triple.N").alias("n"),
+        F.explode(F.array(*pairs)).alias("__p"),
+    ).select(
+        *by_cols,
+        F.col("__p.col_x").alias("col_x"),
+        F.col("__p.col_y").alias("col_y"),
+        "n",
+        F.col("__p.cov").alias("cov"),
+    )

@@ -611,3 +611,52 @@ def test_covariance_matches_spark_builtin(spark):
         for j, b in enumerate(cols):
             want = li.agg(F.covar_pop(a, b)).first()[0]
             assert abs(cov[i, j] - want) < 1e-6 * max(1.0, abs(want)), (a, b)
+
+
+def test_grouped_covariance_matches_spark_builtin(spark):
+    """In-engine grouped covariance (one cofactor pass) == covar_pop
+    GROUP BY, for every group and pair."""
+    from pyspark.sql import functions as F
+
+    from duckdb_imputation_spark.ml.stats import grouped_covariance
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    got = {
+        (r["l_returnflag"], r["col_x"], r["col_y"]): (r["n"], r["cov"])
+        for r in grouped_covariance(li, cols, ["l_returnflag"]).collect()
+    }
+    for i, a in enumerate(cols):
+        for j, b in enumerate(cols):
+            if i > j:
+                continue
+            want = {
+                r["l_returnflag"]: (r["n"], r["c"])
+                for r in li.groupBy("l_returnflag")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.covar_pop(a, b).alias("c"),
+                )
+                .collect()
+            }
+            for g, (n, c) in want.items():
+                gn, gc = got[(g, a, b)]
+                assert gn == n
+                assert abs(gc - c) < 1e-6 * max(1.0, abs(c)), (g, a, b)
+
+
+def test_grouped_covariance_plan_single_aggregation(spark):
+    """The whole per-group matrix rides ONE cofactor exchange — no
+    per-pair aggregates."""
+    from duckdb_imputation_spark.ml.stats import grouped_covariance
+    from duckdb_imputation_spark.plans import count_exchanges
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    out = grouped_covariance(
+        li, ["l_quantity", "l_extendedprice"], ["l_returnflag"]
+    )
+    out.collect()
+    # AQE's executed-plan toString prints the final AND initial plans,
+    # so the ONE cofactor exchange appears twice; anything above 2
+    # would mean a per-pair re-aggregation crept in
+    assert count_exchanges(out) <= 2
