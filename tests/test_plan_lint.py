@@ -91,3 +91,53 @@ def test_real_key_exchange_not_warned(spark):
         .agg(F.count(F.lit(1)).alias("c"))
     )
     assert "constant-partition-exchange" not in codes(df)
+
+
+def test_new_library_ops_lint_clean(spark):
+    """Operators added without catalog rows (window full) still must
+    hold the scale bar: zero error-level lint findings on
+    representative instantiations over the testdata."""
+    from pyspark.sql import functions as F
+
+    from duckdb_imputation_spark.ml.stats import grouped_covariance
+    from duckdb_imputation_spark.operators.graph import hits, navigation_edges
+    from duckdb_imputation_spark.operators.selection import (
+        domain_divergence,
+        weighted_sample,
+    )
+    from duckdb_imputation_spark.operators.sketches import bottomk_sample
+    from duckdb_imputation_spark.operators.timeseries import fill_forward
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+
+    edges = navigation_edges(
+        ev.select(
+            "user_id", "ts", "event_id",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        ),
+        "user_id", "k", ["ts", "event_id"],
+    )
+    frames = {
+        "domain_divergence": domain_divergence(docs, "source"),
+        "weighted_sample": weighted_sample(
+            docs.withColumn("w", F.col("n_chars").cast("double") + 1.0),
+            "w", k=10,
+        ),
+        "bottomk_sample": bottomk_sample(docs, "doc_id", k=10),
+        "fill_forward": fill_forward(
+            ev.select("user_id", "event_id",
+                      F.when(F.col("event_type") == "error", None)
+                      .otherwise(F.col("value")).alias("v")),
+            ["user_id"], "event_id", ["v"],
+        ),
+        "hits": hits(edges, iters=2),
+        "grouped_covariance": grouped_covariance(
+            li, ["l_quantity", "l_discount"], ["l_returnflag"]
+        ),
+    }
+    for name, df in frames.items():
+        df.collect()
+        errs = [f for f in lint_plan(df) if f.severity == "error"]
+        assert not errs, f"{name}: {errs}"
