@@ -70,12 +70,21 @@ def flag_and_fill(
     cont_nulls: Sequence[str],
     cat_nulls: Sequence[str],
     stats: dict[str, float | int],
-    partition: bool = True,
+    partition: bool = False,
 ) -> DataFrame:
     """Add ``<col>__isnull`` flags, fill missing values with mean/mode, and
-    add ``__n_nulls``; optionally range-partition by ``__n_nulls`` so the
-    per-missingness-bucket scans of the MICE loops hit clustered cached
-    batches (the reference's ORDER BY n_nulls, partition.cpp:71)."""
+    add ``__n_nulls``.
+
+    ``partition=True`` additionally range-partitions by ``__n_nulls``
+    (the reference's ORDER BY n_nulls clustering, partition.cpp:71) —
+    OFF by default after measurement: ``__n_nulls`` has at most
+    n_nullable+1 distinct values, so the range exchange collapses the
+    corpus into that many partitions (measured: 600k rows → TWO
+    partitions) and every downstream MICE scan loses cluster
+    parallelism, while the clustering buys nothing without a cache
+    (Spark cannot partition-prune a checkpointed frame on a filter).
+    Enable it only for a frame that will be ``.cache()``d and scanned
+    by ``__n_nulls`` filters many times."""
     null_cols = list(cont_nulls) + list(cat_nulls)
     out = df
     for c in null_cols:

@@ -100,7 +100,14 @@ def mice_impute(
     stats = column_stats(df, cont_nulls, cat_nulls)
     # lazy checkpoint: the next action over `work` (the full/static
     # cofactor, or the first delta) materializes the checkpoint as a
-    # side effect of its own scan — one pass where eager would take two
+    # side effect of its own scan — one pass where eager would take two.
+    # The frame keeps the SOURCE's partitioning: flag_and_fill's
+    # __n_nulls range partitioning stays OFF (it collapses the corpus
+    # to n_nullable+1 partitions — see partition.py; measured 600k rows
+    # → TWO partitions, serializing every loop scan), and no substitute
+    # repartition is added — at scale the input arrives well-partitioned,
+    # and locally one extra 600k-row shuffle costs more than the loop's
+    # scans save (measured 5.8 vs 5.0 s).
     work = flag_and_fill(df, cont_nulls, cat_nulls, stats).localCheckpoint(
         eager=False
     )
