@@ -30,7 +30,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["resample_interpolate", "fill_forward"]
+__all__ = ["resample_interpolate", "fill_forward", "ewma"]
 
 
 def resample_interpolate(
@@ -142,3 +142,68 @@ def fill_forward(
             c + out_suffix, F.last(F.col(c), ignorenulls=True).over(w)
         )
     return out
+
+
+def ewma(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    alpha: float,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Per-key exponentially weighted moving average (the recursive
+    form, pandas ``ewm(adjust=False)``):
+
+        s_1 = x_1;   s_t = alpha * x_t + (1 - alpha) * s_{t-1}
+
+    Returns one row per input row with ``out_col`` attached.  EWMA is a
+    sequential recurrence, so it is computed as a JVM-side ``aggregate``
+    fold over each key's ordered value array (collect_list bounded by
+    the key's own series length — the honest representation; no Python,
+    no global window).  A key's series must fit in one task, which is
+    the same bound every per-key window in this repo carries.
+
+    ``order_col`` must be unique per key (ties make the fold order, and
+    therefore the recurrence, ambiguous)."""
+    keys = list(key_cols)
+    rows = df.groupBy(*keys).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col(order_col).alias("t"), F.col(value_col).alias("x")))
+        ).alias("__series")
+    )
+    # fold carries (s, out-array); emit s after each step
+    folded = F.aggregate(
+        "__series",
+        F.struct(
+            F.lit(None).cast("double").alias("s"),
+            F.array().cast("array<double>").alias("out"),
+        ),
+        lambda acc, e: F.struct(
+            F.when(acc["s"].isNull(), e["x"].cast("double"))
+            .otherwise(
+                F.lit(alpha) * e["x"].cast("double")
+                + F.lit(1.0 - alpha) * acc["s"]
+            )
+            .alias("s"),
+            F.concat(
+                acc["out"],
+                F.array(
+                    F.when(acc["s"].isNull(), e["x"].cast("double")).otherwise(
+                        F.lit(alpha) * e["x"].cast("double")
+                        + F.lit(1.0 - alpha) * acc["s"]
+                    )
+                ),
+            ).alias("out"),
+        ),
+        lambda acc: acc["out"],
+    )
+    exploded = rows.select(
+        *keys, F.posexplode(folded).alias("__i", out_col), F.col("__series")
+    )
+    return exploded.select(
+        *keys,
+        F.element_at("__series", F.col("__i") + 1)["t"].alias(order_col),
+        F.element_at("__series", F.col("__i") + 1)["x"].alias(value_col),
+        out_col,
+    )

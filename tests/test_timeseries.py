@@ -134,3 +134,38 @@ def test_fill_forward_multiple_columns(spark):
         for r in fill_forward(df, ["k"], "t", ["a", "b"]).collect()
     }
     assert r == {1: (1.0, None), 2: (1.0, 9.0), 3: (1.0, 9.0)}
+
+
+def test_ewma_matches_recursive_reference(spark):
+    from duckdb_imputation_spark.operators.timeseries import ewma
+
+    rng = random.Random(13)
+    rows = []
+    series = {}
+    for k in (1, 2):
+        for t in range(20):
+            x = round(rng.uniform(-10, 10), 3)
+            rows.append((k, t, x))
+            series.setdefault(k, []).append(x)
+    df = spark.createDataFrame(rows, "k int, t int, x double")
+    got = {
+        (r["k"], r["t"]): r["ewma"]
+        for r in ewma(df, ["k"], "t", "x", alpha=0.3).collect()
+    }
+    for k, xs in series.items():
+        s = None
+        for t, x in enumerate(xs):
+            s = x if s is None else 0.3 * x + 0.7 * s
+            assert abs(got[(k, t)] - s) < 1e-12, (k, t)
+    assert len(got) == len(rows)  # one output row per input row
+
+
+def test_ewma_preserves_order_and_value_columns(spark):
+    from duckdb_imputation_spark.operators.timeseries import ewma
+
+    rows = [(1, 3, 9.0), (1, 1, 1.0), (1, 2, 4.0)]  # unsorted input
+    df = spark.createDataFrame(rows, "k int, t int, x double")
+    out = {r["t"]: (r["x"], r["ewma"]) for r in ewma(df, ["k"], "t", "x", 0.5).collect()}
+    assert out[1] == (1.0, 1.0)
+    assert out[2] == (4.0, 2.5)        # 0.5*4 + 0.5*1
+    assert out[3] == (9.0, 5.75)       # 0.5*9 + 0.5*2.5
