@@ -167,6 +167,9 @@ _DRIVER_PRIORITY: list[str] = [
 #   sketches.bottomk_sample      (md5 rank + LIMIT twin)
 #   ml.stats.covariance_matrix   (covar_pop/corr twin — grouped variant
 #                                 oracles as covar_pop ... GROUP BY)
+#   timeseries.ewma              (list(... ORDER BY) + sequential-fold
+#                                 twin verified on events)
+#   selection.weighted_sample    (u^(1/w) + ORDER BY/LIMIT twin)
 # Register them as rows when the r5 driver run greens this window.
 
 # Hash-green in at least one past driver round (see CORRECTNESS_r*.json)
