@@ -2052,21 +2052,43 @@ def vocabulary_top_tokens(spark, sf):
       SELECT doc_id, list(tid ORDER BY i) AS token_ids,
              CAST(SUM(CASE WHEN tid = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
       FROM enc GROUP BY doc_id
+    ), enc_full AS (
+      SELECT d.doc_id,
+             COALESCE(a.token_ids, []) AS token_ids,
+             COALESCE(a.n_oov, 0) AS n_oov
+      FROM (SELECT doc_id FROM documents) d LEFT JOIN agg a USING (doc_id)
     )
-    SELECT d.doc_id,
-           COALESCE(a.token_ids, []) AS token_ids,
-           COALESCE(a.n_oov, 0) AS n_oov
-    FROM (SELECT doc_id FROM documents) d LEFT JOIN agg a USING (doc_id)
+    SELECT doc_id,
+           CAST(len(token_ids) AS BIGINT) AS n_tokens,
+           md5(array_to_string(token_ids, ' ')) AS ids_md5,
+           n_oov
+    FROM enc_full
     """,
 )
 def encode_documents_vocab(spark, sf):
     """Tokenizer-apply: encode every document as a token-id array under
     the corpus's own top-200 vocabulary (build_vocabulary →
     encode_with_vocabulary).  Broadcast vocab join, one doc-id shuffle,
-    OOV → -1 with a per-doc count."""
+    OOV → -1 with a per-doc count.
+
+    The driver row projects scalar digests of the id array — doc_id,
+    n_tokens, md5 of the space-joined ids, n_oov — because the driver's
+    canonicalizer sorts rows by every column and cannot order raw array
+    columns (the r5 red row).  `encode_with_vocabulary` itself keeps
+    the array-returning API; the digest is row-local projection only."""
     d = load_table(spark, sf, "documents")
     vocab = _tp.build_vocabulary(d, "text", top_k=200)
-    return _tp.encode_with_vocabulary(d, "text", "doc_id", vocab)
+    out = _tp.encode_with_vocabulary(d, "text", "doc_id", vocab)
+    return out.select(
+        "doc_id",
+        F.size("token_ids").cast("long").alias("n_tokens"),
+        F.md5(
+            F.concat_ws(
+                " ", F.transform("token_ids", lambda x: x.cast("string"))
+            )
+        ).alias("ids_md5"),
+        "n_oov",
+    )
 
 
 @register(

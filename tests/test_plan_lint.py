@@ -54,6 +54,12 @@ def test_clean_aggregation_has_no_errors(spark):
     assert codes(df, "error") == set()
 
 
+def _driver_window() -> set:
+    from duckdb_imputation_spark.queries import ordered_queries
+
+    return set(list(ordered_queries())[:50])
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_catalog_pipelines_lint_clean(spark, name):
     """EVERY registered catalog query must carry zero error-level
@@ -63,10 +69,29 @@ def test_catalog_pipelines_lint_clean(spark, name):
     SinglePartition exchange or a 1-row broadcast nested-loop join —
     are recognized by lint_plan itself (downgraded to info), so a
     future edit that reintroduces a real serialization point fails CI,
-    not the 100 TB run."""
+    not the 100 TB run.
+
+    Driver-window rows additionally must emit SCALAR columns only: the
+    driver's canonicalizer sorts rows by every column and dies on
+    array/map/struct values (`unhashable type: 'list'` — r5's one red
+    row, encode_documents_vocab).  Digest arrays as
+    md5(concat_ws(' ', arr)) + a length column instead."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
     df = QUERIES[name](spark, SF)
     errs = [f for f in lint_plan(df) if f.severity == "error"]
     assert not errs, f"{name}: {errs}"
+    if name in _driver_window():
+        complex_cols = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        assert not complex_cols, (
+            f"{name} is inside the 50-row driver window but emits "
+            f"non-scalar columns {complex_cols} — the driver "
+            "canonicalizer cannot sort these; project a digest instead"
+        )
 
 
 def test_warns_constant_partition_exchange(spark):
