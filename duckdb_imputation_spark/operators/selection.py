@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .hashing import ws_tokens
+from .hashing import md5_int32, ws_tokens
 from .prefix import global_row_number
 
 __all__ = [
@@ -45,10 +45,27 @@ __all__ = [
 ]
 
 
-def _doc_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    return df.select(
+def _doc_tokens(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    hash_buckets: int | None = None,
+) -> DataFrame:
+    t = df.select(
         id_col, F.explode(ws_tokens(F.col(text_col))).alias("token")
     )
+    if hash_buckets is not None:
+        # hashed-feature mode (the DSIR paper's own construction):
+        # tokens collapse to md5 % N buckets, so every downstream count
+        # table is bounded at N rows no matter the corpus vocabulary
+        t = t.withColumn(
+            "token",
+            F.pmod(
+                md5_int32(F.col("token"), seed="selbkt|"),
+                F.lit(hash_buckets),
+            ).cast("string"),
+        )
+    return t
 
 
 def importance_weights(
@@ -57,6 +74,7 @@ def importance_weights(
     id_col: str = "doc_id",
     text_col: str = "text",
     round_digits: int | None = 6,
+    hash_buckets: int | None = None,
 ) -> DataFrame:
     """Per-document DSIR importance weight: mean over the document's
     tokens of ``ln(p_target(tok) / p_source(tok))`` under add-one
@@ -73,9 +91,22 @@ def importance_weights(
     target's): ``p(tok|model) = (c_model(tok)+1) / (N_model + V)``, so
     target-unseen tokens pull the weight down rather than zeroing it.
     The log is taken of a single ratio of products — the exact
-    expression shape the DuckDB oracle replays bit-for-bit."""
-    toks = _doc_tokens(df, id_col, text_col)
-    tgt_toks = _doc_tokens(df.where(target), id_col, text_col)
+    expression shape the DuckDB oracle replays bit-for-bit.
+
+    Memory bound: exact mode's model is VOCABULARY-sized — over a web
+    crawl, distinct tokens (URLs, typos, code) run to billions, which
+    no executor can hold.  Two defenses:
+
+    * ``hash_buckets=N`` collapses tokens to ``md5 % N`` hashed
+      features (the DSIR paper's own construction), bounding every
+      count table — and the broadcast — at N rows for ANY corpus;
+      weights shift slightly from bucket collisions but the estimator
+      is the published one.
+    * exact mode carries NO explicit broadcast hint on the model join:
+      Spark (AQE) broadcasts while the model is small and falls back
+      to a shuffle join past the threshold instead of OOM-ing."""
+    toks = _doc_tokens(df, id_col, text_col, hash_buckets)
+    tgt_toks = _doc_tokens(df.where(target), id_col, text_col, hash_buckets)
 
     src_cnt = toks.groupBy("token").agg(
         F.count(F.lit(1)).cast("double").alias("c_src")
@@ -83,7 +114,7 @@ def importance_weights(
     tgt_cnt = tgt_toks.groupBy("token").agg(
         F.count(F.lit(1)).cast("double").alias("c_tgt")
     )
-    vocab = src_cnt.join(F.broadcast(tgt_cnt), "token", "left").select(
+    vocab = src_cnt.join(tgt_cnt, "token", "left").select(
         "token", "c_src", F.coalesce("c_tgt", F.lit(0.0)).alias("c_tgt")
     )
     # scalar totals: N_src, N_tgt, V — one row, broadcast to every token
@@ -93,7 +124,9 @@ def importance_weights(
         F.count(F.lit(1)).cast("double").alias("v"),
     )
     model = vocab.crossJoin(F.broadcast(totals))
-    scored = toks.join(F.broadcast(model), "token").select(
+    if hash_buckets is not None:
+        model = F.broadcast(model)  # provably <= hash_buckets rows
+    scored = toks.join(model, "token").select(
         id_col,
         F.log(
             ((F.col("c_tgt") + 1.0) * (F.col("n_src") + F.col("v")))
@@ -158,6 +191,7 @@ def domain_divergence(
     domain_col: str,
     text_col: str = "text",
     round_digits: int | None = 6,
+    hash_buckets: int | None = None,
 ) -> DataFrame:
     """Per-domain KL divergence KL(P_domain || P_corpus) between MLE
     unigram distributions — the mixture-monitoring signal: which
@@ -171,21 +205,27 @@ def domain_divergence(
     for a domain distributed exactly like the corpus.
 
     Scale shape: one token-level count per (domain, token) — map-side
-    combined — joined against the broadcast corpus vocabulary; the
-    final aggregate is one shuffle on the domain key."""
-    toks = df.select(
-        domain_col, F.explode(ws_tokens(F.col(text_col))).alias("token")
-    )
+    combined — joined against the corpus vocabulary; the final
+    aggregate is one shuffle on the domain key.  Memory bound: same as
+    :func:`importance_weights` — ``hash_buckets=N`` caps the corpus
+    model (and the per-domain tables) at N rows via ``md5 % N`` hashed
+    features; exact mode leaves the corpus-model join unhinted so AQE
+    degrades to a shuffle join instead of OOM-ing past the broadcast
+    threshold (bucketed KL is the KL between the bucket-coarsened
+    distributions — still >= 0, still 0 iff identical on buckets)."""
+    toks = _doc_tokens(df, domain_col, text_col, hash_buckets)
     dom = toks.groupBy(domain_col, "token").agg(
         F.count(F.lit(1)).cast("double").alias("c_d")
     )
     corp = toks.groupBy("token").agg(
         F.count(F.lit(1)).cast("double").alias("c")
     )
+    if hash_buckets is not None:
+        corp = F.broadcast(corp)  # provably <= hash_buckets rows
     n_dom = dom.groupBy(domain_col).agg(F.sum("c_d").alias("n_d"))
     n_all = corp.agg(F.sum("c").alias("n"))
     j = (
-        dom.join(F.broadcast(corp), "token")
+        dom.join(corp, "token")
         .join(F.broadcast(n_dom), domain_col)
         .crossJoin(F.broadcast(n_all))
     )

@@ -263,9 +263,42 @@ def bottomk_sample(
 def merge_bottomk(*samples: DataFrame, k: int, key_col: str) -> DataFrame:
     """Union bottom-k samples and re-take the k smallest hashes —
     exactly the sample of the concatenated inputs.  Duplicate keys
-    (the same key present in several samples) collapse to one row."""
+    (the same key present in several samples) collapse to ONE
+    deterministic row: the first under an ordering over every non-key
+    column, so merged non-key attributes are stable across runs and
+    partitionings (``dropDuplicates`` would keep an arbitrary one).
+
+    Requirement: all inputs must have been sampled with the SAME
+    ``salt`` — ``__bk_hash`` is a pure function of (salt, key), so
+    under one salt duplicate keys agree on their hash and the merge is
+    exactly the bottom-k of the concatenation.  Mixing salts makes the
+    hash orders incomparable and the merged sample statistically
+    invalid; it is surfaced here as the same key carrying two different
+    ``__bk_hash`` values, which this function rejects."""
+    from pyspark.sql import Window
+
     u = samples[0]
     for s in samples[1:]:
         u = u.unionByName(s)
-    dedup = u.dropDuplicates([key_col])
+    # same-salt sanity: one hash per key across all inputs
+    bad = (
+        u.groupBy(key_col)
+        .agg(F.count_distinct("__bk_hash").alias("__nh"))
+        .where(F.col("__nh") > 1)
+    )
+    if bad.head(1):
+        raise ValueError(
+            "merge_bottomk: the same key carries different __bk_hash "
+            "values across inputs — samples were drawn with different "
+            "salts and cannot be merged"
+        )
+    others = [c for c in u.columns if c not in (key_col, "__bk_hash")]
+    w = Window.partitionBy(key_col).orderBy(
+        "__bk_hash", *[F.col(c) for c in others]
+    )
+    dedup = (
+        u.withColumn("__bk_rn", F.row_number().over(w))
+        .where(F.col("__bk_rn") == 1)
+        .drop("__bk_rn")
+    )
     return dedup.orderBy("__bk_hash", key_col).limit(k)

@@ -48,7 +48,17 @@ def resample_interpolate(
     (key..., grid_col, out_col); grid points are never NULL because the
     grid spans exactly the observed range of each key."""
     keys = list(key_cols)
-    s = df.groupBy(*keys, ts_col).agg(F.avg(value_col).alias("__v"))
+    # NULL-valued samples (every row NULL at that instant) are dropped
+    # BEFORE the sweep: otherwise a grid point landing exactly on such
+    # an instant would pair a stale earlier value with that instant's
+    # timestamp (pt/pv referring to different observations).  Dropping
+    # them keeps pt/pv and nt/nv always the same observation, and the
+    # grid bounds span only real observations.
+    s = (
+        df.groupBy(*keys, ts_col)
+        .agg(F.avg(value_col).alias("__v"))
+        .where(F.col("__v").isNotNull())
+    )
     bounds = s.groupBy(*keys).agg(
         F.min(ts_col).alias("__t0"), F.max(ts_col).alias("__t1")
     )
@@ -165,37 +175,44 @@ def ewma(
     the same bound every per-key window in this repo carries.
 
     ``order_col`` must be unique per key (ties make the fold order, and
-    therefore the recurrence, ambiguous)."""
+    therefore the recurrence, ambiguous).
+
+    NULL values: a NULL ``x_t`` is SKIPPED — the state ``s`` carries
+    through unchanged and that row's ``out_col`` is NULL (pandas
+    ``ewm(adjust=False, ignore_na=False)`` on the non-null positions).
+    The recurrence never restarts mid-series."""
     keys = list(key_cols)
     rows = df.groupBy(*keys).agg(
         F.sort_array(
             F.collect_list(F.struct(F.col(order_col).alias("t"), F.col(value_col).alias("x")))
         ).alias("__series")
     )
-    # fold carries (s, out-array); emit s after each step
+    # fold carries (s, out-array); emit s after each step.  A NULL x
+    # carries s through unchanged and emits NULL for that row — the
+    # recurrence never restarts mid-series (the pre-fix behavior:
+    # NULL x made s NULL and the next element restarted from scratch).
+    def _step(acc, e):
+        x = e["x"].cast("double")
+        new_s = (
+            F.when(x.isNull(), acc["s"])
+            .when(acc["s"].isNull(), x)
+            .otherwise(F.lit(alpha) * x + F.lit(1.0 - alpha) * acc["s"])
+        )
+        emitted = F.when(x.isNull(), F.lit(None).cast("double")).otherwise(
+            new_s
+        )
+        return F.struct(
+            new_s.alias("s"),
+            F.concat(acc["out"], F.array(emitted)).alias("out"),
+        )
+
     folded = F.aggregate(
         "__series",
         F.struct(
             F.lit(None).cast("double").alias("s"),
             F.array().cast("array<double>").alias("out"),
         ),
-        lambda acc, e: F.struct(
-            F.when(acc["s"].isNull(), e["x"].cast("double"))
-            .otherwise(
-                F.lit(alpha) * e["x"].cast("double")
-                + F.lit(1.0 - alpha) * acc["s"]
-            )
-            .alias("s"),
-            F.concat(
-                acc["out"],
-                F.array(
-                    F.when(acc["s"].isNull(), e["x"].cast("double")).otherwise(
-                        F.lit(alpha) * e["x"].cast("double")
-                        + F.lit(1.0 - alpha) * acc["s"]
-                    )
-                ),
-            ).alias("out"),
-        ),
+        _step,
         lambda acc: acc["out"],
     )
     exploded = rows.select(

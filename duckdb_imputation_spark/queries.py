@@ -4623,8 +4623,12 @@ def _pagerank_oracle(iters: int = 3) -> str:
     for i in range(iters):
         ctes.append(f"""
     d{i} AS (
+      /* src IS NOT NULL guard: a NULL src would make NOT IN never-true
+         (dm = 0) while the Spark side's left_anti counts the NULL node
+         as dangling; inert today (events props.k is never NULL) but the
+         oracle must agree with the operator for nullable ids too */
       SELECT COALESCE(SUM(r), 0) AS dm FROM r{i}
-      WHERE node NOT IN (SELECT src FROM outw)
+      WHERE node NOT IN (SELECT src FROM outw WHERE src IS NOT NULL)
     ), r{i + 1} AS (
       SELECT nodes.node,
              0.15 / nn.n + 0.85 * (COALESCE(c.c, 0) + d{i}.dm / nn.n) AS r
@@ -4673,7 +4677,11 @@ def pagerank_navigation(spark, sf):
       SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t, value FROM events
       WHERE user_id < 40
     ), s AS (
+      /* NULL-valued instants are dropped, mirroring the operator: an
+         exact-hit grid point must never pair a stale value with this
+         instant's timestamp (inert on events — value is never NULL) */
       SELECT user_id, t, AVG(value) AS v FROM s0 GROUP BY user_id, t
+      HAVING AVG(value) IS NOT NULL
     ), b AS (
       SELECT user_id, MIN(t) AS t0, MAX(t) AS t1 FROM s GROUP BY user_id
     ), grid AS (

@@ -21,6 +21,24 @@ __all__ = [
 ]
 
 
+def _state_exists(spark, path: str) -> bool:
+    """True iff the persisted sink state at ``path`` exists.
+
+    The stateful sinks fall back to ``mode("overwrite")`` only on a
+    genuinely absent state table (first micro-batch ever).  That
+    decision must NOT ride a bare ``except`` around the read: a
+    transient read failure (FS hiccup, concurrent staged swap) would
+    masquerade as "no state yet" and the overwrite would silently
+    destroy all accumulated state.  An explicit Hadoop-FS existence
+    probe separates "not there" from "there but unreadable" — the
+    latter propagates, so the micro-batch fails and Structured
+    Streaming retries it instead of wiping state."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
 def streaming_upsert_sink(
     stream: DataFrame,
     path: str,
@@ -90,9 +108,11 @@ def streaming_countmin_sink(
         bsk = countmin_sketch(
             batch, value_col, depth=depth, width=width, weight_col=weight_col
         )
-        try:
+        # existence-probed, not try/except: a transient read error must
+        # fail the micro-batch (retry), never overwrite accumulated state
+        if _state_exists(spark, path):
             state = spark.read.parquet(path).select("row", "bucket", "cnt")
-        except Exception:
+        else:
             state = None
         if state is not None:
             touched = state.join(
@@ -153,9 +173,10 @@ def streaming_sketch_sink(
             return
         spark = batch.sparkSession
         bsk = distinct_sketch(batch, value_col, by, lgk)
-        try:
+        # existence-probed, not try/except — see _state_exists
+        if _state_exists(spark, path):
             state = spark.read.parquet(path).select(*by, "sketch", "n_rows")
-        except Exception:
+        else:
             state = None
         if state is not None:
             touched = state.join(bsk.select(*by), on=by, how="left_semi") if by else state
@@ -224,9 +245,10 @@ def streaming_rollup_sink(
             return
         spark = batch.sparkSession
         b = batch.groupBy(*keys).agg(*batch_exprs())
-        try:
+        # existence-probed, not try/except — see _state_exists
+        if _state_exists(spark, path):
             state = spark.read.parquet(path).select(*keys, *aggs)
-        except Exception:
+        else:
             state = None
         if state is not None:
             touched = state.join(b.select(*keys), on=keys, how="left_semi")

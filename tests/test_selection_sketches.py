@@ -458,3 +458,148 @@ def test_weighted_sample_excludes_nonpositive(spark):
     df = spark.createDataFrame(rows, "doc_id long, w double")
     got = {r["doc_id"] for r in weighted_sample(df, "w", k=10).collect()}
     assert got == {1, 5}
+
+
+# --------------------------------------------------------------------- #
+# hashed-feature (bounded-model) selection modes                        #
+# --------------------------------------------------------------------- #
+
+
+def _py_sel_bucket(tok: str, n: int) -> str:
+    import hashlib as _hl
+
+    h = int(_hl.md5(("selbkt|" + tok).encode()).hexdigest()[:8], 16)
+    return str(h % n)
+
+
+def test_importance_weights_bucketed_matches_python_reference(spark):
+    """hash_buckets=N must equal the exact estimator computed over the
+    bucket-coarsened token stream — the DSIR paper's hashed n-gram
+    construction, which bounds the model at N rows at ANY corpus
+    scale."""
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = []
+    for i in range(25):
+        lang = "en" if rng.random() < 0.5 else "xx"
+        text = " ".join(rng.choice(vocab) for _ in range(rng.randrange(1, 10)))
+        rows.append((i, lang, text))
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    n_buckets = 13  # << vocab size: collisions are the point
+
+    src_cnt, tgt_cnt = {}, {}
+    for _, lang, text in rows:
+        for t in text.split():
+            b = _py_sel_bucket(t, n_buckets)
+            src_cnt[b] = src_cnt.get(b, 0) + 1
+            if lang == "en":
+                tgt_cnt[b] = tgt_cnt.get(b, 0) + 1
+    n_src, n_tgt, v = sum(src_cnt.values()), sum(tgt_cnt.values()), len(src_cnt)
+
+    def py_weight(text):
+        toks = [_py_sel_bucket(t, n_buckets) for t in text.split()]
+        s = sum(
+            math.log(
+                ((tgt_cnt.get(t, 0) + 1) * (n_src + v))
+                / ((src_cnt[t] + 1) * (n_tgt + v))
+            )
+            for t in toks
+        )
+        return s / len(toks)
+
+    out = importance_weights(
+        df, F.col("lang") == "en", round_digits=None, hash_buckets=n_buckets
+    )
+    got = {r["doc_id"]: r["imp_weight"] for r in out.collect()}
+    for i, _, text in rows:
+        assert abs(got[i] - py_weight(text)) < 1e-9, i
+
+
+def test_domain_divergence_bucketed_matches_python_reference(spark):
+    from duckdb_imputation_spark.operators.selection import domain_divergence
+
+    rng = random.Random(17)
+    vocab = [f"t{i}" for i in range(30)]
+    rows = [
+        (i, rng.choice(["a", "b", "c"]),
+         " ".join(rng.choice(vocab) for _ in range(rng.randrange(2, 9))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    n_buckets = 7
+    out = {
+        r["source"]: (r["kl_divergence"], r["n_tokens"])
+        for r in domain_divergence(
+            df, "source", round_digits=None, hash_buckets=n_buckets
+        ).collect()
+    }
+
+    corp, dom = {}, {}
+    for _, s, text in rows:
+        for t in text.split():
+            b = _py_sel_bucket(t, n_buckets)
+            corp[b] = corp.get(b, 0) + 1
+            dom.setdefault(s, {}).setdefault(b, 0)
+            dom[s][b] += 1
+    n = sum(corp.values())
+    for s, cnts in dom.items():
+        nd = sum(cnts.values())
+        kl = sum(
+            (c / nd) * math.log((c / nd) / (corp[b] / n))
+            for b, c in cnts.items()
+        )
+        got_kl, got_n = out[s]
+        assert got_n == nd
+        assert abs(got_kl - kl) < 1e-12, s
+        assert got_kl >= 0
+
+
+def test_bucketed_mode_leaves_exact_mode_unchanged(spark):
+    """Adding hash_buckets must not perturb the default path — the
+    catalog rows' driver hashes ride on it."""
+    rows = [(1, "en", "x y z"), (2, "xx", "x q"), (3, "en", "z z")]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    a = importance_weights(df, F.col("lang") == "en").collect()
+    b = importance_weights(df, F.col("lang") == "en", hash_buckets=None).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+# --------------------------------------------------------------------- #
+# merge_bottomk determinism + salt guard                                #
+# --------------------------------------------------------------------- #
+
+
+def test_bottomk_merge_rejects_mixed_salts(spark):
+    from duckdb_imputation_spark.operators.sketches import (
+        bottomk_sample,
+        merge_bottomk,
+    )
+
+    rows = [(i,) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long")
+    a = bottomk_sample(df, "doc_id", k=50)
+    b = bottomk_sample(df, "doc_id", k=50, salt="other")
+    with pytest.raises(ValueError, match="different salts"):
+        merge_bottomk(a, b, k=10, key_col="doc_id").collect()
+
+
+def test_bottomk_merge_duplicate_key_attrs_deterministic(spark):
+    """The same key appearing in several samples with DIFFERENT non-key
+    attributes must collapse to one deterministic row (min under the
+    non-key column ordering), independent of input order."""
+    from duckdb_imputation_spark.operators.sketches import (
+        bottomk_sample,
+        merge_bottomk,
+    )
+
+    base = [(i,) for i in range(60)]
+    df = spark.createDataFrame(base, "doc_id long")
+    a = bottomk_sample(df, "doc_id", k=60).withColumn("src", F.lit("alpha"))
+    b = bottomk_sample(df, "doc_id", k=60).withColumn("src", F.lit("beta"))
+    m1 = merge_bottomk(a, b, k=20, key_col="doc_id").collect()
+    m2 = merge_bottomk(b, a, k=20, key_col="doc_id").collect()
+    as_map1 = {r["doc_id"]: r["src"] for r in m1}
+    as_map2 = {r["doc_id"]: r["src"] for r in m2}
+    assert as_map1 == as_map2
+    # the winner is the ordering minimum, not "whichever arrived first"
+    assert set(as_map1.values()) == {"alpha"}

@@ -657,3 +657,46 @@ def test_streaming_rollup_sink_rejects_non_mergeable(spark):
 
     with _pt.raises(ValueError, match="mergeable"):
         streaming_rollup_sink(df, "/tmp/x", ["id"], {"a": ("avg", "id")})
+
+
+def test_state_exists_probe(spark, tmp_path):
+    from duckdb_imputation_spark.streaming.sinks import _state_exists
+
+    p = str(tmp_path / "probe_state")
+    assert _state_exists(spark, p) is False
+    spark.range(3).write.parquet(p)
+    assert _state_exists(spark, p) is True
+
+
+def test_rollup_sink_unreadable_state_fails_batch_not_wipes(spark, tmp_path):
+    """A PRESENT but unreadable state table must fail the micro-batch
+    (so Structured Streaming retries) — never be treated as 'no state
+    yet' and overwritten with batch-only data (the ADVICE r5 medium:
+    a bare except around the state read silently destroyed accumulated
+    state on any transient read error)."""
+    import os
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from duckdb_imputation_spark.streaming.sinks import streaming_rollup_sink
+
+    src = str(tmp_path / "bad_src")
+    spark.range(10).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v").write.parquet(src)
+    state = str(tmp_path / "bad_state")
+    os.makedirs(state)
+    garbage = os.path.join(state, "part-00000.parquet")
+    with open(garbage, "w") as f:
+        f.write("this is not parquet")
+
+    stream = spark.readStream.schema("k long, v double").parquet(src)
+    writer = streaming_rollup_sink(
+        stream, state, ["k"], {"n": ("count", None), "s": ("sum", "v")},
+        checkpoint=str(tmp_path / "bad_cp"),
+    )
+    q = writer.trigger(availableNow=True).start()
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination()
+    # the broken state table was NOT replaced by batch-only data
+    assert os.path.exists(garbage)
+    with open(garbage) as f:
+        assert f.read() == "this is not parquet"

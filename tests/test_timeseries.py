@@ -169,3 +169,73 @@ def test_ewma_preserves_order_and_value_columns(spark):
     assert out[1] == (1.0, 1.0)
     assert out[2] == (4.0, 2.5)        # 0.5*4 + 0.5*1
     assert out[3] == (9.0, 5.75)       # 0.5*9 + 0.5*2.5
+
+
+def test_ewma_null_values_carry_state(spark):
+    """A NULL x mid-series must SKIP: s carries through unchanged, the
+    NULL row emits NULL, and the recurrence never restarts (the pre-fix
+    behavior restarted from scratch after a NULL)."""
+    from duckdb_imputation_spark.operators.timeseries import ewma
+
+    rows = [
+        (1, 1, 10.0),
+        (1, 2, None),
+        (1, 3, 20.0),
+        (1, 4, None),
+        (1, 5, 40.0),
+    ]
+    df = spark.createDataFrame(rows, "k int, t int, x double")
+    out = {r["t"]: r["ewma"] for r in ewma(df, ["k"], "t", "x", alpha=0.5).collect()}
+    s1 = 10.0
+    s3 = 0.5 * 20.0 + 0.5 * s1          # carried past the NULL at t=2
+    s5 = 0.5 * 40.0 + 0.5 * s3          # carried past the NULL at t=4
+    assert out[1] == s1
+    assert out[2] is None
+    assert abs(out[3] - s3) < 1e-12
+    assert out[4] is None
+    assert abs(out[5] - s5) < 1e-12
+
+
+def test_ewma_leading_null_then_first_value(spark):
+    from duckdb_imputation_spark.operators.timeseries import ewma
+
+    rows = [(1, 1, None), (1, 2, 8.0), (1, 3, 4.0)]
+    df = spark.createDataFrame(rows, "k int, t int, x double")
+    out = {r["t"]: r["ewma"] for r in ewma(df, ["k"], "t", "x", alpha=0.25).collect()}
+    assert out[1] is None
+    assert out[2] == 8.0                 # first OBSERVED value seeds s
+    assert abs(out[3] - (0.25 * 4.0 + 0.75 * 8.0)) < 1e-12
+
+
+def test_resample_null_sample_instant_dropped(spark):
+    """An instant whose every row is NULL must not anchor the sweep: an
+    exact-hit grid point there interpolates from the real neighbours
+    instead of returning a stale earlier value with a mismatched
+    timestamp (the ADVICE r5 finding)."""
+    from duckdb_imputation_spark.operators.timeseries import (
+        resample_interpolate,
+    )
+
+    rows = [(1, 0, 0.0), (1, 10, None), (1, 20, 20.0)]
+    df = spark.createDataFrame(rows, "k int, ts long, v double")
+    out = {
+        r["grid_ts"]: r["value_interp"]
+        for r in resample_interpolate(df, ["k"], "ts", "v", step=10).collect()
+    }
+    # pre-fix: grid point 10 matched sample_t=10 via __pt but kept
+    # __pv=0.0 (t=0's value) -> returned 0.0.  Correct: interpolate
+    # between the real neighbours (0, 0.0) and (20, 20.0) -> 10.0.
+    assert out[0] == 0.0
+    assert abs(out[10] - 10.0) < 1e-12
+    assert out[20] == 20.0
+
+
+def test_resample_all_null_key_vanishes(spark):
+    from duckdb_imputation_spark.operators.timeseries import (
+        resample_interpolate,
+    )
+
+    rows = [(1, 0, None), (1, 10, None), (2, 0, 1.0), (2, 10, 3.0)]
+    df = spark.createDataFrame(rows, "k int, ts long, v double")
+    out = resample_interpolate(df, ["k"], "ts", "v", step=10).collect()
+    assert {r["k"] for r in out} == {2}  # no observations -> no grid
