@@ -48,16 +48,19 @@ def resample_interpolate(
     (key..., grid_col, out_col); grid points are never NULL because the
     grid spans exactly the observed range of each key."""
     keys = list(key_cols)
-    # NULL-valued samples (every row NULL at that instant) are dropped
-    # BEFORE the sweep: otherwise a grid point landing exactly on such
-    # an instant would pair a stale earlier value with that instant's
-    # timestamp (pt/pv referring to different observations).  Dropping
-    # them keeps pt/pv and nt/nv always the same observation, and the
-    # grid bounds span only real observations.
+    # NULL observations are dropped BEFORE the per-instant average (and
+    # therefore before the shuffle): an instant whose every row is NULL
+    # must not anchor the sweep — a grid point landing exactly there
+    # would pair a stale earlier value with that instant's timestamp
+    # (pt/pv referring to different observations).  Pre-filtering is
+    # equivalent to filtering the averaged result (avg ignores NULLs;
+    # an all-NULL group simply vanishes) but pushes to the scan and
+    # keeps the (key, ts) exchange reusable by both the bounds and the
+    # union branch.
     s = (
-        df.groupBy(*keys, ts_col)
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(*keys, ts_col)
         .agg(F.avg(value_col).alias("__v"))
-        .where(F.col("__v").isNotNull())
     )
     bounds = s.groupBy(*keys).agg(
         F.min(ts_col).alias("__t0"), F.max(ts_col).alias("__t1")

@@ -77,31 +77,53 @@ def resolve_oracles(sf_dir: str | None = None) -> dict[str, str]:
 # --------------------------------------------------------------------- #
 
 _DRIVER_PRIORITY: list[str] = [
-    # round 7: new rows (never driver-verified) — real tiny-image
-    # feature extraction and real netpbm-concat frame demux
-    "multimodal_image_features_netpbm",
-    "multimodal_video_frames_netpbm",
-    "snapshot_diff_documents",
+    # round 6: new rows (never driver-verified) — the seven r5 library
+    # operators queued in the NEXT-ROTATION comment, now with rows
+    # (VERDICT r5 item 2), plus the streaming rollup sink's
+    # availableNow twin (VERDICT r5 item 6)
+    "ewma_events",
+    "hits_navigation",
+    "fill_forward_events",
+    "bottomk_sample_documents",
+    "grouped_covariance_lineitem",
+    "weighted_sample_documents",
+    "domain_divergence_documents",
+    "streaming_rollup_events",
+    # round 6: rotated back in per the r4 hygiene rule — their
+    # expression binds changed in r5 (designed hash-unchanged) and the
+    # demote note promised one post-change driver round (VERDICT r5
+    # item 4)
+    "text_stats_documents",
+    "chunk_documents_catalog",
+    "ngram_jaccard_dups",
+    "bm25_search_documents",
+    # round 6: code/oracle changed this round, so they stay in the
+    # window for a fresh hash — encode_documents_vocab projects scalar
+    # digests now (the r5 red row), resample_interpolate gained the
+    # NULL-sample gate, pagerank's oracle the NOT-IN NULL guard, and
+    # dsir rides selection.py's hash_buckets refactor (exact default)
+    "encode_documents_vocab",
+    "resample_interpolate_events",
+    "pagerank_navigation",
+    "dsir_importance_weights",
+    "perplexity_buckets_documents",
+    # sketches.py changed this round (merge_bottomk determinism) —
+    # these two ride the module, keep their hash rows fresh
     "sketch_distinct_tokens",
-    # round 6: new rows (never driver-verified) — bucketed range join,
-    # BPE subword tokenizer train + encode
-    "range_join_click_view_window",
+    "cmsketch_token_counts",
+    # r5-green, kept in-window one more round: flagship MICE surface
+    # (re-verified after every execution-semantics change) and the
+    # newest never-twice-verified rows
+    "mice_single_col_sql_oracle",
+    "mice_low_sql_oracle",
+    "mice_high_sql_oracle",
+    "mice_categorical_sql_oracle",
     "bpe_encode_documents",
     "bpe_train_merges",
     "remove_duplicate_passages_catalog",
-    "pca_project_embeddings",
-    "train_val_test_split",
-    "normalize_text_documents",
-    "interval_overlap_view_purchase",
-    "zorder_key_lineitem",
     "bigram_logprob_scores",
-    "strip_html_documents",
     "dedup_keep_best_survivors",
-    # round 6: new rows (never driver-verified) — SemDeDup-style
-    # embedding-component dedup, temperature-weighted domain mixing,
-    # and the int8-quantized similarity-search path
     "semantic_dedup_survivors",
-    "temperature_mix_sample",
     "quantized_cosine_topk",
     "doc_quality_nb_histogram",
     "line_dedup_documents",
@@ -109,68 +131,27 @@ _DRIVER_PRIORITY: list[str] = [
     "pq_cosine_topk",
     "ann_ivfpq_topk",
     "minhash_index_dedup_new",
-    "salted_join_segment_revenue",
     "corpus_data_card",
     "funnel_view_click_purchase",
     "dedup_cluster_sizes",
-    # round 5: rotated back in for one round — simhash_from_hashes was
-    # rewritten to a single-pass fold in r4 (dedup.py) and
-    # triple_lineitem_wide sat at index 50, one past the driver cutoff;
-    # both need a post-change driver hash row (VERDICT r4 item 3)
     "simhash_documents",
     "triple_lineitem_wide",
-    # round 5: new row — the prebuilt-index BM25 path (never verified)
     "bm25_index_search_documents",
-    # late round 5: mice/run.py gained the lazy-checkpoint fuse and
-    # cofactor.py the conditional multi-triple scan (the mice-low delta
-    # lookahead) — execution-semantics changes to the FLAGSHIP surface,
-    # so all four mice rows rotate back in for a post-change driver
-    # hash (the r4-verdict hygiene rule); local replay already green
-    "mice_single_col_sql_oracle",
-    "mice_low_sql_oracle",
-    "mice_high_sql_oracle",
-    "mice_categorical_sql_oracle",
-    # round 5: new rows — Gopher repetition filters, the tokenizer-apply
-    # encode, and 13-gram decontamination (never verified)
     "repetition_metrics_documents",
-    "encode_documents_vocab",
     "ngram_decontaminate_documents",
-    # round 4: new rows (never driver-verified) and queries whose
-    # implementation changed this round — their hashes need fresh
-    # driver evidence even though the results are designed to be
-    # unchanged
     "multimodal_decode_netpbm",
     "multimodal_decode_wav",
     "multimodal_media_meta",
     "embedding_dup_pairs_lsh",
     "pack_documents_bins",
     "vocabulary_top_tokens",
-    # round 5 (late): new rows (never driver-verified) — DSIR importance
-    # weighting, CCNet perplexity terciles, count-min sketch round trip,
-    # navigation-graph PageRank
-    "dsir_importance_weights",
-    "perplexity_buckets_documents",
-    "cmsketch_token_counts",
-    "pagerank_navigation",
-    "resample_interpolate_events",
 ]
 
 
-# NEXT-ROTATION CANDIDATES (operators built and unit-tested this round
-# but without catalog rows — the 50-slot window was full; each already
-# has a proven cross-engine twin from its /verify drive):
-#   selection.domain_divergence  (KL drift per source — plain SQL twin)
-#   graph.hits                   (unrolled-CTE oracle like pagerank's)
-#   timeseries.fill_forward      (IGNORE-NULLS window twin; order on
-#                                 events (user_id, event_id) — lineitem
-#                                 (l_orderkey, l_linenumber) is NOT unique)
-#   sketches.bottomk_sample      (md5 rank + LIMIT twin)
-#   ml.stats.covariance_matrix   (covar_pop/corr twin — grouped variant
-#                                 oracles as covar_pop ... GROUP BY)
-#   timeseries.ewma              (list(... ORDER BY) + sequential-fold
-#                                 twin verified on events)
-#   selection.weighted_sample    (u^(1/w) + ORDER BY/LIMIT twin)
-# Register them as rows when the r5 driver run greens this window.
+# NEXT-ROTATION CANDIDATES: none queued — every implemented operator
+# currently has either a driver row in the window or a past driver-green
+# hash plus local replay coverage.  New operators built while the window
+# is full go here with a pointer to their /verify-proven SQL twin.
 
 # Hash-green in at least one past driver round (see CORRECTNESS_r*.json)
 # AND implementation-stable since that round; rotated past the 50-query
@@ -178,6 +159,22 @@ _DRIVER_PRIORITY: list[str] = [
 # full-catalog replay.  A query whose code changes must move back to
 # _DRIVER_PRIORITY for one round (VERDICT r4 hygiene rule).
 _DRIVER_DEMOTE: list[str] = [
+    # rotated out round 6 to make window room for the eight new rows
+    # and the four returning bind-changed rows: ALL r5 driver-green
+    # (CORRECTNESS_r05.json hash_match), implementation untouched this
+    # round
+    "multimodal_image_features_netpbm",
+    "multimodal_video_frames_netpbm",
+    "snapshot_diff_documents",
+    "range_join_click_view_window",
+    "interval_overlap_view_purchase",
+    "zorder_key_lineitem",
+    "normalize_text_documents",
+    "strip_html_documents",
+    "train_val_test_split",
+    "pca_project_embeddings",
+    "temperature_mix_sample",
+    "salted_join_segment_revenue",
     # rotated out late round 5 for the selection/count-min/pagerank rows:
     # hash-green in r3 AND r4 driver runs, implementation untouched
     "sql_passthrough_shared_dialect",
@@ -185,17 +182,6 @@ _DRIVER_DEMOTE: list[str] = [
     "asof_join_click_to_view",
     "nb_train_predict_histogram",
     "sessionize_events",
-    # rotated out late round 5 to make room for the four mice rows
-    # (changed execution semantics outrank changed expression binds):
-    # all four are r1-r4 driver-green; their r5-internal changes are
-    # plan-level binds designed hash-unchanged (text_stats nested
-    # lower-bind, chunk/jaccard token-array bind) or an untouched body
-    # behind a grown module (bm25_topk).  Local replay green; rotate
-    # back for driver evidence next round.
-    "text_stats_documents",
-    "chunk_documents_catalog",
-    "ngram_jaccard_dups",
-    "bm25_search_documents",
     # rotated out round 7 to make window room for the two real-decode
     # multimodal rows: hash-green in the r4 driver run, implementation
     # untouched since
@@ -4677,11 +4663,11 @@ def pagerank_navigation(spark, sf):
       SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t, value FROM events
       WHERE user_id < 40
     ), s AS (
-      /* NULL-valued instants are dropped, mirroring the operator: an
-         exact-hit grid point must never pair a stale value with this
-         instant's timestamp (inert on events — value is never NULL) */
-      SELECT user_id, t, AVG(value) AS v FROM s0 GROUP BY user_id, t
-      HAVING AVG(value) IS NOT NULL
+      /* NULL observations are dropped pre-aggregate, mirroring the
+         operator: an all-NULL instant must never anchor the sweep
+         (inert on events — value is never NULL) */
+      SELECT user_id, t, AVG(value) AS v FROM s0
+      WHERE value IS NOT NULL GROUP BY user_id, t
     ), b AS (
       SELECT user_id, MIN(t) AS t0, MAX(t) AS t1 FROM s GROUP BY user_id
     ), grid AS (
@@ -4854,3 +4840,375 @@ def dedup_keep_best_survivors(spark, sf):
     )
     out = _dd.dedup_keep_best(corpus, pairs, "doc_id", "n_tokens")
     return out.select("doc_id", "n_tokens")
+
+
+# --------------------------------------------------------------------- #
+# Round 6 rotation: the seven r5 library operators get driver rows       #
+# (EWMA, HITS, LOCF, bottom-k, grouped covariance, weighted sample,      #
+# KL drift) plus the streaming rollup sink's availableNow twin.          #
+# --------------------------------------------------------------------- #
+
+from .operators.hashing import md5_int60_sql as _md5_60_sql  # noqa: E402
+
+
+@register(
+    "ewma_events",
+    oracle="""
+    WITH arr AS (
+      SELECT user_id,
+             list(event_id ORDER BY event_id) AS ts,
+             list(value ORDER BY event_id) AS xs
+      FROM events GROUP BY user_id
+    ), pos AS (
+      SELECT user_id, unnest(ts) AS event_id, unnest(xs) AS value,
+             unnest(range(1, len(xs) + 1)) AS i, xs
+      FROM arr
+    )
+    SELECT user_id, event_id, value,
+           ROUND(list_reduce(xs[1:i], (s, x) -> 0.3 * x + 0.7 * s), 6)
+             AS ewma
+    FROM pos
+    """,
+)
+def ewma_events(spark, sf):
+    """Per-user EWMA (recursive form, pandas ewm(adjust=False), α=0.3)
+    over the event value series ordered by event_id — the JVM
+    ``aggregate`` fold over each key's own collected series
+    (operators/timeseries.py).  The oracle replays the identical
+    recurrence as a DuckDB ``list_reduce`` over every ordered prefix:
+    both sides run s_t = 0.3·x_t + 0.7·s_{t-1} in the same operation
+    order, so ROUND(,6) only absorbs the display."""
+    from .operators.timeseries import ewma
+
+    ev = load_table(spark, sf, "events").select("user_id", "event_id", "value")
+    out = ewma(ev, ["user_id"], "event_id", "value", alpha=0.3)
+    return out.select(
+        "user_id", "event_id", "value", F.round("ewma", 6).alias("ewma")
+    )
+
+
+def _hits_oracle(iters: int = 2) -> str:
+    """Unrolled HITS (operators/graph.py is the Spark twin): per
+    iteration auth from hubs then L1-normalize, hub from the new auths
+    then L1-normalize — the same two joins + two scalar normalizers."""
+    ctes = ["""
+    seq AS (
+      SELECT user_id, ts, event_id,
+             CAST(json_extract_string(props, '$.k') AS INT) AS k
+      FROM events
+    ), trans AS (
+      SELECT k AS src,
+             LEAD(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      FROM seq
+    ), edges AS (
+      SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS w
+      FROM trans WHERE dst IS NOT NULL GROUP BY src, dst
+    ), nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM edges UNION ALL SELECT dst AS node FROM edges)
+    ), s0 AS (SELECT node, 1.0 AS hub, 1.0 AS auth FROM nodes)"""]
+    for i in range(iters):
+        ctes.append(f"""
+    ar{i} AS (
+      SELECT e.dst AS node, SUM(s.hub * e.w) AS auth
+      FROM s{i} s JOIN edges e ON s.node = e.src GROUP BY e.dst
+    ), af{i} AS (
+      SELECT nodes.node, COALESCE(a.auth, 0) AS auth
+      FROM nodes LEFT JOIN ar{i} a USING (node)
+    ), at{i} AS (SELECT SUM(auth) AS t FROM af{i}),
+    a{i} AS (SELECT node, auth / t AS auth FROM af{i}, at{i}),
+    hr{i} AS (
+      SELECT e.src AS node, SUM(a.auth * e.w) AS hub
+      FROM a{i} a JOIN edges e ON a.node = e.dst GROUP BY e.src
+    ), hf{i} AS (
+      SELECT nodes.node, COALESCE(h.hub, 0) AS hub
+      FROM nodes LEFT JOIN hr{i} h USING (node)
+    ), ht{i} AS (SELECT SUM(hub) AS t FROM hf{i}),
+    h{i} AS (SELECT node, hub / t AS hub FROM hf{i}, ht{i}),
+    s{i + 1} AS (
+      SELECT nodes.node, h{i}.hub, a{i}.auth
+      FROM nodes JOIN h{i} USING (node) JOIN a{i} USING (node)
+    )""")
+    return (
+        "WITH " + ",".join(ctes)
+        + f"""
+    SELECT node, ROUND(hub, 6) AS hub, ROUND(auth, 6) AS authority
+    FROM s{iters}
+    """
+    )
+
+
+@register("hits_navigation", oracle=_hits_oracle(2))
+def hits_navigation(spark, sf):
+    """HITS hubs & authorities over the user-navigation graph
+    (operators/graph.py): two power iterations with L1 normalization
+    each half-step.  A good hub links to good authorities (a curated
+    index page), a good authority is linked by good hubs — the
+    complementary corpus source-quality signal to pagerank_navigation.
+    Per half-step ONE equi-join + ONE keyed aggregate; normalizers are
+    in-plan 1-row broadcasts (no driver collect in the loop).  The
+    oracle unrolls the identical two iterations."""
+    from .operators.graph import hits, navigation_edges
+
+    ev = load_table(spark, sf, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+    edges = navigation_edges(ev, "user_id", "k", ["ts", "event_id"])
+    return hits(edges, iters=2).select(
+        "node",
+        F.round("hub", 6).alias("hub"),
+        F.round("authority", 6).alias("authority"),
+    )
+
+
+@register(
+    "fill_forward_events",
+    oracle="""
+    WITH m AS (
+      SELECT user_id, event_id,
+             CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+      FROM events
+    )
+    SELECT user_id, event_id,
+           COALESCE(v, -1.0) AS v_masked,
+           COALESCE(last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1.0)
+             AS v_filled
+    FROM m
+    """,
+)
+def fill_forward_events(spark, sf):
+    """LOCF gap filling (operators/timeseries.py fill_forward): every
+    fifth event's value is deterministically masked to NULL, then each
+    NULL takes the user's most recent prior observation — one per-key
+    ordered window sweep, ordered on event_id (unique per user; the
+    testdata's lineitem is NOT unique on its sort key, events is).
+    Leading NULLs stay NULL; both sides project them as -1.0 so the
+    driver row is scalar-only and NULL-hash-free."""
+    from .operators.timeseries import fill_forward
+
+    ev = load_table(spark, sf, "events").select(
+        "user_id",
+        "event_id",
+        F.when(F.col("event_id") % 5 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    out = fill_forward(ev, ["user_id"], "event_id", ["v"])
+    return out.select(
+        "user_id",
+        "event_id",
+        F.coalesce("v", F.lit(-1.0)).alias("v_masked"),
+        F.coalesce("v_filled", F.lit(-1.0)).alias("v_filled"),
+    )
+
+
+@register(
+    "bottomk_sample_documents",
+    oracle=f"""
+    SELECT doc_id, h AS bk_hash FROM (
+      SELECT doc_id,
+             {_md5_60_sql("CAST(doc_id AS VARCHAR)", seed="bk|")} AS h
+      FROM documents
+    ) ORDER BY h, doc_id LIMIT 64
+    """,
+)
+def bottomk_sample_documents(spark, sf):
+    """Mergeable bottom-k uniform sample (operators/sketches.py): the
+    64 documents whose md5(doc_id) hashes lowest — a uniform
+    without-replacement sample of the corpus that merges exactly across
+    shards/days (union + re-take the k smallest).  TakeOrdered moves k
+    rows per partition, never the corpus; the md5 order is the
+    repo-wide cross-engine primitive, so the oracle reproduces the
+    exact sample."""
+    from .operators.sketches import bottomk_sample
+
+    d = load_table(spark, sf, "documents").select("doc_id")
+    s = bottomk_sample(d, "doc_id", k=64)
+    return s.select("doc_id", F.col("__bk_hash").alias("bk_hash"))
+
+
+@register(
+    "grouped_covariance_lineitem",
+    oracle="""
+    WITH g AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             covar_pop(l_quantity, l_quantity) AS c11,
+             covar_pop(l_quantity, l_discount) AS c12,
+             covar_pop(l_quantity, l_tax)      AS c13,
+             covar_pop(l_discount, l_discount) AS c22,
+             covar_pop(l_discount, l_tax)      AS c23,
+             covar_pop(l_tax, l_tax)           AS c33
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'l_quantity' AS col_x, 'l_quantity' AS col_y, n,
+           ROUND(c11, 6) AS cov FROM g
+    UNION ALL SELECT l_returnflag, 'l_quantity', 'l_discount', n,
+           ROUND(c12, 6) FROM g
+    UNION ALL SELECT l_returnflag, 'l_quantity', 'l_tax', n,
+           ROUND(c13, 6) FROM g
+    UNION ALL SELECT l_returnflag, 'l_discount', 'l_discount', n,
+           ROUND(c22, 6) FROM g
+    UNION ALL SELECT l_returnflag, 'l_discount', 'l_tax', n,
+           ROUND(c23, 6) FROM g
+    UNION ALL SELECT l_returnflag, 'l_tax', 'l_tax', n,
+           ROUND(c33, 6) FROM g
+    """,
+)
+def grouped_covariance_lineitem(spark, sf):
+    """Per-group covariance matrices from ONE grouped cofactor pass
+    (ml/stats.py grouped_covariance): the triple (count, Σx, Σxxᵀ) is
+    a sufficient statistic, so all 6 unordered pairs of (quantity,
+    discount, tax) per returnflag come out of a single aggregation —
+    the naive route is 6 covar_pop slots (exactly what the oracle
+    runs).  Fully in-engine: Column arithmetic unpacks the triple, no
+    driver collect."""
+    from .ml.stats import grouped_covariance
+
+    li = _li(spark, sf)
+    out = grouped_covariance(
+        li, ["l_quantity", "l_discount", "l_tax"], ["l_returnflag"]
+    )
+    return out.select(
+        "l_returnflag",
+        "col_x",
+        "col_y",
+        F.col("n").cast("long").alias("n"),
+        F.round("cov", 6).alias("cov"),
+    )
+
+
+@register(
+    "weighted_sample_documents",
+    oracle=f"""
+    SELECT doc_id, weight FROM (
+      SELECT doc_id, CAST(length(text) AS BIGINT) AS weight,
+             POW(
+               ({_md5_60_sql("CAST(doc_id AS VARCHAR)", seed="ws|")} + 1.0)
+                 / 1152921504606846976.0,
+               1.0 / length(text)
+             ) AS k
+      FROM documents WHERE length(text) > 0
+    ) ORDER BY k DESC, doc_id LIMIT 50
+    """,
+)
+def weighted_sample_documents(spark, sf):
+    """Efraimidis–Spirakis weighted sampling without replacement
+    (operators/selection.py weighted_sample): 50 documents drawn with
+    inclusion probability ∝ text length — the resampling half of DSIR.
+    u ~ md5(doc_id)/2^60 keyed deterministic, keep the k largest
+    u^(1/w); TakeOrdered moves k rows per partition.  The oracle
+    replays the identical key formula."""
+    from .operators.selection import weighted_sample
+
+    d = (
+        load_table(spark, sf, "documents")
+        .select(
+            "doc_id", F.length("text").cast("double").alias("__w")
+        )
+    )
+    out = weighted_sample(d, "__w", k=50, id_col="doc_id")
+    return out.select("doc_id", F.col("__w").cast("long").alias("weight"))
+
+
+@register(
+    "domain_divergence_documents",
+    oracle=f"""
+    WITH tk AS (
+      SELECT source, unnest({_ws_sql('text')}) AS token FROM documents
+    ), dom AS (
+      SELECT source, token, CAST(COUNT(*) AS DOUBLE) AS c_d
+      FROM tk GROUP BY source, token
+    ), corp AS (
+      SELECT token, CAST(COUNT(*) AS DOUBLE) AS c FROM tk GROUP BY token
+    ), nd AS (SELECT source, SUM(c_d) AS n_d FROM dom GROUP BY source),
+    na AS (SELECT SUM(c) AS n FROM corp)
+    SELECT source,
+           ROUND(SUM((c_d / n_d) * ln((c_d / n_d) / (c / n))), 6)
+             AS kl_divergence,
+           CAST(SUM(c_d) AS BIGINT) AS n_tokens
+    FROM dom JOIN corp USING (token) JOIN nd USING (source), na
+    GROUP BY source
+    """,
+)
+def domain_divergence_documents(spark, sf):
+    """Per-source KL(P_source || P_corpus) between MLE unigram
+    distributions (operators/selection.py domain_divergence) — the
+    mixture-drift monitor: which of the 20 sources look least like the
+    corpus average.  One (domain, token) count map-side combined, one
+    corpus-vocab join, one domain-key aggregate; ``hash_buckets=N``
+    bounds the model for web-scale vocabularies (exact mode here — the
+    oracle replays MLE KL exactly)."""
+    from .operators.selection import domain_divergence
+
+    d = load_table(spark, sf, "documents")
+    return domain_divergence(d, "source")
+
+
+@register(
+    "streaming_rollup_events",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 4) AS sum_value,
+           ROUND(MIN(value), 6) AS min_value,
+           ROUND(MAX(value), 6) AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def streaming_rollup_events(spark, sf):
+    """The continuous-aggregate sink end to end (streaming/sinks.py
+    streaming_rollup_sink): the events table arrives as TWO
+    availableNow micro-batch streams (users < 75, then >= 75); each
+    run aggregates its batch, left-semi-reads ONLY the touched keys
+    from the persisted state, merges additively, and upserts through
+    the crash-safe staged swap.  The second run exercises the
+    state-merge path (all five event_types collide).  The final state
+    must equal one batch GROUP BY over the whole table — which is
+    exactly the oracle."""
+    import shutil
+    import tempfile
+
+    from .streaming.sinks import streaming_rollup_sink
+
+    ev = load_table(spark, sf, "events")
+    tmp = tempfile.mkdtemp(prefix="rollup_row_")
+    src = f"{tmp}/src"
+    # file-source streams watch a DIRECTORY; stage the single parquet
+    shutil.copytree(f"{sf}", src, ignore=shutil.ignore_patterns("*"))
+    shutil.copy(f"{sf}/events.parquet", f"{src}/events.parquet")
+    state = f"{tmp}/state"
+    aggs = {
+        "n": ("count", None),
+        "sum_value": ("sum", "value"),
+        "min_value": ("min", "value"),
+        "max_value": ("max", "value"),
+    }
+    for i, cond in enumerate(["user_id < 75", "user_id >= 75"]):
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .parquet(src)
+            .where(cond)
+            .select("event_type", "value")
+        )
+        q = (
+            streaming_rollup_sink(
+                stream, state, ["event_type"], aggs, checkpoint=f"{tmp}/cp{i}"
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    out = spark.read.parquet(state)
+    return out.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round("sum_value", 4).alias("sum_value"),
+        F.round("min_value", 6).alias("min_value"),
+        F.round("max_value", 6).alias("max_value"),
+    )
