@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "navigation_edges", "hits"]
+__all__ = ["pagerank", "navigation_edges", "hits", "connected_components"]
 
 
 def navigation_edges(
@@ -219,3 +219,73 @@ def hits(
         if (i + 1) % checkpoint_every == 0:
             state = state.localCheckpoint(eager=False)
     return state.select("node", "hub", F.col("auth").alias("authority"))
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    directed: bool = False,
+    max_iters: int = 50,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Connected components by min-label propagation: every node starts
+    as its own component id; each round a node's label becomes the min
+    of its own and its neighbours' labels; fixpoint = every node
+    carries the smallest node id of its component.  Returns
+    (node, component).
+
+    ``directed=False`` (default) symmetrizes the edge list first, so
+    the result is UNDIRECTED components (for strongly-connected
+    components use a dedicated algorithm — min propagation over a
+    directed graph computes reachability-min, not SCCs).
+
+    Scale shape: state is node-sized; each round is ONE equi-join
+    (state ⋈ edges on src) + ONE keyed min-aggregate — the same cost
+    profile as a pagerank iteration — plus a scalar convergence probe
+    (changed-label count, a designed driver boundary like the dangling
+    collect).  Lineage is cut with ``localCheckpoint`` every
+    ``checkpoint_every`` rounds.  Rounds needed = graph DIAMETER: fine
+    for social/web/co-occurrence graphs (small diameter), pathological
+    for long chains — for those, the alternating large-star/small-star
+    algorithm (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC 2014) converges in O(log²) rounds and slots into this
+    same loop if ever needed; ``max_iters`` bounds the loop either way
+    (converged-early is detected exactly: zero labels changed)."""
+    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+    if not directed:
+        e = e.unionByName(
+            edges.select(F.col(dst).alias("__s"), F.col(src).alias("__d"))
+        )
+    e = e.where(
+        F.col("__s").isNotNull() & F.col("__d").isNotNull()
+    ).distinct().localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("__s").alias("node"))
+        .unionByName(e.select(F.col("__d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    state = nodes.select("node", F.col("node").alias("component"))
+    for i in range(max_iters):
+        cand = (
+            state.join(e, state["node"] == e["__s"])
+            .select(F.col("__d").alias("node"), "component")
+        )
+        new_state = (
+            state.unionByName(cand)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            new_state.join(
+                state.withColumnRenamed("component", "__old"), "node"
+            )
+            .where(F.col("component") != F.col("__old"))
+            .count()
+        )
+        state = new_state
+        if changed == 0:
+            break
+    return state

@@ -42,6 +42,9 @@ __all__ = [
     "countmin_estimate",
     "bottomk_sample",
     "merge_bottomk",
+    "bloom_build",
+    "merge_bloom",
+    "bloom_contains",
 ]
 
 
@@ -302,3 +305,118 @@ def merge_bottomk(*samples: DataFrame, k: int, key_col: str) -> DataFrame:
         .drop("__bk_rn")
     )
     return dedup.orderBy("__bk_hash", key_col).limit(k)
+
+
+# --------------------------------------------------------------------- #
+# Bloom filter: approximate SET MEMBERSHIP (the third leg next to HLL's #
+# distinct counts and count-min's frequencies).  "Have we seen this     #
+# URL / fingerprint / 13-gram before" over 100 TB is an m-bit filter,   #
+# not a distinct-values join: the filter is bounded at m bits no matter #
+# the cardinality, merges by bitwise OR (exact AND idempotent — replay  #
+# of the same batch is a no-op, the crash-recovery property the HLL     #
+# sink has and the additive count-min sink lacks), and answers with     #
+# one-sided error: "no" is certain, "maybe" false-positives at rate     #
+# ~(1 - e^{-kn/m})^k.                                                   #
+#                                                                       #
+# Representation: a DataFrame (by_cols..., word, bits) of 64-bit words  #
+# (only NON-ZERO words stored) rather than a driver-side bitset — the   #
+# filter STAYS distributed, persists as a table, and merges with plain  #
+# union + groupBy + bit_or.  Membership is word-level bit algebra, but  #
+# its ANSWERS are exactly the bucket-set semantics, so a DuckDB oracle  #
+# replays them with k EXISTS probes over the distinct md5 buckets —    #
+# no bit packing needed on the oracle side.                             #
+# --------------------------------------------------------------------- #
+
+
+def _bf_bucket(value, i: int, m_bits: int):
+    from .hashing import md5_int32
+
+    return md5_int32(value, seed=f"bf{i}|") % F.lit(m_bits)
+
+
+def bloom_build(
+    df: DataFrame,
+    value_col: str,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 3,
+    by_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Build a Bloom filter over ``value_col``: (by_cols..., word,
+    bits) with at most ``m_bits / 64`` rows per group (only words with
+    a set bit are stored).  The k-way probe explode happens BEFORE the
+    exchange, but map-side combine collapses each task's contribution
+    to its touched words, so the shuffle is bounded by O(tasks ·
+    m_bits/64) no matter how many values stream through.  Hashing
+    rides the repo-wide md5 primitive, so a DuckDB oracle reproduces
+    every bucket — and therefore every membership answer —
+    bit-for-bit."""
+    by = list(by_cols)
+    probes = df.select(
+        *by,
+        F.explode(
+            F.array(
+                *[
+                    _bf_bucket(F.col(value_col), i, m_bits)
+                    for i in range(k_hashes)
+                ]
+            )
+        ).alias("__bucket"),
+    )
+    words = probes.select(
+        *by,
+        (F.col("__bucket") / 64).cast("long").alias("word"),
+        F.expr("shiftleft(1L, CAST(__bucket % 64 AS INT))").alias("__mask"),
+    )
+    return words.groupBy(*by, "word").agg(F.bit_or("__mask").alias("bits"))
+
+
+def merge_bloom(*filters: DataFrame, by_cols: Sequence[str] = ()) -> DataFrame:
+    """Union Bloom frames (same (m_bits, k_hashes) parameters —
+    mixing parameters produces garbage, same caveat as every sketch
+    merge) into one: bitwise-OR per word.  EXACT (the merged word
+    state equals the filter of the concatenated inputs) and IDEMPOTENT
+    under replay — OR of a state with itself is itself, so a crashed
+    micro-batch can re-merge safely with no checkpoint requirement."""
+    by = list(by_cols)
+    u = filters[0]
+    for f in filters[1:]:
+        u = u.unionByName(f)
+    return u.groupBy(*by, "word").agg(F.bit_or("bits").alias("bits"))
+
+
+def bloom_contains(
+    bloom_df: DataFrame,
+    queries_df: DataFrame,
+    value_col: str,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 3,
+    out_col: str = "maybe_present",
+) -> DataFrame:
+    """Probe a Bloom filter: every ``queries_df`` row gains ``out_col``
+    — False means DEFINITELY absent, True means present-or-collision
+    (one-sided error).  k word-level probes per query joined against
+    the broadcast filter (≤ m_bits/64 rows by construction); a missing
+    word is an unset bit.  (m_bits, k_hashes) must match the build."""
+    probes = queries_df.select(
+        *queries_df.columns,
+        F.explode(
+            F.array(
+                *[
+                    _bf_bucket(F.col(value_col), i, m_bits)
+                    for i in range(k_hashes)
+                ]
+            )
+        ).alias("__bucket"),
+    ).select(
+        *queries_df.columns,
+        (F.col("__bucket") / 64).cast("long").alias("word"),
+        F.expr("shiftleft(1L, CAST(__bucket % 64 AS INT))").alias("__mask"),
+    )
+    joined = probes.join(F.broadcast(bloom_df), "word", "left")
+    hit = (
+        F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("__mask"))
+        == F.col("__mask")
+    )
+    return joined.groupBy(*queries_df.columns).agg(
+        F.bool_and(hit).alias(out_col)
+    )

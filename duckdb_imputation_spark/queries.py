@@ -89,6 +89,12 @@ _DRIVER_PRIORITY: list[str] = [
     "weighted_sample_documents",
     "domain_divergence_documents",
     "streaming_rollup_events",
+    # round 6 (late): new rows (never driver-verified) — Bloom-filter
+    # membership pre-screen with exhibited false positives, and
+    # min-label connected components over the thresholded navigation
+    # graph (recursive-CTE fixpoint oracle)
+    "bloom_membership_fingerprints",
+    "connected_components_pages",
     # round 6: rotated back in per the r4 hygiene rule — their
     # expression binds changed in r5 (designed hash-unchanged) and the
     # demote note promised one post-change driver round (VERDICT r5
@@ -126,8 +132,6 @@ _DRIVER_PRIORITY: list[str] = [
     "semantic_dedup_survivors",
     "quantized_cosine_topk",
     "doc_quality_nb_histogram",
-    "line_dedup_documents",
-    "duplicate_passage_flags",
     "pq_cosine_topk",
     "ann_ivfpq_topk",
     "minhash_index_dedup_new",
@@ -175,6 +179,10 @@ _DRIVER_DEMOTE: list[str] = [
     "pca_project_embeddings",
     "temperature_mix_sample",
     "salted_join_segment_revenue",
+    # rotated out late round 6 for the bloom/components rows: both
+    # r5 driver-green, implementation untouched this round
+    "line_dedup_documents",
+    "duplicate_passage_flags",
     # rotated out late round 5 for the selection/count-min/pagerank rows:
     # hash-green in r3 AND r4 driver runs, implementation untouched
     "sql_passthrough_shared_dialect",
@@ -5212,3 +5220,118 @@ def streaming_rollup_events(spark, sf):
         F.round("min_value", 6).alias("min_value"),
         F.round("max_value", 6).alias("max_value"),
     )
+
+
+def _bf_bucket_sql(expr: str, i: int, m: int) -> str:
+    return (
+        f"CAST('0x' || substr(md5(CONCAT('bf{i}|', {expr})), 1, 8) "
+        f"AS BIGINT) % {m}"
+    )
+
+
+@register(
+    "bloom_membership_fingerprints",
+    oracle=f"""
+    WITH ins AS (
+      SELECT DISTINCT md5(text) AS fp FROM documents
+      WHERE length(source) = 4
+    ), bits AS (
+      SELECT DISTINCT bucket FROM (
+        SELECT unnest([
+          {_bf_bucket_sql('fp', 0, 2048)},
+          {_bf_bucket_sql('fp', 1, 2048)},
+          {_bf_bucket_sql('fp', 2, 2048)}
+        ]) AS bucket FROM ins
+      )
+    ), probes AS (
+      SELECT doc_id, md5(text) AS fp FROM documents
+    )
+    SELECT doc_id,
+           CAST(({_bf_bucket_sql('fp', 0, 2048)} IN (SELECT bucket FROM bits))
+            AND ({_bf_bucket_sql('fp', 1, 2048)} IN (SELECT bucket FROM bits))
+            AND ({_bf_bucket_sql('fp', 2, 2048)} IN (SELECT bucket FROM bits))
+            AS BIGINT) AS maybe_present,
+           CAST(fp IN (SELECT fp FROM ins) AS BIGINT) AS is_member
+    FROM probes
+    """,
+)
+def bloom_membership_fingerprints(spark, sf):
+    """Bloom-filter membership (operators/sketches.py bloom_build /
+    bloom_contains) as the decontamination pre-screen: an m=2048-bit,
+    k=3 filter over the text fingerprints of the first ten sources (the
+    "indexed corpus"), probed by every document.  ``maybe_present=0``
+    is certain absence (skip the exact check); ``maybe_present=1,
+    is_member=0`` rows are the filter's false positives — the small m
+    is chosen so the row EXHIBITS them, proving both sides replay the
+    same bit algebra, not just the happy path.  The filter is a
+    distributed (word, bits) table (≤ m/64 rows), merged by bitwise OR
+    — exact, idempotent under replay.  The oracle replays every md5
+    bucket at the bucket-set level (word packing is representation, not
+    semantics)."""
+    from .operators.sketches import bloom_build, bloom_contains
+
+    d = load_table(spark, sf, "documents")
+    fp = F.md5("text")
+    ins = d.where(F.length("source") == 4).select(fp.alias("fp"))
+    bf = bloom_build(ins, "fp", m_bits=2048, k_hashes=3)
+    probes = d.select("doc_id", fp.alias("fp"))
+    flagged = bloom_contains(bf, probes, "fp", m_bits=2048, k_hashes=3)
+    member = ins.distinct().withColumn("__m", F.lit(1))
+    return (
+        flagged.join(member, "fp", "left")
+        .select(
+            "doc_id",
+            F.col("maybe_present").cast("long").alias("maybe_present"),
+            F.coalesce("__m", F.lit(0)).cast("long").alias("is_member"),
+        )
+    )
+
+
+@register(
+    "connected_components_pages",
+    oracle="""
+    WITH RECURSIVE seq AS (
+      SELECT user_id, ts, event_id,
+             CAST(json_extract_string(props, '$.k') AS INT) AS k
+      FROM events
+    ), trans AS (
+      SELECT k AS src,
+             LEAD(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      FROM seq
+    ), edges0 AS (
+      SELECT src, dst, COUNT(*) AS w
+      FROM trans WHERE dst IS NOT NULL GROUP BY src, dst
+    ), ef AS (SELECT src, dst FROM edges0 WHERE w >= 5),
+    sym AS (SELECT src, dst FROM ef UNION SELECT dst AS src, src AS dst FROM ef),
+    nodes AS (SELECT DISTINCT src AS node FROM sym),
+    reach(node, lbl) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN sym e ON r.node = e.src
+    )
+    SELECT node, MIN(lbl) AS component FROM reach GROUP BY node
+    """,
+)
+def connected_components_pages(spark, sf):
+    """Connected components (operators/graph.py, min-label propagation
+    with exact early stop) over the STRONG navigation graph — page
+    transitions seen at least 5 times.  Thresholding fragments the
+    graph (13 components over 51 pages at sf0.01), which is the
+    interesting case: community islands in a co-occurrence graph, the
+    graph face of the dedup cluster problem.  Per round ONE equi-join +
+    ONE keyed min-aggregate, node-sized state, per-round checkpoint;
+    converged-early is detected exactly (zero changed labels), so the
+    result IS the fixpoint — which is what the oracle's recursive-CTE
+    reachability closure computes."""
+    from .operators.graph import connected_components, navigation_edges
+
+    ev = load_table(spark, sf, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+    edges = navigation_edges(ev, "user_id", "k", ["ts", "event_id"]).where(
+        F.col("weight") >= 5
+    )
+    return connected_components(edges)

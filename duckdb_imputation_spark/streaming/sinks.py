@@ -18,6 +18,7 @@ __all__ = [
     "streaming_sketch_sink",
     "streaming_countmin_sink",
     "streaming_rollup_sink",
+    "streaming_bloom_sink",
 ]
 
 
@@ -272,6 +273,55 @@ def streaming_rollup_sink(
             ),
         )
         if state is not None:
+            upsert_table(spark, path, keyed, "__key")
+        else:
+            keyed.write.mode("overwrite").parquet(path)
+
+    writer = stream.writeStream.foreachBatch(apply)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer
+
+
+def streaming_bloom_sink(
+    stream: DataFrame,
+    path: str,
+    value_col: str,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 3,
+    checkpoint: str | None = None,
+):
+    """Continuously maintain a persisted Bloom filter
+    (operators/sketches.py bloom_build) from a stream: per micro-batch,
+    filter the batch's values into word rows (bounded at m_bits/64 no
+    matter the batch size), bitwise-OR into the stored state for ONLY
+    the words the batch touches (left-semi read), and upsert those
+    delta-sized rows through the crash-safe staged swap.  Old data is
+    never rescanned — the membership state accumulates forever.
+
+    Recovery note: Bloom merge is bitwise OR, so replaying a batch is
+    IDEMPOTENT (like the HLL register max, unlike the additive
+    count-min/rollup sinks) — estimates converge exactly after any
+    crash/replay even WITHOUT a checkpoint dir; pass one anyway to
+    avoid reprocessing cost."""
+    from ..operators.sketches import bloom_build, merge_bloom
+    from ..sources import upsert_table
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        spark = batch.sparkSession
+        bf = bloom_build(batch, value_col, m_bits=m_bits, k_hashes=k_hashes)
+        # existence-probed, not try/except — see _state_exists
+        has_state = _state_exists(spark, path)
+        if has_state:
+            state = spark.read.parquet(path).select("word", "bits")
+            touched = state.join(bf.select("word"), "word", "left_semi")
+            merged = merge_bloom(touched, bf)
+        else:
+            merged = bf
+        keyed = merged.withColumn("__key", F.col("word").cast("string"))
+        if has_state:
             upsert_table(spark, path, keyed, "__key")
         else:
             keyed.write.mode("overwrite").parquet(path)

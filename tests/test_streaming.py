@@ -700,3 +700,51 @@ def test_rollup_sink_unreadable_state_fails_batch_not_wipes(spark, tmp_path):
     assert os.path.exists(garbage)
     with open(garbage) as f:
         assert f.read() == "this is not parquet"
+
+
+def test_streaming_bloom_sink_matches_batch(spark, tmp_path):
+    """Incrementally-maintained Bloom state equals one batch build over
+    the whole stream (bitwise-OR merge is exact), and replaying the
+    stream WITHOUT a checkpoint leaves the state bit-identical — OR is
+    idempotent, the crash-recovery property the additive sinks lack."""
+    from duckdb_imputation_spark.operators.sketches import bloom_build
+    from duckdb_imputation_spark.streaming.sinks import streaming_bloom_sink
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(F.col("doc_id").cast("string").alias("fp"))
+    )
+    src = str(tmp_path / "bf_src")
+    docs.repartition(3).write.parquet(src)
+    state = str(tmp_path / "bf_state")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("fp string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            streaming_bloom_sink(stream, state, "fp", m_bits=8192, k_hashes=3)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    got = {
+        r["word"]: r["bits"]
+        for r in spark.read.parquet(state).select("word", "bits").collect()
+    }
+    exp = {
+        r["word"]: r["bits"]
+        for r in bloom_build(docs, "fp", m_bits=8192, k_hashes=3).collect()
+    }
+    assert got == exp
+    # replay without checkpoint: idempotent (unlike countmin/rollup)
+    run_once()
+    again = {
+        r["word"]: r["bits"]
+        for r in spark.read.parquet(state).select("word", "bits").collect()
+    }
+    assert again == exp
