@@ -46,6 +46,7 @@ __all__ = [
     "exact_decontaminate",
     "minhash_decontaminate",
     "ngram_decontaminate",
+    "bloom_decontaminate",
     "dedup_components",
     "simhash",
     "simhash_pairs",
@@ -995,3 +996,55 @@ def dedup_keep_best(
         F.col("id").alias(id_col)
     )
     return df.join(dropped, id_col, "left_anti")
+
+
+def bloom_decontaminate(
+    train: DataFrame,
+    contamination: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 13,
+    m_bits: int = 1 << 22,
+    k_hashes: int = 5,
+) -> DataFrame:
+    """:func:`ngram_decontaminate` for a contamination set too large to
+    broadcast EXACTLY — the two-phase Bloom plan, result IDENTICAL by
+    construction:
+
+    1. build an ``m_bits``-bit Bloom filter over the taint gram hashes
+       (fixed size no matter how many benchmark/eval grams — the thing
+       the exact broadcast cannot promise), and probe every corpus gram
+       MAP-SIDE via :func:`..operators.sketches.bloom_contains_inline`
+       (k broadcast word-joins, zero corpus shuffle);
+    2. exact semi-join ONLY the surviving "maybe" grams against the
+       taint hashes — the shuffle is bounded at true-hits +
+       fp_rate · corpus-grams instead of every corpus gram.
+
+    Bloom has no false negatives, so phase 1 never drops a real
+    contamination; phase 2 kills the false positives, so the kept set
+    equals the exact path's.  fp_rate ≈ (1 - e^{-k·taint/m})^k — size
+    ``m_bits`` to the taint cardinality (default 4 Mi bits ≈ 0.6%% FP
+    at one million taint grams)."""
+    from .sketches import bloom_build, bloom_contains_inline
+
+    taint = (
+        contamination.select(
+            F.explode(_token_ngrams(F.col(text_col), n)).alias("__g")
+        )
+        .select(md5_int60(F.col("__g")).cast("string").alias("__h"))
+        .distinct()
+    )
+    bf = bloom_build(taint, "__h", m_bits=m_bits, k_hashes=k_hashes)
+    corp = train.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(_token_ngrams(F.col(text_col), n))).alias(
+            "__g"
+        ),
+    ).select(id_col, md5_int60(F.col("__g")).cast("string").alias("__h"))
+    maybe = bloom_contains_inline(
+        corp, bf, "__h", m_bits=m_bits, k_hashes=k_hashes
+    ).where(F.col("maybe_present"))
+    tainted = (
+        maybe.join(taint, "__h", "left_semi").select(id_col).distinct()
+    )
+    return train.join(tainted, id_col, "left_anti")

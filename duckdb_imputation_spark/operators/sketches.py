@@ -45,6 +45,7 @@ __all__ = [
     "bloom_build",
     "merge_bloom",
     "bloom_contains",
+    "bloom_contains_inline",
 ]
 
 
@@ -420,3 +421,44 @@ def bloom_contains(
     return joined.groupBy(*queries_df.columns).agg(
         F.bool_and(hit).alias(out_col)
     )
+
+def bloom_contains_inline(
+    df: DataFrame,
+    bloom_df: DataFrame,
+    value_col: str,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 3,
+    out_col: str = "maybe_present",
+) -> DataFrame:
+    """Row-preserving Bloom probe: adds boolean ``out_col`` to ``df``
+    with NO aggregation and NO shuffle of ``df`` — one broadcast
+    hash-join per hash function against the ≤ m_bits/64-row filter,
+    each a map-side lookup.  This is the corpus-scale variant of
+    :func:`bloom_contains` (which explodes k probe rows and groups
+    back, costing an exchange): here the data stream stays put and
+    only gains a column, so it composes with downstream joins and
+    filters at 100 TB.  (m_bits, k_hashes) must match the build."""
+    out = df
+    hit = F.lit(True)
+    for i in range(k_hashes):
+        bucket = _bf_bucket(F.col(value_col), i, m_bits)
+        out = out.withColumn(f"__bf_b{i}", bucket).withColumn(
+            f"__bf_w{i}", (F.col(f"__bf_b{i}") / 64).cast("long")
+        )
+        filt_i = F.broadcast(
+            bloom_df.select(
+                F.col("word").alias(f"__bf_w{i}"),
+                F.col("bits").alias(f"__bf_bits{i}"),
+            )
+        )
+        out = out.join(filt_i, f"__bf_w{i}", "left")
+        mask_i = F.expr(f"shiftleft(1L, CAST(__bf_b{i} % 64 AS INT))")
+        hit = hit & (
+            F.coalesce(F.col(f"__bf_bits{i}"), F.lit(0)).bitwiseAND(mask_i)
+            == mask_i
+        )
+    out = out.withColumn(out_col, hit)
+    drop = [f"__bf_b{i}" for i in range(k_hashes)]
+    drop += [f"__bf_w{i}" for i in range(k_hashes)]
+    drop += [f"__bf_bits{i}" for i in range(k_hashes)]
+    return out.drop(*drop)

@@ -95,6 +95,7 @@ _DRIVER_PRIORITY: list[str] = [
     # graph (recursive-CTE fixpoint oracle)
     "bloom_membership_fingerprints",
     "connected_components_pages",
+    "bloom_decontaminate_documents",
     # round 6: rotated back in per the r4 hygiene rule — their
     # expression binds changed in r5 (designed hash-unchanged) and the
     # demote note promised one post-change driver round (VERDICT r5
@@ -141,7 +142,6 @@ _DRIVER_PRIORITY: list[str] = [
     "simhash_documents",
     "triple_lineitem_wide",
     "bm25_index_search_documents",
-    "repetition_metrics_documents",
     "ngram_decontaminate_documents",
     "multimodal_decode_netpbm",
     "multimodal_decode_wav",
@@ -179,10 +179,11 @@ _DRIVER_DEMOTE: list[str] = [
     "pca_project_embeddings",
     "temperature_mix_sample",
     "salted_join_segment_revenue",
-    # rotated out late round 6 for the bloom/components rows: both
-    # r5 driver-green, implementation untouched this round
+    # rotated out late round 6 for the bloom/components/bloom-decontam
+    # rows: all r5 driver-green, implementation untouched this round
     "line_dedup_documents",
     "duplicate_passage_flags",
+    "repetition_metrics_documents",
     # rotated out late round 5 for the selection/count-min/pagerank rows:
     # hash-green in r3 AND r4 driver runs, implementation untouched
     "sql_passthrough_shared_dialect",
@@ -2239,7 +2240,7 @@ def repetition_metrics_documents(spark, sf):
     )
 
 
-def _ngram_decontaminate_oracle() -> str:
+def _ngram_decontaminate_oracle(mod: int = 97) -> str:
     from .operators.hashing import md5_int60_sql
 
     def grams(col: str) -> str:
@@ -2256,7 +2257,7 @@ def _ngram_decontaminate_oracle() -> str:
     WITH tg AS (
       SELECT DISTINCT {h} AS h FROM (
         SELECT unnest({grams('text')}) AS g
-        FROM documents WHERE doc_id % 97 = 0
+        FROM documents WHERE doc_id % {mod} = 0
       )
     ), bad AS (
       SELECT DISTINCT doc_id FROM (
@@ -5335,3 +5336,26 @@ def connected_components_pages(spark, sf):
         F.col("weight") >= 5
     )
     return connected_components(edges)
+
+
+@register(
+    "bloom_decontaminate_documents",
+    oracle=_ngram_decontaminate_oracle(mod=89),
+)
+def bloom_decontaminate_documents(spark, sf):
+    """13-gram decontamination through the TWO-PHASE BLOOM plan
+    (dedup.bloom_decontaminate): a fixed-size filter over the taint
+    grams probes every corpus gram map-side (bloom_contains_inline —
+    k broadcast word joins, zero corpus shuffle), and only the
+    surviving "maybe" grams reach the exact semi-join.  The oracle is
+    the PLAIN exact decontamination — the filter is a performance
+    plan, not a semantics change, and must be invisible in the result
+    (no false negatives by construction, false positives killed in
+    phase 2).  This is the path for a contamination set too large to
+    broadcast exactly: the broadcast is m_bits/64 words no matter how
+    many benchmark grams exist."""
+    d = load_table(spark, sf, "documents")
+    ev = d.filter("doc_id % 89 = 0")
+    return _dd.bloom_decontaminate(
+        d, ev, "text", "doc_id", n=13, m_bits=1 << 14, k_hashes=4
+    ).select("doc_id")

@@ -184,3 +184,110 @@ def test_components_null_ids_dropped(spark):
     }
     # NULL endpoints are filtered; 3 and 4 never acquire an edge
     assert got == {1: 1, 2: 1}
+
+
+def test_bloom_decontaminate_equals_exact_path(spark):
+    """The two-phase Bloom plan must return EXACTLY what the exact
+    broadcast path returns (no false negatives in phase 1, phase 2
+    kills the false positives) — on a corpus where some documents share
+    a 13-gram with the contamination set and some do not."""
+    from duckdb_imputation_spark.operators.dedup import (
+        bloom_decontaminate,
+        ngram_decontaminate,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    # contamination: verbatim copies of five documents plus noise rows
+    contam = d.where("doc_id % 10 = 0").select("text").unionByName(
+        spark.createDataFrame(
+            [("completely unrelated benchmark question about nothing",)],
+            "text string",
+        )
+    )
+    exact = {
+        r["doc_id"]
+        for r in ngram_decontaminate(d, contam, "text", "doc_id").collect()
+    }
+    via_bloom = {
+        r["doc_id"]
+        for r in bloom_decontaminate(
+            d, contam, "text", "doc_id", m_bits=1 << 14, k_hashes=4
+        ).collect()
+    }
+    assert via_bloom == exact
+    # and contamination actually removed something, or the test is vacuous
+    assert len(exact) < d.count()
+
+
+def test_bloom_decontaminate_equal_even_with_heavy_fp_rate(spark):
+    """A deliberately tiny filter (high FP rate) must not change the
+    RESULT — only the phase-2 shuffle size.  This is the property that
+    makes the m_bits knob a pure performance dial."""
+    from duckdb_imputation_spark.operators.dedup import (
+        bloom_decontaminate,
+        ngram_decontaminate,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    contam = d.where("doc_id % 7 = 0").select("text")
+    exact = {
+        r["doc_id"]
+        for r in ngram_decontaminate(d, contam, "text", "doc_id").collect()
+    }
+    tiny = {
+        r["doc_id"]
+        for r in bloom_decontaminate(
+            d, contam, "text", "doc_id", m_bits=256, k_hashes=2
+        ).collect()
+    }
+    assert tiny == exact
+
+
+def test_bloom_inline_probe_matches_grouped_probe(spark):
+    from duckdb_imputation_spark.operators.sketches import (
+        bloom_build,
+        bloom_contains,
+        bloom_contains_inline,
+    )
+
+    vals = [f"v{i}" for i in range(150)]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    bf = bloom_build(df.where("v < 'v5'"), "v", m_bits=512, k_hashes=3)
+    grouped = {
+        r["v"]: r["maybe_present"]
+        for r in bloom_contains(bf, df, "v", m_bits=512, k_hashes=3).collect()
+    }
+    inline = {
+        r["v"]: r["maybe_present"]
+        for r in bloom_contains_inline(
+            df, bf, "v", m_bits=512, k_hashes=3
+        ).collect()
+    }
+    assert inline == grouped
+
+
+def test_bloom_inline_probe_is_shuffle_free(spark):
+    """The inline probe must add ZERO exchanges on the probed stream —
+    k broadcast joins only (the property that makes it usable as a
+    corpus-scale pre-filter)."""
+    from duckdb_imputation_spark.operators.sketches import (
+        bloom_build,
+        bloom_contains_inline,
+    )
+    from duckdb_imputation_spark.plans import executed_plan
+
+    df = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select(F.md5("text").alias("fp"))
+    bf = bloom_build(df.limit(100), "fp", m_bits=2048, k_hashes=3)
+    probed = bloom_contains_inline(df, bf, "fp", m_bits=2048, k_hashes=3)
+    probed.collect()
+    p = executed_plan(probed)
+    assert p.count("BroadcastHashJoin") >= 3
+    # the filter build aggregates (its own exchanges are fine); the
+    # PROBE side must not exchange: no hashpartitioning on fp
+    assert "hashpartitioning(fp" not in p
