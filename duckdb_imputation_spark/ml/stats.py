@@ -30,6 +30,7 @@ __all__ = [
     "covariance_matrix",
     "correlation_matrix",
     "grouped_covariance",
+    "grouped_simple_linreg",
 ]
 
 
@@ -118,4 +119,57 @@ def grouped_covariance(
         F.col("__p.col_y").alias("col_y"),
         "n",
         F.col("__p.cov").alias("cov"),
+    )
+
+
+def grouped_simple_linreg(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    by_cols: Sequence[str],
+) -> DataFrame:
+    """Per-group simple least squares — MANY models from ONE grouped
+    cofactor pass, fully in-engine:
+
+        slope = cov(x, y) / var(x),   intercept = ȳ − slope·x̄
+
+    unpacked from the grouped triple with pure Column arithmetic (the
+    same pattern as :func:`grouped_covariance` — no driver collect, no
+    per-group re-aggregation; the naive route is a regr_slope +
+    regr_intercept aggregate pair, which is exactly what a SQL twin
+    runs).  Returns (by_cols..., n, slope, intercept); groups whose x
+    is exactly constant yield NULL slope/intercept (SQL ``regr_slope``
+    semantics), and rows with a NULL in x or y are excluded (lift
+    semantics — SQL regr_* aggregates skip NULL pairs identically.
+    Reference: the single-model trainer rides the same statistics,
+    ml/linreg.py / reference regression.cpp:108-354; this is the
+    grouped d=1 closed form the engine can keep entirely in-plan;
+    train per-group multi-feature models by feeding each group's sigma
+    to linreg_train).
+
+    Numerical note: slope comes from the sufficient statistics
+    (E[xy] − E[x]E[y]), not a streaming co-moment — near-constant
+    (but not exactly constant) x is ill-conditioned on ANY route; the
+    exact-zero variance guard mirrors SQL NULL behavior for the
+    constant case."""
+    from pyspark.sql import functions as F
+
+    t = sum_to_triple(
+        df.dropna(subset=[x_col, y_col]), [x_col, y_col], [],
+        group_by=list(by_cols),
+    )
+    n = F.col("triple.N").cast("double")
+    sx = F.element_at("triple.lin_agg", 1)
+    sy = F.element_at("triple.lin_agg", 2)
+    sxx = F.element_at("triple.quad_agg", pair_index(0, 0, 2) + 1)
+    sxy = F.element_at("triple.quad_agg", pair_index(0, 1, 2) + 1)
+    var = sxx / n - (sx / n) * (sx / n)
+    cov = sxy / n - (sx / n) * (sy / n)
+    slope = F.when(var != 0, cov / var)
+    intercept = F.when(var != 0, sy / n - (cov / var) * (sx / n))
+    return t.select(
+        *by_cols,
+        F.col("triple.N").alias("n"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
     )

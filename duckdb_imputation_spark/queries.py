@@ -96,6 +96,7 @@ _DRIVER_PRIORITY: list[str] = [
     "bloom_membership_fingerprints",
     "connected_components_pages",
     "bloom_decontaminate_documents",
+    "grouped_linreg_lineitem",
     # round 6: rotated back in per the r4 hygiene rule — their
     # expression binds changed in r5 (designed hash-unchanged) and the
     # demote note promised one post-change driver round (VERDICT r5
@@ -148,7 +149,6 @@ _DRIVER_PRIORITY: list[str] = [
     "multimodal_media_meta",
     "embedding_dup_pairs_lsh",
     "pack_documents_bins",
-    "vocabulary_top_tokens",
 ]
 
 
@@ -184,6 +184,7 @@ _DRIVER_DEMOTE: list[str] = [
     "line_dedup_documents",
     "duplicate_passage_flags",
     "repetition_metrics_documents",
+    "vocabulary_top_tokens",
     # rotated out late round 5 for the selection/count-min/pagerank rows:
     # hash-green in r3 AND r4 driver runs, implementation untouched
     "sql_passthrough_shared_dialect",
@@ -5359,3 +5360,36 @@ def bloom_decontaminate_documents(spark, sf):
     return _dd.bloom_decontaminate(
         d, ev, "text", "doc_id", n=13, m_bits=1 << 14, k_hashes=4
     ).select("doc_id")
+
+
+@register(
+    "grouped_linreg_lineitem",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 4)
+             AS intercept
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def grouped_linreg_lineitem(spark, sf):
+    """Per-returnflag simple least squares (price ~ quantity) from ONE
+    grouped cofactor pass (ml/stats.py grouped_simple_linreg): slope
+    and intercept unpacked from the triple with Column arithmetic —
+    many models, one aggregation, no driver collect.  The oracle is
+    the classic SQL pair regr_slope/regr_intercept; ROUND(,4) absorbs
+    the sufficient-statistics-vs-streaming-co-moment float difference
+    (both engines agree to ~1e-7 here, margin 500×)."""
+    from .ml.stats import grouped_simple_linreg
+
+    li = _li(spark, sf)
+    out = grouped_simple_linreg(
+        li, "l_quantity", "l_extendedprice", ["l_returnflag"]
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        F.round("slope", 4).alias("slope"),
+        F.round("intercept", 4).alias("intercept"),
+    )

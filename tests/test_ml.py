@@ -660,3 +660,48 @@ def test_grouped_covariance_plan_single_aggregation(spark):
     # so the ONE cofactor exchange appears twice; anything above 2
     # would mean a per-pair re-aggregation crept in
     assert count_exchanges(out) <= 2
+
+
+def test_grouped_simple_linreg_matches_duckdb_regr(spark):
+    """Per-group closed-form regression from one grouped triple pass
+    must match DuckDB's regr_slope/regr_intercept aggregates."""
+    import duckdb
+
+    from duckdb_imputation_spark.ml.stats import grouped_simple_linreg
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    got = {
+        r["l_returnflag"]: (r["n"], r["slope"], r["intercept"])
+        for r in grouped_simple_linreg(
+            li, "l_quantity", "l_extendedprice", ["l_returnflag"]
+        ).collect()
+    }
+    exp = duckdb.sql("""
+        SELECT l_returnflag,
+               regr_count(l_extendedprice, l_quantity) AS n,
+               regr_slope(l_extendedprice, l_quantity) AS s,
+               regr_intercept(l_extendedprice, l_quantity) AS i
+        FROM '/root/testdata/sf0.001/lineitem.parquet'
+        GROUP BY l_returnflag
+    """).fetchall()
+    for flag, n, s, i in exp:
+        gn, gs, gi = got[flag]
+        assert gn == n
+        assert abs(gs - s) < 1e-6 * max(1.0, abs(s))
+        assert abs(gi - i) < 1e-6 * max(1.0, abs(i))
+
+
+def test_grouped_simple_linreg_constant_x_is_null(spark):
+    from duckdb_imputation_spark.ml.stats import grouped_simple_linreg
+
+    df = spark.createDataFrame(
+        [("a", 2.0, 1.0), ("a", 2.0, 5.0), ("b", 1.0, 1.0), ("b", 3.0, 5.0)],
+        "g string, x double, y double",
+    )
+    got = {
+        r["g"]: (r["slope"], r["intercept"])
+        for r in grouped_simple_linreg(df, "x", "y", ["g"]).collect()
+    }
+    assert got["a"] == (None, None)          # constant x: SQL regr NULL
+    assert abs(got["b"][0] - 2.0) < 1e-12    # (1,1)->(3,5): slope 2
+    assert abs(got["b"][1] + 1.0) < 1e-12    # intercept -1
