@@ -129,6 +129,33 @@ def main() -> None:
         ests = sk.countmin_estimate(merged_cm, probe, "t", depth=4, width=512)
         print("count-min after merge: " + ", ".join(
             f"{r['t']}~{r['cm_est']}" for r in ests.collect()))
+
+        # Bloom membership state: grow the filter with the batch's
+        # fingerprints by bitwise OR (idempotent — a replayed batch is
+        # a no-op), then pre-screen tomorrow's arrivals map-side
+        fp = F.md5("text")
+        base_bf = sk.bloom_build(
+            day0.select(fp.alias("fp")), "fp", m_bits=1 << 14, k_hashes=3
+        )
+        batch_bf = sk.bloom_build(
+            survivors.select(fp.alias("fp")), "fp",
+            m_bits=1 << 14, k_hashes=3,
+        )
+        bf = sk.merge_bloom(base_bf, batch_bf)
+        tomorrow = day0.limit(2).unionByName(
+            spark.createDataFrame(
+                [(9_999_999, "never seen before text entirely")],
+                "doc_id long, text string",
+            )
+        )
+        screened = sk.bloom_contains_inline(
+            tomorrow.select("doc_id", fp.alias("fp")), bf, "fp",
+            m_bits=1 << 14, k_hashes=3,
+        )
+        flags = {r["doc_id"]: r["maybe_present"] for r in screened.collect()}
+        n_known = sum(1 for v in flags.values() if v)
+        print(f"bloom after merge: {n_known}/{len(flags)} of tomorrow's "
+              "arrivals flagged maybe-known (map-side, zero shuffle)")
     finally:
         shutil.rmtree(root, ignore_errors=True)
         spark.stop()
