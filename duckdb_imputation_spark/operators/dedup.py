@@ -851,21 +851,37 @@ def ngram_decontaminate(
     contamination set too large to broadcast).  Documents shorter than
     ``n`` tokens contribute their whole text as one gram (exact match
     of a short doc still counts as contamination)."""
-    taint = (
-        contamination.select(
-            F.explode(_token_ngrams(F.col(text_col), n)).alias("__g")
-        )
-        .select(md5_int60(F.col("__g")).alias("__h"))
-        .distinct()
-    )
+    taint = _gram_hashes(contamination, text_col, n)
     if broadcast_taint:
         taint = F.broadcast(taint)
-    corp = train.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(_token_ngrams(F.col(text_col), n))).alias("__g"),
-    ).select(id_col, md5_int60(F.col("__g")).alias("__h"))
+    corp = _gram_hashes(train, text_col, n, id_col=id_col)
     tainted = corp.join(taint, "__h", "left_semi").select(id_col).distinct()
     return train.join(tainted, id_col, "left_anti")
+
+
+def _gram_hashes(
+    df: DataFrame, text_col: str, n: int, id_col: str | None = None
+) -> DataFrame:
+    """Token n-grams as md5-int60 hash rows — the SHARED gram pipeline
+    of :func:`ngram_decontaminate` and :func:`bloom_decontaminate`
+    (their result-equality guarantee depends on both paths hashing the
+    identical gram stream, so there is exactly one construction).
+    Without ``id_col``: distinct taint hashes (__h).  With ``id_col``:
+    per-document distinct gram hashes (id_col, __h)."""
+    if id_col is None:
+        return (
+            df.select(
+                F.explode(_token_ngrams(F.col(text_col), n)).alias("__g")
+            )
+            .select(md5_int60(F.col("__g")).alias("__h"))
+            .distinct()
+        )
+    return df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(_token_ngrams(F.col(text_col), n))).alias(
+            "__g"
+        ),
+    ).select(id_col, md5_int60(F.col("__g")).alias("__h"))
 
 
 def exact_decontaminate(
@@ -1027,20 +1043,16 @@ def bloom_decontaminate(
     at one million taint grams)."""
     from .sketches import bloom_build, bloom_contains_inline
 
-    taint = (
-        contamination.select(
-            F.explode(_token_ngrams(F.col(text_col), n)).alias("__g")
-        )
-        .select(md5_int60(F.col("__g")).cast("string").alias("__h"))
-        .distinct()
+    # the SAME gram pipeline as ngram_decontaminate (_gram_hashes) —
+    # the result-equality guarantee depends on it; the Bloom value is
+    # the hash's string form (md5 hashes strings)
+    taint = _gram_hashes(contamination, text_col, n).select(
+        F.col("__h").cast("string").alias("__h")
     )
     bf = bloom_build(taint, "__h", m_bits=m_bits, k_hashes=k_hashes)
-    corp = train.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(_token_ngrams(F.col(text_col), n))).alias(
-            "__g"
-        ),
-    ).select(id_col, md5_int60(F.col("__g")).cast("string").alias("__h"))
+    corp = _gram_hashes(train, text_col, n, id_col=id_col).select(
+        id_col, F.col("__h").cast("string").alias("__h")
+    )
     maybe = bloom_contains_inline(
         corp, bf, "__h", m_bits=m_bits, k_hashes=k_hashes
     ).where(F.col("maybe_present"))

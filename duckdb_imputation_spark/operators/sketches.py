@@ -258,48 +258,63 @@ def bottomk_sample(
     corpus."""
     from .hashing import md5_int60
 
-    hashed = df.withColumn(
+    # NULL keys are excluded: md5(NULL) is NULL, and NULL sorts FIRST
+    # in an ascending orderBy, so an unfiltered NULL-key row would
+    # claim a guaranteed slot in every sample it touches
+    hashed = df.where(F.col(key_col).isNotNull()).withColumn(
         "__bk_hash", md5_int60(F.col(key_col).cast("string"), seed=f"bk{salt}|")
     )
     return hashed.orderBy("__bk_hash", key_col).limit(k)
 
 
-def merge_bottomk(*samples: DataFrame, k: int, key_col: str) -> DataFrame:
+def merge_bottomk(
+    *samples: DataFrame,
+    k: int,
+    key_col: str,
+    validate_salt: bool = True,
+) -> DataFrame:
     """Union bottom-k samples and re-take the k smallest hashes —
     exactly the sample of the concatenated inputs.  Duplicate keys
     (the same key present in several samples) collapse to ONE
-    deterministic row: the first under an ordering over every non-key
-    column, so merged non-key attributes are stable across runs and
-    partitionings (``dropDuplicates`` would keep an arbitrary one).
+    deterministic row: the first under the md5-of-JSON ordering of the
+    non-key attributes — deterministic for a given input and
+    type-agnostic (map/array attribute columns are not orderable, but
+    their JSON digest is), where ``dropDuplicates`` would keep an
+    arbitrary one.
 
     Requirement: all inputs must have been sampled with the SAME
     ``salt`` — ``__bk_hash`` is a pure function of (salt, key), so
     under one salt duplicate keys agree on their hash and the merge is
     exactly the bottom-k of the concatenation.  Mixing salts makes the
     hash orders incomparable and the merged sample statistically
-    invalid; it is surfaced here as the same key carrying two different
-    ``__bk_hash`` values, which this function rejects."""
+    invalid; ``validate_salt=True`` (default) runs one small eager
+    check over the union (inputs are k-sized, so the job is trivial —
+    pass False only in a hot loop that owns the salt discipline)."""
     from pyspark.sql import Window
 
     u = samples[0]
     for s in samples[1:]:
         u = u.unionByName(s)
-    # same-salt sanity: one hash per key across all inputs
-    bad = (
-        u.groupBy(key_col)
-        .agg(F.count_distinct("__bk_hash").alias("__nh"))
-        .where(F.col("__nh") > 1)
-    )
-    if bad.head(1):
-        raise ValueError(
-            "merge_bottomk: the same key carries different __bk_hash "
-            "values across inputs — samples were drawn with different "
-            "salts and cannot be merged"
+    if validate_salt:
+        # same-salt sanity: one hash per key across all inputs
+        bad = (
+            u.groupBy(key_col)
+            .agg(F.count_distinct("__bk_hash").alias("__nh"))
+            .where(F.col("__nh") > 1)
         )
+        if bad.head(1):
+            raise ValueError(
+                "merge_bottomk: the same key carries different __bk_hash "
+                "values across inputs — samples were drawn with different "
+                "salts and cannot be merged"
+            )
     others = [c for c in u.columns if c not in (key_col, "__bk_hash")]
-    w = Window.partitionBy(key_col).orderBy(
-        "__bk_hash", *[F.col(c) for c in others]
+    tiebreak = (
+        [F.md5(F.to_json(F.struct(*[F.col(c) for c in others])))]
+        if others
+        else []
     )
+    w = Window.partitionBy(key_col).orderBy("__bk_hash", *tiebreak)
     dedup = (
         u.withColumn("__bk_rn", F.row_number().over(w))
         .where(F.col("__bk_rn") == 1)
@@ -385,6 +400,20 @@ def merge_bloom(*filters: DataFrame, by_cols: Sequence[str] = ()) -> DataFrame:
     return u.groupBy(*by, "word").agg(F.bit_or("bits").alias("bits"))
 
 
+def _require_ungrouped_bloom(bloom_df: DataFrame, caller: str) -> None:
+    extra = [c for c in bloom_df.columns if c not in ("word", "bits")]
+    if extra:
+        raise ValueError(
+            f"{caller}: the filter carries group columns {extra} — "
+            "grouped Bloom filters cannot be probed as one (ANDing "
+            "bits across groups answers neither per-group nor union "
+            "membership).  Probe one group at a time (filter the "
+            "bloom frame to a single group and drop the group "
+            "columns), or merge the groups first with merge_bloom "
+            "on the (word, bits) projection."
+        )
+
+
 def bloom_contains(
     bloom_df: DataFrame,
     queries_df: DataFrame,
@@ -397,7 +426,10 @@ def bloom_contains(
     — False means DEFINITELY absent, True means present-or-collision
     (one-sided error).  k word-level probes per query joined against
     the broadcast filter (≤ m_bits/64 rows by construction); a missing
-    word is an unset bit.  (m_bits, k_hashes) must match the build."""
+    word is an unset bit.  (m_bits, k_hashes) must match the build;
+    grouped filters (built with by_cols) are rejected — probe per
+    group."""
+    _require_ungrouped_bloom(bloom_df, "bloom_contains")
     probes = queries_df.select(
         *queries_df.columns,
         F.explode(
@@ -422,6 +454,7 @@ def bloom_contains(
         F.bool_and(hit).alias(out_col)
     )
 
+
 def bloom_contains_inline(
     df: DataFrame,
     bloom_df: DataFrame,
@@ -437,7 +470,10 @@ def bloom_contains_inline(
     :func:`bloom_contains` (which explodes k probe rows and groups
     back, costing an exchange): here the data stream stays put and
     only gains a column, so it composes with downstream joins and
-    filters at 100 TB.  (m_bits, k_hashes) must match the build."""
+    filters at 100 TB.  (m_bits, k_hashes) must match the build;
+    grouped filters (built with by_cols) are rejected — probe per
+    group."""
+    _require_ungrouped_bloom(bloom_df, "bloom_contains_inline")
     out = df
     hit = F.lit(True)
     for i in range(k_hashes):

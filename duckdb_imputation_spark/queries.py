@@ -5181,6 +5181,7 @@ def streaming_rollup_events(spark, sf):
     state-merge path (all five event_types collide).  The final state
     must equal one batch GROUP BY over the whole table — which is
     exactly the oracle."""
+    import os
     import shutil
     import tempfile
 
@@ -5188,40 +5189,49 @@ def streaming_rollup_events(spark, sf):
 
     ev = load_table(spark, sf, "events")
     tmp = tempfile.mkdtemp(prefix="rollup_row_")
-    src = f"{tmp}/src"
-    # file-source streams watch a DIRECTORY; stage the single parquet
-    shutil.copytree(f"{sf}", src, ignore=shutil.ignore_patterns("*"))
-    shutil.copy(f"{sf}/events.parquet", f"{src}/events.parquet")
-    state = f"{tmp}/state"
-    aggs = {
-        "n": ("count", None),
-        "sum_value": ("sum", "value"),
-        "min_value": ("min", "value"),
-        "max_value": ("max", "value"),
-    }
-    for i, cond in enumerate(["user_id < 75", "user_id >= 75"]):
-        stream = (
-            spark.readStream.schema(ev.schema)
-            .parquet(src)
-            .where(cond)
-            .select("event_type", "value")
-        )
-        q = (
-            streaming_rollup_sink(
-                stream, state, ["event_type"], aggs, checkpoint=f"{tmp}/cp{i}"
+    try:
+        src = f"{tmp}/src"
+        # file-source streams watch a DIRECTORY; stage the single parquet
+        os.makedirs(src)
+        shutil.copy(f"{sf}/events.parquet", f"{src}/events.parquet")
+        state = f"{tmp}/state"
+        aggs = {
+            "n": ("count", None),
+            "sum_value": ("sum", "value"),
+            "min_value": ("min", "value"),
+            "max_value": ("max", "value"),
+        }
+        for i, cond in enumerate(["user_id < 75", "user_id >= 75"]):
+            stream = (
+                spark.readStream.schema(ev.schema)
+                .parquet(src)
+                .where(cond)
+                .select("event_type", "value")
             )
-            .trigger(availableNow=True)
-            .start()
+            q = (
+                streaming_rollup_sink(
+                    stream,
+                    state,
+                    ["event_type"],
+                    aggs,
+                    checkpoint=f"{tmp}/cp{i}",
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        out = spark.read.parquet(state).select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.round("sum_value", 4).alias("sum_value"),
+            F.round("min_value", 6).alias("min_value"),
+            F.round("max_value", 6).alias("max_value"),
         )
-        q.awaitTermination()
-    out = spark.read.parquet(state)
-    return out.select(
-        "event_type",
-        F.col("n").cast("long").alias("n"),
-        F.round("sum_value", 4).alias("sum_value"),
-        F.round("min_value", 6).alias("min_value"),
-        F.round("max_value", 6).alias("max_value"),
-    )
+        # materialize (5 rows) so the returned frame outlives the tmp
+        # dir and repeated gate runs leave no /tmp garbage behind
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def _bf_bucket_sql(expr: str, i: int, m: int) -> str:

@@ -24,6 +24,7 @@ TABLES = [
 ]
 
 __all__ = [
+    "recover_interrupted_swap",
     "TABLES",
     "load_tables",
     "load_table",
@@ -103,6 +104,31 @@ def register_view(df: DataFrame, name: str) -> None:
     df.createOrReplaceTempView(name)
 
 
+def recover_interrupted_swap(path: str, kind: str = "upsert") -> None:
+    """Roll an interrupted staged swap forward or back (shared preamble
+    of :func:`compact_table` / :func:`upsert_table`): a crash between
+    the two renames leaves ONLY the backup dir (POSIX has no atomic
+    two-directory swap) — restore it, because it holds the complete
+    pre-swap data; backup AND table both present means the swap
+    completed — drop the stale backup.  Safe to call at any time
+    (no-op without a backup); stateful sinks call it BEFORE probing
+    for state existence, so a swap-crash never masquerades as "no
+    state yet" (which would overwrite all accumulated state with
+    batch-only data)."""
+    import os
+    import shutil
+
+    staging = path.rstrip("/") + f"__{kind}_staging"
+    backup = path.rstrip("/") + f"__{kind}_backup"
+    if os.path.exists(backup):
+        if not os.path.exists(path):
+            os.rename(backup, path)
+        else:
+            shutil.rmtree(backup)  # swap completed; stale backup
+    if os.path.exists(staging):
+        shutil.rmtree(staging)  # incomplete staging from a crashed run
+
+
 def compact_table(
     spark: SparkSession, path: str, target_files: int, fmt: str = "parquet"
 ) -> int:
@@ -122,15 +148,7 @@ def compact_table(
 
     staging = path.rstrip("/") + "__compact_staging"
     backup = path.rstrip("/") + "__compact_backup"
-    # recover from a previously interrupted swap: source missing but the
-    # backup (the pre-compaction data, still complete) present
-    if os.path.exists(backup):
-        if not os.path.exists(path):
-            os.rename(backup, path)
-        else:
-            shutil.rmtree(backup)  # swap completed; stale backup
-    if os.path.exists(staging):
-        shutil.rmtree(staging)  # incomplete staging from a crashed run
+    recover_interrupted_swap(path, kind="compact")
     df = spark.read.format(fmt).load(path)
     df.repartition(target_files).write.format(fmt).mode("overwrite").save(staging)
     os.rename(path, backup)
@@ -195,13 +213,7 @@ def upsert_table(
 
     staging = path.rstrip("/") + "__upsert_staging"
     backup = path.rstrip("/") + "__upsert_backup"
-    if os.path.exists(backup):
-        if not os.path.exists(path):
-            os.rename(backup, path)
-        else:
-            shutil.rmtree(backup)
-    if os.path.exists(staging):
-        shutil.rmtree(staging)
+    recover_interrupted_swap(path, kind="upsert")
     current = spark.read.format(fmt).load(path)
     kept = current.join(
         updates.select(key_col).distinct(), key_col, "left_anti"

@@ -33,7 +33,17 @@ def _state_exists(spark, path: str) -> bool:
     destroy all accumulated state.  An explicit Hadoop-FS existence
     probe separates "not there" from "there but unreadable" — the
     latter propagates, so the micro-batch fails and Structured
-    Streaming retries it instead of wiping state."""
+    Streaming retries it instead of wiping state.
+
+    A crash INSIDE ``upsert_table``'s staged swap (between its two
+    renames) leaves the state only in the ``__upsert_backup`` dir with
+    the table path absent — that is existing state too, so the swap is
+    rolled forward/back FIRST (``recover_interrupted_swap``, the same
+    preamble upsert_table itself runs); only then is absence
+    meaningful."""
+    from ..sources import recover_interrupted_swap
+
+    recover_interrupted_swap(path, kind="upsert")
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())

@@ -291,3 +291,21 @@ def test_bloom_inline_probe_is_shuffle_free(spark):
     # the filter build aggregates (its own exchanges are fine); the
     # PROBE side must not exchange: no hashpartitioning on fp
     assert "hashpartitioning(fp" not in p
+
+
+def test_bloom_probe_rejects_grouped_filter(spark):
+    from duckdb_imputation_spark.operators.sketches import (
+        bloom_build,
+        bloom_contains,
+        bloom_contains_inline,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("b", "y")], "day string, v string"
+    )
+    bf = bloom_build(df, "v", m_bits=256, k_hashes=2, by_cols=["day"])
+    probes = df.select("v")
+    with pytest.raises(ValueError, match="group columns"):
+        bloom_contains(bf, probes, "v", m_bits=256, k_hashes=2)
+    with pytest.raises(ValueError, match="group columns"):
+        bloom_contains_inline(probes, bf, "v", m_bits=256, k_hashes=2)

@@ -601,5 +601,39 @@ def test_bottomk_merge_duplicate_key_attrs_deterministic(spark):
     as_map1 = {r["doc_id"]: r["src"] for r in m1}
     as_map2 = {r["doc_id"]: r["src"] for r in m2}
     assert as_map1 == as_map2
-    # the winner is the ordering minimum, not "whichever arrived first"
-    assert set(as_map1.values()) == {"alpha"}
+    # the winner is the md5-of-JSON ordering minimum — the SAME label
+    # everywhere and independent of input order, not "whichever
+    # arrived first"
+    assert len(set(as_map1.values())) == 1
+
+
+def test_bottomk_null_keys_excluded(spark):
+    """A NULL key hashes to NULL, which sorts FIRST ascending — it must
+    never claim a sample slot."""
+    from duckdb_imputation_spark.operators.sketches import bottomk_sample
+
+    rows = [(i,) for i in range(30)] + [(None,)] * 5
+    df = spark.createDataFrame(rows, "doc_id long")
+    got = bottomk_sample(df, "doc_id", k=10).collect()
+    assert len(got) == 10
+    assert all(r["doc_id"] is not None for r in got)
+    assert all(r["__bk_hash"] is not None for r in got)
+
+
+def test_bottomk_merge_type_agnostic_tiebreak(spark):
+    """Samples carrying unorderable attribute columns (maps) must still
+    merge — the tiebreak is the md5 of the JSON form, not a direct
+    column ordering."""
+    from duckdb_imputation_spark.operators.sketches import (
+        bottomk_sample,
+        merge_bottomk,
+    )
+
+    df = spark.createDataFrame(
+        [(i, {"k": str(i)}) for i in range(40)],
+        "doc_id long, props map<string,string>",
+    )
+    a = bottomk_sample(df, "doc_id", k=15)
+    m = merge_bottomk(a, a, k=15, key_col="doc_id").collect()
+    assert len(m) == 15
+    assert all(r["props"] is not None for r in m)

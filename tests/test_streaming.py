@@ -748,3 +748,45 @@ def test_streaming_bloom_sink_matches_batch(spark, tmp_path):
         for r in spark.read.parquet(state).select("word", "bits").collect()
     }
     assert again == exp
+
+
+def test_sink_recovers_interrupted_swap_state(spark, tmp_path):
+    """A crash INSIDE upsert_table's staged swap leaves the accumulated
+    state only in the __upsert_backup dir (table path absent).  The
+    retried micro-batch must RECOVER that state and merge into it —
+    never treat the situation as 'no state yet' and overwrite with
+    batch-only data."""
+    import os
+
+    from duckdb_imputation_spark.streaming.sinks import streaming_rollup_sink
+
+    src1 = str(tmp_path / "rs_src1")
+    spark.createDataFrame([(1, 10.0)] * 4, "k long, v double").write.parquet(src1)
+    state = str(tmp_path / "rs_state")
+
+    def run(src, cp):
+        stream = spark.readStream.schema("k long, v double").parquet(src)
+        q = streaming_rollup_sink(
+            stream, state, ["k"], {"n": ("count", None), "s": ("sum", "v")},
+            checkpoint=str(tmp_path / cp),
+        ).trigger(availableNow=True).start()
+        q.awaitTermination()
+
+    run(src1, "cp1")
+    assert spark.read.parquet(state).collect()[0]["n"] == 4
+
+    # simulate the mid-swap crash: state renamed away to the backup,
+    # table path gone (exactly the window between upsert_table's two
+    # renames)
+    os.rename(state, state + "__upsert_backup")
+    assert not os.path.exists(state)
+
+    src2 = str(tmp_path / "rs_src2")
+    spark.createDataFrame([(1, 5.0)] * 2, "k long, v double").write.parquet(src2)
+    run(src2, "cp2")
+    row = spark.read.parquet(state).collect()[0]
+    # pre-crash 4 rows recovered AND merged with the new batch's 2 —
+    # the pre-fix behavior lost the backup and reported n=2
+    assert row["n"] == 6
+    assert abs(row["s"] - 50.0) < 1e-9
+    assert not os.path.exists(state + "__upsert_backup")
