@@ -26,7 +26,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "navigation_edges", "hits", "connected_components"]
+__all__ = [
+    "pagerank",
+    "navigation_edges",
+    "hits",
+    "connected_components",
+    "connected_components_alternating",
+]
 
 
 def navigation_edges(
@@ -247,10 +253,9 @@ def connected_components(
     collect).  Lineage is cut with ``localCheckpoint`` every
     ``checkpoint_every`` rounds.  Rounds needed = graph DIAMETER: fine
     for social/web/co-occurrence graphs (small diameter), pathological
-    for long chains — for those, the alternating large-star/small-star
-    algorithm (Kiveris et al., "Connected Components in MapReduce and
-    Beyond", SoCC 2014) converges in O(log²) rounds and slots into this
-    same loop if ever needed; ``max_iters`` bounds the loop either way
+    for long chains — for those use
+    :func:`connected_components_alternating` (identical output,
+    O(log²) rounds); ``max_iters`` bounds the loop either way
     (converged-early is detected exactly: zero labels changed)."""
     e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
     if not directed:
@@ -289,3 +294,112 @@ def connected_components(
         if changed == 0:
             break
     return state
+
+
+def connected_components_alternating(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 30,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    (Kiveris, Lattanzi, Mirrokni, Rastogi & Vassilvitskii, "Connected
+    Components in MapReduce and Beyond", SoCC 2014) — the published
+    O(log²)-round algorithm for graphs whose DIAMETER makes plain
+    min-label propagation (:func:`connected_components`) pathological
+    (long chains, lattice-like link graphs).  Undirected semantics;
+    returns (node, component) with component = min node id, identical
+    output to :func:`connected_components`.
+
+    Per round, over the current edge set E (kept as canonical u>v
+    pairs):
+
+    * **large-star**: every node u links each STRICTLY LARGER
+      neighbour to m(u) = min(N(u) ∪ {u}) — large neighbourhoods hang
+      off their local minimum;
+    * **small-star**: every node u links each neighbour ≤ u (and
+      itself) to m(u) — chains fold onto the minimum.
+
+    Both steps are ONE groupBy over the edge list + an edge-sized
+    re-emit (map-side combinable min), so a round costs two keyed
+    shuffles of edge-sized data; the edge set never grows beyond the
+    input's star-closure and the fixpoint is a star forest: every node
+    points at its component's minimum.  Convergence is detected
+    exactly (the canonical edge multiset stops changing — checked via
+    a count + anti-join probe, a designed driver boundary like the
+    min-label variant's changed-count); ``max_iters`` bounds the loop.
+    """
+    clean = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
+        F.col("a").isNotNull() & F.col("b").isNotNull()
+    )
+    # every touched node — nodes whose only edges are self-loops drop
+    # out of the canonical pair set below but are still singleton
+    # components (identical to the min-label variant's output)
+    all_nodes = (
+        clean.select(F.col("a").alias("node"))
+        .unionByName(clean.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    # canonical big->small pairs; self-loops dropped
+    e = (
+        clean.select(
+            F.greatest("a", "b").alias("u"),
+            F.least("a", "b").alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def star(cur: DataFrame, large: bool) -> DataFrame:
+        # neighbourhood view: for node x, its neighbours across both
+        # directions of the canonical pairs
+        nbrs = cur.select(F.col("u").alias("x"), F.col("v").alias("y")).unionByName(
+            cur.select(F.col("v").alias("x"), F.col("u").alias("y"))
+        )
+        m = nbrs.groupBy("x").agg(F.min("y").alias("m"))
+        m = m.select("x", F.least("x", "m").alias("m"))
+        joined = nbrs.join(m, "x")
+        if large:
+            out = joined.where(F.col("y") > F.col("x")).select(
+                F.col("y").alias("a"), F.col("m").alias("b")
+            )
+        else:
+            out = (
+                joined.where(F.col("y") <= F.col("x"))
+                .select(F.col("y").alias("a"), F.col("m").alias("b"))
+                .unionByName(m.select(F.col("x").alias("a"), F.col("m").alias("b")))
+            )
+        return (
+            out.where(F.col("a") != F.col("b"))
+            .select(
+                F.greatest("a", "b").alias("u"),
+                F.least("a", "b").alias("v"),
+            )
+            .distinct()
+        )
+
+    for i in range(max_iters):
+        new_e = star(star(e, large=True), large=False).localCheckpoint(
+            eager=False
+        )
+        # exact convergence probe: same canonical edge multiset?
+        n_new = new_e.count()
+        changed = (
+            n_new != e.count()
+            or new_e.join(e, ["u", "v"], "left_anti").limit(1).count() > 0
+        )
+        e = new_e
+        if not changed:
+            break
+    # fixpoint is a star forest: u -> v points every node at its
+    # component min; everything not a member (roots, self-loop-only
+    # and otherwise isolated-in-canonical nodes) is its own component
+    members = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    singletons = (
+        all_nodes.join(members.select("node"), "node", "left_anti")
+        .select("node", F.col("node").alias("component"))
+    )
+    return members.unionByName(singletons)

@@ -309,3 +309,62 @@ def test_bloom_probe_rejects_grouped_filter(spark):
         bloom_contains(bf, probes, "v", m_bits=256, k_hashes=2)
     with pytest.raises(ValueError, match="group columns"):
         bloom_contains_inline(probes, bf, "v", m_bits=256, k_hashes=2)
+
+
+def test_alternating_components_match_min_label(spark):
+    from duckdb_imputation_spark.operators.graph import (
+        connected_components,
+        connected_components_alternating,
+    )
+
+    rng = random.Random(41)
+    nodes = list(range(50))
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(40)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = {
+        r["node"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+    b = {
+        r["node"]: r["component"]
+        for r in connected_components_alternating(df).collect()
+    }
+    assert a == b
+
+
+def test_alternating_components_long_chain_converges_fast(spark):
+    """A 120-node chain has diameter 119: min-label propagation needs
+    ~119 rounds, the alternating-star algorithm O(log^2).  max_iters=12
+    makes the test itself the convergence proof — a slow algorithm
+    cannot produce the correct single component within the bound."""
+    from duckdb_imputation_spark.operators.graph import (
+        connected_components_alternating,
+    )
+
+    n = 120
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components_alternating(df, max_iters=12).collect()
+    }
+    assert len(got) == n
+    assert set(got.values()) == {0}
+
+
+def test_alternating_components_self_loop_singleton(spark):
+    from duckdb_imputation_spark.operators.graph import (
+        connected_components,
+        connected_components_alternating,
+    )
+
+    df = spark.createDataFrame(
+        [(7, 7), (1, 2)], "src long, dst long"
+    )
+    a = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    b = {
+        r["node"]: r["component"]
+        for r in connected_components_alternating(df).collect()
+    }
+    assert a == b == {7: 7, 1: 1, 2: 1}
