@@ -125,7 +125,11 @@ def test_new_library_ops_lint_clean(spark):
     from pyspark.sql import functions as F
 
     from duckdb_imputation_spark.ml.stats import grouped_covariance
-    from duckdb_imputation_spark.operators.graph import hits, navigation_edges
+    from duckdb_imputation_spark.operators.graph import (
+        connected_components_alternating,
+        hits,
+        navigation_edges,
+    )
     from duckdb_imputation_spark.operators.selection import (
         domain_divergence,
         weighted_sample,
@@ -160,6 +164,9 @@ def test_new_library_ops_lint_clean(spark):
         "hits": hits(edges, iters=2),
         "grouped_covariance": grouped_covariance(
             li, ["l_quantity", "l_discount"], ["l_returnflag"]
+        ),
+        "connected_components_alternating": (
+            connected_components_alternating(edges, max_iters=4)
         ),
     }
     for name, df in frames.items():
