@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from .hashing import md5_int32, ws_tokens
 
 __all__ = [
+    "interpolated_bigram_logprob",
     "token_count_ws",
     "token_count_regex",
     "quality_metrics",
@@ -386,3 +387,94 @@ def compression_ratio(df, text_col: str, out_col: str = "zlib_ratio"):
         return s.map(one)
 
     return df.withColumn(out_col, ratio(F.coalesce(F.col(text_col), F.lit(""))))
+
+
+def interpolated_bigram_logprob(
+    df,
+    text_col: str,
+    id_col: str,
+    model_df=None,
+    lam: float = 0.7,
+    round_digits: int | None = 6,
+):
+    """Jelinek–Mercer interpolated bigram LM scoring — the CROSS-CORPUS
+    form of the bigram quality signal: score ``df``'s documents under a
+    model estimated from ``model_df`` (default: ``df`` itself), with
+
+        p(w2|w1) = λ·p_bigram(w2|w1) + (1−λ)·p_unigram(w2)
+
+    where p_bigram is the MLE conditional (0 for an unseen context —
+    the unigram term carries it) and p_unigram is add-one smoothed over
+    the model vocabulary, so words the model never saw still score
+    finite (1/(N+V)) instead of −inf.  This is the CCNet deployment
+    shape: the model comes from a trusted reference corpus, the scored
+    corpus is the crawl.
+
+    Returns (id_col, avg_logprob, n_bigrams) for documents with ≥1
+    bigram.  Scale: model tables are vocabulary/bigram-vocabulary-sized
+    count frames joined WITHOUT a hard broadcast hint — AQE broadcasts
+    small models and falls back to a shuffle join past the threshold
+    (the same bounded-model lesson as selection.importance_weights)."""
+    from pyspark.sql import functions as F
+
+    from .hashing import ws_tokens
+
+    if model_df is None:
+        model_df = df
+
+    def bigrams(frame, with_id):
+        t = ws_tokens(F.col(text_col))
+        pair_arr = F.when(
+            F.size(t) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 1),
+                lambda i: F.struct(
+                    F.element_at(t, i).alias("w1"),
+                    F.element_at(t, i + F.lit(1)).alias("w2"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        cols = [F.col(id_col)] if with_id else []
+        return frame.select(*cols, F.explode(pair_arr).alias("pr")).select(
+            *([id_col] if with_id else []),
+            F.col("pr.w1").alias("w1"),
+            F.col("pr.w2").alias("w2"),
+        )
+
+    mbg = bigrams(model_df, with_id=False)
+    mtok = model_df.select(
+        F.explode(ws_tokens(F.col(text_col))).alias("w2")
+    )
+    ctx = mbg.groupBy("w1").agg(F.count(F.lit(1)).cast("double").alias("c1"))
+    big = mbg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("double").alias("c2")
+    )
+    uni = mtok.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("double").alias("cu")
+    )
+    tot = uni.agg(
+        F.sum("cu").alias("n_uni"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    sbg = bigrams(df, with_id=True)
+    scored = (
+        sbg.join(big, ["w1", "w2"], "left")
+        .join(ctx, "w1", "left")
+        .join(uni, "w2", "left")
+        .crossJoin(F.broadcast(tot))
+    )
+    p_big = F.when(
+        F.coalesce(F.col("c1"), F.lit(0.0)) > 0,
+        F.coalesce(F.col("c2"), F.lit(0.0)) / F.col("c1"),
+    ).otherwise(F.lit(0.0))
+    p_uni = (F.coalesce(F.col("cu"), F.lit(0.0)) + 1.0) / (
+        F.col("n_uni") + F.col("v")
+    )
+    lp = F.log(F.lit(lam) * p_big + F.lit(1.0 - lam) * p_uni)
+    avg = F.sum(lp) / F.count(F.lit(1))
+    if round_digits is not None:
+        avg = F.round(avg, round_digits)
+    return scored.groupBy(id_col).agg(
+        avg.alias("avg_logprob"),
+        F.count(F.lit(1)).alias("n_bigrams"),
+    )

@@ -97,6 +97,8 @@ _DRIVER_PRIORITY: list[str] = [
     "connected_components_pages",
     "bloom_decontaminate_documents",
     "grouped_linreg_lineitem",
+    "interpolated_bigram_scores",
+    "equidepth_histogram_lineitem",
     # round 6: rotated back in per the r4 hygiene rule — their
     # expression binds changed in r5 (designed hash-unchanged) and the
     # demote note promised one post-change driver round (VERDICT r5
@@ -145,8 +147,6 @@ _DRIVER_PRIORITY: list[str] = [
     "bm25_index_search_documents",
     "ngram_decontaminate_documents",
     "multimodal_decode_netpbm",
-    "multimodal_decode_wav",
-    "multimodal_media_meta",
     "embedding_dup_pairs_lsh",
     "pack_documents_bins",
 ]
@@ -185,6 +185,8 @@ _DRIVER_DEMOTE: list[str] = [
     "duplicate_passage_flags",
     "repetition_metrics_documents",
     "vocabulary_top_tokens",
+    "multimodal_decode_wav",
+    "multimodal_media_meta",
     # rotated out late round 5 for the selection/count-min/pagerank rows:
     # hash-green in r3 AND r4 driver runs, implementation untouched
     "sql_passthrough_shared_dialect",
@@ -5402,4 +5404,113 @@ def grouped_linreg_lineitem(spark, sf):
         F.col("n").cast("long").alias("n"),
         F.round("slope", 4).alias("slope"),
         F.round("intercept", 4).alias("intercept"),
+    )
+
+
+@register(
+    "interpolated_bigram_scores",
+    oracle=f"""
+    WITH mdl AS (
+      SELECT doc_id, text FROM documents WHERE lang = 'en'
+    ), mt AS (
+      SELECT doc_id, {_ws_sql('text')} AS t FROM mdl
+    ), mpairs AS (
+      SELECT unnest(
+        CASE WHEN length(t) >= 2 THEN
+          list_transform(range(1, length(t)),
+                         i -> [t[CAST(i AS INT)], t[CAST(i AS INT) + 1]])
+        ELSE [] END) AS pr
+      FROM mt
+    ), mbg AS (
+      SELECT pr[1] AS w1, pr[2] AS w2 FROM mpairs
+    ), ctx AS (
+      SELECT w1, CAST(COUNT(*) AS DOUBLE) AS c1 FROM mbg GROUP BY w1
+    ), big AS (
+      SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS c2 FROM mbg GROUP BY w1, w2
+    ), uni AS (
+      SELECT w2, CAST(COUNT(*) AS DOUBLE) AS cu FROM (
+        SELECT unnest({_ws_sql('text')}) AS w2 FROM mdl
+      ) GROUP BY w2
+    ), tot AS (
+      SELECT SUM(cu) AS n_uni, CAST(COUNT(*) AS DOUBLE) AS v FROM uni
+    ), st AS (
+      SELECT doc_id, {_ws_sql('text')} AS t FROM documents
+    ), spairs AS (
+      SELECT doc_id, unnest(
+        CASE WHEN length(t) >= 2 THEN
+          list_transform(range(1, length(t)),
+                         i -> [t[CAST(i AS INT)], t[CAST(i AS INT) + 1]])
+        ELSE [] END) AS pr
+      FROM st
+    ), sbg AS (
+      SELECT doc_id, pr[1] AS w1, pr[2] AS w2 FROM spairs
+    )
+    SELECT doc_id,
+           ROUND(SUM(ln(
+             0.7 * (CASE WHEN COALESCE(c1, 0) > 0
+                         THEN COALESCE(c2, 0) / c1 ELSE 0 END)
+             + 0.3 * ((COALESCE(cu, 0) + 1) / (n_uni + v))
+           )) / COUNT(*), 6) AS avg_logprob,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams
+    FROM sbg
+    LEFT JOIN big USING (w1, w2)
+    LEFT JOIN ctx USING (w1)
+    LEFT JOIN uni USING (w2)
+    CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def interpolated_bigram_scores(spark, sf):
+    """Jelinek–Mercer interpolated bigram scoring in its CROSS-CORPUS
+    deployment shape (operators/textstats.py
+    interpolated_bigram_logprob): the LM is estimated from the English
+    slice only, every document is scored under it — unseen contexts
+    fall back to the add-one unigram term (λ=0.7), so out-of-model
+    documents score low but finite (the CCNet setup: trusted reference
+    model, crawl-wide scoring).  Model joins carry no broadcast hint —
+    AQE picks broadcast vs shuffle by actual model size (the bounded
+    -model rule)."""
+    d = load_table(spark, sf, "documents")
+    return _ts.interpolated_bigram_logprob(
+        d, "text", "doc_id", model_df=d.where(F.col("lang") == "en"),
+        lam=0.7,
+    )
+
+
+@register(
+    "equidepth_histogram_lineitem",
+    oracle="""
+    WITH t AS (
+      SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v,
+             l_orderkey, l_linenumber
+      FROM lineitem
+    ), ranked AS (
+      SELECT v, NTILE(10) OVER (ORDER BY v, l_orderkey, l_linenumber)
+               AS bucket
+      FROM t
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(v) AS min_value,
+           MAX(v) AS max_value
+    FROM ranked GROUP BY bucket
+    """,
+)
+def equidepth_histogram_lineitem(spark, sf):
+    """Equal-frequency price histogram, NTILE(10) semantics WITHOUT the
+    single-partition window NTILE needs (operators/prefix.py
+    equidepth_histogram): the global rank rides the shard-offset
+    pattern, the bucket id is integer arithmetic on (rank, n).  Values
+    are exact cents (longs), so min/max per bucket carry no float
+    caveat; rows identical under the full order are interchangeable at
+    bucket boundaries and the per-bucket aggregates are invariant —
+    which is exactly why the NTILE oracle matches an engine that never
+    ran a global window."""
+    from .operators.prefix import equidepth_histogram
+
+    li = _li(spark, sf).select(
+        _cents("l_extendedprice").alias("v"), "l_orderkey", "l_linenumber"
+    )
+    return equidepth_histogram(
+        li, "v", 10, tiebreak_cols=["l_orderkey", "l_linenumber"]
     )

@@ -151,3 +151,30 @@ def test_build_vocabulary_no_topk_matches_window(spark):
         counts.withColumn("token_id", F.row_number().over(w).cast("long")).collect()
     )
     assert sorted(v.collect()) == want
+
+
+def test_equidepth_histogram_ntile_sizes(spark):
+    """Bucket sizes must be NTILE's: first (n mod k) buckets ceil(n/k),
+    rest floor(n/k) — here 23 rows into 5 buckets -> 5,5,5,4,4."""
+    from duckdb_imputation_spark.operators.prefix import equidepth_histogram
+
+    df = spark.createDataFrame([(i,) for i in range(23)], "v long")
+    out = {
+        r["bucket"]: (r["n_rows"], r["min_value"], r["max_value"])
+        for r in equidepth_histogram(df, "v", 5, n_shards=4).collect()
+    }
+    assert [out[b][0] for b in sorted(out)] == [5, 5, 5, 4, 4]
+    # contiguous, ordered ranges
+    bounds = [out[b][1:] for b in sorted(out)]
+    assert bounds == [(0, 4), (5, 9), (10, 14), (15, 18), (19, 22)]
+
+
+def test_equidepth_histogram_fewer_rows_than_buckets(spark):
+    from duckdb_imputation_spark.operators.prefix import equidepth_histogram
+
+    df = spark.createDataFrame([(1,), (2,), (3,)], "v long")
+    out = {
+        r["bucket"]: r["n_rows"]
+        for r in equidepth_histogram(df, "v", 10, n_shards=2).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1}  # n<k: one row per leading bucket

@@ -637,3 +637,90 @@ def test_bottomk_merge_type_agnostic_tiebreak(spark):
     m = merge_bottomk(a, a, k=15, key_col="doc_id").collect()
     assert len(m) == 15
     assert all(r["props"] is not None for r in m)
+
+
+# --------------------------------------------------------------------- #
+# interpolated bigram LM                                                #
+# --------------------------------------------------------------------- #
+
+
+def test_interpolated_bigram_unseen_scores_finite(spark):
+    """Documents entirely outside the model vocabulary must score low
+    but FINITE (add-one unigram backoff), never -inf/NULL."""
+    from duckdb_imputation_spark.operators.textstats import (
+        interpolated_bigram_logprob,
+    )
+
+    model = spark.createDataFrame(
+        [(1, "a b a b a c")], "doc_id long, text string"
+    )
+    scored = spark.createDataFrame(
+        [(1, "a b a b"), (2, "zz qq zz qq")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in interpolated_bigram_logprob(
+            scored, "text", "doc_id", model_df=model, lam=0.7
+        ).collect()
+    }
+    assert out[1] is not None and out[2] is not None
+    assert out[2] < out[1]  # out-of-model text scores strictly lower
+    assert out[2] > -50     # finite, not an -inf sentinel
+
+
+def test_interpolated_bigram_matches_python_reference(spark):
+    import math
+
+    from duckdb_imputation_spark.operators.textstats import (
+        interpolated_bigram_logprob,
+    )
+
+    rng = random.Random(31)
+    vocab = [f"w{i}" for i in range(12)]
+    mrows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(2, 9))))
+        for i in range(15)
+    ]
+    srows = [
+        (i, " ".join(rng.choice(vocab + ["oov"]) for _ in range(rng.randrange(2, 9))))
+        for i in range(15)
+    ]
+    model = spark.createDataFrame(mrows, "doc_id long, text string")
+    scored = spark.createDataFrame(srows, "doc_id long, text string")
+
+    big, ctx, uni = {}, {}, {}
+    for _, text in mrows:
+        toks = text.split()
+        for t in toks:
+            uni[t] = uni.get(t, 0) + 1
+        for a, b in zip(toks, toks[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+            ctx[a] = ctx.get(a, 0) + 1
+    n_uni, v = sum(uni.values()), len(uni)
+    lam = 0.7
+
+    def py_score(text):
+        toks = text.split()
+        pairs = list(zip(toks, toks[1:]))
+        if not pairs:
+            return None
+        s = 0.0
+        for a, b in pairs:
+            p_big = big.get((a, b), 0) / ctx[a] if ctx.get(a) else 0.0
+            p_uni = (uni.get(b, 0) + 1) / (n_uni + v)
+            s += math.log(lam * p_big + (1 - lam) * p_uni)
+        return s / len(pairs)
+
+    out = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in interpolated_bigram_logprob(
+            scored, "text", "doc_id", model_df=model, lam=lam,
+            round_digits=None,
+        ).collect()
+    }
+    for i, text in srows:
+        exp = py_score(text)
+        if exp is None:
+            assert i not in out
+        else:
+            assert abs(out[i] - exp) < 1e-9, i
