@@ -178,3 +178,40 @@ def test_equidepth_histogram_fewer_rows_than_buckets(spark):
         for r in equidepth_histogram(df, "v", 10, n_shards=2).collect()
     }
     assert out == {1: 1, 2: 1, 3: 1}  # n<k: one row per leading bucket
+
+
+def test_equidepth_histogram_matches_duckdb_ntile_randomized(spark):
+    """Random (n, k, duplicate-heavy values): bucket aggregates must
+    equal DuckDB NTILE's for every draw — the cross-engine form of the
+    invariance argument (ties are interchangeable, aggregates are
+    not)."""
+    import random as _r
+
+    import duckdb
+
+    from duckdb_imputation_spark.operators.prefix import equidepth_histogram
+
+    rng = _r.Random(47)
+    for trial in range(4):
+        n = rng.randrange(5, 120)
+        k = rng.choice([3, 7, 10, 16])
+        rows = [(rng.randrange(0, 12), i) for i in range(n)]  # heavy ties
+        df = spark.createDataFrame(rows, "v long, rid long")
+        got = {
+            r["bucket"]: (r["n_rows"], r["min_value"], r["max_value"])
+            for r in equidepth_histogram(
+                df, "v", k, tiebreak_cols=["rid"], n_shards=4
+            ).collect()
+        }
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t(v BIGINT, rid BIGINT)")
+        con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+        exp = {
+            b: (c, lo, hi)
+            for b, c, lo, hi in con.execute(
+                f"""SELECT bucket, COUNT(*), MIN(v), MAX(v) FROM (
+                      SELECT v, NTILE({k}) OVER (ORDER BY v, rid) AS bucket
+                      FROM t) GROUP BY bucket"""
+            ).fetchall()
+        }
+        assert got == exp, (trial, n, k)
