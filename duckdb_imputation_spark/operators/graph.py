@@ -233,7 +233,6 @@ def connected_components(
     dst: str = "dst",
     directed: bool = False,
     max_iters: int = 50,
-    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Connected components by min-label propagation: every node starts
     as its own component id; each round a node's label becomes the min
@@ -250,8 +249,12 @@ def connected_components(
     (state ⋈ edges on src) + ONE keyed min-aggregate — the same cost
     profile as a pagerank iteration — plus a scalar convergence probe
     (changed-label count, a designed driver boundary like the dangling
-    collect).  Lineage is cut with ``localCheckpoint`` every
-    ``checkpoint_every`` rounds.  Rounds needed = graph DIAMETER: fine
+    collect).  Lineage is cut with ``localCheckpoint`` EVERY round, by
+    design and not configurably (unlike pagerank/hits' cadence knob):
+    the convergence probe materializes the new state each round
+    anyway, so the cut is free — and skipping it would make every
+    probe recompute the whole un-checkpointed prefix, turning the loop
+    O(rounds²).  Rounds needed = graph DIAMETER: fine
     for social/web/co-occurrence graphs (small diameter), pathological
     for long chains — for those use
     :func:`connected_components_alternating` (identical output,
@@ -301,7 +304,6 @@ def connected_components_alternating(
     src: str = "src",
     dst: str = "dst",
     max_iters: int = 30,
-    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Connected components by alternating large-star / small-star
     (Kiveris, Lattanzi, Mirrokni, Rastogi & Vassilvitskii, "Connected
@@ -382,6 +384,10 @@ def connected_components_alternating(
         )
 
     for i in range(max_iters):
+        # lineage cut every round, deliberately unconditional: the
+        # convergence probe below materializes new_e twice (count +
+        # anti-join), so the checkpoint is free and skipping it would
+        # recompute the whole star-round prefix per probe
         new_e = star(star(e, large=True), large=False).localCheckpoint(
             eager=False
         )

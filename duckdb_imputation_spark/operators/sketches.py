@@ -422,13 +422,20 @@ def bloom_contains(
     k_hashes: int = 3,
     out_col: str = "maybe_present",
 ) -> DataFrame:
-    """Probe a Bloom filter: every ``queries_df`` row gains ``out_col``
-    — False means DEFINITELY absent, True means present-or-collision
-    (one-sided error).  k word-level probes per query joined against
-    the broadcast filter (≤ m_bits/64 rows by construction); a missing
-    word is an unset bit.  (m_bits, k_hashes) must match the build;
-    grouped filters (built with by_cols) are rejected — probe per
-    group."""
+    """Probe a Bloom filter: each DISTINCT ``queries_df`` row gains
+    ``out_col`` — False means DEFINITELY absent, True means
+    present-or-collision (one-sided error).  k word-level probes per
+    query joined against the broadcast filter (≤ m_bits/64 rows by
+    construction); a missing word is an unset bit.  (m_bits, k_hashes)
+    must match the build; grouped filters (built with by_cols) are
+    rejected — probe per group.
+
+    Two set-semantics caveats (use :func:`bloom_contains_inline` when
+    either matters): the final ``groupBy(*queries_df.columns)``
+    COLLAPSES duplicate query rows to one output row, and a NULL
+    ``value_col`` yields a NULL ``out_col`` (membership of NULL is
+    unknown, the SQL three-valued convention — its bucket hashes are
+    NULL, so no word ever matches)."""
     _require_ungrouped_bloom(bloom_df, "bloom_contains")
     probes = queries_df.select(
         *queries_df.columns,

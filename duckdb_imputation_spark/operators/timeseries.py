@@ -181,9 +181,12 @@ def ewma(
     therefore the recurrence, ambiguous).
 
     NULL values: a NULL ``x_t`` is SKIPPED — the state ``s`` carries
-    through unchanged and that row's ``out_col`` is NULL (pandas
-    ``ewm(adjust=False, ignore_na=False)`` on the non-null positions).
-    The recurrence never restarts mid-series."""
+    through unchanged and that row's ``out_col`` is NULL, then the
+    next non-null value applies a single alpha step as if the NULL
+    rows were absent.  That is pandas ``ewm(adjust=False,
+    ignore_na=True)`` semantics (``ignore_na=False`` would instead
+    re-weight by the gap length).  The recurrence never restarts
+    mid-series."""
     keys = list(key_cols)
     rows = df.groupBy(*keys).agg(
         F.sort_array(

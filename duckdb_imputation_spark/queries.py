@@ -92,21 +92,26 @@ _DRIVER_PRIORITY: list[str] = [
     # round 6 (late): new rows (never driver-verified) — Bloom-filter
     # membership pre-screen with exhibited false positives, and
     # min-label connected components over the thresholded navigation
-    # graph (recursive-CTE fixpoint oracle)
+    # graph (recursive-CTE fixpoint oracle).  connected_components_pages
+    # also rides graph.py's dropped checkpoint_every parameter this
+    # round (VERDICT r6 #4), so it stays for a post-change hash.
     "bloom_membership_fingerprints",
     "connected_components_pages",
     "bloom_decontaminate_documents",
     "grouped_linreg_lineitem",
     "interpolated_bigram_scores",
     "equidepth_histogram_lineitem",
-    # round 6: rotated back in per the r4 hygiene rule — their
-    # expression binds changed in r5 (designed hash-unchanged) and the
-    # demote note promised one post-change driver round (VERDICT r5
-    # item 4)
-    "text_stats_documents",
-    "chunk_documents_catalog",
-    "ngram_jaccard_dups",
-    "bm25_search_documents",
+    # round 7: new rows (never driver-verified) — the two unit-only
+    # round-6 operators get driver-visible evidence (VERDICT r6 #3):
+    # the alternating-star components against the SAME recursive-CTE
+    # oracle as the min-label row, and the streaming Bloom sink's
+    # availableNow twin against the batch bloom_build oracle
+    "connected_components_alternating_pages",
+    "streaming_bloom_sink_fingerprints",
+    # round 7: bucketed-DSIR driver row (VERDICT r6 #8) — the
+    # hash_buckets=N bounded-model mode gets a DuckDB oracle with the
+    # same md5 % N construction, closing its last evidence gap
+    "dsir_bucketed_importance_weights",
     # round 6: code/oracle changed this round, so they stay in the
     # window for a fresh hash — encode_documents_vocab projects scalar
     # digests now (the r5 red row), resample_interpolate gained the
@@ -163,6 +168,16 @@ _DRIVER_PRIORITY: list[str] = [
 # full-catalog replay.  A query whose code changes must move back to
 # _DRIVER_PRIORITY for one round (VERDICT r4 hygiene rule).
 _DRIVER_DEMOTE: list[str] = [
+    # rotated out round 7 to make window room for the two new
+    # alternating-components / streaming-bloom-sink rows (VERDICT r6
+    # #3) and the bucketed-DSIR row: all four returned to the window
+    # in r6 for their one promised post-change driver round (r5 bind
+    # changes) and came back green (CORRECTNESS_r06.json hash_match);
+    # implementation untouched this round
+    "text_stats_documents",
+    "chunk_documents_catalog",
+    "ngram_jaccard_dups",
+    "bm25_search_documents",
     # rotated out round 6 to make window room for the eight new rows
     # and the four returning bind-changed rows: ALL r5 driver-green
     # (CORRECTNESS_r05.json hash_match), implementation untouched this
@@ -4488,6 +4503,65 @@ def dsir_importance_weights(spark, sf):
 
 
 @register(
+    "dsir_bucketed_importance_weights",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id,
+             {md5_int32_sql('token', 'selbkt|')} % 64 AS token
+      FROM (
+        SELECT doc_id, unnest({_ws_sql('text')}) AS token FROM documents
+      )
+    ), tgt_tk AS (
+      SELECT doc_id,
+             {md5_int32_sql('token', 'selbkt|')} % 64 AS token
+      FROM (
+        SELECT doc_id, unnest({_ws_sql('text')}) AS token FROM documents
+        WHERE lang = 'en'
+      )
+    ), src AS (
+      SELECT token, CAST(COUNT(*) AS DOUBLE) AS c_src FROM tk GROUP BY token
+    ), tgt AS (
+      SELECT token, CAST(COUNT(*) AS DOUBLE) AS c_tgt FROM tgt_tk GROUP BY token
+    ), vocab AS (
+      SELECT s.token, s.c_src, COALESCE(t.c_tgt, 0) AS c_tgt
+      FROM src s LEFT JOIN tgt t USING (token)
+    ), tot AS (
+      SELECT SUM(c_src) AS n_src, SUM(c_tgt) AS n_tgt,
+             CAST(COUNT(*) AS DOUBLE) AS v
+      FROM vocab
+    )
+    SELECT doc_id,
+           ROUND(SUM(ln(((c_tgt + 1) * (n_src + v)) /
+                        ((c_src + 1) * (n_tgt + v)))) / COUNT(*), 6)
+             AS imp_weight,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens
+    FROM tk JOIN vocab USING (token), tot
+    GROUP BY doc_id
+    """,
+)
+def dsir_bucketed_importance_weights(spark, sf):
+    """DSIR importance weights in HASHED-FEATURE mode
+    (selection.importance_weights with ``hash_buckets=64``): tokens
+    collapse to md5 % 64 buckets before any counting, so the model —
+    and its broadcast — is provably <= 64 rows no matter the corpus
+    vocabulary (the DSIR paper's own construction, and the 100 TB
+    selection story: the exact-mode model is vocabulary-sized, which
+    no executor can hold over a web crawl).  64 buckets over a
+    thousands-strong vocabulary guarantees heavy collisions at
+    sf0.01, so the bucketed estimator is exercised for real, not as a
+    near-identity.  The oracle replays the identical md5 % N bucket
+    construction in DuckDB — closing the one evidence gap VERDICT r6
+    #8 named (the bucketed mode previously had only a Python-twin
+    unit test)."""
+    from .operators.selection import importance_weights
+
+    d = load_table(spark, sf, "documents")
+    return importance_weights(
+        d, F.col("lang") == "en", hash_buckets=64
+    )
+
+
+@register(
     "perplexity_buckets_documents",
     oracle=f"""
     WITH tk AS (
@@ -5059,17 +5133,17 @@ def bottomk_sample_documents(spark, sf):
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag, 'l_quantity' AS col_x, 'l_quantity' AS col_y, n,
-           ROUND(c11, 6) AS cov FROM g
+           ROUND(c11, 4) + 0.0 AS cov FROM g
     UNION ALL SELECT l_returnflag, 'l_quantity', 'l_discount', n,
-           ROUND(c12, 6) FROM g
+           ROUND(c12, 4) + 0.0 FROM g
     UNION ALL SELECT l_returnflag, 'l_quantity', 'l_tax', n,
-           ROUND(c13, 6) FROM g
+           ROUND(c13, 4) + 0.0 FROM g
     UNION ALL SELECT l_returnflag, 'l_discount', 'l_discount', n,
-           ROUND(c22, 6) FROM g
+           ROUND(c22, 4) + 0.0 FROM g
     UNION ALL SELECT l_returnflag, 'l_discount', 'l_tax', n,
-           ROUND(c23, 6) FROM g
+           ROUND(c23, 4) + 0.0 FROM g
     UNION ALL SELECT l_returnflag, 'l_tax', 'l_tax', n,
-           ROUND(c33, 6) FROM g
+           ROUND(c33, 4) + 0.0 FROM g
     """,
 )
 def grouped_covariance_lineitem(spark, sf):
@@ -5079,7 +5153,14 @@ def grouped_covariance_lineitem(spark, sf):
     discount, tax) per returnflag come out of a single aggregation —
     the naive route is 6 covar_pop slots (exactly what the oracle
     runs).  Fully in-engine: Column arithmetic unpacks the triple, no
-    driver collect."""
+    driver collect.
+
+    Rounding tier: ROUND(,4)+0.0 (the repo's large-magnitude tier, see
+    PLANS_r9.md §6) — cov(l_discount,l_tax) is a TRUE-ZERO statistic
+    whose computed value is pure cancellation noise (~±1e-6), so
+    ROUND(,6) kept noise digits and the r6 driver flipped a cell that
+    sat 4.6e-8 from the boundary.  The +0.0 normalizes −0.0 on the
+    near-zero cells on both engines."""
     from .ml.stats import grouped_covariance
 
     li = _li(spark, sf)
@@ -5091,7 +5172,7 @@ def grouped_covariance_lineitem(spark, sf):
         "col_x",
         "col_y",
         F.col("n").cast("long").alias("n"),
-        F.round("cov", 6).alias("cov"),
+        (F.round("cov", 4) + F.lit(0.0)).alias("cov"),
     )
 
 
@@ -5349,6 +5430,138 @@ def connected_components_pages(spark, sf):
         F.col("weight") >= 5
     )
     return connected_components(edges)
+
+
+@register(
+    "connected_components_alternating_pages",
+    oracle="""
+    WITH RECURSIVE seq AS (
+      SELECT user_id, ts, event_id,
+             CAST(json_extract_string(props, '$.k') AS INT) AS k
+      FROM events
+    ), trans AS (
+      SELECT k AS src,
+             LEAD(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      FROM seq
+    ), edges0 AS (
+      SELECT src, dst, COUNT(*) AS w
+      FROM trans WHERE dst IS NOT NULL GROUP BY src, dst
+    ), ef AS (SELECT src, dst FROM edges0 WHERE w >= 5),
+    sym AS (SELECT src, dst FROM ef UNION SELECT dst AS src, src AS dst FROM ef),
+    nodes AS (SELECT DISTINCT src AS node FROM sym),
+    reach(node, lbl) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN sym e ON r.node = e.src
+    )
+    SELECT node, MIN(lbl) AS component FROM reach GROUP BY node
+    """,
+)
+def connected_components_alternating_pages(spark, sf):
+    """Connected components via alternating large-star / small-star
+    (operators/graph.py connected_components_alternating — Kiveris et
+    al., SoCC 2014), the O(log²)-round variant for graphs whose
+    diameter makes plain min-label propagation pathological.  SAME
+    input graph and SAME recursive-CTE reachability oracle as
+    `connected_components_pages`, so the "identical output to the
+    min-label variant" claim is driver-verified, not just
+    unit-tested (VERDICT r6 #3a).  Per round: two keyed edge-sized
+    shuffles (the star groupBys), edge set bounded by the input's
+    star-closure."""
+    from .operators.graph import (
+        connected_components_alternating,
+        navigation_edges,
+    )
+
+    ev = load_table(spark, sf, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+    edges = navigation_edges(ev, "user_id", "k", ["ts", "event_id"]).where(
+        F.col("weight") >= 5
+    )
+    return connected_components_alternating(edges)
+
+
+@register(
+    "streaming_bloom_sink_fingerprints",
+    oracle=f"""
+    WITH ins AS (
+      SELECT DISTINCT md5(text) AS fp FROM documents
+      WHERE length(source) = 4
+    ), buckets AS (
+      SELECT DISTINCT bucket FROM (
+        SELECT unnest([
+          {_bf_bucket_sql('fp', 0, 2048)},
+          {_bf_bucket_sql('fp', 1, 2048)},
+          {_bf_bucket_sql('fp', 2, 2048)}
+        ]) AS bucket FROM ins
+      )
+    )
+    SELECT bucket // 64 AS word,
+           bit_or(CASE WHEN bucket % 64 = 63 THEN -9223372036854775808
+                       ELSE 1::BIGINT << CAST(bucket % 64 AS INT) END)
+             AS bits
+    FROM buckets GROUP BY bucket // 64
+    """,
+)
+def streaming_bloom_sink_fingerprints(spark, sf):
+    """The streaming Bloom sink end to end (streaming/sinks.py
+    streaming_bloom_sink): document fingerprints arrive as TWO
+    availableNow micro-batch streams (odd / even doc_id); each run
+    builds the batch's word rows, bitwise-ORs into the persisted
+    state for only the touched words, and upserts through the
+    crash-safe staged swap.  The second run exercises the OR-merge
+    path (word collisions are guaranteed at m=2048 over ~250
+    fingerprints per half).  Final state must equal ONE batch
+    bloom_build over all inserted fingerprints — which is exactly
+    what the oracle computes word by word (two's-complement CASE for
+    bit 63, DuckDB's BIGINT << 63 overflows).  The availableNow twin
+    of `bloom_membership_fingerprints`, the same pattern
+    `streaming_rollup_events` established (VERDICT r6 #3b)."""
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming.sinks import streaming_bloom_sink
+
+    d = load_table(spark, sf, "documents")
+    tmp = tempfile.mkdtemp(prefix="bloom_sink_row_")
+    try:
+        src = f"{tmp}/src"
+        os.makedirs(src)
+        shutil.copy(f"{sf}/documents.parquet", f"{src}/documents.parquet")
+        state = f"{tmp}/state"
+        for i, cond in enumerate(["doc_id % 2 = 1", "doc_id % 2 = 0"]):
+            stream = (
+                spark.readStream.schema(d.schema)
+                .parquet(src)
+                .where(f"length(source) = 4 AND ({cond})")
+                .select(F.md5("text").alias("fp"))
+            )
+            q = (
+                streaming_bloom_sink(
+                    stream,
+                    state,
+                    "fp",
+                    m_bits=2048,
+                    k_hashes=3,
+                    checkpoint=f"{tmp}/cp{i}",
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        out = spark.read.parquet(state).select(
+            F.col("word").cast("long").alias("word"),
+            F.col("bits").cast("long").alias("bits"),
+        )
+        # materialize (<= 32 words) so the frame outlives the tmp dir
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 @register(

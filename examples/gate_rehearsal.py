@@ -84,8 +84,32 @@ def main() -> None:
         except Exception as ex:  # gate-visible error — report, continue
             n_fail += 1
             print(f"ERR  {name}: {str(ex)[:160]}", flush=True)
-    print(f"\n{n_pass}/{len(window)} green, {n_fail} red", flush=True)
-    sys.exit(1 if n_fail else 0)
+    # static rounding-boundary margin check (VERDICT r6 #1b): a
+    # rehearsal replay cannot catch boundary-fragile rounded cells
+    # (they are flaky, not deterministic) — the margin rule can
+    from duckdb_imputation_spark.oracle_margin import check_window
+
+    n_fragile = 0
+    for rep in check_window(oracles, SF, names=window):
+        if rep.flags:
+            n_fragile += 1
+            worst = min(rep.flags, key=lambda f: f.distance)
+            print(
+                f"FRAGILE {rep.name}: {len(rep.flags)} cell(s), worst "
+                f"{worst.column}={worst.value:.9e} sits {worst.distance:.2e} "
+                f"from its ROUND(,{worst.tier}) boundary "
+                f"(budget {worst.budget:.2e})",
+                flush=True,
+            )
+        elif rep.note.startswith("ERROR"):
+            n_fragile += 1
+            print(f"FRAGILE {rep.name}: {rep.note}", flush=True)
+    print(
+        f"\n{n_pass}/{len(window)} green, {n_fail} red, "
+        f"{n_fragile} boundary-fragile",
+        flush=True,
+    )
+    sys.exit(1 if (n_fail or n_fragile) else 0)
 
 
 if __name__ == "__main__":

@@ -347,10 +347,32 @@ def test_alternating_components_long_chain_converges_fast(spark):
     )
     got = {
         r["node"]: r["component"]
-        for r in connected_components_alternating(df, max_iters=12).collect()
+        for r in connected_components_alternating(
+            df, max_iters=12
+        ).collect()
     }
     assert len(got) == n
     assert set(got.values()) == {0}
+
+
+def test_components_have_no_checkpoint_cadence_knob():
+    """VERDICT r6 #4: checkpoint_every was a dead parameter on both
+    components functions.  Resolution: DROPPED, not wired — the
+    per-round convergence probes materialize the new frame anyway, so
+    the per-round lineage cut is free, and honoring a >1 cadence
+    makes every probe recompute the un-checkpointed prefix
+    (measured: the 120-node-chain test blows past its runtime at
+    cadence 3).  This test pins the signature so the parameter does
+    not quietly come back half-wired."""
+    import inspect
+
+    from duckdb_imputation_spark.operators.graph import (
+        connected_components,
+        connected_components_alternating,
+    )
+
+    for fn in (connected_components, connected_components_alternating):
+        assert "checkpoint_every" not in inspect.signature(fn).parameters
 
 
 def test_alternating_components_self_loop_singleton(spark):
