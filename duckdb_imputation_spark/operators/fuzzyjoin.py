@@ -1,0 +1,158 @@
+"""Fuzzy (edit-distance) joins without all-pairs — SymSpell-style
+deletion-variant blocking.
+
+Record linkage and near-key matching ("Jon Smith" ⋈ "John Smith",
+fat-fingered product codes, OCR'd identifiers) need a join on
+``levenshtein(a, b) <= d``.  The naive plan is a cross join with a
+distance filter — O(n·m) comparisons, unrunnable at corpus scale.  The
+classic lossless alternative (Wolf Garbe's SymSpell construction) is
+DELETION-VARIANT BLOCKING:
+
+    dist(s1, s2) <= d  ⇒  del_<=d(s1) ∩ del_<=d(s2) ≠ ∅
+
+where ``del_<=d(s)`` is the set of strings obtainable from ``s`` by at
+most ``d`` character deletions.  (A substitution at position i is
+covered by deleting position i from both sides; an insertion by
+deleting the inserted char from one side; compositions nest up to d.)
+So: explode each side into its deletion variants, equi-join on the
+variant, and verify surviving candidate pairs with the exact
+``levenshtein`` — no false negatives by the implication above, false
+positives (the intersection also catches pairs up to distance 2d)
+killed by the verify.  Everything is built-in Column functions
+(transform/sequence/substr, then the JVM levenshtein) — no Python in
+the path.
+
+Scale shape: variants per string = O(len^d) (len+1 for d=1), so the
+exploded frame is a small constant factor over the input; the
+equi-join shuffles on the variant key.  Skew caveat: very short
+strings produce very popular variants (the empty string is a variant
+of every 1-char string) — the ``min_length`` guard drops them from
+blocking (they are cheap to handle exactly if needed), and the
+length-difference prefilter ``|len(a) - len(b)| <= d`` cuts candidate
+pairs before the O(len²) distance kernel runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["deletion_variants", "fuzzy_join", "fuzzy_self_pairs"]
+
+
+def deletion_variants(col: Column, d: int = 1) -> Column:
+    """Array of DISTINCT strings reachable from ``col`` by at most
+    ``d`` character deletions (including the string itself).  d in
+    {1, 2}.  Pure Column expression: transform over a position
+    sequence + substr concatenation, JVM-side."""
+    if d not in (1, 2):
+        raise ValueError("deletion_variants supports d in {1, 2}")
+
+    def del1(c: Column) -> Column:
+        # delete position i (1-based) for every i
+        return F.transform(
+            F.sequence(F.lit(1), F.length(c)),
+            lambda i: F.concat(
+                c.substr(F.lit(1), i - 1),
+                c.substr(i + 1, F.length(c) - i),
+            ),
+        )
+
+    v1 = F.array_union(F.array(col), del1(col))
+    if d == 1:
+        return F.array_distinct(v1)
+    v2 = F.flatten(F.transform(del1(col), del1))
+    return F.array_distinct(F.concat(v1, v2))
+
+
+def _blocked(
+    df: DataFrame, id_col: str, col: str, d: int, min_length: int
+) -> DataFrame:
+    s = F.col(col)
+    kept = df.where(
+        s.isNotNull() & (F.length(s) >= F.lit(min_length))
+    ).select(F.col(id_col), s.alias("__s"))
+    return kept.select(
+        id_col,
+        "__s",
+        F.explode(deletion_variants(F.col("__s"), d)).alias("__v"),
+    )
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_id: str,
+    right_id: str,
+    max_distance: int = 1,
+    min_length: int = 3,
+) -> DataFrame:
+    """All (left_id, right_id, distance) pairs with
+    ``levenshtein(left_on, right_on) <= max_distance``, computed via
+    deletion-variant blocking — NEVER a cross join.  Strings shorter
+    than ``min_length`` are excluded from matching entirely (their
+    variant blocks are pathologically hot; handle them with an exact
+    or broadcast path if they matter)."""
+    lb = _blocked(left, left_id, left_on, max_distance, min_length)
+    rb = (
+        _blocked(right, right_id, right_on, max_distance, min_length)
+        .withColumnRenamed("__s", "__t")
+    )
+    cand = (
+        lb.join(rb, "__v")
+        .where(
+            (F.length("__s") - F.length("__t")).between(
+                -max_distance, max_distance
+            )
+        )
+        .select(left_id, right_id, "__s", "__t")
+        .distinct()
+    )
+    return cand.where(
+        F.levenshtein("__s", "__t") <= F.lit(max_distance)
+    ).select(
+        left_id,
+        right_id,
+        F.levenshtein("__s", "__t").alias("distance"),
+    )
+
+
+def fuzzy_self_pairs(
+    df: DataFrame,
+    id_col: str,
+    col: str,
+    max_distance: int = 1,
+    min_length: int = 3,
+) -> DataFrame:
+    """Unordered near-duplicate pairs within one table:
+    (id_a, id_b, distance) with id_a < id_b and
+    ``levenshtein <= max_distance`` — the fuzzy-dedup face of
+    :func:`fuzzy_join` (blocked self-join, identity pairs and both
+    orientations collapsed)."""
+    b = _blocked(df, id_col, col, max_distance, min_length)
+    a = b.select(
+        F.col(id_col).alias("id_a"), F.col("__s").alias("__sa"), "__v"
+    )
+    c = b.select(
+        F.col(id_col).alias("id_b"), F.col("__s").alias("__sb"), "__v"
+    )
+    cand = (
+        a.join(c, "__v")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            (F.length("__sa") - F.length("__sb")).between(
+                -max_distance, max_distance
+            )
+        )
+        .select("id_a", "id_b", "__sa", "__sb")
+        .distinct()
+    )
+    return cand.where(
+        F.levenshtein("__sa", "__sb") <= F.lit(max_distance)
+    ).select(
+        "id_a",
+        "id_b",
+        F.levenshtein("__sa", "__sb").alias("distance"),
+    )

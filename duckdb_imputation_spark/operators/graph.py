@@ -233,6 +233,7 @@ def connected_components(
     dst: str = "dst",
     directed: bool = False,
     max_iters: int = 50,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components by min-label propagation: every node starts
     as its own component id; each round a node's label becomes the min
@@ -259,7 +260,11 @@ def connected_components(
     for long chains — for those use
     :func:`connected_components_alternating` (identical output,
     O(log²) rounds); ``max_iters`` bounds the loop either way
-    (converged-early is detected exactly: zero labels changed)."""
+    (converged-early is detected exactly: zero labels changed).
+
+    ``stats``: pass a dict to receive ``{"rounds": n}`` — the number
+    of propagation rounds executed (scale-rehearsal instrumentation;
+    no effect on the result)."""
     e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
     if not directed:
         e = e.unionByName(
@@ -294,6 +299,8 @@ def connected_components(
             .count()
         )
         state = new_state
+        if stats is not None:
+            stats["rounds"] = i + 1
         if changed == 0:
             break
     return state
@@ -304,6 +311,7 @@ def connected_components_alternating(
     src: str = "src",
     dst: str = "dst",
     max_iters: int = 30,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components by alternating large-star / small-star
     (Kiveris, Lattanzi, Mirrokni, Rastogi & Vassilvitskii, "Connected
@@ -398,6 +406,8 @@ def connected_components_alternating(
             or new_e.join(e, ["u", "v"], "left_anti").limit(1).count() > 0
         )
         e = new_e
+        if stats is not None:
+            stats["rounds"] = i + 1
         if not changed:
             break
     # fixpoint is a star forest: u -> v points every node at its

@@ -46,6 +46,8 @@ __all__ = [
     "merge_bloom",
     "bloom_contains",
     "bloom_contains_inline",
+    "misra_gries_candidates",
+    "heavy_hitters",
 ]
 
 
@@ -505,3 +507,107 @@ def bloom_contains_inline(
     drop += [f"__bf_w{i}" for i in range(k_hashes)]
     drop += [f"__bf_bits{i}" for i in range(k_hashes)]
     return out.drop(*drop)
+
+
+# --------------------------------------------------------------------- #
+# Heavy hitters: Misra–Gries candidates + one exact counting pass.      #
+# "Which tokens/domains/urls exceed phi of the corpus" over 100 TB      #
+# cannot GROUP BY the full key space when the key space itself is       #
+# corpus-sized (distinct grams/urls run to billions); the MG summary    #
+# bounds per-partition state at k counters and the pigeonhole bound    #
+# makes the candidate union a PROVEN superset of every true heavy       #
+# hitter, so one bounded second pass returns exact answers.             #
+# --------------------------------------------------------------------- #
+
+
+def misra_gries_candidates(
+    df: DataFrame, value_col: str, k: int
+) -> DataFrame:
+    """Per-partition Misra–Gries summaries, unioned: a single-column
+    frame of DISTINCT candidate values guaranteed to contain every
+    value whose GLOBAL frequency exceeds N/(k+1).
+
+    Guarantee chain: MG with k counters over a partition of n_p rows
+    keeps every value with partition frequency > n_p/(k+1) (Misra &
+    Gries 1982); a value with global frequency > N/(k+1) must exceed
+    n_p/(k+1) in at least one partition (pigeonhole over the
+    partition sizes), so it survives in that partition's summary.
+    State is k counters per partition — bounded regardless of the
+    distinct-value count, which is the whole point.
+
+    mapInPandas (Arrow-batched) is the sanctioned imperative path
+    here: MG is an inherently sequential per-partition fold with a
+    bounded dict, exactly the "genuinely per-partition logic" carve-
+    out — the output is partitions x k rows, negligible at any scale."""
+    import pandas as _pd
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    src = df.select(F.col(value_col).cast("string").alias("v"))
+
+    def summarize(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for v in pdf["v"]:
+                if v is None:
+                    continue
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < k:
+                    counters[v] = 1
+                else:
+                    # decrement-all step; drop zeroed counters
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        yield _pd.DataFrame({"v": list(counters.keys())})
+
+    return src.mapInPandas(summarize, "v string").distinct()
+
+
+def heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    k: int,
+    out_value: str = "value",
+    out_count: str = "cnt",
+) -> DataFrame:
+    """EXACT heavy hitters: every value of ``value_col`` whose
+    frequency strictly exceeds N/(k+1) (N = non-null row count),
+    with its exact count — the two-pass plan:
+
+    1. :func:`misra_gries_candidates` — bounded-state candidate
+       superset, no full GROUP BY over the key space;
+    2. semi-join the stream against the broadcast candidate set
+       (<= partitions x k values) and count ONLY candidates, then
+       filter with integer cross-multiplication
+       ``cnt * (k + 1) > N`` — no float threshold.
+
+    The candidate phase can only ADD values (false positives); phase
+    2's exact counts and threshold remove them, so the result equals
+    the naive ``GROUP BY ... HAVING cnt * (k+1) > N`` — which is the
+    DuckDB oracle — while the Spark plan's shuffle carries only
+    candidate rows.  Values with ties AT the threshold are excluded
+    (strict >), matching the MG guarantee exactly."""
+    src = df.select(F.col(value_col).cast("string").alias("v")).where(
+        F.col("v").isNotNull()
+    )
+    cand = misra_gries_candidates(df, value_col, k)
+    counted = (
+        src.join(F.broadcast(cand), "v", "left_semi")
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    total = src.agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        counted.crossJoin(F.broadcast(total))
+        .where(F.col("__c") * (k + 1) > F.col("__n"))
+        .select(
+            F.col("v").alias(out_value),
+            F.col("__c").cast("long").alias(out_count),
+        )
+    )

@@ -32,7 +32,9 @@ __all__ = [
     "compression_ratio",
     "text_stats",
     "repetition_metrics",
+    "gopher_rules",
     "STOPWORDS",
+    "GOPHER_STOPWORDS",
 ]
 
 # Tiny per-language stopword lists — the lang-ID heuristic's n-gram model.
@@ -359,6 +361,95 @@ def lang_id_sql(expr: str) -> str:
         f"CASE WHEN list_max({arr}) = 0 THEN 'und' "
         f"ELSE list_extract({lang_arr}, list_position({arr}, list_max({arr}))) END"
     )
+
+
+# The Gopher quality-rule stopword set (Rae et al. 2021, "Scaling
+# Language Models: ... Gopher", §A.1.1): a document must contain at
+# least two of these to pass the stopword rule.  Embedded so the SQL
+# oracle can inline it.
+GOPHER_STOPWORDS: list[str] = [
+    "the", "be", "to", "of", "and", "that", "have", "with",
+]
+
+
+def gopher_rules(col: Column) -> dict[str, Column]:
+    """Gopher-style document quality rules (Rae et al. 2021, §A.1.1 —
+    the rule family MassiveWeb filtering popularized; also the core of
+    RedPajama-v2's quality signals).  Returns named Columns — integer
+    counts plus one boolean per rule and the conjunction ``keep`` —
+    ALL integer/boolean typed: no float column leaves this operator,
+    so a catalog row over it has zero rounding-boundary surface
+    (oracle_margin.py's fragility class is designed out, not managed).
+
+    Rules (thresholds scaled to the synthetic corpus's short documents
+    — the shape is Gopher's, the constants are honest knobs):
+
+    * ``rule_word_count``: 10 <= words <= 100000 (Gopher: 50..100k)
+    * ``rule_mean_word_len``: mean word length in [2, 10] — computed
+      as sum(len(word)) * 1 per word, compared via integer
+      cross-multiplication (``2*n <= sum_len <= 10*n``) so the rule
+      needs no float division
+    * ``rule_symbol_ratio``: '#' + '...' occurrences <= words / 10
+      (integer cross-multiplied again)
+    * ``rule_alpha_words``: words containing an alphabetic char
+      >= 80%% of words (``5*n_alpha >= 4*n_words``)
+    * ``rule_stopwords``: >= 1 distinct GOPHER_STOPWORDS present
+      (Gopher: >= 2 — the synthetic corpus tops out at one)
+
+    All expressions are built-in Column functions (transform / filter
+    / aggregate — JVM-side, codegen-friendly); the SQL twin mirrors
+    them with DuckDB list functions."""
+    c = F.coalesce(col, F.lit(""))
+    toks = ws_tokens(c)
+    n_words = F.size(toks).cast("long")
+    sum_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_hash = (
+        F.length(c) - F.length(F.regexp_replace(c, F.lit(r"#"), F.lit("")))
+    ).cast("long")
+    n_ellipsis = (
+        (
+            F.length(c)
+            - F.length(F.regexp_replace(c, F.lit(r"\.\.\."), F.lit("")))
+        )
+        / 3
+    ).cast("long")
+    n_alpha = F.size(
+        F.filter(toks, lambda t: t.rlike("[A-Za-z]"))
+    ).cast("long")
+    n_stop = F.size(
+        F.filter(
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+            lambda w: F.array_contains(
+                F.transform(toks, F.lower), w
+            ),
+        )
+    ).cast("long")
+    rules = {
+        "n_words": n_words,
+        "sum_word_len": sum_len,
+        "n_symbol": (n_hash + n_ellipsis).cast("long"),
+        "n_alpha_words": n_alpha,
+        "n_gopher_stopwords": n_stop,
+        "rule_word_count": (n_words >= 10) & (n_words <= 100000),
+        "rule_mean_word_len": (sum_len >= 2 * n_words)
+        & (sum_len <= 10 * n_words)
+        & (n_words > 0),
+        "rule_symbol_ratio": (n_hash + n_ellipsis) * 10 <= n_words,
+        "rule_alpha_words": n_alpha * 5 >= n_words * 4,
+        "rule_stopwords": n_stop >= 1,
+    }
+    rules["keep"] = (
+        rules["rule_word_count"]
+        & rules["rule_mean_word_len"]
+        & rules["rule_symbol_ratio"]
+        & rules["rule_alpha_words"]
+        & rules["rule_stopwords"]
+    )
+    return rules
 
 
 def compression_ratio(df, text_col: str, out_col: str = "zlib_ratio"):

@@ -112,6 +112,12 @@ _DRIVER_PRIORITY: list[str] = [
     # hash_buckets=N bounded-model mode gets a DuckDB oracle with the
     # same md5 % N construction, closing its last evidence gap
     "dsir_bucketed_importance_weights",
+    # round 7: new operators (never driver-verified) — Gopher-style
+    # quality rules (all-integer row: zero rounding surface) and the
+    # deletion-variant-blocked fuzzy join vs the brute-force oracle
+    "gopher_rules_documents",
+    "fuzzy_pairs_customer_names",
+    "heavy_hitter_tokens",
     # round 6: code/oracle changed this round, so they stay in the
     # window for a fresh hash — encode_documents_vocab projects scalar
     # digests now (the r5 red row), resample_interpolate gained the
@@ -151,9 +157,6 @@ _DRIVER_PRIORITY: list[str] = [
     "triple_lineitem_wide",
     "bm25_index_search_documents",
     "ngram_decontaminate_documents",
-    "multimodal_decode_netpbm",
-    "embedding_dup_pairs_lsh",
-    "pack_documents_bins",
 ]
 
 
@@ -178,6 +181,13 @@ _DRIVER_DEMOTE: list[str] = [
     "chunk_documents_catalog",
     "ngram_jaccard_dups",
     "bm25_search_documents",
+    # rotated out round 7 for the three new-operator rows (gopher /
+    # fuzzy-join / heavy-hitters): r6 driver-green
+    # (CORRECTNESS_r06.json hash_match), implementation untouched
+    # this round
+    "multimodal_decode_netpbm",
+    "embedding_dup_pairs_lsh",
+    "pack_documents_bins",
     # rotated out round 6 to make window room for the eight new rows
     # and the four returning bind-changed rows: ALL r5 driver-green
     # (CORRECTNESS_r05.json hash_match), implementation untouched this
@@ -1022,7 +1032,12 @@ ORACLE_FACTORIES["mice_categorical_sql_oracle"] = _mice_cat_oracle
 from .operators import textstats as _ts  # noqa: E402
 from .operators import dedup as _dd  # noqa: E402
 from .operators import simsearch as _ss  # noqa: E402
-from .operators.hashing import md5_int32, md5_int32_sql, shingles_sql  # noqa: E402
+from .operators.hashing import (  # noqa: E402
+    md5_int32,
+    md5_int32_sql,
+    shingles_sql,
+    ws_tokens_sql,
+)
 
 
 @register(
@@ -1054,6 +1069,145 @@ def text_stats_documents(spark, sf):
         F.col("__s.quality").alias("quality"),
         F.col("__s.lang").alias("lang"),
     )
+
+
+_GOPHER_SW_SQL = "['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']"
+
+
+@register(
+    "gopher_rules_documents",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, COALESCE(text, '') AS t,
+             {ws_tokens_sql('text')} AS toks
+      FROM documents
+    ), feats AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CAST(COALESCE(list_sum(list_transform(toks, x -> length(x))), 0)
+                  AS BIGINT) AS sum_word_len,
+             CAST((length(t) - length(replace(t, '#', '')))
+                  + (length(t) - length(replace(t, '...', ''))) // 3
+                  AS BIGINT) AS n_symbol,
+             CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+                  AS BIGINT) AS n_alpha_words,
+             CAST(len(list_filter({_GOPHER_SW_SQL},
+                    w -> list_contains(list_transform(toks, x -> lower(x)), w)))
+                  AS BIGINT) AS n_gopher_stopwords
+      FROM base
+    ), ruled AS (
+      SELECT *,
+             CAST(n_words BETWEEN 10 AND 100000 AS BIGINT) AS rule_word_count,
+             CAST(n_words > 0 AND sum_word_len >= 2 * n_words
+                  AND sum_word_len <= 10 * n_words AS BIGINT)
+               AS rule_mean_word_len,
+             CAST(n_symbol * 10 <= n_words AS BIGINT) AS rule_symbol_ratio,
+             CAST(n_alpha_words * 5 >= n_words * 4 AS BIGINT)
+               AS rule_alpha_words,
+             CAST(n_gopher_stopwords >= 1 AS BIGINT) AS rule_stopwords
+      FROM feats
+    )
+    SELECT doc_id, n_words, sum_word_len, n_symbol, n_alpha_words,
+           n_gopher_stopwords, rule_word_count, rule_mean_word_len,
+           rule_symbol_ratio, rule_alpha_words, rule_stopwords,
+           CAST(rule_word_count * rule_mean_word_len * rule_symbol_ratio
+                * rule_alpha_words * rule_stopwords AS BIGINT) AS keep
+    FROM ruled
+    """,
+)
+def gopher_rules_documents(spark, sf):
+    """Gopher-style quality-rule filter (textstats.gopher_rules — Rae
+    et al. 2021 §A.1.1, the rule family behind MassiveWeb and
+    RedPajama-v2 quality signals): per-document integer features and
+    one boolean per rule (word count, mean word length via integer
+    cross-multiplication, symbol ratio, alphabetic-word fraction,
+    mandatory-stopword count), plus the conjunction ``keep``.  Every
+    emitted column is integer-typed — ratios are compared by
+    cross-multiplication, so the row has ZERO rounding-boundary
+    surface (the oracle_margin fragility class designed out).  One
+    pass, all built-in Column functions, trivially data-parallel at
+    any scale."""
+    d = load_table(spark, sf, "documents")
+    r = _ts.gopher_rules(F.col("text"))
+    cols = [
+        "n_words", "sum_word_len", "n_symbol", "n_alpha_words",
+        "n_gopher_stopwords",
+    ]
+    flags = [
+        "rule_word_count", "rule_mean_word_len", "rule_symbol_ratio",
+        "rule_alpha_words", "rule_stopwords", "keep",
+    ]
+    return d.select(
+        "doc_id",
+        *[r[c].alias(c) for c in cols],
+        *[r[f].cast("long").alias(f) for f in flags],
+    )
+
+
+@register(
+    "fuzzy_pairs_customer_names",
+    oracle="""
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INT) AS distance
+    FROM customer a JOIN customer b
+      ON a.c_custkey < b.c_custkey
+     AND abs(length(a.c_name) - length(b.c_name)) <= 1
+     AND levenshtein(a.c_name, b.c_name) <= 1
+    WHERE length(a.c_name) >= 3 AND length(b.c_name) >= 3
+    """,
+)
+def fuzzy_pairs_customer_names(spark, sf):
+    """Edit-distance-1 record-linkage pairs over customer names via
+    SymSpell deletion-variant blocking (operators/fuzzyjoin.py
+    fuzzy_self_pairs): explode each name into its <=1-deletion
+    variants, equi-join on the variant, verify candidates with the
+    JVM levenshtein — NEVER the all-pairs cross join the oracle runs
+    (DuckDB brute-forces 1.1M comparisons; the Spark plan shuffles
+    only variant-blocked candidates).  Blocking is LOSSLESS for the
+    threshold (a substitution at i = deleting i from both sides), so
+    the result equals the exact quadratic answer — 19.5k near-key
+    pairs at sf0.01, the fat-fingered-identifier face of dedup."""
+    from .operators.fuzzyjoin import fuzzy_self_pairs
+
+    c = load_table(spark, sf, "customer").select("c_custkey", "c_name")
+    return fuzzy_self_pairs(
+        c, "c_custkey", "c_name", max_distance=1
+    ).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("distance").cast("int").alias("distance"),
+    )
+
+
+@register(
+    "heavy_hitter_tokens",
+    oracle=f"""
+    WITH tk AS (
+      SELECT unnest({ws_tokens_sql('text')}) AS v FROM documents
+    ), c AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt FROM tk GROUP BY v
+    ), n AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tk
+    )
+    SELECT v AS value, cnt FROM c, n WHERE cnt * 51 > n
+    """,
+)
+def heavy_hitter_tokens(spark, sf):
+    """EXACT heavy-hitter tokens via the Misra–Gries two-pass plan
+    (operators/sketches.py heavy_hitters, k=50): per-partition
+    bounded-state candidate summaries (k counters per task — never a
+    full GROUP BY over the vocabulary), then exact counts of only the
+    broadcast candidate set, filtered by integer cross-multiplication
+    ``cnt * 51 > N``.  The candidate union provably contains every
+    value above N/(k+1) (pigeonhole over partitions), so the result
+    equals the oracle's naive GROUP BY ... HAVING — while at corpus
+    scale the Spark shuffle carries candidate rows only.  All-integer
+    output: zero rounding surface."""
+    from .operators.sketches import heavy_hitters
+
+    d = load_table(spark, sf, "documents")
+    tk = d.select(F.explode(_dd.ws_tokens(F.col("text"))).alias("token"))
+    return heavy_hitters(tk, "token", k=50)
 
 
 @register(

@@ -1,0 +1,103 @@
+"""Fuzzy-join (deletion-variant blocking) correctness: randomized
+equivalence against brute-force Levenshtein all-pairs — the blocking
+must be LOSSLESS for the threshold (no false negatives), and the
+verify step must kill every blocking false positive."""
+
+import random
+
+import pytest
+
+
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(
+                    prev[j] + 1,
+                    cur[j - 1] + 1,
+                    prev[j - 1] + (ca != cb),
+                )
+            )
+        prev = cur
+    return prev[-1]
+
+
+def _random_strings(rng, n, alphabet="abc", lo=3, hi=8):
+    # tiny alphabet on purpose: collisions and near-misses everywhere
+    return [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(lo, hi)))
+        for _ in range(n)
+    ]
+
+
+@pytest.mark.parametrize("d", [1, 2])
+def test_fuzzy_self_pairs_match_bruteforce(spark, d):
+    from duckdb_imputation_spark.operators.fuzzyjoin import fuzzy_self_pairs
+
+    rng = random.Random(100 + d)
+    vals = _random_strings(rng, 60)
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    got = {
+        (r["id_a"], r["id_b"], r["distance"])
+        for r in fuzzy_self_pairs(df, "id", "s", max_distance=d).collect()
+    }
+    want = set()
+    for i in range(len(vals)):
+        for j in range(i + 1, len(vals)):
+            dist = _lev(vals[i], vals[j])
+            if dist <= d:
+                want.add((i, j, dist))
+    assert got == want
+
+
+def test_fuzzy_join_two_tables(spark):
+    from duckdb_imputation_spark.operators.fuzzyjoin import fuzzy_join
+
+    left = spark.createDataFrame(
+        [(1, "smith"), (2, "jones"), (3, "ab")], "lid long, name string"
+    )
+    right = spark.createDataFrame(
+        [(10, "smyth"), (11, "stone"), (12, "jones"), (13, "ab")],
+        "rid long, name string",
+    )
+    got = {
+        (r["lid"], r["rid"], r["distance"])
+        for r in fuzzy_join(
+            left, right, "name", "name", "lid", "rid", max_distance=1
+        ).collect()
+    }
+    # smith~smyth (1 sub), jones==jones (0); "ab" excluded by
+    # min_length=3 even though it matches exactly
+    assert got == {(1, 10, 1), (2, 12, 0)}
+
+
+def test_deletion_variants_shape(spark):
+    from pyspark.sql import functions as F
+
+    from duckdb_imputation_spark.operators.fuzzyjoin import deletion_variants
+
+    df = spark.createDataFrame([("abc",)], "s string")
+    (row,) = df.select(
+        F.sort_array(deletion_variants(F.col("s"), 1)).alias("v")
+    ).collect()
+    assert row["v"] == sorted(["abc", "bc", "ac", "ab"])
+    (row2,) = df.select(
+        F.sort_array(deletion_variants(F.col("s"), 2)).alias("v")
+    ).collect()
+    assert row2["v"] == sorted(
+        ["abc", "bc", "ac", "ab", "c", "b", "a"]
+    )
+
+
+def test_deletion_variants_rejects_bad_d(spark):
+    from pyspark.sql import functions as F
+
+    from duckdb_imputation_spark.operators.fuzzyjoin import deletion_variants
+
+    with pytest.raises(ValueError, match="d in"):
+        deletion_variants(F.lit("x"), 3)

@@ -1,0 +1,89 @@
+"""Misra–Gries heavy hitters (operators/sketches.py): the two-pass
+plan must return EXACTLY the strict-threshold GROUP BY answer, and
+the candidate phase must be a superset of every true heavy hitter
+under any partitioning — the 100 TB load-bearing guarantee."""
+
+import random
+from collections import Counter
+
+import pytest
+
+
+def _exact_hh(values, k):
+    n = len(values)
+    return {
+        v: c for v, c in Counter(values).items() if c * (k + 1) > n
+    }
+
+
+def _skewed_values(rng, n):
+    vals = []
+    for _ in range(n):
+        r = rng.random()
+        if r < 0.30:
+            vals.append("alpha")
+        elif r < 0.45:
+            vals.append("beta")
+        elif r < 0.52:
+            vals.append("gamma")
+        else:
+            vals.append(f"tail{rng.randrange(500)}")
+    return vals
+
+
+@pytest.mark.parametrize("k", [2, 5, 20])
+def test_heavy_hitters_exact_vs_counter(spark, k):
+    from duckdb_imputation_spark.operators.sketches import heavy_hitters
+
+    rng = random.Random(7 + k)
+    vals = _skewed_values(rng, 4000)
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    got = {
+        r["value"]: r["cnt"]
+        for r in heavy_hitters(df, "v", k).collect()
+    }
+    assert got == _exact_hh(vals, k)
+
+
+@pytest.mark.parametrize("nparts", [1, 3, 17])
+def test_candidates_superset_under_any_partitioning(spark, nparts):
+    from duckdb_imputation_spark.operators.sketches import (
+        misra_gries_candidates,
+    )
+
+    rng = random.Random(31 + nparts)
+    vals = _skewed_values(rng, 3000)
+    k = 4
+    df = spark.createDataFrame([(v,) for v in vals], "v string").repartition(
+        nparts
+    )
+    cand = {r["v"] for r in misra_gries_candidates(df, "v", k).collect()}
+    for v in _exact_hh(vals, k):
+        assert v in cand, f"true heavy hitter {v} missing from candidates"
+
+
+def test_heavy_hitters_nulls_and_result_when_uniform(spark):
+    from duckdb_imputation_spark.operators.sketches import heavy_hitters
+
+    rows = [(f"u{i}",) for i in range(100)] + [(None,)] * 50
+    df = spark.createDataFrame(rows, "v string")
+    # uniform data: nothing exceeds N/(k+1) for k=3 (threshold 25)
+    assert heavy_hitters(df, "v", 3).count() == 0
+    # one value pushed past the threshold; NULLs neither count toward
+    # N nor appear as values
+    rows2 = rows + [("big",)] * 60
+    df2 = spark.createDataFrame(rows2, "v string")
+    got = {
+        r["value"]: r["cnt"] for r in heavy_hitters(df2, "v", 3).collect()
+    }
+    assert got == {"big": 60}  # N=160, threshold 40 < 60
+
+
+def test_heavy_hitters_rejects_bad_k(spark):
+    from duckdb_imputation_spark.operators.sketches import (
+        misra_gries_candidates,
+    )
+
+    df = spark.createDataFrame([("a",)], "v string")
+    with pytest.raises(ValueError, match="k must be"):
+        misra_gries_candidates(df, "v", 0)
