@@ -48,6 +48,7 @@ __all__ = [
     "bloom_contains_inline",
     "misra_gries_candidates",
     "heavy_hitters",
+    "bloom_size_for",
 ]
 
 
@@ -611,3 +612,28 @@ def heavy_hitters(
             F.col("__c").cast("long").alias(out_count),
         )
     )
+
+
+def bloom_size_for(n_values: int, fp_rate: float = 0.01) -> tuple[int, int]:
+    """(m_bits, k_hashes) for a target false-positive rate at
+    ``n_values`` inserted values — the standard optimum
+    ``m = -n·ln(p)/ln(2)²``, ``k = (m/n)·ln(2)``, with m rounded up
+    to a multiple of 64 (whole words).
+
+    Size the filter to the TAINT-SET cardinality before building:
+    the r7 scale rehearsal measured what saturation does — the
+    bloom_decontaminate row's deliberately tiny 16 Ki-bit filter
+    passes 4.8%% of corpus grams to the exact join at sf0.1 but 99%%
+    at 10x taint (all bits set), silently degrading the two-phase
+    plan to the exact path's shuffle volume (still CORRECT — Bloom
+    errors are one-sided — just no longer a prefilter win)."""
+    import math
+
+    if n_values < 1:
+        raise ValueError("n_values must be >= 1")
+    if not (0.0 < fp_rate < 1.0):
+        raise ValueError("fp_rate must be in (0, 1)")
+    m = -n_values * math.log(fp_rate) / (math.log(2.0) ** 2)
+    m_bits = int(math.ceil(m / 64.0)) * 64
+    k = max(1, round((m_bits / n_values) * math.log(2.0)))
+    return m_bits, int(k)

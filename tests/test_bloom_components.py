@@ -390,3 +390,55 @@ def test_alternating_components_self_loop_singleton(spark):
         for r in connected_components_alternating(df).collect()
     }
     assert a == b == {7: 7, 1: 1, 2: 1}
+
+
+def test_bloom_size_for_hits_target_fp(spark):
+    """bloom_size_for's (m, k) must deliver roughly the requested FP
+    rate when actually built and probed (empirical check on 2000
+    inserted / 2000 disjoint probe values), and reject bad inputs."""
+    from duckdb_imputation_spark.operators.sketches import (
+        bloom_build,
+        bloom_contains_inline,
+        bloom_size_for,
+    )
+    from pyspark.sql import functions as F
+
+    n = 2000
+    m_bits, k = bloom_size_for(n, 0.02)
+    assert m_bits % 64 == 0
+    ins = spark.range(n).select(F.concat(F.lit("in"), "id").alias("v"))
+    probes = spark.range(n).select(F.concat(F.lit("out"), "id").alias("v"))
+    bf = bloom_build(ins, "v", m_bits=m_bits, k_hashes=k)
+    fp = (
+        bloom_contains_inline(probes, bf, "v", m_bits=m_bits, k_hashes=k)
+        .where("maybe_present")
+        .count()
+    )
+    # target 2%: accept up to 3x (hash variance on one draw)
+    assert fp / n < 0.06
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bloom_size_for(0)
+    with _pytest.raises(ValueError):
+        bloom_size_for(10, 1.5)
+
+
+def test_components_stats_report_rounds(spark):
+    from duckdb_imputation_spark.operators.graph import (
+        connected_components,
+        connected_components_alternating,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    s1: dict = {}
+    s2: dict = {}
+    connected_components(df, stats=s1).collect()
+    connected_components_alternating(df, stats=s2).collect()
+    # 4-node chain: min-label needs diameter-ish rounds (3 label
+    # rounds + the zero-change confirm), alternating O(log) rounds
+    assert s1["rounds"] >= 3
+    assert 1 <= s2["rounds"] <= 5
