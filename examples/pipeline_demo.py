@@ -35,6 +35,10 @@ def main() -> None:
 
     clean = docs.withColumn("text", tp.scrub_pii(F.col("text")))
     clean = tp.quality_filter(clean, "text", min_tokens=5)
+    # Gopher-rule pass on top of the ratio-score filter: drop documents
+    # failing any of the rule-family checks (word count, mean word
+    # length, symbol ratio, alphabetic fraction, stopword presence)
+    clean = clean.where(ts.gopher_rules(F.col("text"))["keep"])
     n1 = clean.count()
 
     deduped = dd.minhash_dedup(dd.exact_dedup(clean, "text", "doc_id"), "text", "doc_id")
@@ -108,6 +112,18 @@ def main() -> None:
     bins = packed.agg(
         F.countDistinct("bin").alias("bins"), F.count(F.lit(1)).alias("chunks")
     ).first()
+
+    # corpus vocabulary report without a vocabulary-sized GROUP BY:
+    # exact heavy-hitter tokens via the Misra-Gries two-pass plan
+    from duckdb_imputation_spark.operators.hashing import ws_tokens
+    from duckdb_imputation_spark.operators.sketches import heavy_hitters
+
+    hh = heavy_hitters(
+        sampled.select(F.explode(ws_tokens(F.col("text"))).alias("t")),
+        "t",
+        k=50,
+    )
+    print(f"heavy-hitter tokens (>N/51, exact): {hh.count()}")
 
     print(f"docs {n0} -> quality {n1} -> dedup {n2} -> decontaminated {n3}")
 
