@@ -39,6 +39,10 @@ def main() -> None:
     # failing any of the rule-family checks (word count, mean word
     # length, symbol ratio, alphabetic fraction, stopword presence)
     clean = clean.where(ts.gopher_rules(F.col("text"))["keep"])
+    # the cleaned frame feeds every downstream stage and several
+    # counts — materialize once instead of re-running scrub + quality
+    # + rule evaluation per action (a real pipeline persists here)
+    clean = clean.localCheckpoint(eager=False)
     n1 = clean.count()
 
     deduped = dd.minhash_dedup(dd.exact_dedup(clean, "text", "doc_id"), "text", "doc_id")
@@ -52,7 +56,9 @@ def main() -> None:
     deduped = tp.quality_filter(deduped, "text", min_tokens=5)
 
     eval_set = docs.filter("doc_id % 97 = 0")  # stand-in benchmark set
-    decontaminated = dd.minhash_decontaminate(deduped, eval_set, "text", "doc_id")
+    decontaminated = dd.minhash_decontaminate(
+        deduped, eval_set, "text", "doc_id"
+    ).localCheckpoint(eager=False)  # feeds LM build, DSIR, selection
     n3 = decontaminated.count()
 
     # data selection: CCNet-style perplexity terciles on the corpus's
@@ -86,7 +92,7 @@ def main() -> None:
     sampled = tp.temperature_sample(
         selected.withColumn("src", F.col("doc_id") % 7),
         "src", "doc_id", target_frac=0.8,
-    )
+    ).localCheckpoint(eager=False)  # feeds BPE, chunking, heavy hitters
     # subword tokenizer: train on the cleaned corpus, encode every doc
     from duckdb_imputation_spark.operators import bpe
 
