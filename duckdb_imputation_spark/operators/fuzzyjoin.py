@@ -79,6 +79,23 @@ def _blocked(
     )
 
 
+def _cap_blocks(blocked: DataFrame, max_block: int | None) -> DataFrame:
+    """Drop variant blocks larger than ``max_block`` rows — the same
+    hot-bucket guard the MinHash/SimHash/n-gram dedup family applies
+    (bucket_cap / df_cap).  A block only exceeds the cap when MANY
+    near-identical strings share a variant (mass exact duplication);
+    capping trades recall on those pathological keys for a hard bound
+    on the join's per-key fan-out.  The r7b rehearsal measured why:
+    10x-duplicated customer names grow the PAIR OUTPUT ~100x
+    (quadratic in duplication multiplicity) — when that output is not
+    what you want, run exact dedup first or set the cap."""
+    if max_block is None:
+        return blocked
+    sizes = blocked.groupBy("__v").agg(F.count(F.lit(1)).alias("__bn"))
+    small = sizes.where(F.col("__bn") <= max_block).select("__v")
+    return blocked.join(small, "__v", "left_semi")
+
+
 def fuzzy_join(
     left: DataFrame,
     right: DataFrame,
@@ -88,18 +105,24 @@ def fuzzy_join(
     right_id: str,
     max_distance: int = 1,
     min_length: int = 3,
+    max_block: int | None = None,
 ) -> DataFrame:
     """All (left_id, right_id, distance) pairs with
     ``levenshtein(left_on, right_on) <= max_distance``, computed via
     deletion-variant blocking — NEVER a cross join.  Strings shorter
     than ``min_length`` are excluded from matching entirely (their
     variant blocks are pathologically hot; handle them with an exact
-    or broadcast path if they matter)."""
-    lb = _blocked(left, left_id, left_on, max_distance, min_length)
-    rb = (
-        _blocked(right, right_id, right_on, max_distance, min_length)
-        .withColumnRenamed("__s", "__t")
+    or broadcast path if they matter).  ``max_block`` (optional) drops
+    variant blocks larger than the cap — see :func:`_cap_blocks` for
+    the recall trade-off; None (default) is exact."""
+    lb = _cap_blocks(
+        _blocked(left, left_id, left_on, max_distance, min_length),
+        max_block,
     )
+    rb = _cap_blocks(
+        _blocked(right, right_id, right_on, max_distance, min_length),
+        max_block,
+    ).withColumnRenamed("__s", "__t")
     cand = (
         lb.join(rb, "__v")
         .where(
@@ -125,13 +148,16 @@ def fuzzy_self_pairs(
     col: str,
     max_distance: int = 1,
     min_length: int = 3,
+    max_block: int | None = None,
 ) -> DataFrame:
     """Unordered near-duplicate pairs within one table:
     (id_a, id_b, distance) with id_a < id_b and
     ``levenshtein <= max_distance`` — the fuzzy-dedup face of
     :func:`fuzzy_join` (blocked self-join, identity pairs and both
     orientations collapsed)."""
-    b = _blocked(df, id_col, col, max_distance, min_length)
+    b = _cap_blocks(
+        _blocked(df, id_col, col, max_distance, min_length), max_block
+    )
     a = b.select(
         F.col(id_col).alias("id_a"), F.col("__s").alias("__sa"), "__v"
     )

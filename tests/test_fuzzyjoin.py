@@ -101,3 +101,56 @@ def test_deletion_variants_rejects_bad_d(spark):
 
     with pytest.raises(ValueError, match="d in"):
         deletion_variants(F.lit("x"), 3)
+
+
+def test_fuzzy_self_pairs_unicode_and_duplicates(spark):
+    """Multi-byte characters count as single edit units (Levenshtein
+    over codepoints on both engines), and exact-duplicate values — the
+    hot-block case the sf1 rehearsal exercises at scale — produce
+    every cross pair at distance 0."""
+    from duckdb_imputation_spark.operators.fuzzyjoin import fuzzy_self_pairs
+
+    rows = [
+        (1, "héllo"),
+        (2, "hállo"),   # one substitution (accented)
+        (3, "héllo"),   # exact duplicate of 1
+        (4, "wörld"),
+        (5, "wörlds"),  # one insertion
+    ]
+    df = spark.createDataFrame(rows, "id long, s string")
+    got = {
+        (r["id_a"], r["id_b"], r["distance"])
+        for r in fuzzy_self_pairs(df, "id", "s", max_distance=1).collect()
+    }
+    assert got == {(1, 2, 1), (1, 3, 0), (2, 3, 1), (4, 5, 1)}
+
+
+def test_fuzzy_join_null_and_short_strings_excluded(spark):
+    from duckdb_imputation_spark.operators.fuzzyjoin import fuzzy_self_pairs
+
+    rows = [(1, None), (2, "ab"), (3, "abc"), (4, "abd")]
+    df = spark.createDataFrame(rows, "id long, s string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in fuzzy_self_pairs(df, "id", "s", max_distance=1).collect()
+    }
+    assert got == {(3, 4)}
+
+
+def test_fuzzy_max_block_caps_hot_variants(spark):
+    """max_block drops only the over-cap variant blocks: heavy exact
+    duplicates stop pairing, distinct near-pairs survive."""
+    from duckdb_imputation_spark.operators.fuzzyjoin import fuzzy_self_pairs
+
+    # 8 exact copies of "aaaa" (hot block) + one distinct near pair
+    rows = [(i, "aaaa") for i in range(8)] + [(10, "xyzw"), (11, "xyzq")]
+    df = spark.createDataFrame(rows, "id long, s string")
+    exact = fuzzy_self_pairs(df, "id", "s", max_distance=1)
+    assert exact.count() == 28 + 1  # C(8,2) dup pairs + the near pair
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in fuzzy_self_pairs(
+            df, "id", "s", max_distance=1, max_block=5
+        ).collect()
+    }
+    assert capped == {(10, 11)}
