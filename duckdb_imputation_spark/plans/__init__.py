@@ -144,7 +144,10 @@ def _first_real_child(nodes: list[tuple[int, str]], i: int) -> str:
 
 
 _AGG_KEYS = re.compile(
-    r"^(?:HashAggregate|SortAggregate|ObjectHashAggregate)\(keys=\[([^\]]*)\]"
+    # SortAggregate prints `key=[...]` (singular); the hash variants
+    # print `keys=[...]` — match both or sort-based scalar aggregates
+    # (percentile/first force SortAggregate) read as real grouping
+    r"^(?:HashAggregate|SortAggregate|ObjectHashAggregate)\(keys?=\[([^\]]*)\]"
 )
 # a grouping key that is a literal (or its alias/attribute): `0 AS 0#173`
 # at the partial phase, `0#173` at the final — the single-group trick the

@@ -118,6 +118,7 @@ _DRIVER_PRIORITY: list[str] = [
     "gopher_rules_documents",
     "fuzzy_pairs_customer_names",
     "heavy_hitter_tokens",
+    "profile_lineitem",
     # round 6: code/oracle changed this round, so they stay in the
     # window for a fresh hash — encode_documents_vocab projects scalar
     # digests now (the r5 red row), resample_interpolate gained the
@@ -156,7 +157,6 @@ _DRIVER_PRIORITY: list[str] = [
     "simhash_documents",
     "triple_lineitem_wide",
     "bm25_index_search_documents",
-    "ngram_decontaminate_documents",
 ]
 
 
@@ -188,6 +188,9 @@ _DRIVER_DEMOTE: list[str] = [
     "multimodal_decode_netpbm",
     "embedding_dup_pairs_lsh",
     "pack_documents_bins",
+    # rotated out round 7 for the profile_lineitem row: r6
+    # driver-green, implementation untouched this round
+    "ngram_decontaminate_documents",
     # rotated out round 6 to make window room for the eight new rows
     # and the four returning bind-changed rows: ALL r5 driver-green
     # (CORRECTNESS_r05.json hash_match), implementation untouched this
@@ -1208,6 +1211,76 @@ def heavy_hitter_tokens(spark, sf):
     d = load_table(spark, sf, "documents")
     tk = d.select(F.explode(_dd.ws_tokens(F.col("text"))).alias("token"))
     return heavy_hitters(tk, "token", k=50)
+
+
+def _profile_col_sql(c: str, numeric: bool) -> str:
+    if numeric:
+        stats = f"""
+           ROUND(AVG(CAST({c} AS DOUBLE)), 3) + 0.0 AS mean,
+           ROUND(stddev_pop(CAST({c} AS DOUBLE)), 4) + 0.0 AS std,
+           ROUND(quantile_cont({c}, 0.25), 4) + 0.0 AS q25,
+           ROUND(quantile_cont({c}, 0.5), 4) + 0.0 AS q50,
+           ROUND(quantile_cont({c}, 0.75), 4) + 0.0 AS q75"""
+    else:
+        stats = """
+           CAST(NULL AS DOUBLE) AS mean, CAST(NULL AS DOUBLE) AS std,
+           CAST(NULL AS DOUBLE) AS q25, CAST(NULL AS DOUBLE) AS q50,
+           CAST(NULL AS DOUBLE) AS q75"""
+    return f"""
+    SELECT '{c}' AS column, CAST(COUNT({c}) AS BIGINT) AS count,
+           CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           CAST(MIN({c}) AS VARCHAR) AS min_value,
+           CAST(MAX({c}) AS VARCHAR) AS max_value,{stats}
+    FROM lineitem"""
+
+
+@register(
+    "profile_lineitem",
+    oracle=" UNION ALL ".join(
+        [
+            _profile_col_sql("l_quantity", True),
+            _profile_col_sql("l_extendedprice", True),
+            _profile_col_sql("l_discount", True),
+            _profile_col_sql("l_returnflag", False),
+            _profile_col_sql("l_linestatus", False),
+        ]
+    ),
+)
+def profile_lineitem(spark, sf):
+    """The DuckDB SUMMARIZE surface (operators/profile.py
+    profile_table): per-column count / nulls / exact distincts /
+    min-max (string form) / mean / population std / exact
+    interpolated quartiles over five lineitem columns — computed as
+    ONE wide aggregation over ONE scan (verified on the executed
+    plan; Catalyst folds the exact-distinct family in via Expand),
+    then unpivoted from the single result row.  The oracle is the
+    per-column UNION ALL a DuckDB user would write by hand; Spark's
+    exact `percentile` matches DuckDB's `quantile_cont` definition.
+    Moment cells ride the ROUND(,4)+0.0 stat tier, EXCEPT the means
+    at ROUND(,3): mean(l_quantity) is the exact rational 25.40225 at
+    sf0.01 — ON the tier-4 half boundary, where the two engines'
+    rounding directions can diverge (the margin check flagged it);
+    one digit coarser puts it 0.25 steps clear."""
+    from .operators.profile import profile_table
+
+    li = _li(spark, sf)
+    out = profile_table(
+        li,
+        [
+            "l_quantity", "l_extendedprice", "l_discount",
+            "l_returnflag", "l_linestatus",
+        ],
+    )
+    return out.select(
+        "column", "count", "n_null", "n_distinct", "min_value",
+        "max_value",
+        (F.round("mean", 3) + F.lit(0.0)).alias("mean"),
+        (F.round("std", 4) + F.lit(0.0)).alias("std"),
+        (F.round("q25", 4) + F.lit(0.0)).alias("q25"),
+        (F.round("q50", 4) + F.lit(0.0)).alias("q50"),
+        (F.round("q75", 4) + F.lit(0.0)).alias("q75"),
+    )
 
 
 @register(
