@@ -119,6 +119,7 @@ _DRIVER_PRIORITY: list[str] = [
     "fuzzy_pairs_customer_names",
     "heavy_hitter_tokens",
     "profile_lineitem",
+    "fuzzy_join_part_typos",
     # round 6: code/oracle changed this round, so they stay in the
     # window for a fresh hash — encode_documents_vocab projects scalar
     # digests now (the r5 red row), resample_interpolate gained the
@@ -156,7 +157,6 @@ _DRIVER_PRIORITY: list[str] = [
     "dedup_cluster_sizes",
     "simhash_documents",
     "triple_lineitem_wide",
-    "bm25_index_search_documents",
 ]
 
 
@@ -188,9 +188,11 @@ _DRIVER_DEMOTE: list[str] = [
     "multimodal_decode_netpbm",
     "embedding_dup_pairs_lsh",
     "pack_documents_bins",
-    # rotated out round 7 for the profile_lineitem row: r6
-    # driver-green, implementation untouched this round
+    # rotated out round 7 for the profile_lineitem and two-table
+    # fuzzy-join rows: r6 driver-green, implementation untouched this
+    # round
     "ngram_decontaminate_documents",
+    "bm25_index_search_documents",
     # rotated out round 6 to make window room for the eight new rows
     # and the four returning bind-changed rows: ALL r5 driver-green
     # (CORRECTNESS_r05.json hash_match), implementation untouched this
@@ -1280,6 +1282,54 @@ def profile_lineitem(spark, sf):
         (F.round("q25", 4) + F.lit(0.0)).alias("q25"),
         (F.round("q50", 4) + F.lit(0.0)).alias("q50"),
         (F.round("q75", 4) + F.lit(0.0)).alias("q75"),
+    )
+
+
+@register(
+    "fuzzy_join_part_typos",
+    oracle="""
+    WITH typo AS (
+      SELECT p_partkey AS typo_id,
+             substr(p_name, 1, 2) || substr(p_name, 4) AS tname
+      FROM part WHERE length(p_name) >= 4 AND p_partkey % 7 = 0
+    )
+    SELECT a.p_partkey AS part_id, b.typo_id,
+           CAST(levenshtein(a.p_name, b.tname) AS INT) AS distance
+    FROM part a JOIN typo b
+      ON abs(length(a.p_name) - length(b.tname)) <= 1
+     AND levenshtein(a.p_name, b.tname) <= 1
+    WHERE length(a.p_name) >= 3 AND length(b.tname) >= 3
+    """,
+)
+def fuzzy_join_part_typos(spark, sf):
+    """TWO-TABLE fuzzy join (operators/fuzzyjoin.py fuzzy_join — the
+    record-linkage shape, vs fuzzy_self_pairs' dedup shape): part
+    names joined against a deterministically corrupted twin (3rd
+    character deleted from every 7th part), threshold levenshtein<=1.
+    Every typo links back to its source name AND to every other part
+    within one edit — part names repeat heavily (color x noun), so
+    one typo fans out to all carriers of the source name, the
+    many-to-many case record linkage actually faces.  Blocking is the
+    deletion-variant equi-join on both sides; the oracle is the
+    quadratic cross join the Spark plan must never run."""
+    from .operators.fuzzyjoin import fuzzy_join
+
+    p = load_table(spark, sf, "part").select("p_partkey", "p_name")
+    typo = p.where(
+        (F.length("p_name") >= 4) & (F.col("p_partkey") % 7 == 0)
+    ).select(
+        F.col("p_partkey").alias("typo_id"),
+        F.concat(
+            F.substring("p_name", 1, 2), F.expr("substr(p_name, 4)")
+        ).alias("tname"),
+    )
+    return fuzzy_join(
+        p, typo, "p_name", "tname", "p_partkey", "typo_id",
+        max_distance=1,
+    ).select(
+        F.col("p_partkey").cast("long").alias("part_id"),
+        F.col("typo_id").cast("long").alias("typo_id"),
+        F.col("distance").cast("int").alias("distance"),
     )
 
 
