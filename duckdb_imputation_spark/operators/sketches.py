@@ -41,6 +41,7 @@ __all__ = [
     "merge_countmin",
     "countmin_estimate",
     "bottomk_sample",
+    "bottomk_sample_grouped",
     "merge_bottomk",
     "bloom_build",
     "merge_bloom",
@@ -637,3 +638,43 @@ def bloom_size_for(n_values: int, fp_rate: float = 0.01) -> tuple[int, int]:
     m_bits = int(math.ceil(m / 64.0)) * 64
     k = max(1, round((m_bits / n_values) * math.log(2.0)))
     return m_bits, int(k)
+
+
+def bottomk_sample_grouped(
+    df: DataFrame,
+    key_col: str,
+    k: int,
+    by_cols: Sequence[str],
+    salt: str = "",
+) -> DataFrame:
+    """Per-group :func:`bottomk_sample`: the k lowest-hash rows WITHIN
+    each ``by_cols`` group — a deterministic, mergeable, uniform
+    stratified sample (k distinct keys per stratum, e.g. k documents
+    per source domain).  Same hash permutation and NULL-key exclusion
+    as the global variant, so a group's sample here equals
+    ``bottomk_sample(df.where(group), ...)`` exactly.
+
+    Scale shape: ONE window ranked per group (partitionBy(by_cols) —
+    never a global window), moving each group's rows once; the output
+    is |groups| x k rows.  Merge batches by unioning samples and
+    re-applying this function on the union (the hash is deterministic,
+    so re-taking the per-group bottom-k of concatenated samples equals
+    the sample of the concatenated inputs — the bottom-k merge law,
+    per group)."""
+    from pyspark.sql import Window
+
+    from .hashing import md5_int60
+
+    by = list(by_cols)
+    if not by:
+        raise ValueError("by_cols must be non-empty; use bottomk_sample")
+    hashed = df.where(F.col(key_col).isNotNull()).withColumn(
+        "__bk_hash",
+        md5_int60(F.col(key_col).cast("string"), seed=f"bk{salt}|"),
+    )
+    w = Window.partitionBy(*by).orderBy("__bk_hash", key_col)
+    return (
+        hashed.withColumn("__bk_rn", F.row_number().over(w))
+        .where(F.col("__bk_rn") <= k)
+        .drop("__bk_rn")
+    )

@@ -160,10 +160,15 @@ _DRIVER_PRIORITY: list[str] = [
 ]
 
 
-# NEXT-ROTATION CANDIDATES: none queued — every implemented operator
-# currently has either a driver row in the window or a past driver-green
-# hash plus local replay coverage.  New operators built while the window
-# is full go here with a pointer to their /verify-proven SQL twin.
+# NEXT-ROTATION CANDIDATES (window full — rows to add when slots open):
+# - bottomk_sample_grouped (sketches.py): per-group mergeable uniform
+#   sample; /verify-proven SQL twin = ROW_NUMBER() OVER (PARTITION BY
+#   grp ORDER BY md5-int60('bk|'||key), key) <= k over documents
+#   (5/source: twin hash-identical at sf0.01, 100 rows / 20 groups);
+#   unit tests pin per-group == global-on-group and the merge law
+#   (tests/test_heavy_hitters.py).
+# Everything else implemented has either a driver row in the window or
+# a past driver-green hash plus local replay coverage.
 
 # Hash-green in at least one past driver round (see CORRECTNESS_r*.json)
 # AND implementation-stable since that round; rotated past the 50-query

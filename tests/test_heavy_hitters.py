@@ -7,6 +7,7 @@ import random
 from collections import Counter
 
 import pytest
+from pyspark.sql import functions as F
 
 
 def _exact_hh(values, k):
@@ -87,3 +88,68 @@ def test_heavy_hitters_rejects_bad_k(spark):
     df = spark.createDataFrame([("a",)], "v string")
     with pytest.raises(ValueError, match="k must be"):
         misra_gries_candidates(df, "v", 0)
+
+
+# ------------------------------------------------------------------ #
+# grouped bottom-k (lives with the sketch tests)                      #
+# ------------------------------------------------------------------ #
+
+
+def test_bottomk_grouped_equals_per_group_global(spark):
+    """Each group's sample must equal the global bottomk_sample run on
+    that group alone — same permutation, same rows."""
+    from duckdb_imputation_spark.operators.sketches import (
+        bottomk_sample,
+        bottomk_sample_grouped,
+    )
+
+    rows = [(f"d{i}", f"g{i % 3}") for i in range(120)]
+    df = spark.createDataFrame(rows, "id string, grp string")
+    grouped = bottomk_sample_grouped(df, "id", 7, ["grp"])
+    got = {
+        g: {(r["id"], r["__bk_hash"]) for r in grouped.where(
+            F.col("grp") == g).collect()}
+        for g in ("g0", "g1", "g2")
+    }
+    for g in got:
+        solo = {
+            (r["id"], r["__bk_hash"])
+            for r in bottomk_sample(
+                df.where(F.col("grp") == g), "id", 7
+            ).collect()
+        }
+        assert got[g] == solo
+        assert len(got[g]) == 7
+
+
+def test_bottomk_grouped_merge_law(spark):
+    """Re-sampling the union of two batch samples equals sampling the
+    concatenated input — per group."""
+    from duckdb_imputation_spark.operators.sketches import (
+        bottomk_sample_grouped,
+    )
+
+    rows = [(f"d{i}", f"g{i % 2}") for i in range(100)]
+    df = spark.createDataFrame(rows, "id string, grp string")
+    a = bottomk_sample_grouped(df.where("id < 'd5'"), "id", 5, ["grp"])
+    b = bottomk_sample_grouped(df.where("id >= 'd5'"), "id", 5, ["grp"])
+    merged = bottomk_sample_grouped(
+        a.unionByName(b).drop("__bk_hash"), "id", 5, ["grp"]
+    )
+    direct = bottomk_sample_grouped(df, "id", 5, ["grp"])
+    key = lambda d: {  # noqa: E731
+        (r["grp"], r["id"]) for r in d.collect()
+    }
+    assert key(merged) == key(direct)
+
+
+def test_bottomk_grouped_rejects_empty_groups_arg(spark):
+    import pytest as _pytest
+
+    from duckdb_imputation_spark.operators.sketches import (
+        bottomk_sample_grouped,
+    )
+
+    df = spark.createDataFrame([("a", "g")], "id string, grp string")
+    with _pytest.raises(ValueError, match="by_cols"):
+        bottomk_sample_grouped(df, "id", 3, [])
