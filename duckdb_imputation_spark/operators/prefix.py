@@ -40,6 +40,7 @@ __all__ = [
     "order_preserving_shards",
     "global_running_sum",
     "global_row_number",
+    "percent_rank_global",
     "default_n_shards",
 ]
 
@@ -240,4 +241,44 @@ def equidepth_histogram(
             F.min(value_col).alias("min_value"),
             F.max(value_col).alias("max_value"),
         )
+    )
+
+
+def percent_rank_global(
+    df: DataFrame,
+    order_col: str,
+    n_shards: int | None = None,
+    out_col: str = "pct_rank",
+    bounds_src: DataFrame | None = None,
+) -> DataFrame:
+    """``PERCENT_RANK() OVER (ORDER BY order_col)`` without the
+    single-partition window: the rank-based quantile-normalization
+    transform (map a feature to its empirical CDF position in [0, 1])
+    at corpus scale.
+
+    Construction: :func:`global_row_number` gives an arbitrary-within-
+    ties global row number; SQL PERCENT_RANK needs the MIN row number
+    of each tie class (rank with gaps), recovered with one keyed
+    min-aggregate on the order value joined back (AQE broadcasts the
+    tie-class frame while it is small); then
+    ``(rank - 1) / (n - 1)`` with the single-row count broadcast.
+    Bit-identical to the window form: the numerator and denominator
+    are exact integers, divided once.  A single row (n = 1) maps to
+    0.0, matching SQL."""
+    shards = n_shards if n_shards is not None else default_n_shards(df)
+    rn = global_row_number(
+        df, order_col, shards, out_col="__prn", bounds_src=bounds_src
+    )
+    ranks = rn.groupBy(order_col).agg(F.min("__prn").alias("__prank"))
+    n = rn.agg(F.count(F.lit(1)).alias("__pn"))
+    return (
+        rn.join(ranks, order_col)
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            out_col,
+            F.when(F.col("__pn") > 1,
+                   (F.col("__prank") - 1) / (F.col("__pn") - 1))
+            .otherwise(F.lit(0.0)),
+        )
+        .drop("__prn", "__prank", "__pn")
     )

@@ -167,6 +167,12 @@ _DRIVER_PRIORITY: list[str] = [
 #   (5/source: twin hash-identical at sf0.01, 100 rows / 20 groups);
 #   unit tests pin per-group == global-on-group and the merge law
 #   (tests/test_heavy_hitters.py).
+# - percent_rank_global (prefix.py): PERCENT_RANK() OVER (ORDER BY v)
+#   through the shard-offset rank + tie-min join (no single-partition
+#   window); /verify-proven twin: all 60000 lineitem rows match
+#   DuckDB's PERCENT_RANK on l_extendedprice at sf0.01 (round 9dp);
+#   window-form equivalence + tie/single-row tests in
+#   tests/test_prefix.py, lint-clean on the executed plan.
 # Everything else implemented has either a driver row in the window or
 # a past driver-green hash plus local replay coverage.
 

@@ -215,3 +215,53 @@ def test_equidepth_histogram_matches_duckdb_ntile_randomized(spark):
             ).fetchall()
         }
         assert got == exp, (trial, n, k)
+
+
+def test_percent_rank_global_matches_window_form(spark):
+    """Bit-identical to PERCENT_RANK() OVER (ORDER BY v), ties and
+    all — on data deliberately full of tie classes."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from duckdb_imputation_spark.operators.prefix import percent_rank_global
+
+    rng = random.Random(9)
+    rows = [(i, float(rng.randrange(12))) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    got = {
+        r["id"]: r["pct_rank"]
+        for r in percent_rank_global(df, "v", n_shards=5).collect()
+    }
+    w = Window.orderBy("v")
+    exp = {
+        r["id"]: r["pr"]
+        for r in df.withColumn("pr", F.percent_rank().over(w)).collect()
+    }
+    assert got == exp
+
+
+def test_percent_rank_global_single_row_and_constant(spark):
+    from duckdb_imputation_spark.operators.prefix import percent_rank_global
+
+    one = spark.createDataFrame([(1, 5.0)], "id long, v double")
+    assert percent_rank_global(one, "v", n_shards=2).collect()[0][
+        "pct_rank"
+    ] == 0.0
+    const = spark.createDataFrame(
+        [(i, 7.0) for i in range(10)], "id long, v double"
+    )
+    out = percent_rank_global(const, "v", n_shards=3).collect()
+    assert all(r["pct_rank"] == 0.0 for r in out)  # one tie class
+
+
+def test_percent_rank_global_no_single_partition_window(spark):
+    from duckdb_imputation_spark.operators.prefix import percent_rank_global
+    from duckdb_imputation_spark.plans import lint_plan
+
+    df = spark.range(1000).selectExpr("id", "CAST(id % 37 AS DOUBLE) AS v")
+    out = percent_rank_global(df, "v", n_shards=4)
+    out.collect()
+    errs = [f for f in lint_plan(out) if f.severity == "error"]
+    assert not errs, errs
