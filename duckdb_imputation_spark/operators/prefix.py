@@ -41,6 +41,9 @@ __all__ = [
     "global_running_sum",
     "global_row_number",
     "percent_rank_global",
+    "rank_global",
+    "dense_rank_global",
+    "cume_dist_global",
     "default_n_shards",
 ]
 
@@ -281,4 +284,74 @@ def percent_rank_global(
             .otherwise(F.lit(0.0)),
         )
         .drop("__prn", "__prank", "__pn")
+    )
+
+
+def rank_global(
+    df: DataFrame,
+    order_col: str,
+    n_shards: int | None = None,
+    out_col: str = "rank",
+    bounds_src: DataFrame | None = None,
+) -> DataFrame:
+    """``RANK() OVER (ORDER BY order_col)`` at scale: shard-offset row
+    number, then each tie class takes its MIN row number (rank with
+    gaps).  One keyed min-aggregate + join back — no single-partition
+    window."""
+    shards = n_shards if n_shards is not None else default_n_shards(df)
+    rn = global_row_number(
+        df, order_col, shards, out_col="__grn", bounds_src=bounds_src
+    )
+    ranks = rn.groupBy(order_col).agg(F.min("__grn").alias("__gmin"))
+    return (
+        rn.join(ranks, order_col)
+        .withColumn(out_col, F.col("__gmin").cast("long"))
+        .drop("__grn", "__gmin")
+    )
+
+
+def dense_rank_global(
+    df: DataFrame,
+    order_col: str,
+    n_shards: int | None = None,
+    out_col: str = "dense_rank",
+    bounds_src: DataFrame | None = None,
+) -> DataFrame:
+    """``DENSE_RANK() OVER (ORDER BY order_col)`` at scale: the global
+    row number of each DISTINCT order value (tie classes collapse
+    first, so the ranked frame is |distinct values| rows), joined
+    back.  No gaps, no single-partition window."""
+    shards = n_shards if n_shards is not None else default_n_shards(df)
+    distinct = df.select(order_col).distinct()
+    dr = global_row_number(
+        distinct, order_col, shards, out_col="__gdr",
+        bounds_src=bounds_src,
+    )
+    return df.join(dr, order_col).withColumn(
+        out_col, F.col("__gdr").cast("long")
+    ).drop("__gdr")
+
+
+def cume_dist_global(
+    df: DataFrame,
+    order_col: str,
+    n_shards: int | None = None,
+    out_col: str = "cume_dist",
+    bounds_src: DataFrame | None = None,
+) -> DataFrame:
+    """``CUME_DIST() OVER (ORDER BY order_col)`` at scale: each tie
+    class takes its MAX row number over the total count — the
+    right-continuous empirical CDF, the companion transform to
+    :func:`percent_rank_global`."""
+    shards = n_shards if n_shards is not None else default_n_shards(df)
+    rn = global_row_number(
+        df, order_col, shards, out_col="__crn", bounds_src=bounds_src
+    )
+    ranks = rn.groupBy(order_col).agg(F.max("__crn").alias("__cmax"))
+    n = rn.agg(F.count(F.lit(1)).alias("__cn"))
+    return (
+        rn.join(ranks, order_col)
+        .crossJoin(F.broadcast(n))
+        .withColumn(out_col, F.col("__cmax") / F.col("__cn"))
+        .drop("__crn", "__cmax", "__cn")
     )

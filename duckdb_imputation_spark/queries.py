@@ -167,12 +167,15 @@ _DRIVER_PRIORITY: list[str] = [
 #   (5/source: twin hash-identical at sf0.01, 100 rows / 20 groups);
 #   unit tests pin per-group == global-on-group and the merge law
 #   (tests/test_heavy_hitters.py).
-# - percent_rank_global (prefix.py): PERCENT_RANK() OVER (ORDER BY v)
-#   through the shard-offset rank + tie-min join (no single-partition
-#   window); /verify-proven twin: all 60000 lineitem rows match
-#   DuckDB's PERCENT_RANK on l_extendedprice at sf0.01 (round 9dp);
-#   window-form equivalence + tie/single-row tests in
-#   tests/test_prefix.py, lint-clean on the executed plan.
+# - percent_rank_global / rank_global / dense_rank_global /
+#   cume_dist_global (prefix.py): the full global ranking family
+#   through the shard-offset row number + tie-class min/max joins (no
+#   single-partition window anywhere); /verify-proven twins: all
+#   60000 lineitem rows match DuckDB's PERCENT_RANK on
+#   l_extendedprice, and all 50 distinct l_quantity tie classes match
+#   RANK/DENSE_RANK/CUME_DIST at sf0.01 (round 9dp); window-form
+#   equivalence + tie/single-row tests in tests/test_prefix.py,
+#   lint-clean executed plans.
 # Everything else implemented has either a driver row in the window or
 # a past driver-green hash plus local replay coverage.
 

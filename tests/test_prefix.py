@@ -265,3 +265,59 @@ def test_percent_rank_global_no_single_partition_window(spark):
     out.collect()
     errs = [f for f in lint_plan(out) if f.severity == "error"]
     assert not errs, errs
+
+
+def test_ranking_family_matches_window_forms(spark):
+    """rank / dense_rank / cume_dist against the classic window forms
+    on tie-heavy data — the full global ranking family is bit-exact."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from duckdb_imputation_spark.operators.prefix import (
+        cume_dist_global,
+        dense_rank_global,
+        rank_global,
+    )
+
+    rng = random.Random(17)
+    rows = [(i, float(rng.randrange(9))) for i in range(250)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    w = Window.orderBy("v")
+    exp = {
+        r["id"]: (r["rk"], r["dr"], r["cd"])
+        for r in df.select(
+            "id",
+            F.rank().over(w).alias("rk"),
+            F.dense_rank().over(w).alias("dr"),
+            F.cume_dist().over(w).alias("cd"),
+        ).collect()
+    }
+    rk = {r["id"]: r["rank"] for r in rank_global(df, "v", 4).collect()}
+    dr = {
+        r["id"]: r["dense_rank"]
+        for r in dense_rank_global(df, "v", 4).collect()
+    }
+    cd = {
+        r["id"]: r["cume_dist"]
+        for r in cume_dist_global(df, "v", 4).collect()
+    }
+    for i in exp:
+        assert (rk[i], dr[i], cd[i]) == exp[i]
+
+
+def test_ranking_family_lint_clean(spark):
+    from duckdb_imputation_spark.operators.prefix import (
+        cume_dist_global,
+        dense_rank_global,
+        rank_global,
+    )
+    from duckdb_imputation_spark.plans import lint_plan
+
+    df = spark.range(500).selectExpr("id", "CAST(id % 23 AS DOUBLE) AS v")
+    for fn in (rank_global, dense_rank_global, cume_dist_global):
+        out = fn(df, "v", 3)
+        out.collect()
+        errs = [f for f in lint_plan(out) if f.severity == "error"]
+        assert not errs, (fn.__name__, errs)
