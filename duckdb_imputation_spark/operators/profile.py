@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["profile_table"]
+__all__ = ["profile_table", "grouped_robust_stats"]
 
 _NUMERIC = (
     T.ByteType, T.ShortType, T.IntegerType, T.LongType,
@@ -112,3 +112,67 @@ def profile_table(
     return wide.select(
         F.explode(F.array(*per_col)).alias("__p")
     ).select("__p.*")
+
+
+def grouped_robust_stats(
+    df: DataFrame,
+    value_col: str,
+    by_cols: Sequence[str],
+    k: float = 3.0,
+    consistency: float = 1.4826,
+    exact: bool = True,
+) -> DataFrame:
+    """Per-group robust location/scale + outlier screen: median, MAD
+    (median absolute deviation) and the count of rows beyond
+    ``k * consistency * MAD`` of the median — the robust-z / Hampel
+    rule, the outlier filter a mean/std screen gets wrong the moment
+    the outliers themselves inflate the std.  ``consistency=1.4826``
+    rescales MAD to the std of a normal (the usual convention), so
+    ``k=3`` reads as "3 robust sigmas".
+
+    Returns one row per group:
+    (by_cols..., n, med, mad, n_outliers).
+
+    Semantics and determinism: medians are Spark's EXACT interpolated
+    ``percentile`` (bit-identical to DuckDB ``quantile_cont``); the
+    threshold is evaluated as ``(k * consistency) * mad`` with the
+    identical double constant-fold on any SQL twin, so the outlier
+    comparison is deterministic cross-engine.  ``exact=False`` swaps
+    both medians for ``approx_percentile`` — the corpus-scale profile
+    (exact ``percentile`` buffers a group's values in the aggregation
+    state, which is the right tool for the oracle surface and wrong at
+    a billion rows per group).
+
+    Scale shape: two grouped aggregates over the value column plus two
+    joins against group-sized frames (AQE broadcasts them) — no window,
+    no global sort; each pass is a partial+final aggregate keyed by the
+    group columns."""
+    by = list(by_cols)
+    if not by:
+        raise ValueError("by_cols must be non-empty")
+    v = F.col(value_col).cast("double")
+    q = "percentile" if exact else "approx_percentile"
+    med = df.groupBy(*by).agg(
+        F.expr(f"{q}(CAST({value_col} AS DOUBLE), 0.5)").alias("__med")
+    )
+    dev = (
+        df.join(med, by)
+        .withColumn("__ad", F.abs(v - F.col("__med")))
+    )
+    mad = dev.groupBy(*by).agg(
+        F.min("__med").alias("med"),
+        F.expr(f"{q}(__ad, 0.5)").alias("mad"),
+    )
+    thresh = F.lit(float(k) * float(consistency)) * F.col("mad")
+    return (
+        dev.join(mad, by)
+        .groupBy(*by)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("med").alias("med"),
+            F.min("mad").alias("mad"),
+            F.sum(
+                F.when(F.col("__ad") > thresh, 1).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+        )
+    )

@@ -30,7 +30,13 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["resample_interpolate", "fill_forward", "ewma"]
+__all__ = [
+    "resample_interpolate",
+    "fill_forward",
+    "ewma",
+    "retention_cohorts",
+    "sliding_counts",
+]
 
 
 def resample_interpolate(
@@ -229,4 +235,90 @@ def ewma(
         F.element_at("__series", F.col("__i") + 1)["t"].alias(order_col),
         F.element_at("__series", F.col("__i") + 1)["x"].alias(value_col),
         out_col,
+    )
+
+
+def retention_cohorts(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    period_us: int = 7 * 86_400 * 1_000_000,
+) -> DataFrame:
+    """Cohort retention matrix: assign each entity (user) to the
+    epoch-aligned period of its FIRST event, then count how many
+    distinct entities of each cohort are still active ``offset``
+    periods later — the classic product-analytics retention triangle,
+    and (read over document ingest timestamps) the freshness/refresh
+    profile of a training corpus.
+
+    Returns one row per non-empty (cohort, offset) cell:
+    (cohort_period, offset, n_active) — all integers, where
+    ``cohort_period = floor(first_event_us / period_us)`` and
+    ``offset = activity_period - cohort_period`` (offset 0 is the
+    cohort's own size).
+
+    Scale shape: (entity, period) pairs are deduplicated FIRST (one
+    keyed aggregate — activity collapses to at most one row per entity
+    per period, so everything downstream is bounded by
+    |entities| x |periods|, not the event count); the per-entity first
+    period is one more keyed aggregate over that frame; the join back
+    is entity-keyed (AQE picks broadcast while the entity frame is
+    small, shuffle-hash at population scale); the final cell count is
+    a plain COUNT per (cohort, offset) — the DISTINCT is already
+    spent.  No window, no driver loop."""
+    ep = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    active = (
+        df.where(F.col(entity_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(
+            F.col(entity_col).alias("__e"),
+            F.floor(ep / F.lit(int(period_us))).cast("long").alias("__p"),
+        )
+        .distinct()
+    )
+    firsts = active.groupBy("__e").agg(F.min("__p").alias("cohort_period"))
+    return (
+        active.join(firsts, "__e")
+        .groupBy(
+            "cohort_period",
+            (F.col("__p") - F.col("cohort_period")).cast("long").alias("offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    )
+
+
+def sliding_counts(
+    df: DataFrame,
+    ts_col: str,
+    width: str = "2 hours",
+    slide: str = "1 hour",
+    by_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Sliding (hopping) window counts: every event is assigned to all
+    epoch-aligned windows of ``width`` that contain it, stepping by
+    ``slide`` — ``F.window``'s overlapping mode, the batch twin of the
+    Structured Streaming sliding aggregation (same function, same
+    window semantics: starts at multiples of ``slide``, half-open
+    ``[start, start + width)``).
+
+    Returns (window_start_us, by_cols..., n) with the window start as
+    epoch microseconds — integers end-to-end, directly comparable
+    across engines.
+
+    Scale shape: the window explode multiplies rows by
+    ``width / slide`` (2x here) BEFORE one keyed partial+final
+    aggregate — the standard cost of overlap; at corpus scale prefer
+    the tumbling rollup plus an ``width/slide``-window rolling sum
+    over the (tiny) per-period aggregate when the by-key cardinality
+    allows."""
+    cols = list(by_cols)
+    win = F.window(F.col(ts_col).cast("timestamp"), width, slide)
+    return (
+        df.where(F.col(ts_col).isNotNull())
+        .groupBy(win.alias("__w"), *cols)
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            F.unix_micros(F.col("__w.start")).alias("window_start_us"),
+            *cols,
+            "n",
+        )
     )

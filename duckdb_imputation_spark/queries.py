@@ -120,6 +120,16 @@ _DRIVER_PRIORITY: list[str] = [
     "heavy_hitter_tokens",
     "profile_lineitem",
     "fuzzy_join_part_typos",
+    # round 7 (late): the two queued NEXT-ROTATION families get rows —
+    # per-group bottom-k sample (sketches.py) and the global ranking
+    # family (prefix.py: RANK/DENSE_RANK/PERCENT_RANK/CUME_DIST) —
+    # plus three new operators: weekly cohort retention, sliding
+    # (hopping) window counts, grouped robust stats (median/MAD/Hampel)
+    "bottomk_grouped_documents",
+    "global_ranking_quantity",
+    "retention_cohorts_events",
+    "sliding_window_events",
+    "robust_outliers_lineitem",
     # round 6: code/oracle changed this round, so they stay in the
     # window for a fresh hash — encode_documents_vocab projects scalar
     # digests now (the r5 red row), resample_interpolate gained the
@@ -151,31 +161,14 @@ _DRIVER_PRIORITY: list[str] = [
     "doc_quality_nb_histogram",
     "pq_cosine_topk",
     "ann_ivfpq_topk",
-    "minhash_index_dedup_new",
     "corpus_data_card",
-    "funnel_view_click_purchase",
-    "dedup_cluster_sizes",
-    "simhash_documents",
     "triple_lineitem_wide",
 ]
 
 
-# NEXT-ROTATION CANDIDATES (window full — rows to add when slots open):
-# - bottomk_sample_grouped (sketches.py): per-group mergeable uniform
-#   sample; /verify-proven SQL twin = ROW_NUMBER() OVER (PARTITION BY
-#   grp ORDER BY md5-int60('bk|'||key), key) <= k over documents
-#   (5/source: twin hash-identical at sf0.01, 100 rows / 20 groups);
-#   unit tests pin per-group == global-on-group and the merge law
-#   (tests/test_heavy_hitters.py).
-# - percent_rank_global / rank_global / dense_rank_global /
-#   cume_dist_global (prefix.py): the full global ranking family
-#   through the shard-offset row number + tie-class min/max joins (no
-#   single-partition window anywhere); /verify-proven twins: all
-#   60000 lineitem rows match DuckDB's PERCENT_RANK on
-#   l_extendedprice, and all 50 distinct l_quantity tie classes match
-#   RANK/DENSE_RANK/CUME_DIST at sf0.01 (round 9dp); window-form
-#   equivalence + tie/single-row tests in tests/test_prefix.py,
-#   lint-clean executed plans.
+# NEXT-ROTATION CANDIDATES: none queued — the two families parked here
+# (bottomk_sample_grouped, the global ranking family) got their driver
+# rows this round (bottomk_grouped_documents, global_ranking_quantity).
 # Everything else implemented has either a driver row in the window or
 # a past driver-green hash plus local replay coverage.
 
@@ -185,6 +178,15 @@ _DRIVER_PRIORITY: list[str] = [
 # full-catalog replay.  A query whose code changes must move back to
 # _DRIVER_PRIORITY for one round (VERDICT r4 hygiene rule).
 _DRIVER_DEMOTE: list[str] = [
+    # rotated out round 7 (late) for the five new rows (grouped
+    # bottom-k, ranking family, retention, sliding windows, robust
+    # stats): r6 driver-green (CORRECTNESS_r06.json hash_match),
+    # implementation untouched this round (dedup.py /
+    # minhash_index.py and the funnel row's code have no r7 diff)
+    "minhash_index_dedup_new",
+    "funnel_view_click_purchase",
+    "dedup_cluster_sizes",
+    "simhash_documents",
     # rotated out round 7 to make window room for the two new
     # alternating-components / streaming-bloom-sink rows (VERDICT r6
     # #3) and the bucketed-DSIR row: all four returned to the window
@@ -6017,4 +6019,224 @@ def equidepth_histogram_lineitem(spark, sf):
     )
     return equidepth_histogram(
         li, "v", 10, tiebreak_cols=["l_orderkey", "l_linenumber"]
+    )
+
+
+# --------------------------------------------------------------------- #
+# Round 7 (late) rotation: the two queued NEXT-ROTATION operator         #
+# families get driver rows (per-group bottom-k sample, global ranking    #
+# family), plus three new operators — cohort retention, sliding          #
+# windows, grouped robust stats (median/MAD/Hampel outliers).            #
+# --------------------------------------------------------------------- #
+
+
+@register(
+    "bottomk_grouped_documents",
+    oracle=f"""
+    SELECT source, doc_id, h AS bk_hash FROM (
+      SELECT source, doc_id, h,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id)
+               AS rn
+      FROM (
+        SELECT source, doc_id,
+               {_md5_60_sql("CAST(doc_id AS VARCHAR)", seed="bk|")} AS h
+        FROM documents
+      )
+    ) WHERE rn <= 5
+    """,
+)
+def bottomk_grouped_documents(spark, sf):
+    """Per-group mergeable bottom-k sample (operators/sketches.py
+    bottomk_sample_grouped): the 5 lowest-md5-hash documents WITHIN
+    each source — a deterministic stratified uniform sample (k per
+    stratum) that merges exactly across batches (re-take the per-group
+    bottom-k of unioned samples).  Same hash permutation as the global
+    bottomk_sample_documents row, so a group's sample equals the
+    global sample restricted to that group; integer hash column, zero
+    rounding surface."""
+    from .operators.sketches import bottomk_sample_grouped
+
+    d = load_table(spark, sf, "documents").select("source", "doc_id")
+    out = bottomk_sample_grouped(d, "doc_id", 5, ["source"])
+    return out.select(
+        "source", "doc_id", F.col("__bk_hash").alias("bk_hash")
+    )
+
+
+@register(
+    "global_ranking_quantity",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(l_quantity AS BIGINT) AS qty, COUNT(*) AS n
+      FROM lineitem GROUP BY 1
+    ), t AS (
+      SELECT qty, n,
+             SUM(n) OVER (ORDER BY qty) AS cum,
+             SUM(n) OVER () AS tot,
+             ROW_NUMBER() OVER (ORDER BY qty) AS dr
+      FROM c
+    )
+    SELECT qty,
+           CAST(cum - n + 1 AS BIGINT) AS rnk,
+           CAST(dr AS BIGINT) AS drnk,
+           ROUND(CAST(cum - n AS DOUBLE) / (tot - 1), 9) AS prnk,
+           ROUND(CAST(cum AS DOUBLE) / tot, 9) AS cd
+    FROM t
+    """,
+)
+def global_ranking_quantity(spark, sf):
+    """The full global ranking family (operators/prefix.py) — RANK,
+    DENSE_RANK, PERCENT_RANK, CUME_DIST over l_quantity — collapsed to
+    its tie classes (one row per distinct quantity; every function is
+    constant within a class).  All four ride the shard-offset global
+    row number (one range exchange + an n_shards-row offsets
+    broadcast) — no single-partition window anywhere.  The oracle
+    derives the identical values from per-class counts and running
+    sums, an INDEPENDENT construction: numerators/denominators are
+    exact integers divided once, so ROUND(,9) only absorbs display.
+    rnk/drnk are integers; prnk = (rank-1)/(n-1); cd = cum/n."""
+    from .operators.prefix import (
+        cume_dist_global,
+        dense_rank_global,
+        percent_rank_global,
+        rank_global,
+    )
+
+    q = _li(spark, sf).select(F.col("l_quantity").cast("long").alias("qty"))
+    r = (
+        rank_global(q, "qty", out_col="rnk")
+        .groupBy("qty").agg(F.min("rnk").alias("rnk"))
+    )
+    d = (
+        dense_rank_global(q, "qty", out_col="drnk")
+        .groupBy("qty").agg(F.min("drnk").alias("drnk"))
+    )
+    p = (
+        percent_rank_global(q, "qty", out_col="prnk")
+        .groupBy("qty").agg(F.round(F.min("prnk"), 9).alias("prnk"))
+    )
+    c = (
+        cume_dist_global(q, "qty", out_col="cd")
+        .groupBy("qty").agg(F.round(F.min("cd"), 9).alias("cd"))
+    )
+    return r.join(d, "qty").join(p, "qty").join(c, "qty")
+
+
+_DAY_US = 86_400 * 1_000_000
+
+
+@register(
+    "retention_cohorts_events",
+    oracle=f"""
+    WITH b AS (
+      SELECT DISTINCT user_id AS u,
+             CAST(FLOOR(epoch_us(CAST(ts AS TIMESTAMP)) / {_DAY_US})
+                  AS BIGINT) AS p
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ), f AS (
+      SELECT u, MIN(p) AS cohort_period FROM b GROUP BY u
+    )
+    SELECT cohort_period,
+           p - cohort_period AS day_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active
+    FROM b JOIN f USING (u)
+    GROUP BY 1, 2
+    """,
+)
+def retention_cohorts_events(spark, sf):
+    """Daily cohort retention triangle (operators/timeseries.py
+    retention_cohorts): users bucketed by the epoch-aligned day of
+    their first event; n_active counts distinct users of each cohort
+    active at each later day.  Daily periods (not weekly) so the
+    testdata's 30-day span yields a real cohort x offset matrix
+    instead of one cohort row.  All-integer output (epoch-µs integer
+    day arithmetic — the testdata ts idiom), and the DISTINCT is
+    spent on the deduplicated (user, day) frame before any join, so
+    the plan is two keyed aggregates + one user-keyed join."""
+    from .operators.timeseries import retention_cohorts
+
+    ev = load_table(spark, sf, "events")
+    return retention_cohorts(
+        ev, "user_id", "ts", period_us=_DAY_US
+    ).withColumnRenamed("offset", "day_offset")
+
+
+@register(
+    "sliding_window_events",
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             CAST(FLOOR(epoch_us(CAST(ts AS TIMESTAMP)) / 3600000000)
+                  AS BIGINT) AS h
+      FROM events WHERE ts IS NOT NULL
+    ), x AS (
+      SELECT event_type, h AS ws FROM e
+      UNION ALL
+      SELECT event_type, h - 1 AS ws FROM e
+    )
+    SELECT ws * 3600000000 AS window_start_us, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM x GROUP BY 1, 2
+    """,
+)
+def sliding_window_events(spark, sf):
+    """Sliding-window event counts, width 2 h / slide 1 h, per event
+    type (operators/timeseries.py sliding_counts = ``F.window``'s
+    hopping mode, the batch twin of the Structured Streaming sliding
+    aggregation).  Each event lands in exactly width/slide = 2
+    epoch-aligned windows; the oracle unrolls that same membership as
+    a 2-way UNION ALL over integer hour buckets — window starts and
+    counts are integers end-to-end."""
+    from .operators.timeseries import sliding_counts
+
+    ev = load_table(spark, sf, "events")
+    return sliding_counts(
+        ev, "ts", "2 hours", "1 hour", by_cols=["event_type"]
+    )
+
+
+@register(
+    "robust_outliers_lineitem",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag AS g,
+             quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) AS med
+      FROM lineitem GROUP BY 1
+    ), d AS (
+      SELECT m.g, ABS(CAST(l.l_extendedprice AS DOUBLE) - m.med) AS ad
+      FROM lineitem l JOIN m ON l.l_returnflag = m.g
+    ), a AS (
+      SELECT g, quantile_cont(ad, 0.5) AS mad
+      FROM d GROUP BY g
+    )
+    SELECT d.g AS l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(m2.med), 4) AS med,
+           ROUND(MIN(a.mad), 4) AS mad,
+           CAST(SUM(CASE WHEN d.ad > (3.0 * 1.4826) * a.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM d JOIN a USING (g) JOIN m m2 ON d.g = m2.g
+    GROUP BY d.g
+    """,
+)
+def robust_outliers_lineitem(spark, sf):
+    """Per-group robust statistics (operators/profile.py
+    grouped_robust_stats): median, MAD and the Hampel outlier count
+    (|x − med| > 3·1.4826·MAD) of extended price per returnflag — the
+    outlier screen whose threshold the outliers themselves cannot
+    inflate.  Medians are Spark's exact interpolated percentile
+    (bit-identical to DuckDB quantile_cont); the threshold constant
+    folds to the same double on both engines, so the > comparison is
+    deterministic; med/mad are sums of ≤2-decimal data values halved,
+    i.e. exact ROUND(,4) ticks, and the counts are integers."""
+    from .operators.profile import grouped_robust_stats
+
+    li = _li(spark, sf).select("l_returnflag", "l_extendedprice")
+    out = grouped_robust_stats(li, "l_extendedprice", ["l_returnflag"])
+    return out.select(
+        "l_returnflag",
+        "n",
+        F.round("med", 4).alias("med"),
+        F.round("mad", 4).alias("mad"),
+        "n_outliers",
     )

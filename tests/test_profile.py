@@ -66,3 +66,67 @@ def test_profile_empty_table(spark):
     assert p["x"]["n_distinct"] == 0
     assert p["x"]["min_value"] is None
     assert p["x"]["q50"] is None
+
+
+# ------------------------------------------------------------------ #
+# grouped_robust_stats                                                #
+# ------------------------------------------------------------------ #
+
+def _robust(spark, rows, **kw):
+    from duckdb_imputation_spark.operators.profile import (
+        grouped_robust_stats,
+    )
+
+    df = spark.createDataFrame(rows, "g string, x double")
+    out = grouped_robust_stats(df, "x", ["g"], **kw)
+    return {r["g"]: r.asDict() for r in out.collect()}
+
+
+def test_robust_stats_hand_computed(spark):
+    # g=a: {1, 2, 3, 4, 100}: med=3? no — even handling: 5 values,
+    # med=3; |x-med| = {2,1,0,1,97}, MAD=1; threshold 3*1.4826*1
+    # = 4.4478 -> only 97 exceeds -> 1 outlier.
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("a", 100.0)]
+    got = _robust(spark, rows)["a"]
+    assert got["n"] == 5
+    assert got["med"] == 3.0
+    assert got["mad"] == 1.0
+    assert got["n_outliers"] == 1
+
+
+def test_robust_stats_interpolated_median(spark):
+    # 4 values -> median is the midpoint of the middle two
+    rows = [("a", 1.0), ("a", 2.0), ("a", 4.0), ("a", 8.0)]
+    got = _robust(spark, rows)["a"]
+    assert got["med"] == 3.0
+    # deviations {2,1,1,5} -> sorted {1,1,2,5}, median = 1.5
+    assert got["mad"] == 1.5
+
+
+def test_robust_stats_constant_group_and_python_reference(spark):
+    import random
+    import statistics
+
+    rng = random.Random(11)
+    rows = [("c", 7.0)] * 4 + [
+        ("r", round(rng.gauss(0, 1), 3)) for _ in range(101)
+    ]
+    got = _robust(spark, rows)
+    # constant group: MAD 0 -> nothing is > 0 away -> 0 outliers
+    c = got["c"]
+    assert (c["med"], c["mad"], c["n_outliers"]) == (7.0, 0.0, 0)
+    # randomized group vs a pure-Python twin (odd n: exact order stats)
+    xs = sorted(x for g, x in rows if g == "r")
+    med = statistics.median(xs)
+    mad = statistics.median(sorted(abs(x - med) for x in xs))
+    n_out = sum(1 for x in xs if abs(x - med) > (3.0 * 1.4826) * mad)
+    r = got["r"]
+    assert r["med"] == med
+    assert r["mad"] == mad
+    assert r["n_outliers"] == n_out
+
+
+def test_robust_stats_approx_mode_runs(spark):
+    rows = [("a", float(i)) for i in range(50)]
+    got = _robust(spark, rows, exact=False)["a"]
+    assert got["n"] == 50 and got["mad"] >= 0.0

@@ -239,3 +239,128 @@ def test_resample_all_null_key_vanishes(spark):
     df = spark.createDataFrame(rows, "k int, ts long, v double")
     out = resample_interpolate(df, ["k"], "ts", "v", step=10).collect()
     assert {r["k"] for r in out} == {2}  # no observations -> no grid
+
+
+# ------------------------------------------------------------------ #
+# retention_cohorts                                                   #
+# ------------------------------------------------------------------ #
+
+def _retention(spark, rows, period=10):
+    from duckdb_imputation_spark.operators.timeseries import (
+        retention_cohorts,
+    )
+
+    df = spark.createDataFrame(rows, "u int, ts timestamp_ntz")
+    out = retention_cohorts(df, "u", "ts", period_us=period)
+    return {
+        (r["cohort_period"], r["offset"]): r["n_active"]
+        for r in out.collect()
+    }
+
+
+def _ts_us(us):
+    import datetime
+
+    return datetime.datetime(1970, 1, 1) + datetime.timedelta(
+        microseconds=us
+    )
+
+
+def test_retention_hand_computed(spark):
+    # period = 10 µs.  u1 first in period 0, active 0 and 2;
+    # u2 first in period 0, active 0, 1; u3 first in period 2.
+    rows = [
+        (1, _ts_us(3)), (1, _ts_us(25)),
+        (2, _ts_us(9)), (2, _ts_us(11)),
+        (3, _ts_us(29)),
+    ]
+    got = _retention(spark, rows)
+    assert got == {
+        (0, 0): 2,   # u1, u2
+        (0, 1): 1,   # u2
+        (0, 2): 1,   # u1
+        (2, 0): 1,   # u3
+    }
+
+
+def test_retention_dedups_within_period_and_skips_nulls(spark):
+    # three events of u1 in one period count once; NULL user/ts ignored
+    rows = [
+        (1, _ts_us(1)), (1, _ts_us(2)), (1, _ts_us(3)),
+        (None, _ts_us(5)), (2, None),
+    ]
+    got = _retention(spark, rows)
+    assert got == {(0, 0): 1}
+
+
+def test_retention_offset_zero_is_cohort_size(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (u, _ts_us(rng.randrange(0, 50)))
+        for u in range(20)
+        for _ in range(rng.randrange(1, 4))
+    ]
+    got = _retention(spark, rows)
+    cohort_sizes = {}
+    first = {}
+    active = set()
+    for u, t in rows:
+        us = int((t - _ts_us(0)).total_seconds() * 1_000_000)
+        p = us // 10
+        first[u] = min(first.get(u, p), p)
+        active.add((u, p))
+    for u, p0 in first.items():
+        cohort_sizes[p0] = cohort_sizes.get(p0, 0) + 1
+    for (c, off), n in got.items():
+        expect = len(
+            {u for (u, p) in active if first[u] == c and p - c == off}
+        )
+        assert n == expect
+    for c, size in cohort_sizes.items():
+        assert got[(c, 0)] == size
+
+
+# ------------------------------------------------------------------ #
+# sliding_counts                                                      #
+# ------------------------------------------------------------------ #
+
+def test_sliding_counts_two_windows_per_event(spark):
+    from duckdb_imputation_spark.operators.timeseries import sliding_counts
+
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1, 10, 30)  # inside hour 10
+    rows = [(base,), (base + datetime.timedelta(hours=1),)]
+    df = spark.createDataFrame(rows, "ts timestamp_ntz")
+    out = {
+        r["window_start_us"]: r["n"]
+        for r in sliding_counts(df, "ts", "2 hours", "1 hour").collect()
+    }
+    h = 3_600_000_000
+    t10 = int(
+        (datetime.datetime(2024, 1, 1, 10) - datetime.datetime(1970, 1, 1))
+        .total_seconds()
+    ) * 1_000_000
+    # event at 10:30 -> windows starting 09:00 and 10:00; 11:30 -> 10:00, 11:00
+    assert out == {t10 - h: 1, t10: 2, t10 + h: 1}
+    # every event appears in exactly width/slide windows
+    assert sum(out.values()) == 2 * len(rows)
+
+
+def test_sliding_counts_grouped_and_null_ts(spark):
+    from duckdb_imputation_spark.operators.timeseries import sliding_counts
+
+    import datetime
+
+    t = datetime.datetime(2024, 1, 2, 0, 5)
+    df = spark.createDataFrame(
+        [(t, "a"), (t, "a"), (t, "b"), (None, "a")],
+        "ts timestamp_ntz, k string",
+    )
+    out = sliding_counts(df, "ts", "2 hours", "1 hour", by_cols=["k"])
+    rows = out.collect()
+    # NULL ts dropped; each event in 2 windows
+    assert sum(r["n"] for r in rows) == 2 * 3
+    assert {r["k"] for r in rows} == {"a", "b"}
