@@ -44,6 +44,7 @@ __all__ = [
     "rank_global",
     "dense_rank_global",
     "cume_dist_global",
+    "global_ranks",
     "default_n_shards",
 ]
 
@@ -355,3 +356,75 @@ def cume_dist_global(
         .withColumn(out_col, F.col("__cmax") / F.col("__cn"))
         .drop("__crn", "__cmax", "__cn")
     )
+
+
+def global_ranks(
+    df: DataFrame,
+    order_col: str,
+    n_shards: int | None = None,
+    rank_col: str | None = "rank",
+    dense_rank_col: str | None = "dense_rank",
+    percent_rank_col: str | None = "pct_rank",
+    cume_dist_col: str | None = "cume_dist",
+    bounds_src: DataFrame | None = None,
+) -> DataFrame:
+    """All four global ranking functions from ONE shard-offset pass —
+    the fused form of :func:`rank_global` / :func:`dense_rank_global` /
+    :func:`percent_rank_global` / :func:`cume_dist_global` (pass
+    ``None`` for any output column to skip it).
+
+    One :func:`global_row_number` ranks the input once (one range
+    exchange + the n_shards-row offsets broadcast); a single keyed
+    aggregate over the order value then yields each tie class's MIN
+    row number (= RANK), MAX row number (→ CUME_DIST), and its own
+    global row number over the |distinct|-sized class frame
+    (= DENSE_RANK, via one per-class ordered window over the tiny
+    frame — n_shards of work, not corpus); PERCENT_RANK and CUME_DIST
+    divide by the 1-row total broadcast.  Output values are
+    bit-identical to the four individual operators (asserted in
+    tests/test_prefix.py) at a quarter of the exchanges: the separate
+    operators re-rank the corpus once EACH.
+
+    Scale shape: one range exchange of the corpus + one tie-class
+    aggregate (map-side combined) + two broadcast joins (tie frame
+    while small — AQE decides — and the scalar count)."""
+    shards = n_shards if n_shards is not None else default_n_shards(df)
+    rn = global_row_number(
+        df, order_col, shards, out_col="__arn", bounds_src=bounds_src
+    )
+    classes = rn.groupBy(order_col).agg(
+        F.min("__arn").alias("__amin"),
+        F.max("__arn").alias("__amax"),
+    )
+    if dense_rank_col is not None:
+        # the class frame is |distinct values| rows; a window ordered by
+        # the class min row number gives DENSE_RANK without touching the
+        # corpus again.  Partitioning by a constant would be the
+        # single-partition trap on a CORPUS frame; here the frame is
+        # distinct-value-sized — still, rank it via the same shard
+        # machinery to stay lint-clean at any distinct cardinality.
+        classes = global_row_number(
+            classes, "__amin", shards, out_col="__adr"
+        )
+    n = rn.agg(F.count(F.lit(1)).alias("__an"))
+    out = rn.join(classes, order_col).crossJoin(F.broadcast(n))
+    if rank_col is not None:
+        out = out.withColumn(rank_col, F.col("__amin").cast("long"))
+    if dense_rank_col is not None:
+        out = out.withColumn(dense_rank_col, F.col("__adr").cast("long"))
+    if percent_rank_col is not None:
+        out = out.withColumn(
+            percent_rank_col,
+            F.when(
+                F.col("__an") > 1,
+                (F.col("__amin") - 1) / (F.col("__an") - 1),
+            ).otherwise(F.lit(0.0)),
+        )
+    if cume_dist_col is not None:
+        out = out.withColumn(
+            cume_dist_col, F.col("__amax") / F.col("__an")
+        )
+    drop = ["__arn", "__amin", "__amax", "__an"]
+    if dense_rank_col is not None:
+        drop.append("__adr")
+    return out.drop(*drop)

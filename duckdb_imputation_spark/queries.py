@@ -6085,41 +6085,33 @@ def bottomk_grouped_documents(spark, sf):
     """,
 )
 def global_ranking_quantity(spark, sf):
-    """The full global ranking family (operators/prefix.py) — RANK,
-    DENSE_RANK, PERCENT_RANK, CUME_DIST over l_quantity — collapsed to
-    its tie classes (one row per distinct quantity; every function is
-    constant within a class).  All four ride the shard-offset global
-    row number (one range exchange + an n_shards-row offsets
-    broadcast) — no single-partition window anywhere.  The oracle
-    derives the identical values from per-class counts and running
-    sums, an INDEPENDENT construction: numerators/denominators are
-    exact integers divided once, so ROUND(,9) only absorbs display.
-    rnk/drnk are integers; prnk = (rank-1)/(n-1); cd = cum/n."""
-    from .operators.prefix import (
-        cume_dist_global,
-        dense_rank_global,
-        percent_rank_global,
-        rank_global,
-    )
+    """The full global ranking family — RANK, DENSE_RANK, PERCENT_RANK,
+    CUME_DIST over l_quantity — via the FUSED operators/prefix.py
+    global_ranks (ONE shard-offset pass + one tie-class aggregate,
+    where the four separate operators would re-rank the corpus once
+    each; the fused outputs are asserted bit-identical to the
+    individual ops and to the window forms in tests/test_prefix.py),
+    collapsed to tie classes (one row per distinct quantity; every
+    function is constant within a class).  No single-partition window
+    anywhere.  The oracle derives the identical values from per-class
+    counts and running sums, an INDEPENDENT construction:
+    numerators/denominators are exact integers divided once, so
+    ROUND(,9) only absorbs display.  rnk/drnk are integers;
+    prnk = (rank-1)/(n-1); cd = cum/n."""
+    from .operators.prefix import global_ranks
 
     q = _li(spark, sf).select(F.col("l_quantity").cast("long").alias("qty"))
-    r = (
-        rank_global(q, "qty", out_col="rnk")
-        .groupBy("qty").agg(F.min("rnk").alias("rnk"))
+    ranked = global_ranks(
+        q, "qty",
+        rank_col="rnk", dense_rank_col="drnk",
+        percent_rank_col="prnk", cume_dist_col="cd",
     )
-    d = (
-        dense_rank_global(q, "qty", out_col="drnk")
-        .groupBy("qty").agg(F.min("drnk").alias("drnk"))
+    return ranked.groupBy("qty").agg(
+        F.min("rnk").alias("rnk"),
+        F.min("drnk").alias("drnk"),
+        F.round(F.min("prnk"), 9).alias("prnk"),
+        F.round(F.min("cd"), 9).alias("cd"),
     )
-    p = (
-        percent_rank_global(q, "qty", out_col="prnk")
-        .groupBy("qty").agg(F.round(F.min("prnk"), 9).alias("prnk"))
-    )
-    c = (
-        cume_dist_global(q, "qty", out_col="cd")
-        .groupBy("qty").agg(F.round(F.min("cd"), 9).alias("cd"))
-    )
-    return r.join(d, "qty").join(p, "qty").join(c, "qty")
 
 
 _DAY_US = 86_400 * 1_000_000

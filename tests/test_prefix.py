@@ -321,3 +321,67 @@ def test_ranking_family_lint_clean(spark):
         out.collect()
         errs = [f for f in lint_plan(out) if f.severity == "error"]
         assert not errs, (fn.__name__, errs)
+
+
+def test_global_ranks_fused_matches_individual_ops(spark):
+    import random
+
+    from duckdb_imputation_spark.operators.prefix import (
+        cume_dist_global,
+        dense_rank_global,
+        global_ranks,
+        percent_rank_global,
+        rank_global,
+    )
+
+    rng = random.Random(23)
+    rows = [(i, float(rng.randrange(11))) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    fused = {
+        r["id"]: (r["rank"], r["dense_rank"], r["pct_rank"], r["cume_dist"])
+        for r in global_ranks(df, "v", 4).collect()
+    }
+    rk = {r["id"]: r["rank"] for r in rank_global(df, "v", 4).collect()}
+    dr = {
+        r["id"]: r["dense_rank"]
+        for r in dense_rank_global(df, "v", 4).collect()
+    }
+    pr = {
+        r["id"]: r["pct_rank"]
+        for r in percent_rank_global(df, "v", 4).collect()
+    }
+    cd = {
+        r["id"]: r["cume_dist"]
+        for r in cume_dist_global(df, "v", 4).collect()
+    }
+    # bit-identical to the four separate operators, one pass instead
+    # of four
+    for i in fused:
+        assert fused[i] == (rk[i], dr[i], pr[i], cd[i])
+
+
+def test_global_ranks_skips_unrequested_columns(spark):
+    from duckdb_imputation_spark.operators.prefix import global_ranks
+
+    df = spark.range(50).selectExpr("id", "CAST(id % 7 AS DOUBLE) AS v")
+    out = global_ranks(
+        df, "v", 3, dense_rank_col=None, percent_rank_col=None
+    )
+    assert set(out.columns) == {"id", "v", "rank", "cume_dist"}
+    out.collect()
+
+
+def test_global_ranks_single_row_and_lint(spark):
+    from duckdb_imputation_spark.operators.prefix import global_ranks
+    from duckdb_imputation_spark.plans import lint_plan
+
+    one = spark.createDataFrame([(1, 5.0)], "id long, v double")
+    r = global_ranks(one, "v", 3).collect()[0]
+    assert (r["rank"], r["dense_rank"], r["pct_rank"], r["cume_dist"]) == (
+        1, 1, 0.0, 1.0,
+    )
+    df = spark.range(400).selectExpr("id", "CAST(id % 13 AS DOUBLE) AS v")
+    out = global_ranks(df, "v", 3)
+    out.collect()
+    errs = [f for f in lint_plan(out) if f.severity == "error"]
+    assert not errs, errs
