@@ -273,8 +273,13 @@ def percent_rank_global(
     rn = global_row_number(
         df, order_col, shards, out_col="__prn", bounds_src=bounds_src
     )
-    ranks = rn.groupBy(order_col).agg(F.min("__prn").alias("__prank"))
-    n = rn.agg(F.count(F.lit(1)).alias("__pn"))
+    ranks = rn.groupBy(order_col).agg(
+        F.min("__prn").alias("__prank"), F.max("__prn").alias("__pmax")
+    )
+    # total count = the max row number — one aggregate over the tiny
+    # tie-class frame instead of a second corpus-wide pass over rn
+    n = ranks.agg(F.max("__pmax").alias("__pn"))
+    ranks = ranks.drop("__pmax")
     return (
         rn.join(ranks, order_col)
         .crossJoin(F.broadcast(n))
@@ -349,7 +354,8 @@ def cume_dist_global(
         df, order_col, shards, out_col="__crn", bounds_src=bounds_src
     )
     ranks = rn.groupBy(order_col).agg(F.max("__crn").alias("__cmax"))
-    n = rn.agg(F.count(F.lit(1)).alias("__cn"))
+    # total count = the max tie-class max — read off the tiny tie frame
+    n = ranks.agg(F.max("__cmax").alias("__cn"))
     return (
         rn.join(ranks, order_col)
         .crossJoin(F.broadcast(n))
