@@ -36,6 +36,7 @@ __all__ = [
     "streaming_corpus_stats",
     "corpus_stats_batch",
     "streaming_decontaminate",
+    "streaming_sliding_counts",
 ]
 
 
@@ -206,6 +207,37 @@ def corpus_stats_batch(
             F.col("__w.start").alias("window_start"),
             "n_docs", "n_tokens", "avg_quality", "avg_chars",
             "avg_top_ngram_frac",
+        )
+    )
+
+
+def streaming_sliding_counts(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    width: str = "2 hours",
+    slide: str = "1 hour",
+    by_cols=(),
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked SLIDING (hopping) window counts — the streaming twin
+    of :func:`..operators.timeseries.sliding_counts` (same ``F.window``
+    overlap semantics, same output schema: window_start_us, by...,
+    n).  Each event updates width/slide open windows; the watermark
+    bounds state at (open windows x by-key cardinality) rows and lets
+    append mode emit a window once event time passes its end +
+    watermark.  The batch op over the same rows is the oracle
+    (asserted in tests/test_streaming.py under availableNow)."""
+    cols = list(by_cols)
+    win = F.window(F.col(ts_col).cast("timestamp"), width, slide)
+    return (
+        stream.where(F.col(ts_col).isNotNull())
+        .withWatermark(ts_col, watermark)
+        .groupBy(win.alias("__w"), *cols)
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            F.unix_micros(F.col("__w.start")).alias("window_start_us"),
+            *cols,
+            "n",
         )
     )
 

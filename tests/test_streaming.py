@@ -790,3 +790,50 @@ def test_sink_recovers_interrupted_swap_state(spark, tmp_path):
     assert row["n"] == 6
     assert abs(row["s"] - 50.0) < 1e-9
     assert not os.path.exists(state + "__upsert_backup")
+
+
+def test_streaming_sliding_counts_matches_batch(spark, tmp_path):
+    """The watermarked hopping-window aggregation must produce exactly
+    the batch sliding_counts rows under an availableNow replay (every
+    event in width/slide = 2 windows)."""
+    import pandas as pd
+
+    from duckdb_imputation_spark.operators.timeseries import sliding_counts
+    from duckdb_imputation_spark.streaming import streaming_sliding_counts
+
+    rows = [
+        ("2024-01-01 10:05:00", "a"),
+        ("2024-01-01 10:55:00", "a"),
+        ("2024-01-01 11:05:00", "b"),
+        ("2024-01-01 13:40:00", "a"),
+    ]
+    df = spark.createDataFrame(rows, "ts string, k string").select(
+        F.col("ts").cast("timestamp").alias("ts"), "k"
+    )
+    src = str(tmp_path / "slide_src")
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = streaming_sliding_counts(
+        stream, "ts", "2 hours", "1 hour", by_cols=["k"]
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("slide_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start_us"], r["k"]): r["n"]
+        for r in spark.sql("SELECT * FROM slide_counts").collect()
+    }
+    exp = {
+        (r["window_start_us"], r["k"]): r["n"]
+        for r in sliding_counts(
+            df, "ts", "2 hours", "1 hour", by_cols=["k"]
+        ).collect()
+    }
+    assert got == exp
+    # overlap invariant: each event contributes to exactly 2 windows
+    assert sum(got.values()) == 2 * len(rows)
