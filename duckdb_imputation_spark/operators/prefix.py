@@ -384,8 +384,8 @@ def global_ranks(
     aggregate over the order value then yields each tie class's MIN
     row number (= RANK), MAX row number (→ CUME_DIST), and its own
     global row number over the |distinct|-sized class frame
-    (= DENSE_RANK, via one per-class ordered window over the tiny
-    frame — n_shards of work, not corpus); PERCENT_RANK and CUME_DIST
+    (= DENSE_RANK, re-ranking only the tiny checkpointed class frame —
+    n_shards of work, not corpus); PERCENT_RANK and CUME_DIST
     divide by the 1-row total broadcast.  Output values are
     bit-identical to the four individual operators (asserted in
     tests/test_prefix.py) at a quarter of the exchanges: the separate

@@ -133,6 +133,12 @@ def grouped_robust_stats(
     Returns one row per group:
     (by_cols..., n, med, mad, n_outliers).
 
+    NULLs: ``n`` counts every row of the group (SQL COUNT(*)); the
+    medians ignore NULL values and a NULL value is never an outlier —
+    the same answers a SQL twin's quantile_cont/CASE WHEN gives.
+    Rows whose GROUP key is NULL drop out (the equi-join back cannot
+    match them), matching an inner-join SQL twin.
+
     Semantics and determinism: medians are Spark's EXACT interpolated
     ``percentile`` (bit-identical to DuckDB ``quantile_cont``); the
     threshold is evaluated as ``(k * consistency) * mad`` with the
