@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["profile_table", "grouped_robust_stats"]
+__all__ = ["profile_table", "grouped_robust_stats", "grouped_winsorize"]
 
 _NUMERIC = (
     T.ByteType, T.ShortType, T.IntegerType, T.LongType,
@@ -181,4 +181,59 @@ def grouped_robust_stats(
                 F.when(F.col("__ad") > thresh, 1).otherwise(0)
             ).cast("long").alias("n_outliers"),
         )
+    )
+
+
+def grouped_winsorize(
+    df: DataFrame,
+    value_col: str,
+    by_cols: Sequence[str],
+    lower: float = 0.01,
+    upper: float = 0.99,
+    exact: bool = True,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Winsorize (quantile-clip) ``value_col`` within each group: values
+    below the group's ``lower`` quantile rise to it, values above the
+    ``upper`` quantile fall to it — the standard heavy-tail tamer for
+    features feeding regressions/embeddings, and the companion to
+    :func:`grouped_robust_stats` (that one COUNTS the tail, this one
+    CAPS it).  Returns every input row with ``out_col`` (default
+    ``<value_col>_wins``) attached; NULL values stay NULL.
+
+    Quantiles are Spark's exact interpolated ``percentile``
+    (bit-identical to DuckDB ``quantile_cont``); ``exact=False`` swaps
+    ``approx_percentile`` in for corpus scale (exact buffers a group's
+    values in the aggregate state).
+
+    Scale shape: one grouped aggregate for the two cut points + one
+    join back against the group-sized cut frame (AQE broadcasts it) +
+    a codegen'd clamp — no window, no sort."""
+    by = list(by_cols)
+    if not by:
+        raise ValueError("by_cols must be non-empty")
+    if not (0.0 <= lower < upper <= 1.0):
+        raise ValueError("need 0 <= lower < upper <= 1")
+    out = out_col or f"{value_col}_wins"
+    q = "percentile" if exact else "approx_percentile"
+    cuts = df.groupBy(*by).agg(
+        F.expr(
+            f"{q}(CAST({value_col} AS DOUBLE), array({lower}, {upper}))"
+        ).alias("__qs")
+    ).select(
+        *by,
+        F.element_at("__qs", 1).alias("__lo"),
+        F.element_at("__qs", 2).alias("__hi"),
+    )
+    v = F.col(value_col).cast("double")
+    # explicit NULL guard: Spark's greatest/least SKIP nulls (a NULL
+    # value would silently clip to the lower cut), while SQL twins'
+    # GREATEST typically propagate NULL — pin the propagating behavior
+    clipped = F.when(
+        v.isNull(), F.lit(None).cast("double")
+    ).otherwise(F.least(F.greatest(v, F.col("__lo")), F.col("__hi")))
+    return (
+        df.join(cuts, by)
+        .withColumn(out, clipped)
+        .drop("__lo", "__hi")
     )

@@ -166,9 +166,16 @@ _DRIVER_PRIORITY: list[str] = [
 ]
 
 
-# NEXT-ROTATION CANDIDATES: none queued — the two families parked here
-# (bottomk_sample_grouped, the global ranking family) got their driver
-# rows this round (bottomk_grouped_documents, global_ranking_quantity).
+# NEXT-ROTATION CANDIDATES (rows to add when slots open):
+# - grouped_winsorize (profile.py): per-group quantile clipping;
+#   /verify-proven twin = LEAST(GREATEST(x, lo), hi) over
+#   quantile_cont cut points (randomized 300-row cross-engine test,
+#   tests/test_profile.py::test_winsorize_matches_duckdb_quantile_cont
+#   value-exact), NULL propagation pinned against Spark's
+#   greatest/least null-skipping.
+# - streaming_sliding_counts (streaming/): availableNow twin equal to
+#   the batch sliding_counts (tests/test_streaming.py); a driver row
+#   would mirror the streaming_rollup_events pattern.
 # Everything else implemented has either a driver row in the window or
 # a past driver-green hash plus local replay coverage.
 

@@ -130,3 +130,72 @@ def test_robust_stats_approx_mode_runs(spark):
     rows = [("a", float(i)) for i in range(50)]
     got = _robust(spark, rows, exact=False)["a"]
     assert got["n"] == 50 and got["mad"] >= 0.0
+
+
+# ------------------------------------------------------------------ #
+# grouped_winsorize                                                   #
+# ------------------------------------------------------------------ #
+
+def _wins(spark, rows, **kw):
+    from duckdb_imputation_spark.operators.profile import grouped_winsorize
+
+    df = spark.createDataFrame(rows, "g string, x double")
+    out = grouped_winsorize(df, "x", ["g"], **kw)
+    return out
+
+
+def test_winsorize_hand_computed(spark):
+    # {0..10} in one group; p10 = 1.0, p90 = 9.0 (exact interpolation
+    # on 11 evenly spaced values)
+    rows = [("a", float(i)) for i in range(11)]
+    got = {
+        r["x"]: r["x_wins"]
+        for r in _wins(spark, rows, lower=0.1, upper=0.9).collect()
+    }
+    assert got[0.0] == 1.0 and got[10.0] == 9.0     # clipped
+    assert got[1.0] == 1.0 and got[9.0] == 9.0      # at the cut
+    assert all(got[float(i)] == float(i) for i in range(2, 9))
+
+
+def test_winsorize_null_values_stay_null_and_groups_independent(spark):
+    rows = [("a", 1.0), ("a", 2.0), ("a", 100.0), ("a", None),
+            ("b", 5.0), ("b", 6.0)]
+    out = _wins(spark, rows, lower=0.0, upper=0.5).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["g"], []).append((r["x"], r["x_wins"]))
+    # group a: p50 of {1,2,100} = 2.0 -> 100 clips to 2, NULL stays NULL
+    a = dict(by["a"])
+    assert a[100.0] == 2.0 and a[1.0] == 1.0 and a[None] is None
+    # group b has its own cuts: p50 of {5,6} = 5.5
+    b = dict(by["b"])
+    assert b[6.0] == 5.5 and b[5.0] == 5.0
+
+
+def test_winsorize_matches_duckdb_quantile_cont(spark):
+    import random
+
+    import duckdb
+
+    rng = random.Random(3)
+    rows = [
+        (f"g{rng.randrange(3)}", round(rng.gauss(0, 10), 4))
+        for _ in range(300)
+    ]
+    got = {
+        (r["g"], r["x"]): r["x_wins"]
+        for r in _wins(spark, rows, lower=0.05, upper=0.95).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (g VARCHAR, x DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    exp = con.execute("""
+        WITH c AS (
+          SELECT g, quantile_cont(x, 0.05) lo, quantile_cont(x, 0.95) hi
+          FROM t GROUP BY g
+        )
+        SELECT t.g, t.x, LEAST(GREATEST(t.x, c.lo), c.hi)
+        FROM t JOIN c USING (g)
+    """).fetchall()
+    for g, x, w in exp:
+        assert got[(g, x)] == w
