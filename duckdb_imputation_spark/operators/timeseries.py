@@ -35,6 +35,7 @@ __all__ = [
     "fill_forward",
     "ewma",
     "retention_cohorts",
+    "retention_from_periods",
     "sliding_counts",
 ]
 
@@ -275,12 +276,28 @@ def retention_cohorts(
         )
         .distinct()
     )
-    firsts = active.groupBy("__e").agg(F.min("__p").alias("cohort_period"))
+    return retention_from_periods(active, "__e", "__p")
+
+
+def retention_from_periods(
+    active: DataFrame, entity_col: str, period_col: str
+) -> DataFrame:
+    """The matrix half of :func:`retention_cohorts`: given ALREADY
+    DEDUPLICATED (entity, period) activity rows — e.g. the state table
+    :func:`..streaming.sinks.streaming_retention_sink` maintains —
+    compute the (cohort_period, offset, n_active) matrix.  Input rows
+    must be distinct on (entity, period); duplicates would double-count
+    n_active (retention_cohorts spends the DISTINCT first)."""
+    firsts = active.groupBy(entity_col).agg(
+        F.min(period_col).alias("cohort_period")
+    )
     return (
-        active.join(firsts, "__e")
+        active.join(firsts, entity_col)
         .groupBy(
             "cohort_period",
-            (F.col("__p") - F.col("cohort_period")).cast("long").alias("offset"),
+            (F.col(period_col) - F.col("cohort_period"))
+            .cast("long")
+            .alias("offset"),
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
     )

@@ -19,6 +19,7 @@ __all__ = [
     "streaming_countmin_sink",
     "streaming_rollup_sink",
     "streaming_bloom_sink",
+    "streaming_retention_sink",
 ]
 
 
@@ -335,6 +336,69 @@ def streaming_bloom_sink(
             upsert_table(spark, path, keyed, "__key")
         else:
             keyed.write.mode("overwrite").parquet(path)
+
+    writer = stream.writeStream.foreachBatch(apply)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer
+
+
+def streaming_retention_sink(
+    stream: DataFrame,
+    path: str,
+    entity_col: str,
+    ts_col: str = "ts",
+    period_us: int = 7 * 86_400 * 1_000_000,
+    checkpoint: str | None = None,
+):
+    """Continuously maintain the DEDUPLICATED (entity, period) activity
+    table that backs a cohort-retention matrix
+    (operators/timeseries.py retention_from_periods reads it): per
+    micro-batch, reduce the batch to its distinct integer
+    (entity, period) pairs and upsert them keyed on the pair.
+
+    The state is a SET, so the merge is idempotent — re-upserting a
+    pair writes the identical row (Bloom-sink class replay safety:
+    crash/replay converges exactly even without a checkpoint dir,
+    unlike the additive count-min/rollup sinks; DISTINCT metrics
+    survive replay precisely because the state stores membership, not
+    counts).  The upsert is partition-scoped on ``period``: a
+    micro-batch touches only the periods it contains, so old periods
+    are never rewritten and state grows as |entities| x |active
+    periods| — the same bound the batch operator's dedup-first shape
+    guarantees.
+
+    Read side: ``retention_from_periods(spark.read.parquet(path),
+    "entity", "period")`` — the matrix is recomputed from the compact
+    state, never from raw history."""
+    from ..sources import upsert_table_partitioned
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        spark = batch.sparkSession
+        ep = F.unix_micros(F.col(ts_col).cast("timestamp"))
+        pairs = (
+            batch.where(
+                F.col(entity_col).isNotNull() & F.col(ts_col).isNotNull()
+            )
+            .select(
+                F.col(entity_col).cast("string").alias("entity"),
+                F.floor(ep / F.lit(int(period_us)))
+                .cast("long")
+                .alias("period"),
+            )
+            .distinct()
+        )
+        keyed = pairs.withColumn(
+            "__key",
+            F.concat_ws("|", F.col("entity"), F.col("period").cast("string")),
+        )
+        # existence-probed, not try/except — see _state_exists
+        if _state_exists(spark, path):
+            upsert_table_partitioned(spark, path, keyed, "__key", "period")
+        else:
+            keyed.write.partitionBy("period").mode("overwrite").parquet(path)
 
     writer = stream.writeStream.foreachBatch(apply)
     if checkpoint:

@@ -837,3 +837,69 @@ def test_streaming_sliding_counts_matches_batch(spark, tmp_path):
     assert got == exp
     # overlap invariant: each event contributes to exactly 2 windows
     assert sum(got.values()) == 2 * len(rows)
+
+
+def test_streaming_retention_sink_matches_batch_and_replays_idempotent(
+    spark, tmp_path
+):
+    """The maintained (entity, period) set must reproduce the batch
+    retention matrix exactly, and a full no-checkpoint replay must
+    leave the state bit-identical (set semantics: DISTINCT metrics
+    survive replay, unlike the additive sinks)."""
+    from duckdb_imputation_spark.operators.timeseries import (
+        retention_cohorts,
+        retention_from_periods,
+    )
+    from duckdb_imputation_spark.streaming.sinks import (
+        streaming_retention_sink,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "user_id", "ts"
+    )
+    src = str(tmp_path / "ret_src")
+    ev.repartition(4).write.parquet(src)
+    state = str(tmp_path / "ret_state")
+
+    day_us = 86_400 * 1_000_000
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            streaming_retention_sink(
+                stream, state, "user_id", "ts", period_us=day_us
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    got = {
+        (r["cohort_period"], r["offset"]): r["n_active"]
+        for r in retention_from_periods(
+            spark.read.parquet(state), "entity", "period"
+        ).collect()
+    }
+    want = {
+        (r["cohort_period"], r["offset"]): r["n_active"]
+        for r in retention_cohorts(
+            ev, "user_id", "ts", period_us=day_us
+        ).collect()
+    }
+    assert got == want and len(got) > 3
+
+    # replay the whole source with no checkpoint: the state is a SET,
+    # so every upsert rewrites identical rows — matrix unchanged
+    run_once()
+    again = {
+        (r["cohort_period"], r["offset"]): r["n_active"]
+        for r in retention_from_periods(
+            spark.read.parquet(state), "entity", "period"
+        ).collect()
+    }
+    assert again == got
