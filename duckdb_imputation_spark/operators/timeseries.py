@@ -34,6 +34,7 @@ __all__ = [
     "resample_interpolate",
     "fill_forward",
     "ewma",
+    "ewma_halflife",
     "retention_cohorts",
     "retention_from_periods",
     "sliding_counts",
@@ -338,4 +339,92 @@ def sliding_counts(
             *cols,
             "n",
         )
+    )
+
+
+def ewma_halflife(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    halflife: float,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Per-key EWMA for IRREGULARLY sampled series: the decay applied
+    between two observations depends on the actual time gap,
+
+        s_1 = x_1
+        w_t = exp(-ln(2) * (t_t - t_{t-1}) / halflife)
+        s_t = w_t * s_{t-1} + (1 - w_t) * x_t
+
+    so a value observed one ``halflife`` after the previous one pulls
+    the state halfway toward it, regardless of how many samples landed
+    in between — the smoothing a fixed-alpha :func:`ewma` gets wrong
+    the moment sampling is uneven (its per-ROW alpha over-weights
+    bursts and under-weights gaps).  ``ts_col`` must be numeric (epoch
+    seconds/millis/micros — ``halflife`` in the same unit) and unique
+    per key.
+
+    NULL values: skipped exactly like :func:`ewma` — the state AND the
+    previous-timestamp anchor carry through unchanged (the gap keeps
+    accumulating, so the next real value decays by the FULL elapsed
+    time), the NULL row emits NULL.
+
+    Same execution shape as :func:`ewma`: one keyed collect_list fold,
+    JVM-side, per-key series must fit one task."""
+    import math
+
+    keys = list(key_cols)
+    rows = df.groupBy(*keys).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(ts_col).cast("double").alias("t"),
+                    F.col(value_col).alias("x"),
+                )
+            )
+        ).alias("__series")
+    )
+    ln2 = math.log(2.0)
+
+    # acc carries (s, last real-observation time, out-array)
+    def _step(acc, e):
+        x = e["x"].cast("double")
+        w = F.exp(
+            F.lit(-ln2) * (e["t"] - acc["pt"]) / F.lit(float(halflife))
+        )
+        stepped = w * acc["s"] + (F.lit(1.0) - w) * x
+        new_s = (
+            F.when(x.isNull(), acc["s"])
+            .when(acc["s"].isNull(), x)
+            .otherwise(stepped)
+        )
+        new_pt = F.when(x.isNull(), acc["pt"]).otherwise(e["t"])
+        emitted = F.when(x.isNull(), F.lit(None).cast("double")).otherwise(
+            new_s
+        )
+        return F.struct(
+            new_s.alias("s"),
+            new_pt.alias("pt"),
+            F.concat(acc["out"], F.array(emitted)).alias("out"),
+        )
+
+    folded = F.aggregate(
+        "__series",
+        F.struct(
+            F.lit(None).cast("double").alias("s"),
+            F.lit(None).cast("double").alias("pt"),
+            F.array().cast("array<double>").alias("out"),
+        ),
+        _step,
+        lambda acc: acc["out"],
+    )
+    exploded = rows.select(
+        *keys, F.posexplode(folded).alias("__i", out_col), F.col("__series")
+    )
+    return exploded.select(
+        *keys,
+        F.element_at("__series", F.col("__i") + 1)["t"].alias(ts_col),
+        F.element_at("__series", F.col("__i") + 1)["x"].alias(value_col),
+        out_col,
     )

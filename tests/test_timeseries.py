@@ -364,3 +364,76 @@ def test_sliding_counts_grouped_and_null_ts(spark):
     # NULL ts dropped; each event in 2 windows
     assert sum(r["n"] for r in rows) == 2 * 3
     assert {r["k"] for r in rows} == {"a", "b"}
+
+
+# ------------------------------------------------------------------ #
+# ewma_halflife                                                       #
+# ------------------------------------------------------------------ #
+
+def _hl(spark, rows, halflife):
+    from duckdb_imputation_spark.operators.timeseries import ewma_halflife
+
+    df = spark.createDataFrame(rows, "k int, t long, x double")
+    out = ewma_halflife(df, ["k"], "t", "x", halflife)
+    return {(r["k"], r["t"]): r["ewma"] for r in out.collect()}
+
+
+def test_ewma_halflife_hand_computed(spark):
+    # gap exactly one halflife -> state moves exactly halfway
+    rows = [(1, 0, 10.0), (1, 10, 20.0), (1, 30, 0.0)]
+    got = _hl(spark, rows, halflife=10.0)
+    assert got[(1, 0)] == 10.0
+    assert abs(got[(1, 10)] - 15.0) < 1e-12          # halfway 10 -> 20
+    # two halflives: w = 1/4, s = 0.25*15 + 0.75*0 = 3.75
+    assert abs(got[(1, 30)] - 3.75) < 1e-12
+
+
+def test_ewma_halflife_time_rescaling_invariance(spark):
+    # the POINT of the variant: only the RATIO gap/halflife matters —
+    # stretching all timestamps and the halflife by the same factor
+    # leaves every smoothed value unchanged (a fixed-alpha ewma has no
+    # such notion: it weights by ROW COUNT, not wall time)
+    rows = [(1, 0, 3.0), (1, 7, -1.0), (1, 9, 4.0), (1, 30, 0.5)]
+    a = _hl(spark, rows, halflife=10.0)
+    b = _hl(spark, [(k, t * 6, x) for k, t, x in rows], halflife=60.0)
+    for (k, t), v in a.items():
+        assert abs(b[(k, t * 6)] - v) < 1e-12
+
+
+def test_ewma_halflife_null_skip_accumulates_gap(spark):
+    # NULL at t=10 emits NULL and does NOT reset the time anchor: the
+    # value at t=20 decays by the FULL 20 units (w = 1/4)
+    rows = [(1, 0, 8.0), (1, 10, None), (1, 20, 0.0)]
+    got = _hl(spark, rows, halflife=10.0)
+    assert got[(1, 10)] is None
+    assert abs(got[(1, 20)] - 2.0) < 1e-12   # 0.25*8 + 0.75*0
+
+
+def test_ewma_halflife_python_twin_randomized(spark):
+    import math
+    import random
+
+    rng = random.Random(5)
+    rows = []
+    for k in (1, 2):
+        t = 0
+        for _ in range(40):
+            t += rng.randrange(1, 30)
+            x = None if rng.random() < 0.15 else round(rng.uniform(-5, 5), 3)
+            rows.append((k, t, x))
+    got = _hl(spark, rows, halflife=17.0)
+
+    for k in (1, 2):
+        series = sorted((t, x) for kk, t, x in rows if kk == k)
+        s, pt = None, None
+        for t, x in series:
+            if x is None:
+                assert got[(k, t)] is None
+                continue
+            if s is None:
+                s = x
+            else:
+                w = math.exp(-math.log(2.0) * (t - pt) / 17.0)
+                s = w * s + (1.0 - w) * x
+            pt = t
+            assert abs(got[(k, t)] - s) < 1e-9, (k, t)
