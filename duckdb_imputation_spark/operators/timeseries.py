@@ -35,6 +35,7 @@ __all__ = [
     "fill_forward",
     "ewma",
     "ewma_halflife",
+    "cusum",
     "retention_cohorts",
     "retention_from_periods",
     "sliding_counts",
@@ -427,4 +428,108 @@ def ewma_halflife(
         F.element_at("__series", F.col("__i") + 1)["t"].alias(ts_col),
         F.element_at("__series", F.col("__i") + 1)["x"].alias(value_col),
         out_col,
+    )
+
+
+def cusum(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    target: float,
+    slack: float,
+    threshold: float,
+) -> DataFrame:
+    """Per-key two-sided CUSUM drift detector (Page 1954) — the
+    sequential change-point statistic for monitoring a metric stream
+    (per-source document quality, ingestion value drift) whose
+    one-off spikes should NOT alarm but whose sustained shift should:
+
+        hi_t = max(0, hi_{t-1} + (x_t - target - slack))
+        lo_t = max(0, lo_{t-1} - (x_t - target + slack))
+
+    with an alarm when either side exceeds ``threshold``; after an
+    alarm the alarming side resets to 0 (restart detection).  ``slack``
+    (the allowance, usually ~half the shift you care about) absorbs
+    in-control noise so the statistic only accumulates sustained drift.
+
+    Returns one row per input row:
+    (key..., order_col, value_col, cusum_hi, cusum_lo, alarm) with
+    ``alarm`` ∈ {0, +1 (upward shift), −1 (downward)}.
+
+    NULL values carry both sides through unchanged and emit NULL
+    statistics (no alarm) — a gap is not evidence.  Same keyed
+    collect_list fold shape as :func:`ewma`: JVM-side, per-key series
+    in one task, ``order_col`` unique per key."""
+    keys = list(key_cols)
+    rows = df.groupBy(*keys).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(order_col).alias("t"), F.col(value_col).alias("x")
+                )
+            )
+        ).alias("__series")
+    )
+    t_, s_, h_ = float(target), float(slack), float(threshold)
+
+    def _step(acc, e):
+        x = e["x"].cast("double")
+        hi_raw = F.greatest(
+            F.lit(0.0), acc["hi"] + (x - F.lit(t_) - F.lit(s_))
+        )
+        lo_raw = F.greatest(
+            F.lit(0.0), acc["lo"] - (x - F.lit(t_) + F.lit(s_))
+        )
+        alarm = (
+            F.when(hi_raw > F.lit(h_), F.lit(1))
+            .when(lo_raw > F.lit(h_), F.lit(-1))
+            .otherwise(F.lit(0))
+        )
+        hi_new = F.when(x.isNull(), acc["hi"]).otherwise(
+            F.when(alarm == 1, F.lit(0.0)).otherwise(hi_raw)
+        )
+        lo_new = F.when(x.isNull(), acc["lo"]).otherwise(
+            F.when(alarm == -1, F.lit(0.0)).otherwise(lo_raw)
+        )
+        emitted = F.when(
+            x.isNull(),
+            F.struct(
+                F.lit(None).cast("double").alias("hi"),
+                F.lit(None).cast("double").alias("lo"),
+                F.lit(0).alias("alarm"),
+            ),
+        ).otherwise(
+            F.struct(
+                hi_raw.alias("hi"), lo_raw.alias("lo"), alarm.alias("alarm")
+            )
+        )
+        return F.struct(
+            hi_new.alias("hi"),
+            lo_new.alias("lo"),
+            F.concat(acc["out"], F.array(emitted)).alias("out"),
+        )
+
+    folded = F.aggregate(
+        "__series",
+        F.struct(
+            F.lit(0.0).alias("hi"),
+            F.lit(0.0).alias("lo"),
+            F.array().cast(
+                "array<struct<hi:double,lo:double,alarm:int>>"
+            ).alias("out"),
+        ),
+        _step,
+        lambda acc: acc["out"],
+    )
+    exploded = rows.select(
+        *keys, F.posexplode(folded).alias("__i", "__c"), F.col("__series")
+    )
+    return exploded.select(
+        *keys,
+        F.element_at("__series", F.col("__i") + 1)["t"].alias(order_col),
+        F.element_at("__series", F.col("__i") + 1)["x"].alias(value_col),
+        F.col("__c.hi").alias("cusum_hi"),
+        F.col("__c.lo").alias("cusum_lo"),
+        F.col("__c.alarm").alias("alarm"),
     )

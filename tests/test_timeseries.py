@@ -437,3 +437,78 @@ def test_ewma_halflife_python_twin_randomized(spark):
                 s = w * s + (1.0 - w) * x
             pt = t
             assert abs(got[(k, t)] - s) < 1e-9, (k, t)
+
+
+# ------------------------------------------------------------------ #
+# cusum                                                               #
+# ------------------------------------------------------------------ #
+
+def _cusum(spark, rows, **kw):
+    from duckdb_imputation_spark.operators.timeseries import cusum
+
+    df = spark.createDataFrame(rows, "k int, t long, x double")
+    out = cusum(df, ["k"], "t", "x", **kw)
+    return {
+        (r["k"], r["t"]): (r["cusum_hi"], r["cusum_lo"], r["alarm"])
+        for r in out.collect()
+    }
+
+
+def test_cusum_sustained_shift_alarms_spike_does_not(spark):
+    # target 0, slack 0.5, threshold 2: one spike of 2 accumulates only
+    # 1.5 (< 2, no alarm) and drains; a sustained shift of +1.5 adds
+    # 1.0 per step and alarms on the 3rd shifted sample
+    spike = [(1, 1, 0.0), (1, 2, 2.0), (1, 3, 0.0), (1, 4, 0.0)]
+    got = _cusum(spark, spike, target=0.0, slack=0.5, threshold=2.0)
+    assert all(a == 0 for _, _, a in got.values())
+    shift = [(1, 1, 0.0), (1, 2, 1.5), (1, 3, 1.5), (1, 4, 1.5)]
+    got = _cusum(spark, shift, target=0.0, slack=0.5, threshold=2.0)
+    assert got[(1, 2)][2] == 0 and got[(1, 3)][2] == 0
+    assert got[(1, 4)][0] == 3.0 and got[(1, 4)][2] == 1
+
+
+def test_cusum_downward_side_and_reset_after_alarm(spark):
+    rows = [(1, i, -2.0) for i in range(1, 4)] + [(1, 4, 0.0)]
+    got = _cusum(spark, rows, target=0.0, slack=0.5, threshold=2.0)
+    # lo accumulates 1.5/step: 1.5, 3.0 -> alarm at t=2
+    assert got[(1, 2)][1] == 3.0 and got[(1, 2)][2] == -1
+    # reset after the alarm: t=3 restarts from 0 -> 1.5, no alarm
+    assert got[(1, 3)][1] == 1.5 and got[(1, 3)][2] == 0
+    assert got[(1, 4)][2] == 0
+
+
+def test_cusum_null_is_not_evidence(spark):
+    rows = [(1, 1, 1.5), (1, 2, None), (1, 3, 1.5), (1, 4, 1.5)]
+    got = _cusum(spark, rows, target=0.0, slack=0.5, threshold=2.0)
+    assert got[(1, 2)] == (None, None, 0)
+    # state carried through the NULL: 1.0, then 2.0, then 3.0 -> alarm
+    assert got[(1, 3)][0] == 2.0
+    assert got[(1, 4)][0] == 3.0 and got[(1, 4)][2] == 1
+
+
+def test_cusum_python_twin_randomized(spark):
+    import random
+
+    rng = random.Random(9)
+    rows = []
+    for k in (1, 2):
+        for t in range(1, 60):
+            x = None if rng.random() < 0.1 else round(rng.gauss(0, 1), 3)
+            rows.append((k, t, x))
+    got = _cusum(spark, rows, target=0.0, slack=0.5, threshold=3.0)
+    for k in (1, 2):
+        hi = lo = 0.0
+        for t in range(1, 60):
+            x = dict(((kk, tt), xx) for kk, tt, xx in rows)[(k, t)]
+            if x is None:
+                assert got[(k, t)] == (None, None, 0)
+                continue
+            hi_raw = max(0.0, hi + (x - 0.0 - 0.5))
+            lo_raw = max(0.0, lo - (x - 0.0 + 0.5))
+            alarm = 1 if hi_raw > 3.0 else (-1 if lo_raw > 3.0 else 0)
+            hi = 0.0 if alarm == 1 else hi_raw
+            lo = 0.0 if alarm == -1 else lo_raw
+            g = got[(k, t)]
+            assert abs(g[0] - hi_raw) < 1e-9
+            assert abs(g[1] - lo_raw) < 1e-9
+            assert g[2] == alarm
