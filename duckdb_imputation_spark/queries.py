@@ -176,6 +176,14 @@ _DRIVER_PRIORITY: list[str] = [
 # - streaming_sliding_counts (streaming/): availableNow twin equal to
 #   the batch sliding_counts (tests/test_streaming.py); a driver row
 #   would mirror the streaming_rollup_events pattern.
+# - ewma_halflife / cusum (timeseries.py): keyed-fold ops with
+#   randomized pure-Python twins in tests/test_timeseries.py; a DuckDB
+#   oracle would follow the ewma_events list_reduce pattern (fold the
+#   identical recurrence over ordered prefixes — cusum's state is a
+#   2-field struct, list_reduce handles it the same way).
+# - streaming_retention_sink (streaming/sinks.py): idempotent SET
+#   state; a driver row would pair an availableNow run with the batch
+#   retention row's oracle (the streaming_bloom_sink pattern).
 # Everything else implemented has either a driver row in the window or
 # a past driver-green hash plus local replay coverage.
 
