@@ -195,7 +195,8 @@ _DRIVER_PRIORITY: list[str] = [
 _DRIVER_DEMOTE: list[str] = [
     # rotated out round 7 (late) for the five new rows (grouped
     # bottom-k, ranking family, retention, sliding windows, robust
-    # stats): r6 driver-green (CORRECTNESS_r06.json hash_match),
+    # stats; the fifth slot was already free — the prior window held
+    # 49): r6 driver-green (CORRECTNESS_r06.json hash_match),
     # implementation untouched this round (dedup.py /
     # minhash_index.py and the funnel row's code have no r7 diff)
     "minhash_index_dedup_new",
