@@ -173,3 +173,57 @@ def test_new_library_ops_lint_clean(spark):
         df.collect()
         errs = [f for f in lint_plan(df) if f.severity == "error"]
         assert not errs, f"{name}: {errs}"
+
+
+def test_round7_late_library_ops_lint_clean(spark):
+    """Round-7-late operators without catalog rows must also hold the
+    scale bar: zero error-level lint findings on representative
+    instantiations over the testdata."""
+    from pyspark.sql import functions as F
+
+    from duckdb_imputation_spark.operators.prefix import global_ranks
+    from duckdb_imputation_spark.operators.profile import (
+        grouped_winsorize,
+    )
+    from duckdb_imputation_spark.operators.timeseries import (
+        cusum,
+        ewma_halflife,
+        retention_from_periods,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+
+    periods = ev.select(
+        F.col("user_id").alias("e"),
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            / F.lit(86_400_000_000)
+        ).cast("long").alias("p"),
+    ).distinct()
+    frames = {
+        "global_ranks": global_ranks(
+            li.select(F.col("l_quantity").cast("long").alias("q")), "q", 4
+        ),
+        "grouped_winsorize": grouped_winsorize(
+            li.select("l_returnflag", "l_extendedprice"),
+            "l_extendedprice", ["l_returnflag"],
+        ),
+        "ewma_halflife": ewma_halflife(
+            ev.select(
+                "user_id", "value",
+                F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+            ),
+            ["user_id"], "t", "value", halflife=3.6e9,
+        ),
+        "cusum": cusum(
+            ev.select("user_id", "event_id", "value"),
+            ["user_id"], "event_id", "value",
+            target=0.0, slack=0.5, threshold=3.0,
+        ),
+        "retention_from_periods": retention_from_periods(periods, "e", "p"),
+    }
+    for name, df in frames.items():
+        df.collect()
+        errs = [f for f in lint_plan(df) if f.severity == "error"]
+        assert not errs, f"{name}: {errs}"
