@@ -121,6 +121,7 @@ def grouped_robust_stats(
     k: float = 3.0,
     consistency: float = 1.4826,
     exact: bool = True,
+    via_sort: bool = False,
 ) -> DataFrame:
     """Per-group robust location/scale + outlier screen: median, MAD
     (median absolute deviation) and the count of rows beyond
@@ -149,25 +150,37 @@ def grouped_robust_stats(
     state, which is the right tool for the oracle surface and wrong at
     a billion rows per group).
 
-    Scale shape: two grouped aggregates over the value column plus two
-    joins against group-sized frames (AQE broadcasts them) — no window,
-    no global sort; each pass is a partial+final aggregate keyed by the
-    group columns."""
+    Scale shape (default): two grouped aggregates over the value column
+    plus two joins against group-sized frames (AQE broadcasts them) —
+    no window, no global sort; each pass is a partial+final aggregate
+    keyed by the group columns.  ``via_sort=True`` (exact mode only)
+    swaps each percentile aggregate for a per-GROUP window sort + the
+    two middle order statistics: the values are BIT-IDENTICAL (same
+    ``a + (b - a) * 0.5`` interpolation), but the sort spills to disk
+    where ``percentile`` buffers the group's values in aggregation
+    memory — the exact-and-huge-groups profile (the 10× rehearsal
+    measured the buffer path superlinear precisely because its groups
+    grew 10× each)."""
     by = list(by_cols)
     if not by:
         raise ValueError("by_cols must be non-empty")
     v = F.col(value_col).cast("double")
     q = "percentile" if exact else "approx_percentile"
-    med = df.groupBy(*by).agg(
-        F.expr(f"{q}(CAST({value_col} AS DOUBLE), 0.5)").alias("__med")
-    )
+
+    def _median(frame: DataFrame, col: str, out: str) -> DataFrame:
+        if exact and via_sort:
+            return _sorted_group_median(frame, col, by, out)
+        return frame.groupBy(*by).agg(
+            F.expr(f"{q}(CAST({col} AS DOUBLE), 0.5)").alias(out)
+        )
+
+    med = _median(df, value_col, "__med")
     dev = (
         df.join(med, by)
         .withColumn("__ad", F.abs(v - F.col("__med")))
     )
-    mad = dev.groupBy(*by).agg(
-        F.min("__med").alias("med"),
-        F.expr(f"{q}(__ad, 0.5)").alias("mad"),
+    mad = _median(dev, "__ad", "mad").join(
+        med.withColumnRenamed("__med", "med"), by
     )
     thresh = F.lit(float(k) * float(consistency)) * F.col("mad")
     return (
@@ -236,4 +249,41 @@ def grouped_winsorize(
         df.join(cuts, by)
         .withColumn(out, clipped)
         .drop("__lo", "__hi")
+    )
+
+
+def _sorted_group_median(
+    frame: DataFrame, col: str, by: list, out: str
+) -> DataFrame:
+    """Exact interpolated per-group median via a per-GROUP window sort
+    (spill-safe) instead of ``percentile``'s in-memory value buffer.
+    Takes the two middle order statistics and interpolates exactly the
+    way Spark's ``percentile``/DuckDB's ``quantile_cont`` do
+    (``a + (b - a) * 0.5``), so the result is bit-identical to the
+    buffer path.  NULL values are excluded first (percentile
+    semantics); an all-NULL group yields no row, matching the
+    aggregate's NULL row only in that downstream joins drop the group
+    either way."""
+    from pyspark.sql import Window
+
+    v = F.col(col).cast("double")
+    ranked = (
+        frame.where(v.isNotNull())
+        .select(*by, v.alias("__sv"))
+        .withColumn(
+            "__srn",
+            F.row_number().over(
+                Window.partitionBy(*by).orderBy("__sv")
+            ),
+        )
+    )
+    counts = ranked.groupBy(*by).agg(F.max("__srn").alias("__scnt"))
+    mid = ranked.join(counts, by).where(
+        (F.col("__srn") == F.floor((F.col("__scnt") + 1) / 2))
+        | (F.col("__srn") == F.floor((F.col("__scnt") + 2) / 2))
+    )
+    return mid.groupBy(*by).agg(
+        (
+            F.min("__sv") + (F.max("__sv") - F.min("__sv")) * F.lit(0.5)
+        ).alias(out)
     )

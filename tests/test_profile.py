@@ -199,3 +199,50 @@ def test_winsorize_matches_duckdb_quantile_cont(spark):
     """).fetchall()
     for g, x, w in exp:
         assert got[(g, x)] == w
+
+
+def test_robust_stats_via_sort_bit_identical(spark):
+    import random
+
+    from duckdb_imputation_spark.operators.profile import (
+        grouped_robust_stats,
+    )
+
+    rng = random.Random(21)
+    rows = []
+    for g, n in (("a", 101), ("b", 64), ("c", 1), ("d", 2)):
+        rows += [
+            (g, None if rng.random() < 0.1 else round(rng.gauss(3, 7), 4))
+            for _ in range(n)
+        ]
+    df = spark.createDataFrame(rows, "g string, x double")
+    buf = {
+        r["g"]: (r["n"], r["med"], r["mad"], r["n_outliers"])
+        for r in grouped_robust_stats(df, "x", ["g"]).collect()
+    }
+    srt = {
+        r["g"]: (r["n"], r["med"], r["mad"], r["n_outliers"])
+        for r in grouped_robust_stats(
+            df, "x", ["g"], via_sort=True
+        ).collect()
+    }
+    # bit-identical, including even-count interpolated medians — the
+    # sort path uses the same a + (b - a) * 0.5 interpolation
+    assert srt == buf and set(buf) == {"a", "b", "c", "d"}
+
+
+def test_robust_stats_via_sort_lint_clean(spark):
+    from duckdb_imputation_spark.operators.profile import (
+        grouped_robust_stats,
+    )
+    from duckdb_imputation_spark.plans import lint_plan
+
+    li = spark.read.parquet(
+        "/root/testdata/sf0.001/lineitem.parquet"
+    ).select("l_returnflag", "l_extendedprice")
+    out = grouped_robust_stats(
+        li, "l_extendedprice", ["l_returnflag"], via_sort=True
+    )
+    out.collect()
+    errs = [f for f in lint_plan(out) if f.severity == "error"]
+    assert not errs, errs
