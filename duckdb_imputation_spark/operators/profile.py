@@ -179,9 +179,17 @@ def grouped_robust_stats(
         df.join(med, by)
         .withColumn("__ad", F.abs(v - F.col("__med")))
     )
-    mad = _median(dev, "__ad", "mad").join(
-        med.withColumnRenamed("__med", "med"), by
-    )
+    if exact and via_sort:
+        mad = _sorted_group_median(dev, "__ad", by, "mad").join(
+            med.withColumnRenamed("__med", "med"), by
+        )
+    else:
+        # med rides the SAME aggregate (min of the constant-per-group
+        # column) — one fewer join than a separate med frame would cost
+        mad = dev.groupBy(*by).agg(
+            F.min("__med").alias("med"),
+            F.expr(f"{q}(__ad, 0.5)").alias("mad"),
+        )
     thresh = F.lit(float(k) * float(consistency)) * F.col("mad")
     return (
         dev.join(mad, by)
