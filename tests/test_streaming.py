@@ -903,3 +903,68 @@ def test_streaming_retention_sink_matches_batch_and_replays_idempotent(
         ).collect()
     }
     assert again == got
+
+
+def test_cusum_stream_matches_batch_with_state_across_runs(spark, tmp_path):
+    """Streaming CUSUM over an in-order source equals the batch
+    operator row for row — including state carried ACROSS two separate
+    availableNow runs through the checkpoint (the second run processes
+    only the newly arrived file and must continue each key's
+    recurrence, not restart it)."""
+    from duckdb_imputation_spark.operators.timeseries import cusum
+    from duckdb_imputation_spark.streaming.cusum_stream import cusum_stream
+
+    rows1 = [(1, 1, 1.0), (1, 2, 1.5), (2, 1, -2.0), (1, 3, None)]
+    rows2 = [(1, 4, 1.5), (2, 2, -2.0), (2, 3, -2.0), (1, 5, 1.5)]
+    schema = "k long, t long, x double"
+    src = tmp_path / "cusum_src"
+    ckpt = str(tmp_path / "cusum_ckpt")
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(
+        str(src / "f1")
+    )
+
+    out_dir = str(tmp_path / "cusum_out")
+
+    def run():
+        stream = spark.readStream.schema(
+            spark.createDataFrame([], schema).schema
+        ).option("maxFilesPerTrigger", 1).parquet(str(src / "*"))
+        q = (
+            cusum_stream(
+                stream, "k", "t", "x",
+                target=0.0, slack=0.5, threshold=2.0,
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(
+        str(src / "f2")
+    )
+    run()
+    got = {
+        (r["k"], r["t"]): (r["cusum_hi"], r["cusum_lo"], r["alarm"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+
+    all_rows = spark.createDataFrame(rows1 + rows2, schema)
+    want = {
+        (r["k"], r["t"]): (r["cusum_hi"], r["cusum_lo"], r["alarm"])
+        for r in cusum(
+            all_rows, ["k"], "t", "x",
+            target=0.0, slack=0.5, threshold=2.0,
+        ).collect()
+    }
+    assert got == want and len(got) == 8
+    # cross-run state visible in the values: key 2 alarms on its 2nd
+    # -2.0 (file 1 ends there), and the 3rd -2.0 — processed by the
+    # SECOND run — restarts from the post-alarm reset (lo = 1.5), which
+    # only happens if the checkpoint carried the state across runs
+    assert got[(2, 2)] == (0.0, 3.0, -1)
+    assert got[(2, 3)] == (0.0, 1.5, 0)
