@@ -184,6 +184,10 @@ _DRIVER_PRIORITY: list[str] = [
 # - streaming_retention_sink (streaming/sinks.py): idempotent SET
 #   state; a driver row would pair an availableNow run with the batch
 #   retention row's oracle (the streaming_bloom_sink pattern).
+# - cusum_stream (streaming/cusum_stream.py): equals the batch cusum
+#   row-for-row on in-order sources (tests prove cross-run checkpoint
+#   state recovery); its driver row would be an availableNow twin vs
+#   the batch cusum's list_reduce oracle.
 # Everything else implemented has either a driver row in the window or
 # a past driver-green hash plus local replay coverage.
 
