@@ -130,6 +130,17 @@ _DRIVER_PRIORITY: list[str] = [
     "retention_cohorts_events",
     "sliding_window_events",
     "robust_outliers_lineitem",
+    # round 7 (cont'd): the rest of the NEXT-ROTATION queue gets
+    # driver rows — the keyed-fold detectors (half-life EWMA, CUSUM),
+    # the streaming CUSUM's checkpoint-recovery twin, the retention
+    # sink's availableNow twin, the watermarked sliding-window twin,
+    # and grouped winsorization
+    "ewma_halflife_events",
+    "cusum_events",
+    "cusum_stream_events",
+    "streaming_retention_events",
+    "streaming_sliding_events",
+    "winsorize_lineitem",
     # round 6: code/oracle changed this round, so they stay in the
     # window for a fresh hash — encode_documents_vocab projects scalar
     # digests now (the r5 red row), resample_interpolate gained the
@@ -151,17 +162,11 @@ _DRIVER_PRIORITY: list[str] = [
     "mice_low_sql_oracle",
     "mice_high_sql_oracle",
     "mice_categorical_sql_oracle",
-    "bpe_encode_documents",
     "bpe_train_merges",
     "remove_duplicate_passages_catalog",
     "bigram_logprob_scores",
     "dedup_keep_best_survivors",
-    "semantic_dedup_survivors",
-    "quantized_cosine_topk",
     "doc_quality_nb_histogram",
-    "pq_cosine_topk",
-    "ann_ivfpq_topk",
-    "corpus_data_card",
     "triple_lineitem_wide",
 ]
 
@@ -197,6 +202,19 @@ _DRIVER_PRIORITY: list[str] = [
 # full-catalog replay.  A query whose code changes must move back to
 # _DRIVER_PRIORITY for one round (VERDICT r4 hygiene rule).
 _DRIVER_DEMOTE: list[str] = [
+    # rotated out round 7 (cont'd) for the six NEXT-ROTATION rows
+    # (half-life EWMA, batch + streaming CUSUM, retention sink,
+    # streaming sliding windows, winsorize): all six are r5- AND
+    # r6-driver-green (CORRECTNESS_r05/r06.json hash_match) with no
+    # implementation change since (bpe.py / dedup.py / simsearch.py /
+    # profile.py's data-card path have no diff touching them this
+    # round)
+    "bpe_encode_documents",
+    "semantic_dedup_survivors",
+    "quantized_cosine_topk",
+    "pq_cosine_topk",
+    "ann_ivfpq_topk",
+    "corpus_data_card",
     # rotated out round 7 (late) for the five new rows (grouped
     # bottom-k, ranking family, retention, sliding windows, robust
     # stats; the fifth slot was already free — the prior window held
@@ -6251,4 +6269,469 @@ def robust_outliers_lineitem(spark, sf):
         F.round("med", 4).alias("med"),
         F.round("mad", 4).alias("mad"),
         "n_outliers",
+    )
+
+
+# --------------------------------------------------------------------- #
+# Round 7 (cont'd): driver rows for the remaining NEXT-ROTATION queue — #
+# the keyed-fold detectors (half-life EWMA, CUSUM), their streaming     #
+# twins, the retention sink, and grouped winsorization.                 #
+#                                                                       #
+# DuckDB 1.0.0 list_reduce caveat (discovered building these): the      #
+# lambda's struct fields share accumulator slots, so reading acc.X in   #
+# any field OTHER than the one that writes X observes the UPDATED       #
+# value (and a duplicated expression re-applies the step).  Every fold  #
+# below therefore keeps the accumulator effectively SCALAR: each acc    #
+# field is read only inside its own field expression.  CUSUM            #
+# additionally decouples the two sides into independent folds — which   #
+# is provably identical to the batch operator's single-alarm coupling,  #
+# because post-step states are <= threshold, so hi_raw > threshold      #
+# requires x > target + slack - (threshold - hi) while                  #
+# lo_raw > threshold requires x < target - slack + (threshold - lo):    #
+# both sides can never alarm on the same row.                          #
+# --------------------------------------------------------------------- #
+
+
+@register(
+    "ewma_halflife_events",
+    oracle="""
+    WITH m AS (
+      SELECT user_id, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) / 1000000.0 AS t,
+             CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS x
+      FROM events
+    ), w AS (
+      SELECT user_id, t, x,
+             MAX(CASE WHEN x IS NOT NULL THEN t END) OVER (
+               PARTITION BY user_id ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pt
+      FROM m
+    ), arr AS (
+      SELECT user_id,
+        list(struct_pack(s := CAST(NULL AS DOUBLE), x := x, g := t - pt)
+             ORDER BY t) AS es,
+        list(t ORDER BY t) AS ts_l,
+        list(x ORDER BY t) AS xs
+      FROM w GROUP BY user_id
+    ), pos AS (
+      SELECT user_id, unnest(ts_l) AS t, unnest(xs) AS x,
+             unnest(range(1, len(xs) + 1)) AS i, es
+      FROM arr
+    )
+    SELECT user_id, t, COALESCE(x, -1.0) AS v,
+      CASE WHEN x IS NULL THEN -1.0 ELSE ROUND(
+        list_reduce(
+          list_prepend(struct_pack(s := CAST(NULL AS DOUBLE),
+                                   x := CAST(NULL AS DOUBLE),
+                                   g := CAST(NULL AS DOUBLE)), es[1:i]),
+          (acc, e) -> struct_pack(
+            s := CASE WHEN e.x IS NULL THEN acc.s
+                      WHEN acc.s IS NULL THEN e.x
+                      ELSE EXP((-0.6931471805599453 * e.g) / 3600.0) * acc.s
+                           + (1.0 - EXP((-0.6931471805599453 * e.g)
+                                        / 3600.0)) * e.x END,
+            x := CAST(NULL AS DOUBLE),
+            g := CAST(NULL AS DOUBLE))).s, 6) END AS ewma
+    FROM pos
+    """,
+)
+def ewma_halflife_events(spark, sf):
+    """Gap-aware EWMA (operators/timeseries.py ewma_halflife) over each
+    user's event values on REAL event time (epoch seconds, halflife
+    1 h): the decay between two observations is exp(-ln2 * gap / hl),
+    so a value one halflife after the last pulls the state halfway
+    toward it no matter how many samples landed in between — the
+    irregular-sampling smoothing a fixed-alpha EWMA gets wrong.  Every
+    7th event is masked NULL to exercise the carry rule (state AND
+    time anchor pass through; the next real value decays by the FULL
+    gap).  The oracle folds the identical recurrence with the time
+    anchor hoisted into a window MAX (the fold state stays scalar —
+    see the list_reduce caveat above); both engines evaluate the same
+    exp() argument in the same order, so agreement is deterministic
+    (ROUND(,6) absorbs the engines' libm ULP) and rehearsal-green
+    implies driver-green."""
+    from .operators.timeseries import ewma_halflife
+
+    ev = load_table(spark, sf, "events").select(
+        "user_id",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1e6)).alias(
+            "t"
+        ),
+        F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    out = ewma_halflife(ev, ["user_id"], "t", "v", halflife=3600.0)
+    return out.select(
+        "user_id",
+        "t",
+        F.coalesce("v", F.lit(-1.0)).alias("v"),
+        F.coalesce(F.round("ewma", 6), F.lit(-1.0)).alias("ewma"),
+    )
+
+
+_CUSUM_ORACLE = """
+    WITH m AS (
+      SELECT user_id, event_id,
+             CASE WHEN event_id % 11 = 0 THEN NULL ELSE value END AS x
+      FROM events
+    ), arr AS (
+      SELECT user_id, list(x ORDER BY event_id) AS xs,
+             list(event_id ORDER BY event_id) AS ids
+      FROM m GROUP BY user_id
+    ), pos AS (
+      SELECT user_id, unnest(ids) AS event_id, unnest(xs) AS x,
+             unnest(range(1, len(xs) + 1)) AS i, xs
+      FROM arr
+    ), st AS (
+      SELECT user_id, event_id, x,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE), xs[1:i-1]),
+          (acc, v) -> CASE WHEN v IS NULL THEN acc
+                           WHEN GREATEST(0.0, acc + (v - 50.0 - 5.0))
+                                > 400.0 THEN 0.0
+                           ELSE GREATEST(0.0, acc + (v - 50.0 - 5.0))
+                           END) AS hp,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE), xs[1:i-1]),
+          (acc, v) -> CASE WHEN v IS NULL THEN acc
+                           WHEN GREATEST(0.0, acc - (v - 50.0 + 5.0))
+                                > 400.0 THEN 0.0
+                           ELSE GREATEST(0.0, acc - (v - 50.0 + 5.0))
+                           END) AS lp
+      FROM pos
+    )
+    SELECT user_id, event_id, COALESCE(x, -1.0) AS v,
+      CASE WHEN x IS NULL THEN -1.0
+           ELSE ROUND(GREATEST(0.0, hp + (x - 50.0 - 5.0)), 6) END
+        AS cusum_hi,
+      CASE WHEN x IS NULL THEN -1.0
+           ELSE ROUND(GREATEST(0.0, lp - (x - 50.0 + 5.0)), 6) END
+        AS cusum_lo,
+      CASE WHEN x IS NULL THEN 0
+           WHEN GREATEST(0.0, hp + (x - 50.0 - 5.0)) > 400.0 THEN 1
+           WHEN GREATEST(0.0, lp - (x - 50.0 + 5.0)) > 400.0 THEN -1
+           ELSE 0 END AS alarm
+    FROM st
+"""
+
+
+def _cusum_masked_events(spark, sf):
+    return load_table(spark, sf, "events").select(
+        "user_id",
+        "event_id",
+        F.when(F.col("event_id") % 11 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+
+
+def _cusum_projection(out):
+    return out.select(
+        "user_id",
+        "event_id",
+        F.coalesce("v", F.lit(-1.0)).alias("v"),
+        F.coalesce(F.round("cusum_hi", 6), F.lit(-1.0)).alias("cusum_hi"),
+        F.coalesce(F.round("cusum_lo", 6), F.lit(-1.0)).alias("cusum_lo"),
+        "alarm",
+    )
+
+
+@register("cusum_events", oracle=_CUSUM_ORACLE)
+def cusum_events(spark, sf):
+    """Per-user two-sided CUSUM drift detection (operators/
+    timeseries.py cusum, Page 1954) over the event value stream:
+    target 50, allowance 5, alarm threshold 400 (67 alarms at sf0.01
+    — the reset path is exercised, not just the accumulate path).
+    Every 11th value is masked NULL (state carries, no alarm — a gap
+    is not evidence).  All arithmetic is +/-/max over data doubles in
+    per-key event order — bit-identical across engines, ROUND(,6) is
+    display only.  The oracle runs the two sides as INDEPENDENT
+    scalar folds; the header note proves this equals the operator's
+    coupled single-alarm form."""
+    from .operators.timeseries import cusum
+
+    out = cusum(
+        _cusum_masked_events(spark, sf),
+        ["user_id"],
+        "event_id",
+        "v",
+        target=50.0,
+        slack=5.0,
+        threshold=400.0,
+    )
+    return _cusum_projection(out)
+
+
+@register("cusum_stream_events", oracle=_CUSUM_ORACLE)
+def cusum_stream_events(spark, sf):
+    """The LIVE form of `cusum_events` (streaming/cusum_stream.py on
+    applyInPandasWithState), driven end to end: the masked event
+    stream arrives as TWO availableNow runs split on event time (the
+    first 15 days, then the rest) sharing one checkpoint, so the
+    second run folds on per-key (hi, lo) state recovered from the
+    checkpoint — the cross-run recovery path, not just the in-batch
+    fold.  Outputs append to a parquet sink; the union of both runs
+    must equal the batch operator row for row — the SAME oracle as
+    `cusum_events` verifies both.  State is two doubles per key
+    (O(keys), never O(events))."""
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming.cusum_stream import cusum_stream
+
+    ev = _cusum_masked_events(spark, sf).join(
+        load_table(spark, sf, "events").select("event_id", "ts"), "event_id"
+    )
+    tmp = tempfile.mkdtemp(prefix="cusum_stream_row_")
+    try:
+        src = f"{tmp}/src"
+        os.makedirs(src)
+        halves = [
+            ev.where("ts < timestamp'2024-01-16 00:00:00'"),
+            ev.where("ts >= timestamp'2024-01-16 00:00:00'"),
+        ]
+        outdir = f"{tmp}/out"
+        for i, half in enumerate(halves):
+            half.select("user_id", "event_id", "v").coalesce(1).write.parquet(
+                f"{tmp}/h{i}"
+            )
+            part = [
+                f
+                for f in os.listdir(f"{tmp}/h{i}")
+                if f.endswith(".parquet")
+            ][0]
+            shutil.copy(f"{tmp}/h{i}/{part}", f"{src}/half{i}.parquet")
+            stream = spark.readStream.schema(
+                halves[0].select("user_id", "event_id", "v").schema
+            ).parquet(src)
+            q = (
+                cusum_stream(
+                    stream,
+                    "user_id",
+                    "event_id",
+                    "v",
+                    target=50.0,
+                    slack=5.0,
+                    threshold=400.0,
+                )
+                .writeStream.format("parquet")
+                .option("path", outdir)
+                .option("checkpointLocation", f"{tmp}/cp")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        out = _cusum_projection(spark.read.parquet(outdir))
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "streaming_retention_events",
+    oracle=f"""
+    WITH b AS (
+      SELECT DISTINCT user_id AS u,
+             CAST(FLOOR(epoch_us(CAST(ts AS TIMESTAMP)) / {_DAY_US})
+                  AS BIGINT) AS p
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ), f AS (
+      SELECT u, MIN(p) AS cohort_period FROM b GROUP BY u
+    )
+    SELECT cohort_period,
+           p - cohort_period AS day_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active
+    FROM b JOIN f USING (u)
+    GROUP BY 1, 2
+    """,
+)
+def streaming_retention_events(spark, sf):
+    """The retention sink end to end (streaming/sinks.py
+    streaming_retention_sink): events arrive as TWO availableNow
+    micro-batch streams (odd / even user_id); each run dedups its
+    batch to distinct (entity, day) pairs and upserts them keyed on
+    the pair, partition-scoped so only touched days rewrite.  The
+    state is a SET, so the merge is idempotent (replay converges
+    bit-identically — the property the additive rollup sink lacks),
+    and reading it through retention_from_periods must reproduce the
+    batch `retention_cohorts_events` matrix exactly — which is the
+    oracle.  All-integer output."""
+    import os
+    import shutil
+    import tempfile
+
+    from .operators.timeseries import retention_from_periods
+    from .streaming.sinks import streaming_retention_sink
+
+    ev = load_table(spark, sf, "events")
+    tmp = tempfile.mkdtemp(prefix="retention_row_")
+    try:
+        src = f"{tmp}/src"
+        os.makedirs(src)
+        shutil.copy(f"{sf}/events.parquet", f"{src}/events.parquet")
+        state = f"{tmp}/state"
+        for i, cond in enumerate(["user_id % 2 = 1", "user_id % 2 = 0"]):
+            stream = (
+                spark.readStream.schema(ev.schema)
+                .parquet(src)
+                .where(cond)
+                .select("user_id", "ts")
+            )
+            q = (
+                streaming_retention_sink(
+                    stream,
+                    state,
+                    "user_id",
+                    ts_col="ts",
+                    period_us=_DAY_US,
+                    checkpoint=f"{tmp}/cp{i}",
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        out = retention_from_periods(
+            spark.read.parquet(state), "entity", "period"
+        ).select(
+            "cohort_period",
+            F.col("offset").alias("day_offset"),
+            "n_active",
+        )
+        # materialize (~100 rows) so the frame outlives the tmp dir
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "streaming_sliding_events",
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             CAST(FLOOR(epoch_us(CAST(ts AS TIMESTAMP)) / 3600000000)
+                  AS BIGINT) AS h
+      FROM events WHERE ts IS NOT NULL
+    ), x AS (
+      SELECT event_type, h AS ws FROM e
+      UNION ALL
+      SELECT event_type, h - 1 AS ws FROM e
+    )
+    SELECT ws * 3600000000 AS window_start_us, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM x GROUP BY 1, 2
+    """,
+)
+def streaming_sliding_events(spark, sf):
+    """The watermarked hopping-window aggregation (streaming/
+    streaming_sliding_counts) under an availableNow replay of the
+    events table, complete-mode memory sink so every window is
+    emitted regardless of the final watermark.  Must equal the batch
+    `sliding_window_events` row exactly (same F.window overlap
+    semantics, each event in width/slide = 2 windows) — the oracle is
+    the batch row's 2-way UNION ALL over integer hour buckets.
+    Integer output end-to-end."""
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming import streaming_sliding_counts
+
+    ev = load_table(spark, sf, "events")
+    tmp = tempfile.mkdtemp(prefix="sliding_row_")
+    try:
+        src = f"{tmp}/src"
+        os.makedirs(src)
+        shutil.copy(f"{sf}/events.parquet", f"{src}/events.parquet")
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .parquet(src)
+            .select(F.col("ts").cast("timestamp").alias("ts"), "event_type")
+        )
+        out = streaming_sliding_counts(
+            stream, "ts", "2 hours", "1 hour", by_cols=["event_type"]
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("__sliding_row")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        res = spark.sql(
+            "SELECT window_start_us, event_type, n FROM __sliding_row"
+        )
+        frame = spark.createDataFrame(res.collect(), res.schema)
+        spark.catalog.dropTempView("__sliding_row")
+        return frame
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "winsorize_lineitem",
+    oracle="""
+    WITH v AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(ROUND(l_extendedprice * 100) AS DOUBLE) AS c
+      FROM lineitem
+    ), q AS (
+      SELECT l_returnflag, l_linestatus,
+             quantile_cont(c, 0.05) AS lo,
+             quantile_cont(c, 0.95) AS hi
+      FROM v GROUP BY 1, 2
+    ), w AS (
+      SELECT v.l_returnflag, v.l_linestatus, v.c,
+             LEAST(GREATEST(v.c, q.lo), q.hi) AS wins
+      FROM v JOIN q USING (l_returnflag, l_linestatus)
+    )
+    SELECT l_returnflag, l_linestatus,
+      CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(SUM(CASE WHEN wins > c THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_raised,
+      CAST(SUM(CASE WHEN wins < c THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_lowered,
+      ROUND(MIN(wins), 4) AS wins_min,
+      ROUND(MAX(wins), 4) AS wins_max,
+      CAST(SUM(CASE WHEN wins = c THEN c ELSE 0 END) AS BIGINT)
+        AS mid_cents
+    FROM w GROUP BY 1, 2
+    """,
+)
+def winsorize_lineitem(spark, sf):
+    """Per-group winsorization (operators/profile.py
+    grouped_winsorize): extended price in cents clipped to each
+    (returnflag, linestatus) group's [p5, p95] — the capping
+    companion to `robust_outliers_lineitem`'s counting screen.  The
+    row aggregates the winsorized frame per group: clip counts
+    (strict-inequality comparisons of bit-identical doubles), the
+    clipped range endpoints (= the two quantile cuts; Spark's exact
+    percentile interpolation is bit-identical to DuckDB
+    quantile_cont, and the cut sits ~5e-5 from any ROUND(,4)
+    boundary by construction — integer cents +/- 0.95-ish
+    interpolation), and the exact integer sum of untouched values
+    (doubles holding integers < 2^53, so accumulation order cannot
+    change it)."""
+    from .operators.profile import grouped_winsorize
+
+    li = _li(spark, sf).select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("double")
+        .alias("c"),
+    )
+    out = grouped_winsorize(
+        li, "c", ["l_returnflag", "l_linestatus"], lower=0.05, upper=0.95
+    )
+    w, c = F.col("c_wins"), F.col("c")
+    return out.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(w > c, 1).otherwise(0)).cast("long").alias("n_raised"),
+        F.sum(F.when(w < c, 1).otherwise(0)).cast("long").alias("n_lowered"),
+        F.round(F.min(w), 4).alias("wins_min"),
+        F.round(F.max(w), 4).alias("wins_max"),
+        F.sum(F.when(w == c, c).otherwise(F.lit(0.0)))
+        .cast("long")
+        .alias("mid_cents"),
     )
