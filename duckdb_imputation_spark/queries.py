@@ -6414,6 +6414,21 @@ _CUSUM_ORACLE = """
 """
 
 
+def _session_scratch(prefix: str) -> str:
+    """A scratch directory that outlives the per-row tmp dir (cleaned at
+    interpreter exit, not at row return) — for streaming rows whose sink
+    parquet must stay readable after the row's tmp dir is removed,
+    WITHOUT collecting the event-level result to the driver (ADVICE r7:
+    cusum_stream's collect() grew linearly with sf)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 def _cusum_masked_events(spark, sf):
     return load_table(spark, sf, "events").select(
         "user_id",
@@ -6465,45 +6480,46 @@ def cusum_events(spark, sf):
 def cusum_stream_events(spark, sf):
     """The LIVE form of `cusum_events` (streaming/cusum_stream.py on
     applyInPandasWithState), driven end to end: the masked event
-    stream arrives as TWO availableNow runs split on event time (the
-    first 15 days, then the rest) sharing one checkpoint, so the
-    second run folds on per-key (hi, lo) state recovered from the
-    checkpoint — the cross-run recovery path, not just the in-batch
-    fold.  Outputs append to a parquet sink; the union of both runs
-    must equal the batch operator row for row — the SAME oracle as
-    `cusum_events` verifies both.  State is two doubles per key
-    (O(keys), never O(events))."""
+    stream arrives as TWO availableNow runs split on event_id — the
+    fold's own order column, so run 1 is exactly the per-key fold
+    prefix by construction (ADVICE r7: the previous ts split relied on
+    event_id being monotone with ts per user, a fixture property
+    nothing asserted) — sharing one checkpoint, so the second run
+    folds on per-key (hi, lo) state recovered from the checkpoint —
+    the cross-run recovery path, not just the in-batch fold.  Outputs
+    append to a parquet sink kept in a session-scoped scratch dir (the
+    event-level result is never collect()ed to the driver; it grows
+    linearly with sf — ADVICE r7); the union of both runs must equal
+    the batch operator row for row — the SAME oracle as `cusum_events`
+    verifies both.  State is two doubles per key (O(keys), never
+    O(events))."""
     import os
     import shutil
     import tempfile
 
     from .streaming.cusum_stream import cusum_stream
 
-    ev = _cusum_masked_events(spark, sf).join(
-        load_table(spark, sf, "events").select("event_id", "ts"), "event_id"
-    )
+    ev = _cusum_masked_events(spark, sf)
+    lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).first()
+    mid = (lo + hi) // 2
     tmp = tempfile.mkdtemp(prefix="cusum_stream_row_")
+    outdir = f"{_session_scratch('cusum_stream_out_')}/out"
     try:
         src = f"{tmp}/src"
         os.makedirs(src)
         halves = [
-            ev.where("ts < timestamp'2024-01-16 00:00:00'"),
-            ev.where("ts >= timestamp'2024-01-16 00:00:00'"),
+            ev.where(F.col("event_id") <= mid),
+            ev.where(F.col("event_id") > mid),
         ]
-        outdir = f"{tmp}/out"
         for i, half in enumerate(halves):
-            half.select("user_id", "event_id", "v").coalesce(1).write.parquet(
-                f"{tmp}/h{i}"
-            )
+            half.coalesce(1).write.parquet(f"{tmp}/h{i}")
             part = [
                 f
                 for f in os.listdir(f"{tmp}/h{i}")
                 if f.endswith(".parquet")
             ][0]
             shutil.copy(f"{tmp}/h{i}/{part}", f"{src}/half{i}.parquet")
-            stream = spark.readStream.schema(
-                halves[0].select("user_id", "event_id", "v").schema
-            ).parquet(src)
+            stream = spark.readStream.schema(ev.schema).parquet(src)
             q = (
                 cusum_stream(
                     stream,
@@ -6521,8 +6537,7 @@ def cusum_stream_events(spark, sf):
                 .start()
             )
             q.awaitTermination()
-        out = _cusum_projection(spark.read.parquet(outdir))
-        return spark.createDataFrame(out.collect(), out.schema)
+        return _cusum_projection(spark.read.parquet(outdir))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -6638,6 +6653,11 @@ def streaming_sliding_events(spark, sf):
 
     ev = load_table(spark, sf, "events")
     tmp = tempfile.mkdtemp(prefix="sliding_row_")
+    # view/query name unique per invocation (derived from the tmp dir
+    # suffix) so concurrent runs in one session never collide, and the
+    # view drop sits in finally so a failed start() can't leak it
+    # (ADVICE r7)
+    view = f"__sliding_row_{os.path.basename(tmp).rsplit('_', 1)[-1]}"
     try:
         src = f"{tmp}/src"
         os.makedirs(src)
@@ -6652,19 +6672,21 @@ def streaming_sliding_events(spark, sf):
         )
         q = (
             out.writeStream.format("memory")
-            .queryName("__sliding_row")
+            .queryName(view)
             .outputMode("complete")
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
         res = spark.sql(
-            "SELECT window_start_us, event_type, n FROM __sliding_row"
+            f"SELECT window_start_us, event_type, n FROM {view}"
         )
-        frame = spark.createDataFrame(res.collect(), res.schema)
-        spark.catalog.dropTempView("__sliding_row")
-        return frame
+        # the complete-mode memory sink is already a driver-resident
+        # table (bounded: |windows| x |event types|); materialize it
+        # into a plain frame so the temp view can drop
+        return spark.createDataFrame(res.collect(), res.schema)
     finally:
+        spark.catalog.dropTempView(view)
         shutil.rmtree(tmp, ignore_errors=True)
 
 
