@@ -11,8 +11,13 @@ COUNT(DISTINCT) family into the same pass via Expand) — followed by
 an unpivot of the single result row into (column, stats...) rows.
 ``exact_distinct=False`` swaps the distinct counts for HyperLogLog
 ``approx_count_distinct``, trading exactness for the Expand's
-per-distinct-column row multiplication — the right profile at corpus
-scale; the exact default is the oracle surface.
+per-distinct-column row multiplication, and ``exact_quantiles=False``
+swaps the exact ``percentile`` quartiles for ``approx_percentile``
+(a bounded-memory KLL-class sketch) — exact ``percentile`` buffers
+EVERY value of each numeric column in one ungrouped aggregation
+state, an OOM at corpus scale with no partial aggregation to save it
+(VERDICT r7 #2).  Both knobs off is the right profile at corpus
+scale; the exact defaults are the oracle surface.
 
 Cross-engine determinism notes (the oracle discipline):
 
@@ -51,6 +56,7 @@ def profile_table(
     df: DataFrame,
     cols: Sequence[str] | None = None,
     exact_distinct: bool = True,
+    exact_quantiles: bool = True,
 ) -> DataFrame:
     """Per-column statistics as rows:
 
@@ -79,12 +85,13 @@ def profile_table(
         aggs.append(F.max(col).cast("string").alias(f"__max_{c}"))
         if is_num:
             d = col.cast("double")
+            qfn = "percentile" if exact_quantiles else "approx_percentile"
             aggs.append(F.avg(d).alias(f"__avg_{c}"))
             aggs.append(F.stddev_pop(d).alias(f"__std_{c}"))
             aggs.append(
-                F.expr(f"percentile({c}, array(0.25, 0.5, 0.75))").alias(
-                    f"__q_{c}"
-                )
+                F.expr(
+                    f"{qfn}(CAST({c} AS DOUBLE), array(0.25, 0.5, 0.75))"
+                ).alias(f"__q_{c}")
             )
         else:
             aggs.append(F.lit(None).cast("double").alias(f"__avg_{c}"))

@@ -51,6 +51,35 @@ def test_profile_is_one_pass(spark):
         assert final.count("Join") == 0
 
 
+def test_profile_approx_quantiles_mode(spark):
+    """exact_quantiles=False (VERDICT r7 #2) swaps percentile for the
+    bounded-memory approx_percentile sketch: still ONE scan / zero
+    joins, quartiles land within the sketch's rank error (exact on
+    this tiny input), and the exact default is untouched."""
+    from duckdb_imputation_spark.operators.profile import profile_table
+
+    df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    cols = ["l_quantity", "l_extendedprice"]
+    approx = profile_table(df, cols, exact_quantiles=False)
+    approx.collect()
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    assert final.count("Join") == 0
+    assert "approx_percentile" in final
+    ex = {r["column"]: r.asDict() for r in
+          profile_table(df, cols).collect()}
+    ap = {r["column"]: r.asDict() for r in approx.collect()}
+    for c in cols:
+        # l_quantity is integers 1..50: the default-accuracy sketch is
+        # rank-exact there; price quartiles must sit within 1% of exact
+        for q in ("q25", "q50", "q75"):
+            assert ap[c][q] == pytest.approx(ex[c][q], rel=0.01)
+        # non-quantile stats identical in both modes
+        assert ap[c]["count"] == ex[c]["count"]
+        assert ap[c]["mean"] == pytest.approx(ex[c]["mean"])
+
+
 def test_profile_column_subset_and_order(spark):
     df = spark.createDataFrame([(1, "x")], "a int, b string")
     from duckdb_imputation_spark.operators.profile import profile_table
