@@ -1020,8 +1020,9 @@ def bloom_decontaminate(
     text_col: str,
     id_col: str,
     n: int = 13,
-    m_bits: int = 1 << 22,
-    k_hashes: int = 5,
+    m_bits: int | None = None,
+    k_hashes: int | None = None,
+    fp_rate: float = 0.01,
 ) -> DataFrame:
     """:func:`ngram_decontaminate` for a contamination set too large to
     broadcast EXACTLY — the two-phase Bloom plan, result IDENTICAL by
@@ -1038,10 +1039,28 @@ def bloom_decontaminate(
 
     Bloom has no false negatives, so phase 1 never drops a real
     contamination; phase 2 kills the false positives, so the kept set
-    equals the exact path's.  fp_rate ≈ (1 - e^{-k·taint/m})^k — size
-    ``m_bits`` to the taint cardinality (default 4 Mi bits ≈ 0.6%% FP
-    at one million taint grams)."""
-    from .sketches import bloom_build, bloom_contains_inline
+    equals the exact path's.
+
+    Sizing (VERDICT r7 #4): by default (``m_bits=None``) the filter is
+    AUTO-SIZED — one ``approx_count_distinct`` over the taint grams
+    feeds :func:`..operators.sketches.bloom_size_for` at ``fp_rate``,
+    so a 10x-bigger benchmark set gets a 10x-bigger filter instead of
+    silently saturating (the r7 rehearsal measured a fixed filter going
+    4.8%% → 99%% FP at 10x taint, degrading phase 1 to a no-op while
+    staying correct).  An explicit ``m_bits`` is honored as before
+    (``k_hashes`` then defaults to 5) — and either way the built
+    filter's bits-set ratio is checked: above 75%% a ``UserWarning``
+    names the saturation and the auto-size fix, so the silent-degrade
+    mode is now visible (an OPTIMALLY sized filter sits at ~50%% fill —
+    ``k = (m/n)·ln2`` sets half the bits by design — so 75%% cleanly
+    separates "as designed" from "undersized", and the r7 rehearsal's
+    failure mode reads ~99%%).  The filter frame is persisted (≤ m_bits/64
+    rows by construction) so the saturation check and the k broadcast
+    probes share one materialization."""
+    import math
+    import warnings
+
+    from .sketches import bloom_build, bloom_contains_inline, bloom_size_for
 
     # the SAME gram pipeline as ngram_decontaminate (_gram_hashes) —
     # the result-equality guarantee depends on it; the Bloom value is
@@ -1049,7 +1068,34 @@ def bloom_decontaminate(
     taint = _gram_hashes(contamination, text_col, n).select(
         F.col("__h").cast("string").alias("__h")
     )
+    if m_bits is None:
+        n_taint = taint.agg(
+            F.approx_count_distinct("__h").alias("n")
+        ).first()["n"]
+        auto_m, auto_k = bloom_size_for(max(1, int(n_taint)), fp_rate)
+        m_bits = auto_m
+        if k_hashes is None:
+            k_hashes = auto_k
+    elif k_hashes is None:
+        k_hashes = 5
     bf = bloom_build(taint, "__h", m_bits=m_bits, k_hashes=k_hashes)
+    bf = bf.persist()
+    set_bits = bf.agg(F.sum(F.bit_count("bits")).alias("s")).first()["s"] or 0
+    fill = set_bits / float(m_bits)
+    if fill > 0.75:
+        est_fp = (fill ** k_hashes) if k_hashes else 1.0
+        warnings.warn(
+            f"bloom_decontaminate: filter is {fill:.0%} full "
+            f"(m_bits={m_bits}, ~{est_fp:.0%} false-positive rate) — "
+            "phase 1 is degrading toward a no-op (result stays exact, "
+            "but the phase-2 shuffle approaches the exact path's). "
+            "Pass m_bits=None to auto-size from the taint cardinality, "
+            f"or size via bloom_size_for(n_taint, fp_rate) "
+            f"(needs ~{int(-math.log(0.01) / math.log(2.0) ** 2)} bits "
+            "per distinct taint gram at 1% FP).",
+            UserWarning,
+            stacklevel=2,
+        )
     corp = _gram_hashes(train, text_col, n, id_col=id_col).select(
         id_col, F.col("__h").cast("string").alias("__h")
     )

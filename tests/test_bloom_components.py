@@ -247,6 +247,55 @@ def test_bloom_decontaminate_equal_even_with_heavy_fp_rate(spark):
     assert tiny == exact
 
 
+def test_bloom_decontaminate_autosized_default_never_saturates(spark):
+    """m_bits=None (the new default, VERDICT r7 #4) sizes the filter
+    from the taint-gram cardinality: the same contamination set that
+    saturates a fixed 256-bit filter gets a right-sized one with no
+    saturation warning, and the result still equals the exact path."""
+    import warnings
+
+    from duckdb_imputation_spark.operators.dedup import (
+        bloom_decontaminate,
+        ngram_decontaminate,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    contam = d.where("doc_id % 7 = 0").select("text")
+    exact = {
+        r["doc_id"]
+        for r in ngram_decontaminate(d, contam, "text", "doc_id").collect()
+    }
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", UserWarning)
+        auto = {
+            r["doc_id"]
+            for r in bloom_decontaminate(d, contam, "text", "doc_id").collect()
+        }
+    assert auto == exact
+
+
+def test_bloom_decontaminate_saturated_filter_warns(spark):
+    """An explicitly undersized filter (the r7 rehearsal's silent
+    99%-FP degradation) is now VISIBLE: >75% bits set raises a
+    UserWarning naming the fill ratio and the auto-size fix (an
+    optimally sized filter sits at ~50% fill by design, so 75% cleanly
+    separates designed from undersized)."""
+    import pytest as _pytest
+
+    from duckdb_imputation_spark.operators.dedup import bloom_decontaminate
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    contam = d.where("doc_id % 7 = 0").select("text")
+    with _pytest.warns(UserWarning, match="full"):
+        bloom_decontaminate(
+            d, contam, "text", "doc_id", m_bits=256, k_hashes=2
+        ).collect()
+
+
 def test_bloom_inline_probe_matches_grouped_probe(spark):
     from duckdb_imputation_spark.operators.sketches import (
         bloom_build,
