@@ -540,7 +540,21 @@ def misra_gries_candidates(
     mapInPandas (Arrow-batched) is the sanctioned imperative path
     here: MG is an inherently sequential per-partition fold with a
     bounded dict, exactly the "genuinely per-partition logic" carve-
-    out — the output is partitions x k rows, negligible at any scale."""
+    out.  The output is AT MOST partitions x k rows — small while
+    partitions x k stays below the broadcast threshold (the usual
+    regime: 10^4 partitions x k=100 is a 10^6-row candidate frame),
+    but NOT negligible unconditionally: at 10^5 partitions x k=10^3
+    the union is 10^8 rows and :func:`heavy_hitters`' broadcast of it
+    would not fit.  When the product crosses the broadcast budget,
+    coalesce the input to fewer partitions before the fold (MG's
+    guarantee is per-partition, so fewer/bigger partitions only
+    TIGHTEN the candidate set; the fold stays one sequential pass per
+    task).  Note the candidate frame deliberately drops the MG
+    counts, so a counter-based summary merge (Agarwal et al.,
+    "Mergeable Summaries") is not available from it — and a weight-1
+    second MG pass over the union would NOT preserve the superset
+    guarantee (a true heavy hitter can appear in only one partition's
+    summary).  (VERDICT r7 #8)"""
     import pandas as _pd
 
     if k < 1:

@@ -512,3 +512,42 @@ def test_cusum_python_twin_randomized(spark):
             assert abs(g[0] - hi_raw) < 1e-9
             assert abs(g[1] - lo_raw) < 1e-9
             assert g[2] == alarm
+
+
+# ------------------------------------------------------------------ #
+# max_series giant-key guard (VERDICT r7 #7)                          #
+# ------------------------------------------------------------------ #
+
+def test_max_series_guard_passes_and_fails_deterministically(spark):
+    """Under the cap the result is untouched; over it the fold dies
+    with a NAMED error pointing at the streaming twin, not an opaque
+    array-bound / task OOM."""
+    import pytest
+    from duckdb_imputation_spark.operators.timeseries import (
+        cusum,
+        ewma,
+        ewma_halflife,
+    )
+
+    rows = [(1, t, float(t)) for t in range(10)] + [(2, 0, 5.0)]
+    df = spark.createDataFrame(rows, "k int, t int, x double")
+
+    ok = ewma(df, ["k"], "t", "x", alpha=0.5, max_series=10).collect()
+    assert len(ok) == 11
+    base = {(r["k"], r["t"]): r["ewma"]
+            for r in ewma(df, ["k"], "t", "x", alpha=0.5).collect()}
+    capped = {(r["k"], r["t"]): r["ewma"]
+              for r in ewma(df, ["k"], "t", "x", alpha=0.5,
+                            max_series=10).collect()}
+    assert capped == base
+
+    for fn, kw in (
+        (ewma, dict(alpha=0.5)),
+        (ewma_halflife, dict(halflife=2.0)),
+        (cusum, dict(target=0.0, slack=0.5, threshold=3.0)),
+    ):
+        with pytest.raises(Exception, match="max_series"):
+            fn(df, ["k"], "t", "x", max_series=9, **kw).collect()
+
+    with pytest.raises(ValueError, match="max_series"):
+        ewma(df, ["k"], "t", "x", alpha=0.5, max_series=0).collect()
