@@ -77,97 +77,55 @@ def resolve_oracles(sf_dir: str | None = None) -> dict[str, str]:
 # --------------------------------------------------------------------- #
 
 _DRIVER_PRIORITY: list[str] = [
-    # round 6: new rows (never driver-verified) — the seven r5 library
-    # operators queued in the NEXT-ROTATION comment, now with rows
-    # (VERDICT r5 item 2), plus the streaming rollup sink's
-    # availableNow twin (VERDICT r5 item 6)
-    "ewma_events",
-    "hits_navigation",
-    "fill_forward_events",
-    "bottomk_sample_documents",
-    "grouped_covariance_lineitem",
-    "weighted_sample_documents",
-    "domain_divergence_documents",
-    "streaming_rollup_events",
-    # round 6 (late): new rows (never driver-verified) — Bloom-filter
-    # membership pre-screen with exhibited false positives, and
-    # min-label connected components over the thresholded navigation
-    # graph (recursive-CTE fixpoint oracle).  connected_components_pages
-    # also rides graph.py's dropped checkpoint_every parameter this
-    # round (VERDICT r6 #4), so it stays for a post-change hash.
-    "bloom_membership_fingerprints",
-    "connected_components_pages",
-    "bloom_decontaminate_documents",
-    "grouped_linreg_lineitem",
-    "interpolated_bigram_scores",
-    "equidepth_histogram_lineitem",
-    # round 7: new rows (never driver-verified) — the two unit-only
-    # round-6 operators get driver-visible evidence (VERDICT r6 #3):
-    # the alternating-star components against the SAME recursive-CTE
-    # oracle as the min-label row, and the streaming Bloom sink's
-    # availableNow twin against the batch bloom_build oracle
-    "connected_components_alternating_pages",
-    "streaming_bloom_sink_fingerprints",
-    # round 7: bucketed-DSIR driver row (VERDICT r6 #8) — the
-    # hash_buckets=N bounded-model mode gets a DuckDB oracle with the
-    # same md5 % N construction, closing its last evidence gap
-    "dsir_bucketed_importance_weights",
-    # round 7: new operators (never driver-verified) — Gopher-style
-    # quality rules (all-integer row: zero rounding surface) and the
-    # deletion-variant-blocked fuzzy join vs the brute-force oracle
-    "gopher_rules_documents",
-    "fuzzy_pairs_customer_names",
-    "heavy_hitter_tokens",
-    "profile_lineitem",
-    "fuzzy_join_part_typos",
-    # round 7 (late): the two queued NEXT-ROTATION families get rows —
-    # per-group bottom-k sample (sketches.py) and the global ranking
-    # family (prefix.py: RANK/DENSE_RANK/PERCENT_RANK/CUME_DIST) —
-    # plus three new operators: weekly cohort retention, sliding
-    # (hopping) window counts, grouped robust stats (median/MAD/Hampel)
-    "bottomk_grouped_documents",
-    "global_ranking_quantity",
-    "retention_cohorts_events",
-    "sliding_window_events",
-    "robust_outliers_lineitem",
-    # round 7 (cont'd): the rest of the NEXT-ROTATION queue gets
-    # driver rows — the keyed-fold detectors (half-life EWMA, CUSUM),
-    # the streaming CUSUM's checkpoint-recovery twin, the retention
-    # sink's availableNow twin, the watermarked sliding-window twin,
-    # and grouped winsorization
-    "ewma_halflife_events",
-    "cusum_events",
-    "cusum_stream_events",
-    "streaming_retention_events",
-    "streaming_sliding_events",
-    "winsorize_lineitem",
-    # round 6: code/oracle changed this round, so they stay in the
-    # window for a fresh hash — encode_documents_vocab projects scalar
-    # digests now (the r5 red row), resample_interpolate gained the
-    # NULL-sample gate, pagerank's oracle the NOT-IN NULL guard, and
-    # dsir rides selection.py's hash_buckets refactor (exact default)
-    "encode_documents_vocab",
-    "resample_interpolate_events",
-    "pagerank_navigation",
-    "dsir_importance_weights",
-    "perplexity_buckets_documents",
-    # sketches.py changed this round (merge_bottomk determinism) —
-    # these two ride the module, keep their hash rows fresh
-    "sketch_distinct_tokens",
-    "cmsketch_token_counts",
-    # r5-green, kept in-window one more round: flagship MICE surface
-    # (re-verified after every execution-semantics change) and the
-    # newest never-twice-verified rows
+    # round 8: new rows (never driver-verified) — the streaming
+    # half-life EWMA twin (VERDICT r7 #7's unbounded-series path:
+    # applyInPandasWithState, TWO DOUBLES of state per key — the
+    # smoothed value and the last real observation's timestamp)
+    "ewma_halflife_stream_events",
+    # flagship MICE surface: kept fresh every round by convention
     "mice_single_col_sql_oracle",
     "mice_low_sql_oracle",
     "mice_high_sql_oracle",
     "mice_categorical_sql_oracle",
-    "bpe_train_merges",
-    "remove_duplicate_passages_catalog",
-    "bigram_logprob_scores",
-    "dedup_keep_best_survivors",
-    "doc_quality_nb_histogram",
-    "triple_lineitem_wide",
+    # round 8: rows whose implementation or row code changed this
+    # round, back for a post-change hash (VERDICT r4 hygiene rule) —
+    # the two advisor-hardened streaming rows (event_id/t splits,
+    # session-scoped scratch sinks, unique memory-sink view names),
+    # the profiler row (exact_quantiles knob in profile.py), the
+    # bloom decontamination row (auto-sizing + saturation warning in
+    # dedup.py), the three keyed-fold rows (max_series guard in
+    # timeseries.py), the profile.py siblings, and the MG
+    # heavy-hitters row (sketches.py candidate-bound edit)
+    "cusum_stream_events",
+    "streaming_sliding_events",
+    "profile_lineitem",
+    "bloom_decontaminate_documents",
+    "ewma_events",
+    "ewma_halflife_events",
+    "cusum_events",
+    "robust_outliers_lineitem",
+    "winsorize_lineitem",
+    "heavy_hitter_tokens",
+    # round 8: stale-evidence rotation (VERDICT r7 #5) — the sixteen
+    # rows whose newest driver evidence was r2-r4; all replay-green
+    # locally (tests/test_oracle_parity.py) and implementation-
+    # untouched, cycled back so no row's evidence ages past r4
+    "casts_and_dates",
+    "case_when_null_buckets",
+    "json_extract_events",
+    "math_scalar_functions",
+    "events_hourly_rollup",
+    "orders_window_top3",
+    "semi_join_urgent_customers",
+    "anti_join_customers_no_orders",
+    "union_partition_counts",
+    "mean_mode_stats",
+    "distinct_category_dictionary",
+    "list_extract_position",
+    "exact_dedup_documents",
+    "minhash_signatures",
+    "cross_join_triples",
+    "sql_passthrough_shared_dialect",
 ]
 
 
@@ -202,6 +160,45 @@ _DRIVER_PRIORITY: list[str] = [
 # full-catalog replay.  A query whose code changes must move back to
 # _DRIVER_PRIORITY for one round (VERDICT r4 hygiene rule).
 _DRIVER_DEMOTE: list[str] = [
+    # rotated out round 8 for the stale-evidence rotation and the new
+    # streaming-EWMA row: ALL r7 driver-green (CORRECTNESS_r07.json
+    # hash_match), implementation untouched this round
+    "hits_navigation",
+    "fill_forward_events",
+    "bottomk_sample_documents",
+    "grouped_covariance_lineitem",
+    "weighted_sample_documents",
+    "domain_divergence_documents",
+    "streaming_rollup_events",
+    "bloom_membership_fingerprints",
+    "connected_components_pages",
+    "grouped_linreg_lineitem",
+    "interpolated_bigram_scores",
+    "equidepth_histogram_lineitem",
+    "connected_components_alternating_pages",
+    "streaming_bloom_sink_fingerprints",
+    "dsir_bucketed_importance_weights",
+    "gopher_rules_documents",
+    "fuzzy_pairs_customer_names",
+    "fuzzy_join_part_typos",
+    "bottomk_grouped_documents",
+    "global_ranking_quantity",
+    "retention_cohorts_events",
+    "sliding_window_events",
+    "streaming_retention_events",
+    "encode_documents_vocab",
+    "resample_interpolate_events",
+    "pagerank_navigation",
+    "dsir_importance_weights",
+    "perplexity_buckets_documents",
+    "sketch_distinct_tokens",
+    "cmsketch_token_counts",
+    "bpe_train_merges",
+    "remove_duplicate_passages_catalog",
+    "bigram_logprob_scores",
+    "dedup_keep_best_survivors",
+    "doc_quality_nb_histogram",
+    "triple_lineitem_wide",
     # rotated out round 7 (cont'd) for the six NEXT-ROTATION rows
     # (half-life EWMA, batch + streaming CUSUM, retention sink,
     # streaming sliding windows, winsorize): all six are r5- AND
@@ -273,7 +270,6 @@ _DRIVER_DEMOTE: list[str] = [
     "multimodal_media_meta",
     # rotated out late round 5 for the selection/count-min/pagerank rows:
     # hash-green in r3 AND r4 driver runs, implementation untouched
-    "sql_passthrough_shared_dialect",
     "rolling_customer_spend",
     "asof_join_click_to_view",
     "nb_train_predict_histogram",
@@ -298,21 +294,6 @@ _DRIVER_DEMOTE: list[str] = [
     "percentile_quantities",
     "correlated_subqueries_orders",
     "brand_revenue",
-    "orders_window_top3",
-    "semi_join_urgent_customers",
-    "anti_join_customers_no_orders",
-    "distinct_category_dictionary",
-    "union_partition_counts",
-    "mean_mode_stats",
-    "case_when_null_buckets",
-    "casts_and_dates",
-    "list_extract_position",
-    "math_scalar_functions",
-    "json_extract_events",
-    "events_hourly_rollup",
-    "exact_dedup_documents",
-    "minhash_signatures",
-    "cross_join_triples",
 ]
 
 
@@ -6292,9 +6273,7 @@ def robust_outliers_lineitem(spark, sf):
 # --------------------------------------------------------------------- #
 
 
-@register(
-    "ewma_halflife_events",
-    oracle="""
+_EWMA_HL_ORACLE = """
     WITH m AS (
       SELECT user_id, event_id,
              epoch_us(CAST(ts AS TIMESTAMP)) / 1000000.0 AS t,
@@ -6333,8 +6312,31 @@ def robust_outliers_lineitem(spark, sf):
             x := CAST(NULL AS DOUBLE),
             g := CAST(NULL AS DOUBLE))).s, 6) END AS ewma
     FROM pos
-    """,
-)
+"""
+
+
+def _ewma_hl_masked_events(spark, sf):
+    return load_table(spark, sf, "events").select(
+        "user_id",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1e6)).alias(
+            "t"
+        ),
+        F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+
+
+def _ewma_hl_projection(out):
+    return out.select(
+        "user_id",
+        "t",
+        F.coalesce("v", F.lit(-1.0)).alias("v"),
+        F.coalesce(F.round("ewma", 6), F.lit(-1.0)).alias("ewma"),
+    )
+
+
+@register("ewma_halflife_events", oracle=_EWMA_HL_ORACLE)
 def ewma_halflife_events(spark, sf):
     """Gap-aware EWMA (operators/timeseries.py ewma_halflife) over each
     user's event values on REAL event time (epoch seconds, halflife
@@ -6352,22 +6354,70 @@ def ewma_halflife_events(spark, sf):
     implies driver-green."""
     from .operators.timeseries import ewma_halflife
 
-    ev = load_table(spark, sf, "events").select(
-        "user_id",
-        (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1e6)).alias(
-            "t"
-        ),
-        F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("double"))
-        .otherwise(F.col("value"))
-        .alias("v"),
+    out = ewma_halflife(
+        _ewma_hl_masked_events(spark, sf), ["user_id"], "t", "v",
+        halflife=3600.0,
     )
-    out = ewma_halflife(ev, ["user_id"], "t", "v", halflife=3600.0)
-    return out.select(
-        "user_id",
-        "t",
-        F.coalesce("v", F.lit(-1.0)).alias("v"),
-        F.coalesce(F.round("ewma", 6), F.lit(-1.0)).alias("ewma"),
-    )
+    return _ewma_hl_projection(out)
+
+
+@register("ewma_halflife_stream_events", oracle=_EWMA_HL_ORACLE)
+def ewma_halflife_stream_events(spark, sf):
+    """The LIVE form of `ewma_halflife_events` (streaming/
+    ewma_stream.py on applyInPandasWithState) — and the UNBOUNDED-
+    SERIES path the batch keyed fold lacks (VERDICT r7 #7: state is
+    TWO DOUBLES per key — the smoothed value and the last real
+    observation's timestamp — O(keys), never O(events)).  The masked
+    event stream arrives as TWO availableNow runs split on t, the
+    fold's own order column (so run 1 is exactly the per-key prefix by
+    construction), sharing one checkpoint: the second run decays from
+    (s, pt) state recovered through the checkpoint — including gaps
+    spanning the run boundary, since the NULL rule carries the time
+    anchor.  Outputs append to a parquet sink in a session-scoped
+    scratch dir (never collect()ed — linear in sf); the union of both
+    runs must equal the batch operator row for row, so the SAME oracle
+    verifies both."""
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming.ewma_stream import ewma_halflife_stream
+
+    ev = _ewma_hl_masked_events(spark, sf)
+    lo, hi = ev.agg(F.min("t"), F.max("t")).first()
+    mid = (lo + hi) / 2.0
+    tmp = tempfile.mkdtemp(prefix="ewma_stream_row_")
+    outdir = f"{_session_scratch('ewma_stream_out_')}/out"
+    try:
+        src = f"{tmp}/src"
+        os.makedirs(src)
+        halves = [
+            ev.where(F.col("t") <= mid),
+            ev.where(F.col("t") > mid),
+        ]
+        for i, half in enumerate(halves):
+            half.coalesce(1).write.parquet(f"{tmp}/h{i}")
+            part = [
+                f
+                for f in os.listdir(f"{tmp}/h{i}")
+                if f.endswith(".parquet")
+            ][0]
+            shutil.copy(f"{tmp}/h{i}/{part}", f"{src}/half{i}.parquet")
+            stream = spark.readStream.schema(ev.schema).parquet(src)
+            q = (
+                ewma_halflife_stream(
+                    stream, "user_id", "t", "v", halflife=3600.0
+                )
+                .writeStream.format("parquet")
+                .option("path", outdir)
+                .option("checkpointLocation", f"{tmp}/cp")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        return _ewma_hl_projection(spark.read.parquet(outdir))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 _CUSUM_ORACLE = """

@@ -968,3 +968,71 @@ def test_cusum_stream_matches_batch_with_state_across_runs(spark, tmp_path):
     # only happens if the checkpoint carried the state across runs
     assert got[(2, 2)] == (0.0, 3.0, -1)
     assert got[(2, 3)] == (0.0, 1.5, 0)
+
+
+def test_ewma_halflife_stream_matches_batch_with_state_across_runs(
+    spark, tmp_path
+):
+    """Streaming half-life EWMA over an in-order source equals the
+    batch operator row for row — including (s, pt) state carried ACROSS
+    two availableNow runs through the checkpoint, and the NULL rule
+    (state AND time anchor carry, so the next real value decays by the
+    FULL gap even when the gap spans the run boundary)."""
+    from duckdb_imputation_spark.operators.timeseries import ewma_halflife
+    from duckdb_imputation_spark.streaming.ewma_stream import (
+        ewma_halflife_stream,
+    )
+
+    rows1 = [(1, 0.0, 10.0), (1, 2.0, 20.0), (2, 0.0, 4.0), (1, 3.0, None)]
+    rows2 = [(1, 6.0, 20.0), (2, 4.0, 8.0), (1, 7.0, None), (1, 9.0, 12.0)]
+    schema = "k long, t double, x double"
+    src = tmp_path / "ew_src"
+    ckpt = str(tmp_path / "ew_ckpt")
+    out_dir = str(tmp_path / "ew_out")
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(
+        str(src / "f1")
+    )
+
+    def run():
+        stream = spark.readStream.schema(
+            spark.createDataFrame([], schema).schema
+        ).option("maxFilesPerTrigger", 1).parquet(str(src / "*"))
+        q = (
+            ewma_halflife_stream(stream, "k", "t", "x", halflife=2.0)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(
+        str(src / "f2")
+    )
+    run()
+    got = {
+        (r["k"], r["t"]): r["ewma"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    want = {
+        (r["k"], r["t"]): r["ewma"]
+        for r in ewma_halflife(
+            spark.createDataFrame(rows1 + rows2, schema),
+            ["k"], "t", "x", halflife=2.0,
+        ).collect()
+    }
+    assert len(got) == 8
+    for key, w in want.items():
+        g = got[key]
+        if w is None:
+            assert g is None, key
+        else:
+            assert abs(g - w) < 1e-12, key
+    # the run-2 value for key 1 at t=6 decays from t=2's anchor (the
+    # NULL at t=3 carried the anchor): w = 2^-(6-2)/2 = 0.25,
+    # s = 0.25*15 + 0.75*20 = 18.75 — only right if the checkpoint
+    # carried BOTH s and pt across runs
+    assert abs(got[(1, 6.0)] - 18.75) < 1e-12
