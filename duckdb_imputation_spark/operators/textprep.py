@@ -24,6 +24,7 @@ __all__ = [
     "quality_filter",
     "deterministic_sample",
     "hash_split",
+    "leakage_safe_split",
     "normalize_text",
     "strip_html",
     "deterministic_shuffle",
@@ -133,6 +134,66 @@ def hash_split(
         cond = h < cum
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     return df.withColumn(out_col, expr)
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    dup_pairs: DataFrame,
+    splits: "Sequence[tuple[str, int]]",
+    salt: str = "split",
+    out_col: str = "split",
+    rep_col: str | None = None,
+) -> DataFrame:
+    """:func:`hash_split` that cannot leak near-duplicates across the
+    train/eval boundary: documents connected by ``dup_pairs``
+    (``id_a``/``id_b`` rows from any dedup family — exact-digest star
+    edges, MinHash/SimHash verified pairs, embedding near-dups) are
+    assigned as a UNIT, keyed on their connected component's minimum
+    id, so an eval split can never contain a near-copy of a training
+    document.  A plain per-document hash split splits a duplicate pair
+    train/test with probability 2·p·(1−p) per pair — the classic
+    benchmark-inflation bug this operator removes.
+
+    Documents in no pair hash exactly as :func:`hash_split` does on
+    their own id (their component is themselves), so enabling
+    leakage-safety only moves the connected minority.
+
+    ``rep_col`` (optional) also emits the component representative for
+    audit joins.
+
+    Scale shape: components via
+    :func:`..operators.graph.connected_components` (min-label
+    propagation; rounds = dup-graph diameter — near-dup graphs are
+    dense cliques/stars, so 1-2 rounds; pass ALTERNATING-star output
+    instead for pathological chains) + ONE left join of the corpus
+    against the node→component frame (dup-graph-node-sized, usually a
+    small fraction of the corpus — AQE broadcasts it) + the md5 CASE.
+    Feed STAR edges (group-min → member) rather than clique edges for
+    exact-dup groups: linear, same components."""
+    from .graph import connected_components
+
+    comp = connected_components(dup_pairs, "id_a", "id_b").select(
+        F.col("node").alias("__lsnode"),
+        F.col("component").alias("__lscomp"),
+    )
+    joined = df.join(
+        comp, df[id_col] == comp["__lsnode"], "left"
+    ).drop("__lsnode")
+    rep = F.coalesce(F.col("__lscomp"), F.col(id_col))
+    h = md5_int32(F.concat(F.lit(salt), rep.cast("string"))) % 1000
+    expr = None
+    cum = 0
+    if sum(w for _, w in splits) != 1000:
+        raise ValueError("split weights must sum to 1000 (per-mille)")
+    for name, w in splits:
+        cum += w
+        cond = h < cum
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    out = joined.withColumn(out_col, expr)
+    if rep_col is not None:
+        out = out.withColumn(rep_col, rep)
+    return out.drop("__lscomp")
 
 
 def hash_split_sql(

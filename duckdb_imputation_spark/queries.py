@@ -85,6 +85,7 @@ _DRIVER_PRIORITY: list[str] = [
     # duplicate collapse — the versioned-dimension primitive)
     "ewma_halflife_stream_events",
     "scd2_user_event_type",
+    "leakage_safe_split_documents",
     # flagship MICE surface: kept fresh every round by convention
     "mice_single_col_sql_oracle",
     "mice_low_sql_oracle",
@@ -4555,6 +4556,57 @@ def train_val_test_split(spark, sf):
     return out.groupBy("split").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.min("doc_id").alias("min_id"),
+    )
+
+
+def _leakage_split_oracle() -> str:
+    from .operators.textprep import hash_split_sql
+
+    case = hash_split_sql("rep", [("train", 800), ("val", 100), ("test", 100)])
+    return f"""
+    WITH g AS (
+      SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS rep
+      FROM documents
+    )
+    SELECT doc_id, CAST(rep AS BIGINT) AS rep, {case} AS split FROM g
+    """
+
+
+@register("leakage_safe_split_documents", oracle=_leakage_split_oracle())
+def leakage_safe_split_documents(spark, sf):
+    """Near-dup-cluster-aware 80/10/10 split (textprep.
+    leakage_safe_split): exact-duplicate documents (same md5 digest)
+    form star edges (group-min → member, LINEAR in group size, never a
+    clique self-join), connected components key every member on the
+    group's min doc_id, and the md5 split CASE runs on that
+    representative — so a duplicate can never sit in train while its
+    copy sits in eval (a plain per-doc hash split separates a dup pair
+    with probability 2p(1-p)).  Docs with no duplicate split exactly
+    as `train_val_test_split` does on their own id.  Because exact-dup
+    groups ARE cliques, component == group min, so the oracle needs
+    only a window MIN over the digest partition — no recursive CTE —
+    while the Spark side still runs the real min-label propagation."""
+    from .operators.textprep import leakage_safe_split
+
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    dig = d.select("doc_id", F.md5("text").alias("__dig"))
+    rep = dig.groupBy("__dig").agg(F.min("doc_id").alias("__rep"))
+    edges = (
+        dig.join(rep, "__dig")
+        .where(F.col("doc_id") != F.col("__rep"))
+        .select(
+            F.col("__rep").alias("id_a"), F.col("doc_id").alias("id_b")
+        )
+    )
+    out = leakage_safe_split(
+        d,
+        "doc_id",
+        edges,
+        [("train", 800), ("val", 100), ("test", 100)],
+        rep_col="rep",
+    )
+    return out.select(
+        "doc_id", F.col("rep").cast("long").alias("rep"), "split"
     )
 
 

@@ -1189,3 +1189,58 @@ def test_read_binary_dir_ingests_and_decodes_files(spark, tmp_path):
     # metadata pruning: a 5-byte cap excludes both 19-byte files before
     # any content is touched
     assert read_binary_dir(spark, str(d), glob="*.pgm", max_bytes=5).count() == 0
+
+
+# ------------------------------------------------------------------ #
+# leakage_safe_split                                                  #
+# ------------------------------------------------------------------ #
+
+def test_leakage_safe_split_groups_duplicates_and_matches_hash_split(spark):
+    """Connected docs land in ONE split keyed on the component min id;
+    unconnected docs split exactly as hash_split does; and the fixture
+    contains a pair that plain hash_split WOULD separate, proving the
+    operator changes the outcome where it must."""
+    from pyspark.sql import functions as F
+
+    from duckdb_imputation_spark.operators.textprep import (
+        hash_split,
+        leakage_safe_split,
+    )
+
+    ids = list(range(1, 201))
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(
+            df, "doc_id", [("train", 800), ("val", 100), ("test", 100)]
+        ).collect()
+    }
+    # find a pair plain hash_split separates, plus a transitive chain
+    a, b = next(
+        (x, y)
+        for x in ids
+        for y in ids
+        if x < y and plain[x] != plain[y]
+    )
+    c = next(z for z in ids if z not in (a, b))
+    pairs = spark.createDataFrame(
+        [(a, b), (b, c)], "id_a long, id_b long"
+    )
+    out = leakage_safe_split(
+        df,
+        "doc_id",
+        pairs,
+        [("train", 800), ("val", 100), ("test", 100)],
+        rep_col="rep",
+    )
+    got = {r["doc_id"]: (r["split"], r["rep"]) for r in out.collect()}
+    rep = min(a, b, c)
+    # the whole chain follows the representative's plain assignment
+    for n in (a, b, c):
+        assert got[n] == (plain[rep], rep), n
+    # everything else is bitwise the plain hash_split
+    for i in ids:
+        if i in (a, b, c):
+            continue
+        assert got[i] == (plain[i], i), i
+    assert len(got) == len(ids)  # left join never drops or duplicates
