@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "resample_interpolate",
+    "resample_agg",
     "fill_forward",
     "ewma",
     "ewma_halflife",
@@ -126,6 +127,86 @@ def resample_interpolate(
         *keys,
         F.col("__t").alias(grid_col),
         interp.alias(out_col),
+    )
+
+
+def resample_agg(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    step: int,
+    bucket_col: str = "bucket_ts",
+    deterministic: bool = True,
+) -> DataFrame:
+    """OHLC-style time-bucket downsampling: one row per non-empty
+    (key..., bucket) with the bucket's
+
+    (n, v_open, v_close, v_min, v_max, v_sum)
+
+    where open/close are the values at the bucket's FIRST/LAST
+    observation by ``ts_col`` (epoch-integer; ``bucket_ts =
+    floor(ts/step)*step``) — the summary a dashboard/monitoring rollup
+    or a bar-chart resample needs, and the aggregate companion to
+    :func:`resample_interpolate` (that one reconstructs a gap-free
+    series; this one compresses a dense one).
+
+    NULL values: ignored entirely (SQL aggregate semantics) — a bucket
+    whose every value is NULL still appears (its timestamps exist) with
+    n = 0 and NULL statistics.  Rows with NULL key or ts are dropped.
+
+    Determinism knob (the repo's exact/approx philosophy applied to
+    tie-breaks): ``deterministic=True`` (default, the oracle surface)
+    breaks open/close ties on equal ``ts_col`` LEXICOGRAPHICALLY on
+    (ts, value) via struct-ordered min/max — reproducible and
+    SQL-twin-able with duplicate timestamps, but struct-ordered
+    aggregates are not codegen-supported, so Spark plans a
+    SortAggregate (still ONE exchange, still partial+final map-side
+    combine, and the sort is spill-safe — measured as the price of
+    bit-reproducibility).  ``deterministic=False`` swaps in scalar
+    ``min_by``/``max_by`` (ordering = ts alone): pure whole-stage-
+    codegen HashAggregate, tie choice engine-defined — the corpus fast
+    path when timestamps are unique per key anyway.
+
+    Scale shape (both modes): ONE keyed partial+final aggregate over
+    (key..., bucket) — no window, no per-key series materialization
+    (unlike the keyed folds, a billion-row key is FINE here: partial
+    aggregation combines map-side)."""
+    keys = list(key_cols)
+    guard = F.col(ts_col).isNotNull()
+    for k in keys:
+        guard = guard & F.col(k).isNotNull()
+    v = F.col(value_col).cast("double")
+    bucket = (
+        F.floor(F.col(ts_col) / F.lit(int(step))) * F.lit(int(step))
+    ).cast("long")
+    src = df.where(guard).select(
+        *keys,
+        bucket.alias(bucket_col),
+        F.col(ts_col).alias("__t"),
+        v.alias("__v"),
+    )
+    if deterministic:
+        nn = F.when(F.col("__v").isNotNull(), F.struct("__t", "__v"))
+        open_, close_ = (
+            F.min(nn).getField("__v"),
+            F.max(nn).getField("__v"),
+        )
+    else:
+        # NULL ordering rows are skipped by min_by/max_by, which is
+        # exactly the NULL-value exclusion open/close need
+        ts_nn = F.when(F.col("__v").isNotNull(), F.col("__t"))
+        open_, close_ = (
+            F.min_by("__v", ts_nn),
+            F.max_by("__v", ts_nn),
+        )
+    return src.groupBy(*keys, bucket_col).agg(
+        F.count("__v").cast("long").alias("n"),
+        open_.alias("v_open"),
+        close_.alias("v_close"),
+        F.min("__v").alias("v_min"),
+        F.max("__v").alias("v_max"),
+        F.sum("__v").alias("v_sum"),
     )
 
 

@@ -86,6 +86,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ewma_halflife_stream_events",
     "scd2_user_event_type",
     "leakage_safe_split_documents",
+    "resample_agg_events",
     # flagship MICE surface: kept fresh every round by convention
     "mice_single_col_sql_oracle",
     "mice_low_sql_oracle",
@@ -6473,6 +6474,65 @@ def ewma_halflife_stream_events(spark, sf):
         return _ewma_hl_projection(spark.read.parquet(outdir))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "resample_agg_events",
+    oracle="""
+    WITH s AS (
+      SELECT user_id,
+             CAST(FLOOR(epoch_us(CAST(ts AS TIMESTAMP)) / 1000000)
+                  AS BIGINT) AS t,
+             CAST(ROUND(value * 100) AS BIGINT) AS v
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(FLOOR(t / 3600) * 3600 AS BIGINT) AS bucket_ts,
+           CAST(COUNT(v) AS BIGINT) AS n,
+           (list(v ORDER BY t, v))[1]  AS v_open,
+           (list(v ORDER BY t, v))[-1] AS v_close,
+           MIN(v) AS v_min,
+           MAX(v) AS v_max,
+           CAST(SUM(v) AS BIGINT) AS v_sum
+    FROM s GROUP BY 1, 2
+    """,
+)
+def resample_agg_events(spark, sf):
+    """OHLC-style hourly downsampling (operators/timeseries.py
+    resample_agg, deterministic mode) of each user's event values in
+    CENTS — all-integer output, so sums are order-independent and the
+    row is hash-exact with zero rounding surface.  open/close are the
+    bucket's first/last values by (t, v) lexicographic order (the
+    deterministic tie-break; the oracle replays it with an ordered
+    list's ends).  ONE keyed partial+final aggregate — no window, no
+    per-key series; the deterministic mode plans a spill-safe
+    SortAggregate (struct-ordered min/max aren't codegen-supported),
+    `deterministic=False` is the pure-HashAggregate fast path when
+    timestamps are unique anyway."""
+    from .operators.timeseries import resample_agg
+
+    ev = load_table(spark, sf, "events").where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    src = ev.select(
+        "user_id",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1_000_000)
+        ).cast("long").alias("t"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    out = resample_agg(src, ["user_id"], "t", "v", step=3600)
+    return out.select(
+        "user_id",
+        "bucket_ts",
+        "n",
+        F.col("v_open").cast("long").alias("v_open"),
+        F.col("v_close").cast("long").alias("v_close"),
+        F.col("v_min").cast("long").alias("v_min"),
+        F.col("v_max").cast("long").alias("v_max"),
+        F.col("v_sum").cast("long").alias("v_sum"),
+    )
 
 
 @register(

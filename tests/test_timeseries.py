@@ -551,3 +551,99 @@ def test_max_series_guard_passes_and_fails_deterministically(spark):
 
     with pytest.raises(ValueError, match="max_series"):
         ewma(df, ["k"], "t", "x", alpha=0.5, max_series=0).collect()
+
+
+# ------------------------------------------------------------------ #
+# resample_agg (OHLC-style bucket downsampling)                       #
+# ------------------------------------------------------------------ #
+
+def test_resample_agg_hand_computed(spark):
+    from duckdb_imputation_spark.operators.timeseries import resample_agg
+
+    rows = [
+        (1, 0, 5.0), (1, 3, 1.0), (1, 7, 9.0),       # bucket 0
+        (1, 10, 2.0), (1, 12, None), (1, 14, 4.0),   # bucket 10
+        (2, 5, -1.0),                                  # other key
+        (None, 2, 9.9),                                # NULL key drops
+        (1, None, 3.3),                                # NULL ts drops
+    ]
+    df = spark.createDataFrame(rows, "k int, t long, x double")
+    got = {
+        (r["k"], r["bucket_ts"]): (
+            r["n"], r["v_open"], r["v_close"], r["v_min"], r["v_max"],
+            r["v_sum"],
+        )
+        for r in resample_agg(df, ["k"], "t", "x", step=10).collect()
+    }
+    assert got == {
+        (1, 0): (3, 5.0, 9.0, 1.0, 9.0, 15.0),
+        (1, 10): (2, 2.0, 4.0, 2.0, 4.0, 6.0),
+        (2, 0): (1, -1.0, -1.0, -1.0, -1.0, -1.0),
+    }
+
+
+def test_resample_agg_all_null_bucket_and_tie_break(spark):
+    from duckdb_imputation_spark.operators.timeseries import resample_agg
+
+    rows = [
+        (1, 0, None), (1, 5, None),        # all-NULL bucket: n=0 row
+        (1, 10, 7.0), (1, 10, 3.0),        # tie on ts: lexicographic
+    ]
+    df = spark.createDataFrame(rows, "k int, t long, x double")
+    got = {
+        (r["k"], r["bucket_ts"]): (
+            r["n"], r["v_open"], r["v_close"], r["v_sum"]
+        )
+        for r in resample_agg(df, ["k"], "t", "x", step=10).collect()
+    }
+    assert got[(1, 0)] == (0, None, None, None)
+    # open = min(struct(10,3),(10,7)) -> 3; close = max -> 7
+    assert got[(1, 10)] == (2, 3.0, 7.0, 10.0)
+
+
+def test_resample_agg_plan_shape_both_modes(spark):
+    """Exactly ONE keyed exchange in both modes, no window, no per-key
+    array.  deterministic=True pays a SortAggregate for the
+    lexicographic tie-break (struct-ordered min/max are not
+    codegen-supported); deterministic=False is pure HashAggregate."""
+    from duckdb_imputation_spark.operators.timeseries import resample_agg
+
+    df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = df.selectExpr(
+        "user_id", "CAST(unix_micros(CAST(ts AS TIMESTAMP))/1000000 AS LONG) AS t",
+        "value",
+    )
+    for det, agg_node in ((True, "SortAggregate"), (False, "HashAggregate")):
+        out = resample_agg(
+            src, ["user_id"], "t", "value", step=3600, deterministic=det
+        )
+        out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        assert final.count("Exchange hashpartitioning") == 1, det
+        assert agg_node in final, det
+        assert "Window" not in final and "collect_list" not in final, det
+        if not det:
+            assert "SortAggregate" not in final and "Sort " not in final
+
+
+def test_resample_agg_fast_mode_matches_on_unique_timestamps(spark):
+    """With unique ts per key, both modes agree exactly (the tie-break
+    never fires)."""
+    from duckdb_imputation_spark.operators.timeseries import resample_agg
+
+    rows = [(1, t, float((t * 7) % 13)) for t in range(50)] + [
+        (2, t, float(t)) for t in range(0, 40, 3)
+    ]
+    df = spark.createDataFrame(rows, "k int, t long, x double")
+    a = {
+        (r["k"], r["bucket_ts"]): tuple(r)[2:]
+        for r in resample_agg(df, ["k"], "t", "x", step=10).collect()
+    }
+    b = {
+        (r["k"], r["bucket_ts"]): tuple(r)[2:]
+        for r in resample_agg(
+            df, ["k"], "t", "x", step=10, deterministic=False
+        ).collect()
+    }
+    assert a == b and len(a) == 5 + 4
