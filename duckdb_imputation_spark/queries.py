@@ -87,6 +87,7 @@ _DRIVER_PRIORITY: list[str] = [
     "scd2_user_event_type",
     "leakage_safe_split_documents",
     "resample_agg_events",
+    "streaming_scd2_events",
     # flagship MICE surface: kept fresh every round by convention
     "mice_single_col_sql_oracle",
     "mice_low_sql_oracle",
@@ -6535,9 +6536,7 @@ def resample_agg_events(spark, sf):
     )
 
 
-@register(
-    "scd2_user_event_type",
-    oracle="""
+_SCD2_ORACLE = """
     WITH u AS (
       SELECT user_id, event_type, event_id,
              LAG(event_id)   OVER w AS prev_id,
@@ -6554,8 +6553,77 @@ def resample_agg_events(spark, sf):
            LEAD(event_id) OVER (
              PARTITION BY user_id ORDER BY event_id) AS valid_to
     FROM s
-    """,
-)
+"""
+
+
+@register("streaming_scd2_events", oracle=_SCD2_ORACLE)
+def streaming_scd2_events(spark, sf):
+    """The SCD2 sink end to end (streaming/sinks.py
+    streaming_scd2_sink): the event stream arrives as TWO availableNow
+    runs split on event_id (the version-order column, so run 1 is the
+    per-key prefix), sharing one checkpoint; the second run merges on
+    the CURRENT slice persisted by the first — closed versions upsert
+    into period partitions keyed on (key, valid_from), the current
+    slice overwrites at O(keys).  The monotone guard (updates at/
+    before the open version's valid_from are dropped) makes replay
+    idempotent BY CONSTRUCTION (tests/test_streaming.py redelivers the
+    whole source on a fresh checkpoint and converges) — so the read
+    state must equal the batch `scd2_user_event_type` row for row,
+    which is the oracle."""
+    import shutil
+    import tempfile
+
+    from .streaming.sinks import scd2_read, streaming_scd2_sink
+
+    ev = load_table(spark, sf, "events").select(
+        "user_id", "event_type", "event_id"
+    )
+    lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).first()
+    mid = (lo + hi) // 2
+    tmp = tempfile.mkdtemp(prefix="scd2_stream_row_")
+    state = f"{_session_scratch('scd2_stream_state_')}/state"
+    try:
+        import os
+
+        src = f"{tmp}/src"
+        os.makedirs(src)
+        halves = [
+            ev.where(F.col("event_id") <= mid),
+            ev.where(F.col("event_id") > mid),
+        ]
+        for i, half in enumerate(halves):
+            half.coalesce(1).write.parquet(f"{tmp}/h{i}")
+            part = [
+                f
+                for f in os.listdir(f"{tmp}/h{i}")
+                if f.endswith(".parquet")
+            ][0]
+            shutil.copy(f"{tmp}/h{i}/{part}", f"{src}/half{i}.parquet")
+            stream = spark.readStream.schema(ev.schema).parquet(src)
+            q = (
+                streaming_scd2_sink(
+                    stream,
+                    state,
+                    ["user_id"],
+                    ["event_type"],
+                    "event_id",
+                    checkpoint=f"{tmp}/cp",
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        return scd2_read(spark, state).select(
+            "user_id",
+            "event_type",
+            F.col("valid_from").cast("long").alias("valid_from"),
+            F.col("valid_to").cast("long").alias("valid_to"),
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register("scd2_user_event_type", oracle=_SCD2_ORACLE)
 def scd2_user_event_type(spark, sf):
     """SCD2 initial load (operators/scd.py scd2_apply, history=None):
     each user's event_type observations, keyed on event_id, become a

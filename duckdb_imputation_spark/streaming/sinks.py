@@ -20,6 +20,8 @@ __all__ = [
     "streaming_rollup_sink",
     "streaming_bloom_sink",
     "streaming_retention_sink",
+    "streaming_scd2_sink",
+    "scd2_read",
 ]
 
 
@@ -404,3 +406,130 @@ def streaming_retention_sink(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer
+
+
+def streaming_scd2_sink(
+    stream: DataFrame,
+    path: str,
+    key_cols,
+    tracked_cols,
+    ts_col: str,
+    close_period_us: int = 7 * 86_400 * 1_000_000,
+    checkpoint: str | None = None,
+):
+    """Continuously maintain an SCD2 history table
+    (operators/scd.py :func:`~..operators.scd.scd2_apply` per
+    micro-batch) — versioned pipeline metadata that stays current as
+    observations stream in.
+
+    State layout (two sub-tables under ``path``, read back with
+    :func:`scd2_read`):
+
+    * ``path/current`` — each key's OPEN version (``valid_to`` NULL),
+      overwritten per touched batch: O(keys), never O(history);
+    * ``path/closed`` — closed versions, UPSERTED keyed on
+      (key, valid_from) and partitioned on
+      ``floor(valid_to / close_period_us)`` — a batch only rewrites
+      the periods it closes rows into (recent ones), old periods'
+      files are never touched.
+
+    Replay safety (the retention-sink class, by construction rather
+    than by checkpoint): updates with ``ts_col`` <= the key's current
+    ``valid_from`` are DROPPED (the monotone guard — SCD2 appends
+    versions; out-of-order history rewrites are a different
+    operation), so re-delivering a processed batch finds every update
+    stale-or-equal and converges: the closed upsert rewrites identical
+    rows, the current overwrite writes the identical slice.  The
+    closed upsert runs FIRST so a crash between the two writes also
+    replays to the same state.
+
+    Per-batch cost: O(batch + current + touched closed periods) —
+    independent of total history age."""
+    from ..operators.scd import scd2_apply
+    from ..sources import upsert_table_partitioned
+
+    keys = list(key_cols)
+    tracked = list(tracked_cols)
+    cur_path = f"{path}/current"
+    closed_path = f"{path}/closed"
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        spark = batch.sparkSession
+        upd = batch.select(*keys, *tracked, ts_col).where(
+            F.col(ts_col).isNotNull()
+        )
+        for k in keys:
+            upd = upd.where(F.col(k).isNotNull())
+        if _state_exists(spark, cur_path):
+            current = spark.read.parquet(cur_path)
+            # monotone guard: drop updates at/before the key's open
+            # version — makes replay a no-op and stale deliveries safe
+            guard = current.select(
+                *keys, F.col("valid_from").alias("__cur_from")
+            )
+            upd = (
+                upd.join(guard, keys, "left")
+                .where(
+                    F.col("__cur_from").isNull()
+                    | (F.col(ts_col) > F.col("__cur_from"))
+                )
+                .drop("__cur_from")
+            )
+            if not upd.head(1):
+                return
+            merged = scd2_apply(current, upd, keys, tracked, ts_col)
+        else:
+            current = None
+            merged = scd2_apply(None, upd, keys, tracked, ts_col)
+        # eager localCheckpoint: one computation feeds both writes AND
+        # severs lineage from the current-slice files about to be
+        # overwritten (writing over your own lazy input corrupts)
+        merged = merged.localCheckpoint()
+        # the current slice never holds closed rows, so every
+        # valid_to-bearing row in `merged` was closed THIS batch
+        newly_closed = merged.where(F.col("valid_to").isNotNull())
+        if newly_closed.head(1):
+            keyed = newly_closed.withColumn(
+                "__key",
+                F.concat_ws(
+                    "|",
+                    *[F.col(k).cast("string") for k in keys],
+                    F.col("valid_from").cast("string"),
+                ),
+            ).withColumn(
+                "__period",
+                F.floor(
+                    F.col("valid_to").cast("double")
+                    / F.lit(float(close_period_us))
+                ).cast("long"),
+            )
+            if _state_exists(spark, closed_path):
+                upsert_table_partitioned(
+                    spark, closed_path, keyed, "__key", "__period"
+                )
+            else:
+                keyed.write.partitionBy("__period").mode(
+                    "overwrite"
+                ).parquet(closed_path)
+        merged.where(F.col("valid_to").isNull()).write.mode(
+            "overwrite"
+        ).parquet(cur_path)
+
+    writer = stream.writeStream.foreachBatch(apply)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer
+
+
+def scd2_read(spark, path: str) -> DataFrame:
+    """The full SCD2 history maintained by :func:`streaming_scd2_sink`:
+    closed versions ∪ the current slice (drop the sink's internal
+    ``__key``/``__period`` columns)."""
+    cur = spark.read.parquet(f"{path}/current")
+    closed_path = f"{path}/closed"
+    if _state_exists(spark, closed_path):
+        closed = spark.read.parquet(closed_path).drop("__key", "__period")
+        return closed.select(*cur.columns).unionByName(cur)
+    return cur

@@ -1036,3 +1036,69 @@ def test_ewma_halflife_stream_matches_batch_with_state_across_runs(
     # s = 0.25*15 + 0.75*20 = 18.75 — only right if the checkpoint
     # carried BOTH s and pt across runs
     assert abs(got[(1, 6.0)] - 18.75) < 1e-12
+
+
+def test_streaming_scd2_sink_matches_batch_and_survives_replay(
+    spark, tmp_path
+):
+    """Two availableNow runs build the same history the batch
+    scd2_apply builds from all updates at once; replaying the ENTIRE
+    source against the existing state (fresh checkpoint = forced
+    redelivery) converges to the identical state — the monotone guard
+    drops every stale update, so the sink is idempotent by
+    construction, not by checkpoint."""
+    from duckdb_imputation_spark.operators.scd import scd2_apply
+    from duckdb_imputation_spark.streaming.sinks import (
+        scd2_read,
+        streaming_scd2_sink,
+    )
+
+    rows1 = [(1, "a", 10), (1, "b", 20), (2, "x", 5)]
+    rows2 = [(1, "b", 30), (2, "y", 40), (3, "q", 7)]  # 30: b->b no-op
+    schema = "k long, v string, ts long"
+    src = tmp_path / "scd_src"
+    state = str(tmp_path / "scd_state")
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(
+        str(src / "f1")
+    )
+
+    def run(ckpt):
+        stream = spark.readStream.schema(
+            spark.createDataFrame([], schema).schema
+        ).option("maxFilesPerTrigger", 1).parquet(str(src / "*"))
+        q = (
+            streaming_scd2_sink(
+                stream, state, ["k"], ["v"], "ts",
+                checkpoint=str(tmp_path / ckpt),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run("cp1")
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(
+        str(src / "f2")
+    )
+    run("cp1")
+
+    def snap():
+        return {
+            (r["k"], r["v"], r["valid_from"], r["valid_to"])
+            for r in scd2_read(spark, state).collect()
+        }
+
+    want = {
+        (r["k"], r["v"], r["valid_from"], r["valid_to"])
+        for r in scd2_apply(
+            None,
+            spark.createDataFrame(rows1 + rows2, schema),
+            ["k"], ["v"], "ts",
+        ).collect()
+    }
+    assert snap() == want
+    assert (1, "a", 10, 20) in want and (1, "b", 20, None) in want
+
+    # forced full redelivery: fresh checkpoint, same files, same state
+    run("cp2")
+    assert snap() == want
