@@ -44,7 +44,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["profile_table", "grouped_robust_stats", "grouped_winsorize"]
+__all__ = [
+    "profile_table",
+    "grouped_robust_stats",
+    "grouped_winsorize",
+    "json_key_profile",
+]
 
 _NUMERIC = (
     T.ByteType, T.ShortType, T.IntegerType, T.LongType,
@@ -119,6 +124,51 @@ def profile_table(
     return wide.select(
         F.explode(F.array(*per_col)).alias("__p")
     ).select("__p.*")
+
+
+def json_key_profile(
+    df: DataFrame,
+    json_col: str,
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """Profile a semi-structured JSON column's KEY SPACE — the first
+    question against a scraped/ingested corpus with freeform metadata
+    ("which keys exist, how often, how varied are the values"):
+
+    one row per top-level key:
+    (key, n_present, n_distinct_values, min_value, max_value)
+
+    where values are compared as strings (scalars in their JSON text
+    form, unquoted; nested objects/arrays as their JSON text).
+    Malformed JSON and NULL rows contribute nothing (``from_json``
+    yields NULL, ``explode_outer`` keeps the row but the NULL key is
+    filtered — so the operator never throws on dirty data).
+
+    ``exact_distinct=False`` swaps the per-key COUNT(DISTINCT) for the
+    HyperLogLog sketch (same knob, same reason as
+    :func:`profile_table`).
+
+    Scale shape: ONE narrow scan (from_json to ``map<string,string>``
+    + one explode — no Python, no schema inference pass over the
+    corpus) feeding ONE keyed partial+final aggregate on the key
+    (key cardinality is the metadata vocabulary — tiny); no window,
+    no join."""
+    kv = df.select(
+        F.explode_outer(
+            F.from_json(F.col(json_col), "map<string,string>")
+        ).alias("key", "value")
+    ).where(F.col("key").isNotNull())
+    nd = (
+        F.count_distinct("value")
+        if exact_distinct
+        else F.approx_count_distinct("value")
+    )
+    return kv.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_present"),
+        nd.cast("long").alias("n_distinct_values"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
 
 
 def grouped_robust_stats(

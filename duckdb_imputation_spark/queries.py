@@ -88,6 +88,7 @@ _DRIVER_PRIORITY: list[str] = [
     "leakage_safe_split_documents",
     "resample_agg_events",
     "streaming_scd2_events",
+    "json_key_profile_lineitem",
     # flagship MICE surface: kept fresh every round by convention
     "mice_single_col_sql_oracle",
     "mice_low_sql_oracle",
@@ -6475,6 +6476,65 @@ def ewma_halflife_stream_events(spark, sf):
         return _ewma_hl_projection(spark.read.parquet(outdir))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "json_key_profile_lineitem",
+    oracle="""
+    WITH src AS (
+      SELECT '{"qty": ' || CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)
+             || CASE WHEN l_returnflag = 'R'
+                     THEN ', "ret": true' ELSE '' END
+             || CASE WHEN l_linenumber % 3 = 0
+                     THEN ', "tag": "L' || CAST(l_linenumber AS VARCHAR)
+                          || '"' ELSE '' END
+             || '}' AS j
+      FROM lineitem
+    ), kv AS (
+      SELECT unnest(json_keys(j)) AS key, j FROM src
+    )
+    SELECT key,
+           CAST(COUNT(*) AS BIGINT) AS n_present,
+           CAST(COUNT(DISTINCT json_extract_string(j, '$.' || key))
+                AS BIGINT) AS n_distinct_values,
+           MIN(json_extract_string(j, '$.' || key)) AS min_value,
+           MAX(json_extract_string(j, '$.' || key)) AS max_value
+    FROM kv GROUP BY key
+    """,
+)
+def json_key_profile_lineitem(spark, sf):
+    """Key-space profile of a semi-structured JSON column
+    (operators/profile.py json_key_profile): which keys exist, how
+    often, how varied — the first question against freeform scraped
+    metadata.  The JSON text is BUILT identically on both engines by
+    string concatenation over lineitem (a always-present integer key,
+    a boolean key on the returnflag subset, a string key on every 3rd
+    line number), so the row tests the PARSERS against heterogeneous
+    key presence: Spark's from_json map explode vs DuckDB's
+    json_keys/json_extract_string must agree key-for-key and
+    value-for-value (scalars in unquoted JSON text form).  One narrow
+    scan + one keyed aggregate; integer counts, string min/max — zero
+    rounding surface."""
+    from .operators.profile import json_key_profile
+
+    li = load_table(spark, sf, "lineitem")
+    j = F.concat(
+        F.lit('{"qty": '),
+        F.col("l_quantity").cast("long").cast("string"),
+        F.when(
+            F.col("l_returnflag") == "R", F.lit(', "ret": true')
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("l_linenumber") % 3 == 0,
+            F.concat(
+                F.lit(', "tag": "L'),
+                F.col("l_linenumber").cast("string"),
+                F.lit('"'),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("}"),
+    )
+    return json_key_profile(li.select(j.alias("j")), "j")
 
 
 @register(

@@ -275,3 +275,54 @@ def test_robust_stats_via_sort_lint_clean(spark):
     out.collect()
     errs = [f for f in lint_plan(out) if f.severity == "error"]
     assert not errs, errs
+
+
+# ------------------------------------------------------------------ #
+# json_key_profile                                                    #
+# ------------------------------------------------------------------ #
+
+def test_json_key_profile_counts_types_and_dirty_rows(spark):
+    from duckdb_imputation_spark.operators.profile import json_key_profile
+
+    rows = [
+        ('{"a": 1, "b": "x"}',),
+        ('{"a": 2}',),
+        ('{"a": 1, "c": true}',),
+        ("not json at all",),   # malformed: contributes nothing
+        (None,),                 # NULL row: contributes nothing
+        ("{}",),                 # empty object: no keys
+    ]
+    df = spark.createDataFrame(rows, "j string")
+    got = {
+        r["key"]: (
+            r["n_present"], r["n_distinct_values"],
+            r["min_value"], r["max_value"],
+        )
+        for r in json_key_profile(df, "j").collect()
+    }
+    assert got == {
+        "a": (3, 2, "1", "2"),
+        "b": (1, 1, "x", "x"),
+        "c": (1, 1, "true", "true"),
+    }
+
+
+def test_json_key_profile_approx_mode_and_plan(spark):
+    """One scan + one keyed aggregate, both distinct modes; approx
+    agrees exactly on a tiny key space."""
+    from duckdb_imputation_spark.operators.profile import json_key_profile
+
+    df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    exact = json_key_profile(df, "props")
+    exact.collect()
+    plan = exact._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    assert final.count("Join") == 0
+    assert "BatchEvalPython" not in final
+    e = {r["key"]: r["n_present"] for r in exact.collect()}
+    a = {
+        r["key"]: r["n_present"]
+        for r in json_key_profile(df, "props", exact_distinct=False).collect()
+    }
+    assert e == a and e  # events props has at least one key
