@@ -136,28 +136,20 @@ _DRIVER_PRIORITY: list[str] = [
 ]
 
 
-# NEXT-ROTATION CANDIDATES (rows to add when slots open):
-# - grouped_winsorize (profile.py): per-group quantile clipping;
-#   /verify-proven twin = LEAST(GREATEST(x, lo), hi) over
-#   quantile_cont cut points (randomized 300-row cross-engine test,
-#   tests/test_profile.py::test_winsorize_matches_duckdb_quantile_cont
-#   value-exact), NULL propagation pinned against Spark's
-#   greatest/least null-skipping.
-# - streaming_sliding_counts (streaming/): availableNow twin equal to
-#   the batch sliding_counts (tests/test_streaming.py); a driver row
-#   would mirror the streaming_rollup_events pattern.
-# - ewma_halflife / cusum (timeseries.py): keyed-fold ops with
-#   randomized pure-Python twins in tests/test_timeseries.py; a DuckDB
-#   oracle would follow the ewma_events list_reduce pattern (fold the
-#   identical recurrence over ordered prefixes — cusum's state is a
-#   2-field struct, list_reduce handles it the same way).
-# - streaming_retention_sink (streaming/sinks.py): idempotent SET
-#   state; a driver row would pair an availableNow run with the batch
-#   retention row's oracle (the streaming_bloom_sink pattern).
-# - cusum_stream (streaming/cusum_stream.py): equals the batch cusum
-#   row-for-row on in-order sources (tests prove cross-run checkpoint
-#   state recovery); its driver row would be an availableNow twin vs
-#   the batch cusum's list_reduce oracle.
+# NEXT-ROTATION CANDIDATES (rows to add when slots open) — the round-7
+# queue (winsorize, streaming sliding, half-life/cusum folds, retention
+# sink, cusum_stream) all gained rows in r7; the round-8 queue
+# (streaming half-life EWMA, SCD2 batch + sink, leakage-safe split,
+# OHLC resample, JSON key profile) all gained rows in r8:
+# - resample_agg(deterministic=False) fast path: unit-tested equal to
+#   the deterministic mode on unique timestamps; a driver row would
+#   need a min_by/arg_min oracle (DuckDB arg_min tie semantics differ,
+#   so restrict the fixture to unique (key, ts)).
+# - scd2_snapshot_at (operators/scd.py): a point-in-time row would be
+#   a plain BETWEEN filter over the scd2_user_event_type chain —
+#   trivially SQL-twin-able if snapshot semantics need driver evidence.
+# - json_key_profile(exact_distinct=False): HLL twin of the r8 row,
+#   same weaker-evidence caveat as every approx-mode row.
 # Everything else implemented has either a driver row in the window or
 # a past driver-green hash plus local replay coverage.
 
