@@ -19,7 +19,7 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-from duckdb_imputation_spark.plans import executed_plan  # noqa: E402
+from duckdb_imputation_spark.plans import plan_shape  # noqa: E402
 from duckdb_imputation_spark.queries import QUERIES  # noqa: E402
 from duckdb_imputation_spark.session import get_spark  # noqa: E402
 
@@ -33,14 +33,7 @@ def _shape(spark, name):
     spark.catalog.clearCache()
     df = QUERIES[name](spark, SF)
     df.collect()
-    p = executed_plan(df)
-    return {
-        "exchanges": p.count("Exchange hashpartitioning")
-        + p.count("Exchange rangepartitioning"),
-        "single_partition": p.count("Exchange SinglePartition"),
-        "bnlj": p.count("BroadcastNestedLoopJoin"),
-        "row_python": p.count("BatchEvalPython"),
-    }
+    return plan_shape(df)
 
 
 def main() -> None:

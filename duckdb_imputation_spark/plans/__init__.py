@@ -13,6 +13,8 @@ from pyspark.sql import DataFrame
 
 __all__ = [
     "executed_plan",
+    "strip_cached_subtrees",
+    "plan_shape",
     "count_exchanges",
     "count_hash_aggregates",
     "read_schema",
@@ -27,12 +29,59 @@ def executed_plan(df: DataFrame) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def strip_cached_subtrees(plan: str) -> str:
+    """Drop the cached-plan subtree printed under every
+    ``InMemoryRelation`` node (the node line itself stays).
+
+    Spark's plan text re-prints a cached relation's ENTIRE child plan
+    at every reference — a frame persisted once but probed k times
+    shows its build exchanges k times in the string, so naive
+    ``plan.count("Exchange ...")`` over-counts by (k−1)× the build
+    cost.  The cached plan executes ONCE at materialization; live-plan
+    metrics (the plan-shape ratchet, count_exchanges) should count only
+    the live tree."""
+    out: list[str] = []
+    skip_depth: int | None = None
+    for ln in plan.split("\n"):
+        # tree depth = where the node text starts after the branch
+        # glyphs; strictly larger for every descendant, including the
+        # cached plan's ROOT line (which carries no "+-" marker)
+        depth = len(ln) - len(ln.lstrip(" :+-"))
+        if skip_depth is not None:
+            if ln.strip() and depth <= skip_depth:
+                skip_depth = None  # back at the node's level or above
+            else:
+                continue
+        out.append(ln)
+        if "InMemoryRelation" in ln:
+            skip_depth = depth
+    return "\n".join(out)
+
+
+def plan_shape(df: DataFrame) -> dict:
+    """The plan-shape ratchet's metrics over the LIVE plan (cached
+    subtrees stripped — see :func:`strip_cached_subtrees`).  Single
+    source of truth for docs/gen_plan_shapes.py and
+    tests/test_plan_shapes.py."""
+    p = strip_cached_subtrees(executed_plan(df))
+    return {
+        "exchanges": p.count("Exchange hashpartitioning")
+        + p.count("Exchange rangepartitioning"),
+        "single_partition": p.count("Exchange SinglePartition"),
+        "bnlj": p.count("BroadcastNestedLoopJoin"),
+        "row_python": p.count("BatchEvalPython"),
+    }
+
+
 def count_exchanges(df: DataFrame) -> int:
-    """Number of shuffle exchanges in the plan (each is a full network
-    round of the data below it — the unit of scale cost)."""
-    return executed_plan(df).count("Exchange hashpartitioning") + executed_plan(
-        df
-    ).count("Exchange rangepartitioning")
+    """Number of shuffle exchanges in the LIVE plan (each is a full
+    network round of the data below it — the unit of scale cost).
+    Cached subtrees are stripped first: a persisted frame's build plan
+    is re-printed at every reference but executes once."""
+    p = strip_cached_subtrees(executed_plan(df))
+    return p.count("Exchange hashpartitioning") + p.count(
+        "Exchange rangepartitioning"
+    )
 
 
 def count_hash_aggregates(df: DataFrame) -> int:

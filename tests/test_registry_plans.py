@@ -352,3 +352,45 @@ def test_write_table_format_round_trip(spark, tmp_path, fmt):
         back = back.select("id", "name", F.col("x").cast("double"))
     assert back.count() == 50
     assert {tuple(r) for r in back.collect()} == {tuple(r) for r in df.collect()}
+
+
+def test_strip_cached_subtrees_removes_reprinted_build_plans(spark):
+    """A persisted frame probed k times re-prints its build plan k
+    times in the executedPlan string; the stripper keeps the live tree
+    (and the InMemoryRelation node line) but drops the cached child
+    plans, so exchange counts reflect what actually executes."""
+    from pyspark.sql import functions as F
+
+    from duckdb_imputation_spark.plans import (
+        executed_plan,
+        plan_shape,
+        strip_cached_subtrees,
+    )
+
+    base = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))  # 1 exchange in the build
+        .persist()
+    )
+    base.count()  # materialize the cache
+    probes = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "source")
+    out = probes
+    for i in range(3):
+        out = out.join(
+            F.broadcast(base.withColumnRenamed("n", f"n{i}")), "source"
+        )
+    out.collect()
+    raw = executed_plan(out)
+    stripped = strip_cached_subtrees(raw)
+    raw_x = raw.count("Exchange hashpartitioning")
+    live_x = stripped.count("Exchange hashpartitioning")
+    # the build exchange appears once per probe in the raw string but
+    # zero times in the live tree (the probes read the cache)
+    assert raw_x >= 3
+    assert live_x == 0
+    assert "InMemoryRelation" in stripped  # node line survives
+    assert plan_shape(out)["exchanges"] == 0
+    base.unpersist()
