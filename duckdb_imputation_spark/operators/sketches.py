@@ -48,7 +48,9 @@ __all__ = [
     "bloom_contains",
     "bloom_contains_inline",
     "misra_gries_candidates",
+    "misra_gries_candidates_grouped",
     "heavy_hitters",
+    "heavy_hitters_grouped",
     "bloom_size_for",
 ]
 
@@ -623,6 +625,134 @@ def heavy_hitters(
         counted.crossJoin(F.broadcast(total))
         .where(F.col("__c") * (k + 1) > F.col("__n"))
         .select(
+            F.col("v").alias(out_value),
+            F.col("__c").cast("long").alias(out_count),
+        )
+    )
+
+
+def misra_gries_candidates_grouped(
+    df: DataFrame, value_col: str, by_cols: Sequence[str], k: int
+) -> DataFrame:
+    """Per-group Misra–Gries candidates: a frame of DISTINCT
+    (group-as-string..., value) rows guaranteed to contain every value
+    whose frequency WITHIN its group exceeds n_group/(k+1).
+
+    The global pigeonhole argument localizes per group: a value with
+    group frequency > n_g/(k+1) must exceed n_{g,p}/(k+1) among that
+    group's rows in at least one partition p, so it survives that
+    partition's per-group summary.  State per partition is k counters
+    per group PRESENT IN that partition — O(local_groups × k), the
+    honest bound: with corpus-sized group cardinality AND high k,
+    coalesce to fewer partitions or pre-partition by group (one
+    shuffle) to keep local_groups small; the candidate union is at
+    most partitions × local_groups × k rows (same broadcast-budget
+    caveat as :func:`misra_gries_candidates`).
+
+    Rows with a NULL group key or NULL value are EXCLUDED (the
+    repo's grouped-operator convention — matching an inner-join SQL
+    twin).  Group keys travel as strings (g0..gN) for the Arrow
+    boundary; join them back against ``CAST(col AS STRING)``."""
+    import pandas as _pd
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    by = list(by_cols)
+    if not by:
+        raise ValueError("by_cols must be non-empty")
+    gnames = [f"g{i}" for i in range(len(by))]
+    src = df.select(
+        *[
+            F.col(c).cast("string").alias(g)
+            for c, g in zip(by, gnames)
+        ],
+        F.col(value_col).cast("string").alias("v"),
+    )
+    for g in gnames:
+        src = src.where(F.col(g).isNotNull())
+    src = src.where(F.col("v").isNotNull())
+
+    def summarize(batches):
+        state: dict[tuple, dict[str, int]] = {}
+        for pdf in batches:
+            for row in zip(*(pdf[g] for g in gnames), pdf["v"]):
+                *grp, v = row
+                counters = state.setdefault(tuple(grp), {})
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < k:
+                    counters[v] = 1
+                else:
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        cols: dict[str, list] = {g: [] for g in gnames}
+        vs: list[str] = []
+        for grp, counters in state.items():
+            for v in counters:
+                for g, val in zip(gnames, grp):
+                    cols[g].append(val)
+                vs.append(v)
+        yield _pd.DataFrame({**cols, "v": vs})
+
+    schema = ", ".join(f"{g} string" for g in gnames) + ", v string"
+    return src.mapInPandas(summarize, schema).distinct()
+
+
+def heavy_hitters_grouped(
+    df: DataFrame,
+    value_col: str,
+    by_cols: Sequence[str],
+    k: int,
+    out_value: str = "value",
+    out_count: str = "cnt",
+) -> DataFrame:
+    """EXACT per-group heavy hitters: every value whose frequency
+    within its group strictly exceeds n_group/(k+1), with its exact
+    count — frequent tokens per domain, top URLs per crawl slice, the
+    per-stratum face of :func:`heavy_hitters`.
+
+    Same two-pass plan, localized: (1) per-(partition, group)
+    Misra–Gries candidates (:func:`misra_gries_candidates_grouped` —
+    bounded state, no GROUP BY over the corpus-sized (group, value)
+    key space); (2) semi-join the stream against the candidate frame
+    and count ONLY candidates per (group, value), then filter with the
+    integer cross-multiplication ``cnt * (k+1) > n_group`` against the
+    per-group totals (one group-keyed aggregate).  Result equals the
+    naive ``GROUP BY group, value HAVING cnt*(k+1) > group_total`` —
+    the DuckDB oracle — with ties AT the threshold excluded (strict
+    >).  NULL group keys / values excluded, matching the inner-join
+    twin.  The candidate frame is AQE-joined (not force-broadcast):
+    partitions × local_groups × k can exceed the broadcast budget."""
+    by = list(by_cols)
+    cand = misra_gries_candidates_grouped(df, value_col, by, k)
+    gnames = [f"g{i}" for i in range(len(by))]
+    src = df.select(
+        *by,
+        *[
+            F.col(c).cast("string").alias(g)
+            for c, g in zip(by, gnames)
+        ],
+        F.col(value_col).cast("string").alias("v"),
+    )
+    for g in gnames:
+        src = src.where(F.col(g).isNotNull())
+    src = src.where(F.col("v").isNotNull())
+    counted = (
+        src.join(cand, [*gnames, "v"], "left_semi")
+        .groupBy(*by, "v")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    totals = src.groupBy(*by).agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        counted.join(totals, by)
+        .where(F.col("__c") * (k + 1) > F.col("__n"))
+        .select(
+            *by,
             F.col("v").alias(out_value),
             F.col("__c").cast("long").alias(out_count),
         )

@@ -89,6 +89,7 @@ _DRIVER_PRIORITY: list[str] = [
     "resample_agg_events",
     "streaming_scd2_events",
     "json_key_profile_lineitem",
+    "heavy_hitter_tokens_by_source",
     # flagship MICE surface: kept fresh every round by convention
     "mice_single_col_sql_oracle",
     "mice_low_sql_oracle",
@@ -1252,6 +1253,44 @@ def heavy_hitter_tokens(spark, sf):
     d = load_table(spark, sf, "documents")
     tk = d.select(F.explode(_dd.ws_tokens(F.col("text"))).alias("token"))
     return heavy_hitters(tk, "token", k=50)
+
+
+@register(
+    "heavy_hitter_tokens_by_source",
+    oracle=f"""
+    WITH tk AS (
+      SELECT source, unnest({ws_tokens_sql('text')}) AS v
+      FROM documents WHERE source IS NOT NULL
+    ), c AS (
+      SELECT source, v, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM tk GROUP BY source, v
+    ), n AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM tk GROUP BY source
+    )
+    SELECT c.source, v AS value, cnt
+    FROM c JOIN n USING (source) WHERE cnt * 31 > n
+    """,
+)
+def heavy_hitter_tokens_by_source(spark, sf):
+    """PER-GROUP exact heavy hitters (operators/sketches.py
+    heavy_hitters_grouped, k=30): tokens exceeding 1/31 of their
+    SOURCE's token stream — the per-stratum face of the Misra–Gries
+    two-pass plan (frequent tokens per domain, boilerplate per crawl
+    slice).  The pigeonhole bound localizes per group (a group-heavy
+    value survives some partition's per-group summary), so phase 1
+    state is k counters per (partition, local group) and phase 2
+    counts only (group, candidate) pairs against one group-keyed
+    totals aggregate — never a GROUP BY over the corpus-sized
+    (source, token) key space.  Equals the naive per-group
+    GROUP BY ... HAVING oracle; integer threshold, all-integer
+    output."""
+    from .operators.sketches import heavy_hitters_grouped
+
+    d = load_table(spark, sf, "documents")
+    tk = d.select(
+        "source", F.explode(_dd.ws_tokens(F.col("text"))).alias("token")
+    )
+    return heavy_hitters_grouped(tk, "token", ["source"], k=30)
 
 
 def _profile_col_sql(c: str, numeric: bool) -> str:

@@ -153,3 +153,69 @@ def test_bottomk_grouped_rejects_empty_groups_arg(spark):
     df = spark.createDataFrame([("a", "g")], "id string, grp string")
     with _pytest.raises(ValueError, match="by_cols"):
         bottomk_sample_grouped(df, "id", 3, [])
+
+
+# ------------------------------------------------------------------ #
+# grouped heavy hitters                                                #
+# ------------------------------------------------------------------ #
+
+def test_grouped_heavy_hitters_exact_vs_naive(spark):
+    """Per-group result equals the naive GROUP BY ... HAVING with the
+    per-group threshold — on a fixture where the heavy value differs
+    per group and one group has none."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from duckdb_imputation_spark.operators.sketches import (
+        heavy_hitters_grouped,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    rows += [("a", "hot") for _ in range(60)]
+    rows += [("a", f"x{i}") for i in range(40)]            # a: hot=60/100
+    rows += [("b", "warm") for _ in range(35)]
+    rows += [("b", f"y{rng.randrange(50)}") for _ in range(65)]  # b: warm
+    rows += [("c", f"z{i}") for i in range(50)]            # c: all unique
+    rows += [(None, "hot")] * 5 + [("a", None)] * 5        # excluded
+    df = spark.createDataFrame(rows, "g string, v string")
+    got = {
+        (r["g"], r["value"]): r["cnt"]
+        for r in heavy_hitters_grouped(df, "v", ["g"], k=3).collect()
+    }
+    # naive reference
+    from collections import Counter
+    per_group: dict = {}
+    for g, v in rows:
+        if g is None or v is None:
+            continue
+        per_group.setdefault(g, Counter())[v] += 1
+    want = {
+        (g, v): c
+        for g, ctr in per_group.items()
+        for v, c in ctr.items()
+        if c * 4 > sum(ctr.values())
+    }
+    assert got == want
+    assert ("a", "hot") in got and ("b", "warm") in got
+    assert not any(g == "c" for g, _ in got)
+
+
+def test_grouped_heavy_hitters_multi_key_and_int_groups(spark):
+    from duckdb_imputation_spark.operators.sketches import (
+        heavy_hitters_grouped,
+    )
+
+    rows = [(1, "eu", "t") for _ in range(9)] + [(1, "eu", "u")] + [
+        (2, "eu", "t")
+    ]
+    df = spark.createDataFrame(rows, "d int, r string, v string")
+    got = {
+        (r["d"], r["r"], r["value"]): r["cnt"]
+        for r in heavy_hitters_grouped(df, "v", ["d", "r"], k=1).collect()
+    }
+    # group (1, eu): t=9/10 > 1/2; group (2, eu): t=1/1 > 1/2
+    assert got == {(1, "eu", "t"): 9, (2, "eu", "t"): 1}
+    # original int type preserved on the group column
+    assert all(isinstance(k[0], int) for k in got)
