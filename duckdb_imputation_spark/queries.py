@@ -90,6 +90,7 @@ _DRIVER_PRIORITY: list[str] = [
     "streaming_scd2_events",
     "json_key_profile_lineitem",
     "heavy_hitter_tokens_by_source",
+    "scd2_snapshot_events",
     # flagship MICE surface: kept fresh every round by convention
     "mice_single_col_sql_oracle",
     "mice_low_sql_oracle",
@@ -6717,6 +6718,57 @@ def streaming_scd2_events(spark, sf):
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "scd2_snapshot_events",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, event_type, event_id,
+             LAG(event_id)   OVER w AS prev_id,
+             LAG(event_type) OVER w AS prev_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    ), s AS (
+      SELECT user_id, event_type, event_id
+      FROM u
+      WHERE prev_id IS NULL OR event_type IS DISTINCT FROM prev_type
+    ), chain AS (
+      SELECT user_id, event_type,
+             event_id AS valid_from,
+             LEAD(event_id) OVER (
+               PARTITION BY user_id ORDER BY event_id) AS valid_to
+      FROM s
+    ), t AS (
+      SELECT CAST((MIN(event_id) + MAX(event_id)) // 2 AS BIGINT) AS at
+      FROM events
+    )
+    SELECT user_id, event_type, valid_from
+    FROM chain, t
+    WHERE valid_from <= at AND (valid_to IS NULL OR valid_to > at)
+    """,
+)
+def scd2_snapshot_events(spark, sf):
+    """Point-in-time reconstruction (operators/scd.py scd2_snapshot_at)
+    of the SCD2 chain at the data's midpoint event_id ((min+max)/2,
+    computed identically on both engines — sf-independent): exactly one
+    version per user whose validity interval covers the instant.  The
+    snapshot is a plain filter over the history — partition/Z-order on
+    valid_from and it prunes at the scan; the oracle is the same
+    BETWEEN-style predicate over the LAG/LEAD chain CTE."""
+    from .operators.scd import scd2_apply, scd2_snapshot_at
+
+    ev = load_table(spark, sf, "events").select(
+        "user_id", "event_type", "event_id"
+    )
+    lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).first()
+    at = int((lo + hi) // 2)
+    chain = scd2_apply(None, ev, ["user_id"], ["event_type"], "event_id")
+    return scd2_snapshot_at(chain, at).select(
+        "user_id",
+        "event_type",
+        F.col("valid_from").cast("long").alias("valid_from"),
+    )
 
 
 @register("scd2_user_event_type", oracle=_SCD2_ORACLE)
