@@ -91,6 +91,7 @@ _DRIVER_PRIORITY: list[str] = [
     "json_key_profile_lineitem",
     "heavy_hitter_tokens_by_source",
     "scd2_snapshot_events",
+    "streaming_sessionize_events",
     # flagship MICE surface: kept fresh every round by convention
     "mice_single_col_sql_oracle",
     "mice_low_sql_oracle",
@@ -4098,9 +4099,7 @@ def dedup_cluster_sizes(spark, sf):
     )
 
 
-@register(
-    "sessionize_events",
-    oracle="""
+_SESSIONIZE_ORACLE = """
     WITH trunc AS (
       SELECT user_id, date_trunc('second', ts) AS ts,
              CAST(ROUND(value * 100) AS BIGINT) AS value_c
@@ -4123,8 +4122,10 @@ def dedup_cluster_sizes(spark, sf):
            CAST(COUNT(*) AS INT) AS n_events,
            CAST(SUM(value_c) AS BIGINT) AS sum_value_c
     FROM sess GROUP BY user_id, sid
-    """,
-)
+"""
+
+
+@register("sessionize_events", oracle=_SESSIONIZE_ORACLE)
 def sessionize_events(spark, sf):
     """Gap-based sessionization of the events stream table (batch form of
     the stateful streaming operator; 10-minute inactivity gap).  Values
@@ -4144,6 +4145,81 @@ def sessionize_events(spark, sf):
         "n_events",
         F.col("sum_value").cast("long").alias("sum_value_c"),
     )
+
+
+@register("streaming_sessionize_events", oracle=_SESSIONIZE_ORACLE)
+def streaming_sessionize_events(spark, sf):
+    """The LIVE sessionizer end to end (streaming/sessionize.py
+    sessionize_stream on applyInPandasWithState, EventTimeTimeout):
+    the event stream replays under availableNow with ONE sentinel row
+    (user_id −1) a day past the data's horizon — the sentinel advances
+    the final watermark past every real session's timeout, and Spark's
+    no-data micro-batch then fires the timed-out state, so every real
+    session flushes to the append sink (the sentinel's own session
+    stays open and is filtered with its user).  State per user is one
+    open session (four scalars), O(active users) never O(events).  The
+    closed-session set must equal the batch gap-sessionization row for
+    row — the SAME oracle as `sessionize_events` verifies both."""
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming.sessionize import sessionize_stream
+
+    ev = load_table(spark, sf, "events").select(
+        F.date_trunc("second", "ts").alias("ts"),
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("value_c"),
+    )
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    sentinel = spark.createDataFrame(
+        [(max_ts, -1, 0)], "ts timestamp, user_id long, value_c long"
+    ).select(
+        (F.col("ts") + F.expr("INTERVAL 1 DAY")).alias("ts"),
+        "user_id",
+        "value_c",
+    )
+    src_df = ev.unionByName(sentinel)
+    tmp = tempfile.mkdtemp(prefix="sessionize_stream_row_")
+    outdir = f"{_session_scratch('sessionize_stream_out_')}/out"
+    try:
+        src = f"{tmp}/src"
+        os.makedirs(src)
+        src_df.coalesce(1).write.parquet(f"{tmp}/h0")
+        part = [
+            f for f in os.listdir(f"{tmp}/h0") if f.endswith(".parquet")
+        ][0]
+        shutil.copy(f"{tmp}/h0/{part}", f"{src}/all.parquet")
+        stream = spark.readStream.schema(src_df.schema).parquet(src)
+        q = (
+            sessionize_stream(
+                stream,
+                gap_seconds=600,
+                value_col="value_c",
+                watermark="10 minutes",
+            )
+            .writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", f"{tmp}/cp")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = spark.read.parquet(outdir).where(F.col("user_id") >= 0)
+        return out.select(
+            "user_id",
+            F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_end"
+            ),
+            "n_events",
+            F.col("sum_value").cast("long").alias("sum_value_c"),
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 @register(
