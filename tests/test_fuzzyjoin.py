@@ -154,3 +154,31 @@ def test_fuzzy_max_block_caps_hot_variants(spark):
         ).collect()
     }
     assert capped == {(10, 11)}
+
+
+def test_variant_block_stats_quantifies_cap_drop(spark):
+    """The diagnostic reports exactly what max_block would drop —
+    visibility for the recall trade (bucket_skew_stats' mirror)."""
+    from duckdb_imputation_spark.operators.fuzzyjoin import (
+        fuzzy_self_pairs,
+        variant_block_stats,
+    )
+
+    rows = [(i, "hotname") for i in range(30)] + [
+        (100 + i, f"cold{i:02d}") for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    stats = variant_block_stats(df, "name", cap=25)
+    # the 30 identical names share every variant block of "hotname"
+    # (len 7 -> 8 variant blocks of size >= 30); cold names are unique
+    assert stats["max_block_size"] >= 30
+    assert stats["dropped_blocks"] >= 8
+    assert stats["dropped_rows"] >= 8 * 30
+    # uncapped: no drop keys present
+    stats2 = variant_block_stats(df, "name")
+    assert "dropped_blocks" not in stats2
+    assert stats2["blocks"] > 0
+    # and the capped join's recall loss is exactly the hot-key pairs:
+    capped = fuzzy_self_pairs(df, "id", "name", max_block=25)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert not any(a < 30 and b < 30 for a, b in got)  # hot pairs gone
