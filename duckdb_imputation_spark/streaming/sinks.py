@@ -225,24 +225,49 @@ def streaming_rollup_sink(
     O(|batch| + touched-buckets), independent of table age.
 
     ``aggs`` maps output column -> ("count" | "sum" | "min" | "max",
-    input column; the input column is ignored for "count").  Only
-    MERGEABLE aggregates are accepted — count and sum re-merge by sum,
-    min/max by themselves — which is exactly what makes the rollup
-    incrementally maintainable.  avg = sum/count at read time.
+    input column; the input column is ignored for "count") or
+    ("first" | "last", (ts_col, value_col)).  Only MERGEABLE
+    aggregates are accepted — count and sum re-merge by sum, min/max
+    by themselves, and first/last as struct-ordered min/max over
+    (ts, value): the stored cell is a ``struct<t, v>`` whose merge is
+    associative AND idempotent (min of mins), read the value back as
+    ``out.v``.  That makes a continuous OHLC rollup (the persisted
+    face of ``operators.timeseries.resample_agg``) expressible:
+    ``{"v_open": ("first", ("t", "v")), "v_close": ("last", ("t",
+    "v")), ...}``.  avg = sum/count at read time.  NULL values are
+    excluded from first/last (SQL aggregate semantics); ties on ts
+    break lexicographically on (ts, value), same rule as
+    ``resample_agg(deterministic=True)`` — and the same SortAggregate
+    note applies to the micro-batch aggregate (spill-safe, still
+    partial+final).
 
     Recovery note: like the count-min sink (and unlike HLL register
     max), count/sum merges are additive, so replaying a batch
     double-counts — pair with a ``checkpoint`` dir for exactly-once.
-    min/max ARE idempotent under replay."""
+    min/max/first/last ARE idempotent under replay."""
     from ..sources import upsert_table
 
     keys = list(key_cols)
-    merge_fn = {"count": F.sum, "sum": F.sum, "min": F.min, "max": F.max}
-    for out, (kind, _) in aggs.items():
+    merge_fn = {
+        "count": F.sum,
+        "sum": F.sum,
+        "min": F.min,
+        "max": F.max,
+        "first": F.min,
+        "last": F.max,
+    }
+    for out, (kind, spec) in aggs.items():
         if kind not in merge_fn:
             raise ValueError(
                 f"{out}: {kind!r} is not a mergeable rollup aggregate "
-                "(use count/sum/min/max; derive avg as sum/count)"
+                "(use count/sum/min/max/first/last; derive avg as "
+                "sum/count)"
+            )
+        if kind in ("first", "last") and (
+            not isinstance(spec, (tuple, list)) or len(spec) != 2
+        ):
+            raise ValueError(
+                f"{out}: {kind} needs (ts_col, value_col), got {spec!r}"
             )
 
     def batch_exprs():
@@ -250,6 +275,16 @@ def streaming_rollup_sink(
         for out, (kind, col) in aggs.items():
             if kind == "count":
                 exprs.append(F.count(F.lit(1)).cast("long").alias(out))
+            elif kind in ("first", "last"):
+                ts_c, v_c = col
+                nn = F.when(
+                    F.col(v_c).isNotNull(),
+                    F.struct(
+                        F.col(ts_c).alias("t"), F.col(v_c).alias("v")
+                    ),
+                )
+                agg = F.min(nn) if kind == "first" else F.max(nn)
+                exprs.append(agg.alias(out))
             else:
                 exprs.append(getattr(F, kind)(col).alias(out))
         return exprs

@@ -1102,3 +1102,72 @@ def test_streaming_scd2_sink_matches_batch_and_survives_replay(
     # forced full redelivery: fresh checkpoint, same files, same state
     run("cp2")
     assert snap() == want
+
+
+def test_rollup_sink_ohlc_first_last_merge_and_replay(spark, tmp_path):
+    """first/last (struct-ordered min/max over (ts, value)) merge
+    correctly ACROSS micro-batches — the second batch carries an
+    earlier-ts row for one key, so the stored open must move backward —
+    and, being min/max-class, survive a replayed batch unchanged."""
+    from duckdb_imputation_spark.streaming.sinks import (
+        streaming_rollup_sink,
+    )
+
+    schema = "k long, t long, v double"
+    rows1 = [(1, 10, 5.0), (1, 12, 7.0), (2, 3, 1.0)]
+    rows2 = [(1, 8, 2.0), (2, 30, 9.0), (1, 15, None)]  # NULL excluded
+    src = tmp_path / "ohlc_src"
+    state = str(tmp_path / "ohlc_state")
+    aggs = {
+        "n": ("count", None),
+        "v_open": ("first", ("t", "v")),
+        "v_close": ("last", ("t", "v")),
+        "v_min": ("min", "v"),
+        "v_max": ("max", "v"),
+    }
+
+    def run(ckpt):
+        stream = spark.readStream.schema(
+            spark.createDataFrame([], schema).schema
+        ).option("maxFilesPerTrigger", 1).parquet(str(src / "*"))
+        q = (
+            streaming_rollup_sink(
+                stream, state, ["k"], aggs,
+                checkpoint=str(tmp_path / ckpt),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(
+        str(src / "f1")
+    )
+    run("cp")
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(
+        str(src / "f2")
+    )
+    run("cp")
+
+    def snap():
+        return {
+            r["k"]: (
+                r["n"], r["v_open"]["v"], r["v_close"]["v"],
+                r["v_min"], r["v_max"],
+            )
+            for r in spark.read.parquet(state).collect()
+        }
+
+    got = snap()
+    # key 1: open moved BACK to t=8 (2.0) by batch 2; close t=12 (7.0,
+    # the t=15 NULL is excluded); n counts all 4 rows incl the NULL row
+    assert got[1] == (4, 2.0, 7.0, 2.0, 7.0)
+    assert got[2] == (2, 1.0, 9.0, 1.0, 9.0)
+
+    # replay both files on a fresh checkpoint: first/last/min/max are
+    # idempotent (count doubles - the documented additive caveat)
+    run("cp_replay")
+    got2 = snap()
+    for k in (1, 2):
+        assert got2[k][1:] == got[k][1:]
+        assert got2[k][0] == 2 * got[k][0]
