@@ -92,6 +92,7 @@ _DRIVER_PRIORITY: list[str] = [
     "heavy_hitter_tokens_by_source",
     "scd2_snapshot_events",
     "streaming_sessionize_events",
+    "streaming_ohlc_rollup_events",
     # flagship MICE surface: kept fresh every round by convention
     "mice_single_col_sql_oracle",
     "mice_low_sql_oracle",
@@ -6650,9 +6651,7 @@ def json_key_profile_lineitem(spark, sf):
     return json_key_profile(li.select(j.alias("j")), "j")
 
 
-@register(
-    "resample_agg_events",
-    oracle="""
+_RESAMPLE_AGG_ORACLE = """
     WITH s AS (
       SELECT user_id,
              CAST(FLOOR(epoch_us(CAST(ts AS TIMESTAMP)) / 1000000)
@@ -6670,8 +6669,98 @@ def json_key_profile_lineitem(spark, sf):
            MAX(v) AS v_max,
            CAST(SUM(v) AS BIGINT) AS v_sum
     FROM s GROUP BY 1, 2
-    """,
-)
+"""
+
+
+def _resample_agg_src(spark, sf):
+    ev = load_table(spark, sf, "events").where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    return ev.select(
+        "user_id",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1_000_000)
+        ).cast("long").alias("t"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+
+
+@register("streaming_ohlc_rollup_events", oracle=_RESAMPLE_AGG_ORACLE)
+def streaming_ohlc_rollup_events(spark, sf):
+    """The persisted face of `resample_agg_events`: the continuous
+    rollup sink (streaming/sinks.py streaming_rollup_sink) with the
+    round-8 first/last kinds maintains the hourly OHLC table across
+    TWO availableNow runs split on t (the second run's earlier keys
+    merge into stored buckets: count/sum add, min/max and the
+    struct-ordered first/last re-minimize — the mergeable-aggregate
+    contract end to end).  Only touched buckets rewrite per batch.
+    Reading the state back must equal the batch operator — the SAME
+    oracle as `resample_agg_events` verifies both."""
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming.sinks import streaming_rollup_sink
+
+    src_df = _resample_agg_src(spark, sf).withColumn(
+        "bucket_ts",
+        (F.floor(F.col("t") / F.lit(3600)) * F.lit(3600)).cast("long"),
+    )
+    lo, hi = src_df.agg(F.min("t"), F.max("t")).first()
+    mid = (lo + hi) // 2
+    tmp = tempfile.mkdtemp(prefix="ohlc_rollup_row_")
+    state = f"{_session_scratch('ohlc_rollup_state_')}/state"
+    try:
+        src = f"{tmp}/src"
+        os.makedirs(src)
+        halves = [
+            src_df.where(F.col("t") <= mid),
+            src_df.where(F.col("t") > mid),
+        ]
+        for i, half in enumerate(halves):
+            half.coalesce(1).write.parquet(f"{tmp}/h{i}")
+            part = [
+                f
+                for f in os.listdir(f"{tmp}/h{i}")
+                if f.endswith(".parquet")
+            ][0]
+            shutil.copy(f"{tmp}/h{i}/{part}", f"{src}/half{i}.parquet")
+            stream = spark.readStream.schema(src_df.schema).parquet(src)
+            q = (
+                streaming_rollup_sink(
+                    stream,
+                    state,
+                    ["user_id", "bucket_ts"],
+                    {
+                        "n": ("count", None),
+                        "v_open": ("first", ("t", "v")),
+                        "v_close": ("last", ("t", "v")),
+                        "v_min": ("min", "v"),
+                        "v_max": ("max", "v"),
+                        "v_sum": ("sum", "v"),
+                    },
+                    checkpoint=f"{tmp}/cp",
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        out = spark.read.parquet(state)
+        return out.select(
+            "user_id",
+            "bucket_ts",
+            F.col("n").cast("long").alias("n"),
+            F.col("v_open.v").cast("long").alias("v_open"),
+            F.col("v_close.v").cast("long").alias("v_close"),
+            F.col("v_min").cast("long").alias("v_min"),
+            F.col("v_max").cast("long").alias("v_max"),
+            F.col("v_sum").cast("long").alias("v_sum"),
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register("resample_agg_events", oracle=_RESAMPLE_AGG_ORACLE)
 def resample_agg_events(spark, sf):
     """OHLC-style hourly downsampling (operators/timeseries.py
     resample_agg, deterministic mode) of each user's event values in
@@ -6686,17 +6775,9 @@ def resample_agg_events(spark, sf):
     timestamps are unique anyway."""
     from .operators.timeseries import resample_agg
 
-    ev = load_table(spark, sf, "events").where(
-        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    out = resample_agg(
+        _resample_agg_src(spark, sf), ["user_id"], "t", "v", step=3600
     )
-    src = ev.select(
-        "user_id",
-        F.floor(
-            F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1_000_000)
-        ).cast("long").alias("t"),
-        F.round(F.col("value") * 100).cast("long").alias("v"),
-    )
-    out = resample_agg(src, ["user_id"], "t", "v", step=3600)
     return out.select(
         "user_id",
         "bucket_ts",
