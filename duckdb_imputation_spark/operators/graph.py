@@ -32,6 +32,7 @@ __all__ = [
     "hits",
     "connected_components",
     "connected_components_alternating",
+    "incremental_components",
 ]
 
 
@@ -419,3 +420,55 @@ def connected_components_alternating(
         .select("node", F.col("node").alias("component"))
     )
     return members.unionByName(singletons)
+
+
+def incremental_components(
+    state: DataFrame | None,
+    new_edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Merge a batch of NEW edges into an existing (node, component)
+    mapping — the incremental face of :func:`connected_components`,
+    for dedup-cluster / entity-resolution tables that must stay
+    current as pairs stream in (re-running full CC over all history
+    per batch is O(corpus); this is O(batch + touched components)).
+
+    Returns the updated (node, component) rows for EXACTLY the
+    affected nodes: the batch's endpoints plus every node of any
+    component they touch (a merge relabels whole components, so their
+    members must all be rewritable) — suitable for a node-keyed
+    upsert.  Untouched components are probed by one semi-join and
+    never rewritten.  ``state=None`` degrades to plain CC over the
+    batch.
+
+    Correctness: the existing mapping rides into the propagation as
+    (node -> old_component) edges — old component ids ARE node ids
+    (min labels), so connectivity within old components is preserved
+    and the fixpoint label is the min node id over the MERGED
+    component, exactly what full CC over (history + batch) yields for
+    those nodes.  Replaying the same batch against the post-merge
+    state returns the identical mapping (min is stable), so the merge
+    is IDEMPOTENT — the property the streaming sink's replay safety
+    rides on."""
+    e = new_edges.select(
+        F.col(src).alias("__s"), F.col(dst).alias("__d")
+    ).where(F.col("__s").isNotNull() & F.col("__d").isNotNull())
+    if state is None:
+        return connected_components(new_edges, src, dst, max_iters=max_iters)
+    batch_nodes = (
+        e.select(F.col("__s").alias("node"))
+        .unionByName(e.select(F.col("__d").alias("node")))
+        .distinct()
+    )
+    touched = (
+        state.join(batch_nodes, "node", "left_semi")
+        .select("component")
+        .distinct()
+    )
+    sub = state.join(touched, "component", "left_semi")
+    graph = e.unionByName(
+        sub.select(F.col("node").alias("__s"), F.col("component").alias("__d"))
+    )
+    return connected_components(graph, "__s", "__d", max_iters=max_iters)

@@ -93,6 +93,7 @@ _DRIVER_PRIORITY: list[str] = [
     "scd2_snapshot_events",
     "streaming_sessionize_events",
     "streaming_ohlc_rollup_events",
+    "streaming_components_events",
     # flagship MICE surface: kept fresh every round by convention
     "mice_single_col_sql_oracle",
     "mice_low_sql_oracle",
@@ -5866,9 +5867,7 @@ def bloom_membership_fingerprints(spark, sf):
     )
 
 
-@register(
-    "connected_components_pages",
-    oracle="""
+_CC_PAGES_ORACLE = """
     WITH RECURSIVE seq AS (
       SELECT user_id, ts, event_id,
              CAST(json_extract_string(props, '$.k') AS INT) AS k
@@ -5889,8 +5888,85 @@ def bloom_membership_fingerprints(spark, sf):
       SELECT e.dst, r.lbl FROM reach r JOIN sym e ON r.node = e.src
     )
     SELECT node, MIN(lbl) AS component FROM reach GROUP BY node
-    """,
-)
+"""
+
+
+def _strong_navigation_edges(spark, sf):
+    from .operators.graph import navigation_edges
+
+    ev = load_table(spark, sf, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+    return navigation_edges(ev, "user_id", "k", ["ts", "event_id"]).where(
+        F.col("weight") >= 5
+    )
+
+
+@register("streaming_components_events", oracle=_CC_PAGES_ORACLE)
+def streaming_components_events(spark, sf):
+    """INCREMENTAL connected components end to end (streaming/sinks.py
+    streaming_components_sink on graph.incremental_components): the
+    strong-navigation edge list arrives as TWO availableNow runs split
+    on src (run 2's edges bridge run-1 components, exercising the
+    merge-relabel path, not just insertion), sharing one checkpoint.
+    Per batch only the AFFECTED nodes relabel (batch endpoints + every
+    member of a touched component) and only their node-hash buckets
+    rewrite; the merge is idempotent by construction (full redelivery
+    converges — asserted in tests/test_graph.py).  The final mapping
+    must equal one-shot CC over all edges, so the SAME recursive-CTE
+    oracle as `connected_components_pages` verifies both."""
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming.sinks import streaming_components_sink
+
+    edges = _strong_navigation_edges(spark, sf).select("src", "dst")
+    lo, hi = edges.agg(F.min("src"), F.max("src")).first()
+    if lo is None:  # no strong edges at this SF: empty mapping
+        return spark.createDataFrame([], "node int, component int")
+    mid = (lo + hi) // 2
+    tmp = tempfile.mkdtemp(prefix="cc_stream_row_")
+    state = f"{_session_scratch('cc_stream_state_')}/state"
+    try:
+        src = f"{tmp}/src"
+        os.makedirs(src)
+        halves = [
+            edges.where(F.col("src") <= mid),
+            edges.where(F.col("src") > mid),
+        ]
+        for i, half in enumerate(halves):
+            half.coalesce(1).write.parquet(f"{tmp}/h{i}")
+            part = [
+                f
+                for f in os.listdir(f"{tmp}/h{i}")
+                if f.endswith(".parquet")
+            ][0]
+            shutil.copy(f"{tmp}/h{i}/{part}", f"{src}/half{i}.parquet")
+            stream = spark.readStream.schema(edges.schema).parquet(src)
+            q = (
+                streaming_components_sink(
+                    stream,
+                    state,
+                    n_buckets=8,
+                    checkpoint=f"{tmp}/cp",
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        return spark.read.parquet(state).select(
+            F.col("node").cast("int").alias("node"),
+            F.col("component").cast("int").alias("component"),
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register("connected_components_pages", oracle=_CC_PAGES_ORACLE)
 def connected_components_pages(spark, sf):
     """Connected components (operators/graph.py, min-label propagation
     with exact early stop) over the STRONG navigation graph — page
@@ -5902,18 +5978,9 @@ def connected_components_pages(spark, sf):
     converged-early is detected exactly (zero changed labels), so the
     result IS the fixpoint — which is what the oracle's recursive-CTE
     reachability closure computes."""
-    from .operators.graph import connected_components, navigation_edges
+    from .operators.graph import connected_components
 
-    ev = load_table(spark, sf, "events").select(
-        "user_id",
-        "ts",
-        "event_id",
-        F.get_json_object("props", "$.k").cast("int").alias("k"),
-    )
-    edges = navigation_edges(ev, "user_id", "k", ["ts", "event_id"]).where(
-        F.col("weight") >= 5
-    )
-    return connected_components(edges)
+    return connected_components(_strong_navigation_edges(spark, sf))
 
 
 @register(

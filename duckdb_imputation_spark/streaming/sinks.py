@@ -22,6 +22,7 @@ __all__ = [
     "streaming_retention_sink",
     "streaming_scd2_sink",
     "scd2_read",
+    "streaming_components_sink",
 ]
 
 
@@ -568,3 +569,60 @@ def scd2_read(spark, path: str) -> DataFrame:
         closed = spark.read.parquet(closed_path).drop("__key", "__period")
         return closed.select(*cur.columns).unionByName(cur)
     return cur
+
+
+def streaming_components_sink(
+    stream: DataFrame,
+    path: str,
+    src: str = "src",
+    dst: str = "dst",
+    n_buckets: int = 64,
+    checkpoint: str | None = None,
+):
+    """Continuously maintain a connected-components (dedup-cluster /
+    entity-resolution) table as edges stream in: per micro-batch,
+    :func:`~..operators.graph.incremental_components` computes new
+    labels for ONLY the affected nodes (batch endpoints + members of
+    any component they touch), then upserts them keyed on node into a
+    state table partitioned on ``pmod(node, n_buckets)`` — a STABLE
+    partition key (a node's bucket never changes even when its
+    component does), so a batch rewrites at most the buckets its
+    affected nodes hash into.
+
+    Per-batch cost: O(batch + touched components + affected buckets) —
+    independent of the graph's total age.  Replay safety: the merge is
+    idempotent by construction (re-delivering a processed batch finds
+    every component already merged and rewrites identical rows), so a
+    crash/replay converges without relying on the checkpoint.  Read
+    the mapping back with ``spark.read.parquet(path)`` (columns node,
+    component, plus the sink's __key/__bucket internals)."""
+    from ..operators.graph import incremental_components
+    from ..sources import upsert_table_partitioned
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        spark = batch.sparkSession
+        if _state_exists(spark, path):
+            state = spark.read.parquet(path).select("node", "component")
+        else:
+            state = None
+        delta = incremental_components(state, batch, src, dst)
+        if not delta.head(1):
+            return
+        keyed = delta.withColumn(
+            "__key", F.col("node").cast("string")
+        ).withColumn(
+            "__bucket", F.pmod(F.hash("node"), F.lit(int(n_buckets)))
+        )
+        if state is not None:
+            upsert_table_partitioned(spark, path, keyed, "__key", "__bucket")
+        else:
+            keyed.write.partitionBy("__bucket").mode("overwrite").parquet(
+                path
+            )
+
+    writer = stream.writeStream.foreachBatch(apply)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer

@@ -148,3 +148,108 @@ def test_hits_hub_vs_authority_roles(spark):
     assert got[0][1] == 0.0          # no authority (nothing links to it)
     for i in range(1, 5):
         assert got[i][0] == 0.0 and abs(got[i][1] - 0.25) < 1e-12
+
+
+# ------------------------------------------------------------------ #
+# incremental_components                                               #
+# ------------------------------------------------------------------ #
+
+def test_incremental_components_merges_and_is_idempotent(spark):
+    """Batch 2's bridge edge merges two existing components; the
+    affected-node delta equals full CC over all edges restricted to the
+    affected nodes, untouched components are absent from the delta, and
+    replaying batch 2 against the merged state is a no-op mapping."""
+    from duckdb_imputation_spark.operators.graph import (
+        connected_components,
+        incremental_components,
+    )
+
+    b1 = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21)], "src long, dst long"
+    )
+    state = incremental_components(None, b1)
+    s1 = {r["node"]: r["component"] for r in state.collect()}
+    assert s1 == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+    # bridge 3-10 merges {1,2,3} with {10,11}; 20/21 untouched
+    b2 = spark.createDataFrame([(3, 10), (30, 31)], "src long, dst long")
+    state_df = spark.createDataFrame(
+        [(k, v) for k, v in s1.items()], "node long, component long"
+    )
+    delta = incremental_components(state_df, b2)
+    d = {r["node"]: r["component"] for r in delta.collect()}
+    assert d == {1: 1, 2: 1, 3: 1, 10: 1, 11: 1, 30: 30, 31: 30}
+    assert 20 not in d and 21 not in d  # untouched component not rewritten
+
+    # merged view equals full CC over all edges
+    merged = {**s1, **d}
+    full = {
+        r["node"]: r["component"]
+        for r in connected_components(b1.unionByName(b2)).collect()
+    }
+    assert merged == full
+
+    # replay batch 2 against the merged state: identical mapping
+    merged_df = spark.createDataFrame(
+        [(k, v) for k, v in merged.items()], "node long, component long"
+    )
+    replay = {
+        r["node"]: r["component"]
+        for r in incremental_components(merged_df, b2).collect()
+    }
+    assert all(merged[k] == v for k, v in replay.items())
+
+
+def test_streaming_components_sink_matches_batch_cc(spark, tmp_path):
+    """Two availableNow runs (the second bridges run-1 components) end
+    with state equal to batch CC over all edges; forced full redelivery
+    on a fresh checkpoint converges to the same state."""
+    from duckdb_imputation_spark.operators.graph import connected_components
+    from duckdb_imputation_spark.streaming.sinks import (
+        streaming_components_sink,
+    )
+
+    schema = "src long, dst long"
+    rows1 = [(1, 2), (2, 3), (10, 11), (20, 21)]
+    rows2 = [(3, 10), (30, 31), (11, 12)]
+    src_dir = tmp_path / "cc_src"
+    state = str(tmp_path / "cc_state")
+
+    def run(ckpt):
+        stream = spark.readStream.schema(
+            spark.createDataFrame([], schema).schema
+        ).option("maxFilesPerTrigger", 1).parquet(str(src_dir / "*"))
+        q = (
+            streaming_components_sink(
+                stream, state, n_buckets=4,
+                checkpoint=str(tmp_path / ckpt),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(
+        str(src_dir / "f1")
+    )
+    run("cp")
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(
+        str(src_dir / "f2")
+    )
+    run("cp")
+
+    def snap():
+        return {
+            r["node"]: r["component"]
+            for r in spark.read.parquet(state).collect()
+        }
+
+    want = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            spark.createDataFrame(rows1 + rows2, schema)
+        ).collect()
+    }
+    assert snap() == want
+    run("cp_replay")  # full redelivery
+    assert snap() == want
