@@ -47,6 +47,7 @@ __all__ = [
     "minhash_decontaminate",
     "ngram_decontaminate",
     "bloom_decontaminate",
+    "novelty_scores",
     "dedup_components",
     "simhash",
     "simhash_pairs",
@@ -1106,3 +1107,89 @@ def bloom_decontaminate(
         maybe.join(taint, "__h", "left_semi").select(id_col).distinct()
     )
     return train.join(tainted, id_col, "left_anti")
+
+
+def novelty_scores(
+    df: DataFrame,
+    reference: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+    fp_rate: float | None = None,
+    m_bits: int | None = None,
+    k_hashes: int | None = None,
+) -> DataFrame:
+    """Per-document n-gram NOVELTY against a reference corpus: for each
+    document, how many of its distinct token n-grams do NOT appear
+    anywhere in ``reference`` — the curation metric for "how new is
+    this shard" (near-zero novelty = boilerplate /近-duplicate mass;
+    it is the set-level complement of the decontamination family and
+    shares its exact gram pipeline, so scores are comparable across
+    both).
+
+    Returns (id_col, n_grams, n_novel, novelty) with ``novelty =
+    n_novel / n_grams`` as a double (NULL when a document has no
+    grams — such documents, and rows with NULL text, do not appear).
+
+    Plans:
+
+    * default (``fp_rate``/``m_bits`` unset): per-doc distinct gram
+      hashes LEFT-ANTI the reference's distinct gram set — one gram-
+      keyed shuffle, exact.
+    * Bloom-prefiltered (set ``fp_rate`` for auto-sizing via
+      ``bloom_size_for``, or explicit ``m_bits``/``k_hashes``): the
+      reference set becomes an m-bit filter probed MAP-SIDE
+      (``bloom_contains_inline`` — zero shuffle of the corpus grams);
+      "definitely absent" grams are novel WITHOUT any join (Bloom has
+      no false negatives), and only the "maybe present" remainder
+      reaches the exact anti-join — the same two-phase shape as
+      :func:`bloom_decontaminate`, result IDENTICAL by construction.
+      This is the corpus path: most grams of genuinely novel text
+      resolve map-side."""
+    from .sketches import bloom_build, bloom_contains_inline, bloom_size_for
+
+    doc_grams = _gram_hashes(df, text_col, n, id_col=id_col)
+    totals = doc_grams.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams")
+    )
+    ref = _gram_hashes(reference, text_col, n)
+    if fp_rate is None and m_bits is None:
+        novel = doc_grams.join(ref, "__h", "left_anti")
+    else:
+        ref_s = ref.select(F.col("__h").cast("string").alias("__h"))
+        if m_bits is None:
+            n_ref = ref_s.agg(
+                F.approx_count_distinct("__h").alias("n")
+            ).first()["n"]
+            m_bits, auto_k = bloom_size_for(
+                max(1, int(n_ref)), fp_rate or 0.01
+            )
+            if k_hashes is None:
+                k_hashes = auto_k
+        elif k_hashes is None:
+            k_hashes = 5
+        bf = bloom_build(ref_s, "__h", m_bits=m_bits, k_hashes=k_hashes)
+        probed = bloom_contains_inline(
+            doc_grams.withColumn("__hs", F.col("__h").cast("string")),
+            bf,
+            "__hs",
+            m_bits=m_bits,
+            k_hashes=k_hashes,
+        )
+        definite = probed.where(~F.col("maybe_present")).select(
+            id_col, "__h"
+        )
+        maybe = probed.where(F.col("maybe_present")).select(id_col, "__h")
+        novel = definite.unionByName(maybe.join(ref, "__h", "left_anti"))
+    novels = novel.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_novel")
+    )
+    return totals.join(novels, id_col, "left").select(
+        id_col,
+        "n_grams",
+        F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+        (
+            F.coalesce("n_novel", F.lit(0)).cast("double")
+            / F.col("n_grams")
+        ).alias("novelty"),
+    )

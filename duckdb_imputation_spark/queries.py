@@ -94,6 +94,7 @@ _DRIVER_PRIORITY: list[str] = [
     "streaming_sessionize_events",
     "streaming_ohlc_rollup_events",
     "streaming_components_events",
+    "novelty_scores_documents",
     # flagship MICE surface: kept fresh every round by convention
     "mice_single_col_sql_oracle",
     "mice_low_sql_oracle",
@@ -2647,6 +2648,59 @@ def _ngram_decontaminate_oracle(mod: int = 97) -> str:
     SELECT doc_id FROM documents
     WHERE doc_id NOT IN (SELECT doc_id FROM bad)
     """
+
+
+def _novelty_oracle(n: int = 8, mod: int = 3) -> str:
+    from .operators.hashing import md5_int60_sql
+
+    def grams(col: str) -> str:
+        toks = _ws_sql(col)
+        return (
+            f"CASE WHEN length({toks}) >= {n} THEN "
+            f"list_transform(range(1, length({toks}) - {n - 1} + 1), "
+            f"i -> array_to_string(({toks})[CAST(i AS INT):CAST(i AS INT) + {n - 1}], ' ')) "
+            f"ELSE [array_to_string({toks}, ' ')] END"
+        )
+
+    h = md5_int60_sql("g")
+    return f"""
+    WITH rg AS (
+      SELECT DISTINCT {h} AS h FROM (
+        SELECT unnest({grams('text')}) AS g
+        FROM documents WHERE doc_id % {mod} = 0
+      )
+    ), dg AS (
+      SELECT doc_id, {h} AS h FROM (
+        SELECT doc_id, unnest(list_distinct({grams('text')})) AS g
+        FROM documents
+      )
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(*) FILTER (h NOT IN (SELECT h FROM rg))
+                AS BIGINT) AS n_novel
+    FROM dg GROUP BY doc_id
+    """
+
+
+@register("novelty_scores_documents", oracle=_novelty_oracle())
+def novelty_scores_documents(spark, sf):
+    """Per-document 8-gram NOVELTY vs a reference third of the corpus
+    (dedup.novelty_scores, exact path): how many of a doc's distinct
+    token 8-grams appear nowhere in the doc_id%3==0 reference — the
+    "how new is this shard" curation metric, the set-level complement
+    of the decontamination family on the SAME gram pipeline.  The row
+    emits the two integer counts only (the novelty ratio is
+    client-side arithmetic): zero rounding surface.  One gram-keyed
+    anti-join; the Bloom-prefiltered corpus path (map-side
+    definitely-absent resolution) is unit-tested identical."""
+    from .operators.dedup import novelty_scores
+
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    ref = d.where(F.col("doc_id") % 3 == 0)
+    return novelty_scores(d, ref, "text", "doc_id", n=8).select(
+        "doc_id", "n_grams", "n_novel"
+    )
 
 
 def _dup_passage_oracle(n: int = 5, min_run: int = 3) -> str:

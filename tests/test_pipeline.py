@@ -1244,3 +1244,54 @@ def test_leakage_safe_split_groups_duplicates_and_matches_hash_split(spark):
             continue
         assert got[i] == (plain[i], i), i
     assert len(got) == len(ids)  # left join never drops or duplicates
+
+
+# ------------------------------------------------------------------ #
+# novelty_scores                                                      #
+# ------------------------------------------------------------------ #
+
+def test_novelty_scores_exact_and_bloom_prefiltered_agree(spark):
+    """Hand-computable fixture: doc sharing every gram with the
+    reference scores 0 novel; a fully-new doc scores all novel; a
+    mixed doc scores the exact count.  The Bloom-prefiltered plan must
+    return the identical frame (no false negatives; phase 2 kills the
+    false positives)."""
+    from duckdb_imputation_spark.operators.dedup import novelty_scores
+
+    ref = spark.createDataFrame(
+        [(100, "a b c d e f"), (101, "x y z w v u")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),          # all 3 grams (n=4) in ref
+            (2, "p q r s t"),             # all 2 grams novel
+            (3, "a b c d q r s t"),       # 5 grams: 1 in ref, 4 novel
+            (4, "hi"),                     # short text -> 1 whole-text gram
+        ],
+        "doc_id long, text string",
+    )
+    exact = {
+        r["doc_id"]: (r["n_grams"], r["n_novel"], r["novelty"])
+        for r in novelty_scores(docs, ref, "text", "doc_id", n=4).collect()
+    }
+    assert exact[1] == (3, 0, 0.0)
+    assert exact[2] == (2, 2, 1.0)
+    assert exact[3][0] == 5 and exact[3][1] == 4
+    assert exact[4] == (1, 1, 1.0)
+
+    bloomed = {
+        r["doc_id"]: (r["n_grams"], r["n_novel"], r["novelty"])
+        for r in novelty_scores(
+            docs, ref, "text", "doc_id", n=4, fp_rate=0.01
+        ).collect()
+    }
+    assert bloomed == exact
+    # deliberately tiny saturated filter: still identical (one-sided)
+    tiny = {
+        r["doc_id"]: (r["n_grams"], r["n_novel"], r["novelty"])
+        for r in novelty_scores(
+            docs, ref, "text", "doc_id", n=4, m_bits=64, k_hashes=2
+        ).collect()
+    }
+    assert tiny == exact
