@@ -1080,7 +1080,12 @@ def bloom_decontaminate(
     elif k_hashes is None:
         k_hashes = 5
     bf = bloom_build(taint, "__h", m_bits=m_bits, k_hashes=k_hashes)
-    bf = bf.persist()
+    # eager localCheckpoint, not persist: one materialization shared by
+    # the saturation probe and the k broadcast probes, AND the blocks
+    # are reclaimed by the ContextCleaner when the frame is GC'd — a
+    # persist() here leaked one cached filter per call for the session
+    # lifetime (review r8)
+    bf = bf.localCheckpoint()
     set_bits = bf.agg(F.sum(F.bit_count("bits")).alias("s")).first()["s"] or 0
     fill = set_bits / float(m_bits)
     if fill > 0.75:
@@ -1168,7 +1173,9 @@ def novelty_scores(
                 k_hashes = auto_k
         elif k_hashes is None:
             k_hashes = 5
-        bf = bloom_build(ref_s, "__h", m_bits=m_bits, k_hashes=k_hashes)
+        bf = bloom_build(
+            ref_s, "__h", m_bits=m_bits, k_hashes=k_hashes
+        ).localCheckpoint()  # one reference-gram pass for all k probes
         probed = bloom_contains_inline(
             doc_grams.withColumn("__hs", F.col("__h").cast("string")),
             bf,

@@ -96,10 +96,15 @@ def scd2_apply(
     )
 
     if history is not None:
+        # __has_cur is an explicit presence marker: join-hit detection
+        # must NOT ride __cur_from's null-ness, or a current row with a
+        # NULL valid_from (the "since the beginning of time" convention)
+        # reads as "no current row" and the key double-opens (review r8)
         cur = history.where(F.col(valid_to).isNull()).select(
             *keys,
             *[F.col(c).alias(f"__cur_{c}") for c in tracked],
             F.col(valid_from).alias("__cur_from"),
+            F.lit(True).alias("__has_cur"),
         )
         closed = history.where(F.col(valid_to).isNotNull())
     else:
@@ -122,7 +127,7 @@ def scd2_apply(
                     F.col(f"__prev_{c}")
                 ),
             )
-        had_current = F.col("__cur_from").isNotNull()
+        had_current = F.coalesce(F.col("__has_cur"), F.lit(False))
     else:
         had_current = F.lit(False)
 
@@ -153,7 +158,7 @@ def scd2_apply(
     # collapsed, and any later survivor differs from the current row
     # transitively); keys with no survivors keep their row open
     first_change = (
-        survivors.where(F.col("__cur_from").isNotNull())
+        survivors.where(F.coalesce(F.col("__has_cur"), F.lit(False)))
         .groupBy(*keys)
         .agg(F.min("__ts").alias("__close_ts"))
     )

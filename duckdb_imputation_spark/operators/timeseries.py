@@ -249,12 +249,16 @@ def fill_forward(
 
 def _guard_series(rows: DataFrame, max_series: int | None, op: str) -> DataFrame:
     """Optional giant-key guard for the keyed collect_list folds
-    (VERDICT r7 #7): a single pathological key (one source emitting
-    billions of rows) would exceed the 2^31 array bound / task memory
-    with an opaque executor error — ``max_series`` turns that into a
-    DETERMINISTIC, named failure before the fold runs.  The unbounded-
-    series answer is the streaming twin (``streaming.cusum_stream`` for
-    cusum; O(keys) state, no per-key array)."""
+    (VERDICT r7 #7): ``max_series`` turns an over-limit series into a
+    DETERMINISTIC, named failure before the FOLD/EXPLODE stage runs.
+    Honest scope: the check evaluates on collect_list's output, so it
+    covers the band where collection itself succeeds but the fold or
+    downstream explode would blow up; a key so large that collect_list
+    cannot even materialize its array still dies inside the collect
+    with the executor's own error (catching THAT would cost a full
+    extra pre-aggregate per call).  Either way the unbounded-series
+    answer is the streaming twin (``streaming.cusum_stream`` /
+    ``streaming.ewma_stream``; O(keys) state, no per-key array)."""
     if max_series is None:
         return rows
     if max_series < 1:

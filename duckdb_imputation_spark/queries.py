@@ -4737,7 +4737,10 @@ def _leakage_split_oracle() -> str:
     case = hash_split_sql("rep", [("train", 800), ("val", 100), ("test", 100)])
     return f"""
     WITH g AS (
-      SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS rep
+      SELECT doc_id, MIN(doc_id) OVER (
+        PARTITION BY CASE WHEN text IS NULL
+                          THEN 'id:' || CAST(doc_id AS VARCHAR)
+                          ELSE md5(text) END) AS rep
       FROM documents
     )
     SELECT doc_id, CAST(rep AS BIGINT) AS rep, {case} AS split FROM g
@@ -6823,9 +6826,18 @@ def streaming_ohlc_rollup_events(spark, sf):
 
     from .streaming.sinks import streaming_rollup_sink
 
-    src_df = _resample_agg_src(spark, sf).withColumn(
-        "bucket_ts",
-        (F.floor(F.col("t") / F.lit(3600)) * F.lit(3600)).cast("long"),
+    # NULL values are dropped UPSTREAM: the sink's "count" kind counts
+    # rows (including NULL v) while the oracle and the batch operator
+    # count non-NULL values — filtering first makes the two identical
+    # by construction instead of by the fixture's zero-NULL luck
+    # (review r8)
+    src_df = (
+        _resample_agg_src(spark, sf)
+        .where(F.col("v").isNotNull())
+        .withColumn(
+            "bucket_ts",
+            (F.floor(F.col("t") / F.lit(3600)) * F.lit(3600)).cast("long"),
+        )
     )
     lo, hi = src_df.agg(F.min("t"), F.max("t")).first()
     mid = (lo + hi) // 2

@@ -16,6 +16,11 @@ through the checkpoint (same contract as
 NULL values carry BOTH the state and the time anchor through unchanged
 and emit NULL (the gap keeps accumulating, so the next real value
 decays by the FULL elapsed time — the batch operator's rule exactly).
+A NULL TIMESTAMP (out of contract for the batch operator, whose
+``ts_col`` must be non-NULL numeric) is handled the same defensive
+way here: the row emits NULL and neither s nor the anchor moves —
+never letting a NaN into the state, where it would both poison every
+later value and collide with the "no observation yet" NaN sentinel.
 """
 
 from __future__ import annotations
@@ -83,8 +88,12 @@ def ewma_halflife_stream(
             s, pt = None, None
         out_x, out_s = [], []
         for t, x in zip(rows[ts_col], rows[value_col]):
-            if pd.isna(x):
-                out_x.append(None)
+            # a NULL timestamp is unusable for gap decay: emit NULL and
+            # leave BOTH s and pt untouched (same carry rule as NULL x)
+            # — without this guard a NaN t would poison s forever AND
+            # collide with the NaN state sentinel (review r8)
+            if pd.isna(x) or pd.isna(t):
+                out_x.append(None if pd.isna(x) else float(x))
                 out_s.append(None)
                 continue
             x = float(x)

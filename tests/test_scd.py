@@ -140,3 +140,27 @@ def test_validation_errors(spark):
         scd2_apply(None, upd, [], ["v"], "ts")
     with pytest.raises(ValueError, match="tracked_cols"):
         scd2_apply(None, upd, ["k"], [], "ts")
+
+
+def test_null_valid_from_current_row_still_closes(spark):
+    """A current row with NULL valid_from ("since the beginning of
+    time") must behave as a PRESENT current version: an unchanged
+    update collapses, a change closes it — never a double-open
+    (review r8: join-hit detection must not ride valid_from)."""
+    hist = spark.createDataFrame(
+        [(1, "a", None, None), (2, "p", None, None)],
+        "k int, v string, valid_from int, valid_to int",
+    )
+    upd = spark.createDataFrame(
+        [(1, "a", 5), (1, "b", 9), (2, "p", 7)],
+        "k int, v string, ts int",
+    )
+    out = scd2_apply(hist, upd, ["k"], ["v"], "ts")
+    assert _rows(out) == {
+        (1, "a", None, 9),   # closed at the first REAL change
+        (1, "b", 9, None),
+        (2, "p", None, None),  # unchanged update -> untouched
+    }
+    # exactly one open version per key
+    opens = [r for r in out.collect() if r["valid_to"] is None]
+    assert sorted(r["k"] for r in opens) == [1, 2]

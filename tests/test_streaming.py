@@ -1171,3 +1171,43 @@ def test_rollup_sink_ohlc_first_last_merge_and_replay(spark, tmp_path):
     for k in (1, 2):
         assert got2[k][1:] == got[k][1:]
         assert got2[k][0] == 2 * got[k][0]
+
+
+def test_ewma_halflife_stream_null_timestamp_does_not_poison_state(
+    spark, tmp_path
+):
+    """A NULL-timestamp row (out of contract for the batch fold) emits
+    NULL and leaves (s, pt) untouched — a NaN must never enter the
+    state, where it would poison every later value AND collide with
+    the no-observation sentinel (review r8)."""
+    from duckdb_imputation_spark.streaming.ewma_stream import (
+        ewma_halflife_stream,
+    )
+
+    schema = "k long, t double, x double"
+    rows = [(1, 0.0, 10.0), (1, None, 99.0), (1, 2.0, 20.0)]
+    src = tmp_path / "ewnull_src"
+    out_dir = str(tmp_path / "ewnull_out")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        str(src / "f1")
+    )
+    stream = spark.readStream.schema(
+        spark.createDataFrame([], schema).schema
+    ).parquet(str(src / "*"))
+    q = (
+        ewma_halflife_stream(stream, "k", "t", "x", halflife=2.0)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ewnull_cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["t"]: r["ewma"] for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got[0.0] == 10.0
+    assert got[None] is None                 # NULL-ts row emits NULL
+    # t=2 decays from the t=0 anchor: w=0.5 -> 0.5*10 + 0.5*20 = 15
+    assert abs(got[2.0] - 15.0) < 1e-12
