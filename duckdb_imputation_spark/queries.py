@@ -95,6 +95,9 @@ _DRIVER_PRIORITY: list[str] = [
     "streaming_ohlc_rollup_events",
     "streaming_components_events",
     "novelty_scores_documents",
+    # round 8 (extension): degree-ordered triangle counting — the
+    # local-clustering graph primitive; never driver-verified
+    "triangle_counts_pages",
     # flagship MICE surface: kept fresh every round by convention
     "mice_single_col_sql_oracle",
     "mice_low_sql_oracle",
@@ -6091,6 +6094,74 @@ def connected_components_alternating_pages(spark, sf):
         F.col("weight") >= 5
     )
     return connected_components_alternating(edges)
+
+
+@register(
+    "triangle_counts_pages",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_id,
+             CAST(json_extract_string(props, '$.k') AS INT) AS k
+      FROM events
+    ), trans AS (
+      SELECT k AS src,
+             LEAD(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      FROM seq
+    ), edges0 AS (
+      SELECT src, dst, COUNT(*) AS w
+      FROM trans WHERE dst IS NOT NULL GROUP BY src, dst
+    ), ef AS (SELECT src, dst FROM edges0 WHERE w >= 2),
+    can AS (
+      SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+      FROM ef WHERE src <> dst GROUP BY 1, 2
+    ), tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM can e1
+      JOIN can e2 ON e1.u = e2.u AND e1.v < e2.v
+      JOIN can e3 ON e3.u = e1.v AND e3.v = e2.v
+    ), memb AS (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    ), cnt AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS t FROM memb GROUP BY node
+    ), nodes AS (
+      SELECT u AS node FROM can UNION SELECT v AS node FROM can
+    )
+    SELECT CAST(n.node AS INTEGER) AS node,
+           CAST(COALESCE(c.t, 0) AS BIGINT) AS triangles
+    FROM nodes n LEFT JOIN cnt c ON n.node = c.node
+    """,
+)
+def triangle_counts_pages(spark, sf):
+    """Per-node TRIANGLE COUNTS (operators/graph.py triangle_counts)
+    over the weight>=2 navigation co-occurrence graph — the
+    local-clustering face of the graph family (link-farm / community
+    density screening; the reference's host engine covers graph-shaped
+    SQL via recursive CTEs, this is the bounded-join form).  The Spark
+    plan orients every edge by (degree, id) — Schank & Wagner 2005 /
+    Suri & Vassilvitskii WWW'11 — so wedge fan-out is O(sqrt(m)) per
+    node and a hub can never own the last reducer; the oracle counts
+    the SAME triangles with plain id-ordered LEAST/GREATEST joins,
+    driver-verifying the orientation-invariance claim.  All-integer
+    output (zero-triangle nodes kept: membership in the graph is part
+    of the answer)."""
+    from .operators.graph import navigation_edges, triangle_counts
+
+    ev = load_table(spark, sf, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+    edges = navigation_edges(ev, "user_id", "k", ["ts", "event_id"]).where(
+        F.col("weight") >= 2
+    )
+    t = triangle_counts(edges)
+    return t.select(
+        F.col("node").cast("int").alias("node"),
+        F.col("triangles").cast("long").alias("triangles"),
+    )
 
 
 @register(

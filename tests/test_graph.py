@@ -253,3 +253,73 @@ def test_streaming_components_sink_matches_batch_cc(spark, tmp_path):
     assert snap() == want
     run("cp_replay")  # full redelivery
     assert snap() == want
+
+
+# --------------------------------------------------------------------- #
+# triangle_counts                                                        #
+# --------------------------------------------------------------------- #
+
+
+def _py_triangles(pairs):
+    """Brute-force per-node triangle counts over an undirected simple
+    graph given as an iterable of (a, b) pairs (loops/dups/direction
+    ignored)."""
+    import itertools
+
+    adj = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    counts = {v: 0 for v in adj}
+    for a, b, c in itertools.combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            counts[a] += 1
+            counts[b] += 1
+            counts[c] += 1
+    return counts
+
+
+def _spark_triangles(spark, pairs, **kw):
+    from duckdb_imputation_spark.operators.graph import triangle_counts
+
+    e = spark.createDataFrame(list(pairs), "src int, dst int")
+    return {
+        r["node"]: r["triangles"] for r in triangle_counts(e, **kw).collect()
+    }
+
+
+def test_triangles_random_graph_matches_bruteforce(spark):
+    rng = random.Random(7)
+    pairs = [(rng.randrange(15), rng.randrange(15)) for _ in range(80)]
+    got = _spark_triangles(spark, pairs)
+    want = _py_triangles(pairs)
+    assert got == want
+    assert sum(got.values()) % 3 == 0
+
+
+def test_triangles_ignores_direction_dups_and_loops(spark):
+    # K4 delivered messily: both directions, duplicates, self-loops.
+    base = [(a, b) for a in range(4) for b in range(4) if a != b]
+    pairs = base + base[:5] + [(0, 0), (2, 2)]
+    got = _spark_triangles(spark, pairs)
+    # every K4 vertex is in C(3,2) = 3 triangles
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangles_zero_rows_kept_and_droppable(spark):
+    # a triangle plus a pendant path: 3-4 and 4-5 close nothing
+    pairs = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5)]
+    got = _spark_triangles(spark, pairs)
+    assert got == {0: 1, 1: 1, 2: 1, 3: 0, 4: 0, 5: 0}
+    only = _spark_triangles(spark, pairs, include_zero=False)
+    assert only == {0: 1, 1: 1, 2: 1}
+
+
+def test_triangles_hub_star_has_none(spark):
+    # a star is triangle-free no matter the hub degree (the skew case
+    # the degree orientation exists for)
+    pairs = [(0, i) for i in range(1, 30)]
+    got = _spark_triangles(spark, pairs)
+    assert set(got.values()) == {0}
