@@ -40,6 +40,7 @@ __all__ = [
     "retention_cohorts",
     "retention_from_periods",
     "sliding_counts",
+    "seasonal_anomalies",
 ]
 
 
@@ -661,3 +662,93 @@ def cusum(
         F.col("__c.lo").alias("cusum_lo"),
         F.col("__c.alarm").alias("alarm"),
     )
+
+
+_SEASONAL_BUCKETS = {
+    "hour_of_day": lambda c: F.hour(c),
+    "day_of_week": lambda c: F.dayofweek(c),
+    "hour_of_week": lambda c: (F.dayofweek(c) - 1) * 24 + F.hour(c),
+}
+
+
+def seasonal_anomalies(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    bucket: str = "hour_of_day",
+    z: float = 3.0,
+    min_count: int = 5,
+    exact_integers: bool = False,
+    bucket_col: str = "seasonal_bucket",
+    flag_col: str = "is_anomaly",
+) -> DataFrame:
+    """Seasonal-profile anomaly screening: each observation is compared
+    against the mean/std of ITS OWN (key, seasonal-bucket) stratum —
+    hour-of-day / day-of-week / hour-of-week — and flagged when it sits
+    more than ``z`` standard deviations out (the seasonal-naive
+    baseline of classical decomposition, the first-line detector for
+    metrics with daily/weekly shape where a global z-score drowns the
+    seasonality).  Returns the input rows plus ``bucket_col`` and an
+    integer ``flag_col``; strata with fewer than ``min_count``
+    observations never flag (an unreliable profile stays silent), and
+    NULL values carry a NULL flag.
+
+    Scale shape: ONE keyed aggregate builds the profile frame —
+    bounded at |keys| x |buckets| rows (<= 168 buckets), orders of
+    magnitude under the event count, so AQE broadcasts the profile
+    join for any bounded key space; nothing here sorts, windows, or
+    collects a series, so a key's history never has to fit one task
+    (unlike the keyed folds, which need the streaming twin for that).
+
+    ``exact_integers=True`` (requires an integral value column and an
+    integral ``z``) evaluates the flag in exact DECIMAL(38,0)
+    cross-multiplied form — ``(x*n - s)^2 > z^2 * (n*ss - s^2)``, the
+    variance inequality scaled by n^2 — so two engines computing it
+    agree bit-for-bit with no float boundary; safe while
+    ``(x_max * n)^2 < 10^38`` per stratum (n ~ 10^9 observations of
+    10^5-scale integers leaves 10 orders of headroom).  The default
+    double path is the corpus mode."""
+    if bucket not in _SEASONAL_BUCKETS:
+        raise ValueError(
+            f"bucket must be one of {sorted(_SEASONAL_BUCKETS)}, got {bucket!r}"
+        )
+    keys = list(key_cols) + [bucket_col]
+    x = df.withColumn(bucket_col, _SEASONAL_BUCKETS[bucket](F.col(ts_col)))
+    v = F.col(value_col)
+    prof = (
+        x.where(v.isNotNull())
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(v).alias("__s"),
+            F.sum(v * v).alias("__ss"),
+        )
+    )
+    joined = x.join(prof, keys, "left")
+    if exact_integers:
+        zi = int(z)
+        if zi != z:
+            raise ValueError("exact_integers requires an integral z")
+        dec = "decimal(38,0)"
+        xi, n, s, ss = (
+            v.cast(dec),
+            F.col("__n").cast(dec),
+            F.col("__s").cast(dec),
+            F.col("__ss").cast(dec),
+        )
+        lhs = (xi * n - s) * (xi * n - s)
+        rhs = F.lit(zi * zi).cast(dec) * (n * ss - s * s)
+        raw = lhs > rhs
+    else:
+        mean = F.col("__s") / F.col("__n")
+        var = F.greatest(
+            F.col("__ss") / F.col("__n") - mean * mean, F.lit(0.0)
+        )
+        raw = F.abs(v - mean) > F.lit(float(z)) * F.sqrt(var)
+    flag = (
+        F.when(v.isNull(), F.lit(None).cast("int"))
+        .when(F.col("__n") < int(min_count), F.lit(0))
+        .otherwise(raw.cast("int"))
+    )
+    return joined.withColumn(flag_col, flag).drop("__n", "__s", "__ss")

@@ -98,6 +98,9 @@ _DRIVER_PRIORITY: list[str] = [
     # round 8 (extension): degree-ordered triangle counting — the
     # local-clustering graph primitive; never driver-verified
     "triangle_counts_pages",
+    # round 8 (extension): seasonal-profile anomaly screening
+    # (exact-integer cross-multiplied flag; zero float boundary)
+    "seasonal_anomalies_events",
     # flagship MICE surface: kept fresh every round by convention
     "mice_single_col_sql_oracle",
     "mice_low_sql_oracle",
@@ -7236,6 +7239,73 @@ def _cusum_projection(out):
         F.coalesce(F.round("cusum_hi", 6), F.lit(-1.0)).alias("cusum_hi"),
         F.coalesce(F.round("cusum_lo", 6), F.lit(-1.0)).alias("cusum_lo"),
         "alarm",
+    )
+
+
+@register(
+    "seasonal_anomalies_events",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, event_type, CAST(hour(ts) AS INT) AS hod,
+             CAST(ROUND(value * 100) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+    ), p AS (
+      SELECT event_type, hod, COUNT(*) AS n,
+             SUM(CAST(v AS HUGEINT)) AS s,
+             SUM(CAST(v AS HUGEINT) * v) AS ss
+      FROM e GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.event_type, e.hod, e.v AS value_cents,
+           CAST(CASE WHEN p.n < 5 THEN 0
+                WHEN (CAST(e.v AS HUGEINT) * p.n - p.s)
+                     * (CAST(e.v AS HUGEINT) * p.n - p.s)
+                     > 9 * (p.n * p.ss - p.s * p.s) THEN 1
+                ELSE 0 END AS INTEGER) AS is_anomaly
+    FROM e JOIN p ON e.event_type = p.event_type AND e.hod = p.hod
+    """,
+)
+def seasonal_anomalies_events(spark, sf):
+    """Seasonal-profile anomaly screening (operators/timeseries.py
+    seasonal_anomalies, exact_integers=True): each event value (in
+    cents) is compared against its OWN (event_type, hour-of-day)
+    stratum's mean/std and flagged beyond z=3 — the seasonal-naive
+    baseline that a global z-score cannot express for metrics with
+    daily shape (179 anomalies over 10 000 events at sf0.01; strata
+    under 5 observations stay silent).  ONE keyed aggregate builds the
+    |types| x 24 profile frame (AQE broadcasts the join back); no
+    window, sort, or per-key series.  The exact-integer mode evaluates
+    ``(x*n - s)^2 > z^2 * (n*ss - s^2)`` in DECIMAL(38,0) — the
+    variance inequality scaled by n^2 — so Spark and the HUGEINT
+    oracle agree bit-for-bit with no float boundary anywhere."""
+    from .operators.timeseries import seasonal_anomalies
+
+    ev = (
+        load_table(spark, sf, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_id",
+            "event_type",
+            "ts",
+            F.round(F.col("value") * 100).cast("long").alias("v"),
+        )
+    )
+    out = seasonal_anomalies(
+        ev,
+        ["event_type"],
+        "ts",
+        "v",
+        bucket="hour_of_day",
+        z=3,
+        min_count=5,
+        exact_integers=True,
+        bucket_col="hod",
+    )
+    return out.select(
+        "event_id",
+        "event_type",
+        F.col("hod").cast("int").alias("hod"),
+        F.col("v").alias("value_cents"),
+        F.col("is_anomaly").cast("int").alias("is_anomaly"),
     )
 
 

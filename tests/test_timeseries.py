@@ -647,3 +647,137 @@ def test_resample_agg_fast_mode_matches_on_unique_timestamps(spark):
         ).collect()
     }
     assert a == b and len(a) == 5 + 4
+
+
+# --------------------------------------------------------------------- #
+# seasonal_anomalies                                                     #
+# --------------------------------------------------------------------- #
+
+
+def _py_seasonal(rows, z=3.0, min_count=5):
+    """rows: (key, hour, value|None) -> dict idx -> flag (None for NULL
+    values).  Brute-force per-(key,hour) mean/std flags."""
+    import math
+
+    strata = {}
+    for k, h, v in rows:
+        if v is not None:
+            strata.setdefault((k, h), []).append(v)
+    flags = []
+    for k, h, v in rows:
+        if v is None:
+            flags.append(None)
+            continue
+        vals = strata[(k, h)]
+        n = len(vals)
+        if n < min_count:
+            flags.append(0)
+            continue
+        mean = sum(vals) / n
+        var = max(sum(x * x for x in vals) / n - mean * mean, 0.0)
+        flags.append(1 if abs(v - mean) > z * math.sqrt(var) else 0)
+    return flags
+
+
+def _seasonal_input(spark, rows):
+    import datetime
+
+    data = [
+        (
+            i,
+            k,
+            datetime.datetime(2024, 1, 1 + i % 20, h, i % 60),
+            float(v) if v is not None else None,
+        )
+        for i, (k, h, v) in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        data, "idx long, key string, ts timestamp, value double"
+    )
+
+
+def test_seasonal_anomalies_matches_bruteforce(spark):
+    import random
+
+    from duckdb_imputation_spark.operators.timeseries import (
+        seasonal_anomalies,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    for _ in range(400):
+        k = rng.choice(["a", "b"])
+        h = rng.choice([3, 9, 15])
+        v = rng.gauss(100.0 if h == 3 else 40.0, 5.0)
+        if rng.random() < 0.03:
+            v += 60.0  # planted outliers
+        if rng.random() < 0.02:
+            v = None
+        rows.append((k, h, v))
+    out = seasonal_anomalies(
+        _seasonal_input(spark, rows), ["key"], "ts", "value"
+    )
+    got = {r["idx"]: r["is_anomaly"] for r in out.collect()}
+    want = _py_seasonal(rows)
+    assert [got[i] for i in range(len(rows))] == want
+    assert sum(f or 0 for f in want) > 0  # the planted outliers fired
+
+
+def test_seasonal_anomalies_exact_integer_mode(spark):
+    import random
+
+    from duckdb_imputation_spark.operators.timeseries import (
+        seasonal_anomalies,
+    )
+
+    rng = random.Random(5)
+    rows = [
+        ("a", rng.choice([1, 2]), float(rng.randrange(0, 5000)))
+        for _ in range(300)
+    ]
+    from pyspark.sql import functions as F
+
+    df = _seasonal_input(spark, rows).withColumn(
+        "value", F.col("value").cast("long")
+    )
+    exact = seasonal_anomalies(
+        df, ["key"], "ts", "value", exact_integers=True
+    )
+    got = {r["idx"]: r["is_anomaly"] for r in exact.collect()}
+    want = _py_seasonal(rows)
+    assert [got[i] for i in range(len(rows))] == want
+
+
+def test_seasonal_anomalies_min_count_and_null(spark):
+    from duckdb_imputation_spark.operators.timeseries import (
+        seasonal_anomalies,
+    )
+
+    # 4 observations in the stratum (< min_count=5): the wild outlier
+    # must stay silent; the NULL row carries a NULL flag.
+    rows = [("a", 7, 1.0), ("a", 7, 1.0), ("a", 7, 1.0), ("a", 7, 999.0),
+            ("a", 7, None)]
+    out = seasonal_anomalies(
+        _seasonal_input(spark, rows), ["key"], "ts", "value"
+    )
+    got = {r["idx"]: r["is_anomaly"] for r in out.collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: None}
+
+
+def test_seasonal_anomalies_bad_bucket_raises(spark):
+    import pytest
+
+    from duckdb_imputation_spark.operators.timeseries import (
+        seasonal_anomalies,
+    )
+
+    with pytest.raises(ValueError, match="bucket"):
+        seasonal_anomalies(
+            _seasonal_input(spark, [("a", 1, 1.0)]),
+            ["key"], "ts", "value", bucket="fortnight",
+        )
+    with pytest.raises(ValueError, match="integral z"):
+        seasonal_anomalies(
+            _seasonal_input(spark, [("a", 1, 1.0)]),
+            ["key"], "ts", "value", z=2.5, exact_integers=True,
+        )
