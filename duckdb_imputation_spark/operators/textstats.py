@@ -23,6 +23,7 @@ from .hashing import md5_int32, ws_tokens
 
 __all__ = [
     "interpolated_bigram_logprob",
+    "pmi_collocations",
     "token_count_ws",
     "token_count_regex",
     "quality_metrics",
@@ -568,4 +569,80 @@ def interpolated_bigram_logprob(
     return scored.groupBy(id_col).agg(
         avg.alias("avg_logprob"),
         F.count(F.lit(1)).alias("n_bigrams"),
+    )
+
+
+def pmi_collocations(
+    df,
+    text_col: str,
+    min_count: int = 5,
+    round_digits: int | None = 6,
+):
+    """PMI collocation mining (Church & Hanks, "Word Association Norms,
+    Mutual Information, and Lexicography", Computational Linguistics
+    1990) over adjacent whitespace-token bigrams:
+
+        pmi(x, y) = ln( c(xy) * N / (c(x) * c(y)) )
+
+    with c(x)/c(y) unigram counts over the token stream, N the total
+    token count, and c(xy) the adjacent-bigram count — the standard
+    phrase-mining signal ("new york" scores high, "of the" scores near
+    zero) used to build phrase vocabularies and to spot templated
+    boilerplate (implausibly high-PMI long-tail pairs) in crawl data.
+
+    Returns (w1, w2, pair_count, pmi) for bigrams with
+    ``c(xy) >= min_count``.  Scale shape: the only corpus-sized shuffle
+    is the bigram GROUP BY; ``min_count`` prunes the hapax tail BEFORE
+    the unigram joins (Zipf: most distinct bigrams are singletons), the
+    two unigram-count joins are vocabulary-sized (AQE broadcasts them),
+    and N arrives as a one-row broadcast cross join.  The unigram
+    product is computed exactly in integers and cast to double once, so
+    engines agree up to the final ln (rounded to ``round_digits``, the
+    transcendental-rounding class the LM-score rows established)."""
+    from pyspark.sql import functions as F
+
+    from .hashing import ws_tokens
+
+    t = ws_tokens(F.col(text_col))
+    pair_arr = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.struct(
+                F.element_at(t, i).alias("w1"),
+                F.element_at(t, i + F.lit(1)).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bg = df.select(F.explode(pair_arr).alias("pr")).select(
+        F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2")
+    )
+    tok = df.select(F.explode(t).alias("w"))
+    uni = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
+    tot = tok.agg(F.count(F.lit(1)).cast("double").alias("n_tokens"))
+    big = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .where(F.col("pair_count") >= int(min_count))
+    )
+    joined = (
+        big.join(
+            uni.select(F.col("w").alias("w1"), F.col("cu").alias("__c1")),
+            "w1",
+        )
+        .join(
+            uni.select(F.col("w").alias("w2"), F.col("cu").alias("__c2")),
+            "w2",
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    pmi = F.log(
+        (F.col("pair_count").cast("double") * F.col("n_tokens"))
+        / (F.col("__c1") * F.col("__c2")).cast("double")
+    )
+    if round_digits is not None:
+        pmi = F.round(pmi, round_digits)
+    return joined.select(
+        "w1", "w2", F.col("pair_count").cast("long").alias("pair_count"),
+        pmi.alias("pmi"),
     )

@@ -101,6 +101,9 @@ _DRIVER_PRIORITY: list[str] = [
     # round 8 (extension): seasonal-profile anomaly screening
     # (exact-integer cross-multiplied flag; zero float boundary)
     "seasonal_anomalies_events",
+    # round 8 (extension): PMI collocation mining (phrase vocabulary /
+    # boilerplate signal; hapax tail pruned before the unigram joins)
+    "pmi_collocations_documents",
     # flagship MICE surface: kept fresh every round by convention
     "mice_single_col_sql_oracle",
     "mice_low_sql_oracle",
@@ -5004,6 +5007,55 @@ def bigram_logprob_scores(spark, sf):
         ).alias("avg_logprob"),
         F.count(F.lit(1)).alias("n_bigrams"),
     )
+
+
+@register(
+    "pmi_collocations_documents",
+    oracle=f"""
+    WITH tt AS (
+      SELECT {_ws_sql('text')} AS t FROM documents
+    ), pairs AS (
+      SELECT unnest(
+        CASE WHEN length(t) >= 2 THEN
+          list_transform(range(1, length(t)),
+                         i -> [t[CAST(i AS INT)], t[CAST(i AS INT) + 1]])
+        ELSE [] END) AS pr
+      FROM tt
+    ), bg AS (
+      SELECT pr[1] AS w1, pr[2] AS w2 FROM pairs
+    ), big AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS pair_count
+      FROM bg GROUP BY w1, w2 HAVING COUNT(*) >= 5
+    ), tok AS (
+      SELECT unnest(t) AS w FROM tt
+    ), uni AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS cu FROM tok GROUP BY w
+    ), n AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS nt FROM tok
+    )
+    SELECT b.w1, b.w2, b.pair_count,
+           ROUND(ln((CAST(b.pair_count AS DOUBLE) * n.nt)
+                    / CAST(u1.cu * u2.cu AS DOUBLE)), 6) + 0.0 AS pmi
+    FROM big b
+    JOIN uni u1 ON b.w1 = u1.w
+    JOIN uni u2 ON b.w2 = u2.w, n
+    """,
+)
+def pmi_collocations_documents(spark, sf):
+    """PMI collocation mining (operators/textstats.py pmi_collocations
+    — Church & Hanks 1990): adjacent-bigram pointwise mutual
+    information over the documents corpus, min_count=5 — the
+    phrase-vocabulary / templated-boilerplate signal one step past the
+    bigram LM rows.  The only corpus-sized shuffle is the bigram GROUP
+    BY; the hapax tail is pruned BEFORE the vocabulary-sized unigram
+    joins (Zipf: most distinct bigrams are singletons), and N arrives
+    as a one-row broadcast.  The unigram product is exact-integer and
+    cast to double once on both engines; ROUND(ln, 6) is the
+    established transcendental class."""
+    from .operators.textstats import pmi_collocations
+
+    d = load_table(spark, sf, "documents")
+    return pmi_collocations(d, "text", min_count=5)
 
 
 @register(

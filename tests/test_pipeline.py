@@ -1295,3 +1295,65 @@ def test_novelty_scores_exact_and_bloom_prefiltered_agree(spark):
         ).collect()
     }
     assert tiny == exact
+
+
+# --------------------------------------------------------------------- #
+# pmi_collocations                                                       #
+# --------------------------------------------------------------------- #
+
+
+def _py_pmi(texts, min_count=1):
+    import math
+
+    toks = [t.split() for t in texts]
+    uni, big, n = {}, {}, 0
+    for ts in toks:
+        for w in ts:
+            uni[w] = uni.get(w, 0) + 1
+            n += 1
+        for a, b in zip(ts, ts[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+    return {
+        (a, b): (c, round(math.log(c * n / (uni[a] * uni[b])), 6))
+        for (a, b), c in big.items()
+        if c >= min_count
+    }
+
+
+def test_pmi_collocations_matches_bruteforce(spark):
+    import random
+
+    from duckdb_imputation_spark.operators.textstats import pmi_collocations
+
+    rng = random.Random(3)
+    vocab = ["new", "york", "of", "the", "data", "lake", "x"]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 12)))
+        + (" new york" if rng.random() < 0.5 else "")
+        for _ in range(60)
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = {
+        (r["w1"], r["w2"]): (r["pair_count"], r["pmi"])
+        for r in pmi_collocations(df, "text", min_count=2).collect()
+    }
+    want = _py_pmi(texts, min_count=2)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0], k
+        assert abs(got[k][1] - want[k][1]) < 2e-6, (k, got[k], want[k])
+    # the planted collocation outranks the function-word pair
+    if ("of", "the") in got and ("new", "york") in got:
+        assert got[("new", "york")][1] > got[("of", "the")][1]
+
+
+def test_pmi_collocations_min_count_prunes(spark):
+    from duckdb_imputation_spark.operators.textstats import pmi_collocations
+
+    df = spark.createDataFrame(
+        [("a b a b",), ("a b c d",)], "text string"
+    )
+    out = {
+        (r["w1"], r["w2"]) for r in pmi_collocations(df, "text", min_count=2).collect()
+    }
+    assert out == {("a", "b")}  # "b a", "b c", "c d" are singletons
