@@ -104,6 +104,11 @@ _DRIVER_PRIORITY: list[str] = [
     # round 8 (extension): PMI collocation mining (phrase vocabulary /
     # boilerplate signal; hapax tail pruned before the unigram joins)
     "pmi_collocations_documents",
+    # round 8 (extension): the statistical-testing family — Welch
+    # two-sample t (A/B primitive; sqrt-only arithmetic, ROUND(,4)
+    # deterministic) and Pearson chi-squared independence
+    "welch_ttest_events",
+    "chi2_type_hour_events",
     # flagship MICE surface: kept fresh every round by convention
     "mice_single_col_sql_oracle",
     "mice_low_sql_oracle",
@@ -7359,6 +7364,124 @@ def seasonal_anomalies_events(spark, sf):
         F.col("v").alias("value_cents"),
         F.col("is_anomaly").cast("int").alias("is_anomaly"),
     )
+
+
+@register(
+    "welch_ttest_events",
+    oracle="""
+    WITH e AS (
+      SELECT CAST(hour(ts) AS INT) AS hod, event_type,
+             CAST(ROUND(value * 100) AS DOUBLE) AS v
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')
+    ), m AS (
+      SELECT hod,
+             CAST(COUNT(*) FILTER (event_type = 'click') AS DOUBLE) AS na,
+             SUM(v)     FILTER (event_type = 'click')    AS sa,
+             SUM(v * v) FILTER (event_type = 'click')    AS ssa,
+             CAST(COUNT(*) FILTER (event_type = 'purchase') AS DOUBLE) AS nb,
+             SUM(v)     FILTER (event_type = 'purchase') AS sb,
+             SUM(v * v) FILTER (event_type = 'purchase') AS ssb
+      FROM e GROUP BY hod
+    ), s AS (
+      SELECT hod, na, nb, sa / na AS ma, sb / nb AS mb,
+             ((ssa - sa * sa / na) / (na - 1.0)) / na AS sea,
+             ((ssb - sb * sb / nb) / (nb - 1.0)) / nb AS seb
+      FROM m
+    )
+    SELECT hod, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           ROUND(ma, 4) + 0.0 AS mean_a, ROUND(mb, 4) + 0.0 AS mean_b,
+           CASE WHEN na >= 2 AND nb >= 2 AND sea + seb > 0.0
+                THEN ROUND((ma - mb) / sqrt(sea + seb), 4) + 0.0 END
+             AS t_stat,
+           CASE WHEN na >= 2 AND nb >= 2 AND sea + seb > 0.0
+                THEN ROUND(((sea + seb) * (sea + seb))
+                           / (sea * sea / (na - 1.0)
+                              + seb * seb / (nb - 1.0)), 4) + 0.0 END
+             AS dof
+    FROM s
+    """,
+)
+def welch_ttest_events(spark, sf):
+    """Per-hour Welch two-sample t-test (operators/stats.py
+    welch_ttest): click vs purchase event values in cents, one test
+    per hour-of-day stratum — the A/B-comparison primitive.  ONE
+    conditional aggregate over one scan (six aggregation doubles per
+    stratum, nothing stratum-sized anywhere); rows outside both
+    cohorts are filtered before the aggregate.  Every moment is an
+    exact integer sum at this scale (cents * counts stay under 2^53),
+    and t/dof are built from +,-,*,/,sqrt only — all IEEE
+    correctly-rounded, no transcendental — so ROUND(,4) compares
+    deterministic doubles; the sf0.001 strata with n<2 exercise the
+    NULL (undefined-test) path."""
+    from .operators.stats import welch_ttest
+
+    ev = (
+        load_table(spark, sf, "events")
+        .where(
+            F.col("value").isNotNull()
+            & F.col("event_type").isin("click", "purchase")
+        )
+        .select(
+            F.hour("ts").cast("int").alias("hod"),
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("v"),
+        )
+    )
+    return welch_ttest(
+        ev, "event_type", "v", "click", "purchase", by_cols=["hod"]
+    )
+
+
+@register(
+    "chi2_type_hour_events",
+    oracle="""
+    WITH e AS (
+      SELECT event_type AS a, CAST(hour(ts) AS INT) AS b
+      FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+    ), obs AS (
+      SELECT a, b, COUNT(*) AS o FROM e GROUP BY a, b
+    ), ra AS (
+      SELECT a, SUM(o) AS ra FROM obs GROUP BY a
+    ), cb AS (
+      SELECT b, SUM(o) AS cb FROM obs GROUP BY b
+    ), n AS (
+      SELECT CAST(SUM(o) AS DOUBLE) AS n FROM obs
+    ), cells AS (
+      SELECT CAST(obs.o AS DOUBLE) AS o,
+             CAST(ra.ra AS DOUBLE) * CAST(cb.cb AS DOUBLE) / n.n AS e,
+             n.n
+      FROM obs
+      JOIN ra ON obs.a = ra.a
+      JOIN cb ON obs.b = cb.b, n
+    )
+    SELECT ROUND(SUM((o - e) * (o - e) / e - e) + FIRST(n), 4) + 0.0
+             AS chi2,
+           CAST((SELECT (COUNT(*) - 1) FROM ra)
+                * (SELECT (COUNT(*) - 1) FROM cb) AS BIGINT) AS dof,
+           CAST(FIRST(n) AS BIGINT) AS n
+    FROM cells
+    """,
+)
+def chi2_type_hour_events(spark, sf):
+    """Pearson chi-squared independence test (operators/stats.py
+    chi2_independence) of event_type x hour-of-day — the
+    categorical-association screen (is traffic mix stationary across
+    the day?).  ONE corpus-sized GROUP BY builds the observed table;
+    the |A| x |B| closure is NEVER materialized — unobserved cells'
+    expectations sum to N - sum_observed(E), so chi2 folds to
+    sum_observed((O-E)^2/E - E) + N over two category-keyed equi-joins
+    (AQE broadcasts the marginals; no cross product even for
+    vocabulary-sized categoricals).  Counts exact; the chi2 SUM over
+    the observed cells is the one double-accumulation surface
+    (stat-class ROUND(,4); per-cell terms are identical IEEE
+    expressions on both engines)."""
+    from .operators.stats import chi2_independence
+
+    ev = load_table(spark, sf, "events").select(
+        "event_type", F.hour("ts").cast("int").alias("hod")
+    )
+    return chi2_independence(ev, "event_type", "hod")
 
 
 @register("cusum_events", oracle=_CUSUM_ORACLE)
