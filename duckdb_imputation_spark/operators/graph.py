@@ -67,6 +67,8 @@ def pagerank(
     iters: int = 3,
     damping: float = 0.85,
     checkpoint_every: int = 1,
+    teleport: DataFrame | None = None,
+    teleport_col: str = "weight",
 ) -> DataFrame:
     """Weighted PageRank with uniform teleport and uniform dangling-mass
     redistribution, run for exactly ``iters`` power iterations from the
@@ -77,6 +79,22 @@ def pagerank(
     where ``dm`` is the total rank mass sitting on dangling nodes (no
     out-edges).  Returns (node, rank); ranks sum to 1 after every
     iteration by construction.
+
+    ``teleport``: a (node, ``teleport_col``) frame switches to
+    PERSONALIZED PageRank (Haveliwala, "Topic-Sensitive PageRank",
+    WWW 2002): teleport AND dangling mass land on the teleport
+    distribution instead of uniformly —
+
+        r'(v) = (1-d)·t(v) + d * ( Σ_{u→v} r(u)·w(u,v)/out_w(u) + dm·t(v) )
+
+    with t normalized to sum 1 over the graph's nodes (teleport rows
+    for nodes outside the graph are dropped; graph nodes absent from
+    ``teleport`` get t=0 and are reachable only through links — the
+    locality that makes PPR a similarity-to-seed-set score).  The
+    iteration starts from r0 = t.  Scale shape is unchanged: t rides
+    as one extra column on the node-sized frame, joined ONCE before
+    the loop.  Raises if the teleport weights sum to <= 0 over the
+    graph's nodes.
 
     Fixed iterations (not convergence-tested) keep the computation
     exactly reproducible — the catalog row's DuckDB oracle unrolls the
@@ -126,6 +144,57 @@ def pagerank(
     # reaches back through the raw edge build (at 10x data that re-ran
     # the upstream window 3x — measured before this line changed)
     src_nodes = norm.select(F.col("__src").alias("node")).distinct()
+
+    if teleport is not None:
+        tp0 = teleport.select(
+            F.col("node"),
+            F.col(teleport_col).cast("double").alias("__tw"),
+        ).groupBy("node").agg(F.sum("__tw").alias("__tw"))
+        tp_on_graph = nodes.join(tp0, "node", "inner")
+        total = tp_on_graph.agg(F.sum("__tw")).collect()[0][0]
+        if total is None or total <= 0.0:
+            raise ValueError(
+                "pagerank: teleport weights must sum to > 0 over the "
+                "graph's nodes"
+            )
+        base = (
+            nodes.join(tp_on_graph.select("node", "__tw"), "node", "left")
+            .select(
+                "node",
+                (
+                    F.coalesce("__tw", F.lit(0.0)) / F.lit(float(total))
+                ).alias("__tp"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        ranks = base.select("node", F.col("__tp").alias("rank"), "__tp")
+        for i in range(iters):
+            dm = (
+                ranks.join(src_nodes, "node", "left_anti")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+                .collect()[0]["dm"]
+            )
+            contrib = (
+                ranks.join(norm, ranks["node"] == norm["__src"])
+                .groupBy("__dst")
+                .agg(F.sum(F.col("rank") * F.col("__p")).alias("__c"))
+                .withColumnRenamed("__dst", "node")
+            )
+            ranks = base.join(contrib, "node", "left").select(
+                "node",
+                (
+                    F.lit(1.0 - damping) * F.col("__tp")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("__c"), F.lit(0.0))
+                        + F.lit(dm) * F.col("__tp")
+                    )
+                ).alias("rank"),
+                "__tp",
+            )
+            if (i + 1) % checkpoint_every == 0:
+                ranks = ranks.localCheckpoint(eager=False)
+        return ranks.select("node", "rank")
 
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for i in range(iters):

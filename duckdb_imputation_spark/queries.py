@@ -109,6 +109,9 @@ _DRIVER_PRIORITY: list[str] = [
     # deterministic) and Pearson chi-squared independence
     "welch_ttest_events",
     "chi2_type_hour_events",
+    # round 8 (extension): personalized PageRank (seed-proximity
+    # ranking; teleport vector rides the node frame)
+    "ppr_navigation_seeded",
     # flagship MICE surface: kept fresh every round by convention
     "mice_single_col_sql_oracle",
     "mice_low_sql_oracle",
@@ -5319,6 +5322,97 @@ def _pagerank_oracle(iters: int = 3) -> str:
         + f"""
     SELECT node, ROUND(r, 6) AS pagerank FROM r{iters}
     """
+    )
+
+
+def _ppr_oracle(iters: int = 3) -> str:
+    """Unrolled fixed-iteration PERSONALIZED PageRank (Haveliwala 2002)
+    over the navigation graph, seeded on pages with k % 7 == 0 —
+    teleport and dangling mass land on the seed distribution; the
+    damping constants are written as the same double expressions the
+    Spark side evaluates ((1.0 - 0.85), not a 0.15 literal)."""
+    ctes = ["""
+    seq AS (
+      SELECT user_id, ts, event_id,
+             CAST(json_extract_string(props, '$.k') AS INT) AS k
+      FROM events
+    ), trans AS (
+      SELECT k AS src,
+             LEAD(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      FROM seq
+    ), edges AS (
+      SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS w
+      FROM trans WHERE dst IS NOT NULL GROUP BY src, dst
+    ), outw AS (
+      SELECT src, SUM(w) AS ow FROM edges GROUP BY src
+    ), p AS (
+      SELECT e.src, e.dst, e.w / o.ow AS p FROM edges e JOIN outw o USING (src)
+    ), nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM edges UNION ALL SELECT dst AS node FROM edges)
+    ), tpw AS (
+      SELECT node, CASE WHEN node % 7 = 0 THEN 1.0 ELSE 0.0 END AS w
+      FROM nodes
+    ), tps AS (SELECT SUM(w) AS s FROM tpw),
+    tp AS (SELECT node, w / tps.s AS t FROM tpw, tps),
+    r0 AS (SELECT node, t AS r FROM tp)"""]
+    for i in range(iters):
+        ctes.append(f"""
+    d{i} AS (
+      SELECT COALESCE(SUM(r), 0) AS dm FROM r{i}
+      WHERE node NOT IN (SELECT src FROM outw WHERE src IS NOT NULL)
+    ), r{i + 1} AS (
+      SELECT nodes.node,
+             (1.0 - 0.85) * tp.t
+               + 0.85 * (COALESCE(c.c, 0) + d{i}.dm * tp.t) AS r
+      FROM nodes LEFT JOIN (
+        SELECT p.dst AS node, SUM(r{i}.r * p.p) AS c
+        FROM r{i} JOIN p ON r{i}.node = p.src GROUP BY p.dst
+      ) c USING (node)
+      JOIN tp ON tp.node = nodes.node, d{i}
+    )""")
+    return (
+        "WITH " + ",".join(ctes)
+        + f"""
+    SELECT node, ROUND(r, 6) AS ppr FROM r{iters}
+    """
+    )
+
+
+@register("ppr_navigation_seeded", oracle=_ppr_oracle(3))
+def ppr_navigation_seeded(spark, sf):
+    """PERSONALIZED PageRank (operators/graph.py pagerank with a
+    ``teleport`` frame — Haveliwala, "Topic-Sensitive PageRank", WWW
+    2002) over the navigation graph, seeded on the k%7==0 pages:
+    teleport AND dangling mass land on the seed distribution and the
+    iteration starts from it, so rank decays with link-distance from
+    the seeds — the similarity-to-seed-set score behind related-page /
+    trusted-source expansion (seed the crawl's vetted domains, rank
+    everything else by proximity).  Same per-iteration shape as the
+    uniform row (ONE equi-join + ONE keyed aggregate + a scalar
+    dangling collect); the seed vector rides as one column on the
+    node-sized frame, joined once before the loop.  The oracle unrolls
+    the identical three iterations with the damping constants written
+    as the same double expressions Spark evaluates."""
+    from .operators.graph import navigation_edges, pagerank
+
+    ev = load_table(spark, sf, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+    edges = navigation_edges(ev, "user_id", "k", ["ts", "event_id"])
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.where(F.col("node") % 7 == 0).select(
+        "node", F.lit(1.0).alias("weight")
+    )
+    return pagerank(edges, iters=3, teleport=seeds).select(
+        "node", F.round("rank", 6).alias("ppr")
     )
 
 

@@ -323,3 +323,90 @@ def test_triangles_hub_star_has_none(spark):
     pairs = [(0, i) for i in range(1, 30)]
     got = _spark_triangles(spark, pairs)
     assert set(got.values()) == {0}
+
+
+# --------------------------------------------------------------------- #
+# personalized pagerank                                                  #
+# --------------------------------------------------------------------- #
+
+
+def _py_ppr(edge_w, tp, iters=3, damping=0.85):
+    """tp: dict node -> weight (unnormalized, over graph nodes)."""
+    nodes = sorted({s for s, _ in edge_w} | {d for _, d in edge_w})
+    out_w = {}
+    for (s, _), w in edge_w.items():
+        out_w[s] = out_w.get(s, 0.0) + w
+    tot = sum(tp.get(v, 0.0) for v in nodes)
+    t = {v: tp.get(v, 0.0) / tot for v in nodes}
+    r = dict(t)
+    for _ in range(iters):
+        dm = sum(r[v] for v in nodes if v not in out_w)
+        contrib = {v: 0.0 for v in nodes}
+        for (s, d), w in edge_w.items():
+            contrib[d] += r[s] * (w / out_w[s])
+        r = {
+            v: (1.0 - damping) * t[v]
+            + damping * (contrib[v] + dm * t[v])
+            for v in nodes
+        }
+    return r
+
+
+def test_personalized_pagerank_matches_python_reference(spark):
+    rng = random.Random(23)
+    edge_w = {}
+    for _ in range(70):
+        s, d = rng.randrange(14), rng.randrange(14)
+        if s != d:
+            edge_w[(s, d)] = edge_w.get((s, d), 0) + 1
+    tp = {0: 2.0, 3: 1.0, 99: 5.0}  # 99 not in graph: dropped
+    tpdf_rows = [(n, w) for n, w in tp.items()]
+    e = spark.createDataFrame(
+        [(s, d, float(w)) for (s, d), w in edge_w.items()],
+        "src int, dst int, weight double",
+    )
+    tpdf = spark.createDataFrame(tpdf_rows, "node int, weight double")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(e, iters=3, teleport=tpdf).collect()
+    }
+    want = _py_ppr(edge_w, tp, iters=3)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-12, v
+    # mass conservation and locality: seed nodes hold extra mass
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    assert got[0] > 1.0 / len(got)
+
+
+def test_personalized_pagerank_zero_teleport_raises(spark):
+    import pytest
+
+    e = spark.createDataFrame([(0, 1, 1.0)], "src int, dst int, weight double")
+    tpdf = spark.createDataFrame([(7, 1.0)], "node int, weight double")
+    with pytest.raises(ValueError, match="teleport"):
+        pagerank(e, teleport=tpdf)  # node 7 is not in the graph
+
+
+def test_personalized_uniform_teleport_equals_plain(spark):
+    rng = random.Random(31)
+    edge_w = {}
+    for _ in range(40):
+        s, d = rng.randrange(10), rng.randrange(10)
+        if s != d:
+            edge_w[(s, d)] = edge_w.get((s, d), 0) + 1
+    e = spark.createDataFrame(
+        [(s, d, float(w)) for (s, d), w in edge_w.items()],
+        "src int, dst int, weight double",
+    )
+    nodes = sorted({s for s, _ in edge_w} | {d for _, d in edge_w})
+    tpdf = spark.createDataFrame(
+        [(n, 1.0) for n in nodes], "node int, weight double"
+    )
+    plain = {r["node"]: r["rank"] for r in pagerank(e, iters=3).collect()}
+    ppr = {
+        r["node"]: r["rank"]
+        for r in pagerank(e, iters=3, teleport=tpdf).collect()
+    }
+    for v in plain:
+        assert abs(plain[v] - ppr[v]) < 1e-12
