@@ -1,31 +1,69 @@
 """Grouped statistical hypothesis testing — the analytics-engine face
-of A/B comparison and categorical-association screening.
+of A/B comparison, categorical-association and distribution-shift
+screening.
 
-Both tests reduce to ONE conditional aggregate over one scan (no
-window, no self-join, no per-key series): the t-test folds each
-stratum's two cohorts into (n, sum, sum-of-squares) triples via
-FILTER-style conditional aggregation; the chi-squared test builds the
-contingency table with one GROUP BY and closes it against its own
-(category-sized) marginals.  All moments are exact integer sums when
-the value column is integral (the catalog rows feed cents), so two
-engines disagree only in the final double division/sqrt — absorbed by
-the stat-class rounding tier the profiler rows established.
+The moment-based tests (Welch t, chi-squared, one-way ANOVA) reduce
+to ONE conditional aggregate over one scan (no window, no self-join,
+no per-key series): each stratum folds to a handful of aggregation
+doubles.  The rank-based tests (Spearman, Mann–Whitney U,
+Kolmogorov–Smirnov) share a single scale discipline — the
+**rank dictionary**: one corpus-sized GROUP BY collapses rows to
+(stratum, value, count) cells, a per-stratum window prefix-sum over
+the DISTINCT values assigns exact average ranks (doubled, so ties'
+.5s stay integral), and everything downstream is dictionary-sized.
+A stratum's task bound is therefore its distinct-VALUE count, not its
+row count — bounded domains (cents, quantities, bucketed scores) make
+the dictionaries tiny at any corpus size; for continuous unique-valued
+data the dictionary degenerates to row-sized and the fused global
+ranking family (operators/prefix.py) is the documented escape hatch.
 
-Public-literature spec: Welch, "The generalization of 'Student's'
-problem when several different population variances are involved",
-Biometrika 1947 (the unequal-variance t-test with the
-Welch–Satterthwaite degrees of freedom); Pearson's chi-squared test of
-independence (Pearson 1900).
+All moments/ranks/tie-terms are exact integer sums when the value
+column is integral (the catalog rows feed cents), carried in
+DECIMAL(38,0), so two engines disagree only in the final double
+division/sqrt — absorbed by the stat-class rounding tier the profiler
+rows established.
+
+Public-literature spec: Welch, Biometrika 1947 (unequal-variance t
+with Welch–Satterthwaite dof); Pearson 1900 (chi-squared
+independence); Spearman, Am. J. Psychol. 1904 (rank correlation, the
+tied form = Pearson over average ranks); Mann & Whitney, Ann. Math.
+Stat. 1947 (U statistic; normal approximation with the standard tie
+correction, e.g. Lehmann, "Nonparametrics" 1975 §1.4); Kolmogorov
+1933 / Smirnov 1939 (two-sample sup-distance of empirical CDFs);
+Fisher's one-way analysis of variance.
 """
 
 from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["welch_ttest", "chi2_independence"]
+__all__ = [
+    "welch_ttest",
+    "chi2_independence",
+    "spearman_corr",
+    "mann_whitney_u",
+    "ks_2sample",
+    "anova_oneway",
+]
+
+_DEC = "decimal(38,0)"
+
+
+def _dict_partition(keys: list[str], value_col: str) -> list:
+    """Partition spec for a window over a DICTIONARY frame (one row per
+    distinct value per stratum).  With strata: the stratum keys.  The
+    GLOBAL case gets a constant-valued but NON-FOLDABLE key — one group,
+    planned as a hash exchange instead of a SinglePartition funnel —
+    because the frame is bounded by the distinct-VALUE count, not the
+    corpus (same pattern as prefix.py's offsets window; the module
+    docstring documents the bounded-domain premise and the prefix.py
+    escape hatch for unique-valued data)."""
+    if keys:
+        return list(keys)
+    return [F.pmod(F.xxhash64(F.col(value_col)), F.lit(1))]
 
 
 def welch_ttest(
@@ -182,4 +220,283 @@ def chi2_independence(
             (F.count_distinct("__a") - 1) * (F.count_distinct("__b") - 1)
         ).cast("long").alias("dof"),
         F.first("__n").cast("long").alias("n"),
+    )
+
+
+def _cohort_dictionary(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    keys: list[str],
+) -> DataFrame:
+    """Collapse two cohorts to the shared rank dictionary: one row per
+    (stratum, distinct value) with per-cohort counts ``__ca``/``__cb``
+    and the doubled average rank ``__r2`` of that value in the
+    COMBINED per-stratum sample (2*avg_rank = 2*prefix + t + 1, an
+    exact integer even under ties).  The window runs over the
+    dictionary, not the rows."""
+    in_a = F.col(group_col) == F.lit(group_a)
+    in_b = F.col(group_col) == F.lit(group_b)
+    v = F.col(value_col)
+    d = (
+        df.where((in_a | in_b) & v.isNotNull())
+        .groupBy(*keys, v.alias("__v"))
+        .agg(
+            F.sum(F.when(in_a, 1).otherwise(0)).alias("__ca"),
+            F.sum(F.when(in_b, 1).otherwise(0)).alias("__cb"),
+        )
+    )
+    w = Window.partitionBy(*_dict_partition(keys, "__v")).orderBy("__v")
+    t = F.col("__ca") + F.col("__cb")
+    prefix = F.coalesce(
+        F.sum(t).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    return d.withColumn("__r2", 2 * prefix + t + 1)
+
+
+def spearman_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    by_cols: Sequence[str] = (),
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """Spearman rank correlation of ``x_col`` vs ``y_col`` per
+    ``by_cols`` stratum (no ``by_cols``: one global row).  Ties get
+    average ranks (the standard tied form: Pearson correlation over
+    the rank vectors).  Returns (by_cols..., n, rho); rho is NULL
+    when n < 2 or either column is constant in the stratum.
+
+    Scale shape: rows collapse to one rank DICTIONARY per column
+    (GROUP BY (stratum, value) → window prefix over distinct values
+    only), then join back — two equi-joins that AQE broadcasts when
+    the value domains are bounded — and ONE final aggregate of six
+    DECIMAL(38,0) sums.  Doubled ranks keep tie-averages integral, so
+    every sum is exact; the single double surface is the final
+    covariance/σσ division (stat-class ROUND).  Per-stratum task
+    bound = distinct-value count; for unique-valued continuous data
+    prefer bucketing or the global ranking family (prefix.py)."""
+    keys = list(by_cols)
+    rows = df.where(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(*keys, F.col(x_col).alias("__x"), F.col(y_col).alias("__y"))
+
+    def rank_dict(col: str, out: str) -> DataFrame:
+        d = rows.groupBy(*keys, col).agg(F.count(F.lit(1)).alias("__t"))
+        w = Window.partitionBy(*_dict_partition(keys, col)).orderBy(col)
+        prefix = F.coalesce(
+            F.sum("__t").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        )
+        return d.select(
+            *keys, col, (2 * prefix + F.col("__t") + 1).alias(out)
+        )
+
+    ranked = rows.join(rank_dict("__x", "__rx"), [*keys, "__x"]).join(
+        rank_dict("__y", "__ry"), [*keys, "__y"]
+    )
+    rx = F.col("__rx").cast(_DEC)
+    ry = F.col("__ry").cast(_DEC)
+    agg = ranked.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(rx).alias("__sx"),
+        F.sum(ry).alias("__sy"),
+        F.sum(rx * rx).alias("__sxx"),
+        F.sum(ry * ry).alias("__syy"),
+        F.sum(rx * ry).alias("__sxy"),
+    )
+    n = F.col("n").cast(_DEC)
+    num = (n * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast("double")
+    dx = (n * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast("double")
+    dy = (n * F.col("__syy") - F.col("__sy") * F.col("__sy")).cast("double")
+    rho = F.when(
+        (F.col("n") >= 2) & (dx > 0.0) & (dy > 0.0),
+        num / F.sqrt(dx * dy),
+    )
+    if round_digits is not None:
+        rho = F.round(rho, round_digits)
+    return agg.select(*keys, F.col("n").cast("long").alias("n"), rho.alias("rho"))
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    by_cols: Sequence[str] = (),
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) test of ``value_col``
+    between the ``group_a`` and ``group_b`` cohorts, one test per
+    ``by_cols`` stratum.  Returns (by_cols..., n_a, n_b, u_stat,
+    z_stat): ``u_stat`` is cohort A's U (exact, half-integral under
+    ties), ``z_stat`` the normal approximation with the standard tie
+    correction — NULL when either cohort is empty or the tie-corrected
+    variance is zero (all values identical).  No continuity
+    correction (documented choice; both engines agree by
+    construction).
+
+    Scale shape: rows collapse to the combined rank dictionary (one
+    GROUP BY + one window over DISTINCT values per stratum) and the
+    rank-sum folds directly off the dictionary — cohort counts weight
+    the doubled average ranks, so there is NO join back to rows at
+    all.  Everything after the first GROUP BY is dictionary-sized.
+    Rank sums and the tie term Σ(t³−t) are exact DECIMAL(38,0)
+    integers; z's division/sqrt is the one double surface."""
+    keys = list(by_cols)
+    d = _cohort_dictionary(df, group_col, value_col, group_a, group_b, keys)
+    ca = F.col("__ca").cast(_DEC)
+    t = (F.col("__ca") + F.col("__cb")).cast(_DEC)
+    r2 = F.col("__r2").cast(_DEC)
+    agg = d.groupBy(*keys).agg(
+        F.sum("__ca").cast("long").alias("n_a"),
+        F.sum("__cb").cast("long").alias("n_b"),
+        F.sum(ca * r2).alias("__r2a"),
+        F.sum(t * t * t - t).alias("__ties"),
+    )
+    na = F.col("n_a").cast(_DEC)
+    nb = F.col("n_b").cast(_DEC)
+    nn = na + nb
+    u2 = (F.col("__r2a") - na * (na + 1)).cast("double")  # 2*U_a
+    mu2 = (na * nb).cast("double")  # 2*E[U]
+    nd = nn.cast("double")
+    var = F.when(
+        nn >= 2,
+        (na * nb).cast("double")
+        / 12.0
+        * (
+            (nd + 1.0)
+            - F.col("__ties").cast("double") / (nd * (nd - 1.0))
+        ),
+    )
+    z = F.when(
+        (F.col("n_a") >= 1) & (F.col("n_b") >= 1) & (var > 0.0),
+        (u2 - mu2) / (2.0 * F.sqrt(var)),
+    )
+    if round_digits is not None:
+        z = F.round(z, round_digits)
+    return agg.select(
+        *keys,
+        "n_a",
+        "n_b",
+        (u2 / 2.0).alias("u_stat"),
+        z.alias("z_stat"),
+    )
+
+
+def ks_2sample(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    by_cols: Sequence[str] = (),
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic of ``value_col``
+    between the ``group_a`` and ``group_b`` cohorts per ``by_cols``
+    stratum: D = sup_v |ECDF_a(v) − ECDF_b(v)|.  Returns
+    (by_cols..., n_a, n_b, d_stat); NULL when either cohort is empty.
+
+    Scale shape: the same combined rank dictionary (GROUP BY + one
+    window over distinct values per stratum) carries INCLUSIVE
+    per-cohort prefix counts; D is evaluated cross-multiplied —
+    max |ca·n_b − cb·n_a| over exact DECIMAL integers — so the max is
+    deterministic and the single final division of two exact integers
+    is bit-identical across engines (rounding is display only).
+    Nothing after the first GROUP BY exceeds dictionary size."""
+    keys = list(by_cols)
+    d = _cohort_dictionary(df, group_col, value_col, group_a, group_b, keys)
+    w = Window.partitionBy(*_dict_partition(keys, "__v")).orderBy("__v")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    whole = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = d.select(
+        *keys,
+        F.sum("__ca").over(run).cast(_DEC).alias("__cca"),
+        F.sum("__cb").over(run).cast(_DEC).alias("__ccb"),
+        F.sum("__ca").over(whole).cast(_DEC).alias("__na"),
+        F.sum("__cb").over(whole).cast(_DEC).alias("__nb"),
+    )
+    gap = F.abs(
+        F.col("__cca") * F.col("__nb") - F.col("__ccb") * F.col("__na")
+    )
+    agg = cum.groupBy(*keys).agg(
+        F.max(F.col("__na")).cast("long").alias("n_a"),
+        F.max(F.col("__nb")).cast("long").alias("n_b"),
+        F.max(gap).alias("__gap"),
+    )
+    d_stat = F.when(
+        (F.col("n_a") >= 1) & (F.col("n_b") >= 1),
+        F.col("__gap").cast("double")
+        / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+    )
+    if round_digits is not None:
+        d_stat = F.round(d_stat, round_digits)
+    return agg.select(*keys, "n_a", "n_b", d_stat.alias("d_stat"))
+
+
+def anova_oneway(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    by_cols: Sequence[str] = (),
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """One-way analysis of variance of ``value_col`` across the
+    levels of ``group_col``, one F per ``by_cols`` stratum.  Returns
+    (by_cols..., k_groups, n, ss_between, ss_within, f_stat); the
+    statistic is NULL when fewer than two levels, no residual degrees
+    of freedom (n ≤ k), or zero within-group variance.
+
+    Scale shape: ONE GROUP BY (stratum, level) folds rows to (n, Σv,
+    Σv²) triples, then ONE level-frame aggregate per stratum — output
+    is |strata| rows and nothing level- or stratum-sized ever sits in
+    one task.  Per-level moments are exact integer sums for integral
+    values; the cross-level Σ(sᵢ²/nᵢ) is the double-accumulation
+    surface (stat-class ROUND, same class as chi-squared's cell
+    sum)."""
+    keys = list(by_cols)
+    v = F.col(value_col).cast("double")
+    lv = (
+        df.where(v.isNotNull() & F.col(group_col).isNotNull())
+        .groupBy(*keys, F.col(group_col).alias("__g"))
+        .agg(
+            F.count(v).cast("double").alias("__n"),
+            F.sum(v).alias("__s"),
+            F.sum(v * v).alias("__ss"),
+        )
+    )
+    agg = lv.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("k_groups"),
+        F.sum("__n").alias("__nn"),
+        F.sum("__s").alias("__grand"),
+        F.sum("__ss").alias("__sstot"),
+        F.sum(F.col("__s") * F.col("__s") / F.col("__n")).alias("__sgrp"),
+    )
+    nn = F.col("__nn")
+    k = F.col("k_groups").cast("double")
+    ssb = F.col("__sgrp") - F.col("__grand") * F.col("__grand") / nn
+    ssw = F.col("__sstot") - F.col("__sgrp")
+    f_stat = F.when(
+        (F.col("k_groups") >= 2) & (nn > k) & (ssw > 0.0),
+        (ssb / (k - 1.0)) / (ssw / (nn - k)),
+    )
+    out_ssb, out_ssw = ssb, ssw
+    if round_digits is not None:
+        out_ssb = F.round(out_ssb, round_digits)
+        out_ssw = F.round(out_ssw, round_digits)
+        f_stat = F.round(f_stat, round_digits)
+    return agg.select(
+        *keys,
+        "k_groups",
+        nn.cast("long").alias("n"),
+        out_ssb.alias("ss_between"),
+        out_ssw.alias("ss_within"),
+        f_stat.alias("f_stat"),
     )

@@ -112,6 +112,14 @@ _DRIVER_PRIORITY: list[str] = [
     # round 8 (extension): personalized PageRank (seed-proximity
     # ranking; teleport vector rides the node frame)
     "ppr_navigation_seeded",
+    # round 8 (extension): the rank-dictionary testing family —
+    # Spearman rank correlation, Mann–Whitney U, two-sample KS (all
+    # windows run over DISTINCT-value dictionaries, never row-sized
+    # per-stratum tasks) — and one-way ANOVA (pure moment folds)
+    "spearman_qty_price_lineitem",
+    "mannwhitney_value_events",
+    "ks_value_click_view_events",
+    "anova_value_by_type_events",
     # flagship MICE surface: kept fresh every round by convention
     "mice_single_col_sql_oracle",
     "mice_low_sql_oracle",
@@ -154,8 +162,10 @@ _DRIVER_PRIORITY: list[str] = [
     "list_extract_position",
     "exact_dedup_documents",
     "minhash_signatures",
-    "cross_join_triples",
-    "sql_passthrough_shared_dialect",
+    # (cross_join_triples and sql_passthrough_shared_dialect yield
+    # their rotation slots to the round-8 stats-family rows — both are
+    # replay-green and implementation-untouched; next round's rotation
+    # picks them up first)
 ]
 
 
@@ -7576,6 +7586,255 @@ def chi2_type_hour_events(spark, sf):
         "event_type", F.hour("ts").cast("int").alias("hod")
     )
     return chi2_independence(ev, "event_type", "hod")
+
+
+@register(
+    "spearman_qty_price_lineitem",
+    oracle="""
+    WITH r AS (
+      SELECT l_returnflag AS rf,
+             CAST(l_quantity AS BIGINT) AS x,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    ), rk AS (
+      SELECT rf,
+             2 * RANK() OVER (PARTITION BY rf ORDER BY x)
+               + COUNT(*) OVER (PARTITION BY rf, x) - 1 AS rx,
+             2 * RANK() OVER (PARTITION BY rf ORDER BY y)
+               + COUNT(*) OVER (PARTITION BY rf, y) - 1 AS ry
+      FROM r
+    ), m AS (
+      SELECT rf, COUNT(*) AS n, SUM(rx) AS sx, SUM(ry) AS sy,
+             SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy,
+             SUM(rx * ry) AS sxy
+      FROM rk GROUP BY rf
+    )
+    SELECT rf, CAST(n AS BIGINT) AS n,
+           CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
+                     AND n * syy - sy * sy > 0
+                THEN ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                           / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                                  * CAST(n * syy - sy * sy AS DOUBLE)),
+                           4) + 0.0
+           END AS rho
+    FROM m
+    """,
+)
+def spearman_qty_price_lineitem(spark, sf):
+    """Per-returnflag Spearman rank correlation (operators/stats.py
+    spearman_corr) of quantity vs price-in-cents — the monotone-
+    association screen that is robust to the price column's heavy
+    tail.  The rank DICTIONARY shape: one GROUP BY per column
+    collapses rows to (stratum, value, count) cells, a window
+    prefix-sum over DISTINCT values assigns doubled average ranks
+    (ties stay integral), two dictionary equi-joins put both ranks on
+    each row, ONE final aggregate of six DECIMAL(38,0) sums.  The
+    oracle assigns the identical doubled ranks per row as
+    2*RANK() + tie_count - 1 (min-rank + ties ⇒ the same average
+    rank); both engines carry exact integers (HUGEINT / DECIMAL) into
+    the one double division — stat-class ROUND(,4)."""
+    from .operators.stats import spearman_corr
+
+    li = (
+        load_table(spark, sf, "lineitem")
+        .where(
+            F.col("l_quantity").isNotNull()
+            & F.col("l_extendedprice").isNotNull()
+        )
+        .select(
+            F.col("l_returnflag").alias("rf"),
+            F.col("l_quantity").cast("long").alias("x"),
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+        )
+    )
+    return spearman_corr(li, "x", "y", by_cols=["rf"])
+
+
+_MWU_VAR_SQL = (
+    "CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0"
+    " * ((CAST(na + nb AS DOUBLE) + 1.0)"
+    "    - CAST(ties AS DOUBLE)"
+    "      / (CAST(na + nb AS DOUBLE) * (CAST(na + nb AS DOUBLE) - 1.0)))"
+)
+
+
+@register(
+    "mannwhitney_value_events",
+    oracle=f"""
+    WITH e AS (
+      SELECT CAST(hour(ts) AS INT) AS hod, event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS v
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')
+    ), d AS (
+      SELECT hod, v,
+             COUNT(*) FILTER (event_type = 'click') AS ca,
+             COUNT(*) FILTER (event_type = 'purchase') AS cb
+      FROM e GROUP BY hod, v
+    ), rk AS (
+      SELECT hod, ca, cb, ca + cb AS t,
+             2 * COALESCE(SUM(ca + cb) OVER (
+                   PARTITION BY hod ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + (ca + cb) + 1 AS r2
+      FROM d
+    ), m AS (
+      SELECT hod, SUM(ca) AS na, SUM(cb) AS nb,
+             SUM(ca * r2) AS r2a, SUM(t * t * t - t) AS ties
+      FROM rk GROUP BY hod
+    )
+    SELECT hod, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           CAST(r2a - na * (na + 1) AS DOUBLE) / 2.0 AS u_stat,
+           CASE WHEN na >= 1 AND nb >= 1 AND {_MWU_VAR_SQL} > 0.0
+                THEN ROUND((CAST(r2a - na * (na + 1) AS DOUBLE)
+                            - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+                           / (2.0 * sqrt({_MWU_VAR_SQL})), 4) + 0.0
+           END AS z_stat
+    FROM m
+    """,
+)
+def mannwhitney_value_events(spark, sf):
+    """Per-hour Mann–Whitney U test (operators/stats.py
+    mann_whitney_u) of click vs purchase values in cents — the
+    nonparametric A/B companion to the Welch row (no normality
+    assumption; detects stochastic dominance, not mean shift).  The
+    rank-sum folds DIRECTLY off the combined rank dictionary (cohort
+    counts weight the doubled average ranks) — no join back to rows;
+    everything after the first GROUP BY is dictionary-sized (3,305
+    distinct cent values at the gate).  Rank sums and the tie term
+    Σ(t³−t) are exact DECIMAL/HUGEINT integers on both engines;
+    u_stat is an exact half-integer (the /2.0 is lossless) and z's
+    division/sqrt is the one double surface (stat-class
+    ROUND(,4))."""
+    from .operators.stats import mann_whitney_u
+
+    ev = (
+        load_table(spark, sf, "events")
+        .where(
+            F.col("value").isNotNull()
+            & F.col("event_type").isin("click", "purchase")
+        )
+        .select(
+            F.hour("ts").cast("int").alias("hod"),
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("v"),
+        )
+    )
+    return mann_whitney_u(
+        ev, "event_type", "v", "click", "purchase", by_cols=["hod"]
+    )
+
+
+@register(
+    "ks_value_click_view_events",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS v
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+    ), d AS (
+      SELECT v,
+             COUNT(*) FILTER (event_type = 'click') AS ca,
+             COUNT(*) FILTER (event_type = 'view') AS cb
+      FROM e GROUP BY v
+    ), c AS (
+      SELECT SUM(ca) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cca,
+             SUM(cb) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ccb,
+             SUM(ca) OVER () AS na,
+             SUM(cb) OVER () AS nb
+      FROM d
+    )
+    SELECT CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b,
+           ROUND(CAST(MAX(ABS(cca * nb - ccb * na)) AS DOUBLE)
+                 / (CAST(MAX(na) AS DOUBLE) * CAST(MAX(nb) AS DOUBLE)),
+                 6) + 0.0 AS d_stat
+    FROM c
+    """,
+)
+def ks_value_click_view_events(spark, sf):
+    """Global two-sample Kolmogorov–Smirnov distance (operators/
+    stats.py ks_2sample) between the click and view value
+    distributions in cents — the distribution-shift screen (did the
+    metric's whole shape move, not just its mean?).  The combined
+    rank dictionary carries INCLUSIVE per-cohort prefix counts and D
+    is evaluated cross-multiplied — max |ca·n_b − cb·n_a| over exact
+    integers — so the max is deterministic and the single final
+    division of two exact integers is bit-identical across engines
+    (ROUND(,6) is display only).  One GROUP BY + one window over
+    distinct cent values + one aggregate."""
+    from .operators.stats import ks_2sample
+
+    ev = (
+        load_table(spark, sf, "events")
+        .where(
+            F.col("value").isNotNull()
+            & F.col("event_type").isin("click", "view")
+        )
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("v"),
+        )
+    )
+    return ks_2sample(ev, "event_type", "v", "click", "view")
+
+
+@register(
+    "anova_value_by_type_events",
+    oracle="""
+    WITH e AS (
+      SELECT CAST(hour(ts) AS INT) AS hod, event_type AS g,
+             CAST(ROUND(value * 100) AS DOUBLE) AS v
+      FROM events
+      WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ), l AS (
+      SELECT hod, g, CAST(COUNT(*) AS DOUBLE) AS n,
+             SUM(v) AS s, SUM(v * v) AS ss
+      FROM e GROUP BY hod, g
+    ), m AS (
+      SELECT hod, COUNT(*) AS k, SUM(n) AS nn, SUM(s) AS grand,
+             SUM(ss) AS sstot, SUM(s * s / n) AS sgrp
+      FROM l GROUP BY hod
+    )
+    SELECT hod, CAST(k AS BIGINT) AS k_groups, CAST(nn AS BIGINT) AS n,
+           CASE WHEN k >= 2 AND nn > k AND sstot - sgrp > 0.0
+                THEN ROUND(((sgrp - grand * grand / nn)
+                            / (CAST(k AS DOUBLE) - 1.0))
+                           / ((sstot - sgrp) / (nn - CAST(k AS DOUBLE))),
+                           4) + 0.0
+           END AS f_stat
+    FROM m
+    """,
+)
+def anova_value_by_type_events(spark, sf):
+    """Per-hour one-way ANOVA (operators/stats.py anova_oneway) of
+    event value in cents across ALL FIVE event types — the k-cohort
+    generalization of the Welch row (is the metric's mean the same
+    across every event type this hour?).  ONE GROUP BY (hod, type)
+    folds rows to (n, Σv, Σv²) triples, ONE level-frame aggregate per
+    stratum; at the gate every per-level moment is an exact integer
+    sum (cents² × counts < 2⁵³), so the engines differ only in the
+    five-term cross-level Σ(sᵢ²/nᵢ) accumulation order — f_stat is
+    O(1)-magnitude, stat-class ROUND(,4); the row selects the counts
+    + statistic (the raw SS columns are ~10¹² magnitude where
+    ROUND(,4) would pin 16 significant digits — tighter than the
+    double-sum class supports)."""
+    from .operators.stats import anova_oneway
+
+    ev = (
+        load_table(spark, sf, "events")
+        .where(F.col("value").isNotNull() & F.col("event_type").isNotNull())
+        .select(
+            F.hour("ts").cast("int").alias("hod"),
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("v"),
+        )
+    )
+    return anova_oneway(ev, "event_type", "v", by_cols=["hod"]).select(
+        "hod", "k_groups", "n", "f_stat"
+    )
 
 
 @register("cusum_events", oracle=_CUSUM_ORACLE)

@@ -108,3 +108,225 @@ def test_chi2_unobserved_cell_contributes_expectation(spark):
     want_chi2, want_dof, want_n = _py_chi2(pairs)
     assert r["dof"] == 1 and r["n"] == 20
     assert abs(r["chi2"] - want_chi2) < 1e-4
+
+
+# ---------------------------------------------------------------------------
+# Rank-based family (Spearman / Mann-Whitney / KS) + one-way ANOVA
+# ---------------------------------------------------------------------------
+
+from duckdb_imputation_spark.operators.stats import (  # noqa: E402
+    anova_oneway,
+    ks_2sample,
+    mann_whitney_u,
+    spearman_corr,
+)
+
+
+def _avg_ranks(vals):
+    """Average ranks (1-based) with ties, per the textbook definition."""
+    order = sorted(range(len(vals)), key=lambda i: vals[i])
+    ranks = [0.0] * len(vals)
+    i = 0
+    while i < len(order):
+        j = i
+        while j < len(order) and vals[order[j]] == vals[order[i]]:
+            j += 1
+        avg = (i + 1 + j) / 2.0  # mean of ranks i+1 .. j
+        for k in range(i, j):
+            ranks[order[k]] = avg
+        i = j
+    return ranks
+
+
+def _py_spearman(xs, ys):
+    rx, ry = _avg_ranks(xs), _avg_ranks(ys)
+    n = len(xs)
+    mx, my = sum(rx) / n, sum(ry) / n
+    num = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+    dx = sum((a - mx) ** 2 for a in rx)
+    dy = sum((b - my) ** 2 for b in ry)
+    return num / math.sqrt(dx * dy)
+
+
+def test_spearman_matches_python_reference(spark):
+    rng = random.Random(7)
+    rows = []
+    for h in range(2):
+        for _ in range(60):
+            x = rng.randrange(0, 20)  # deliberate heavy ties
+            y = 2 * x + rng.randrange(0, 15)
+            rows.append((h, x, y))
+    df = spark.createDataFrame(rows, "h int, x int, y int")
+    out = {
+        r["h"]: r
+        for r in spearman_corr(df, "x", "y", by_cols=["h"]).collect()
+    }
+    for h in range(2):
+        xs = [x for hh, x, _ in rows if hh == h]
+        ys = [y for hh, _, y in rows if hh == h]
+        ref = _py_spearman(xs, ys)
+        assert out[h]["n"] == len(xs)
+        assert abs(out[h]["rho"] - ref) < 2e-4, (h, out[h]["rho"], ref)
+
+
+def test_spearman_degenerate(spark):
+    # constant x -> zero rank variance -> NULL rho; n = 1 -> NULL
+    df = spark.createDataFrame(
+        [(1, 5, 1), (1, 5, 2), (1, 5, 3), (2, 9, 4)],
+        "h int, x int, y int",
+    )
+    out = {r["h"]: r for r in
+           spearman_corr(df, "x", "y", by_cols=["h"]).collect()}
+    assert out[1]["rho"] is None
+    assert out[2]["rho"] is None and out[2]["n"] == 1
+
+
+def test_spearman_perfect_monotone(spark):
+    df = spark.createDataFrame(
+        [(i, i * i) for i in range(1, 30)], "x int, y int"
+    )
+    r = spearman_corr(df, "x", "y").collect()[0]
+    assert r["rho"] == 1.0
+
+
+def _py_mwu(xs, ys):
+    both = xs + ys
+    ranks = _avg_ranks(both)
+    ra = sum(ranks[: len(xs)])
+    na, nb = len(xs), len(ys)
+    u = ra - na * (na + 1) / 2.0
+    n = na + nb
+    from collections import Counter
+    ties = sum(t**3 - t for t in Counter(both).values())
+    var = na * nb / 12.0 * ((n + 1) - ties / (n * (n - 1)))
+    z = (u - na * nb / 2.0) / math.sqrt(var)
+    return u, z
+
+
+def test_mann_whitney_matches_python_reference(spark):
+    rng = random.Random(23)
+    rows = []
+    for h in range(2):
+        for _ in range(50):
+            rows.append((h, "a", rng.randrange(0, 40)))
+        for _ in range(35):
+            rows.append((h, "b", rng.randrange(10, 50)))
+        rows.append((h, "zz", 10_000))  # out-of-cohort: ignored
+    df = spark.createDataFrame(rows, "h int, g string, v int")
+    out = {
+        r["h"]: r
+        for r in mann_whitney_u(
+            df, "g", "v", "a", "b", by_cols=["h"]
+        ).collect()
+    }
+    for h in range(2):
+        xs = [v for hh, g, v in rows if hh == h and g == "a"]
+        ys = [v for hh, g, v in rows if hh == h and g == "b"]
+        u, z = _py_mwu(xs, ys)
+        r = out[h]
+        assert (r["n_a"], r["n_b"]) == (len(xs), len(ys))
+        assert abs(r["u_stat"] - u) < 1e-9, (h, r["u_stat"], u)
+        assert abs(r["z_stat"] - z) < 2e-4, (h, r["z_stat"], z)
+
+
+def test_mann_whitney_degenerate(spark):
+    # empty cohort b -> NULL z; all-identical values -> zero variance
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2)], "g string, v int"
+    )
+    r = mann_whitney_u(df, "g", "v", "a", "b").collect()[0]
+    assert r["n_b"] == 0 and r["z_stat"] is None
+    df2 = spark.createDataFrame(
+        [("a", 7)] * 3 + [("b", 7)] * 3, "g string, v int"
+    )
+    r2 = mann_whitney_u(df2, "g", "v", "a", "b").collect()[0]
+    assert r2["z_stat"] is None and r2["u_stat"] == 4.5  # na*nb/2
+
+
+def _py_ks(xs, ys):
+    vals = sorted(set(xs + ys))
+    na, nb = len(xs), len(ys)
+    best = 0.0
+    for v in vals:
+        fa = sum(1 for x in xs if x <= v) / na
+        fb = sum(1 for y in ys if y <= v) / nb
+        best = max(best, abs(fa - fb))
+    return best
+
+
+def test_ks_matches_python_reference(spark):
+    rng = random.Random(41)
+    rows = []
+    for _ in range(80):
+        rows.append(("a", rng.randrange(0, 30)))
+    for _ in range(55):
+        rows.append(("b", rng.randrange(5, 40)))
+    df = spark.createDataFrame(rows, "g string, v int")
+    r = ks_2sample(df, "g", "v", "a", "b", round_digits=None).collect()[0]
+    xs = [v for g, v in rows if g == "a"]
+    ys = [v for g, v in rows if g == "b"]
+    assert (r["n_a"], r["n_b"]) == (len(xs), len(ys))
+    assert abs(r["d_stat"] - _py_ks(xs, ys)) < 1e-12
+
+
+def test_ks_identical_and_disjoint(spark):
+    same = [("a", i % 5) for i in range(20)] + [
+        ("b", i % 5) for i in range(20)
+    ]
+    r = ks_2sample(
+        spark.createDataFrame(same, "g string, v int"), "g", "v", "a", "b"
+    ).collect()[0]
+    assert r["d_stat"] == 0.0
+    disj = [("a", i) for i in range(10)] + [("b", 100 + i) for i in range(7)]
+    r2 = ks_2sample(
+        spark.createDataFrame(disj, "g string, v int"), "g", "v", "a", "b"
+    ).collect()[0]
+    assert r2["d_stat"] == 1.0
+
+
+def _py_anova(groups):
+    k = len(groups)
+    n = sum(len(g) for g in groups)
+    grand = sum(sum(g) for g in groups) / n
+    ssb = sum(len(g) * (sum(g) / len(g) - grand) ** 2 for g in groups)
+    ssw = sum(
+        sum((x - sum(g) / len(g)) ** 2 for x in g) for g in groups
+    )
+    return ssb, ssw, (ssb / (k - 1)) / (ssw / (n - k))
+
+
+def test_anova_matches_python_reference(spark):
+    rng = random.Random(5)
+    rows = []
+    for h in range(2):
+        for gi, mean in enumerate((100, 120, 150)):
+            for _ in range(30 + 5 * gi):
+                rows.append((h, f"g{gi}", mean + rng.randrange(-20, 20)))
+    df = spark.createDataFrame(rows, "h int, g string, v int")
+    out = {
+        r["h"]: r
+        for r in anova_oneway(df, "g", "v", by_cols=["h"]).collect()
+    }
+    for h in range(2):
+        groups = [
+            [float(v) for hh, g, v in rows if hh == h and g == f"g{gi}"]
+            for gi in range(3)
+        ]
+        ssb, ssw, f = _py_anova(groups)
+        r = out[h]
+        assert r["k_groups"] == 3 and r["n"] == sum(map(len, groups))
+        assert abs(r["ss_between"] - ssb) < 1e-3
+        assert abs(r["ss_within"] - ssw) < 1e-3
+        assert abs(r["f_stat"] - f) < 2e-4
+
+
+def test_anova_degenerate(spark):
+    # single level -> NULL; zero within-variance -> NULL
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0)], "g string, v double"
+    )
+    assert anova_oneway(df, "g", "v").collect()[0]["f_stat"] is None
+    df2 = spark.createDataFrame(
+        [("a", 5.0)] * 3 + [("b", 9.0)] * 3, "g string, v double"
+    )
+    assert anova_oneway(df2, "g", "v").collect()[0]["f_stat"] is None
