@@ -59,6 +59,7 @@ __all__ = [
     "remove_duplicate_passages",
     "dedup_keep_best",
     "bucket_skew_stats",
+    "containment_join",
 ]
 
 
@@ -1199,4 +1200,92 @@ def novelty_scores(
             F.coalesce("n_novel", F.lit(0)).cast("double")
             / F.col("n_grams")
         ).alias("novelty"),
+    )
+
+
+def containment_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    q_id: str,
+    q_text: str,
+    c_id: str,
+    c_text: str,
+    n: int = 8,
+    threshold: float = 0.5,
+    max_gram_df: int | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT join: emit (query, corpus-doc)
+    pairs where
+
+        containment = |grams(q) ∩ grams(c)| / |grams(q)| ≥ threshold
+
+    over distinct token ``n``-grams — the verbatim-inclusion detector
+    (which corpus documents contain most of this benchmark prompt /
+    quote / license block?).  One-sided by design: a long document
+    that swallows a short query scores 1.0 on that query while its
+    Jaccard similarity is near 0 — the case the symmetric dedup
+    family (minhash/ngram_jaccard) structurally misses.  Directional
+    complement of ngram_decontaminate (which flags and drops; this
+    SCORES and returns the pairs, queries-side denominators).
+
+    The threshold compare is exact-integer at per-mille resolution:
+    ``1000·m ≥ round(1000·threshold)·|grams(q)|`` — no float boundary
+    cross-engine; the emitted ``containment`` double is the one
+    display-only division.  Self-pairs (same id value) are NOT
+    filtered — callers probing a corpus against itself exclude them
+    on id.
+
+    Scale shape: grams travel as 60-bit md5 ints (slim shuffle, the
+    decontamination family's collision budget applies); the gram
+    equi-join IS the inverted index — never a doc×doc cross join; the
+    per-pair GROUP BY output is bounded by true near-containment
+    pairs.  ``max_gram_df`` drops grams appearing in more than that
+    many corpus documents BEFORE the join (the hot-gram guard for
+    boilerplate n-grams — lowers recall one-sidedly, documented trade
+    like fuzzy_join's ``max_block``).
+
+    Reference parity: the reference engine exposes no containment
+    operator; spec follows the standard set-containment-join
+    literature (e.g. PPJoin/containment variants, Xiao et al.
+    WWW'08) restricted to the exact-count form."""
+    thr = int(round(1000 * threshold))
+    qg = queries.select(
+        F.col(q_id).alias("__qid"),
+        F.explode(
+            F.array_distinct(_token_ngrams(F.col(q_text), n))
+        ).alias("__g"),
+    ).select("__qid", md5_int60(F.col("__g")).alias("__h"))
+    qn = qg.groupBy("__qid").agg(F.count(F.lit(1)).alias("__qn"))
+    cg = corpus.select(
+        F.col(c_id).alias("__cid"),
+        F.explode(
+            F.array_distinct(_token_ngrams(F.col(c_text), n))
+        ).alias("__g"),
+    ).select("__cid", md5_int60(F.col("__g")).alias("__h"))
+    if max_gram_df is not None:
+        hot = (
+            cg.groupBy("__h")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") > max_gram_df)
+            .select("__h")
+        )
+        cg = cg.join(hot, "__h", "left_anti")
+    m = (
+        qg.join(cg, "__h")
+        .groupBy("__qid", "__cid")
+        .agg(F.count(F.lit(1)).alias("__m"))
+    )
+    out = m.join(qn, "__qid").where(
+        F.lit(1000) * F.col("__m") >= F.lit(thr) * F.col("__qn")
+    )
+    return out.select(
+        F.col("__qid").alias(q_id),
+        F.col("__cid").alias(c_id),
+        F.col("__m").cast("long").alias("n_shared"),
+        F.col("__qn").cast("long").alias("n_query_grams"),
+        F.round(
+            F.col("__m").cast("double") / F.col("__qn").cast("double"),
+            round_digits,
+        ).alias("containment"),
     )

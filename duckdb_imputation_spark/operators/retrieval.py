@@ -30,6 +30,7 @@ __all__ = [
     "bm25_index_load",
     "bm25_index_update",
     "BM25Index",
+    "tfidf_keywords",
 ]
 
 
@@ -374,3 +375,71 @@ def bm25_topk_sql(
     GROUP BY {id_col}
     ORDER BY score DESC, {id_col} LIMIT {k}
     """
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    min_df: int = 1,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Top-``k`` TF-IDF keywords per document — the keyword-extraction
+    / topic-tagging primitive.  Smoothed idf (the scikit-learn
+    ``TfidfTransformer(smooth_idf=True)`` form, public docs):
+
+        idf(t)   = ln((N + 1)/(df(t) + 1)) + 1
+        score    = tf(d, t) · idf(t)
+
+    Returns (id, token, tf, score, rnk) for each document's top ``k``
+    tokens; deterministic order by (ROUNDED score desc, token asc) —
+    the BM25 rows' cross-engine discipline (ranking on the rounded
+    value keeps both engines' orderings identical wherever their ln
+    ulps agree post-round; the margin checker vets the boundaries).
+    ``min_df`` drops tokens seen in fewer than that many documents
+    (typo/hapax suppression) BEFORE scoring.
+
+    Scale shape: one corpus-sized explode + (doc, token) GROUP BY —
+    the only corpus shuffles; document frequencies are
+    vocabulary-sized (broadcast join) and the doc count is a 1-row
+    broadcast.  The per-doc top-k window partitions on the document
+    id: a task holds one document's distinct tokens, bounded by the
+    longest document, never by the corpus."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.explode(ws_tokens(F.col(text_col))).alias("__t")
+    )
+    tf = toks.groupBy(id_col, "__t").agg(F.count(F.lit(1)).alias("__tf"))
+    dfreq = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+    if min_df > 1:
+        dfreq = dfreq.where(F.col("__df") >= min_df)
+    corpus = df.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    score = F.round(
+        F.col("__tf").cast("double")
+        * (
+            F.log(
+                (F.col("__n") + 1.0) / (F.col("__df").cast("double") + 1.0)
+            )
+            + 1.0
+        ),
+        round_digits,
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "__t")
+        .crossJoin(F.broadcast(corpus))
+        .select(F.col(id_col), F.col("__t"), F.col("__tf"), score.alias("score"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.col("__t"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(
+            F.col(id_col),
+            F.col("__t").alias("token"),
+            F.col("__tf").cast("long").alias("tf"),
+            "score",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )

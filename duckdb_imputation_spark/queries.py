@@ -120,6 +120,12 @@ _DRIVER_PRIORITY: list[str] = [
     "mannwhitney_value_events",
     "ks_value_click_view_events",
     "anova_value_by_type_events",
+    # round 8 (extension): TF-IDF keyword extraction (per-doc top-k,
+    # BM25-discipline rounded ranking) and the asymmetric n-gram
+    # containment join (verbatim-inclusion detection; exact-integer
+    # per-mille threshold)
+    "tfidf_keywords_documents",
+    "containment_join_documents",
     # flagship MICE surface: kept fresh every round by convention
     "mice_single_col_sql_oracle",
     "mice_low_sql_oracle",
@@ -160,12 +166,11 @@ _DRIVER_PRIORITY: list[str] = [
     "mean_mode_stats",
     "distinct_category_dictionary",
     "list_extract_position",
-    "exact_dedup_documents",
-    "minhash_signatures",
-    # (cross_join_triples and sql_passthrough_shared_dialect yield
-    # their rotation slots to the round-8 stats-family rows — both are
-    # replay-green and implementation-untouched; next round's rotation
-    # picks them up first)
+    # (exact_dedup_documents, minhash_signatures,
+    # cross_join_triples and sql_passthrough_shared_dialect yield
+    # their rotation slots to the round-8 stats/keyword/containment
+    # rows — all four are replay-green and implementation-untouched;
+    # next round's rotation picks them up first)
 ]
 
 
@@ -7835,6 +7840,112 @@ def anova_value_by_type_events(spark, sf):
     return anova_oneway(ev, "event_type", "v", by_cols=["hod"]).select(
         "hod", "k_groups", "n", "f_stat"
     )
+
+
+@register(
+    "tfidf_keywords_documents",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, unnest({ws_tokens_sql('text')}) AS t FROM documents
+    ), tf AS (
+      SELECT doc_id, t, COUNT(*) AS tf FROM tk GROUP BY doc_id, t
+    ), dfreq AS (
+      SELECT t, COUNT(*) AS df FROM tf GROUP BY t
+    ), nn AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents
+    ), scored AS (
+      SELECT doc_id, t AS token, tf,
+             ROUND(CAST(tf AS DOUBLE)
+                   * (ln((nn.n + 1.0) / (CAST(df AS DOUBLE) + 1.0)) + 1.0),
+                   6) + 0.0 AS score
+      FROM tf JOIN dfreq USING (t), nn
+      WHERE df >= 2
+    ), rk AS (
+      SELECT doc_id, token, tf, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, token) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, score,
+           CAST(rnk AS INT) AS rnk
+    FROM rk WHERE rnk <= 3
+    """,
+)
+def tfidf_keywords_documents(spark, sf):
+    """Top-3 TF-IDF keywords per document (operators/retrieval.py
+    tfidf_keywords, smoothed sklearn-form idf, min_df=2) — keyword
+    extraction over the documents table.  One corpus explode + one
+    (doc, token) GROUP BY are the only corpus shuffles; document
+    frequencies are vocabulary-sized (broadcast), the doc count a
+    1-row broadcast, and the per-doc top-k window partitions on
+    doc_id (a task holds ONE document's distinct tokens).  Ranking
+    uses the ROUNDED score with a token tie-break — the BM25 rows'
+    cross-engine discipline: equal (tf, df) pairs are exactly equal
+    on both engines and fall to the token order; ln sits behind
+    ROUND(,6) (transcendental class, margin-checked)."""
+    from .operators.retrieval import tfidf_keywords
+
+    d = load_table(spark, sf, "documents")
+    return tfidf_keywords(d, "text", "doc_id", k=3, min_df=2)
+
+
+def _containment_oracle(n: int = 8, mod: int = 11, thr: int = 500) -> str:
+    def grams(col: str) -> str:
+        toks = _ws_sql(col)
+        return (
+            f"CASE WHEN length({toks}) >= {n} THEN "
+            f"list_transform(range(1, length({toks}) - {n - 1} + 1), "
+            f"i -> array_to_string(({toks})[CAST(i AS INT):CAST(i AS INT)"
+            f" + {n - 1}], ' ')) "
+            f"ELSE [array_to_string({toks}, ' ')] END"
+        )
+
+    return f"""
+    WITH q AS (
+      SELECT doc_id AS q_id, unnest(list_distinct({grams('text')})) AS g
+      FROM documents WHERE doc_id % {mod} = 0
+    ), qn AS (
+      SELECT q_id, COUNT(*) AS qn FROM q GROUP BY q_id
+    ), c AS (
+      SELECT doc_id AS c_id, unnest(list_distinct({grams('text')})) AS g
+      FROM documents
+    ), m AS (
+      SELECT q_id, c_id, COUNT(*) AS m
+      FROM q JOIN c USING (g) GROUP BY q_id, c_id
+    )
+    SELECT q_id, c_id, CAST(m AS BIGINT) AS n_shared,
+           CAST(qn AS BIGINT) AS n_query_grams,
+           ROUND(CAST(m AS DOUBLE) / CAST(qn AS DOUBLE), 6) + 0.0
+             AS containment
+    FROM m JOIN qn USING (q_id)
+    WHERE 1000 * m >= {thr} * qn AND q_id <> c_id
+    """
+
+
+@register("containment_join_documents", oracle=_containment_oracle())
+def containment_join_documents(spark, sf):
+    """Asymmetric 8-gram containment join (operators/dedup.py
+    containment_join): every 11th document probes the full corpus for
+    documents containing ≥ 50 % of its distinct 8-grams — the
+    verbatim-inclusion detector (quotes / license blocks / benchmark
+    prompts swallowed by longer documents), the one-sided case the
+    symmetric Jaccard dedup family structurally misses.  Grams travel
+    as 60-bit md5 ints; the gram equi-join IS the inverted index
+    (never doc×doc); the threshold compare is exact-integer per-mille
+    (1000·m ≥ 500·qn — zero float boundary; the oracle joins raw gram
+    strings, so a hash collision would surface as a mismatch, which
+    is the point of the budget).  Self-pairs excluded on id."""
+    from .operators.dedup import containment_join
+
+    d = load_table(spark, sf, "documents")
+    q = d.where(F.col("doc_id") % 11 == 0).select(
+        F.col("doc_id").alias("q_id"), "text"
+    )
+    c = d.select(F.col("doc_id").alias("c_id"), "text")
+    out = containment_join(
+        q, c, "q_id", "text", "c_id", "text", n=8, threshold=0.5
+    )
+    return out.where(F.col("q_id") != F.col("c_id"))
 
 
 @register("cusum_events", oracle=_CUSUM_ORACLE)
