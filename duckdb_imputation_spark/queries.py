@@ -126,6 +126,10 @@ _DRIVER_PRIORITY: list[str] = [
     # per-mille threshold)
     "tfidf_keywords_documents",
     "containment_join_documents",
+    # round 8 (extension): Population Stability Index (temporal
+    # distribution drift; Laplace smoothing + unobserved-bucket
+    # algebraic closure)
+    "psi_value_drift_events",
     # flagship MICE surface: kept fresh every round by convention
     "mice_single_col_sql_oracle",
     "mice_low_sql_oracle",
@@ -165,8 +169,7 @@ _DRIVER_PRIORITY: list[str] = [
     "union_partition_counts",
     "mean_mode_stats",
     "distinct_category_dictionary",
-    "list_extract_position",
-    # (exact_dedup_documents, minhash_signatures,
+    # (list_extract_position, exact_dedup_documents, minhash_signatures,
     # cross_join_triples and sql_passthrough_shared_dialect yield
     # their rotation slots to the round-8 stats/keyword/containment
     # rows — all four are replay-green and implementation-untouched;
@@ -7946,6 +7949,84 @@ def containment_join_documents(spark, sf):
         q, c, "q_id", "text", "c_id", "text", n=8, threshold=0.5
     )
     return out.where(F.col("q_id") != F.col("c_id"))
+
+
+@register(
+    "psi_value_drift_events",
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             CASE WHEN day(ts) <= 15 THEN 'p1' ELSE 'p2' END AS period,
+             CAST(ROUND(value * 100) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ), d AS (
+      SELECT event_type,
+             CAST(v >= 500 AS INT) + CAST(v >= 1500 AS INT)
+               + CAST(v >= 3500 AS INT) + CAST(v >= 7000 AS INT)
+               + CAST(v >= 15000 AS INT) AS bucket,
+             COUNT(*) FILTER (period = 'p1') AS ca,
+             COUNT(*) FILTER (period = 'p2') AS cb
+      FROM e GROUP BY event_type, bucket
+    ), t AS (
+      SELECT event_type, SUM(ca) AS na, SUM(cb) AS nb FROM d
+      GROUP BY event_type
+    ), j AS (
+      SELECT d.event_type,
+             (CAST(ca AS DOUBLE) + 1.0) / (CAST(na AS DOUBLE) + 6.0) AS p,
+             (CAST(cb AS DOUBLE) + 1.0) / (CAST(nb AS DOUBLE) + 6.0) AS q,
+             na, nb
+      FROM d JOIN t ON d.event_type = t.event_type
+    )
+    SELECT event_type, CAST(FIRST(na) AS BIGINT) AS n_a,
+           CAST(FIRST(nb) AS BIGINT) AS n_b,
+           CASE WHEN FIRST(na) >= 1 AND FIRST(nb) >= 1 THEN
+             ROUND(SUM((p - q) * ln(p / q))
+                   + (6.0 - COUNT(*))
+                     * ((1.0 / (CAST(FIRST(na) AS DOUBLE) + 6.0)
+                         - 1.0 / (CAST(FIRST(nb) AS DOUBLE) + 6.0))
+                        * ln((1.0 / (CAST(FIRST(na) AS DOUBLE) + 6.0))
+                             / (1.0 / (CAST(FIRST(nb) AS DOUBLE) + 6.0)))),
+                   6) + 0.0
+           END AS psi
+    FROM j GROUP BY event_type
+    """,
+)
+def psi_value_drift_events(spark, sf):
+    """Per-event-type Population Stability Index (operators/
+    selection.py psi_drift) of the value distribution in cents,
+    first half of the month vs second — PSI's canonical temporal-
+    drift question (did the metric's SHAPE move between periods?),
+    with fixed cent edges [500, 1500, 3500, 7000, 15000] so the
+    metric is comparable across runs.  ONE conditional GROUP BY
+    (type, bucket) — bucket assignment is pure integer comparisons —
+    plus a |strata|-row broadcast totals join; buckets unobserved in
+    both cohorts fold in algebraically via the chi-squared closure
+    trick — the oracle's (B − k_obs)·(p₀−q₀)ln(p₀/q₀) term mirrors
+    the operator's op order exactly (same reciprocals, same ln
+    argument) for bit-matched doubles.  Counts exact; the 6-term ln sum is the transcendental
+    surface (ROUND(,6), margin-checked)."""
+    from .operators.selection import psi_drift
+
+    ev = (
+        load_table(spark, sf, "events")
+        .where(F.col("value").isNotNull() & F.col("event_type").isNotNull())
+        .select(
+            "event_type",
+            F.when(F.dayofmonth("ts") <= 15, "p1").otherwise("p2").alias(
+                "period"
+            ),
+            F.round(F.col("value") * 100).cast("long").alias("v"),
+        )
+    )
+    return psi_drift(
+        ev,
+        "period",
+        "v",
+        "p1",
+        "p2",
+        [500.0, 1500.0, 3500.0, 7000.0, 15000.0],
+        by_cols=["event_type"],
+    )
 
 
 @register("cusum_events", oracle=_CUSUM_ORACLE)

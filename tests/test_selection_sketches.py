@@ -724,3 +724,64 @@ def test_interpolated_bigram_matches_python_reference(spark):
             assert i not in out
         else:
             assert abs(out[i] - exp) < 1e-9, i
+
+
+# ------------------------------------------------------------------ PSI
+
+def test_psi_matches_python_reference(spark):
+    import math
+    import random
+
+    from duckdb_imputation_spark.operators.selection import psi_drift
+
+    rng = random.Random(11)
+    edges = [10.0, 20.0, 40.0]
+    rows = []
+    for h in range(2):
+        for _ in range(70):
+            rows.append((h, "a", float(rng.randrange(0, 50))))
+        for _ in range(55):
+            rows.append((h, "b", float(rng.randrange(5, 60))))
+    df = spark.createDataFrame(rows, "h int, g string, v double")
+    out = {
+        r["h"]: r
+        for r in psi_drift(
+            df, "g", "v", "a", "b", edges, by_cols=["h"], round_digits=None
+        ).collect()
+    }
+    bb = len(edges) + 1
+    for h in range(2):
+        xs = [v for hh, g, v in rows if hh == h and g == "a"]
+        ys = [v for hh, g, v in rows if hh == h and g == "b"]
+
+        def hist(vals):
+            c = [0] * bb
+            for x in vals:
+                c[sum(x >= e for e in edges)] += 1
+            return c
+
+        ca, cb = hist(xs), hist(ys)
+        ref = sum(
+            ((a + 1) / (len(xs) + bb) - (b + 1) / (len(ys) + bb))
+            * math.log(
+                ((a + 1) / (len(xs) + bb)) / ((b + 1) / (len(ys) + bb))
+            )
+            for a, b in zip(ca, cb)
+        )
+        r = out[h]
+        assert (r["n_a"], r["n_b"]) == (len(xs), len(ys))
+        assert abs(r["psi"] - ref) < 1e-12, (h, r["psi"], ref)
+
+
+def test_psi_identical_cohorts_zero_and_unobserved_closure(spark):
+    from duckdb_imputation_spark.operators.selection import psi_drift
+
+    # identical cohorts -> PSI exactly 0 even with unobserved buckets
+    rows = [("a", 5.0), ("b", 5.0), ("a", 15.0), ("b", 15.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = psi_drift(df, "g", "v", "a", "b", [10.0, 20.0, 30.0, 40.0]).collect()[0]
+    assert r["psi"] == 0.0
+    # empty cohort -> NULL
+    df2 = spark.createDataFrame([("a", 5.0)], "g string, v double")
+    r2 = psi_drift(df2, "g", "v", "a", "b", [10.0]).collect()[0]
+    assert r2["psi"] is None and r2["n_b"] == 0
