@@ -34,6 +34,7 @@ __all__ = [
     "connected_components_alternating",
     "incremental_components",
     "triangle_counts",
+    "label_propagation",
 ]
 
 
@@ -649,3 +650,95 @@ def triangle_counts(
     return nodes.join(cnt, "node", "left").select(
         "node", F.coalesce("triangles", F.lit(0)).alias("triangles")
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    directed: bool = False,
+    max_iters: int = 5,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation (Raghavan,
+    Albert & Kumara, Phys. Rev. E 2007 — the deterministic synchronous
+    variant): every node starts as its own label; each round a node
+    adopts the most frequent label among its neighbours, ties broken
+    toward the SMALLEST label, isolated nodes keep their own.  Returns
+    (node, label) after ``max_iters`` rounds or the earlier fixpoint.
+
+    The classic asynchronous random-order LPA is non-deterministic by
+    construction; the synchronous min-tie-break form trades some
+    convergence speed for full reproducibility across runs, engines
+    and partitionings — the property a data pipeline needs.  Known
+    artifact, documented honestly: synchronous updates can 2-cycle on
+    bipartite-ish structures; the loop detects only the exact fixpoint
+    (zero labels changed) and otherwise stops at ``max_iters``, so an
+    oscillating boundary node lands on the parity of the iteration
+    count (still deterministic).  For a fixed-round contract, compare
+    with a fixed-iteration oracle at the same ``max_iters``: early
+    fixpoint stop is consistent (a fixpoint is invariant under further
+    rounds).
+
+    Scale shape: identical cost profile to a pagerank iteration —
+    state is node-sized; each round is ONE equi-join (state ⋈ edges on
+    src) + ONE (node, label) count aggregate + ONE keyed argmax
+    (``max_by`` over the (count, −label) order — no window), plus the
+    scalar convergence probe.  Lineage is cut with ``localCheckpoint``
+    every round (the probe materializes the state anyway —
+    connected_components' O(rounds²) rationale).
+
+    ``stats``: pass a dict to receive ``{"rounds": n}``."""
+    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+    if not directed:
+        e = e.unionByName(
+            edges.select(F.col(dst).alias("__s"), F.col(src).alias("__d"))
+        )
+    e = (
+        e.where(F.col("__s").isNotNull() & F.col("__d").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        e.select(F.col("__s").alias("node"))
+        .unionByName(e.select(F.col("__d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    state = nodes.select("node", F.col("node").alias("label"))
+    for i in range(max_iters):
+        counts = (
+            state.join(e, state["node"] == e["__s"])
+            .groupBy(F.col("__d").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        # min over (−count, label): highest count first, then smallest
+        # label — works for any orderable label type, no negation of
+        # the label itself
+        best = counts.groupBy("node").agg(
+            F.min_by(
+                "label",
+                F.struct((-F.col("__c")).alias("__nc"), F.col("label")),
+            ).alias("__new")
+        )
+        new_state = (
+            state.join(best, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("__new"), F.col("label")).alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            new_state.join(
+                state.withColumnRenamed("label", "__old"), "node"
+            )
+            .where(F.col("label") != F.col("__old"))
+            .count()
+        )
+        state = new_state
+        if stats is not None:
+            stats["rounds"] = i + 1
+        if changed == 0:
+            break
+    return state

@@ -130,6 +130,9 @@ _DRIVER_PRIORITY: list[str] = [
     # distribution drift; Laplace smoothing + unobserved-bucket
     # algebraic closure)
     "psi_value_drift_events",
+    # round 8 (extension): synchronous label-propagation communities
+    # (deterministic min tie-break; all-integer, unrolled-CTE oracle)
+    "lpa_communities_navigation",
     # flagship MICE surface: kept fresh every round by convention
     "mice_single_col_sql_oracle",
     "mice_low_sql_oracle",
@@ -168,8 +171,8 @@ _DRIVER_PRIORITY: list[str] = [
     "anti_join_customers_no_orders",
     "union_partition_counts",
     "mean_mode_stats",
-    "distinct_category_dictionary",
-    # (list_extract_position, exact_dedup_documents, minhash_signatures,
+    # (distinct_category_dictionary, list_extract_position,
+    # exact_dedup_documents, minhash_signatures,
     # cross_join_triples and sql_passthrough_shared_dialect yield
     # their rotation slots to the round-8 stats/keyword/containment
     # rows — all four are replay-green and implementation-untouched;
@@ -5456,6 +5459,86 @@ def pagerank_navigation(spark, sf):
     edges = navigation_edges(ev, "user_id", "k", ["ts", "event_id"])
     return pagerank(edges, iters=3).select(
         "node", F.round("rank", 6).alias("pagerank")
+    )
+
+
+def _lpa_oracle(iters: int = 4) -> str:
+    """Unrolled fixed-iteration synchronous label propagation over the
+    UNDIRECTED navigation graph (operators/graph.py label_propagation
+    is the Spark twin: same min tie-break, same isolated-keep rule;
+    early fixpoint stop is consistent with fixed unrolling because a
+    fixpoint is invariant under further rounds)."""
+    ctes = ["""
+    seq AS (
+      SELECT user_id, ts, event_id,
+             CAST(json_extract_string(props, '$.k') AS INT) AS k
+      FROM events
+    ), trans AS (
+      SELECT k AS src,
+             LEAD(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      FROM seq
+    ), de AS (
+      SELECT DISTINCT src, dst FROM trans
+      WHERE dst IS NOT NULL AND src IS NOT NULL
+    ), edges AS (
+      SELECT DISTINCT s, d FROM (
+        SELECT src AS s, dst AS d FROM de
+        UNION ALL SELECT dst AS s, src AS d FROM de)
+    ), nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT s AS node FROM edges UNION ALL SELECT d AS node FROM edges)
+    ),
+    l0 AS (SELECT node, node AS label FROM nodes)"""]
+    for i in range(iters):
+        ctes.append(f"""
+    c{i} AS (
+      SELECT e.d AS node, l.label, COUNT(*) AS c
+      FROM edges e JOIN l{i} l ON l.node = e.s
+      GROUP BY e.d, l.label
+    ), m{i} AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY c DESC, label) AS rn
+        FROM c{i}) WHERE rn = 1
+    ), l{i + 1} AS (
+      SELECT l.node, COALESCE(m.label, l.label) AS label
+      FROM l{i} l LEFT JOIN m{i} m ON m.node = l.node
+    )""")
+    return (
+        "WITH " + ",".join(ctes)
+        + f"""
+    SELECT CAST(node AS INT) AS node, CAST(label AS INT) AS label
+    FROM l{iters}
+    """
+    )
+
+
+@register("lpa_communities_navigation", oracle=_lpa_oracle(4))
+def lpa_communities_navigation(spark, sf):
+    """Synchronous label-propagation communities (operators/graph.py
+    label_propagation, Raghavan et al. 2007 deterministic variant)
+    over the undirected user-navigation page graph, four rounds —
+    which page clusters do users circulate within (the
+    domain-clustering primitive for corpus mixing).  Per round: ONE
+    equi-join + ONE (node, label) count + ONE keyed min_by argmax
+    over (−count, label) — no window, pagerank's cost profile; the
+    oracle unrolls the identical four rounds as CTEs (ROW_NUMBER with
+    the same (count desc, label) order).  All-integer labels — no
+    float surface at all."""
+    from .operators.graph import label_propagation, navigation_edges
+
+    ev = load_table(spark, sf, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+    edges = navigation_edges(ev, "user_id", "k", ["ts", "event_id"])
+    out = label_propagation(edges, max_iters=4)
+    return out.select(
+        F.col("node").cast("int").alias("node"),
+        F.col("label").cast("int").alias("label"),
     )
 
 

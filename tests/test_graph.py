@@ -410,3 +410,79 @@ def test_personalized_uniform_teleport_equals_plain(spark):
     }
     for v in plain:
         assert abs(plain[v] - ppr[v]) < 1e-12
+
+
+# ------------------------------------------------- label propagation
+
+def _py_lpa(edge_list, max_iters):
+    """Pure-Python synchronous LPA, min tie-break, undirected."""
+    adj = {}
+    for a, b in edge_list:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    label = {n: n for n in adj}
+    for _ in range(max_iters):
+        new = {}
+        for n in adj:
+            cnt = {}
+            for m in adj[n]:
+                cnt[label[m]] = cnt.get(label[m], 0) + 1
+            best = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            new[n] = best
+        if new == label:
+            break
+        label = new
+    return label
+
+
+def test_label_propagation_matches_python_reference(spark):
+    from duckdb_imputation_spark.operators.graph import label_propagation
+
+    # two dense cliques + one bridge edge
+    clique1 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    clique2 = [(a, b) for a in range(10, 15) for b in range(a + 1, 15)]
+    edges = clique1 + clique2 + [(4, 10)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(df, max_iters=5).collect()
+    }
+    ref = _py_lpa(edges, 5)
+    assert got == ref
+    # the two cliques must resolve to two distinct communities
+    assert len({got[n] for n in range(5)}) == 1
+    assert len({got[n] for n in range(10, 15)}) == 1
+    assert got[0] != got[10]
+
+
+def test_label_propagation_isolated_and_fixpoint(spark):
+    from duckdb_imputation_spark.operators.graph import label_propagation
+
+    # a single edge: both endpoints adopt the min label at round 1,
+    # fixpoint detected (early stop) — stats reports the round count
+    stats = {}
+    df = spark.createDataFrame([(7, 3)], "src int, dst int")
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(df, max_iters=10, stats=stats).collect()
+    }
+    # sync update: 7 adopts 3's label (3), 3 adopts 7's label (7) at
+    # round 1; round 2 swaps again -> 2-cycle, runs to max_iters
+    ref = _py_lpa([(7, 3)], 10)
+    assert got == ref
+    assert stats["rounds"] == 10  # the documented oscillation artifact
+
+
+def test_label_propagation_triangle_converges(spark):
+    from duckdb_imputation_spark.operators.graph import label_propagation
+
+    stats = {}
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "src int, dst int"
+    )
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(df, max_iters=10, stats=stats).collect()
+    }
+    assert got == _py_lpa([(1, 2), (2, 3), (1, 3)], 10)
+    assert stats["rounds"] < 10  # fixpoint reached, early stop
