@@ -42,7 +42,9 @@ __all__ = [
     "perplexity_buckets",
     "domain_divergence",
     "weighted_sample",
+    "weighted_sample_grouped",
     "psi_drift",
+    "source_overlap",
 ]
 
 
@@ -353,3 +355,121 @@ def psi_drift(
     if round_digits is not None:
         psi = F.round(psi, round_digits)
     return agg.select(*keys, "n_a", "n_b", psi.alias("psi"))
+
+
+def weighted_sample_grouped(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    by_cols: list[str] | tuple,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Per-group :func:`weighted_sample`: ``k`` rows WITHIN each
+    ``by_cols`` group with inclusion probability ∝ ``weight_col`` —
+    the stratified resampling primitive (cap each source domain at k
+    documents, quality-weighted, in one pass).
+
+    Same Efraimidis–Spirakis key as the global variant — u from the
+    md5 primitive on (salt, id), keep the k largest ``u^(1/w)`` per
+    group — so a group's draw here equals
+    ``weighted_sample(df.where(<group>), ...)`` EXACTLY (the key
+    depends only on the row, not the group): stratification costs
+    nothing and draws stay reproducible per salt.  Rows with NULL or
+    non-positive weight are excluded.
+
+    Scale shape: ONE window ranked per group (``partitionBy(by_cols)``
+    — never a global window; a task holds one group's rows, the
+    grouped-bottom-k bound); output is |groups| × k rows.  For the
+    global draw use :func:`weighted_sample` (TakeOrdered, no window
+    at all)."""
+    from pyspark.sql import Window
+
+    from .hashing import md5_int60
+
+    by = list(by_cols)
+    if not by:
+        raise ValueError("by_cols must be non-empty; use weighted_sample")
+    u = (
+        md5_int60(F.col(id_col).cast("string"), seed=f"ws{salt}|") + 1.0
+    ) / float(2**60)
+    keyed = df.where(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    ).withColumn("__ws_key", F.pow(u, 1.0 / F.col(weight_col)))
+    w = Window.partitionBy(*by).orderBy(F.desc("__ws_key"), id_col)
+    return (
+        keyed.withColumn("__ws_rn", F.row_number().over(w))
+        .where(F.col("__ws_rn") <= k)
+        .drop("__ws_key", "__ws_rn")
+    )
+
+
+def source_overlap(
+    df: DataFrame,
+    domain_col: str,
+    text_col: str = "text",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Pairwise VOCABULARY Jaccard between every two domains — the
+    mixture-composition diagnostic that complements
+    :func:`domain_divergence` (KL says how far a source drifts from
+    the corpus average; this says which sources duplicate each
+    other's vocabulary — merge candidates, mislabeled crawls, split
+    shards).
+
+    Returns (domain_a, domain_b, n_shared, n_a, n_b, jaccard) for
+    every UNORDERED co-occurring pair (domain_a < domain_b);
+    ``jaccard = |V_a ∩ V_b| / (|V_a| + |V_b| − |V_a ∩ V_b|)`` over
+    distinct token vocabularies.  Counts exact integers; the one
+    division of exact integers is bit-identical cross-engine
+    (rounding is display only).
+
+    Scale shape: ONE corpus GROUP BY collapses rows to the distinct
+    (domain, token) vocabulary; the token-keyed self-join is the
+    inverted index — a token contributes at most |domains|² pairs
+    regardless of its corpus frequency (the hot-token bound is the
+    DOMAIN count, not the token count), and the pair aggregate output
+    is ≤ |domains|²/2 rows.  Vocabulary sizes join back broadcast.
+    Never a domain×domain×corpus product."""
+    v = (
+        df.select(
+            F.col(domain_col).alias("__dom"),
+            F.explode(ws_tokens(F.col(text_col))).alias("__t"),
+        )
+        .where(F.col("__dom").isNotNull())
+        .distinct()
+    )
+    sizes = v.groupBy("__dom").agg(F.count(F.lit(1)).alias("__n"))
+    a = v.select(F.col("__dom").alias("domain_a"), "__t")
+    b = v.select(F.col("__dom").alias("domain_b"), "__t")
+    inter = (
+        a.join(b, "__t")
+        .where(F.col("domain_a") < F.col("domain_b"))
+        .groupBy("domain_a", "domain_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    out = (
+        inter.join(
+            F.broadcast(sizes.withColumnRenamed("__dom", "domain_a")),
+            "domain_a",
+        )
+        .withColumnRenamed("__n", "n_a")
+        .join(
+            F.broadcast(sizes.withColumnRenamed("__dom", "domain_b")),
+            "domain_b",
+        )
+        .withColumnRenamed("__n", "n_b")
+    )
+    jac = F.col("n_shared").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_shared")
+    ).cast("double")
+    if round_digits is not None:
+        jac = F.round(jac, round_digits)
+    return out.select(
+        "domain_a",
+        "domain_b",
+        F.col("n_shared").cast("long").alias("n_shared"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        jac.alias("jaccard"),
+    )

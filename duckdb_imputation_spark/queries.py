@@ -133,6 +133,10 @@ _DRIVER_PRIORITY: list[str] = [
     # round 8 (extension): synchronous label-propagation communities
     # (deterministic min tie-break; all-integer, unrolled-CTE oracle)
     "lpa_communities_navigation",
+    # round 8 (extension): stratified weighted sampling + pairwise
+    # source vocabulary overlap (mixture diagnostics)
+    "weighted_sample_by_source_documents",
+    "source_overlap_documents",
     # flagship MICE surface: kept fresh every round by convention
     "mice_single_col_sql_oracle",
     "mice_low_sql_oracle",
@@ -169,9 +173,8 @@ _DRIVER_PRIORITY: list[str] = [
     "orders_window_top3",
     "semi_join_urgent_customers",
     "anti_join_customers_no_orders",
-    "union_partition_counts",
-    "mean_mode_stats",
-    # (distinct_category_dictionary, list_extract_position,
+    # (mean_mode_stats, union_partition_counts,
+    # distinct_category_dictionary, list_extract_position,
     # exact_dedup_documents, minhash_signatures,
     # cross_join_triples and sql_passthrough_shared_dialect yield
     # their rotation slots to the round-8 stats/keyword/containment
@@ -6041,6 +6044,92 @@ def domain_divergence_documents(spark, sf):
 
     d = load_table(spark, sf, "documents")
     return domain_divergence(d, "source")
+
+
+@register(
+    "weighted_sample_by_source_documents",
+    oracle=f"""
+    SELECT source, doc_id, weight FROM (
+      SELECT source, doc_id, CAST(length(text) AS BIGINT) AS weight,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY POW(
+                 ({_md5_60_sql("CAST(doc_id AS VARCHAR)", seed="ws|")}
+                  + 1.0) / 1152921504606846976.0,
+                 1.0 / length(text)
+               ) DESC, doc_id) AS rn
+      FROM documents WHERE length(text) > 0
+    ) WHERE rn <= 5
+    """,
+)
+def weighted_sample_by_source_documents(spark, sf):
+    """Per-source Efraimidis–Spirakis weighted sampling
+    (operators/selection.py weighted_sample_grouped): 5 documents per
+    source domain, inclusion probability ∝ text length — the
+    stratified resampling primitive (cap every domain in one pass,
+    quality-weighted).  Same key formula as the global
+    weighted_sample row, so each source's draw equals the global
+    operator restricted to that source (stratification is free —
+    pinned by a unit test); ONE per-group window (never global),
+    output |sources| × 5.  The oracle replays the identical key
+    inside a per-source ROW_NUMBER."""
+    from .operators.selection import weighted_sample_grouped
+
+    d = (
+        load_table(spark, sf, "documents")
+        .where(F.length("text") > 0)
+        .select(
+            "source",
+            "doc_id",
+            F.length("text").cast("double").alias("__w"),
+        )
+    )
+    out = weighted_sample_grouped(
+        d, "__w", k=5, by_cols=["source"], id_col="doc_id"
+    )
+    return out.select(
+        "source", "doc_id", F.col("__w").cast("long").alias("weight")
+    )
+
+
+@register(
+    "source_overlap_documents",
+    oracle=f"""
+    WITH v AS (
+      SELECT DISTINCT source AS dom, t FROM (
+        SELECT source, unnest({_ws_sql('text')}) AS t FROM documents
+      ) WHERE dom IS NOT NULL
+    ), sizes AS (
+      SELECT dom, COUNT(*) AS n FROM v GROUP BY dom
+    ), inter AS (
+      SELECT a.dom AS domain_a, b.dom AS domain_b, COUNT(*) AS m
+      FROM v a JOIN v b ON a.t = b.t AND a.dom < b.dom
+      GROUP BY a.dom, b.dom
+    )
+    SELECT domain_a, domain_b, CAST(m AS BIGINT) AS n_shared,
+           CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+           ROUND(CAST(m AS DOUBLE)
+                 / CAST(sa.n + sb.n - m AS DOUBLE), 6) + 0.0 AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.dom = domain_a
+    JOIN sizes sb ON sb.dom = domain_b
+    """,
+)
+def source_overlap_documents(spark, sf):
+    """Pairwise vocabulary Jaccard between all source domains
+    (operators/selection.py source_overlap) — the mixture-composition
+    diagnostic complementing domain_divergence (KL: drift from the
+    corpus average; this: which sources duplicate EACH OTHER —
+    merge candidates, mislabeled crawls).  ONE corpus GROUP BY to the
+    distinct (source, token) vocabulary; the token-keyed self-join is
+    the inverted index — a token contributes ≤ |sources|² pairs
+    regardless of corpus frequency, output ≤ |sources|²/2 rows, sizes
+    broadcast back.  Counts exact; the one division of exact integers
+    is bit-identical cross-engine (ROUND display only)."""
+    from .operators.selection import source_overlap
+
+    d = load_table(spark, sf, "documents")
+    return source_overlap(d, "source")
 
 
 @register(

@@ -785,3 +785,64 @@ def test_psi_identical_cohorts_zero_and_unobserved_closure(spark):
     df2 = spark.createDataFrame([("a", 5.0)], "g string, v double")
     r2 = psi_drift(df2, "g", "v", "a", "b", [10.0]).collect()[0]
     assert r2["psi"] is None and r2["n_b"] == 0
+
+
+# ------------------------------------------- grouped weighted sample
+
+def test_weighted_sample_grouped_equals_global_per_group(spark):
+    from duckdb_imputation_spark.operators.selection import (
+        weighted_sample,
+        weighted_sample_grouped,
+    )
+
+    rows = [
+        (i, f"g{i % 3}", float(1 + (i * 7) % 23)) for i in range(90)
+    ] + [(900, "g0", None), (901, "g1", -2.0)]  # excluded weights
+    df = spark.createDataFrame(rows, "doc_id long, g string, w double")
+    got = weighted_sample_grouped(
+        df, "w", 4, by_cols=["g"], id_col="doc_id"
+    ).collect()
+    by_group = {}
+    for r in got:
+        by_group.setdefault(r["g"], set()).add(r["doc_id"])
+    assert all(len(v) == 4 for v in by_group.values())
+    assert 900 not in by_group.get("g0", set())
+    assert 901 not in by_group.get("g1", set())
+    # stratification is free: each group's draw == the global draw
+    # restricted to that group (same key formula)
+    for g, ids in by_group.items():
+        sub = df.where(F.col("g") == g)
+        glob = {
+            r["doc_id"]
+            for r in weighted_sample(sub, "w", 4, id_col="doc_id").collect()
+        }
+        assert ids == glob, g
+
+
+# ------------------------------------------------- source overlap
+
+def test_source_overlap_matches_python_reference(spark):
+    from duckdb_imputation_spark.operators.selection import source_overlap
+
+    docs = [
+        ("s1", "alpha beta gamma"),
+        ("s1", "beta delta"),
+        ("s2", "beta gamma epsilon"),
+        ("s3", "zeta eta"),  # disjoint from s1/s2
+        (None, "alpha"),  # NULL domain dropped
+    ]
+    df = spark.createDataFrame(docs, "source string, text string")
+    got = {
+        (r["domain_a"], r["domain_b"]): r
+        for r in source_overlap(df, "source").collect()
+    }
+    v1 = {"alpha", "beta", "gamma", "delta"}
+    v2 = {"beta", "gamma", "epsilon"}
+    r = got[("s1", "s2")]
+    inter = len(v1 & v2)
+    assert r["n_shared"] == inter
+    assert (r["n_a"], r["n_b"]) == (len(v1), len(v2))
+    assert abs(r["jaccard"] - inter / len(v1 | v2)) < 1e-12
+    # disjoint vocabularies never co-occur on a token: no pair row
+    assert ("s1", "s3") not in got and ("s2", "s3") not in got
+    assert len(got) == 1
