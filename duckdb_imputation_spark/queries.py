@@ -137,6 +137,9 @@ _DRIVER_PRIORITY: list[str] = [
     # source vocabulary overlap (mixture diagnostics)
     "weighted_sample_by_source_documents",
     "source_overlap_documents",
+    # round 8 (extension): streaming Misra-Gries twin (mergeable
+    # summaries across availableNow runs; batch exactness pass)
+    "streaming_heavy_hitters_tokens",
     # flagship MICE surface: kept fresh every round by convention
     "mice_single_col_sql_oracle",
     "mice_low_sql_oracle",
@@ -172,8 +175,8 @@ _DRIVER_PRIORITY: list[str] = [
     "events_hourly_rollup",
     "orders_window_top3",
     "semi_join_urgent_customers",
-    "anti_join_customers_no_orders",
-    # (mean_mode_stats, union_partition_counts,
+    # (anti_join_customers_no_orders,
+    # mean_mode_stats, union_partition_counts,
     # distinct_category_dictionary, list_extract_position,
     # exact_dedup_documents, minhash_signatures,
     # cross_join_triples and sql_passthrough_shared_dialect yield
@@ -8289,6 +8292,98 @@ def cusum_stream_events(spark, sf):
             )
             q.awaitTermination()
         return _cusum_projection(spark.read.parquet(outdir))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "streaming_heavy_hitters_tokens",
+    oracle=f"""
+    WITH tk AS (
+      SELECT unnest({ws_tokens_sql('text')}) AS v FROM documents
+    ), c AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt FROM tk GROUP BY v
+    ), n AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tk
+    )
+    SELECT v AS value, cnt FROM c, n WHERE cnt * 41 > n
+    """,
+)
+def streaming_heavy_hitters_tokens(spark, sf):
+    """The LIVE form of `heavy_hitter_tokens`
+    (streaming/heavyhitters_stream.py, mergeable Misra–Gries on
+    applyInPandasWithState, k=40): the document token stream arrives
+    as TWO availableNow runs split on doc_id, sharing one checkpoint
+    — the second run folds on the ≤ k-counter summary recovered from
+    the checkpoint (cross-run recovery, not just the in-batch merge).
+    The final summary (max n_processed snapshot) is a candidate
+    SUPERSET by the mergeable-summaries guarantee; exactness comes
+    from the batch two-pass discipline — semi-join the corpus against
+    the streamed candidates, exact-count, filter by integer
+    cross-multiplication cnt·41 > N — so the result equals the naive
+    GROUP BY ... HAVING oracle while the stream held at most k
+    counters of state at any moment.  All-integer output: zero
+    rounding surface."""
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming.heavyhitters_stream import heavy_hitters_stream
+
+    k = 40
+    d = load_table(spark, sf, "documents")
+    lo, hi = d.agg(F.min("doc_id"), F.max("doc_id")).first()
+    mid = (lo + hi) // 2
+    tmp = tempfile.mkdtemp(prefix="hh_stream_row_")
+    outdir = f"{_session_scratch('hh_stream_out_')}/out"
+    try:
+        src = f"{tmp}/src"
+        os.makedirs(src)
+        halves = [
+            d.where(F.col("doc_id") <= mid),
+            d.where(F.col("doc_id") > mid),
+        ]
+        for i, half in enumerate(halves):
+            half.coalesce(1).write.parquet(f"{tmp}/h{i}")
+            part = [
+                f for f in os.listdir(f"{tmp}/h{i}") if f.endswith(".parquet")
+            ][0]
+            shutil.copy(f"{tmp}/h{i}/{part}", f"{src}/half{i}.parquet")
+            stream = spark.readStream.schema(d.schema).parquet(src)
+            toks = stream.select(
+                F.explode(_dd.ws_tokens(F.col("text"))).alias("token")
+            )
+            q = (
+                heavy_hitters_stream(toks, "token", k=k)
+                .writeStream.format("parquet")
+                .option("path", outdir)
+                .option("checkpointLocation", f"{tmp}/cp")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        summary = spark.read.parquet(outdir)
+        n_final = summary.agg(F.max("n_processed")).first()[0]
+        cand = (
+            summary.where(F.col("n_processed") == n_final)
+            .select(F.col("value").alias("v"))
+            .distinct()
+        )
+        tk = d.select(F.explode(_dd.ws_tokens(F.col("text"))).alias("v"))
+        counted = (
+            tk.join(F.broadcast(cand), "v", "left_semi")
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        total = tk.agg(F.count(F.lit(1)).alias("__n"))
+        return (
+            counted.crossJoin(F.broadcast(total))
+            .where(F.col("__c") * (k + 1) > F.col("__n"))
+            .select(
+                F.col("v").alias("value"),
+                F.col("__c").cast("long").alias("cnt"),
+            )
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

@@ -1211,3 +1211,95 @@ def test_ewma_halflife_stream_null_timestamp_does_not_poison_state(
     assert got[None] is None                 # NULL-ts row emits NULL
     # t=2 decays from the t=0 anchor: w=0.5 -> 0.5*10 + 0.5*20 = 15
     assert abs(got[2.0] - 15.0) < 1e-12
+
+
+# --------------------------------------------- streaming heavy hitters
+
+def test_heavy_hitters_stream_superset_and_bounds(spark, tmp_path):
+    from collections import Counter
+
+    from duckdb_imputation_spark.streaming.heavyhitters_stream import (
+        heavy_hitters_stream,
+    )
+
+    # skewed stream: 'hot' ~ 40%, 'warm' ~ 20%, long tail of singletons
+    vals = []
+    for i in range(300):
+        vals.append("hot" if i % 5 < 2 else ("warm" if i % 5 == 2 else f"t{i}"))
+    src = str(tmp_path / "hh_src")
+    spark.createDataFrame([(v,) for v in vals], "v string").coalesce(
+        2
+    ).write.parquet(src)
+    stream = spark.readStream.schema("v string").parquet(src)
+    out = heavy_hitters_stream(stream, "v", k=10)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hh_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM hh_stream").collect()
+    n_max = max(r["n_processed"] for r in rows)
+    assert n_max == len(vals)
+    final = {r["value"]: r["m_hat"] for r in rows if r["n_processed"] == n_max}
+    assert len(final) <= 10
+    true = Counter(vals)
+    thresh = len(vals) / 11.0
+    # superset guarantee: every value above N/(k+1) survives
+    for v, f in true.items():
+        if f > thresh:
+            assert v in final, v
+    # estimate bounds: f - N/(k+1) <= m_hat <= f
+    for v, m in final.items():
+        assert m <= true[v]
+        assert m >= true[v] - thresh - 1e-9
+
+
+def test_heavy_hitters_stream_per_key_and_state_carry(spark, tmp_path):
+    import os
+    import shutil
+
+    from duckdb_imputation_spark.streaming.heavyhitters_stream import (
+        heavy_hitters_stream,
+    )
+
+    # two keys with different hot values; fed as TWO availableNow runs
+    # sharing a checkpoint -> state must carry across runs
+    rows1 = [("a", "x")] * 30 + [("a", "y")] * 5 + [("b", "z")] * 20
+    rows2 = [("a", "x")] * 10 + [("b", "z")] * 15 + [("b", "w")] * 3
+    src = str(tmp_path / "hh2_src")
+    os.makedirs(src)
+    cp = str(tmp_path / "hh2_cp")
+    outdir = str(tmp_path / "hh2_out")
+    for i, batch in enumerate((rows1, rows2)):
+        half = str(tmp_path / f"half{i}")
+        spark.createDataFrame(batch, "k string, v string").coalesce(
+            1
+        ).write.parquet(half)
+        part = [f for f in os.listdir(half) if f.endswith(".parquet")][0]
+        shutil.copy(f"{half}/{part}", f"{src}/b{i}.parquet")
+        stream = spark.readStream.schema("k string, v string").parquet(src)
+        q = (
+            heavy_hitters_stream(stream, "v", k=3, key_col="k")
+            .writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    got = spark.read.parquet(outdir).collect()
+    per_key_max = {}
+    for r in got:
+        per_key_max[r["key"]] = max(
+            per_key_max.get(r["key"], 0), r["n_processed"]
+        )
+    assert per_key_max == {"a": 45, "b": 38}  # totals across BOTH runs
+    final_a = {
+        r["value"]: r["m_hat"]
+        for r in got
+        if r["key"] == "a" and r["n_processed"] == 45
+    }
+    assert final_a.get("x", 0) >= 40 - 45 / 4 - 1e-9  # superset + bound
