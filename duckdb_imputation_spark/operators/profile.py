@@ -49,6 +49,7 @@ __all__ = [
     "grouped_robust_stats",
     "grouped_winsorize",
     "json_key_profile",
+    "grouped_moments",
 ]
 
 _NUMERIC = (
@@ -351,4 +352,99 @@ def _sorted_group_median(
         (
             F.min("__sv") + (F.max("__sv") - F.min("__sv")) * F.lit(0.5)
         ).alias(out)
+    )
+
+
+def grouped_moments(
+    df,
+    value_col: str,
+    by_cols=(),
+    sample: bool = False,
+    round_digits: int | None = 4,
+):
+    """Per-group distribution-shape moments: (by_cols..., n, mean,
+    variance, skewness, kurtosis_excess) from RAW POWER SUMS — the
+    SUMMARIZE-class completion (profile_table gives location/spread;
+    this adds asymmetry and tail weight, the screen for "is this
+    metric even near-normal before I t-test it").
+
+    Engine-neutral by construction: Spark's ``F.skewness`` and
+    DuckDB's ``skewness`` disagree (population-biased vs
+    bias-corrected sample forms), so NEITHER is used — both sides of
+    the oracle compute identical expressions over Σv, Σv², Σv³, Σv⁴:
+
+        m_k       = Σ(v − mean)^k / n   (expanded in power sums)
+        skewness  = m₃ / m₂^1.5
+        kurtosis  = m₄ / m₂² − 3       (excess)
+
+    ``sample=True`` applies the standard bias corrections (g→G form
+    for skewness, the n-dependent correction for kurtosis) — still
+    from the same power sums.  NULL where undefined: n < 2 (n < 3/4
+    for the corrected forms) or zero variance.
+
+    Scale shape: ONE aggregate over one scan, FIVE aggregation
+    doubles per stratum (n, Σv..Σv⁴) — nothing stratum-sized
+    anywhere.  For integral values (cents) every power sum is an
+    exact integer while n·max⁴ < 2⁵³, so the engines differ only in
+    the final divisions (stat-class ROUND); for larger corpora the
+    v⁴ sum is the first to lose exactness — documented, same class
+    as every second-moment statistic."""
+    keys = list(by_cols)
+    v = F.col(value_col).cast("double")
+    agg = (
+        df.where(v.isNotNull())
+        .groupBy(*keys)
+        .agg(
+            F.count(v).alias("n"),
+            F.sum(v).alias("__s1"),
+            F.sum(v * v).alias("__s2"),
+            F.sum(v * v * v).alias("__s3"),
+            F.sum(v * v * v * v).alias("__s4"),
+        )
+    )
+    n = F.col("n").cast("double")
+    s1, s2, s3, s4 = (F.col(f"__s{i}") for i in (1, 2, 3, 4))
+    mean = s1 / n
+    # central moments from power sums
+    m2 = s2 / n - mean * mean
+    m3 = s3 / n - 3.0 * mean * s2 / n + 2.0 * mean * mean * mean
+    m4 = (
+        s4 / n
+        - 4.0 * mean * s3 / n
+        + 6.0 * mean * mean * s2 / n
+        - 3.0 * mean * mean * mean * mean
+    )
+    if sample:
+        var = F.when(F.col("n") >= 2, m2 * n / (n - 1.0))
+        skew = F.when(
+            (F.col("n") >= 3) & (m2 > 0.0),
+            (F.sqrt(n * (n - 1.0)) / (n - 2.0))
+            * (m3 / F.pow(m2, F.lit(1.5))),
+        )
+        kurt = F.when(
+            (F.col("n") >= 4) & (m2 > 0.0),
+            ((n - 1.0) / ((n - 2.0) * (n - 3.0)))
+            * ((n + 1.0) * (m4 / (m2 * m2) - 3.0) + 6.0),
+        )
+    else:
+        var = F.when(F.col("n") >= 1, m2)
+        skew = F.when(
+            (F.col("n") >= 2) & (m2 > 0.0), m3 / F.pow(m2, F.lit(1.5))
+        )
+        kurt = F.when(
+            (F.col("n") >= 2) & (m2 > 0.0), m4 / (m2 * m2) - 3.0
+        )
+    mean_out = mean
+    if round_digits is not None:
+        mean_out = F.round(mean_out, round_digits)
+        var = F.round(var, round_digits)
+        skew = F.round(skew, round_digits)
+        kurt = F.round(kurt, round_digits)
+    return agg.select(
+        *keys,
+        F.col("n").cast("long").alias("n"),
+        mean_out.alias("mean"),
+        var.alias("variance"),
+        skew.alias("skewness"),
+        kurt.alias("kurtosis_excess"),
     )

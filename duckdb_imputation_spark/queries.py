@@ -140,6 +140,9 @@ _DRIVER_PRIORITY: list[str] = [
     # round 8 (extension): streaming Misra-Gries twin (mergeable
     # summaries across availableNow runs; batch exactness pass)
     "streaming_heavy_hitters_tokens",
+    # round 8 (extension): grouped shape moments (power-sum skewness /
+    # kurtosis; engine-neutral formulas)
+    "moments_value_by_type_events",
     # flagship MICE surface: kept fresh every round by convention
     "mice_single_col_sql_oracle",
     "mice_low_sql_oracle",
@@ -174,8 +177,7 @@ _DRIVER_PRIORITY: list[str] = [
     "math_scalar_functions",
     "events_hourly_rollup",
     "orders_window_top3",
-    "semi_join_urgent_customers",
-    # (anti_join_customers_no_orders,
+    # (semi_join_urgent_customers, anti_join_customers_no_orders,
     # mean_mode_stats, union_partition_counts,
     # distinct_category_dictionary, list_extract_position,
     # exact_dedup_documents, minhash_signatures,
@@ -8201,6 +8203,66 @@ def psi_value_drift_events(spark, sf):
         "p2",
         [500.0, 1500.0, 3500.0, 7000.0, 15000.0],
         by_cols=["event_type"],
+    )
+
+
+@register(
+    "moments_value_by_type_events",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS DOUBLE) AS v
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ), m AS (
+      SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+             SUM(v) AS s1, SUM(v * v) AS s2,
+             SUM(v * v * v) AS s3, SUM(v * v * v * v) AS s4
+      FROM e GROUP BY event_type
+    ), c AS (
+      SELECT event_type, n, s1 / n AS mean,
+             s2 / n - (s1 / n) * (s1 / n) AS m2,
+             s3 / n - 3.0 * (s1 / n) * s2 / n
+               + 2.0 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+             s4 / n - 4.0 * (s1 / n) * s3 / n
+               + 6.0 * (s1 / n) * (s1 / n) * s2 / n
+               - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+      FROM m
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           ROUND(mean, 4) + 0.0 AS mean,
+           CASE WHEN n >= 2 AND m2 > 0.0
+                THEN ROUND(m3 / POW(m2, 1.5), 4) + 0.0 END AS skewness,
+           CASE WHEN n >= 2 AND m2 > 0.0
+                THEN ROUND(m4 / (m2 * m2) - 3.0, 4) + 0.0 END
+             AS kurtosis_excess
+    FROM c
+    """,
+)
+def moments_value_by_type_events(spark, sf):
+    """Per-event-type distribution-shape moments (operators/profile.py
+    grouped_moments, population form): skewness and excess kurtosis of
+    the value-in-cents distribution from RAW POWER SUMS — the
+    is-this-even-near-normal screen that gates the t-test family.
+    Engine-neutral by construction: Spark's F.skewness and DuckDB's
+    skewness() implement DIFFERENT corrections (population vs sample),
+    so both sides compute identical expressions over Σv..Σv⁴ instead.
+    ONE aggregate, five doubles per stratum.  The Σv⁴ sum exceeds 2⁵³
+    at this scale (the one inexact accumulation — relative 1e-16, and
+    skew/kurt are RATIOS of same-scale moments so the noise divides
+    out); the row emits the O(1)-magnitude shape stats + mean
+    (stat-class ROUND(,4)) and leaves the 10⁸-magnitude raw variance
+    to the operator (the ANOVA row's 16-significant-digit lesson)."""
+    from .operators.profile import grouped_moments
+
+    ev = (
+        load_table(spark, sf, "events")
+        .where(F.col("value").isNotNull() & F.col("event_type").isNotNull())
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("v"),
+        )
+    )
+    return grouped_moments(ev, "v", by_cols=["event_type"]).select(
+        "event_type", "n", "mean", "skewness", "kurtosis_excess"
     )
 
 

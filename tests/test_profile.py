@@ -326,3 +326,68 @@ def test_json_key_profile_approx_mode_and_plan(spark):
         for r in json_key_profile(df, "props", exact_distinct=False).collect()
     }
     assert e == a and e  # events props has at least one key
+
+
+# ------------------------------------------------- grouped moments
+
+def test_grouped_moments_matches_python_reference(spark):
+    import random
+
+    from duckdb_imputation_spark.operators.profile import grouped_moments
+
+    rng = random.Random(3)
+    rows = []
+    for h in range(2):
+        for _ in range(80):
+            # deliberately skewed: squared uniform
+            rows.append((h, float(rng.randrange(0, 30) ** 2)))
+    df = spark.createDataFrame(rows, "h int, v double")
+
+    def ref(vals, sample):
+        import math
+        n = len(vals)
+        mean = sum(vals) / n
+        m2 = sum((x - mean) ** 2 for x in vals) / n
+        m3 = sum((x - mean) ** 3 for x in vals) / n
+        m4 = sum((x - mean) ** 4 for x in vals) / n
+        if sample:
+            var = m2 * n / (n - 1)
+            skew = math.sqrt(n * (n - 1)) / (n - 2) * m3 / m2**1.5
+            kurt = (n - 1) / ((n - 2) * (n - 3)) * (
+                (n + 1) * (m4 / m2**2 - 3) + 6
+            )
+        else:
+            var, skew, kurt = m2, m3 / m2**1.5, m4 / m2**2 - 3
+        return mean, var, skew, kurt
+
+    for sample in (False, True):
+        out = {
+            r["h"]: r
+            for r in grouped_moments(
+                df, "v", by_cols=["h"], sample=sample, round_digits=None
+            ).collect()
+        }
+        for h in range(2):
+            vals = [v for hh, v in rows if hh == h]
+            mean, var, skew, kurt = ref(vals, sample)
+            r = out[h]
+            assert r["n"] == len(vals)
+            assert abs(r["mean"] - mean) < 1e-9
+            assert abs(r["variance"] - var) < 1e-6 * max(1, abs(var))
+            assert abs(r["skewness"] - skew) < 1e-9, (sample, h)
+            assert abs(r["kurtosis_excess"] - kurt) < 1e-9, (sample, h)
+
+
+def test_grouped_moments_degenerate(spark):
+    from duckdb_imputation_spark.operators.profile import grouped_moments
+
+    # constant column -> zero variance -> NULL shape stats
+    df = spark.createDataFrame([(1.0,)] * 5, "v double")
+    r = grouped_moments(df, "v").collect()[0]
+    assert r["variance"] == 0.0
+    assert r["skewness"] is None and r["kurtosis_excess"] is None
+    # tiny n for the corrected forms
+    df2 = spark.createDataFrame([(1.0,), (2.0,), (4.0,)], "v double")
+    r2 = grouped_moments(df2, "v", sample=True).collect()[0]
+    assert r2["skewness"] is not None  # n=3 ok for G1
+    assert r2["kurtosis_excess"] is None  # n<4 undefined
