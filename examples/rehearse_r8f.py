@@ -17,6 +17,13 @@
   quadratic, the fuzzy-join reading).
 * lpa_communities_navigation — flat 100-node page graph; wall tracks
   the edge-extraction scan, pagerank's profile.
+* weighted_sample_by_source_documents — one per-group window; output
+  |sources| x 5 at any SF.
+* source_overlap_documents — vocabulary self-join; pair frame flat at
+  |sources|^2/2, wall tracks the (domain, token) GROUP BY.
+* streaming_heavy_hitters_tokens — two availableNow runs + the batch
+  exactness pass; state <= k counters throughout.
+* moments_value_by_type_events — one aggregate, five doubles/stratum.
 """
 
 from __future__ import annotations
@@ -42,6 +49,10 @@ OPS = [
     "tfidf_keywords_documents",
     "containment_join_documents",
     "lpa_communities_navigation",
+    "weighted_sample_by_source_documents",
+    "source_overlap_documents",
+    "streaming_heavy_hitters_tokens",
+    "moments_value_by_type_events",
 ]
 
 
