@@ -47,6 +47,7 @@ __all__ = [
     "mann_whitney_u",
     "ks_2sample",
     "anova_oneway",
+    "benford_profile",
 ]
 
 _DEC = "decimal(38,0)"
@@ -499,4 +500,84 @@ def anova_oneway(
         out_ssb.alias("ss_between"),
         out_ssw.alias("ss_within"),
         f_stat.alias("f_stat"),
+    )
+
+
+def benford_profile(
+    df: DataFrame,
+    value_col: str,
+    by_cols: Sequence[str] = (),
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """First-digit (Benford's law) profile per stratum — the
+    synthetic-data / fraud / unit-mixup screen: naturally occurring
+    multi-scale magnitudes follow P(d) = log₁₀(1 + 1/d) (Newcomb 1881;
+    Benford 1938); fabricated or truncated distributions don't.
+
+    Takes POSITIVE INTEGRAL values (cents, counts; zero/negative/NULL
+    rows are excluded — Benford applies to positive magnitudes).
+    Returns one row per (stratum, observed first digit):
+    (by_cols..., digit, cnt, obs_p, expected_p, chi2) where ``chi2``
+    is the stratum's 9-cell goodness-of-fit statistic (constant
+    within a stratum; dof = 8).  Digits unobserved in a stratum are
+    not materialized — their (O−E)²/E = E terms fold in algebraically
+    (chi2 = Σ_obs((O−E)²/E) + n − Σ_obs E, the chi-squared closure).
+
+    The first digit comes from the DECIMAL STRING of the integer —
+    pure string ops, zero float boundary cross-engine (a log10-based
+    extraction would be transcendental per row); only expected_p and
+    the chi2 sum touch ln (stat-class ROUND).
+
+    Scale shape: ONE GROUP BY (stratum, digit) — ≤ 9 cells per
+    stratum — plus a |strata|-row broadcast totals join."""
+    keys = list(by_cols)
+    v = F.col(value_col)
+    d = (
+        df.where(v.isNotNull() & (v > 0))
+        .groupBy(
+            *keys,
+            F.substring(v.cast("string"), 1, 1).cast("int").alias("digit"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    totals = d.groupBy(*keys).agg(F.sum("cnt").alias("__n"))
+    j = (
+        d.join(F.broadcast(totals), keys)
+        if keys
+        else d.crossJoin(F.broadcast(totals))
+    )
+    nn = F.col("__n").cast("double")
+    # log10(1 + 1/d) = ln(1 + 1/d) / ln(10)
+    exp_p = F.log(1.0 + 1.0 / F.col("digit").cast("double")) / F.log(
+        F.lit(10.0)
+    )
+    e = nn * exp_p
+    o = F.col("cnt").cast("double")
+    cell = (o - e) * (o - e) / e
+    withcells = j.select(
+        *keys, "digit", "cnt", "__n",
+        exp_p.alias("__ep"), cell.alias("__cell"), e.alias("__e"),
+    )
+    chi = withcells.groupBy(*keys).agg(
+        (F.sum("__cell") + F.first(F.col("__n").cast("double"))
+         - F.sum("__e")).alias("__chi2")
+    )
+    out = (
+        withcells.join(F.broadcast(chi), keys)
+        if keys
+        else withcells.crossJoin(F.broadcast(chi))
+    )
+    obs_p = F.col("cnt").cast("double") / F.col("__n").cast("double")
+    ep, chi2 = F.col("__ep"), F.col("__chi2")
+    if round_digits is not None:
+        obs_p = F.round(obs_p, round_digits)
+        ep = F.round(ep, round_digits)
+        chi2 = F.round(chi2, round_digits)
+    return out.select(
+        *keys,
+        "digit",
+        F.col("cnt").cast("long").alias("cnt"),
+        obs_p.alias("obs_p"),
+        ep.alias("expected_p"),
+        chi2.alias("chi2"),
     )

@@ -143,6 +143,9 @@ _DRIVER_PRIORITY: list[str] = [
     # round 8 (extension): grouped shape moments (power-sum skewness /
     # kurtosis; engine-neutral formulas)
     "moments_value_by_type_events",
+    # round 8 (extension): Benford first-digit screen (string-digit
+    # extraction, chi-squared closure over unobserved digits)
+    "benford_value_events",
     # flagship MICE surface: kept fresh every round by convention
     "mice_single_col_sql_oracle",
     "mice_low_sql_oracle",
@@ -176,8 +179,8 @@ _DRIVER_PRIORITY: list[str] = [
     "json_extract_events",
     "math_scalar_functions",
     "events_hourly_rollup",
-    "orders_window_top3",
-    # (semi_join_urgent_customers, anti_join_customers_no_orders,
+    # (orders_window_top3,
+    # semi_join_urgent_customers, anti_join_customers_no_orders,
     # mean_mode_stats, union_partition_counts,
     # distinct_category_dictionary, list_extract_position,
     # exact_dedup_documents, minhash_signatures,
@@ -8264,6 +8267,65 @@ def moments_value_by_type_events(spark, sf):
     return grouped_moments(ev, "v", by_cols=["event_type"]).select(
         "event_type", "n", "mean", "skewness", "kurtosis_excess"
     )
+
+
+@register(
+    "benford_value_events",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS v
+      FROM events
+      WHERE value IS NOT NULL AND event_type IS NOT NULL
+        AND CAST(ROUND(value * 100) AS BIGINT) > 0
+    ), d AS (
+      SELECT event_type,
+             CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INT) AS digit,
+             COUNT(*) AS cnt
+      FROM e GROUP BY event_type, digit
+    ), t AS (
+      SELECT event_type, CAST(SUM(cnt) AS DOUBLE) AS n FROM d
+      GROUP BY event_type
+    ), c AS (
+      SELECT d.event_type, digit, cnt, n,
+             ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0) AS ep
+      FROM d JOIN t USING (event_type)
+    ), x AS (
+      SELECT event_type,
+             SUM((CAST(cnt AS DOUBLE) - n * ep)
+                 * (CAST(cnt AS DOUBLE) - n * ep) / (n * ep))
+               + FIRST(n) - SUM(n * ep) AS chi2
+      FROM c GROUP BY event_type
+    )
+    SELECT c.event_type, digit, CAST(cnt AS BIGINT) AS cnt,
+           ROUND(CAST(cnt AS DOUBLE) / n, 4) + 0.0 AS obs_p,
+           ROUND(ep, 4) + 0.0 AS expected_p,
+           ROUND(chi2, 4) + 0.0 AS chi2
+    FROM c JOIN x USING (event_type)
+    """,
+)
+def benford_value_events(spark, sf):
+    """Per-event-type first-digit (Benford) profile (operators/
+    stats.py benford_profile) of the value in cents — the
+    synthetic-data / unit-mixup screen (this fixture's values are
+    near-uniform in scale, so the chi2 is LARGE: the screen firing on
+    non-Benford data is the correct reading, and both engines must
+    agree on exactly how large).  First digits come from the decimal
+    STRING of the integer — zero float boundary; ≤ 9 cells per
+    stratum from ONE GROUP BY; digits unobserved in a stratum fold
+    into chi2 algebraically (the chi-squared closure, mirrored
+    op-for-op in the oracle).  Only expected_p and the chi2 sum touch
+    ln (stat-class ROUND(,4))."""
+    from .operators.stats import benford_profile
+
+    ev = (
+        load_table(spark, sf, "events")
+        .where(F.col("value").isNotNull() & F.col("event_type").isNotNull())
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("v"),
+        )
+    )
+    return benford_profile(ev, "v", by_cols=["event_type"])
 
 
 @register("cusum_events", oracle=_CUSUM_ORACLE)

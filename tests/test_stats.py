@@ -330,3 +330,66 @@ def test_anova_degenerate(spark):
         [("a", 5.0)] * 3 + [("b", 9.0)] * 3, "g string, v double"
     )
     assert anova_oneway(df2, "g", "v").collect()[0]["f_stat"] is None
+
+
+# ------------------------------------------------- Benford profile
+
+def test_benford_matches_python_reference(spark):
+    from duckdb_imputation_spark.operators.stats import benford_profile
+
+    rng = random.Random(17)
+    # multi-scale magnitudes: Benford-ish (product of uniforms)
+    rows = []
+    for h in range(2):
+        for _ in range(120):
+            rows.append(
+                (h, int(rng.randrange(1, 10) * 10 ** rng.randrange(0, 5)))
+            )
+        rows.append((h, 0))   # excluded
+        rows.append((h, -5))  # excluded
+    df = spark.createDataFrame(rows, "h int, v long")
+    out = {}
+    for r in benford_profile(
+        df, "v", by_cols=["h"], round_digits=None
+    ).collect():
+        out.setdefault(r["h"], {})[r["digit"]] = r
+    for h in range(2):
+        vals = [v for hh, v in rows if hh == h and v > 0]
+        n = len(vals)
+        cnt = {}
+        for x in vals:
+            d = int(str(x)[0])
+            cnt[d] = cnt.get(d, 0) + 1
+        chi = sum(
+            (cnt.get(d, 0) - n * math.log10(1 + 1 / d)) ** 2
+            / (n * math.log10(1 + 1 / d))
+            for d in range(1, 10)
+        )
+        got = out[h]
+        assert set(got) == set(cnt)
+        for d, c in cnt.items():
+            r = got[d]
+            assert r["cnt"] == c
+            assert abs(r["obs_p"] - c / n) < 1e-12
+            assert abs(r["expected_p"] - math.log10(1 + 1 / d)) < 1e-12
+            assert abs(r["chi2"] - chi) < 1e-9, (h, r["chi2"], chi)
+
+
+def test_benford_unobserved_digit_closure(spark):
+    from duckdb_imputation_spark.operators.stats import benford_profile
+
+    # only digits 1 and 2 observed: the 7 unobserved digits' E terms
+    # must still be in chi2 (the closure), and no rows for them
+    df = spark.createDataFrame(
+        [(10,)] * 30 + [(25,)] * 10, "v long"
+    )
+    rows = benford_profile(df, "v", round_digits=None).collect()
+    assert {r["digit"] for r in rows} == {1, 2}
+    n = 40
+    chi = sum(
+        ((30 if d == 1 else 10 if d == 2 else 0)
+         - n * math.log10(1 + 1 / d)) ** 2
+        / (n * math.log10(1 + 1 / d))
+        for d in range(1, 10)
+    )
+    assert abs(rows[0]["chi2"] - chi) < 1e-9
