@@ -31,6 +31,7 @@ __all__ = [
     "bm25_index_update",
     "BM25Index",
     "tfidf_keywords",
+    "rrf_fuse",
 ]
 
 
@@ -443,3 +444,57 @@ def tfidf_keywords(
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str,
+    rank_col: str,
+    k: int = 60,
+    topk: int | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Büttcher, SIGIR
+    2009): fuse R ranked lists into one by
+
+        rrf(d) = Σ_lists 1/(k + rank_list(d))
+
+    — the standard hybrid-search combiner (BM25 ⊕ dense cosine):
+    rank-based, so the lists' incomparable score scales never need
+    calibrating; ``k`` (default 60, the paper's constant) damps the
+    top-rank dominance.  A document absent from a list contributes
+    nothing for it.  Returns (id, n_lists, rrf_score) ordered by
+    (rounded score desc, id) — ties to the smaller id — limited to
+    ``topk`` when given.
+
+    Cross-engine determinism: each term 1/(k + rank) is one correctly
+    rounded division of exact integers, and the per-document sum runs
+    over ≤ R ≈ 2-3 such terms (the rounding discipline the BM25 rows
+    established covers the final ROUND).
+
+    Scale shape: inputs are retrieval OUTPUTS (top-k-sized, not
+    corpus-sized) — one union + one keyed aggregate over ≤ R·k rows;
+    the ORDER BY runs on the fused frame of the same size.  Fusing
+    corpus-sized rankings is a misuse (rank the corpus with the
+    prefix.py family first, then fuse the heads)."""
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    parts = [
+        r.select(
+            F.col(id_col),
+            F.col(rank_col).cast("long").alias("__rank"),
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    score = F.sum(1.0 / (F.lit(float(k)) + F.col("__rank").cast("double")))
+    agg = u.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_lists"),
+        F.round(score, round_digits).alias("rrf_score"),
+    )
+    out = agg.orderBy(F.desc("rrf_score"), F.col(id_col))
+    if topk is not None:
+        out = out.limit(topk)
+    return out

@@ -146,6 +146,9 @@ _DRIVER_PRIORITY: list[str] = [
     # round 8 (extension): Benford first-digit screen (string-digit
     # extraction, chi-squared closure over unobserved digits)
     "benford_value_events",
+    # round 8 (extension): hybrid-search RRF fusion (BM25 + dense
+    # cosine heads, rank-based, no score calibration)
+    "hybrid_rrf_documents",
     # flagship MICE surface: kept fresh every round by convention
     "mice_single_col_sql_oracle",
     "mice_low_sql_oracle",
@@ -178,8 +181,7 @@ _DRIVER_PRIORITY: list[str] = [
     "case_when_null_buckets",
     "json_extract_events",
     "math_scalar_functions",
-    "events_hourly_rollup",
-    # (orders_window_top3,
+    # (events_hourly_rollup, orders_window_top3,
     # semi_join_urgent_customers, anti_join_customers_no_orders,
     # mean_mode_stats, union_partition_counts,
     # distinct_category_dictionary, list_extract_position,
@@ -1632,6 +1634,80 @@ def _embedding_oracle(sf: str | None = None) -> str:
 
 
 ORACLES["embedding_cosine_scores"] = " ".join(_embedding_oracle().split())
+
+
+def _hybrid_rrf_oracle() -> str:
+    from .operators.retrieval import bm25_topk_sql
+
+    bm25 = bm25_topk_sql(
+        "documents", ws_tokens_sql("text"), "doc_id",
+        ["hash", "join", "filter"], k=50,
+    )
+    cos = _embedding_oracle()
+    return f"""
+    WITH b0 AS (SELECT * FROM ({bm25})),
+    b AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk
+      FROM b0
+    ),
+    c0 AS (
+      SELECT vec_id AS doc_id, score FROM ({cos})
+      ORDER BY score DESC, doc_id LIMIT 50
+    ),
+    c AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk
+      FROM c0
+    ),
+    u AS (SELECT * FROM b UNION ALL SELECT * FROM c)
+    SELECT doc_id, CAST(COUNT(*) AS INT) AS n_lists,
+           ROUND(SUM(1.0 / (60.0 + CAST(rnk AS DOUBLE))), 6) + 0.0
+             AS rrf_score
+    FROM u GROUP BY doc_id
+    ORDER BY rrf_score DESC, doc_id LIMIT 15
+    """
+
+
+@register("hybrid_rrf_documents", oracle=_hybrid_rrf_oracle())
+def hybrid_rrf_documents(spark, sf):
+    """Hybrid search: Reciprocal Rank Fusion (operators/retrieval.py
+    rrf_fuse, Cormack et al. SIGIR 2009, k=60) of the BM25 top-50
+    (terms hash/join/filter) with the dense cosine top-50 against the
+    fixed synthetic query vector — the rank-based combiner that needs
+    no score calibration between the incomparable lexical and dense
+    scales.  Both input rankings use the established rounded-score +
+    id tie-break discipline, so their ranks are cross-engine
+    deterministic; ranks come from a constant-key window over the
+    50-row heads (bounded frames — the prefix.py pattern, no
+    SinglePartition funnel); the fusion is one union + one keyed agg
+    over ≤ 100 rows.  Each RRF term is one exact-integer division;
+    the two-term sum is order-independent in IEEE."""
+    from pyspark.sql import Window
+
+    from .operators.retrieval import bm25_topk, rrf_fuse
+    from .operators.simsearch import _dot
+
+    d = load_table(spark, sf, "documents")
+    b0 = bm25_topk(d, "text", "doc_id", ["hash", "join", "filter"], k=50)
+    wb = Window.partitionBy(
+        F.pmod(F.xxhash64("doc_id"), F.lit(1))
+    ).orderBy(F.desc("score"), F.col("doc_id"))
+    b = b0.select("doc_id", F.row_number().over(wb).alias("rnk"))
+
+    e = load_table(spark, sf, "embeddings")
+    q = _emb_query_vec(sf)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    qv = F.array(*[F.lit(x) for x in q])
+    score = F.round(_dot(v, qv) / F.sqrt(_dot(v, v)), 6) + F.lit(0.0)
+    c0 = (
+        e.select(F.col("vec_id").alias("doc_id"), score.alias("score"))
+        .orderBy(F.desc("score"), F.col("doc_id"))
+        .limit(50)
+    )
+    c = c0.select("doc_id", F.row_number().over(wb).alias("rnk"))
+
+    return rrf_fuse([b, c], "doc_id", "rnk", k=60, topk=15)
 
 
 def _ivf_catalog_centroids(X) -> "np.ndarray":

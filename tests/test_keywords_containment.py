@@ -142,3 +142,39 @@ def test_containment_max_gram_df_guard(spark):
         max_gram_df=3,
     ).count()
     assert full == 4 and capped == 0
+
+
+# ------------------------------------------------------- RRF fusion
+
+def test_rrf_matches_python_reference(spark):
+    from duckdb_imputation_spark.operators.retrieval import rrf_fuse
+
+    l1 = [(1, 1), (2, 2), (3, 3), (4, 4)]          # (doc, rank)
+    l2 = [(3, 1), (1, 2), (5, 3)]
+    d1 = spark.createDataFrame(l1, "doc_id int, rnk int")
+    d2 = spark.createDataFrame(l2, "doc_id int, rnk int")
+    got = rrf_fuse([d1, d2], "doc_id", "rnk", k=60).collect()
+    ref = {}
+    for doc, r in l1 + l2:
+        ref[doc] = ref.get(doc, 0.0) + 1.0 / (60 + r)
+    assert len(got) == 5
+    # scores match and output is ordered (score desc, id asc)
+    for row in got:
+        assert abs(row["rrf_score"] - round(ref[row["doc_id"]], 6)) < 1e-12
+    order = [(r["rrf_score"], r["doc_id"]) for r in got]
+    assert order == sorted(order, key=lambda t: (-t[0], t[1]))
+    # doc 1 (ranks 1+2) and doc 3 (ranks 3+1) tie exactly -> id breaks
+    top2 = [r["doc_id"] for r in got[:2]]
+    assert top2 == [1, 3]
+    n_lists = {r["doc_id"]: r["n_lists"] for r in got}
+    assert n_lists == {1: 2, 3: 2, 2: 1, 4: 1, 5: 1}
+
+
+def test_rrf_topk_and_single_list(spark):
+    from duckdb_imputation_spark.operators.retrieval import rrf_fuse
+
+    d = spark.createDataFrame(
+        [(i, i) for i in range(1, 20)], "doc_id int, rnk int"
+    )
+    got = rrf_fuse([d], "doc_id", "rnk", topk=5).collect()
+    assert [r["doc_id"] for r in got] == [1, 2, 3, 4, 5]
