@@ -156,6 +156,7 @@ def chi2_independence(
     col_a: str,
     col_b: str,
     round_digits: int | None = 4,
+    effect_size: bool = False,
 ) -> DataFrame:
     """Pearson chi-squared test of independence between two categorical
     columns: one output row (chi2, dof, n) where
@@ -165,6 +166,11 @@ def chi2_independence(
     and ``dof = (|A| - 1) * (|B| - 1)``.
 
     NULL categories are dropped (a missing label is not a level).
+    ``effect_size=True`` appends Cramér's V —
+    ``sqrt(chi2 / (n · (min(|A|, |B|) − 1)))`` (Cramér 1946) — the
+    sample-size-free association strength (chi2 grows with n even for
+    a fixed weak association; V ∈ [0, 1] does not).  NULL when either
+    categorical has a single level (no association is measurable).
 
     Scale shape: ONE corpus-sized GROUP BY builds the observed table;
     everything after runs on frames no larger than the OBSERVED cell
@@ -215,13 +221,28 @@ def chi2_independence(
     )
     if round_digits is not None:
         chi2 = F.round(chi2, round_digits)
-    return cells.agg(
+    out = cells.agg(
         chi2.alias("chi2"),
         (
             (F.count_distinct("__a") - 1) * (F.count_distinct("__b") - 1)
         ).cast("long").alias("dof"),
         F.first("__n").cast("long").alias("n"),
+        F.least(F.count_distinct("__a"), F.count_distinct("__b")).alias(
+            "__minlv"
+        ),
     )
+    if not effect_size:
+        return out.drop("__minlv")
+    v = F.when(
+        F.col("__minlv") >= 2,
+        F.sqrt(
+            F.col("chi2")
+            / (F.col("n").cast("double") * (F.col("__minlv") - 1.0))
+        ),
+    )
+    if round_digits is not None:
+        v = F.round(v, round_digits)
+    return out.select("chi2", "dof", "n", v.alias("cramers_v"))
 
 
 def _cohort_dictionary(

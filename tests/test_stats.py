@@ -393,3 +393,27 @@ def test_benford_unobserved_digit_closure(spark):
         for d in range(1, 10)
     )
     assert abs(rows[0]["chi2"] - chi) < 1e-9
+
+
+def test_chi2_effect_size_cramers_v(spark):
+    from duckdb_imputation_spark.operators.stats import chi2_independence
+
+    rows = []
+    # strong association: a determines b
+    for i in range(60):
+        rows.append((f"a{i % 3}", f"b{i % 3}"))
+    df = spark.createDataFrame(rows, "x string, y string")
+    r = chi2_independence(df, "x", "y", effect_size=True).collect()[0]
+    # perfect association in a 3x3 table: V == 1
+    assert abs(r["cramers_v"] - 1.0) < 1e-9
+    v_manual = math.sqrt(r["chi2"] / (r["n"] * (3 - 1)))
+    assert abs(r["cramers_v"] - round(v_manual, 4)) < 1e-9
+    # single-level categorical: V undefined
+    df2 = spark.createDataFrame(
+        [("only", f"b{i % 2}") for i in range(10)], "x string, y string"
+    )
+    r2 = chi2_independence(df2, "x", "y", effect_size=True).collect()[0]
+    assert r2["cramers_v"] is None
+    # default path unchanged: no cramers_v column
+    r3 = chi2_independence(df, "x", "y").collect()[0]
+    assert "cramers_v" not in r3.asDict()
