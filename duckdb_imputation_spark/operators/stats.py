@@ -48,6 +48,7 @@ __all__ = [
     "ks_2sample",
     "anova_oneway",
     "benford_profile",
+    "categorical_entropy",
 ]
 
 _DEC = "decimal(38,0)"
@@ -601,4 +602,58 @@ def benford_profile(
         obs_p.alias("obs_p"),
         ep.alias("expected_p"),
         chi2.alias("chi2"),
+    )
+
+
+def categorical_entropy(
+    df: DataFrame,
+    value_col: str,
+    by_cols: Sequence[str] = (),
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Shannon entropy of a categorical column per stratum — the
+    class-balance / label-diversity screen (Shannon 1948):
+
+        H = −Σ_levels p·ln(p)        (nats)
+        H_norm = H / ln(k)           (∈ [0, 1]; 1 = uniform)
+
+    Returns (by_cols..., n, k_levels, entropy, entropy_norm);
+    ``entropy_norm`` is NULL for a single-level stratum (ln(1) = 0 —
+    balance is undefined, not perfect).  NULL values are dropped (a
+    missing label is not a level).
+
+    Scale shape: ONE corpus GROUP BY (stratum, level) + one
+    level-frame fold per stratum — output is |strata| rows and the
+    intermediate is the observed level set, never row-sized.  Counts
+    exact; the level-frame Σ p·ln(p) is the transcendental surface
+    (stat-class ROUND)."""
+    keys = list(by_cols)
+    v = F.col(value_col)
+    lv = (
+        df.where(v.isNotNull())
+        .groupBy(*keys, v.alias("__lv"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    totals = lv.groupBy(*keys).agg(F.sum("__c").alias("__n"))
+    j = (
+        lv.join(F.broadcast(totals), keys)
+        if keys
+        else lv.crossJoin(F.broadcast(totals))
+    )
+    p = F.col("__c").cast("double") / F.col("__n").cast("double")
+    agg = j.groupBy(*keys).agg(
+        F.first("__n").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k_levels"),
+        (-F.sum(p * F.log(p))).alias("__h"),
+    )
+    h = F.col("__h")
+    h_norm = F.when(
+        F.col("k_levels") >= 2,
+        h / F.log(F.col("k_levels").cast("double")),
+    )
+    if round_digits is not None:
+        h = F.round(h, round_digits)
+        h_norm = F.round(h_norm, round_digits)
+    return agg.select(
+        *keys, "n", "k_levels", h.alias("entropy"), h_norm.alias("entropy_norm")
     )

@@ -149,6 +149,9 @@ _DRIVER_PRIORITY: list[str] = [
     # round 8 (extension): hybrid-search RRF fusion (BM25 + dense
     # cosine heads, rank-based, no score calibration)
     "hybrid_rrf_documents",
+    # round 8 (extension): per-hour event-type entropy (class-balance
+    # screen; pairs with the chi-squared row)
+    "entropy_type_by_hour_events",
     # flagship MICE surface: kept fresh every round by convention
     "mice_single_col_sql_oracle",
     "mice_low_sql_oracle",
@@ -180,8 +183,7 @@ _DRIVER_PRIORITY: list[str] = [
     "casts_and_dates",
     "case_when_null_buckets",
     "json_extract_events",
-    "math_scalar_functions",
-    # (events_hourly_rollup, orders_window_top3,
+    # (math_scalar_functions, events_hourly_rollup, orders_window_top3,
     # semi_join_urgent_customers, anti_join_customers_no_orders,
     # mean_mode_stats, union_partition_counts,
     # distinct_category_dictionary, list_extract_position,
@@ -8402,6 +8404,48 @@ def benford_value_events(spark, sf):
         )
     )
     return benford_profile(ev, "v", by_cols=["event_type"])
+
+
+@register(
+    "entropy_type_by_hour_events",
+    oracle="""
+    WITH e AS (
+      SELECT CAST(hour(ts) AS INT) AS hod, event_type AS c
+      FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+    ), lv AS (
+      SELECT hod, c, COUNT(*) AS cnt FROM e GROUP BY hod, c
+    ), t AS (
+      SELECT hod, SUM(cnt) AS n FROM lv GROUP BY hod
+    ), j AS (
+      SELECT lv.hod, CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE) AS p, n
+      FROM lv JOIN t USING (hod)
+    )
+    SELECT hod, CAST(FIRST(n) AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS k_levels,
+           ROUND(-SUM(p * ln(p)), 6) + 0.0 AS entropy,
+           CASE WHEN COUNT(*) >= 2
+                THEN ROUND(-SUM(p * ln(p))
+                           / ln(CAST(COUNT(*) AS DOUBLE)), 6) + 0.0
+           END AS entropy_norm
+    FROM j GROUP BY hod
+    """,
+)
+def entropy_type_by_hour_events(spark, sf):
+    """Per-hour Shannon entropy of the event-type mix
+    (operators/stats.py categorical_entropy) — the traffic-diversity
+    screen that pairs with the chi-squared row (chi2 asks IS the mix
+    hour-dependent; entropy says how balanced each hour's mix is,
+    normalized to [0,1]).  ONE GROUP BY (hour, type) + one
+    level-frame fold — the intermediate is the observed level set
+    (≤ 24×5 cells), never row-sized.  Counts exact; the five-term
+    Σ p·ln(p) is the transcendental surface (stat-class
+    ROUND(,6) on O(1)-magnitude values)."""
+    from .operators.stats import categorical_entropy
+
+    ev = load_table(spark, sf, "events").where(
+        F.col("event_type").isNotNull() & F.col("ts").isNotNull()
+    ).select(F.hour("ts").cast("int").alias("hod"), "event_type")
+    return categorical_entropy(ev, "event_type", by_cols=["hod"])
 
 
 @register("cusum_events", oracle=_CUSUM_ORACLE)

@@ -417,3 +417,45 @@ def test_chi2_effect_size_cramers_v(spark):
     # default path unchanged: no cramers_v column
     r3 = chi2_independence(df, "x", "y").collect()[0]
     assert "cramers_v" not in r3.asDict()
+
+
+def test_categorical_entropy_matches_python_reference(spark):
+    from duckdb_imputation_spark.operators.stats import categorical_entropy
+
+    rng = random.Random(29)
+    rows = []
+    for h in range(2):
+        for _ in range(100):
+            rows.append((h, f"c{rng.randrange(0, 4 + h)}"))
+        rows.append((h, None))  # dropped
+    df = spark.createDataFrame(rows, "h int, c string")
+    out = {
+        r["h"]: r
+        for r in categorical_entropy(
+            df, "c", by_cols=["h"], round_digits=None
+        ).collect()
+    }
+    for h in range(2):
+        vals = [c for hh, c in rows if hh == h and c is not None]
+        n = len(vals)
+        from collections import Counter
+        cnt = Counter(vals)
+        ent = -sum((c / n) * math.log(c / n) for c in cnt.values())
+        r = out[h]
+        assert (r["n"], r["k_levels"]) == (n, len(cnt))
+        assert abs(r["entropy"] - ent) < 1e-12
+        assert abs(r["entropy_norm"] - ent / math.log(len(cnt))) < 1e-12
+
+
+def test_categorical_entropy_degenerate(spark):
+    from duckdb_imputation_spark.operators.stats import categorical_entropy
+
+    # single level: H = 0, H_norm undefined; uniform: H_norm = 1
+    df = spark.createDataFrame([("a",)] * 7, "c string")
+    r = categorical_entropy(df, "c").collect()[0]
+    assert r["entropy"] == 0.0 and r["entropy_norm"] is None
+    df2 = spark.createDataFrame(
+        [(f"c{i % 5}",) for i in range(50)], "c string"
+    )
+    r2 = categorical_entropy(df2, "c").collect()[0]
+    assert abs(r2["entropy_norm"] - 1.0) < 1e-9
