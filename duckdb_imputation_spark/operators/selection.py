@@ -31,6 +31,8 @@ never a single-partition window.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -44,6 +46,7 @@ __all__ = [
     "weighted_sample",
     "weighted_sample_grouped",
     "psi_drift",
+    "psi_vs_reference",
     "source_overlap",
 ]
 
@@ -473,3 +476,73 @@ def source_overlap(
         F.col("n_b").cast("long").alias("n_b"),
         jac.alias("jaccard"),
     )
+
+
+def psi_vs_reference(
+    counts: DataFrame,
+    bucket_col: str,
+    count_col: str,
+    ref_counts: list[int],
+    by_cols: list[str] | tuple = (),
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """PSI of observed BUCKET COUNTS against a constant reference
+    histogram, one PSI per ``by_cols`` group — the scoring half of
+    the streaming PSI monitor (each group is typically one event-time
+    window; the reference is the frozen training / launch-week
+    histogram).
+
+        PSI = Σ_b (p_b − q_b)·ln(p_b/q_b),
+        p_b = (c_b + 1)/(n + B),   q_b = (r_b + 1)/(n_ref + B)
+
+    add-one smoothed on BOTH sides (empty bins finite; identical
+    distributions → exactly 0).  Buckets absent from a group count as
+    zero — unlike :func:`psi_drift`'s constant-term closure, the
+    reference term q_b varies per bucket here, so the closure is an
+    explicit grid: |groups| × B rows, built from the B-row reference
+    frame (B = len(ref_counts); a handful) — still nothing
+    group-sized anywhere.  NULL when a group has no observations.
+
+    Scale shape: one aggregate for the group totals, one tiny grid
+    cross join (groups × B), one left join of the observed cells, one
+    keyed fold.  All frames are |groups|·B except the input counts
+    themselves."""
+    keys = list(by_cols)
+    bb = len(ref_counts)
+    n_ref = float(sum(ref_counts))
+    ref = F.array(*[F.lit(float(r)) for r in ref_counts])
+    groups = counts.groupBy(*keys).agg(
+        F.sum(F.col(count_col)).cast("double").alias("__n")
+    )
+    grid = groups.select(
+        *keys,
+        "__n",
+        F.posexplode(ref).alias("__b", "__r"),
+    )
+    # keys renamed on the observed side: grid and obs share the input
+    # frame's lineage, and a name-based self-join on a memory-sink view
+    # trips Catalyst's conflicting-attribute check
+    obs = counts.select(
+        *[F.col(k).alias(f"__ok_{i}") for i, k in enumerate(keys)],
+        F.col(bucket_col).cast("int").alias("__ob"),
+        F.col(count_col).cast("double").alias("__c"),
+    )
+    cond = [F.col("__b") == F.col("__ob")]
+    for i, k in enumerate(keys):
+        cond.append(F.col(k) == F.col(f"__ok_{i}"))
+    j = (
+        grid.join(obs, reduce(lambda a, b: a & b, cond), "left")
+        .drop("__ob", *[f"__ok_{i}" for i in range(len(keys))])
+        .fillna({"__c": 0.0})
+    )
+    p = (F.col("__c") + 1.0) / (F.col("__n") + F.lit(float(bb)))
+    q = (F.col("__r") + 1.0) / (F.lit(n_ref) + F.lit(float(bb)))
+    term = (p - q) * F.log(p / q)
+    agg = j.groupBy(*keys).agg(
+        F.first("__n").cast("long").alias("n"),
+        F.sum(term).alias("__psi"),
+    )
+    psi = F.when(F.col("n") >= 1, F.col("__psi"))
+    if round_digits is not None:
+        psi = F.round(psi, round_digits)
+    return agg.select(*keys, "n", psi.alias("psi"))

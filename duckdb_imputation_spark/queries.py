@@ -152,6 +152,9 @@ _DRIVER_PRIORITY: list[str] = [
     # round 8 (extension): per-hour event-type entropy (class-balance
     # screen; pairs with the chi-squared row)
     "entropy_type_by_hour_events",
+    # round 8 (extension): live PSI drift monitor (watermarked daily
+    # bucket counts + frozen-reference scoring)
+    "streaming_psi_events",
     # flagship MICE surface: kept fresh every round by convention
     "mice_single_col_sql_oracle",
     "mice_low_sql_oracle",
@@ -182,8 +185,8 @@ _DRIVER_PRIORITY: list[str] = [
     # untouched, cycled back so no row's evidence ages past r4
     "casts_and_dates",
     "case_when_null_buckets",
-    "json_extract_events",
-    # (math_scalar_functions, events_hourly_rollup, orders_window_top3,
+    # (json_extract_events,
+    # math_scalar_functions, events_hourly_rollup, orders_window_top3,
     # semi_join_urgent_customers, anti_join_customers_no_orders,
     # mean_mode_stats, union_partition_counts,
     # distinct_category_dictionary, list_extract_position,
@@ -8775,6 +8778,121 @@ def streaming_sliding_events(spark, sf):
         # table (bounded: |windows| x |event types|); materialize it
         # into a plain frame so the temp view can drop
         return spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        spark.catalog.dropTempView(view)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "streaming_psi_events",
+    oracle="""
+    WITH base AS (
+      SELECT ts, CAST(ROUND(value * 100) AS BIGINT) AS v FROM events
+      WHERE value IS NOT NULL AND ts IS NOT NULL
+    ), bk AS (
+      SELECT ts,
+             CAST(v >= 500 AS INT) + CAST(v >= 1500 AS INT)
+               + CAST(v >= 3500 AS INT) + CAST(v >= 7000 AS INT)
+               + CAST(v >= 15000 AS INT) AS bucket
+      FROM base
+    ), refc AS (
+      SELECT bs.b, COALESCE(r.c, CAST(0 AS DOUBLE)) AS r
+      FROM (SELECT unnest(range(0, 6)) AS b) bs
+      LEFT JOIN (
+        SELECT bucket AS b, CAST(COUNT(*) AS DOUBLE) AS c
+        FROM bk WHERE day(ts) <= 15 GROUP BY bucket
+      ) r ON r.b = bs.b
+    ), nref AS (SELECT SUM(r) AS nr FROM refc),
+    d AS (
+      SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             bucket, CAST(COUNT(*) AS DOUBLE) AS c
+      FROM bk GROUP BY day, bucket
+    ), t AS (SELECT day, SUM(c) AS n FROM d GROUP BY day),
+    j AS (
+      SELECT g.day, g.n,
+             (COALESCE(d.c, 0) + 1.0) / (g.n + 6.0) AS p,
+             (g.r + 1.0) / ((SELECT nr FROM nref) + 6.0) AS q
+      FROM (SELECT t.day, t.n, refc.b, refc.r
+            FROM t CROSS JOIN refc) g
+      LEFT JOIN d ON d.day = g.day AND d.bucket = g.b
+    )
+    SELECT day, CAST(FIRST(n) AS BIGINT) AS n,
+           ROUND(SUM((p - q) * ln(p / q)), 6) + 0.0 AS psi
+    FROM j GROUP BY day
+    """,
+)
+def streaming_psi_events(spark, sf):
+    """Live PSI drift monitor (streaming/psi_stream.py +
+    operators/selection.py psi_vs_reference): the event stream's
+    value-in-cents distribution is bucketed by the batch PSI row's
+    fixed edges, counted per DAY window under a watermark (all
+    built-in streaming — state is |open windows| × B counters), and
+    each day is scored against the frozen first-half-of-month
+    reference histogram (collected once batch-side: B = 6 integers,
+    a designed driver boundary).  Counting and scoring are split by
+    design — the streaming query is trivially checkpointable and the
+    PSI math lives in ONE place, shared with the batch operator.
+    Complete-mode memory sink (bounded: days × B cells) like the
+    sliding-window row; the oracle recomputes reference, daily
+    histograms and the same smoothed PSI in SQL."""
+    import os
+    import shutil
+    import tempfile
+
+    from .operators.selection import psi_vs_reference
+    from .streaming.psi_stream import streaming_psi_counts
+
+    edges = [500.0, 1500.0, 3500.0, 7000.0, 15000.0]
+    ev = (
+        load_table(spark, sf, "events")
+        .where(F.col("value").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.round(F.col("value") * 100).cast("long").alias("v"),
+        )
+    )
+    bucket = F.lit(0)
+    for e in edges:
+        bucket = bucket + (F.col("v") >= F.lit(e)).cast("int")
+    ref_rows = dict(
+        ev.where(F.dayofmonth("ts") <= 15)
+        .groupBy(bucket.alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    ref_counts = [int(ref_rows.get(b, 0)) for b in range(len(edges) + 1)]
+    tmp = tempfile.mkdtemp(prefix="psi_stream_row_")
+    view = f"__psi_row_{os.path.basename(tmp).rsplit('_', 1)[-1]}"
+    try:
+        src = f"{tmp}/src"
+        os.makedirs(src)
+        ev.coalesce(1).write.parquet(f"{tmp}/h0")
+        part = [
+            f for f in os.listdir(f"{tmp}/h0") if f.endswith(".parquet")
+        ][0]
+        shutil.copy(f"{tmp}/h0/{part}", f"{src}/events.parquet")
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        out = streaming_psi_counts(
+            stream, "ts", "v", edges, window="1 day", watermark="1 hour"
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName(view)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        counts = spark.sql(f"SELECT * FROM {view}")
+        scored = psi_vs_reference(
+            counts, "bucket", "n", ref_counts, by_cols=["window_start"]
+        ).select(
+            F.date_format("window_start", "yyyy-MM-dd").alias("day"),
+            "n",
+            "psi",
+        )
+        # bounded (|days| rows): materialize so the temp view can drop
+        return spark.createDataFrame(scored.collect(), scored.schema)
     finally:
         spark.catalog.dropTempView(view)
         shutil.rmtree(tmp, ignore_errors=True)

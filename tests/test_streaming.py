@@ -1303,3 +1303,73 @@ def test_heavy_hitters_stream_per_key_and_state_carry(spark, tmp_path):
         if r["key"] == "a" and r["n_processed"] == 45
     }
     assert final_a.get("x", 0) >= 40 - 45 / 4 - 1e-9  # superset + bound
+
+
+# ------------------------------------------------------ streaming PSI
+
+def test_streaming_psi_counts_match_batch_and_score(spark, tmp_path):
+    import math
+
+    from duckdb_imputation_spark.operators.selection import psi_vs_reference
+    from duckdb_imputation_spark.streaming.psi_stream import (
+        streaming_psi_counts,
+    )
+
+    rows = []
+    for day in (1, 2):
+        for i in range(120):
+            # day 2 shifts upward: drift the monitor must score higher
+            v = float((i * 7) % 40 + (25 if day == 2 else 0))
+            rows.append((f"2024-03-0{day} 10:{i % 60:02d}:00", v))
+    df = spark.createDataFrame(rows, "ts_s string, v double").select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "v"
+    )
+    src = str(tmp_path / "psi_src")
+    df.write.parquet(src)
+    edges = [10.0, 20.0, 30.0, 40.0]
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = streaming_psi_counts(stream, "ts", "v", edges, window="1 day")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("psi_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    counts = spark.sql("SELECT * FROM psi_counts")
+    # streaming counts == batch bucketed counts
+    got = {
+        (str(r["window_start"])[:10], r["bucket"]): r["n"]
+        for r in counts.collect()
+    }
+    ref_py = {}
+    for ts_s, v in rows:
+        b = sum(v >= e for e in edges)
+        ref_py[(ts_s[:10], b)] = ref_py.get((ts_s[:10], b), 0) + 1
+    assert got == ref_py
+    # scoring: reference = day 1's own histogram -> day 1 PSI == 0
+    ref_counts = [ref_py.get(("2024-03-01", b), 0) for b in range(5)]
+    scored = {
+        str(r["window_start"])[:10]: r["psi"]
+        for r in psi_vs_reference(
+            counts, "bucket", "n", ref_counts,
+            by_cols=["window_start"], round_digits=None,
+        ).collect()
+    }
+    assert abs(scored["2024-03-01"]) < 1e-12  # identical -> exactly 0
+    # python reference for day 2
+    bb, n2 = 5, 120
+    n_ref = sum(ref_counts)
+    psi2 = sum(
+        ((ref_py.get(("2024-03-02", b), 0) + 1) / (n2 + bb)
+         - (ref_counts[b] + 1) / (n_ref + bb))
+        * math.log(
+            ((ref_py.get(("2024-03-02", b), 0) + 1) / (n2 + bb))
+            / ((ref_counts[b] + 1) / (n_ref + bb))
+        )
+        for b in range(bb)
+    )
+    assert abs(scored["2024-03-02"] - psi2) < 1e-12
+    assert scored["2024-03-02"] > 0.1  # the shift is visible
+    spark.catalog.dropTempView("psi_counts")
