@@ -56,6 +56,17 @@ The check (pure DuckDB, no Spark needed):
    float is never exactly on either (measure zero).  Both engines
    round exact halves away from zero, so even on-boundary exact cells
    agree.
+
+   CAVEAT (found live, round 8: target_encode at tier 2): the
+   exempt-halves argument holds only when the DECIMAL boundary is an
+   exact DOUBLE.  At fractional tiers and large magnitudes it often
+   is not (4851.235 has no exact double) — then Spark HALF_UPs the
+   binary expansion of the stored double while DuckDB rounds the
+   ×10^d product, and the two CAN disagree on a cell that is an exact
+   rational ON the decimal boundary.  Integer tiers are immune (x.5
+   is an exact double for |x| < 2⁵²), so dense-continuum row-level
+   outputs should round at an integer tier after scaling
+   (CAST(ROUND(v·10^d) AS BIGINT)) instead of ROUND(v, d).
 """
 
 from __future__ import annotations

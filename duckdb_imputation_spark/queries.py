@@ -155,6 +155,10 @@ _DRIVER_PRIORITY: list[str] = [
     # round 8 (extension): live PSI drift monitor (watermarked daily
     # bucket counts + frozen-reference scoring)
     "streaming_psi_events",
+    # round 8 (extension): leakage-safe LOO target encoding (feature
+    # engineering; integer centi-cent output after the live
+    # decimal-boundary ROUND hazard catch)
+    "target_encode_events",
     # flagship MICE surface: kept fresh every round by convention
     "mice_single_col_sql_oracle",
     "mice_low_sql_oracle",
@@ -184,8 +188,7 @@ _DRIVER_PRIORITY: list[str] = [
     # locally (tests/test_oracle_parity.py) and implementation-
     # untouched, cycled back so no row's evidence ages past r4
     "casts_and_dates",
-    "case_when_null_buckets",
-    # (json_extract_events,
+    # (case_when_null_buckets, json_extract_events,
     # math_scalar_functions, events_hourly_rollup, orders_window_top3,
     # semi_join_urgent_customers, anti_join_customers_no_orders,
     # mean_mode_stats, union_partition_counts,
@@ -8449,6 +8452,68 @@ def entropy_type_by_hour_events(spark, sf):
         F.col("event_type").isNotNull() & F.col("ts").isNotNull()
     ).select(F.hour("ts").cast("int").alias("hod"), "event_type")
     return categorical_entropy(ev, "event_type", by_cols=["hod"])
+
+
+@register(
+    "target_encode_events",
+    oracle="""
+    WITH y AS (
+      SELECT event_id, event_type,
+             CAST(ROUND(value * 100) AS DOUBLE) AS v
+      FROM events
+    ), d AS (
+      SELECT event_type AS c, CAST(COUNT(*) AS DOUBLE) AS n, SUM(v) AS s
+      FROM y WHERE event_type IS NOT NULL AND v IS NOT NULL
+      GROUP BY event_type
+    ), p AS (
+      SELECT SUM(v) / COUNT(v) AS prior FROM y WHERE v IS NOT NULL
+    )
+    SELECT event_id, event_type,
+           CAST(ROUND((CASE
+             WHEN event_type IS NULL THEN prior
+             WHEN v IS NOT NULL AND COALESCE(n, 0) >= 1.0
+               THEN (COALESCE(s, 0) - v + 50.0 * prior)
+                    / (COALESCE(n, 0) - 1.0 + 50.0)
+             ELSE (COALESCE(s, 0) + 50.0 * prior)
+                  / (COALESCE(n, 0) + 50.0)
+           END) * 100.0) AS BIGINT) AS te_centi
+    FROM y LEFT JOIN d ON y.event_type = d.c, p
+    """,
+)
+def target_encode_events(spark, sf):
+    """Leave-one-out smoothed target encoding (operators/features.py
+    target_encode, Micci-Barreca 2001, m=50) of event_type against
+    the value in cents — the leakage-safe training-time categorical
+    code (each row is encoded as if held out; a singleton category
+    falls back to the prior EXACTLY).  The encoder dictionary is
+    |categories| rows from ONE map-side-combined GROUP BY, broadcast
+    back — the corpus never shuffles on the category; each row's code
+    is ONE division of exact integer sums (cents), mirrored
+    op-for-op in the oracle.  Output is INTEGER hundredths-of-a-cent
+    (CAST(ROUND(te·100) AS BIGINT)): the code is a dense continuum,
+    and a fractional ROUND tier either crowds the pointwise margin
+    budget (tier 6 flagged ~1 % of 10k cells) or hits the
+    decimal-boundary hazard where an exact rational like 4851.235 has
+    no exact double — Spark HALF_UPs the binary expansion while
+    DuckDB rounds the ×100 product, and the two CAN disagree (found
+    live on ONE cell of this row at tier 2).  Integer-tier rounding
+    is exempt from both: .5 boundaries at this magnitude are exact
+    doubles and both engines round them away from zero."""
+    from .operators.features import target_encode
+
+    ev = load_table(spark, sf, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    out = target_encode(
+        ev, "event_type", "v", smoothing=50.0, loo=True, round_digits=None
+    )
+    return out.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("te") * 100.0).cast("long").alias("te_centi"),
+    )
 
 
 @register("cusum_events", oracle=_CUSUM_ORACLE)
