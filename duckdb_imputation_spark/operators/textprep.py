@@ -25,6 +25,7 @@ __all__ = [
     "deterministic_sample",
     "hash_split",
     "leakage_safe_split",
+    "leakage_safe_folds",
     "normalize_text",
     "strip_html",
     "deterministic_shuffle",
@@ -591,3 +592,47 @@ def deterministic_shuffle(
         out_col=out_col,
         tiebreak_cols=[id_col],
     ).drop("__shuf")
+
+
+def leakage_safe_folds(
+    df: DataFrame,
+    id_col: str,
+    dup_pairs: DataFrame,
+    k: int,
+    salt: str = "fold",
+    out_col: str = "fold",
+    rep_col: str | None = None,
+) -> DataFrame:
+    """K-fold assignment that cannot leak near-duplicates across fold
+    boundaries — the cross-validation face of
+    :func:`leakage_safe_split`: documents connected by ``dup_pairs``
+    land in the SAME fold (keyed on their connected component's
+    minimum id), so no validation fold ever holds a near-copy of
+    another fold's training document.  ``fold ∈ [0, k)`` =
+    ``md5(salt|rep) % k`` — deterministic per salt, uniform in
+    expectation per component (folds balance in components, not
+    documents: a giant near-dup cluster weighs one unit, which is the
+    point).
+
+    Scale shape: identical to leakage_safe_split — components over
+    the dup pairs (dup-graph-sized), ONE broadcast left join, one
+    hash projection; the corpus never shuffles."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    from .graph import connected_components
+
+    comp = connected_components(dup_pairs, "id_a", "id_b").select(
+        F.col("node").alias("__lfnode"),
+        F.col("component").alias("__lfcomp"),
+    )
+    joined = df.join(
+        comp, df[id_col] == comp["__lfnode"], "left"
+    ).drop("__lfnode")
+    rep = F.coalesce(F.col("__lfcomp"), F.col(id_col))
+    fold = (
+        md5_int32(F.concat(F.lit(salt), rep.cast("string"))) % k
+    ).cast("int")
+    out = joined.withColumn(out_col, fold)
+    if rep_col is not None:
+        out = out.withColumn(rep_col, rep)
+    return out.drop("__lfcomp")

@@ -159,6 +159,9 @@ _DRIVER_PRIORITY: list[str] = [
     # engineering; integer centi-cent output after the live
     # decimal-boundary ROUND hazard catch)
     "target_encode_events",
+    # round 8 (extension): leakage-safe k-fold assignment (the
+    # cross-validation face of the leakage-safe split)
+    "leakage_safe_folds_documents",
     # flagship MICE surface: kept fresh every round by convention
     "mice_single_col_sql_oracle",
     "mice_low_sql_oracle",
@@ -187,17 +190,18 @@ _DRIVER_PRIORITY: list[str] = [
     # rows whose newest driver evidence was r2-r4; all replay-green
     # locally (tests/test_oracle_parity.py) and implementation-
     # untouched, cycled back so no row's evidence ages past r4
-    "casts_and_dates",
-    # (case_when_null_buckets, json_extract_events,
+    # (casts_and_dates, case_when_null_buckets, json_extract_events,
     # math_scalar_functions, events_hourly_rollup, orders_window_top3,
     # semi_join_urgent_customers, anti_join_customers_no_orders,
     # mean_mode_stats, union_partition_counts,
     # distinct_category_dictionary, list_extract_position,
     # exact_dedup_documents, minhash_signatures,
-    # cross_join_triples and sql_passthrough_shared_dialect yield
-    # their rotation slots to the round-8 stats/keyword/containment
-    # rows — all four are replay-green and implementation-untouched;
-    # next round's rotation picks them up first)
+    # cross_join_triples and sql_passthrough_shared_dialect — the
+    # whole r7-#5 rotation batch — yielded their slots one by one to
+    # the eighteen round-8-extension rows: a never-driver-verified row
+    # outranks a stale-but-green rotation every time.  All sixteen are
+    # replay-green and implementation-untouched; they are the head of
+    # next round's rotation queue.)
 ]
 
 
@@ -4915,6 +4919,55 @@ def leakage_safe_split_documents(spark, sf):
     )
     return out.select(
         "doc_id", F.col("rep").cast("long").alias("rep"), "split"
+    )
+
+
+def _leakage_folds_oracle(k: int = 5) -> str:
+    from .operators.hashing import md5_int32_sql
+
+    h = md5_int32_sql("'fold' || CAST(rep AS VARCHAR)")
+    return f"""
+    WITH g AS (
+      SELECT doc_id, MIN(doc_id) OVER (
+        PARTITION BY CASE WHEN text IS NULL
+                          THEN 'id:' || CAST(doc_id AS VARCHAR)
+                          ELSE md5(text) END) AS rep
+      FROM documents
+    )
+    SELECT doc_id, CAST(rep AS BIGINT) AS rep,
+           CAST({h} % {k} AS INT) AS fold
+    FROM g
+    """
+
+
+@register("leakage_safe_folds_documents", oracle=_leakage_folds_oracle())
+def leakage_safe_folds_documents(spark, sf):
+    """Near-dup-cluster-aware K-FOLD assignment (textprep.
+    leakage_safe_folds, k=5) — the cross-validation face of the
+    leakage-safe split: exact-duplicate documents (star edges from
+    digest groups, linear in group size) land in the SAME fold keyed
+    on their component's min doc_id, so no validation fold ever holds
+    a near-copy of another fold's training document; folds balance in
+    COMPONENTS, not documents (a giant dup cluster weighs one unit —
+    the point).  Same component machinery and oracle shape as the
+    split row (digest-group window MIN — exact-dup components ARE the
+    group min — while Spark runs the real min-label propagation);
+    fold = md5 % k, all-integer output."""
+    from .operators.textprep import leakage_safe_folds
+
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    dig = d.select("doc_id", F.md5("text").alias("__dig"))
+    rep = dig.groupBy("__dig").agg(F.min("doc_id").alias("__rep"))
+    edges = (
+        dig.join(rep, "__dig")
+        .where(F.col("doc_id") != F.col("__rep"))
+        .select(
+            F.col("__rep").alias("id_a"), F.col("doc_id").alias("id_b")
+        )
+    )
+    out = leakage_safe_folds(d, "doc_id", edges, k=5, rep_col="rep")
+    return out.select(
+        "doc_id", F.col("rep").cast("long").alias("rep"), "fold"
     )
 
 

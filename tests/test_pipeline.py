@@ -1357,3 +1357,40 @@ def test_pmi_collocations_min_count_prunes(spark):
         (r["w1"], r["w2"]) for r in pmi_collocations(df, "text", min_count=2).collect()
     }
     assert out == {("a", "b")}  # "b a", "b c", "c d" are singletons
+
+
+def test_leakage_safe_folds_components_share_fold(spark):
+    from duckdb_imputation_spark.operators.textprep import (
+        leakage_safe_folds,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(40)], "doc_id long, text string"
+    )
+    # components: {0,1,2} via a chain, {10,11}; everything else solo
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "id_a long, id_b long"
+    )
+    out = leakage_safe_folds(
+        docs, "doc_id", pairs, k=4, rep_col="rep"
+    ).collect()
+    folds = {r["doc_id"]: r["fold"] for r in out}
+    reps = {r["doc_id"]: r["rep"] for r in out}
+    assert folds[0] == folds[1] == folds[2]
+    assert folds[10] == folds[11]
+    assert reps[0] == reps[1] == reps[2] == 0
+    assert reps[10] == 10
+    assert all(0 <= f < 4 for f in folds.values())
+    # solo documents hash on their own id — same as a fresh run with
+    # no pairs at all
+    out2 = leakage_safe_folds(
+        docs, "doc_id", pairs.where("id_a < 0"), k=4
+    ).collect()
+    folds2 = {r["doc_id"]: r["fold"] for r in out2}
+    for i in range(3, 40):
+        if i not in (10, 11):
+            assert folds[i] == folds2[i]
+    # folds are reasonably balanced over 40 docs
+    from collections import Counter
+    c = Counter(folds.values())
+    assert len(c) == 4 and max(c.values()) <= 20
