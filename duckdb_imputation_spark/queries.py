@@ -162,10 +162,18 @@ _DRIVER_PRIORITY: list[str] = [
     # round 8 (extension): leakage-safe k-fold assignment (the
     # cross-validation face of the leakage-safe split)
     "leakage_safe_folds_documents",
-    # flagship MICE surface: kept fresh every round by convention
-    "mice_single_col_sql_oracle",
+    # round 8 (extension): effect size + long-tail collapse driver
+    # evidence (Cramer's V companion row; Zipf-tail token fold)
+    "cramers_v_type_hour_events",
+    "collapse_rare_tokens_documents",
+    # flagship MICE surface: kept fresh every round by convention —
+    # this round only TWO of the four (the delta-maintenance ⊖/⊕ row
+    # and the LDA categorical row, the two distinct code paths);
+    # mice_single_col and mice_high yield their slots to
+    # never-driver-verified extension rows (both r7-hash-green,
+    # implementation-untouched, replay-green — same trade as the
+    # rotation queue: new evidence outranks refreshed evidence)
     "mice_low_sql_oracle",
-    "mice_high_sql_oracle",
     "mice_categorical_sql_oracle",
     # round 8: rows whose implementation or row code changed this
     # round, back for a post-change hash (VERDICT r4 hygiene rule) —
@@ -8566,6 +8574,99 @@ def target_encode_events(spark, sf):
         "event_id",
         "event_type",
         F.round(F.col("te") * 100.0).cast("long").alias("te_centi"),
+    )
+
+
+@register(
+    "cramers_v_type_hour_events",
+    oracle="""
+    WITH e AS (
+      SELECT event_type AS a, CAST(hour(ts) AS INT) AS b
+      FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+    ), obs AS (
+      SELECT a, b, COUNT(*) AS o FROM e GROUP BY a, b
+    ), ra AS (
+      SELECT a, SUM(o) AS ra FROM obs GROUP BY a
+    ), cb AS (
+      SELECT b, SUM(o) AS cb FROM obs GROUP BY b
+    ), n AS (
+      SELECT CAST(SUM(o) AS DOUBLE) AS n FROM obs
+    ), cells AS (
+      SELECT CAST(obs.o AS DOUBLE) AS o,
+             CAST(ra.ra AS DOUBLE) * CAST(cb.cb AS DOUBLE) / n.n AS e,
+             n.n
+      FROM obs
+      JOIN ra ON obs.a = ra.a
+      JOIN cb ON obs.b = cb.b, n
+    ), x AS (
+      SELECT ROUND(SUM((o - e) * (o - e) / e - e) + FIRST(n), 4) + 0.0
+               AS chi2,
+             CAST((SELECT (COUNT(*) - 1) FROM ra)
+                  * (SELECT (COUNT(*) - 1) FROM cb) AS BIGINT) AS dof,
+             CAST(FIRST(n) AS BIGINT) AS n,
+             LEAST((SELECT COUNT(*) FROM ra),
+                   (SELECT COUNT(*) FROM cb)) AS minlv
+      FROM cells
+    )
+    SELECT chi2, dof, n,
+           CASE WHEN minlv >= 2
+                THEN ROUND(sqrt(chi2 / (CAST(n AS DOUBLE)
+                                        * (minlv - 1.0))), 4) + 0.0
+           END AS cramers_v
+    FROM x
+    """,
+)
+def cramers_v_type_hour_events(spark, sf):
+    """The chi-squared row's effect-size companion (operators/
+    stats.py chi2_independence(effect_size=True)): Cramér's V —
+    sqrt(chi2/(n·(min(|A|,|B|)−1))), Cramér 1946 — the
+    sample-size-free association strength (chi2 grows with n even for
+    a fixed weak association; V ∈ [0,1] does not).  Same plan as the
+    chi2 row (one corpus GROUP BY, marginal equi-joins, no |A|×|B|
+    closure); V is computed from the ROUNDED chi2 on both engines, so
+    its only new surface is one sqrt of identical doubles."""
+    from .operators.stats import chi2_independence
+
+    ev = load_table(spark, sf, "events").select(
+        "event_type", F.hour("ts").cast("int").alias("hod")
+    )
+    return chi2_independence(ev, "event_type", "hod", effect_size=True)
+
+
+@register(
+    "collapse_rare_tokens_documents",
+    oracle=f"""
+    WITH tk AS (
+      SELECT unnest({_ws_sql('text')}) AS t FROM documents
+    ), keep AS (
+      SELECT t FROM tk GROUP BY t HAVING COUNT(*) >= 100
+    ), c AS (
+      SELECT CASE WHEN t IN (SELECT t FROM keep) THEN t
+                  ELSE '__other__' END AS token_c
+      FROM tk
+    )
+    SELECT token_c, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM c GROUP BY token_c
+    """,
+)
+def collapse_rare_tokens_documents(spark, sf):
+    """Long-tail category collapse (operators/features.py
+    collapse_rare_categories, min_count=100) over the document token
+    stream — the Zipf-tail fold that precedes one-hot / dictionary
+    encodings (every token seen fewer than 100 times maps to
+    '__other__', exactly where an unseen-at-inference token lands).
+    KEEP dictionary = one GROUP BY HAVING (frequent vocabulary only,
+    much smaller than the full vocabulary), broadcast back; the token
+    stream never shuffles for the collapse itself.  All-integer
+    output grouped to the collapsed vocabulary."""
+    from .operators.features import collapse_rare_categories
+
+    tk = load_table(spark, sf, "documents").select(
+        F.explode(_dd.ws_tokens(F.col("text"))).alias("t")
+    )
+    out = collapse_rare_categories(tk, "t", min_count=100)
+    return out.groupBy(F.col("t").alias("token_c")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
     )
 
 
