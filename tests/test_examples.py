@@ -20,6 +20,7 @@ SF = "/root/testdata/sf0.001"
         ("examples/factorized_ml.py", "train"),
         ("examples/pipeline_demo.py", "bm25"),
         ("examples/incremental_demo.py", "old data untouched"),
+        ("examples/analytics_demo.py", "analytics demo done"),
     ],
 )
 def test_demo_runs_end_to_end(script, needle):
