@@ -50,6 +50,7 @@ __all__ = [
     "grouped_winsorize",
     "json_key_profile",
     "grouped_moments",
+    "quantile_buckets",
 ]
 
 _NUMERIC = (
@@ -448,3 +449,64 @@ def grouped_moments(
         skew.alias("skewness"),
         kurt.alias("kurtosis_excess"),
     )
+
+
+def quantile_buckets(
+    df,
+    value_col: str,
+    n_buckets: int = 10,
+    by_cols=(),
+    exact: bool = True,
+    out_col: str = "bucket",
+):
+    """Equal-frequency bucket ASSIGNMENT: attach each row's quantile
+    bucket (0..n_buckets−1) within its ``by_cols`` stratum — the
+    decile/percentile binning that feeds PSI references, calibration
+    tables and rank features.  Bucket b is the half-open interval
+    (edge_b, edge_{b+1}] over the n_buckets−1 interior quantile
+    edges; assignment is ``Σ (v > edge)`` — ties at an edge go DOWN
+    (strict >), deterministic cross-engine because the exact
+    ``percentile`` edges match DuckDB's ``quantile_cont``
+    bit-for-bit on the same multiset (the established profiler
+    discipline) and the comparisons are exact.
+
+    ``exact=False`` swaps ``approx_percentile`` in (bounded-memory
+    KLL-class sketch) — the corpus path, same caveat as every approx
+    knob: edges are engine-specific, so no bit-level oracle.
+
+    NULL values get a NULL bucket.
+
+    Scale shape: edges = ONE grouped aggregate (|strata| × (B−1)
+    doubles) joined back broadcast; assignment is a projection — the
+    corpus never shuffles.  Exact mode buffers each stratum's values
+    in one aggregation state (the exact-percentile bound,
+    grouped_robust_stats' documented trade); approx mode is the
+    100 TB default."""
+    keys = list(by_cols)
+    v = F.col(value_col).cast("double")
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    if exact:
+        edges_expr = F.percentile(v, F.array(*[F.lit(q) for q in qs]))
+    else:
+        edges_expr = F.approx_percentile(
+            v, F.array(*[F.lit(q) for q in qs]), F.lit(10000)
+        )
+    edges = (
+        df.where(v.isNotNull())
+        .groupBy(*keys)
+        .agg(edges_expr.alias("__edges"))
+    )
+    j = (
+        df.join(F.broadcast(edges), keys)
+        if keys
+        else df.crossJoin(F.broadcast(edges))
+    )
+    bucket = F.when(
+        v.isNotNull(),
+        F.aggregate(
+            F.col("__edges"),
+            F.lit(0),
+            lambda acc, e: acc + (v > e).cast("int"),
+        ),
+    )
+    return j.select(*df.columns, bucket.cast("int").alias(out_col))

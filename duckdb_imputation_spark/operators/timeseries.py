@@ -41,6 +41,7 @@ __all__ = [
     "retention_from_periods",
     "sliding_counts",
     "seasonal_anomalies",
+    "windowed_topk",
 ]
 
 
@@ -752,3 +753,56 @@ def seasonal_anomalies(
         .otherwise(raw.cast("int"))
     )
     return joined.withColumn(flag_col, flag).drop("__n", "__s", "__ss")
+
+
+def windowed_topk(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    k: int,
+    window: str = "1 day",
+    by_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Top-``k`` most frequent values per event-time window (per
+    optional ``by_cols`` stratum) — the "trending items" rollup
+    (hot pages per day, top queries per hour per region).  Returns
+    (window_start, by_cols..., value, n, rnk) with the deterministic
+    (count desc, value asc) tie order.  NULL values/timestamps are
+    dropped.
+
+    Scale shape: ONE corpus GROUP BY collapses rows to the
+    (window, stratum, value) dictionary — the only corpus-sized
+    shuffle; the per-window rank runs over the DICTIONARY (a task
+    holds one window-stratum's distinct values, bounded by the
+    per-window vocabulary, never its row count).  Output is
+    |windows|·|strata|·k.  For a corpus whose per-window vocabulary
+    itself explodes, bound the dictionary first with the
+    heavy-hitters family (sketches.py) — top-k of an MG candidate set
+    is the two-pass discipline."""
+    from pyspark.sql import Window as W
+
+    v = F.col(value_col)
+    keys = list(by_cols)
+    d = (
+        df.where(v.isNotNull() & F.col(ts_col).isNotNull())
+        .groupBy(
+            F.window(F.col(ts_col).cast("timestamp"), window).alias("__w"),
+            *keys,
+            v.alias("value"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.partitionBy(F.col("__w"), *keys).orderBy(
+        F.desc("n"), F.col("value")
+    )
+    return (
+        d.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(
+            F.col("__w.start").alias("window_start"),
+            *keys,
+            "value",
+            F.col("n").cast("long").alias("n"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )

@@ -166,6 +166,10 @@ _DRIVER_PRIORITY: list[str] = [
     # evidence (Cramer's V companion row; Zipf-tail token fold)
     "cramers_v_type_hour_events",
     "collapse_rare_tokens_documents",
+    # round 8 (extension): equal-frequency binning + trending top-k
+    # (dictionary-sized per-window rank)
+    "quantile_buckets_lineitem",
+    "trending_pages_daily_events",
     # flagship MICE surface: kept fresh every round by convention —
     # this round only TWO of the four (the delta-maintenance ⊖/⊕ row
     # and the LDA categorical row, the two distinct code paths);
@@ -188,8 +192,11 @@ _DRIVER_PRIORITY: list[str] = [
     "streaming_sliding_events",
     "profile_lineitem",
     "bloom_decontaminate_documents",
-    "ewma_events",
-    "ewma_halflife_events",
+    # (ewma_events and ewma_halflife_events yield their re-hash slots:
+    # their only r8 change is the max_series guard — a new ERROR path
+    # that cannot alter any produced output (both replay-green) —
+    # while cusum_events stays because its code is shared with the
+    # live twin that DID change)
     "cusum_events",
     "robust_outliers_lineitem",
     "winsorize_lineitem",
@@ -8667,6 +8674,107 @@ def collapse_rare_tokens_documents(spark, sf):
     out = collapse_rare_categories(tk, "t", min_count=100)
     return out.groupBy(F.col("t").alias("token_c")).agg(
         F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    )
+
+
+@register(
+    "quantile_buckets_lineitem",
+    oracle="""
+    WITH v AS (
+      SELECT l_returnflag AS rf,
+             CAST(ROUND(l_extendedprice * 100) AS DOUBLE) AS c
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
+    ), e AS (
+      SELECT rf, quantile_cont(c, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                   0.6, 0.7, 0.8, 0.9]) AS es
+      FROM v GROUP BY rf
+    ), b AS (
+      SELECT v.rf,
+             CAST(c > es[1] AS INT) + CAST(c > es[2] AS INT)
+               + CAST(c > es[3] AS INT) + CAST(c > es[4] AS INT)
+               + CAST(c > es[5] AS INT) + CAST(c > es[6] AS INT)
+               + CAST(c > es[7] AS INT) + CAST(c > es[8] AS INT)
+               + CAST(c > es[9] AS INT) AS bucket
+      FROM v JOIN e ON v.rf = e.rf
+    )
+    SELECT rf, CAST(bucket AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM b GROUP BY rf, bucket
+    """,
+)
+def quantile_buckets_lineitem(spark, sf):
+    """Per-returnflag DECILE assignment of price-in-cents
+    (operators/profile.py quantile_buckets, exact mode) — the
+    equal-frequency binning that feeds PSI references and calibration
+    tables, grouped to (stratum, bucket, n) for a compact all-integer
+    row.  Edges are ONE grouped exact-percentile aggregate (9 doubles
+    per stratum) broadcast back; assignment is Σ(v > edge) — a
+    projection, the corpus never shuffles for it.  Exact percentile
+    matches DuckDB's quantile_cont bit-for-bit on the same multiset
+    (the profiler discipline) and the comparisons are exact, so ties
+    at an edge go DOWN identically on both engines — zero rounding
+    surface anywhere."""
+    from .operators.profile import quantile_buckets
+
+    li = (
+        load_table(spark, sf, "lineitem")
+        .where(F.col("l_extendedprice").isNotNull())
+        .select(
+            F.col("l_returnflag").alias("rf"),
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("double")
+            .alias("c"),
+        )
+    )
+    out = quantile_buckets(li, "c", n_buckets=10, by_cols=["rf"])
+    return out.groupBy("rf", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+@register(
+    "trending_pages_daily_events",
+    oracle="""
+    WITH e AS (
+      SELECT date_trunc('day', ts) AS d,
+             CAST(json_extract_string(props, '$.k') AS INT) AS page
+      FROM events WHERE ts IS NOT NULL
+        AND json_extract_string(props, '$.k') IS NOT NULL
+    ), c AS (
+      SELECT d, page, COUNT(*) AS n FROM e GROUP BY d, page
+    ), r AS (
+      SELECT d, page, n,
+             ROW_NUMBER() OVER (PARTITION BY d
+                                ORDER BY n DESC, page) AS rnk
+      FROM c
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           page AS value, CAST(n AS BIGINT) AS n, CAST(rnk AS INT) AS rnk
+    FROM r WHERE rnk <= 3
+    """,
+)
+def trending_pages_daily_events(spark, sf):
+    """Top-3 pages per day (operators/timeseries.py windowed_topk) —
+    the "trending items" rollup over the navigation stream.  ONE
+    corpus GROUP BY collapses events to the (day, page) dictionary
+    (the only corpus shuffle); the per-window rank runs over the
+    DICTIONARY (a task holds one day's distinct pages — 100 here,
+    bounded by the page vocabulary at any event volume), with the
+    deterministic (count desc, value asc) tie order.  All-integer
+    output; the day boundary is F.window('1 day') = epoch-aligned
+    date_trunc on both engines."""
+    from .operators.timeseries import windowed_topk
+
+    ev = load_table(spark, sf, "events").select(
+        "ts",
+        F.get_json_object("props", "$.k").cast("int").alias("page"),
+    )
+    out = windowed_topk(ev, "ts", "page", k=3, window="1 day")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd").alias("day"),
+        "value",
+        "n",
+        "rnk",
     )
 
 

@@ -391,3 +391,56 @@ def test_grouped_moments_degenerate(spark):
     r2 = grouped_moments(df2, "v", sample=True).collect()[0]
     assert r2["skewness"] is not None  # n=3 ok for G1
     assert r2["kurtosis_excess"] is None  # n<4 undefined
+
+
+# ------------------------------------------------- quantile buckets
+
+def test_quantile_buckets_matches_python_reference(spark):
+    import random
+
+    from duckdb_imputation_spark.operators.profile import quantile_buckets
+
+    rng = random.Random(13)
+    rows = []
+    for h in range(2):
+        for _ in range(97):  # awkward n: interpolated edges
+            rows.append((h, float(rng.randrange(0, 1000))))
+    rows.append((0, None))
+    df = spark.createDataFrame(rows, "h int, v double")
+    out = quantile_buckets(df, "v", n_buckets=4, by_cols=["h"]).collect()
+
+    def edges_of(vals, n):
+        # quantile_cont / Spark percentile: linear interpolation
+        s = sorted(vals)
+        es = []
+        for i in range(1, n):
+            q = i / n
+            pos = q * (len(s) - 1)
+            lo, hi = int(pos), min(int(pos) + 1, len(s) - 1)
+            es.append(s[lo] + (pos - lo) * (s[hi] - s[lo]))
+        return es
+
+    per_h = {
+        h: edges_of([v for hh, v in rows if hh == h and v is not None], 4)
+        for h in range(2)
+    }
+    for r in out:
+        if r["v"] is None:
+            assert r["bucket"] is None
+            continue
+        exp = sum(r["v"] > e for e in per_h[r["h"]])
+        assert r["bucket"] == exp, (r["h"], r["v"], r["bucket"], exp)
+    # each stratum's buckets are roughly equal-frequency
+    from collections import Counter
+    c = Counter((r["h"], r["bucket"]) for r in out if r["v"] is not None)
+    assert all(20 <= n <= 29 for n in c.values()), c
+
+
+def test_quantile_buckets_approx_mode_runs(spark):
+    from duckdb_imputation_spark.operators.profile import quantile_buckets
+
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(1000)], "v double"
+    )
+    out = quantile_buckets(df, "v", n_buckets=10, exact=False).collect()
+    assert {r["bucket"] for r in out} == set(range(10))

@@ -781,3 +781,59 @@ def test_seasonal_anomalies_bad_bucket_raises(spark):
             _seasonal_input(spark, [("a", 1, 1.0)]),
             ["key"], "ts", "value", z=2.5, exact_integers=True,
         )
+
+
+# ------------------------------------------------- windowed top-k
+
+def test_windowed_topk_matches_python_reference(spark):
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from duckdb_imputation_spark.operators.timeseries import windowed_topk
+
+    rows = []
+    for day in (1, 2):
+        for i in range(60):
+            page = f"p{i % (3 + day)}"  # different hot sets per day
+            rows.append((f"2024-05-0{day} 0{i % 10}:00:00", page))
+    rows.append(("2024-05-01 01:00:00", None))  # dropped
+    df = spark.createDataFrame(rows, "ts_s string, page string").select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "page"
+    )
+    got = windowed_topk(df, "ts", "page", k=2, window="1 day").collect()
+    by_day = {}
+    for r in got:
+        by_day.setdefault(str(r["window_start"])[:10], []).append(r)
+    for day in (1, 2):
+        key = f"2024-05-0{day}"
+        cnt = Counter(
+            p for ts_s, p in rows if p is not None and ts_s[:10] == key
+        )
+        exp = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+        g = sorted(by_day[key], key=lambda r: r["rnk"])
+        assert [(r["value"], r["n"]) for r in g] == exp, (key, g, exp)
+        assert [r["rnk"] for r in g] == [1, 2]
+
+
+def test_windowed_topk_tie_break_and_strata(spark):
+    from pyspark.sql import functions as F
+
+    from duckdb_imputation_spark.operators.timeseries import windowed_topk
+
+    # exact count ties -> value ascending
+    rows = [("2024-05-01 00:00:00", "g1", "b"),
+            ("2024-05-01 01:00:00", "g1", "a"),
+            ("2024-05-01 02:00:00", "g1", "c"),
+            ("2024-05-01 03:00:00", "g2", "z")]
+    df = spark.createDataFrame(
+        rows, "ts_s string, g string, page string"
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"), "g", "page")
+    got = windowed_topk(
+        df, "ts", "page", k=2, window="1 day", by_cols=["g"]
+    ).collect()
+    g1 = sorted(
+        [r for r in got if r["g"] == "g1"], key=lambda r: r["rnk"]
+    )
+    assert [r["value"] for r in g1] == ["a", "b"]  # tie -> asc value
+    assert [r["value"] for r in got if r["g"] == "g2"] == ["z"]
