@@ -170,15 +170,18 @@ _DRIVER_PRIORITY: list[str] = [
     # (dictionary-sized per-window rank)
     "quantile_buckets_lineitem",
     "trending_pages_daily_events",
+    # round 8 (extension): in-engine BGD logistic regression (the
+    # non-factorizable ML member; unrolled-CTE oracle)
+    "logreg_purchase_events",
     # flagship MICE surface: kept fresh every round by convention —
-    # this round only TWO of the four (the delta-maintenance ⊖/⊕ row
+    # this round only ONE of the four (the delta-maintenance ⊖/⊕ row
     # and the LDA categorical row, the two distinct code paths);
-    # mice_single_col and mice_high yield their slots to
-    # never-driver-verified extension rows (both r7-hash-green,
+    # mice_single_col, mice_high and mice_categorical yield their
+    # slots to never-driver-verified extension rows (all r7-hash-green,
     # implementation-untouched, replay-green — same trade as the
-    # rotation queue: new evidence outranks refreshed evidence)
+    # rotation queue: new evidence outranks refreshed evidence; the
+    # ⊖/⊕ low-strategy row stays as the single MICE sentinel)
     "mice_low_sql_oracle",
-    "mice_categorical_sql_oracle",
     # round 8: rows whose implementation or row code changed this
     # round, back for a post-change hash (VERDICT r4 hygiene rule) —
     # the two advisor-hardened streaming rows (event_id/t splits,
@@ -8775,6 +8778,91 @@ def trending_pages_daily_events(spark, sf):
         "value",
         "n",
         "rnk",
+    )
+
+
+def _logreg_oracle(iters: int = 3, lr: float = 1.0) -> str:
+    """Unrolled fixed-iteration BGD logistic regression (ml/logreg.py
+    is the Spark twin: same zero init, same σ/gradient/update op
+    order, same feature construction)."""
+    ctes = ["""
+    t AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y,
+             CAST(ROUND(value * 100) AS DOUBLE) / 10000.0 AS x1,
+             CAST(hour(ts) AS DOUBLE) / 24.0 AS x2
+      FROM events
+      WHERE value IS NOT NULL AND ts IS NOT NULL
+        AND event_type IS NOT NULL
+    ), s0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2)"""]
+    for i in range(iters):
+        sig = f"1.0 / (1.0 + exp(-(w.b + w.w1 * x1 + w.w2 * x2)))"
+        ctes.append(f"""
+    a{i} AS (
+      SELECT SUM({sig} - y) AS g0,
+             SUM(({sig} - y) * x1) AS g1,
+             SUM(({sig} - y) * x2) AS g2,
+             CAST(COUNT(*) AS DOUBLE) AS n
+      FROM t, s{i} w
+    ), s{i + 1} AS (
+      SELECT w.b - {lr} * (a.g0 / a.n) AS b,
+             w.w1 - {lr} * (a.g1 / a.n) AS w1,
+             w.w2 - {lr} * (a.g2 / a.n) AS w2
+      FROM s{i} w, a{i} a
+    )""")
+    return (
+        "WITH " + ",".join(ctes)
+        + f"""
+    SELECT ROUND(b, 6) + 0.0 AS w0, ROUND(w1, 6) + 0.0 AS w1,
+           ROUND(w2, 6) + 0.0 AS w2,
+           CAST((SELECT COUNT(*) FROM t) AS BIGINT) AS n
+    FROM s{iters}
+    """
+    )
+
+
+@register("logreg_purchase_events", oracle=_logreg_oracle(3))
+def logreg_purchase_events(spark, sf):
+    """Binary logistic regression trained FULLY IN-ENGINE
+    (ml/logreg.py logreg_train): P(event is a purchase) from the
+    O(1)-scaled value and hour features, three full-batch gradient
+    steps from the zero vector — the beyond-reference ML member the
+    cofactor triple cannot factorize (the sigmoid couples features to
+    weights), so training is the per-iteration-aggregate pattern:
+    ONE aggregate per step (d+1 gradient sums + count, map-side
+    combined), weights = 3 doubles on the driver (the
+    pagerank-dangling-mass class of designed boundary).  Fixed
+    iteration count + zero init keep the run deterministic and
+    SQL-twin-able; the oracle unrolls the identical three steps as
+    CTEs (same σ, same update op order).  The per-row exp sums are
+    the transcendental surface (stat-class ROUND(,6) on O(0.1)
+    coefficients — 5e6× margin over the measured cross-engine
+    sum-order noise)."""
+    from .ml.logreg import logreg_train
+
+    ev = (
+        load_table(spark, sf, "events")
+        .where(
+            F.col("value").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+        .select(
+            (F.col("event_type") == "purchase").cast("double").alias("y"),
+            (F.round(F.col("value") * 100).cast("double") / 10000.0).alias(
+                "x1"
+            ),
+            (F.hour("ts").cast("double") / 24.0).alias("x2"),
+        )
+    )
+    w = logreg_train(ev, ["x1", "x2"], "y", iters=3, lr=1.0)
+    n = ev.count()
+    # rounding via F.round (HALF_UP, the oracle's ROUND), NOT python's
+    # HALF_EVEN round()
+    return spark.range(1).select(
+        F.round(F.lit(w[0]), 6).alias("w0"),
+        F.round(F.lit(w[1]), 6).alias("w1"),
+        F.round(F.lit(w[2]), 6).alias("w2"),
+        F.lit(n).cast("long").alias("n"),
     )
 
 
