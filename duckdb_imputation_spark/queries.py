@@ -173,6 +173,7 @@ _DRIVER_PRIORITY: list[str] = [
     # round 8 (extension): in-engine BGD logistic regression (the
     # non-factorizable ML member; unrolled-CTE oracle)
     "logreg_purchase_events",
+    "logreg_predict_events",
     # flagship MICE surface: kept fresh every round by convention —
     # this round only ONE of the four (the delta-maintenance ⊖/⊕ row
     # and the LDA categorical row, the two distinct code paths);
@@ -193,7 +194,10 @@ _DRIVER_PRIORITY: list[str] = [
     # heavy-hitters row (sketches.py candidate-bound edit)
     "cusum_stream_events",
     "streaming_sliding_events",
-    "profile_lineitem",
+    # (profile_lineitem yields its re-hash slot: its r8 change is the
+    # exact_quantiles knob, which the row does not take — the default
+    # exact path is byte-identical and replay-green; the knob itself
+    # is unit-tested)
     "bloom_decontaminate_documents",
     # (ewma_events and ewma_halflife_events yield their re-hash slots:
     # their only r8 change is the max_series guard — a new ERROR path
@@ -8817,6 +8821,68 @@ def _logreg_oracle(iters: int = 3, lr: float = 1.0) -> str:
            CAST((SELECT COUNT(*) FROM t) AS BIGINT) AS n
     FROM s{iters}
     """
+    )
+
+
+def _logreg_predict_oracle(iters: int = 3, lr: float = 1.0) -> str:
+    """Train-and-predict in ONE statement: the train row's unrolled
+    CTEs feed a per-event σ(w·x) scored as INTEGER milli-probabilities
+    (the integer-tier discipline: per-row exp ulps cross-engine are
+    ~1e-14 in p-units, six orders under the 5e-4 half-step)."""
+    train = _logreg_oracle(iters, lr)
+    # reuse the training CTE chain; swap the final projection
+    head, _, _tail = train.rpartition("SELECT ROUND(b, 6)")
+    return (
+        head
+        + f"""SELECT e.event_id,
+           CAST(ROUND(1000.0 / (1.0 + exp(-(w.b + w.w1
+                 * (CAST(ROUND(e.value * 100) AS DOUBLE) / 10000.0)
+                 + w.w2 * (CAST(hour(e.ts) AS DOUBLE) / 24.0))))
+                ) AS BIGINT) AS prob_milli
+    FROM events e, s{iters} w
+    WHERE e.value IS NOT NULL AND e.ts IS NOT NULL
+      AND e.event_type IS NOT NULL
+    """
+    )
+
+
+@register(
+    "logreg_predict_events", oracle=_logreg_predict_oracle(3)
+)
+def logreg_predict_events(spark, sf):
+    """Per-event purchase probability from the in-engine logistic
+    model (ml/logreg.py logreg_predict_expr over logreg_train's
+    three-step weights) — scored as INTEGER milli-probabilities
+    (CAST(ROUND(p·1000) AS BIGINT)): the dense-continuum
+    integer-tier discipline (oracle_margin.py caveat) applied to a
+    transcendental per-row surface — per-row exp ulp differences are
+    ~1e-14 in p-units, six orders below the half-step.  The oracle
+    trains AND predicts in one statement (the train row's unrolled
+    CTEs feeding a per-row σ); prediction itself is a pure JVM
+    projection — no shuffle, no Python."""
+    from .ml.logreg import logreg_predict_expr, logreg_train
+
+    ev = (
+        load_table(spark, sf, "events")
+        .where(
+            F.col("value").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+        .select(
+            "event_id",
+            (F.col("event_type") == "purchase").cast("double").alias("y"),
+            (F.round(F.col("value") * 100).cast("double") / 10000.0).alias(
+                "x1"
+            ),
+            (F.hour("ts").cast("double") / 24.0).alias("x2"),
+        )
+    )
+    w = logreg_train(ev, ["x1", "x2"], "y", iters=3, lr=1.0)
+    p = logreg_predict_expr(["x1", "x2"], w)
+    return ev.select(
+        "event_id",
+        F.round(p * 1000.0).cast("long").alias("prob_milli"),
     )
 
 
