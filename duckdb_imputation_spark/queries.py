@@ -174,6 +174,9 @@ _DRIVER_PRIORITY: list[str] = [
     # non-factorizable ML member; unrolled-CTE oracle)
     "logreg_purchase_events",
     "logreg_predict_events",
+    # round 8 (extension): live trending twin (tumbling watermarked
+    # counts + batch rank — the counting/scoring split)
+    "streaming_trending_events",
     # flagship MICE surface: kept fresh every round by convention —
     # this round only ONE of the four (the delta-maintenance ⊖/⊕ row
     # and the LDA categorical row, the two distinct code paths);
@@ -205,7 +208,10 @@ _DRIVER_PRIORITY: list[str] = [
     # while cusum_events stays because its code is shared with the
     # live twin that DID change)
     "cusum_events",
-    "robust_outliers_lineitem",
+    # (robust_outliers_lineitem yields its precautionary slot: the r8
+    # profile.py edits are an appended knob on profile_table plus two
+    # appended operators — grouped_robust_stats itself is untouched
+    # and replay-green)
     "winsorize_lineitem",
     "heavy_hitter_tokens",
     # round 8: stale-evidence rotation (VERDICT r7 #5) — the sixteen
@@ -8930,6 +8936,96 @@ def logreg_purchase_events(spark, sf):
         F.round(F.lit(w[2]), 6).alias("w2"),
         F.lit(n).cast("long").alias("n"),
     )
+
+
+@register(
+    "streaming_trending_events",
+    oracle="""
+    WITH e AS (
+      SELECT date_trunc('day', ts) AS d,
+             CAST(json_extract_string(props, '$.k') AS INT) AS page
+      FROM events WHERE ts IS NOT NULL
+        AND json_extract_string(props, '$.k') IS NOT NULL
+    ), c AS (
+      SELECT d, page, COUNT(*) AS n FROM e GROUP BY d, page
+    ), r AS (
+      SELECT d, page, n,
+             ROW_NUMBER() OVER (PARTITION BY d
+                                ORDER BY n DESC, page) AS rnk
+      FROM c
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           page AS value, CAST(n AS BIGINT) AS n, CAST(rnk AS INT) AS rnk
+    FROM r WHERE rnk <= 3
+    """,
+)
+def streaming_trending_events(spark, sf):
+    """The LIVE form of `trending_pages_daily_events`: tumbling daily
+    (day, page) counts from the WATERMARKED streaming aggregation
+    (streaming_sliding_counts with width == slide — the tumbling
+    special case; state = open windows × page vocabulary, bounded by
+    the watermark), ranked batch-side over the bounded counts table —
+    the counting/scoring split the PSI monitor established (the
+    streaming query stays trivially checkpointable; the rank is a
+    dictionary-sized fold).  Complete-mode memory sink like the
+    sliding row; identical oracle to the batch trending row — the
+    stream must reproduce it exactly."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    from .streaming import streaming_sliding_counts
+
+    ev = load_table(spark, sf, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.get_json_object("props", "$.k").cast("int").alias("page"),
+    ).where(F.col("page").isNotNull())
+    tmp = tempfile.mkdtemp(prefix="trending_row_")
+    view = f"__trend_row_{os.path.basename(tmp).rsplit('_', 1)[-1]}"
+    try:
+        src = f"{tmp}/src"
+        os.makedirs(src)
+        ev.coalesce(1).write.parquet(f"{tmp}/h0")
+        part = [
+            f for f in os.listdir(f"{tmp}/h0") if f.endswith(".parquet")
+        ][0]
+        shutil.copy(f"{tmp}/h0/{part}", f"{src}/events.parquet")
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        out = streaming_sliding_counts(
+            stream, "ts", "1 day", "1 day", by_cols=["page"]
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName(view)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        counts = spark.sql(f"SELECT * FROM {view}")
+        w = W.partitionBy("window_start_us").orderBy(
+            F.desc("n"), F.col("page")
+        )
+        res = (
+            counts.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= 3)
+            .select(
+                F.date_format(
+                    F.timestamp_micros(F.col("window_start_us")),
+                    "yyyy-MM-dd",
+                ).alias("day"),
+                F.col("page").alias("value"),
+                F.col("n").cast("long").alias("n"),
+                F.col("rnk").cast("int").alias("rnk"),
+            )
+        )
+        # bounded (days x 3 rows): materialize so the view can drop
+        return spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        spark.catalog.dropTempView(view)
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 @register("cusum_events", oracle=_CUSUM_ORACLE)
