@@ -69,7 +69,13 @@ def target_encode(
     p = F.col("__prior")
     plain = (s_c + F.lit(m) * p) / (n_c + F.lit(m))
     if loo:
-        loo_code = (s_c - y + F.lit(m) * p) / (n_c - 1.0 + F.lit(m))
+        # Guard the m=0 singleton: n_c−1+m = 0 would be a silent 0/0
+        # NULL; the documented semantics (a singleton's only LOO
+        # evidence is the row's own target) is the prior (ADVICE r8).
+        loo_den = n_c - 1.0 + F.lit(m)
+        loo_code = F.when(
+            loo_den > 0.0, (s_c - y + F.lit(m) * p) / loo_den
+        ).otherwise(p)
         code = F.when(y.isNotNull() & (n_c >= 1.0), loo_code).otherwise(
             plain
         )

@@ -474,7 +474,11 @@ def quantile_buckets(
     KLL-class sketch) — the corpus path, same caveat as every approx
     knob: edges are engine-specific, so no bit-level oracle.
 
-    NULL values get a NULL bucket.
+    The operator is ROW-PRESERVING: every input row survives.  NULL
+    values get a NULL bucket, and so do rows whose stratum has no
+    edges at all (an all-NULL stratum, or a NULL in any ``by_cols``
+    key — the edge join is a LEFT join, so a keyless row simply
+    finds no edge array rather than vanishing).
 
     Scale shape: edges = ONE grouped aggregate (|strata| × (B−1)
     doubles) joined back broadcast; assignment is a projection — the
@@ -496,13 +500,19 @@ def quantile_buckets(
         .groupBy(*keys)
         .agg(edges_expr.alias("__edges"))
     )
+    # LEFT join (ADVICE r8): an inner join silently dropped rows in
+    # all-NULL strata and rows with a NULL by-key; a left join keeps
+    # them with a NULL __edges array, which the bucket expression
+    # below turns into the documented NULL bucket.  The no-keys case
+    # joins on a constant-true condition (a crossJoin against an
+    # EMPTY edges frame would likewise erase the corpus).
     j = (
-        df.join(F.broadcast(edges), keys)
+        df.join(F.broadcast(edges), keys, "left")
         if keys
-        else df.crossJoin(F.broadcast(edges))
+        else df.join(F.broadcast(edges), F.lit(True), "left")
     )
     bucket = F.when(
-        v.isNotNull(),
+        v.isNotNull() & F.col("__edges").isNotNull(),
         F.aggregate(
             F.col("__edges"),
             F.lit(0),

@@ -253,13 +253,17 @@ def _cohort_dictionary(
     group_a,
     group_b,
     keys: list[str],
+    with_ranks: bool = True,
 ) -> DataFrame:
     """Collapse two cohorts to the shared rank dictionary: one row per
     (stratum, distinct value) with per-cohort counts ``__ca``/``__cb``
-    and the doubled average rank ``__r2`` of that value in the
-    COMBINED per-stratum sample (2*avg_rank = 2*prefix + t + 1, an
-    exact integer even under ties).  The window runs over the
-    dictionary, not the rows."""
+    and — when ``with_ranks`` — the doubled average rank ``__r2`` of
+    that value in the COMBINED per-stratum sample (2*avg_rank =
+    2*prefix + t + 1, an exact integer even under ties).  The window
+    runs over the dictionary, not the rows.  Callers that only need
+    the per-value cohort counts (KS builds its own inclusive prefix
+    sums) pass ``with_ranks=False`` and skip the rank window's
+    dictionary-sized sort/exchange entirely (ADVICE r8)."""
     in_a = F.col(group_col) == F.lit(group_a)
     in_b = F.col(group_col) == F.lit(group_b)
     v = F.col(value_col)
@@ -271,6 +275,8 @@ def _cohort_dictionary(
             F.sum(F.when(in_b, 1).otherwise(0)).alias("__cb"),
         )
     )
+    if not with_ranks:
+        return d
     w = Window.partitionBy(*_dict_partition(keys, "__v")).orderBy("__v")
     t = F.col("__ca") + F.col("__cb")
     prefix = F.coalesce(
@@ -433,7 +439,11 @@ def ks_2sample(
     is bit-identical across engines (rounding is display only).
     Nothing after the first GROUP BY exceeds dictionary size."""
     keys = list(by_cols)
-    d = _cohort_dictionary(df, group_col, value_col, group_a, group_b, keys)
+    # with_ranks=False: KS builds its own inclusive prefix sums below
+    # and never reads __r2 — skip that rank window's sort (ADVICE r8).
+    d = _cohort_dictionary(
+        df, group_col, value_col, group_a, group_b, keys, with_ranks=False
+    )
     w = Window.partitionBy(*_dict_partition(keys, "__v")).orderBy("__v")
     run = w.rowsBetween(Window.unboundedPreceding, 0)
     whole = w.rowsBetween(
@@ -537,7 +547,11 @@ def benford_profile(
     Benford 1938); fabricated or truncated distributions don't.
 
     Takes POSITIVE INTEGRAL values (cents, counts; zero/negative/NULL
-    rows are excluded — Benford applies to positive magnitudes).
+    rows are excluded — Benford applies to positive magnitudes).  A
+    non-integral column type raises ``ValueError`` up front (ADVICE
+    r8): a fractional value like 0.53 would pass the v>0 filter yet
+    string-extract digit 0, silently poisoning expected_p with
+    log(1+1/0) = ∞ — scale to an integer tier (cents) first.
     Returns one row per (stratum, observed first digit):
     (by_cols..., digit, cnt, obs_p, expected_p, chi2) where ``chi2``
     is the stratum's 9-cell goodness-of-fit statistic (constant
@@ -552,6 +566,17 @@ def benford_profile(
 
     Scale shape: ONE GROUP BY (stratum, digit) — ≤ 9 cells per
     stratum — plus a |strata|-row broadcast totals join."""
+    _INTEGRAL = {"tinyint", "smallint", "int", "bigint"}
+    dtype = dict(df.dtypes).get(value_col)
+    if dtype is not None and dtype not in _INTEGRAL and not (
+        dtype.startswith("decimal") and dtype.endswith(",0)")
+    ):
+        raise ValueError(
+            f"benford_profile needs an integral value column; "
+            f"{value_col!r} is {dtype} — scale to an integer tier "
+            f"(e.g. cents) first, a fractional first-significant-"
+            f"digit extraction is not defined here"
+        )
     keys = list(by_cols)
     v = F.col(value_col)
     d = (

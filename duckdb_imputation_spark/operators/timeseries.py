@@ -693,7 +693,14 @@ def seasonal_anomalies(
     seasonality).  Returns the input rows plus ``bucket_col`` and an
     integer ``flag_col``; strata with fewer than ``min_count``
     observations never flag (an unreliable profile stays silent), and
-    NULL values carry a NULL flag.
+    NULL values carry a NULL flag.  A row with a NULL timestamp (so a
+    NULL seasonal bucket) or a NULL key ALSO carries a NULL flag,
+    explicitly: the profile join is null-unsafe equality, so such a
+    row matches no stratum — there is no profile to compare against —
+    and the flag expression pins that case to NULL rather than
+    letting NULL-propagation decide (ADVICE r8; an oracle that inner-
+    joins the profile would DROP such rows — filter NULL ts/keys
+    upstream if drop semantics are wanted).
 
     Scale shape: ONE keyed aggregate builds the profile frame —
     bounded at |keys| x |buckets| rows (<= 168 buckets), orders of
@@ -747,8 +754,11 @@ def seasonal_anomalies(
             F.col("__ss") / F.col("__n") - mean * mean, F.lit(0.0)
         )
         raw = F.abs(v - mean) > F.lit(float(z)) * F.sqrt(var)
+    null_key = F.lit(False)
+    for k in keys:  # NULL bucket (NULL ts) or NULL key → no stratum
+        null_key = null_key | F.col(k).isNull()
     flag = (
-        F.when(v.isNull(), F.lit(None).cast("int"))
+        F.when(v.isNull() | null_key, F.lit(None).cast("int"))
         .when(F.col("__n") < int(min_count), F.lit(0))
         .otherwise(raw.cast("int"))
     )

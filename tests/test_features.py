@@ -88,3 +88,20 @@ def test_collapse_rare_categories(spark):
     ).collect()
     assert {r["c2"] for r in out2 if r["c"] == "tiny"} == {"__other__"}
     assert {r["c"] for r in out2 if r["c"] == "tiny"} == {"tiny"}
+
+
+def test_target_encode_loo_unsmoothed_singleton_is_prior(spark):
+    """ADVICE r8: loo=True with smoothing=0 hit a 0/0 for singleton
+    categories and yielded NULL; the documented semantics is the
+    prior fallback."""
+    df = spark.createDataFrame(ROWS, "c string, y double")
+    got = target_encode(
+        df, "c", "y", smoothing=0.0, loo=True, round_digits=None
+    ).collect()
+    p = _prior()
+    c_row = [r for r in got if r["c"] == "c"][0]
+    assert c_row["te"] is not None
+    assert abs(c_row["te"] - p) < 1e-12
+    # non-singletons still get the exact unsmoothed LOO code
+    a30 = [r for r in got if r["c"] == "a" and r["y"] == 30.0][0]
+    assert abs(a30["te"] - (10.0 + 20.0) / 2.0) < 1e-12

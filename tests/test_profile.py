@@ -444,3 +444,34 @@ def test_quantile_buckets_approx_mode_runs(spark):
     )
     out = quantile_buckets(df, "v", n_buckets=10, exact=False).collect()
     assert {r["bucket"] for r in out} == set(range(10))
+
+
+def test_quantile_buckets_row_preserving_null_strata(spark):
+    """ADVICE r8: rows whose stratum has only NULL values, and rows
+    with a NULL by-key, must survive with a NULL bucket (left join),
+    not vanish (the old inner join)."""
+    from duckdb_imputation_spark.operators.profile import quantile_buckets
+
+    rows = (
+        [(0, float(i)) for i in range(8)]  # normal stratum
+        + [(1, None), (1, None)]           # all-NULL stratum: no edges
+        + [(None, 5.0)]                    # NULL by-key: no stratum
+    )
+    df = spark.createDataFrame(rows, "h int, v double")
+    out = quantile_buckets(df, "v", n_buckets=4, by_cols=["h"]).collect()
+    assert len(out) == len(rows)  # row-preserving
+    assert all(
+        r["bucket"] is None for r in out if r["h"] != 0
+    ), out
+    assert all(r["bucket"] is not None for r in out if r["h"] == 0)
+
+
+def test_quantile_buckets_row_preserving_all_null_global(spark):
+    """No-keys case: an EMPTY edges frame (every value NULL) must not
+    erase the corpus — the old crossJoin returned zero rows."""
+    from duckdb_imputation_spark.operators.profile import quantile_buckets
+
+    df = spark.createDataFrame([(None,), (None,), (None,)], "v double")
+    out = quantile_buckets(df, "v", n_buckets=4).collect()
+    assert len(out) == 3
+    assert all(r["bucket"] is None for r in out)

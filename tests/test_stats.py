@@ -459,3 +459,38 @@ def test_categorical_entropy_degenerate(spark):
     )
     r2 = categorical_entropy(df2, "c").collect()[0]
     assert abs(r2["entropy_norm"] - 1.0) < 1e-9
+
+
+def test_benford_rejects_fractional_column(spark):
+    """ADVICE r8: a double value column fails loudly instead of
+    letting 0.53 extract digit 0 and poison expected_p with inf."""
+    import pytest
+
+    from duckdb_imputation_spark.operators.stats import benford_profile
+
+    df = spark.createDataFrame([(0.53,), (123.0,)], "v double")
+    with pytest.raises(ValueError, match="integral"):
+        benford_profile(df, "v")
+    # integral types (and decimal(x,0)) still pass
+    ok = spark.createDataFrame([(153,), (27,)], "v long")
+    assert len(benford_profile(ok, "v").collect()) == 2
+
+
+def test_cohort_dictionary_with_ranks_flag(spark):
+    """ADVICE r8: KS only needs per-value cohort counts; the
+    with_ranks=False path must omit __r2 (and its window sort)
+    while leaving counts identical."""
+    from duckdb_imputation_spark.operators.stats import _cohort_dictionary
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 2.0), ("b", 3.0)], "g string, v double"
+    )
+    slim = _cohort_dictionary(df, "g", "v", "a", "b", [], with_ranks=False)
+    assert "__r2" not in slim.columns
+    full = _cohort_dictionary(df, "g", "v", "a", "b", [])
+    assert "__r2" in full.columns
+    a = {(r["__v"], r["__ca"], r["__cb"]) for r in slim.collect()}
+    b = {(r["__v"], r["__ca"], r["__cb"]) for r in full.collect()}
+    assert a == b
+    # the slim plan carries no Window node at all
+    assert "Window" not in slim._jdf.queryExecution().optimizedPlan().toString()

@@ -837,3 +837,30 @@ def test_windowed_topk_tie_break_and_strata(spark):
     )
     assert [r["value"] for r in g1] == ["a", "b"]  # tie -> asc value
     assert [r["value"] for r in got if r["g"] == "g2"] == ["z"]
+
+
+def test_seasonal_anomalies_null_ts_and_key_get_null_flag(spark):
+    """ADVICE r8: a NULL timestamp (NULL seasonal bucket) or NULL key
+    matches no profile stratum — the flag is explicitly NULL and the
+    row survives."""
+    from duckdb_imputation_spark.operators.timeseries import (
+        seasonal_anomalies,
+    )
+
+    rows = [
+        ("k", "2024-01-01 10:00:00", float(v))
+        for v in (10, 11, 9, 10, 12, 10)
+    ] + [
+        ("k", None, 10.0),      # NULL ts -> NULL bucket
+        (None, "2024-01-01 10:00:00", 10.0),  # NULL key
+    ]
+    df = spark.createDataFrame(
+        rows, "key string, ts_s string, value double"
+    ).selectExpr("key", "cast(ts_s as timestamp) as ts", "value")
+    out = seasonal_anomalies(df, ["key"], "ts", "value").collect()
+    assert len(out) == len(rows)
+    nulls = [r for r in out if r["ts"] is None or r["key"] is None]
+    assert len(nulls) == 2
+    assert all(r["is_anomaly"] is None for r in nulls)
+    rest = [r for r in out if r["ts"] is not None and r["key"] is not None]
+    assert all(r["is_anomaly"] is not None for r in rest)
