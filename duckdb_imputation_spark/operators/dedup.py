@@ -517,6 +517,20 @@ def embedding_dup_pairs(
         ).alias("__band", "__bucket"),
     )
     pairs = _bucket_pairs(slim, bucket_cap)
+    return _cosine_verify_pairs(pairs, df, vec_col, id_col, threshold)
+
+
+def _cosine_verify_pairs(
+    pairs: DataFrame,
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Exact-cosine verification of candidate id-pairs: join the vector
+    payload back BY ID (the banded/clustered shuffle stays ids-only),
+    compute the sequential-fold cosine, keep pairs ≥ threshold."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     payload = df.select(F.col(id_col).alias("__id"), v.alias("__v"))
     cand = _join_payload(_join_payload(pairs, payload, "a"), payload, "b")
     cos = _dot(F.col("__v_a"), F.col("__v_b")) / (
@@ -614,6 +628,9 @@ def embedding_dedup(
     seed: int = 42,
     bucket_cap: int = 512,
     max_iter: int = 20,
+    clusters: int | None = None,
+    centroids=None,
+    cluster_cap: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): rows whose embeddings form a near-duplicate
@@ -629,12 +646,41 @@ def embedding_dedup(
     No all-pairs path: pair count is bounded by ``bucket_cap²`` per
     bucket, and the component graph holds only verified-duplicate ids
     (tiny vs the corpus at real dup rates).
+
+    ``clusters=`` / ``centroids=`` selects the PUBLISHED SemDeDup
+    candidate generator instead of the LSH bands (VERDICT r8 #6): the
+    corpus is k-means-partitioned (``centroids`` a prefit (k × dim)
+    matrix, or ``clusters=k`` to fit one with
+    :func:`..simsearch.kmeans_fit_distributed` — one scan per Lloyd
+    iteration, only k·dim doubles on the driver) and near-duplicate
+    pruning is CLUSTER-LOCAL — candidate pairs never cross a cluster
+    boundary, the paper's recall/cost trade.  The cluster shuffle is
+    ids-only, per-cluster pair count is capped by ``cluster_cap``
+    (default ``bucket_cap``; an over-full cluster is dropped with the
+    same degenerate-bucket semantics as the LSH path — refit with more
+    clusters rather than letting one cluster go quadratic), and the
+    exact-cosine verify joins vectors back by id.
     """
-    pairs = embedding_dup_pairs(
-        df, vec_col, id_col, dim,
-        threshold=threshold, n_planes=n_planes, bands=bands,
-        seed=seed, bucket_cap=bucket_cap,
-    )
+    if centroids is not None or clusters is not None:
+        from .simsearch import assign_clusters, kmeans_fit_distributed
+
+        if centroids is None:
+            centroids = kmeans_fit_distributed(
+                df, vec_col, nlist=clusters, seed=seed
+            )
+        slim = assign_clusters(df, vec_col, centroids).select(
+            F.col(id_col).alias("__id"),
+            F.lit(0).alias("__band"),
+            F.col("__cluster").cast("string").alias("__bucket"),
+        )
+        cand = _bucket_pairs(slim, cluster_cap or bucket_cap)
+        pairs = _cosine_verify_pairs(cand, df, vec_col, id_col, threshold)
+    else:
+        pairs = embedding_dup_pairs(
+            df, vec_col, id_col, dim,
+            threshold=threshold, n_planes=n_planes, bands=bands,
+            seed=seed, bucket_cap=bucket_cap,
+        )
     comp = dedup_components(pairs, max_iter=max_iter)
     dropped = comp.filter(F.col("id") != F.col("canonical")).select(
         F.col("id").alias(id_col)

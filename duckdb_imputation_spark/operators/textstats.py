@@ -102,9 +102,14 @@ def quality_score(col: Column) -> Column:
     wordlen_term = F.when(
         (m["mean_token_len"] >= 2.0) & (m["mean_token_len"] <= 12.0), 1.0
     ).otherwise(0.5)
-    return F.round(
-        (len_term + stop_term + punct_term + wordlen_term) / 4.0, 6
-    )
+    # integer-tier rounding (round(x·1e6)/1e6, NOT ROUND(x, 6)): the
+    # quality terms are exact count ratios, and an exact rational ON a
+    # fractional-tier decimal boundary (e.g. 0.7146875) has no exact
+    # double, so two engines CAN round it differently; x.5 at the
+    # integer tier is exact and both engines agree (the r8
+    # target_encode discipline, caught here by the r9 margin sweep).
+    raw = (len_term + stop_term + punct_term + wordlen_term) / 4.0
+    return F.round(raw * 1e6).cast("long") / F.lit(1e6)
 
 
 def lang_id(col: Column) -> Column:
@@ -187,7 +192,9 @@ def text_stats(col: Column) -> Column:
         wordlen_term = F.when(
             (mean_tok_len >= 2.0) & (mean_tok_len <= 12.0), 1.0
         ).otherwise(0.5)
-        quality = F.round((len_term + stop_term + punct_term + wordlen_term) / 4.0, 6)
+        # integer-tier rounding — see quality_score
+        q_raw = (len_term + stop_term + punct_term + wordlen_term) / 4.0
+        quality = F.round(q_raw * 1e6).cast("long") / F.lit(1e6)
         return F.struct(
             n_tok.alias("n_ws_tokens"),
             n_re.alias("n_re_tokens"),
@@ -341,7 +348,9 @@ def quality_score_sql(expr: str) -> str:
     stop_term = f"LEAST((CASE WHEN {n_tok} > 0 THEN CAST({n_stop} AS DOUBLE) / {n_tok} ELSE 0.0 END) * 2.0, 1.0)"
     punct_term = f"GREATEST(1.0 - (CASE WHEN {n_char} > 0 THEN CAST({n_punct} AS DOUBLE) / {n_char} ELSE 0.0 END) * 5.0, 0.0)"
     wordlen_term = f"(CASE WHEN {mean_tok} >= 2.0 AND {mean_tok} <= 12.0 THEN 1.0 ELSE 0.5 END)"
-    return f"ROUND(({len_term} + {stop_term} + {punct_term} + {wordlen_term}) / 4.0, 6)"
+    # integer-tier rounding — see quality_score (round(x*1e6)/1e6)
+    raw = f"(({len_term} + {stop_term} + {punct_term} + {wordlen_term}) / 4.0)"
+    return f"(CAST(ROUND({raw} * 1000000.0) AS BIGINT) / 1000000.0)"
 
 
 def lang_id_sql(expr: str) -> str:

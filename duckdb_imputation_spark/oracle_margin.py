@@ -67,6 +67,12 @@ The check (pure DuckDB, no Spark needed):
    is an exact double for |x| < 2⁵²), so dense-continuum row-level
    outputs should round at an integer tier after scaling
    (CAST(ROUND(v·10^d) AS BIGINT)) instead of ROUND(v, d).
+
+   Since round 9 this caveat is MACHINE-CHECKED: a pointwise cell
+   sitting ON a fractional-tier boundary is only exempt when that
+   boundary is an exact double (``boundary_is_exact_double``);
+   otherwise it flags — the static detector for the exact class that
+   flipped target_encode live in round 8.
 """
 
 from __future__ import annotations
@@ -137,6 +143,31 @@ def boundary_distance(v: float, d: int) -> float:
     rounded digit."""
     r = v * 10.0**d
     return (0.5 - abs(r - round(r))) * 10.0**-d
+
+
+def boundary_is_exact_double(v: float, d: int) -> bool:
+    """Whether the ROUND(., d) half-step boundary nearest to ``v`` is
+    exactly representable as a double.  At integer tiers (d <= 0)
+    every x.5 boundary is exact for |x| < 2**52; at fractional tiers
+    (2h+1)/(2*10^d) usually is NOT (4851.235 has no exact double) —
+    the r8 target_encode live catch: when the boundary is inexact,
+    Spark HALF_UPs the decimal expansion of the stored double while
+    DuckDB rounds the scaled product, and an exact-rational cell ON
+    the boundary can round differently on the two engines."""
+    from fractions import Fraction
+
+    if d <= 0:
+        return True
+    r = v * 10.0**d
+    # nearest half boundary: floor(r)+0.5 or floor(r)-0.5
+    lo, hi = math.floor(r) - 0.5, math.floor(r) + 0.5
+    half = hi if abs(r - hi) <= abs(r - lo) else lo
+    num = int(round(half * 2))  # odd numerator 2h+1
+    exact = Fraction(num, 2 * 10**d)
+    try:
+        return Fraction(float(exact)) == exact
+    except (OverflowError, ValueError):
+        return False
 
 
 @dataclass
@@ -242,9 +273,25 @@ def check_oracle(con, name: str, sql: str) -> RowReport:
                 # BigDecimal, DuckDB via the scaled double snapping to
                 # the representable .5), so these agree.
                 exact_eps = 4.0 * math.ulp(abs(v) * 10.0**tier) * step
-                fragile = (
-                    exact_eps < dist < budget and dist != 0.5 * step
-                )
+                r = v * 10.0**tier
+                on_tick = abs(r - round(r)) <= 4.0 * math.ulp(abs(r))
+                if (
+                    not on_tick  # tick cells: rounding is identity
+                    and dist <= exact_eps
+                    and not boundary_is_exact_double(v, tier)
+                ):
+                    # the r8 target_encode class: an exact-rational
+                    # cell ON a fractional-tier boundary whose decimal
+                    # boundary is NOT an exact double — the engines
+                    # CAN disagree; the exact-halves exemption only
+                    # holds for exactly-representable boundaries.
+                    # Fix: round at an integer tier after scaling,
+                    # CAST(ROUND(v*10^d) AS BIGINT).
+                    fragile = True
+                else:
+                    fragile = (
+                        exact_eps < dist < budget and dist != 0.5 * step
+                    )
             if fragile:
                 rep.flags.append(
                     CellFlag(

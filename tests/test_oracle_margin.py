@@ -129,3 +129,57 @@ def test_boundary_distance():
     assert boundary_distance(-0.12345655, 6) == pytest.approx(
         boundary_distance(0.12345655, 6), rel=1e-9
     )
+
+
+def test_boundary_is_exact_double():
+    from duckdb_imputation_spark.oracle_margin import boundary_is_exact_double
+
+    # integer tiers: x.5 is always an exact double
+    assert boundary_is_exact_double(3.2, 0)
+    assert boundary_is_exact_double(4851.2, -2)
+    # fractional tier, binary-friendly boundary: 714687.5/1e6 is NOT
+    # exact (denominator keeps a factor of 5^6 after reduction)
+    assert not boundary_is_exact_double(0.7146875, 6)
+    # the r8 live catch: 4851.235 (boundary of ROUND(., 2)) inexact
+    assert not boundary_is_exact_double(4851.235, 2)
+    # a fractional boundary that IS exact: 0.5/10^1 = 0.05? no — but
+    # 0.25 as boundary of ROUND(., 1)? boundaries are odd/2*10^d;
+    # (2*0+1)/(2*10) = 0.05 is inexact; use d with denominator a
+    # power of 2 after reduction: 5/2/10 never is — at fractional
+    # tiers exactness is rare, which is the point
+    assert not boundary_is_exact_double(0.05, 1)
+
+
+def test_margin_flags_exact_rational_on_inexact_fractional_boundary():
+    """The r9 strengthened rule: a pointwise exact-rational cell ON a
+    fractional-tier boundary whose decimal boundary is not an exact
+    double must FLAG (the r8 target_encode / text_stats quality
+    class), while an on-tick cell stays exempt."""
+    import duckdb
+
+    from duckdb_imputation_spark.oracle_margin import check_oracle
+
+    con = duckdb.connect()
+    # 0.7146875 = 2287/3200 exactly ON the .5 boundary of ROUND(., 6)
+    con.execute(
+        "CREATE TABLE t AS SELECT 1 AS id, "
+        "CAST(2287 AS DOUBLE)/3200 AS v"
+    )
+    rep = check_oracle(
+        con, "hazard", "SELECT id, ROUND(v, 6) AS q FROM t"
+    )
+    assert rep.flags, "on-boundary inexact-double cell must flag"
+    # the integer-tier scaled-cast form of the SAME value is exempt
+    rep2 = check_oracle(
+        con,
+        "fixed",
+        "SELECT id, CAST(ROUND(v * 1000000.0) AS BIGINT) / 1000000.0 "
+        "AS q FROM t",
+    )
+    assert not rep2.flags, rep2.flags
+    # an on-tick cell (v*10^6 integral) never flags
+    con.execute("CREATE TABLE t2 AS SELECT 1 AS id, 0.714687 AS v")
+    rep3 = check_oracle(
+        con, "tick", "SELECT id, ROUND(CAST(v AS DOUBLE), 6) AS q FROM t2"
+    )
+    assert not rep3.flags, rep3.flags

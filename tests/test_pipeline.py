@@ -1394,3 +1394,55 @@ def test_leakage_safe_folds_components_share_fold(spark):
     from collections import Counter
     c = Counter(folds.values())
     assert len(c) == 4 and max(c.values()) <= 20
+
+
+def test_embedding_dedup_clustered_mode(spark, emb):
+    """VERDICT r8 #6: the published SemDeDup candidate generator —
+    k-means partition + cluster-LOCAL pruning.  Same fixture as the
+    LSH-mode test; with enough clusters the copies still land in their
+    original's cluster (distance zero) so every copy drops, and a
+    prefit centroids= matrix short-circuits the k-means fit."""
+    import numpy as np
+
+    e = emb.select("vec_id", "embedding").filter("vec_id < 60")
+    dups = [
+        emb.filter("vec_id < 10").select(
+            (F.col("vec_id") + off).alias("vec_id"), "embedding"
+        )
+        for off in (10000, 20000)
+    ]
+    u = e.unionAll(dups[0]).unionAll(dups[1])
+    kept = {
+        r["vec_id"]
+        for r in dd.embedding_dedup(
+            u, "embedding", "vec_id", dim=64, threshold=0.95, clusters=4,
+        ).select("vec_id").collect()
+    }
+    assert not any(v >= 10000 for v in kept)
+    assert set(range(10)) <= kept
+    assert len(kept) == 60
+    # prefit centroids path: identical result, no fit scan
+    X = np.asarray(
+        [r["embedding"] for r in e.orderBy("vec_id").collect()],
+        dtype=np.float64,
+    )
+    from duckdb_imputation_spark.operators.simsearch import kmeans_np
+
+    cent = kmeans_np(X, nlist=4, seed=7)
+    kept2 = {
+        r["vec_id"]
+        for r in dd.embedding_dedup(
+            u, "embedding", "vec_id", dim=64, threshold=0.95,
+            centroids=cent,
+        ).select("vec_id").collect()
+    }
+    assert kept2 == kept
+    # cluster_cap drops an over-full cluster instead of going quadratic
+    kept3 = {
+        r["vec_id"]
+        for r in dd.embedding_dedup(
+            u, "embedding", "vec_id", dim=64, threshold=0.95,
+            centroids=np.zeros((1, 64)), cluster_cap=10,
+        ).select("vec_id").collect()
+    }
+    assert len(kept3) == 80  # single cluster of 80 > cap: nothing pairs
