@@ -56,9 +56,15 @@ def main() -> None:
     oracles = entry_mod.oracle_sql()
     window = list(queries)[:N]
     n_pass = n_fail = 0
+    lint_bad: list[str] = []
+    from duckdb_imputation_spark.plans import lint_plan
+
     for name in window:
         try:
-            got = canon(queries[name](spark, SF).toPandas())
+            df = queries[name](spark, SF)
+            if [f for f in lint_plan(df) if f.severity == "error"]:
+                lint_bad.append(name)
+            got = canon(df.toPandas())
             if name not in oracles:
                 print(f"ROWS-ONLY {name}: {len(got)} rows", flush=True)
                 n_pass += 1
@@ -106,10 +112,11 @@ def main() -> None:
             print(f"FRAGILE {rep.name}: {rep.note}", flush=True)
     print(
         f"\n{n_pass}/{len(window)} green, {n_fail} red, "
-        f"{n_fragile} boundary-fragile",
+        f"{n_fragile} boundary-fragile, "
+        f"lint errors: {lint_bad or 'none'}",
         flush=True,
     )
-    sys.exit(1 if (n_fail or n_fragile) else 0)
+    sys.exit(1 if (n_fail or n_fragile or lint_bad) else 0)
 
 
 if __name__ == "__main__":
