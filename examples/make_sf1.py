@@ -1,6 +1,8 @@
 #!/usr/bin/env python
-"""Generate a 10x scale-up of the sf0.1 testdata into .data/sf1 for the
-scale rehearsal (VERDICT r1 #9): fact tables are replicated 10x with
+"""Generate an Nx scale-up of the sf0.1 testdata (default 10x into
+.data/sf1; SPARK_GRAFT_REPLICA_REPS / SPARK_GRAFT_SF1_DIR override —
+e.g. REPS=100 DST=.data/sf10 builds the 100x replica) for the
+scale rehearsal (VERDICT r1 #9): fact tables are replicated Nx with
 foreign keys shifted consistently per replica, dimension tables are kept
 as-is.  Distributions (and therefore per-row operator cost) match sf0.1;
 only the volume grows, which is exactly what a throughput rehearsal
@@ -18,9 +20,9 @@ from pyspark.sql import functions as F
 from duckdb_imputation_spark.session import get_spark
 
 
-SRC = "/root/testdata/sf0.1"
+SRC = os.environ.get("SPARK_GRAFT_REPLICA_SRC", "/root/testdata/sf0.1")
 DST = os.environ.get("SPARK_GRAFT_SF1_DIR", "/root/repo/.data/sf1")
-REPS = 10
+REPS = int(os.environ.get("SPARK_GRAFT_REPLICA_REPS", "10"))
 
 # table -> columns to shift by replica * (max+1); dims replicate as-is
 SHIFT = {

@@ -481,3 +481,91 @@ def test_snapshot_diff_matches_python_reference(spark, seed):
     assert sorted(map(tuple, rebuilt.collect())) == sorted(
         map(tuple, n.collect())
     )
+
+
+# --------------------------------------------------------------- #
+# round-9 surfaces: seeded randomized properties                   #
+# --------------------------------------------------------------- #
+
+
+def test_quantile_buckets_row_preserving_random(spark):
+    """Property: quantile_buckets NEVER changes the row count, for any
+    mix of NULL values, NULL keys and all-NULL strata; non-NULL
+    buckets are always in [0, n_buckets)."""
+    from duckdb_imputation_spark.operators.profile import quantile_buckets
+
+    rng = np.random.default_rng(77)
+    for trial in range(3):
+        rows = []
+        for _ in range(120):
+            h = None if rng.random() < 0.15 else int(rng.integers(0, 4))
+            v = None if rng.random() < 0.25 else float(
+                np.round(rng.normal(0, 5), 3)
+            )
+            if h == 3:
+                v = None  # stratum 3: all NULL -> no edges
+            rows.append((h, v))
+        df = spark.createDataFrame(rows, "h int, v double")
+        out = quantile_buckets(df, "v", n_buckets=5, by_cols=["h"]).collect()
+        assert len(out) == len(rows), trial
+        for r in out:
+            if r["v"] is None or r["h"] is None or r["h"] == 3:
+                assert r["bucket"] is None, r
+            else:
+                assert 0 <= r["bucket"] <= 4, r
+
+
+def test_target_encode_range_and_singleton_random(spark):
+    """Property: every code lies within [min, max] of {prior, category
+    means} (convex combination), and a LOO singleton equals the prior
+    for ANY smoothing (including 0)."""
+    from duckdb_imputation_spark.operators.features import target_encode
+
+    rng = np.random.default_rng(99)
+    for m in (0.0, 1.0, 25.0):
+        rows = [
+            (chr(97 + int(rng.integers(0, 5))), float(rng.integers(0, 100)))
+            for _ in range(80)
+        ] + [("singleton", 55.0)]
+        df = spark.createDataFrame(rows, "c string, y double")
+        ys = [y for _, y in rows]
+        prior = sum(ys) / len(ys)
+        got = target_encode(
+            df, "c", "y", smoothing=m, loo=True, round_digits=None
+        ).collect()
+        means = {}
+        for c, y in rows:
+            means.setdefault(c, []).append(y)
+        lo = min(min(v) for v in means.values() if v)
+        hi = max(max(v) for v in means.values() if v)
+        lo, hi = min(lo, prior), max(hi, prior)
+        for r in got:
+            assert lo - 1e-9 <= r["te"] <= hi + 1e-9, (m, r)
+        s_row = [r for r in got if r["c"] == "singleton"][0]
+        assert abs(s_row["te"] - prior) < 1e-9, m
+
+
+def test_embedding_dedup_clustered_drops_planted_copies(spark):
+    """Property: an EXACT copy has distance zero to its original, so it
+    lands in the same k-means cluster for ANY centroid set — clustered
+    SemDeDup must drop every planted copy regardless of k."""
+    from duckdb_imputation_spark.operators.dedup import embedding_dedup
+
+    rng = np.random.default_rng(5)
+    base = [
+        (i, [float(x) for x in rng.normal(0, 1, 16)]) for i in range(30)
+    ]
+    copies = [(i + 1000, v) for i, v in base[:8]]
+    df = spark.createDataFrame(
+        base + copies, "vec_id long, embedding array<double>"
+    )
+    for k in (2, 5):
+        kept = {
+            r["vec_id"]
+            for r in embedding_dedup(
+                df, "embedding", "vec_id", dim=16,
+                threshold=0.999999, clusters=k,
+            ).select("vec_id").collect()
+        }
+        assert not any(v >= 1000 for v in kept), k
+        assert set(range(8)) <= kept, k
