@@ -51,6 +51,15 @@ def _join_on(left: DataFrame, right: DataFrame, keys: Sequence[str]) -> DataFram
     renamed = right
     for k in keys:
         renamed = renamed.withColumnRenamed(k, f"__rhs_{k}")
+    if not keys or list(keys) == ["__g"]:
+        # keyless combine, or the internal constant dummy key ("__g" =
+        # lit(0)): both sides are SINGLE-ROW global aggregates, and
+        # Catalyst constant-folds the dummy-key equality to TRUE — an
+        # unhinted join then plans as CartesianProduct under the
+        # measured-sizes broadcast posture (session.py, r9).
+        # Broadcast the 1-row side explicitly.
+        out = left.join(F.broadcast(renamed), F.lit(True), "inner")
+        return out.drop(*[f"__rhs_{k}" for k in keys])
     cond = None
     for k in keys:
         c = F.col(k).eqNullSafe(F.col(f"__rhs_{k}"))

@@ -103,7 +103,19 @@ def _bucket_pairs(
 
 def _join_payload(pairs: DataFrame, payload: DataFrame, suffix: str) -> DataFrame:
     """Join one side's payload back by id (payload has ``__id`` + value
-    columns; value columns get ``suffix`` appended)."""
+    columns; value columns get ``suffix`` appended).
+
+    The join is pinned to SORT-MERGE (``merge`` hint): both sides are
+    corpus-scaled in the general case — pairs grow quadratically with
+    duplication multiplicity, and the payload side's computed arrays
+    (shingle sets, embeddings) are many times larger than the parquet
+    scan Catalyst estimates from.  The r9 100× rehearsal showed the
+    static planner locking BroadcastHashJoin on BOTH sides from those
+    under-estimates and the driver dying in the broadcast build
+    ("Not enough memory to build and broadcast") — and AQE cannot
+    demote a statically-planned broadcast, only promote a shuffled
+    join.  Sort-merge shuffles and spills gracefully at any scale; the
+    small-corpus cost is one sort of a tiny frame."""
     side = payload.select(
         F.col("__id").alias(f"id_{suffix}"),
         *[
@@ -112,7 +124,7 @@ def _join_payload(pairs: DataFrame, payload: DataFrame, suffix: str) -> DataFram
             if c != "__id"
         ],
     )
-    return pairs.join(side, f"id_{suffix}")
+    return pairs.hint("merge").join(side.hint("merge"), f"id_{suffix}")
 
 
 def bucket_skew_stats(slim: DataFrame, cap: int) -> dict:

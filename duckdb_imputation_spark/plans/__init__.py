@@ -216,6 +216,36 @@ def _is_scalar_agg(text: str) -> bool:
     return all(_CONST_KEY.match(k) for k in keys)
 
 
+# node kinds that emit at most max(children row counts) rows — a join
+# of 1-row subtrees is still 1 row
+_ONE_ROW_COMBINERS = (
+    "BroadcastNestedLoopJoin",
+    "CartesianProduct",
+    "BroadcastHashJoin",
+    "SortMergeJoin",
+    "Project",
+    "Filter",
+    "ColumnarToRow",
+)
+
+
+def _is_scalar_subtree(nodes: list[tuple[int, str]], i: int) -> bool:
+    """Whether node ``i``'s subtree provably emits at most ONE row:
+    a scalar aggregate, or a wrapper/join/projection combining only
+    scalar subtrees (the dense⊕sparse cofactor combine is a broadcast
+    join of two 1-row aggregates — still 1 row).  Fails closed."""
+    text = nodes[i][1]
+    if text.startswith(_WRAPPERS):
+        kids = _children(nodes, i)
+        return bool(kids) and _is_scalar_subtree(nodes, kids[0])
+    if _is_scalar_agg(text):
+        return True
+    if text.startswith(_ONE_ROW_COMBINERS):
+        kids = _children(nodes, i)
+        return bool(kids) and all(_is_scalar_subtree(nodes, k) for k in kids)
+    return False
+
+
 def _paren_args(text: str, start: int) -> list[str]:
     """Split the argument list starting at ``start`` (the char after the
     opening ``(``) on top-level commas, tracking paren depth."""
@@ -386,10 +416,7 @@ def lint_plan(df: DataFrame) -> list[PlanFinding]:
         elif text.startswith("BroadcastNestedLoopJoin"):
             kids = _children(nodes, i)
             build = kids[0] if "BuildLeft" in text else kids[-1] if kids else None
-            build_src = (
-                _first_real_child(nodes, build) if build is not None else ""
-            )
-            if build is not None and _is_scalar_agg(build_src):
+            if build is not None and _is_scalar_subtree(nodes, build):
                 findings.append(
                     PlanFinding(
                         "scalar-broadcast-join",

@@ -135,7 +135,13 @@ _DRIVER_PRIORITY: list[str] = [
     # replay-green, implementation-untouched).  The thirteen r4 rows
     # NOT fitting this window (50 slots - 10 new/changed - 15 named =
     # 25) are the head of the r10 rotation queue, chosen where a
-    # same-code-path sibling IS in the window: triple_lineitem_full /
+    # same-code-path sibling IS in the window (note: triple_lineitem_full
+    # and nb_triple_orders also carry the r9 cofactor _join_on broadcast
+    # HINT for the keyless dense⊕sparse combine — a plan-only change,
+    # outputs bit-identical, replay-green; the window rows
+    # cross_join_triples / lift_sum_equivalence / linreg_via_triple
+    # exercise the same hinted path with driver hashes):
+    # triple_lineitem_full /
     # triple_factorized_join_grouped / nb_triple_orders (grouped,
     # ungrouped and NB-lift twins rotate), q5/q6 (q1/q3 rotate,
     # bench-exercised), qda histogram (lda+nb rotate, shared sigma),
@@ -3815,7 +3821,10 @@ def cross_join_triples(spark, sf):
     b = sum_to_triple(n, [], ["n_nationkey"], result_col="B")
     from .operators.multiply import multiply_triples
 
-    prod = a.crossJoin(b).select(
+    # both sides are 1-row triples; the broadcast hint keeps the plan a
+    # deterministic BroadcastNestedLoopJoin under the measured-sizes
+    # posture (an unhinted crossJoin plans CartesianProduct statically)
+    prod = a.crossJoin(F.broadcast(b)).select(
         multiply_triples(F.col("A"), F.col("B"), (1, 0), (0, 1)).alias("triple")
     )
     return flatten_triple(prod, 1, 1)

@@ -25,6 +25,18 @@ def get_spark(app_name: str = "duckdb_imputation_spark", cpus: int | None = None
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Broadcast joins from MEASURED sizes only (r9 100x rehearsal):
+        # static size estimates lie badly on exploded/computed columns
+        # (shingle arrays, deletion variants), the static planner locks
+        # BroadcastHashJoin from those estimates before AQE ever
+        # measures, and AQE cannot demote a statically-planned
+        # broadcast — at 100x the driver died building a ~25M-row
+        # "small" side.  Static threshold off; AQE promotes shuffled
+        # joins to broadcast from actual shuffle sizes; explicit
+        # F.broadcast() hints (our deliberate dim-side broadcasts)
+        # are unaffected.
+        .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "10485760b")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")

@@ -72,20 +72,51 @@ def _fuzzy_pairs(spark, sf: str, max_block):
     )
 
 
+def _minhash_after_exact_dedup(spark, sf: str):
+    """The PIPELINE-ORDER RULE measured (SCALING.md, fuzzy-join row):
+    exact-dedup FIRST collapses duplication multiplicity, so the
+    near-dup verify join never sees the quadratic pair blow-up a
+    duplication-heavy corpus (like the Nx replicas, every doc copied
+    Nx) would otherwise hand it.  Without this, the 100x replica's
+    ~25M true pairs put >100 GB of shingle arrays through the verify
+    join's shuffle — correct, but a resource bill the pipeline order
+    makes unnecessary."""
+    from duckdb_imputation_spark.operators.dedup import (
+        exact_dedup,
+        minhash_dedup,
+    )
+    from duckdb_imputation_spark.sources import load_table
+
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    exact = exact_dedup(d, "text", "doc_id")
+    return minhash_dedup(
+        exact, "text", "doc_id", k=16, bands=4, shingle=5, threshold=0.5
+    )
+
+
 # name -> fn(spark, sf_dir) -> DataFrame
 CASES = {
     "triple_join_broadcast": lambda sp, sf: _triple_supplier_join(sp, sf, True),
     "triple_join_shuffle": lambda sp, sf: _triple_supplier_join(sp, sf, False),
     "fuzzy_self_pairs_uncapped": lambda sp, sf: _fuzzy_pairs(sp, sf, None),
     "fuzzy_self_pairs_cap20": lambda sp, sf: _fuzzy_pairs(sp, sf, 20),
+    "minhash_after_exact_dedup": _minhash_after_exact_dedup,
 }
 
 
 def _timed(mk, repeats: int):
-    best, rows = float("inf"), None
+    """Time the FULL computation via the noop sink — a bare count()
+    lets Catalyst prune projection-shaped work (a per-row expression
+    pipeline collapses to a parquet metadata count and the rehearsal
+    measures nothing; caught live in r9 when 500k docs 'tokenized' in
+    0.45 s).  Row count is taken once, outside the timing."""
+    best = float("inf")
+    df = mk()
+    rows = df.count()
     for _ in range(repeats):
+        df = mk()
         t0 = time.monotonic()
-        rows = mk().count()
+        df.write.format("noop").mode("overwrite").save()
         best = min(best, time.monotonic() - t0)
     return best, rows
 

@@ -10,6 +10,14 @@ def spark():
         .config("spark.sql.shuffle.partitions", "4")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # mirror the engine's broadcast posture (session.py): broadcast
+        # from AQE-measured sizes or explicit hints only — tests must
+        # exercise the plans the engine actually ships (the r9 100x
+        # broadcast OOM hid behind estimate-based static broadcasts)
+        .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+        .config(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold", "10485760b"
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()

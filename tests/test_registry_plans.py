@@ -63,9 +63,14 @@ def test_filter_pushdown_reaches_scan(spark):
 
 
 def test_small_dim_join_broadcasts(spark):
+    """Under the measured-sizes broadcast posture (session.py, r9) the
+    STATIC plan for an unhinted dim join is sort-merge; AQE must
+    PROMOTE it to broadcast from the dim side's actual shuffle size —
+    so the assertion runs on the final adaptive plan, post-action."""
     li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     sup = spark.read.parquet("/root/testdata/sf0.001/supplier.parquet")
     j = li.join(sup, li.l_suppkey == sup.s_suppkey).groupBy("s_nationkey").count()
+    j.collect()
     assert has_broadcast_join(j)
 
 
