@@ -45,6 +45,7 @@ __all__ = [
     "chi2_independence",
     "spearman_corr",
     "mann_whitney_u",
+    "auc_score",
     "ks_2sample",
     "anova_oneway",
     "benford_profile",
@@ -415,6 +416,58 @@ def mann_whitney_u(
         (u2 / 2.0).alias("u_stat"),
         z.alias("z_stat"),
     )
+
+
+def auc_score(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    positive=1,
+    negative=0,
+    by_cols: Sequence[str] = (),
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """ROC-AUC of ``score_col`` as a ranking of the binary
+    ``label_col`` (``positive`` vs ``negative`` classes), one row per
+    ``by_cols`` stratum — the standard in-engine evaluation metric for
+    any scoring model (the quality classifier, logreg scores, BM25
+    relevance, novelty): AUC = P(score(pos) > score(neg)) +
+    ½·P(score(pos) = score(neg)), which is exactly the normalized
+    Mann–Whitney statistic U/(n_pos·n_neg) under average ranks
+    (Hanley & McNeil, Radiology 1982 — the rank-sum identity; ties get
+    the trapezoidal ½ credit).  Returns (by_cols..., n_pos, n_neg,
+    auc); auc is NULL when either class is empty in the stratum.
+
+    Scale shape: the shared rank-dictionary discipline — one GROUP BY
+    collapses rows to (stratum, score, class-counts) cells, a window
+    prefix over DISTINCT scores assigns doubled average ranks, and the
+    rank-sum folds off the dictionary with NO join back to rows.
+    2·R_pos and n_pos(n_pos+1) are exact DECIMAL(38,0) integers, so
+    AUC's single double surface is the final division — cross-engine
+    agreement to the rounding tier is by construction, not by
+    tolerance."""
+    keys = list(by_cols)
+    d = _cohort_dictionary(
+        df, label_col, score_col, positive, negative, keys
+    )
+    ca = F.col("__ca").cast(_DEC)
+    r2 = F.col("__r2").cast(_DEC)
+    agg = d.groupBy(*keys).agg(
+        F.sum("__ca").cast("long").alias("n_pos"),
+        F.sum("__cb").cast("long").alias("n_neg"),
+        F.sum(ca * r2).alias("__r2p"),
+    )
+    np_ = F.col("n_pos").cast(_DEC)
+    nn_ = F.col("n_neg").cast(_DEC)
+    # 2*U_pos = 2*R_pos - n_pos*(n_pos+1); AUC = 2U / (2 n_pos n_neg)
+    auc = F.when(
+        (F.col("n_pos") >= 1) & (F.col("n_neg") >= 1),
+        (F.col("__r2p") - np_ * (np_ + 1)).cast("double")
+        / (2.0 * (np_ * nn_).cast("double")),
+    )
+    if round_digits is not None:
+        auc = F.round(auc, round_digits)
+    return agg.select(*keys, "n_pos", "n_neg", auc.alias("auc"))
 
 
 def ks_2sample(

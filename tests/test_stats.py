@@ -494,3 +494,85 @@ def test_cohort_dictionary_with_ranks_flag(spark):
     assert a == b
     # the slim plan carries no Window node at all
     assert "Window" not in slim._jdf.queryExecution().optimizedPlan().toString()
+
+
+# --------------------------------------------------------------------- #
+# auc_score                                                             #
+# --------------------------------------------------------------------- #
+
+
+def _auc_brute(scores_pos, scores_neg):
+    """Pairwise trapezoidal AUC: P(s_pos > s_neg) + 0.5 P(=)."""
+    wins = ties = 0
+    for p in scores_pos:
+        for n in scores_neg:
+            if p > n:
+                wins += 1
+            elif p == n:
+                ties += 1
+    return (wins + 0.5 * ties) / (len(scores_pos) * len(scores_neg))
+
+
+def test_auc_matches_pairwise_bruteforce(spark):
+    """Rank-sum AUC equals the O(n^2) pairwise definition, ties
+    included (Hanley-McNeil identity)."""
+    from duckdb_imputation_spark.operators.stats import auc_score
+
+    pos = [3.0, 5.0, 5.0, 9.0, 2.0]
+    neg = [1.0, 5.0, 4.0, 2.0]
+    rows = [(1, s) for s in pos] + [(0, s) for s in neg]
+    df = spark.createDataFrame(rows, "y int, s double")
+    got = auc_score(df, "y", "s", round_digits=None).collect()[0]
+    assert got["n_pos"] == 5 and got["n_neg"] == 4
+    assert abs(got["auc"] - _auc_brute(pos, neg)) < 1e-12
+
+
+def test_auc_seeded_random_vs_bruteforce(spark):
+    """Seeded random scores with heavy ties, per-stratum."""
+    import numpy as np
+
+    from duckdb_imputation_spark.operators.stats import auc_score
+
+    rng = np.random.default_rng(7)
+    rows = []
+    truth = {}
+    for g in ["u", "v"]:
+        y = rng.integers(0, 2, 80)
+        s = rng.integers(0, 12, 80).astype(float)  # heavy ties
+        rows += [(g, int(yy), float(ss)) for yy, ss in zip(y, s)]
+        truth[g] = _auc_brute(s[y == 1], s[y == 0])
+    df = spark.createDataFrame(rows, "g string, y int, s double")
+    out = {
+        r["g"]: r["auc"]
+        for r in auc_score(
+            df, "y", "s", by_cols=["g"], round_digits=None
+        ).collect()
+    }
+    for g in truth:
+        assert abs(out[g] - truth[g]) < 1e-12, g
+
+
+def test_auc_degenerate_classes_null(spark):
+    """A stratum with only one class present gets a NULL auc."""
+    from duckdb_imputation_spark.operators.stats import auc_score
+
+    df = spark.createDataFrame(
+        [("a", 1, 2.0), ("a", 1, 3.0), ("b", 1, 1.0), ("b", 0, 4.0)],
+        "g string, y int, s double",
+    )
+    out = {r["g"]: r for r in auc_score(df, "y", "s", by_cols=["g"]).collect()}
+    assert out["a"]["auc"] is None and out["a"]["n_neg"] == 0
+    assert out["b"]["auc"] == 0.0  # the one pos scores below the one neg
+
+
+def test_auc_perfect_and_inverted(spark):
+    from duckdb_imputation_spark.operators.stats import auc_score
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (1, 9.0), (0, 1.0), (0, 2.0)], "y int, s double"
+    )
+    assert auc_score(df, "y", "s").collect()[0]["auc"] == 1.0
+    inv = spark.createDataFrame(
+        [(1, 1.0), (1, 2.0), (0, 10.0), (0, 9.0)], "y int, s double"
+    )
+    assert auc_score(inv, "y", "s").collect()[0]["auc"] == 0.0

@@ -1,0 +1,161 @@
+"""validate_constraints — declarative data-quality checks: every check
+class against hand-countable fixtures, plus the plan-shape guarantees
+(row checks share ONE scan; no row-Python; FK dimension broadcastable).
+"""
+
+import pytest
+
+from duckdb_imputation_spark.operators.validate import (
+    accepted_values,
+    expression,
+    foreign_key,
+    in_range,
+    not_null,
+    unique,
+    validate_constraints,
+)
+
+
+def _res(df):
+    return {r["check"]: r.asDict() for r in df.collect()}
+
+
+def test_row_checks_count_violations(spark):
+    df = spark.createDataFrame(
+        [
+            (1, 5.0, "A"),
+            (2, None, "B"),
+            (None, 60.0, "A"),
+            (4, -1.0, "Z"),
+            (5, 20.0, None),
+        ],
+        "id int, qty double, flag string",
+    )
+    out = _res(
+        validate_constraints(
+            df,
+            [
+                not_null("id", name="id_nn"),
+                not_null("qty", name="qty_nn"),
+                in_range("qty", 0, 50, name="qty_rng"),
+                accepted_values("flag", ["A", "B"], name="flag_dom"),
+                expression("qty >= 0 OR id IS NULL", name="expr"),
+            ],
+        )
+    )
+    assert out["id_nn"]["n_violations"] == 1
+    assert out["qty_nn"]["n_violations"] == 1
+    # NULL qty does not violate the range; 60 and -1 do
+    assert out["qty_rng"]["n_violations"] == 2
+    # NULL flag does not violate the domain; 'Z' does
+    assert out["flag_dom"]["n_violations"] == 1
+    # expression: NULL predicate = not violated (SQL CHECK semantics);
+    # only (4, -1.0) has qty < 0 with non-NULL id
+    assert out["expr"]["n_violations"] == 1
+    assert all(r["n_rows"] == 5 for r in out.values())
+    assert out["id_nn"]["passed"] == 0 and out["qty_rng"]["passed"] == 0
+
+
+def test_unique_counts_extra_rows(spark):
+    df = spark.createDataFrame(
+        [(1, 1), (1, 1), (1, 1), (2, 1), (2, 2)], "a int, b int"
+    )
+    out = _res(validate_constraints(df, [unique(["a", "b"], name="u")]))
+    # key (1,1) has 3 rows -> 2 violations; the others are unique
+    assert out["u"]["n_violations"] == 2
+    assert out["u"]["n_rows"] == 5 and out["u"]["passed"] == 0
+    clean = spark.createDataFrame([(1, 1), (1, 2)], "a int, b int")
+    assert _res(
+        validate_constraints(clean, [unique(["a", "b"], name="u")])
+    )["u"]["passed"] == 1
+
+
+def test_foreign_key_orphans_and_null_exemption(spark):
+    fact = spark.createDataFrame(
+        [(1,), (2,), (99,), (None,)], "k int"
+    )
+    dim = spark.createDataFrame([(1,), (2,), (3,)], "rk int")
+    out = _res(
+        validate_constraints(
+            fact,
+            [foreign_key(["k"], "dim", ["rk"], name="fk")],
+            refs={"dim": dim},
+        )
+    )
+    # 99 is an orphan; the NULL key is exempt (SQL FK semantics)
+    assert out["fk"]["n_violations"] == 1
+    assert out["fk"]["n_rows"] == 4
+
+
+def test_foreign_key_missing_ref_raises(spark):
+    df = spark.createDataFrame([(1,)], "k int")
+    with pytest.raises(ValueError, match="refs missing"):
+        validate_constraints(df, [foreign_key(["k"], "dim", ["rk"])])
+
+
+def test_empty_checks_raise(spark):
+    df = spark.createDataFrame([(1,)], "k int")
+    with pytest.raises(ValueError, match="no checks"):
+        validate_constraints(df, [])
+
+
+def test_empty_table_all_pass(spark):
+    df = spark.createDataFrame([], "a int, b int")
+    out = _res(
+        validate_constraints(
+            df,
+            [
+                not_null("a", name="nn"),
+                unique(["a"], name="u"),
+                in_range("b", 0, 1, name="r"),
+            ],
+        )
+    )
+    assert all(
+        r["n_violations"] == 0 and r["passed"] == 1 for r in out.values()
+    )
+    assert out["u"]["n_rows"] == 0
+
+
+def test_row_checks_share_one_scan(spark):
+    """Six row checks must produce a plan with exactly ONE parquet-free
+    scan of the input: no per-check re-aggregation of the base frame
+    (the one-pass contract).  We count LocalTableScan/Scan occurrences
+    of the input in the optimized plan via the aggregate count."""
+    df = spark.range(100).selectExpr(
+        "id", "id % 7 AS a", "CAST(id % 3 AS DOUBLE) AS b"
+    )
+    out = validate_constraints(
+        df,
+        [
+            not_null("a", name="c1"),
+            not_null("b", name="c2"),
+            in_range("a", 0, 5, name="c3"),
+            in_range("b", 0, 1, name="c4"),
+            accepted_values("a", [0, 1, 2, 3], name="c5"),
+            expression("b >= 0", name="c6"),
+        ],
+    )
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # one Range scan feeds all six checks (the six 1-row projections
+    # fan out OF the single aggregate, they do not re-scan)
+    assert plan.count("Range (0, 100") == 1
+    assert len(out.collect()) == 6
+
+
+def test_violation_rows_kind_labels(spark):
+    df = spark.createDataFrame([(1, 2)], "a int, b int")
+    dim = spark.createDataFrame([(1,)], "rk int")
+    out = validate_constraints(
+        df,
+        [
+            not_null("a"),
+            unique(["a"]),
+            foreign_key(["b"], "dim", ["rk"]),
+        ],
+        refs={"dim": dim},
+    )
+    kinds = {r["check"]: r["kind"] for r in out.collect()}
+    assert kinds["not_null(a)"] == "not_null"
+    assert kinds["unique(a)"] == "unique"
+    assert kinds["foreign_key(b->dim)"] == "foreign_key"
