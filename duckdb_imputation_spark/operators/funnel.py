@@ -1,0 +1,133 @@
+"""Ordered conversion funnels over event streams — "how many users did
+A, then B after A, then C after B", the canonical product-analytics
+question.
+
+Semantics (the standard strict-order funnel, e.g. the UDAFs behind
+ClickHouse ``windowFunnel`` / the sequence-match family): a user
+reaches stage k when an event of stage k's type exists STRICTLY AFTER
+the timestamp at which they reached stage k−1 (earliest-completion
+greedy matching, which is optimal for existence: matching each stage
+as early as possible dominates every other assignment).  ``within``
+optionally bounds the whole journey to a time window starting at the
+stage-1 event.
+
+Scale shape: NO per-user sequence assembly (no collect_list, no
+per-user Python).  Stage 1 is one filtered aggregate to (user, t1);
+every later stage is one filtered join-aggregate — events of that
+type against the previous stage's (user, t_{k-1}) frame, min(ts) per
+user with ts > t_{k-1} — so a funnel of S stages costs S filtered
+scans and S−1 equi-joins on the user key, each shuffling only (user,
+ts) pairs.  Per-stage frames shrink monotonically (each is a subset
+of the previous stage's users).  The summary output is one row per
+stage with exact integer counts.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["funnel_counts", "funnel_users"]
+
+
+def funnel_users(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    stages: Sequence[str],
+    within: float | None = None,
+) -> DataFrame:
+    """Per-user funnel completion frame: one row per user who reached
+    stage 1, with columns ``t1..tS`` (timestamp at which each stage was
+    reached, NULL from the first unreached stage on) and ``depth``
+    (number of stages reached).  ``within`` (seconds) bounds every
+    stage-k event to at most that long after the user's stage-1
+    event."""
+    stages = list(stages)
+    if len(stages) < 1:
+        raise ValueError("funnel needs at least one stage")
+    u, ts, et = F.col(user_col), F.col(ts_col), F.col(type_col)
+    base = df.where(u.isNotNull() & ts.isNotNull() & et.isNotNull())
+    cur = (
+        base.where(et == F.lit(stages[0]))
+        .groupBy(u.alias("__u"))
+        .agg(F.min(ts).alias("t1"))
+    )
+    for k in range(1, len(stages)):
+        ev = base.where(et == F.lit(stages[k])).select(
+            u.alias("__u"), ts.alias("__ts")
+        )
+        cond = F.col("__ts") > F.col(f"t{k}")
+        if within is not None:
+            cond = cond & (
+                F.col("__ts").cast("double")
+                <= F.col("t1").cast("double") + F.lit(float(within))
+            )
+        nxt = (
+            ev.join(cur, on="__u")
+            .where(cond)
+            .groupBy("__u")
+            .agg(F.min("__ts").alias(f"t{k + 1}"))
+        )
+        # LEFT join keeps users who stalled at stage k (NULL t_{k+1})
+        cur = cur.join(nxt, on="__u", how="left")
+    depth = sum(
+        [F.col(f"t{k + 1}").isNotNull().cast("int") for k in range(len(stages))],
+        F.lit(0),
+    )
+    return cur.select(
+        F.col("__u").alias(user_col),
+        *[F.col(f"t{k + 1}") for k in range(len(stages))],
+        depth.alias("depth"),
+    )
+
+
+def funnel_counts(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    stages: Sequence[str],
+    within: float | None = None,
+) -> DataFrame:
+    """Funnel summary: one row per stage — (stage_idx, stage, n_users,
+    pct_of_first in per-mille).  ``n_users`` of stage k counts users
+    whose ordered journey reached stage k (see funnel_users).  Exact
+    integers throughout; the per-mille conversion is an integer-tier
+    rounded rational."""
+    stages = list(stages)
+    users = funnel_users(df, user_col, ts_col, type_col, stages, within)
+    agg = users.agg(
+        *[
+            F.sum(F.col(f"t{k + 1}").isNotNull().cast("long")).alias(
+                f"__n{k}"
+            )
+            for k in range(len(stages))
+        ]
+    )
+    n0 = F.coalesce(F.col("__n0"), F.lit(0))
+    entries = [
+        F.struct(
+            F.lit(k + 1).cast("int").alias("stage_idx"),
+            F.lit(s).alias("stage"),
+            F.coalesce(F.col(f"__n{k}"), F.lit(0))
+            .cast("long")
+            .alias("n_users"),
+            F.when(
+                n0 > 0,
+                F.round(
+                    F.coalesce(F.col(f"__n{k}"), F.lit(0))
+                    * 1000.0
+                    / n0
+                ).cast("long"),
+            ).alias("pm_of_first"),
+        )
+        for k, s in enumerate(stages)
+    ]
+    # single 1-row aggregate -> inline long format (one scan, the
+    # validate_constraints pattern: no per-stage union branches and no
+    # window — the stage-1 denominator is still a column here)
+    return agg.select(F.inline(F.array(*entries)))

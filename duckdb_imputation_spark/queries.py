@@ -101,6 +101,14 @@ _DRIVER_PRIORITY: list[str] = [
     "auc_value_purchase_events",
     "quality_classifier_documents",
     "validate_lineitem_constraints",
+    # round 9, second session (continued): ordered conversion funnel
+    # and the thresholded classifier report — displacing
+    # embedding_cosine_scores (sibling ann_ivf_topk stays in-window;
+    # also bench-exercised every round) and token_entropy_documents
+    # (sibling unigram_logprob_scores stays — same tokenize-explode
+    # textstats path)
+    "funnel_view_click_purchase_events",
+    "quality_classifier_report_documents",
     # round 9: rows whose OUTPUT changed this round — the r9 margin
     # sweep (oracle_margin.boundary_is_exact_double, the machine check
     # for the r8 target_encode decimal-boundary class) flagged
@@ -170,7 +178,6 @@ _DRIVER_PRIORITY: list[str] = [
     "triple_factorized_join",
     "q1_pricing_summary",
     "linreg_via_triple_vs_regr",
-    "embedding_cosine_scores",
     "ann_ivf_topk",
     "dedup_components_transitive",
     "decontaminate_documents",
@@ -178,7 +185,6 @@ _DRIVER_PRIORITY: list[str] = [
     "pii_scrub_documents",
     "stratified_sample_documents",
     "unigram_logprob_scores",
-    "token_entropy_documents",
     "sequence_id_generation",
     "correlated_subqueries_orders",
     "rollup_lineitem",
@@ -222,6 +228,8 @@ _DRIVER_DEMOTE: list[str] = [
     "q3_shipping_priority",
     "nb_train_predict_histogram",
     "cube_lineitem",
+    "embedding_cosine_scores",
+    "token_entropy_documents",
     # rotated out round 9 for the rotation-debt payoff (VERDICT r8 #1):
     # the ENTIRE round-8 window — all r8 driver-green
     # (CORRECTNESS_r08.json hash_match 50/50), implementation untouched
@@ -10145,3 +10153,161 @@ def validate_lineitem_constraints(spark, sf):
         li, checks, refs={"orders": orders, "part": part}
     )
     return out.select("check", "kind", "n_rows", "n_violations")
+
+
+@register(
+    "funnel_view_click_purchase_events",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id AS u, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' AND user_id IS NOT NULL
+        AND ts IS NOT NULL
+      GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id AS u, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.u
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+      GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id AS u, MIN(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.u
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id
+    ), m AS (
+      SELECT (SELECT COUNT(*) FROM s1) AS n1,
+             (SELECT COUNT(*) FROM s2) AS n2,
+             (SELECT COUNT(*) FROM s3) AS n3
+    )
+    SELECT CAST(1 AS INT) AS stage_idx, 'view' AS stage,
+           CAST(n1 AS BIGINT) AS n_users,
+           CASE WHEN n1 > 0
+                THEN CAST(ROUND(n1 * 1000.0 / n1) AS BIGINT) END
+             AS pm_of_first
+    FROM m
+    UNION ALL
+    SELECT CAST(2 AS INT), 'click', CAST(n2 AS BIGINT),
+           CASE WHEN n1 > 0
+                THEN CAST(ROUND(n2 * 1000.0 / n1) AS BIGINT) END
+    FROM m
+    UNION ALL
+    SELECT CAST(3 AS INT), 'purchase', CAST(n3 AS BIGINT),
+           CASE WHEN n1 > 0
+                THEN CAST(ROUND(n3 * 1000.0 / n1) AS BIGINT) END
+    FROM m
+    """,
+)
+def funnel_view_click_purchase_events(spark, sf):
+    """Ordered conversion funnel (operators/funnel.py funnel_counts —
+    the strict-order earliest-completion semantics behind ClickHouse
+    windowFunnel): users who viewed, then clicked AFTER their first
+    view, then purchased AFTER that click.  No per-user sequence
+    assembly: stage 1 is one filtered aggregate to (user, t1) and each
+    later stage is one filtered join-aggregate shuffling only
+    (user, ts) pairs — S scans + S-1 key joins for an S-stage funnel,
+    with monotonically shrinking frames.  Counts are exact integers;
+    the per-mille conversion is an exact-rational scaled round (x.5
+    boundaries are exact doubles — both engines agree)."""
+    from .operators.funnel import funnel_counts
+
+    ev = load_table(spark, sf, "events")
+    return funnel_counts(
+        ev, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    )
+
+
+def _quality_report_oracle(iters: int = 3, lr: float = 1.0, thr: int = 500) -> str:
+    """The quality classifier's thresholded evaluation in ONE
+    statement: _quality_clf_oracle's unrolled training CTEs, scored as
+    integer milli-probabilities, folded to the confusion matrix /
+    Brier / log-loss (ml/eval.py classification_report is the Spark
+    twin — same milli quantization, same [1,999] log clip, same
+    integer-tier scaled rounding on the rationals)."""
+    train = _quality_clf_oracle(iters, lr)
+    head, _, _ = train.rpartition("SELECT t.doc_id")
+    sig = (
+        "1000.0 / (1.0 + exp(-(w.b + w.w1 * x1 + w.w2 * x2"
+        " + w.w3 * x3 + w.w4 * x4)))"
+    )
+    return (
+        head
+        + f""", scored AS (
+      SELECT CAST(y AS BIGINT) AS yl,
+             CAST(ROUND({sig}) AS BIGINT) AS pm
+      FROM t, s{iters} w
+    ), c AS (
+      SELECT COUNT(*) AS n,
+        SUM(CASE WHEN pm >= {thr} AND yl = 1 THEN 1 ELSE 0 END) AS tp,
+        SUM(CASE WHEN pm >= {thr} AND yl = 0 THEN 1 ELSE 0 END) AS fp,
+        SUM(CASE WHEN pm < {thr} AND yl = 0 THEN 1 ELSE 0 END) AS tn,
+        SUM(CASE WHEN pm < {thr} AND yl = 1 THEN 1 ELSE 0 END) AS fn,
+        SUM((pm - 1000 * yl) * (pm - 1000 * yl)) AS bn,
+        SUM(-(yl * ln(CAST(LEAST(GREATEST(pm, 1), 999) AS DOUBLE)
+                      / 1000.0)
+              + (1 - yl)
+                * ln(1.0 - CAST(LEAST(GREATEST(pm, 1), 999) AS DOUBLE)
+                           / 1000.0))) AS ll
+      FROM scored
+    )
+    SELECT CAST(n AS BIGINT) AS n, CAST(tp AS BIGINT) AS tp,
+           CAST(fp AS BIGINT) AS fp, CAST(tn AS BIGINT) AS tn,
+           CAST(fn AS BIGINT) AS fn,
+           ROUND((CAST(tp AS DOUBLE) + CAST(tn AS DOUBLE))
+                 / CAST(n AS DOUBLE) * 1000000.0) / 1000000.0
+             AS accuracy,
+           CASE WHEN tp + fp > 0 THEN
+             ROUND(CAST(tp AS DOUBLE)
+                   / (CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE))
+                   * 1000000.0) / 1000000.0 END AS precision,
+           CASE WHEN tp + fn > 0 THEN
+             ROUND(CAST(tp AS DOUBLE)
+                   / (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE))
+                   * 1000000.0) / 1000000.0 END AS recall,
+           CASE WHEN 2 * tp + fp + fn > 0 THEN
+             ROUND(2.0 * CAST(tp AS DOUBLE)
+                   / (2.0 * CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE)
+                      + CAST(fn AS DOUBLE))
+                   * 1000000.0) / 1000000.0 END AS f1,
+           ROUND(CAST(bn AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * 1000000.0)
+                 * 1000000.0) / 1000000.0 AS brier,
+           ROUND(ll / CAST(n AS DOUBLE), 6) + 0.0 AS logloss
+    FROM c
+    """
+    )
+
+
+@register(
+    "quality_classifier_report_documents",
+    oracle=_quality_report_oracle(3),
+)
+def quality_classifier_report_documents(spark, sf):
+    """Thresholded evaluation of the quality classifier (ml/eval.py
+    classification_report): confusion counts, accuracy / precision /
+    recall / F1, Brier score and log-loss from ONE conditional
+    aggregate over the scored corpus — the operating-point companion
+    to the threshold-free AUC row.  Exactness: probabilities are
+    quantized to integer milli-units FIRST, so the confusion cells and
+    the Brier numerator (milli^2 SSE) are exact integers; the rational
+    rates get the integer-tier scaled round, leaving per-row ln as the
+    only transcendental surface (stat-class ROUND(,6) on an O(0.5)
+    mean — the welch/anova sum-order noise class)."""
+    from .ml.eval import classification_report
+    from .ml.logreg import logreg_predict_expr
+    from .ml.quality import (
+        QUALITY_FEATURE_NAMES,
+        quality_features,
+        train_quality_classifier,
+    )
+
+    d = load_table(spark, sf, "documents")
+    w = train_quality_classifier(d, "text", iters=3, lr=1.0)
+    feats = quality_features(F.col("text"))
+    frame = d.select(
+        *[feats[n].alias(n) for n in QUALITY_FEATURE_NAMES],
+        feats["y"].alias("label"),
+    )
+    p = logreg_predict_expr(QUALITY_FEATURE_NAMES, w)
+    scored = frame.select("label", p.alias("p"))
+    return classification_report(
+        scored, "label", "p", threshold=0.5, milli=True
+    )

@@ -1,0 +1,148 @@
+"""funnel_counts/funnel_users (strict-order earliest-completion
+semantics on crafted journeys) and classification_report (confusion /
+Brier / log-loss vs hand-computed NumPy)."""
+
+import math
+
+import numpy as np
+
+from duckdb_imputation_spark.ml.eval import classification_report
+from duckdb_imputation_spark.operators.funnel import (
+    funnel_counts,
+    funnel_users,
+)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(u, float(t), s) for u, t, s in rows],
+        "u int, ts double, et string",
+    )
+
+
+def test_funnel_strict_order(spark):
+    rows = [
+        # u1: full ordered journey
+        (1, 1.0, "view"), (1, 2.0, "click"), (1, 3.0, "buy"),
+        # u2: clicked BEFORE viewing — click must not count
+        (2, 2.0, "click"), (2, 3.0, "view"),
+        # u3: view + buy but never clicked — stalls at stage 1
+        (3, 1.0, "view"), (3, 2.0, "buy"),
+        # u4: same-timestamp click (NOT strictly after) — stalls
+        (4, 1.0, "view"), (4, 1.0, "click"),
+        # u5: never viewed — not in the funnel at all
+        (5, 1.0, "click"), (5, 2.0, "buy"),
+    ]
+    out = {
+        r["stage"]: r
+        for r in funnel_counts(
+            _ev(spark, rows), "u", "ts", "et", ["view", "click", "buy"]
+        ).collect()
+    }
+    assert out["view"]["n_users"] == 4
+    assert out["click"]["n_users"] == 1
+    assert out["buy"]["n_users"] == 1
+    assert out["view"]["pm_of_first"] == 1000
+    assert out["click"]["pm_of_first"] == 250
+    assert [out[s]["stage_idx"] for s in ["view", "click", "buy"]] == [
+        1, 2, 3,
+    ]
+
+
+def test_funnel_earliest_completion_greedy(spark):
+    """Matching the EARLIEST qualifying event per stage is what makes
+    u1 convert: the late second view must not re-anchor the journey."""
+    rows = [
+        (1, 1.0, "view"), (1, 5.0, "view"),
+        (1, 2.0, "click"), (1, 3.0, "buy"),
+    ]
+    users = funnel_users(
+        _ev(spark, rows), "u", "ts", "et", ["view", "click", "buy"]
+    ).collect()
+    assert len(users) == 1
+    r = users[0]
+    assert (r["t1"], r["t2"], r["t3"]) == (1.0, 2.0, 3.0)
+    assert r["depth"] == 3
+
+
+def test_funnel_within_window(spark):
+    rows = [
+        (1, 0.0, "view"), (1, 5.0, "click"),   # inside within=10
+        (2, 0.0, "view"), (2, 50.0, "click"),  # outside
+    ]
+    out = {
+        r["stage"]: r["n_users"]
+        for r in funnel_counts(
+            _ev(spark, rows), "u", "ts", "et", ["view", "click"],
+            within=10.0,
+        ).collect()
+    }
+    assert out["view"] == 2 and out["click"] == 1
+
+
+def test_funnel_single_stage_and_empty(spark):
+    out = funnel_counts(
+        _ev(spark, [(1, 1.0, "view")]), "u", "ts", "et", ["view"]
+    ).collect()
+    assert len(out) == 1 and out[0]["n_users"] == 1
+    empty = funnel_counts(
+        _ev(spark, [(1, 1.0, "other")]), "u", "ts", "et",
+        ["view", "click"],
+    ).collect()
+    assert [r["n_users"] for r in empty] == [0, 0]
+    assert all(r["pm_of_first"] is None for r in empty)
+
+
+def test_classification_report_hand_computed(spark):
+    # 6 rows, threshold 0.5 on milli grid
+    data = [
+        (1, 0.9),   # tp
+        (1, 0.4),   # fn
+        (0, 0.7),   # fp
+        (0, 0.2),   # tn
+        (0, 0.1),   # tn
+        (1, 0.5),   # exactly at threshold -> positive -> tp
+    ]
+    df = spark.createDataFrame(data, "y int, p double")
+    r = classification_report(df, "y", "p").collect()[0]
+    assert (r["n"], r["tp"], r["fp"], r["tn"], r["fn"]) == (6, 2, 1, 2, 1)
+    assert abs(r["accuracy"] - round(4 / 6, 6)) < 1e-12
+    assert abs(r["precision"] - round(2 / 3, 6)) < 1e-12
+    assert abs(r["recall"] - round(2 / 3, 6)) < 1e-12
+    assert abs(r["f1"] - round(2 / 3, 6)) < 1e-12
+    pm = np.array([900, 400, 700, 200, 100, 500])
+    ym = np.array([1000, 1000, 0, 0, 0, 1000])
+    brier = ((pm - ym) ** 2).sum() / (6 * 1e6)
+    assert abs(r["brier"] - round(brier, 6)) < 1e-12
+    pl = np.clip(pm, 1, 999) / 1000.0
+    y = ym / 1000.0
+    ll = (-(y * np.log(pl) + (1 - y) * np.log(1 - pl))).mean()
+    assert abs(r["logloss"] - ll) < 1e-6
+
+
+def test_classification_report_degenerate_probs_finite(spark):
+    """p = 0 and p = 1 must produce finite log-loss via the [1,999]
+    milli clip."""
+    df = spark.createDataFrame(
+        [(1, 1.0), (0, 0.0), (1, 0.0)], "y int, p double"
+    )
+    r = classification_report(df, "y", "p").collect()[0]
+    assert math.isfinite(r["logloss"])
+    assert (r["tp"], r["tn"], r["fn"]) == (1, 1, 1)
+
+
+def test_classification_report_null_rows_dropped(spark):
+    df = spark.createDataFrame(
+        [(1, 0.9), (None, 0.5), (0, None)], "y int, p double"
+    )
+    r = classification_report(df, "y", "p").collect()[0]
+    assert r["n"] == 1 and r["tp"] == 1
+
+
+def test_classification_report_zero_denominators_null(spark):
+    """All-negative labels below threshold: precision/recall/f1 NULL
+    (no predicted or actual positives)."""
+    df = spark.createDataFrame([(0, 0.1), (0, 0.2)], "y int, p double")
+    r = classification_report(df, "y", "p").collect()[0]
+    assert r["precision"] is None and r["recall"] is None
+    assert r["f1"] is None and r["accuracy"] == 1.0
