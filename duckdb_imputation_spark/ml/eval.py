@@ -67,12 +67,14 @@ def classification_report(
         )
     ll = -(y * F.log(pl) + (F.lit(1.0) - y) * F.log(F.lit(1.0) - pl))
     is_pos = y == 1.0
+    # coalesce: SUM over zero rows is NULL — an empty (or all-NULL)
+    # input must still report zeros, not a NULL confusion matrix
     agg = src.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum((pos & is_pos).cast("long")).alias("tp"),
-        F.sum((pos & ~is_pos).cast("long")).alias("fp"),
-        F.sum((~pos & ~is_pos).cast("long")).alias("tn"),
-        F.sum((~pos & is_pos).cast("long")).alias("fn"),
+        F.coalesce(F.sum((pos & is_pos).cast("long")), F.lit(0)).alias("tp"),
+        F.coalesce(F.sum((pos & ~is_pos).cast("long")), F.lit(0)).alias("fp"),
+        F.coalesce(F.sum((~pos & ~is_pos).cast("long")), F.lit(0)).alias("tn"),
+        F.coalesce(F.sum((~pos & is_pos).cast("long")), F.lit(0)).alias("fn"),
         brier_num.alias("__bn"),
         F.sum(ll).alias("__ll"),
     )

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame
 __all__ = [
     "executed_plan",
     "strip_cached_subtrees",
+    "static_plan_section",
     "plan_shape",
     "count_exchanges",
     "count_hash_aggregates",
@@ -58,12 +59,50 @@ def strip_cached_subtrees(plan: str) -> str:
     return "\n".join(out)
 
 
+def static_plan_section(plan: str) -> str:
+    """The DETERMINISTIC section of an executed-plan string.
+
+    With AQE, ``executedPlan().toString()`` prints the ``== Final
+    Plan ==`` (what runtime adaptation actually did) followed by the
+    ``== Initial Plan ==`` (the compile-time shape).  The final
+    section is RACY: AQE's shuffle→broadcast conversion is
+    best-effort — it lands only if the shuffle stage has not already
+    started materializing, so under a loaded box the same query text
+    flips between ``Exchange hashpartitioning`` (conversion missed)
+    and ``BroadcastExchange`` (conversion landed), moving text-count
+    metrics by ±1 per eligible join (caught live: the
+    line_dedup_documents ratchet read 11 under a full-suite run, 10 in
+    isolation).  Shape metrics therefore ratchet the INITIAL plan —
+    the shuffles the query DECLARES; runtime conversions are upside,
+    not shape.  Plans without the marker (AQE off or no adaptive
+    root) pass through whole.
+
+    Marker selection: a CACHED relation's reprinted build plan embeds
+    its own ``== Initial Plan ==`` marker (the cached frame executed
+    under AQE too), so the FIRST marker in the string can belong to an
+    InMemoryRelation reprint deep inside the final section — slicing
+    there would start MID cached subtree (caught live: the
+    strip-cached-subtrees regression test read 1 leaked build
+    exchange).  The ROOT's marker is the one at minimal tree depth."""
+    best_i = -1
+    best_d = None
+    pos = 0
+    for ln in plan.split("\n"):
+        if "== Initial Plan ==" in ln:
+            d = len(ln) - len(ln.lstrip(" :+-"))
+            if best_d is None or d < best_d:
+                best_d, best_i = d, pos
+        pos += len(ln) + 1
+    return plan[best_i:] if best_i >= 0 else plan
+
+
 def plan_shape(df: DataFrame) -> dict:
-    """The plan-shape ratchet's metrics over the LIVE plan (cached
-    subtrees stripped — see :func:`strip_cached_subtrees`).  Single
-    source of truth for docs/gen_plan_shapes.py and
-    tests/test_plan_shapes.py."""
-    p = strip_cached_subtrees(executed_plan(df))
+    """The plan-shape ratchet's metrics over the STATIC section of the
+    LIVE plan (initial-plan section under AQE — see
+    :func:`static_plan_section` — with cached subtrees stripped, see
+    :func:`strip_cached_subtrees`).  Single source of truth for
+    docs/gen_plan_shapes.py and tests/test_plan_shapes.py."""
+    p = strip_cached_subtrees(static_plan_section(executed_plan(df)))
     return {
         "exchanges": p.count("Exchange hashpartitioning")
         + p.count("Exchange rangepartitioning"),

@@ -146,3 +146,13 @@ def test_classification_report_zero_denominators_null(spark):
     r = classification_report(df, "y", "p").collect()[0]
     assert r["precision"] is None and r["recall"] is None
     assert r["f1"] is None and r["accuracy"] == 1.0
+
+
+def test_classification_report_empty_input_zero_counts(spark):
+    """Zero trainable rows must report n=0 with ZERO confusion cells
+    (SUM over no rows is NULL — the operator coalesces), and NULL
+    rates."""
+    df = spark.createDataFrame([], "y int, p double")
+    r = classification_report(df, "y", "p").collect()[0]
+    assert (r["n"], r["tp"], r["fp"], r["tn"], r["fn"]) == (0, 0, 0, 0, 0)
+    assert r["accuracy"] is None and r["brier"] is None

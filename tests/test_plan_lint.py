@@ -227,3 +227,51 @@ def test_round7_late_library_ops_lint_clean(spark):
         df.collect()
         errs = [f for f in lint_plan(df) if f.severity == "error"]
         assert not errs, f"{name}: {errs}"
+
+
+def test_static_plan_section_extracts_initial_plan():
+    """The ratchet must measure the DETERMINISTIC initial-plan section:
+    AQE's final section flips Exchange<->BroadcastExchange depending on
+    whether the best-effort conversion beat stage materialization (the
+    line_dedup_documents 10-vs-11 flake under full-suite load)."""
+    from duckdb_imputation_spark.plans import static_plan_section
+
+    txt = (
+        "AdaptiveSparkPlan isFinalPlan=true\n"
+        "+- == Final Plan ==\n"
+        "   +- Exchange hashpartitioning(a, 32)\n"
+        "+- == Initial Plan ==\n"
+        "   +- Exchange hashpartitioning(a, 32)\n"
+        "   +- Exchange hashpartitioning(b, 32)\n"
+    )
+    sec = static_plan_section(txt)
+    assert "Final Plan" not in sec
+    assert sec.count("Exchange hashpartitioning") == 2
+    # non-AQE plans pass through whole
+    assert static_plan_section("Scan parquet") == "Scan parquet"
+
+
+def test_plan_shape_counts_static_section_only(spark):
+    """A broadcast-converted join must produce the SAME shape whether
+    or not the runtime conversion landed: the shape counts the initial
+    plan's declared exchanges."""
+    from duckdb_imputation_spark.plans import (
+        executed_plan,
+        plan_shape,
+        static_plan_section,
+    )
+
+    a = spark.range(100000).selectExpr("id", "id % 97 AS k")
+    b = spark.range(97).selectExpr("id AS k", "id * 2 AS v")
+    j = a.join(b, "k").groupBy("k").count()
+    j.collect()
+    shape = plan_shape(j)
+    full = executed_plan(j)
+    if "== Initial Plan ==" in full:
+        # the static section never shrinks below the final section's
+        # exchange count: conversions only REMOVE declared shuffles
+        final = full[: full.find("== Initial Plan ==")]
+        import re
+
+        n_final = final.count("Exchange hashpartitioning")
+        assert shape["exchanges"] >= n_final
