@@ -78,22 +78,26 @@ def classification_report(
         brier_num.alias("__bn"),
         F.sum(ll).alias("__ll"),
     )
+    # ANSI mode (Spark 4 default) raises on x/0 — every n-denominated
+    # rate is NULL-guarded, not left to non-ANSI NULL coercion
+    has_rows = F.col("n") > 0
     n = F.col("n").cast("double")
     tp, fp = F.col("tp").cast("double"), F.col("fp").cast("double")
     fn = F.col("fn").cast("double")
-    acc = (tp + F.col("tn").cast("double")) / n
+    acc = F.when(has_rows, (tp + F.col("tn").cast("double")) / n)
     prec = F.when(F.col("tp") + F.col("fp") > 0, tp / (tp + fp))
     rec = F.when(F.col("tp") + F.col("fn") > 0, tp / (tp + fn))
     f1 = F.when(
         2 * F.col("tp") + F.col("fp") + F.col("fn") > 0,
         2 * tp / (2 * tp + fp + fn),
     )
-    brier = (
+    brier = F.when(
+        has_rows,
         F.col("__bn").cast("double") / (n * F.lit(1e6))
         if milli
-        else F.col("__bn").cast("double") / n
+        else F.col("__bn").cast("double") / n,
     )
-    logloss = F.col("__ll") / n
+    logloss = F.when(has_rows, F.col("__ll") / n)
 
     def rnd(c: Column) -> Column:
         if round_digits is None:

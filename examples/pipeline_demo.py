@@ -45,6 +45,38 @@ def main() -> None:
     clean = clean.localCheckpoint(eager=False)
     n1 = clean.count()
 
+    # model-based filtering (CCNet/FineWeb pattern): distill the rule
+    # labels into an in-engine classifier, evaluate it in-engine (AUC +
+    # thresholded report), keep the smooth probability as the corpus
+    # mixing/filter signal — scoring is a pure JVM projection
+    from duckdb_imputation_spark.ml.eval import classification_report
+    from duckdb_imputation_spark.ml.logreg import logreg_predict_expr
+    from duckdb_imputation_spark.ml.quality import (
+        QUALITY_FEATURE_NAMES,
+        quality_features,
+        train_quality_classifier,
+    )
+    from duckdb_imputation_spark.operators.stats import auc_score
+
+    w = train_quality_classifier(docs, "text")
+    qf = quality_features(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        *[qf[n].alias(n) for n in QUALITY_FEATURE_NAMES],
+        qf["y"].alias("label"),
+    ).select(
+        "doc_id",
+        "label",
+        logreg_predict_expr(QUALITY_FEATURE_NAMES, w).alias("p"),
+    )
+    rep = classification_report(scored, "label", "p").first()
+    auc = auc_score(scored, "label", "p").first()
+    print(
+        f"quality classifier vs rule labels: AUC {auc['auc']}, "
+        f"F1 {rep['f1']}, brier {rep['brier']} "
+        f"({rep['tp']}tp/{rep['fp']}fp/{rep['tn']}tn/{rep['fn']}fn)"
+    )
+
     deduped = dd.minhash_dedup(dd.exact_dedup(clean, "text", "doc_id"), "text", "doc_id")
     n2 = deduped.count()
 
@@ -166,6 +198,32 @@ def main() -> None:
         f"{r['t']}~{r['cm_est']} (true {r['c']})"
         for r in sorted(ests, key=lambda r: -r["c"])))
     print(f"packed {bins['chunks']} chunks into {bins['bins']} bins of <=512 tokens")
+
+    # shippability audit on the packed output — the pre-ingest gate a
+    # production pipeline runs before handing data to training: exact
+    # integer violation counts per declared constraint, one scan for
+    # all row checks
+    from duckdb_imputation_spark.operators.validate import (
+        in_range,
+        not_null,
+        unique,
+        validate_constraints,
+    )
+
+    audit = validate_constraints(
+        packed,
+        [
+            not_null("bin", name="bin_assigned"),
+            unique(["chunk_uid"], name="chunk_uid_unique"),
+            in_range("n_tok", 1, 512, name="chunk_fits_window"),
+        ],
+    ).collect()
+    print("audit: " + ", ".join(
+        "{}={}".format(
+            r["check"],
+            "PASS" if r["passed"] else f"{r['n_violations']} violations",
+        )
+        for r in audit))
 
     # retrieval over the cleaned corpus: build the BM25 index once,
     # run several queries without re-scanning the documents
