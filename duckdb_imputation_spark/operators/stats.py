@@ -437,6 +437,9 @@ def auc_score(
     (Hanley & McNeil, Radiology 1982 — the rank-sum identity; ties get
     the trapezoidal ½ credit).  Returns (by_cols..., n_pos, n_neg,
     auc); auc is NULL when either class is empty in the stratum.
+    Rows with a NULL score, or whose label is neither ``positive`` nor
+    ``negative``, are excluded (the two-cohort contract shared with
+    mann_whitney_u).
 
     Scale shape: the shared rank-dictionary discipline — one GROUP BY
     collapses rows to (stratum, score, class-counts) cells, a window
