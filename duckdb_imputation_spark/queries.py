@@ -210,6 +210,11 @@ _DRIVER_PRIORITY: list[str] = [
 #   trivially SQL-twin-able if snapshot semantics need driver evidence.
 # - json_key_profile(exact_distinct=False): HLL twin of the r8 row,
 #   same weaker-evidence caveat as every approx-mode row.
+# - streaming funnel (streaming/funnel_stream.py, added late r9):
+#   batch-equivalence + exactly-once-replay unit tests are green
+#   (tests/test_streaming.py); a driver row (availableNow twin vs the
+#   batch funnel oracle, the asof-row pattern) heads the r10 queue
+#   alongside the rotation debt.
 # Everything else implemented has either a driver row in the window or
 # a past driver-green hash plus local replay coverage.
 

@@ -1,0 +1,189 @@
+"""Live ordered conversion funnel — the streaming twin of
+operators/funnel.py (strict-order earliest-completion semantics),
+emitting one append-mode row the moment a user REACHES each stage.
+
+Exact batch equivalence by construction: events are buffered per user
+until the watermark guarantees nothing earlier can arrive, then folded
+through the stage machine in event-time order — and the greedy
+earliest-completion machine is PREFIX-STABLE (its state after a sealed
+prefix equals the batch machine's state over that prefix), so every
+emitted (user, stage, reached_at) row equals the batch
+``funnel_users`` cell over the sealed events.  Out-of-order arrival
+within the watermark is invisible; data later than the watermark is
+dropped by the engine (the standard lateness contract every twin here
+shares).
+
+State per user, bounded:
+* the machine — stage index + two timestamps (three scalars);
+* the unsealed buffer — stage-type events newer than the watermark
+  (rate × watermark-delay bounded, the asof-join twin's bound).
+Sealed events are folded and DISCARDED immediately — state never
+holds history.  Users at stage 0 with an empty buffer are removed
+(a fresh machine is identical); users with progress keep their three
+scalars so a late replay can never re-emit a stage (exactly-once per
+(user, stage) by construction).  Flushes ride
+``EventTimeTimeout`` armed at the oldest buffered event, the
+asof-stream discipline.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+__all__ = ["funnel_stream", "FUNNEL_OUTPUT_SCHEMA"]
+
+FUNNEL_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("stage_idx", IntegerType()),
+        StructField("stage", StringType()),
+        StructField("reached_at", TimestampType()),
+    ]
+)
+
+# k = stages reached so far; t1/tlast in µs (-1 = unset); unsealed
+# buffer as parallel (ts, stage-index) arrays
+_STATE_SCHEMA = StructType(
+    [
+        StructField("k", IntegerType()),
+        StructField("t1_us", LongType()),
+        StructField("tlast_us", LongType()),
+        StructField("buf_ts", ArrayType(LongType())),
+        StructField("buf_k", ArrayType(IntegerType())),
+    ]
+)
+
+
+def funnel_stream(
+    stream: DataFrame,
+    stages: Sequence[str],
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    watermark: str = "10 minutes",
+    within: float | None = None,
+) -> DataFrame:
+    """events stream → append-mode stage-reached rows
+    (FUNNEL_OUTPUT_SCHEMA).  ``within`` (seconds) bounds every later
+    stage to that long after the user's stage-1 anchor, matching the
+    batch operator's knob.
+
+    Clock caveat: only STAGE-TYPE events advance the watermark —
+    Catalyst pushes the deterministic stage filter below the
+    EventTimeWatermark node (measured: a filtered-out event contributes
+    no event-time stats), so non-funnel traffic cannot flush buffers.
+    Same contract as the sessionize/as-of twins, which also watermark
+    their own filtered stream."""
+    stages = list(stages)
+    if len(stages) < 1:
+        raise ValueError("funnel needs at least one stage")
+    n_stages = len(stages)
+    within_us = None if within is None else int(float(within) * 1_000_000)
+
+    stage_idx = F.lit(None).cast("int")
+    for i in reversed(range(n_stages)):
+        stage_idx = F.when(
+            F.col(type_col) == F.lit(stages[i]), F.lit(i)
+        ).otherwise(stage_idx)
+
+    # project FIRST (a cast after withWatermark strips the watermark
+    # tag and EventTimeTimeout refuses the query), then watermark,
+    # then the stage filter (which Catalyst pushes below the watermark
+    # node anyway — see the clock caveat above)
+    src = (
+        stream.select(
+            F.col(user_col).cast("long").alias("user_id"),
+            F.col(ts_col).cast("timestamp").alias("ts"),
+            stage_idx.alias("__k"),
+        )
+        .withWatermark("ts", watermark)
+        .where(F.col("__k").isNotNull() & F.col("user_id").isNotNull())
+    )
+
+    def fn(
+        key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user,) = key
+        if state.exists:
+            k, t1, tlast, buf_ts, buf_k = state.get
+            buf_ts, buf_k = list(buf_ts), list(buf_k)
+        else:
+            k, t1, tlast, buf_ts, buf_k = 0, -1, -1, [], []
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                if not len(pdf):
+                    continue
+                ts_us = pdf["ts"].astype("int64") // 1000  # ns → µs
+                for t, sk in zip(ts_us, pdf["__k"]):
+                    buf_ts.append(int(t))
+                    buf_k.append(int(sk))
+
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        sealed = sorted(
+            (t, sk) for t, sk in zip(buf_ts, buf_k) if t <= wm_us
+        )
+        remaining = [
+            (t, sk) for t, sk in zip(buf_ts, buf_k) if t > wm_us
+        ]
+        out = {c: [] for c in ("user_id", "stage_idx", "stage", "reached_at")}
+        for t, sk in sealed:
+            if k >= n_stages or sk != k:
+                continue
+            if k == 0:
+                pass  # first stage anchors unconditionally (min ts)
+            elif t <= tlast:
+                continue  # strictly-after
+            elif within_us is not None and t > t1 + within_us:
+                continue
+            tlast = t
+            if k == 0:
+                t1 = t
+            k += 1
+            out["user_id"].append(user)
+            out["stage_idx"].append(k)
+            out["stage"].append(stages[k - 1])
+            out["reached_at"].append(pd.Timestamp(t, unit="us"))
+
+        if k == 0 and not remaining:
+            state.remove()  # a fresh machine is identical
+        else:
+            state.update(
+                (
+                    k,
+                    t1,
+                    tlast,
+                    [t for t, _ in remaining],
+                    [sk for _, sk in remaining],
+                )
+            )
+            if remaining:
+                # flush as soon as the watermark passes the oldest
+                # buffered event (asof-stream discipline)
+                state.setTimeoutTimestamp(
+                    min(t for t, _ in remaining) // 1000 + 1
+                )
+        if out["user_id"]:
+            yield pd.DataFrame(out)
+
+    return src.groupBy(F.col("user_id")).applyInPandasWithState(
+        fn,
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

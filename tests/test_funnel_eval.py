@@ -5,6 +5,7 @@ Brier / log-loss vs hand-computed NumPy)."""
 import math
 
 import numpy as np
+import pytest
 
 from duckdb_imputation_spark.ml.eval import classification_report
 from duckdb_imputation_spark.operators.funnel import (
@@ -156,3 +157,75 @@ def test_classification_report_empty_input_zero_counts(spark):
     r = classification_report(df, "y", "p").collect()[0]
     assert (r["n"], r["tp"], r["fp"], r["tn"], r["fn"]) == (0, 0, 0, 0, 0)
     assert r["accuracy"] is None and r["brier"] is None
+
+
+# --------------------------------------------------------------------- #
+# seeded fuzz: funnel vs a per-user Python reference                    #
+# --------------------------------------------------------------------- #
+
+
+def _py_funnel(rows, stages, within=None):
+    """Per-user greedy earliest-completion reference: sort each user's
+    events by ts and advance the stage machine (strictly-after, the
+    optimal existence matching)."""
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for u, t, s in rows:
+        by_user[u].append((t, s))
+    reached = [0] * len(stages)
+    for u, evs in by_user.items():
+        evs.sort()
+        times = []
+        for t, s in evs:
+            k = len(times)
+            if k >= len(stages):
+                break
+            if s != stages[k]:
+                continue
+            if k == 0:
+                times.append(t)
+            elif t > times[k - 1] and (
+                within is None or t <= times[0] + within
+            ):
+                times.append(t)
+        # a later stage-1 event can't help (min-ts anchoring is
+        # optimal), but the scan above only takes the FIRST stage-1:
+        # that IS min ts after the sort
+        for k in range(len(times)):
+            reached[k] += 1
+    return reached
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_funnel_random_vs_python_reference(spark, seed):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    stages = ["a", "b", "c"]
+    n = 400
+    rows = [
+        (
+            int(rng.integers(0, 25)),
+            float(np.round(rng.uniform(0, 100), 3)),
+            str(rng.choice(["a", "b", "c", "x"])),
+        )
+        for _ in range(n)
+    ]
+    # distinct timestamps per user avoid tie-sensitivity between the
+    # reference's sort and the strictly-after join (same contract as
+    # the resample deterministic-tie caveat)
+    seen = set()
+    dedup = []
+    for u, t, s in rows:
+        while (u, t) in seen:
+            t += 0.0005
+        seen.add((u, t))
+        dedup.append((u, t, s))
+    within = None if seed % 2 == 0 else 30.0
+    exp = _py_funnel(dedup, stages, within)
+    out = funnel_counts(
+        _ev(spark, dedup), "u", "ts", "et", stages, within=within
+    ).collect()
+    got = [r["n_users"] for r in sorted(out, key=lambda r: r["stage_idx"])]
+    assert got == exp, (seed, got, exp)

@@ -1373,3 +1373,152 @@ def test_streaming_psi_counts_match_batch_and_score(spark, tmp_path):
     assert abs(scored["2024-03-02"] - psi2) < 1e-12
     assert scored["2024-03-02"] > 0.1  # the shift is visible
     spark.catalog.dropTempView("psi_counts")
+
+
+def test_streaming_funnel_matches_batch(spark, tmp_path):
+    """Live funnel (streaming/funnel_stream.py) over several
+    micro-batches with OUT-OF-ORDER arrival: a user's later-stage event
+    lands in an earlier file than its anchor.  Once a far-future nudge
+    event pushes the watermark past every journey, the emitted
+    (user, stage_idx, reached_at) set must equal the batch
+    funnel_users cells on the same data."""
+    import pandas as pd
+
+    from duckdb_imputation_spark.operators.funnel import funnel_users
+    from duckdb_imputation_spark.streaming.funnel_stream import funnel_stream
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+
+    def T(minutes):
+        return (base + pd.Timedelta(minutes=minutes)).to_pydatetime()
+
+    stages = ["view", "click", "buy"]
+    rows = [  # (user_id, ts, event_type)
+        # u1 full ordered journey, but the click arrives in batch 1
+        # BEFORE the view (batch 2) — buffer-until-watermark must
+        # still anchor on the earlier view
+        (1, T(10), "click"), (1, T(30), "buy"),
+        (1, T(5), "view"),
+        # u2 clicked before viewing: stalls at view
+        (2, T(2), "click"), (2, T(3), "view"),
+        # u3 view+buy, never clicked
+        (3, T(1), "view"), (3, T(2), "buy"),
+        # u4 non-stage noise only
+        (4, T(1), "error"),
+    ]
+    edf = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+
+    src = str(tmp_path / "ev")
+    # batch 1: the out-of-order clicks/buys; batch 2: the anchors;
+    # batch 3: a far-future non-stage nudge that only advances the
+    # watermark (filtered inside the operator AFTER the watermark)
+    edf.filter("ts > timestamp'2024-01-01 00:04:00'").coalesce(1).write.mode("append").parquet(src)
+    edf.filter("ts <= timestamp'2024-01-01 00:04:00'").coalesce(1).write.mode("append").parquet(src)
+    # TWO nudge files of a STAGE type under an excluded user id: the
+    # first advances the watermark past every journey (only stage-type
+    # events move the clock — Catalyst pushes the stage filter below
+    # the watermark node), the second triggers the batch in which the
+    # armed event-time timeouts actually fire (watermark updates at
+    # batch END; a timeout set by batch N fires during batch N+1)
+    spark.createDataFrame(
+        [(99, T(10000), "view")], "user_id long, ts timestamp, event_type string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(99, T(10001), "view")], "user_id long, ts timestamp, event_type string"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    es = (
+        spark.readStream.schema(edf.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = funnel_stream(es, stages, watermark="1 minute")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("funnel_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.stage_idx, r.stage, r.reached_at)
+        for r in spark.sql("SELECT * FROM funnel_stream").collect()
+        if r.user_id != 99  # the clock-nudge user
+    }
+
+    users = funnel_users(edf, "user_id", "ts", "event_type", stages).collect()
+    want = set()
+    for r in users:
+        for k, s in enumerate(stages):
+            t = r[f"t{k + 1}"]
+            if t is not None:
+                want.add((r["user_id"], k + 1, s, t))
+    assert got == want, (sorted(got), sorted(want))
+    # the out-of-order journey completed all three stages
+    assert (1, 3, "buy", T(30)) in got
+
+
+def test_streaming_funnel_within_and_exactly_once(spark, tmp_path):
+    """The within knob matches batch, and a REPLAYED second
+    availableNow run through the same checkpoint emits nothing new
+    (machine state survives; no duplicate stage rows)."""
+    import pandas as pd
+
+    from duckdb_imputation_spark.streaming.funnel_stream import funnel_stream
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+
+    def T(minutes):
+        return (base + pd.Timedelta(minutes=minutes)).to_pydatetime()
+
+    rows = [
+        (1, T(0), "view"), (1, T(5), "click"),    # inside within=600s
+        (2, T(0), "view"), (2, T(50), "click"),   # outside
+    ]
+    edf = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    src = str(tmp_path / "ev2")
+    edf.coalesce(1).write.mode("append").parquet(src)
+    for m in (10000, 10001):  # two stage-type nudges (excluded user):
+        # advance the watermark, then fire the armed timeouts
+        spark.createDataFrame(
+            [(99, T(m), "view")], "user_id long, ts timestamp, event_type string"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "funnel_out")
+
+    def run():
+        es = (
+            spark.readStream.schema(edf.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            funnel_stream(es, ["view", "click"], watermark="1 minute", within=600.0)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    first = [
+        (r.user_id, r.stage_idx)
+        for r in spark.read.parquet(out_dir).collect()
+        if r.user_id != 99
+    ]
+    assert sorted(first) == [(1, 1), (1, 2), (2, 1)]  # u2 click outside within
+    # replay through the SAME checkpoint: the offsets log remembers
+    # every file was read and the machine state survives — no
+    # duplicate stage rows land in the sink
+    run()
+    second = [
+        (r.user_id, r.stage_idx)
+        for r in spark.read.parquet(out_dir).collect()
+        if r.user_id != 99
+    ]
+    assert sorted(second) == sorted(first)
