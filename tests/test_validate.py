@@ -159,3 +159,58 @@ def test_violation_rows_kind_labels(spark):
     assert kinds["not_null(a)"] == "not_null"
     assert kinds["unique(a)"] == "unique"
     assert kinds["foreign_key(b->dim)"] == "foreign_key"
+
+
+# --------------------------------------------------------------------- #
+# seeded fuzz: every check class vs a pandas reference                  #
+# --------------------------------------------------------------------- #
+
+
+def test_validate_random_vs_pandas_reference(spark):
+    import numpy as np
+    import pandas as pd
+
+    for seed in (0, 1, 2):
+        rng = np.random.default_rng(seed)
+        n = 300
+        pdf = pd.DataFrame(
+            {
+                "a": rng.integers(0, 20, n).astype("float64"),
+                "b": rng.integers(0, 5, n).astype("float64"),
+                "c": rng.choice(["x", "y", "z", "w"], n),
+                "k": rng.integers(0, 50, n).astype("float64"),
+            }
+        )
+        # inject NULLs
+        for col in ("a", "b", "c", "k"):
+            mask = rng.random(n) < 0.1
+            pdf.loc[mask, col] = None
+        df = spark.createDataFrame(pdf)
+        dim_vals = list(range(0, 40))  # keys 40..49 become orphans
+        dim = spark.createDataFrame([(float(v),) for v in dim_vals], "rk double")
+
+        out = {
+            r["check"]: r["n_violations"]
+            for r in validate_constraints(
+                df,
+                [
+                    not_null("a", name="nn"),
+                    in_range("a", 3, 15, name="rng"),
+                    accepted_values("c", ["x", "y"], name="dom"),
+                    expression("b < 4", name="expr"),
+                    unique(["a", "b"], name="uq"),
+                    foreign_key(["k"], "dim", ["rk"], name="fk"),
+                ],
+                refs={"dim": dim},
+            ).collect()
+        }
+        a, b, c, k = pdf["a"], pdf["b"], pdf["c"], pdf["k"]
+        assert out["nn"] == int(a.isna().sum()), seed
+        assert out["rng"] == int(((a < 3) | (a > 15)).sum()), seed  # NaN-safe: NaN comparisons are False
+        assert out["dom"] == int((~c.isna() & ~c.isin(["x", "y"])).sum()), seed
+        # SQL CHECK semantics: NULL predicate is not a violation
+        assert out["expr"] == int((b >= 4).sum()), seed
+        # unique: NULL keys group together (pandas dropna=False)
+        sizes = pdf.groupby(["a", "b"], dropna=False).size()
+        assert out["uq"] == int((sizes - 1).sum()), seed
+        assert out["fk"] == int((~k.isna() & ~k.isin(dim_vals)).sum()), seed
