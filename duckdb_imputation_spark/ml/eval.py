@@ -43,9 +43,19 @@ def classification_report(
     ``milli=True`` quantizes p to integer milli-units first: the
     confusion cells and the Brier numerator become exact integers (the
     mice_recovery_rmse discipline), leaving per-row ln as the only
-    float surface.  For log-loss, milli-probabilities are clipped to
-    [1, 999] so degenerate 0/1 predictions stay finite (the standard
-    eps-clip, made deterministic by the integer grid)."""
+    float surface.  THE THRESHOLD ITSELF IS APPLIED ON THE MILLI GRID:
+    a row is positive iff round(p·1000) >= round(threshold·1000), so
+    raw p in [threshold−0.0005, threshold) classifies POSITIVE — the
+    operating point moves by up to half a milli-step vs thresholding
+    the raw probability (ADVICE r9).  This is deliberate: p is
+    typically a sigmoid (transcendental), and two engines computing it
+    can disagree in the last ulp — a raw-p comparison at the boundary
+    would make confusion cells engine-dependent, while the milli-grid
+    decision is bit-reproducible everywhere.  Pass ``milli=False`` for
+    raw-threshold semantics when cross-engine exactness is not needed.
+    For log-loss, milli-probabilities are clipped to [1, 999] so
+    degenerate 0/1 predictions stay finite (the standard eps-clip,
+    made deterministic by the integer grid)."""
     y = F.col(label_col).cast("double")
     p: Column = F.col(prob_col).cast("double")
     src = df.where(

@@ -6,10 +6,23 @@ Semantics (the standard strict-order funnel, e.g. the UDAFs behind
 ClickHouse ``windowFunnel`` / the sequence-match family): a user
 reaches stage k when an event of stage k's type exists STRICTLY AFTER
 the timestamp at which they reached stage k−1 (earliest-completion
-greedy matching, which is optimal for existence: matching each stage
-as early as possible dominates every other assignment).  ``within``
-optionally bounds the whole journey to a time window starting at the
-stage-1 event.
+greedy matching).  With ``within=None`` the greedy assignment is
+OPTIMAL for existence — matching each stage as early as possible
+dominates every other assignment, so depth here equals the maximum
+reachable depth under any assignment.
+
+``within`` bounds every later stage to that long after the user's
+stage-1 anchor — and the anchor is always the GLOBAL MIN stage-1
+timestamp.  This deliberately deviates from ClickHouse windowFunnel,
+which retries EVERY stage-1 event as a window start: view@0,
+view@100, click@150 with within=60 stalls at stage 1 here (anchor=0,
+the click misses the window) but converts in windowFunnel from the
+@100 anchor.  The min-ts anchor answers "did the user convert within
+`within` of their FIRST entry" — a cohort-attribution question — in
+S−1 joins with no per-anchor re-matching; per-anchor window starts
+would need the windowFunnel UDAF's per-user sequence scan.  The
+optimality claim above does NOT extend to the ``within`` case
+(ADVICE r9).
 
 Scale shape: NO per-user sequence assembly (no collect_list, no
 per-user Python).  Stage 1 is one filtered aggregate to (user, t1);

@@ -142,7 +142,14 @@ def funnel_stream(
         ]
         out = {c: [] for c in ("user_id", "stage_idx", "stage", "reached_at")}
         for t, sk in sealed:
-            if k >= n_stages or sk != k:
+            # compare stage NAMES, not indices: the source maps every
+            # event type to its FIRST index in `stages`, so a funnel
+            # with a repeated stage type (['view','click','view'])
+            # must accept a sealed sk=0 event at k=2 whenever
+            # stages[sk] == stages[k] — index equality alone could
+            # never reach a later duplicate stage, silently breaking
+            # batch equivalence (ADVICE r9)
+            if k >= n_stages or stages[sk] != stages[k]:
                 continue
             if k == 0:
                 pass  # first stage anchors unconditionally (min ts)

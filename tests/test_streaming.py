@@ -1522,3 +1522,70 @@ def test_streaming_funnel_within_and_exactly_once(spark, tmp_path):
         if r.user_id != 99
     ]
     assert sorted(second) == sorted(first)
+
+
+def test_streaming_funnel_repeated_stage(spark, tmp_path):
+    """A funnel with a REPEATED stage type (['view','click','view'])
+    must complete in streaming exactly as in batch (ADVICE r9: the
+    source maps every event to its FIRST stage index, so the fold has
+    to match stage NAMES — index equality could never reach the later
+    duplicate stage)."""
+    import pandas as pd
+
+    from duckdb_imputation_spark.operators.funnel import funnel_users
+    from duckdb_imputation_spark.streaming.funnel_stream import funnel_stream
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+
+    def T(minutes):
+        return (base + pd.Timedelta(minutes=minutes)).to_pydatetime()
+
+    stages = ["view", "click", "view"]
+    rows = [
+        # u1 completes all three stages: view@1, click@2, view@3
+        (1, T(1), "view"), (1, T(2), "click"), (1, T(3), "view"),
+        # u2 views twice but never clicks: stalls at stage 1 (the
+        # second view cannot satisfy stage 2 = 'click')
+        (2, T(1), "view"), (2, T(4), "view"),
+        # u3 view then click only: stalls at stage 2
+        (3, T(1), "view"), (3, T(2), "click"),
+    ]
+    edf = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    src = str(tmp_path / "ev3")
+    edf.coalesce(1).write.mode("append").parquet(src)
+    for m in (10000, 10001):  # advance watermark, then fire timeouts
+        spark.createDataFrame(
+            [(99, T(m), "view")],
+            "user_id long, ts timestamp, event_type string",
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    es = (
+        spark.readStream.schema(edf.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        funnel_stream(es, stages, watermark="1 minute")
+        .writeStream.format("memory")
+        .queryName("funnel_stream_rep")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.stage_idx, r.reached_at)
+        for r in spark.sql("SELECT * FROM funnel_stream_rep").collect()
+        if r.user_id != 99
+    }
+    users = funnel_users(edf, "user_id", "ts", "event_type", stages).collect()
+    want = set()
+    for r in users:
+        for k in range(len(stages)):
+            t = r[f"t{k + 1}"]
+            if t is not None:
+                want.add((r["user_id"], k + 1, t))
+    assert got == want, (sorted(got), sorted(want))
+    assert (1, 3, T(3)) in got  # the duplicate stage is reachable
