@@ -76,123 +76,85 @@ def resolve_oracles(sf_dir: str | None = None) -> dict[str, str]:
 # that nothing never-driver-verified sits past the cutoff.              #
 # --------------------------------------------------------------------- #
 
+# Grandfather clause for the evidence-age CI ratchet
+# (tests/test_catalog_order.py::test_evidence_age_within_window): a row
+# may age past the N-4 line ONLY by appearing here with a documented
+# reason.  Deliberately empty — the rule exists so exceptions are
+# visible diffs, not silent slips.
+_EVIDENCE_AGE_EXCEPTIONS: dict[str, str] = {}
+
 _DRIVER_PRIORITY: list[str] = [
-    # round 9: new rows (never driver-verified) — the KEYED live
-    # heavy-hitters path (VERDICT r8 #2: per-source Misra-Gries state
-    # parallelizing across the key space), the MICE recovery-quality
-    # oracle (VERDICT r8 #4: RMSE of recovered values vs held-back
-    # ground truth, exact-integer SSE), and the published-SemDeDup
-    # cluster-local pruning mode (VERDICT r8 #6)
-    "streaming_heavy_hitters_by_source",
-    "mice_recovery_rmse",
-    "semantic_dedup_clustered",
-    # round 9, second session: three more new rows (never
-    # driver-verified — the catalog-order invariant puts them in the
-    # window; the three r4-evidence rotation slots they displace are
-    # q3_shipping_priority / nb_train_predict_histogram /
-    # cube_lineitem, each with a same-code-path sibling STILL in this
-    # window — q1 for the TPC-H aggregate path (and q3 runs in every
-    # bench), lda_train_predict_histogram for the shared sigma-builder
-    # + histogram-compare path, rollup_lineitem for the grouping-sets
-    # path — so the displaced rows join the 13-row r10 queue head):
-    # in-engine ROC-AUC evaluation, model-based quality filtering
-    # (weak-label logreg distillation), declarative constraint
-    # validation
-    "auc_value_purchase_events",
-    "quality_classifier_documents",
-    "validate_lineitem_constraints",
-    # round 9, second session (continued): ordered conversion funnel
-    # and the thresholded classifier report — displacing
-    # embedding_cosine_scores (sibling ann_ivf_topk stays in-window;
-    # also bench-exercised every round) and token_entropy_documents
-    # (sibling unigram_logprob_scores stays — same tokenize-explode
-    # textstats path)
-    "funnel_view_click_purchase_events",
-    "quality_classifier_report_documents",
-    # round 9: rows whose OUTPUT changed this round — the r9 margin
-    # sweep (oracle_margin.boundary_is_exact_double, the machine check
-    # for the r8 target_encode decimal-boundary class) flagged
-    # text_stats' quality ratio exactly ON an inexact tier-6 boundary
-    # and three sf0.01 ewma cells at dist ~1e-14: both now round at
-    # the INTEGER tier (round(v*1e6)/1e6), which shifts boundary
-    # cells; corpus_data_card averages the same quality expression
-    "ewma_events",
-    "text_stats_documents",
-    "corpus_data_card",
-    # round 9: ADVICE-fix re-hash rows (plan- or branch-affecting code
-    # changes, outputs replay-identical — back for one post-change
-    # driver round per the r4 hygiene rule): quantile_buckets' edge
-    # join went inner->left (row-preserving NULL buckets),
-    # seasonal_anomalies pins NULL-ts/key flags explicitly,
-    # ks_2sample dropped the unused rank window from its dictionary,
-    # target_encode gained the LOO singleton prior fallback
-    "quantile_buckets_lineitem",
-    "seasonal_anomalies_events",
-    "ks_value_click_view_events",
-    "target_encode_events",
-    # (benford_value_events yields its slot: its r9 change is a
-    # Python-side dtype guard that cannot alter any produced output —
-    # the row's column is BIGINT and passes the guard; plan unchanged.
-    # mannwhitney_value_events / spearman_qty_price_lineitem yield:
-    # _cohort_dictionary gained a with_ranks flag whose default
-    # preserves their exact plan and output; all three replay-green.)
-    # round 9: THE ROTATION (VERDICT r8 #1 / r7 #5, deferred once,
-    # now paid first-class): every row whose newest driver evidence
-    # was r2/r3 — the judge's named fifteen —
-    "casts_and_dates",
-    "case_when_null_buckets",
-    "json_extract_events",
-    "math_scalar_functions",
-    "events_hourly_rollup",
-    "orders_window_top3",
-    "semi_join_urgent_customers",
-    "anti_join_customers_no_orders",
-    "mean_mode_stats",
-    "union_partition_counts",
-    "distinct_category_dictionary",
-    "list_extract_position",
-    "exact_dedup_documents",
-    "minhash_signatures",
-    "cross_join_triples",
-    # — plus twenty-five of the thirty-eight r4-evidence rows (all
-    # replay-green, implementation-untouched).  The thirteen r4 rows
-    # NOT fitting this window (50 slots - 10 new/changed - 15 named =
-    # 25) are the head of the r10 rotation queue, chosen where a
-    # same-code-path sibling IS in the window (note: triple_lineitem_full
-    # and nb_triple_orders also carry the r9 cofactor _join_on broadcast
-    # HINT for the keyless dense⊕sparse combine — a plan-only change,
-    # outputs bit-identical, replay-green; the window rows
-    # cross_join_triples / lift_sum_equivalence / linreg_via_triple
-    # exercise the same hinted path with driver hashes):
-    # triple_lineitem_full /
-    # triple_factorized_join_grouped / nb_triple_orders (grouped,
-    # ungrouped and NB-lift twins rotate), q5/q6 (q1/q3 rotate,
-    # bench-exercised), qda histogram (lda+nb rotate, shared sigma),
-    # rolling_customer_spend (orders_window_top3 rotates),
-    # brand_revenue, string_functions_parts (math_scalar rotates),
-    # unpivot (rollup/pivot/cube rotate), intersect_except_parts
-    # (union rotates), events_microsecond_exact (loader-pinned),
-    # sql_passthrough_shared_dialect (exercised by every oracle).
-    "triple_lineitem_grouped",
-    "lift_sum_equivalence",
-    "triple_factorized_join",
-    "q1_pricing_summary",
-    "linreg_via_triple_vs_regr",
-    "ann_ivf_topk",
-    "dedup_components_transitive",
-    "decontaminate_documents",
-    "minhash_dedup_survivors",
-    "pii_scrub_documents",
-    "stratified_sample_documents",
-    "unigram_logprob_scores",
-    "sequence_id_generation",
-    "correlated_subqueries_orders",
-    "rollup_lineitem",
-    "pivot_order_status",
-    "percentile_quantities",
-    "lda_train_predict_histogram",
-    "sessionize_events",
-    "asof_join_click_to_view",
+    # round 10: five slots are reserved at the head for the new rows
+    # registered this round (live funnel twin driver row, validate_rows
+    # quarantine, multiclass report, one-vs-rest AUC, funnel timing) —
+    # each is appended here the moment it is registered, per the
+    # catalog-order invariant (never-driver-verified rows MUST sit
+    # inside the window).
+    # round 10 ROTATION (VERDICT r9 #1, now machine-checked by
+    # tests/test_catalog_order.py::test_evidence_age_within_window):
+    # every row whose newest driver evidence is r4 — the 18-row cohort
+    # that aged past the N-4 line at r9 close (13 documented in the r9
+    # queue + 5 displaced late in r9, each trade noted then) —
+    "brand_revenue",
+    "cube_lineitem",
+    "embedding_cosine_scores",
+    "events_microsecond_exact",
+    "intersect_except_parts",
+    "nb_train_predict_histogram",
+    "nb_triple_orders",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
+    "qda_train_predict_histogram",
+    "rolling_customer_spend",
+    "sql_passthrough_shared_dialect",
+    "string_functions_parts",
+    "token_entropy_documents",
+    "triple_factorized_join_grouped",
+    "triple_lineitem_full",
+    "unpivot_lineitem_charges",
+    # — plus the ENTIRE r5-evidence cohort (18 rows), which ages past
+    # the N-4 line at THIS round's close; rotating it now is what the
+    # r9 verdict's "budget ~36 rotation slots" arithmetic asked for —
+    "duplicate_passage_flags",
+    "interval_overlap_view_purchase",
+    "line_dedup_documents",
+    "multimodal_decode_wav",
+    "multimodal_image_features_netpbm",
+    "multimodal_media_meta",
+    "multimodal_video_frames_netpbm",
+    "normalize_text_documents",
+    "pca_project_embeddings",
+    "range_join_click_view_window",
+    "repetition_metrics_documents",
+    "salted_join_segment_revenue",
+    "snapshot_diff_documents",
+    "strip_html_documents",
+    "temperature_mix_sample",
+    "train_val_test_split",
+    "vocabulary_top_tokens",
+    "zorder_key_lineitem",
+    # — and nine of the seventeen r6-evidence rows (alphabetical head;
+    # they age out at r11, so taking nine now leaves the r11 window
+    # only eight r6 stragglers + the r7 cohort to schedule).  The eight
+    # r6 rows NOT fitting (multimodal_decode_netpbm,
+    # ngram_decontaminate_documents, ngram_jaccard_dups,
+    # pack_documents_bins, pq_cosine_topk, quantized_cosine_topk,
+    # semantic_dedup_survivors, simhash_documents) head the r11 queue;
+    # each has a same-code-path sibling in THIS window (netpbm image/
+    # video rows for the netpbm decoder, bpe_encode for the n-gram
+    # tokenize path, chunk_documents for the passage catalog,
+    # ann_ivfpq for the PQ/quantized cosine path, dedup_cluster_sizes
+    # + embedding_dup_pairs_lsh for the dedup graph/banding paths).
+    "ann_ivfpq_topk",
+    "bm25_index_search_documents",
+    "bm25_search_documents",
+    "bpe_encode_documents",
+    "chunk_documents_catalog",
+    "dedup_cluster_sizes",
+    "embedding_dup_pairs_lsh",
+    "funnel_view_click_purchase",
+    "minhash_index_dedup_new",
 ]
 
 
@@ -224,25 +186,69 @@ _DRIVER_PRIORITY: list[str] = [
 # full-catalog replay.  A query whose code changes must move back to
 # _DRIVER_PRIORITY for one round (VERDICT r4 hygiene rule).
 _DRIVER_DEMOTE: list[str] = [
-    # displaced late in round 9 by the session's three new rows (AUC /
-    # quality classifier / constraint validation — never-driver-verified
-    # rows MUST sit inside the window): r4-evidence, replay-green,
-    # implementation-untouched, each with a same-code-path sibling
-    # still in the window (q1 / lda histogram / rollup); they join the
-    # 13-row r10 rotation-queue head, making it 16
-    "q3_shipping_priority",
-    "nb_train_predict_histogram",
-    "cube_lineitem",
-    "embedding_cosine_scores",
-    "token_entropy_documents",
-    # rotated out round 9 for the rotation-debt payoff (VERDICT r8 #1):
-    # the ENTIRE round-8 window — all r8 driver-green
-    # (CORRECTNESS_r08.json hash_match 50/50), implementation untouched
-    # this round except the four ADVICE re-hash rows that STAY in
-    # _DRIVER_PRIORITY (quantile_buckets_lineitem,
-    # seasonal_anomalies_events, ks_value_click_view_events,
-    # target_encode_events) and the flagged-output rows (ewma_events,
-    # text_stats_documents, corpus_data_card)
+    # rotated out round 10 for the r4/r5/r6 evidence rotation and the
+    # five new rows: the ENTIRE round-9 window — all r9 driver-green
+    # (CORRECTNESS_r09.json: 50/50 rows+schema+hash, zero err),
+    # implementation untouched this round (the funnel_stream
+    # repeated-stage fix touches only the streaming twin, which had no
+    # driver row until this round; funnel.py / eval.py changes are
+    # docstring-only, outputs replay-identical)
+    "streaming_heavy_hitters_by_source",
+    "mice_recovery_rmse",
+    "semantic_dedup_clustered",
+    "auc_value_purchase_events",
+    "quality_classifier_documents",
+    "validate_lineitem_constraints",
+    "funnel_view_click_purchase_events",
+    "quality_classifier_report_documents",
+    "ewma_events",
+    "text_stats_documents",
+    "corpus_data_card",
+    "quantile_buckets_lineitem",
+    "seasonal_anomalies_events",
+    "ks_value_click_view_events",
+    "target_encode_events",
+    "casts_and_dates",
+    "case_when_null_buckets",
+    "json_extract_events",
+    "math_scalar_functions",
+    "events_hourly_rollup",
+    "orders_window_top3",
+    "semi_join_urgent_customers",
+    "anti_join_customers_no_orders",
+    "mean_mode_stats",
+    "union_partition_counts",
+    "distinct_category_dictionary",
+    "list_extract_position",
+    "exact_dedup_documents",
+    "minhash_signatures",
+    "cross_join_triples",
+    "triple_lineitem_grouped",
+    "lift_sum_equivalence",
+    "triple_factorized_join",
+    "q1_pricing_summary",
+    "linreg_via_triple_vs_regr",
+    "ann_ivf_topk",
+    "dedup_components_transitive",
+    "decontaminate_documents",
+    "minhash_dedup_survivors",
+    "pii_scrub_documents",
+    "stratified_sample_documents",
+    "unigram_logprob_scores",
+    "sequence_id_generation",
+    "correlated_subqueries_orders",
+    "rollup_lineitem",
+    "pivot_order_status",
+    "percentile_quantities",
+    "lda_train_predict_histogram",
+    "sessionize_events",
+    "asof_join_click_to_view",
+    # long-stable rows with r5-r8 driver evidence, rotated out in past
+    # rounds (full per-round trade notes in git history at this file);
+    # every name is replay-verified each round by the local
+    # full-catalog oracle-parity gate (tests/test_oracle_parity.py),
+    # and the evidence-age CI ratchet schedules each cohort back into
+    # the window before it ages past the N-4 line
     "ewma_halflife_stream_events",
     "scd2_user_event_type",
     "leakage_safe_split_documents",
@@ -289,9 +295,6 @@ _DRIVER_DEMOTE: list[str] = [
     "cusum_events",
     "winsorize_lineitem",
     "heavy_hitter_tokens",
-    # rotated out round 8 for the stale-evidence rotation and the new
-    # streaming-EWMA row: ALL r7 driver-green (CORRECTNESS_r07.json
-    # hash_match), implementation untouched this round
     "hits_navigation",
     "fill_forward_events",
     "bottomk_sample_documents",
@@ -328,89 +331,14 @@ _DRIVER_DEMOTE: list[str] = [
     "dedup_keep_best_survivors",
     "doc_quality_nb_histogram",
     "triple_lineitem_wide",
-    # rotated out round 7 (cont'd) for the six NEXT-ROTATION rows
-    # (half-life EWMA, batch + streaming CUSUM, retention sink,
-    # streaming sliding windows, winsorize): all six are r5- AND
-    # r6-driver-green (CORRECTNESS_r05/r06.json hash_match) with no
-    # implementation change since (bpe.py / dedup.py / simsearch.py /
-    # profile.py's data-card path have no diff touching them this
-    # round)
-    "bpe_encode_documents",
     "semantic_dedup_survivors",
     "quantized_cosine_topk",
     "pq_cosine_topk",
-    "ann_ivfpq_topk",
-    # rotated out round 7 (late) for the five new rows (grouped
-    # bottom-k, ranking family, retention, sliding windows, robust
-    # stats; the fifth slot was already free — the prior window held
-    # 49): r6 driver-green (CORRECTNESS_r06.json hash_match),
-    # implementation untouched this round (dedup.py /
-    # minhash_index.py and the funnel row's code have no r7 diff)
-    "minhash_index_dedup_new",
-    "funnel_view_click_purchase",
-    "dedup_cluster_sizes",
     "simhash_documents",
-    # rotated out round 7 to make window room for the two new
-    # alternating-components / streaming-bloom-sink rows (VERDICT r6
-    # #3) and the bucketed-DSIR row: all four returned to the window
-    # in r6 for their one promised post-change driver round (r5 bind
-    # changes) and came back green (CORRECTNESS_r06.json hash_match);
-    # implementation untouched this round
-    "chunk_documents_catalog",
     "ngram_jaccard_dups",
-    "bm25_search_documents",
-    # rotated out round 7 for the three new-operator rows (gopher /
-    # fuzzy-join / heavy-hitters): r6 driver-green
-    # (CORRECTNESS_r06.json hash_match), implementation untouched
-    # this round
     "multimodal_decode_netpbm",
-    "embedding_dup_pairs_lsh",
     "pack_documents_bins",
-    # rotated out round 7 for the profile_lineitem and two-table
-    # fuzzy-join rows: r6 driver-green, implementation untouched this
-    # round
     "ngram_decontaminate_documents",
-    "bm25_index_search_documents",
-    # rotated out round 6 to make window room for the eight new rows
-    # and the four returning bind-changed rows: ALL r5 driver-green
-    # (CORRECTNESS_r05.json hash_match), implementation untouched this
-    # round
-    "multimodal_image_features_netpbm",
-    "multimodal_video_frames_netpbm",
-    "snapshot_diff_documents",
-    "range_join_click_view_window",
-    "interval_overlap_view_purchase",
-    "zorder_key_lineitem",
-    "normalize_text_documents",
-    "strip_html_documents",
-    "train_val_test_split",
-    "pca_project_embeddings",
-    "temperature_mix_sample",
-    "salted_join_segment_revenue",
-    # rotated out late round 6 for the bloom/components/bloom-decontam
-    # rows: all r5 driver-green, implementation untouched this round
-    "line_dedup_documents",
-    "duplicate_passage_flags",
-    "repetition_metrics_documents",
-    "vocabulary_top_tokens",
-    "multimodal_decode_wav",
-    "multimodal_media_meta",
-    # rotated out late round 5 for the selection/count-min/pagerank rows:
-    # hash-green in r3 AND r4 driver runs, implementation untouched
-    "rolling_customer_spend",
-    # rotated out round 7 to make window room for the two real-decode
-    # multimodal rows: hash-green in the r4 driver run, implementation
-    # untouched since
-    "intersect_except_parts",
-    # rotated out round 7 for the snapshot-diff and sketch rows:
-    # hash-green in r3 AND r4 driver runs, implementation untouched since
-    "qda_train_predict_histogram",
-    # rotated out round 6 to make window room for the new rangejoin/bpe/
-    # passage-removal/pca rows: hash-green in BOTH r3 and r4 driver
-    # runs, implementation untouched since
-    "unpivot_lineitem_charges",
-    "string_functions_parts",
-    "brand_revenue",
 ]
 
 

@@ -79,3 +79,47 @@ def test_demoted_queries_keep_oracles():
 def test_window_not_overfull():
     front = [n for n in _DRIVER_PRIORITY if n in QUERIES]
     assert len(front) <= DRIVER_WINDOW
+
+
+def test_evidence_age_within_window():
+    """The evidence-age rule, made mechanical (VERDICT r9 #1): at round
+    N close, no registered row's newest green driver evidence may be
+    older than round N−4.  The round in progress is N = (newest
+    CORRECTNESS file) + 1, so every row whose newest green evidence is
+    at round N−5 or older — the cohort that would breach the rule at
+    THIS round's close — must be scheduled inside the 50-row driver
+    window now (or carry an explicit, documented exception in
+    ``_EVIDENCE_AGE_EXCEPTIONS``).  This converts the twice-negotiated
+    hygiene rule (VERDICT r7 #5, r8 #1, r9 finding #1) into a gate that
+    cannot slip: letting a cohort age out without window slots fails CI
+    the moment the round starts, not at judging."""
+    from duckdb_imputation_spark.queries import _EVIDENCE_AGE_EXCEPTIONS
+
+    newest: dict[str, int] = {}
+    max_round = 0
+    for fname in sorted(os.listdir(ROOT)):
+        if fname.startswith("CORRECTNESS_r") and fname.endswith(".json"):
+            rnd = int(fname[len("CORRECTNESS_r"):-len(".json")])
+            max_round = max(max_round, rnd)
+            with open(os.path.join(ROOT, fname)) as f:
+                data = json.load(f)
+            for n, v in data.items():
+                if v.get("hash_match") and not v.get("err"):
+                    newest[n] = max(newest.get(n, 0), rnd)
+    if not max_round:
+        pytest.skip("no driver correctness files in this checkout")
+    current_round = max_round + 1
+    window = set(list(entry_mod.queries())[:DRIVER_WINDOW])
+    stale = sorted(
+        n
+        for n, r in newest.items()
+        if n in QUERIES
+        and r <= current_round - 5
+        and n not in window
+        and n not in _EVIDENCE_AGE_EXCEPTIONS
+    )
+    assert not stale, (
+        f"rows whose newest driver evidence (<= r{current_round - 5}) ages "
+        f"past the N-4 line at round {current_round} close, yet are not "
+        f"scheduled in the driver window: {stale}"
+    )
