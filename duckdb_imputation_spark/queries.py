@@ -90,6 +90,7 @@ _DRIVER_PRIORITY: list[str] = [
     # each is appended here the moment it is registered, per the
     # catalog-order invariant (never-driver-verified rows MUST sit
     # inside the window).
+    "funnel_stream_view_click_purchase_events",
     # round 10 ROTATION (VERDICT r9 #1, now machine-checked by
     # tests/test_catalog_order.py::test_evidence_age_within_window):
     # every row whose newest driver evidence is r4 — the 18-row cohort
@@ -10244,3 +10245,111 @@ def quality_classifier_report_documents(spark, sf):
     return classification_report(
         scored, "label", "p", threshold=0.5, milli=True
     )
+
+
+@register(
+    "funnel_stream_view_click_purchase_events",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id AS u, MIN(ts) AS t FROM events
+      WHERE event_type = 'view' AND user_id IS NOT NULL
+        AND ts IS NOT NULL
+      GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id AS u, MIN(e.ts) AS t
+      FROM events e JOIN s1 ON e.user_id = s1.u
+      WHERE e.event_type = 'click' AND e.ts > s1.t
+      GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id AS u, MIN(e.ts) AS t
+      FROM events e JOIN s2 ON e.user_id = s2.u
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t
+      GROUP BY e.user_id
+    )
+    SELECT CAST(u AS BIGINT) AS user_id, CAST(1 AS INT) AS stage_idx,
+           'view' AS stage, epoch_us(t) AS reached_us
+    FROM s1
+    UNION ALL
+    SELECT CAST(u AS BIGINT), CAST(2 AS INT), 'click', epoch_us(t)
+    FROM s2
+    UNION ALL
+    SELECT CAST(u AS BIGINT), CAST(3 AS INT), 'purchase', epoch_us(t)
+    FROM s3
+    """,
+)
+def funnel_stream_view_click_purchase_events(spark, sf):
+    """The LIVE funnel twin end to end (streaming/funnel_stream.py on
+    applyInPandasWithState, EventTimeTimeout) — the availableNow
+    pattern every other streaming twin carries (VERDICT r9 #2): the
+    events table replays as TWO files through ONE checkpoint, split at
+    the timestamp midpoint, so run 2 recovers run 1's machine state
+    AND its unsealed buffers from the state store (events inside run
+    1's final 10-minute watermark lag seal only in run 2 — the
+    cross-run buffer-recovery path), and a stage-type sentinel under
+    an excluded user a day past the horizon advances the final
+    watermark so the no-data micro-batch fires every armed event-time
+    timeout (timeouts armed in batch N fire in batch N+1; only
+    stage-type events move the clock — Catalyst pushes the stage
+    filter below the watermark node).  The emitted (user, stage,
+    reached_at) set must equal the batch funnel_users cells row for
+    row — the SAME stage-CTE oracle as the batch funnel row, in long
+    format — and exactly-once per (user, stage) holds by construction
+    (a machine that already reached stage k never re-emits it, even
+    across the checkpoint restart).  Timestamps leave as exact epoch
+    microseconds (unix_micros / epoch_us), so the row has zero float
+    surface."""
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming.funnel_stream import funnel_stream
+
+    stages = ["view", "click", "purchase"]
+    ev = load_table(spark, sf, "events").select(
+        "user_id", "ts", "event_type"
+    ).where(F.col("ts").isNotNull())
+    lo_us, hi_us = ev.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).first()
+    mid = F.timestamp_micros(F.lit((lo_us + hi_us) // 2))
+    hi = F.timestamp_micros(F.lit(hi_us))
+    sentinel = spark.range(1).select(
+        F.lit(-1).cast("long").alias("user_id"),
+        (hi + F.expr("INTERVAL 1 DAY")).alias("ts"),
+        F.lit("view").alias("event_type"),
+    )
+    tmp = tempfile.mkdtemp(prefix="funnel_stream_row_")
+    outdir = f"{_session_scratch('funnel_stream_out_')}/out"
+    try:
+        src = f"{tmp}/src"
+        os.makedirs(src)
+        halves = [
+            ev.where(F.col("ts") <= F.lit(mid)),
+            ev.where(F.col("ts") > F.lit(mid)).unionByName(sentinel),
+        ]
+        for i, half in enumerate(halves):
+            half.coalesce(1).write.parquet(f"{tmp}/h{i}")
+            part = [
+                f for f in os.listdir(f"{tmp}/h{i}") if f.endswith(".parquet")
+            ][0]
+            shutil.copy(f"{tmp}/h{i}/{part}", f"{src}/half{i}.parquet")
+            stream = spark.readStream.schema(halves[0].schema).parquet(src)
+            q = (
+                funnel_stream(stream, stages, watermark="10 minutes")
+                .writeStream.format("parquet")
+                .option("path", outdir)
+                .option("checkpointLocation", f"{tmp}/cp")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        out = spark.read.parquet(outdir).where(F.col("user_id") >= 0)
+        return out.select(
+            "user_id",
+            "stage_idx",
+            "stage",
+            F.unix_micros("reached_at").alias("reached_us"),
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
