@@ -91,6 +91,7 @@ _DRIVER_PRIORITY: list[str] = [
     # catalog-order invariant (never-driver-verified rows MUST sit
     # inside the window).
     "funnel_stream_view_click_purchase_events",
+    "validate_rows_lineitem",
     # round 10 ROTATION (VERDICT r9 #1, now machine-checked by
     # tests/test_catalog_order.py::test_evidence_age_within_window):
     # every row whose newest driver evidence is r4 — the 18-row cohort
@@ -10353,3 +10354,57 @@ def funnel_stream_view_click_purchase_events(spark, sf):
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "validate_rows_lineitem",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'quantity_le_48' AS "check",
+           'in_range' AS kind
+    FROM lineitem
+    WHERE l_quantity IS NOT NULL AND (l_quantity < 1 OR l_quantity > 48)
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount_le_009', 'in_range'
+    FROM lineitem
+    WHERE l_discount IS NOT NULL
+      AND (l_discount < 0.0 OR l_discount > 0.09)
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'tax_le_007', 'expression'
+    FROM lineitem WHERE NOT COALESCE(l_tax <= 0.07, TRUE)
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'orderkey_not_null', 'not_null'
+    FROM lineitem WHERE l_orderkey IS NULL
+    """,
+)
+def validate_rows_lineitem(spark, sf):
+    """Row-level quarantine (operators/validate.py validate_rows —
+    VERDICT r9 #4, completing the Deequ surface): the rows that BREAK
+    a rule, tagged with which rule, in long format — one (row, failed
+    check) pair per output row, all scalar columns.  Four rules over
+    lineitem (two ranges, a CHECK-style expression, and a not_null
+    that never fires — silent checks must emit nothing).  Scale
+    shape: ONE scan — every rule evaluates in a single projection as
+    an array of (violated?, name) structs, F.filter keeps the failed
+    entries and explode emits them, so clean rows never leave the
+    scan stage and there is NO shuffle and NO per-check union branch
+    (the validate_constraints lesson: Catalyst re-plans the scan per
+    identical branch).  The oracle mirrors each rule as a plain
+    filtered projection; exact keys and string tags only — zero float
+    surface."""
+    from .operators.validate import (
+        expression,
+        in_range,
+        not_null,
+        validate_rows,
+    )
+
+    li = load_table(spark, sf, "lineitem")
+    checks = [
+        in_range("l_quantity", 1, 48, name="quantity_le_48"),
+        in_range("l_discount", 0.0, 0.09, name="discount_le_009"),
+        expression("l_tax <= 0.07", name="tax_le_007"),
+        not_null("l_orderkey", name="orderkey_not_null"),
+    ]
+    return validate_rows(
+        li, checks, id_cols=["l_orderkey", "l_linenumber"]
+    )

@@ -214,3 +214,143 @@ def test_validate_random_vs_pandas_reference(spark):
         sizes = pdf.groupby(["a", "b"], dropna=False).size()
         assert out["uq"] == int((sizes - 1).sum()), seed
         assert out["fk"] == int((~k.isna() & ~k.isin(dim_vals)).sum()), seed
+
+
+def test_validate_rows_long_format(spark):
+    """validate_rows emits one (row, failed check) pair per violation,
+    silent checks emit nothing, and clean rows never appear."""
+    from duckdb_imputation_spark.operators.validate import (
+        accepted_values,
+        in_range,
+        not_null,
+        validate_rows,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 5.0, "x"),     # clean
+            (2, 99.0, "x"),    # rng only
+            (3, None, "q"),    # nn + dom
+            (4, -1.0, "q"),    # rng + dom
+        ],
+        "id long, v double, c string",
+    )
+    checks = [
+        not_null("v", name="nn"),
+        in_range("v", 0, 10, name="rng"),
+        accepted_values("c", ["x", "y"], name="dom"),
+        not_null("id", name="silent"),  # never fires
+    ]
+    got = sorted(
+        (r["id"], r["check"], r["kind"])
+        for r in validate_rows(df, checks, id_cols=["id"]).collect()
+    )
+    assert got == [
+        (2, "rng", "in_range"),
+        (3, "dom", "accepted_values"),
+        (3, "nn", "not_null"),
+        (4, "dom", "accepted_values"),
+        (4, "rng", "in_range"),
+    ]
+
+
+def test_validate_rows_counts_match_constraints(spark):
+    """The long-format pair counts must agree with
+    validate_constraints' per-check violation counts on the same
+    data — the two operators are views of the same facts."""
+    import numpy as np
+    import pandas as pd
+
+    from duckdb_imputation_spark.operators.validate import (
+        expression,
+        in_range,
+        not_null,
+        validate_constraints,
+        validate_rows,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 400
+    pdf = pd.DataFrame(
+        {
+            "id": np.arange(n),
+            "a": rng.integers(0, 20, n).astype("float64"),
+            "b": rng.integers(0, 5, n).astype("float64"),
+        }
+    )
+    pdf.loc[rng.random(n) < 0.1, "a"] = None
+    df = spark.createDataFrame(pdf)
+    checks = [
+        not_null("a", name="nn"),
+        in_range("a", 3, 15, name="rng"),
+        expression("b < 4", name="expr"),
+    ]
+    want = {
+        r["check"]: r["n_violations"]
+        for r in validate_constraints(df, checks).collect()
+    }
+    rows = validate_rows(df, checks, id_cols=["id"]).collect()
+    got = {}
+    for r in rows:
+        got[r["check"]] = got.get(r["check"], 0) + 1
+    for name, cnt in want.items():
+        assert got.get(name, 0) == cnt, name
+
+
+def test_validate_rows_per_check_limit_deterministic(spark):
+    """per_check_limit keeps the first N violations per check in
+    order_cols order, deterministically."""
+    from duckdb_imputation_spark.operators.validate import (
+        in_range,
+        validate_rows,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(100 + i)) for i in range(20)], "id long, v double"
+    )
+    out = validate_rows(
+        df,
+        [in_range("v", 0, 10, name="rng")],
+        id_cols=["id"],
+        per_check_limit=5,
+        order_cols=["id"],
+    )
+    got = sorted(r["id"] for r in out.collect())
+    assert got == [0, 1, 2, 3, 4]
+    # re-run: same sample
+    assert sorted(r["id"] for r in out.collect()) == got
+
+
+def test_validate_rows_rejects_set_level_checks(spark):
+    from duckdb_imputation_spark.operators.validate import (
+        unique,
+        validate_rows,
+    )
+
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError, match="row-local"):
+        validate_rows(df, [unique(["id"], name="uq")])
+
+
+def test_validate_rows_one_scan_no_shuffle(spark):
+    """The uncapped quarantine path must stay a pure scan: no exchange
+    in the plan (clean rows never leave the scan stage), and the
+    filter on the struct array is the only gate."""
+    from duckdb_imputation_spark.operators.validate import (
+        in_range,
+        not_null,
+        validate_rows,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    out = validate_rows(
+        df,
+        [
+            in_range("l_quantity", 1, 48, name="q"),
+            not_null("l_orderkey", name="nn"),
+        ],
+        id_cols=["l_orderkey", "l_linenumber"],
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
