@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["classification_report"]
+__all__ = ["classification_report", "classification_report_multiclass"]
 
 
 def classification_report(
@@ -136,3 +136,164 @@ def classification_report(
             else logloss
         ).alias("logloss"),
     )
+
+
+def classification_report_multiclass(
+    df: DataFrame,
+    label_col: str,
+    pred_col: str,
+    round_digits: int | None = 6,
+    averages: bool = True,
+) -> DataFrame:
+    """Per-class evaluation of predicted class ``pred_col`` against the
+    true class ``label_col`` — the multiclass companion to the binary
+    ``classification_report`` (VERDICT r9 #5: the FineWeb-Edu
+    quality-tier shape, where labels are 0-5 tiers, not 0/1).  Returns
+    one row per class appearing in labels or predictions —
+    (class, support, tp, fp, fn, precision, recall, f1) — plus, with
+    ``averages=True``, a ``macro_avg`` and a ``micro_avg`` row.
+    NULL-label or NULL-pred rows are dropped.
+
+    Conventions (each SQL-expressible, so the DuckDB oracle can mirror
+    them exactly): precision is NULL when the class is never predicted
+    EXCEPT inside the macro average, where it counts as 0 (sklearn's
+    zero_division=0); recall is NULL when support is 0; the macro
+    average runs over classes WITH support (label-present classes);
+    micro_avg's precision = recall = f1 = accuracy (the single-label
+    multiclass identity Σtp/n), with support = n and the summed
+    confusion cells.
+
+    Exactness discipline: ONE GROUP BY collapses rows to
+    (label, pred, count) cells — at most C² of them — and every
+    confusion cell is an exact BIGINT, so per-class and micro rates
+    are exact rationals under the integer-tier scaled round.  The
+    macro row averages C per-class rationals (a C-term double sum —
+    the welch/anova sum-order class, guarded by the oracle-margin
+    boundary sweep).
+
+    Scale shape: after the one map-side-combined cell aggregate
+    (shuffle volume ≤ C² rows), everything folds over C-sized frames —
+    two tiny GROUP BYs and one full outer join on the class key,
+    driver-free throughout."""
+    y, p = F.col(label_col), F.col(pred_col)
+    cells = (
+        df.where(y.isNotNull() & p.isNotNull())
+        .groupBy(
+            y.cast("string").alias("__y"), p.cast("string").alias("__p")
+        )
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    lab = cells.groupBy(F.col("__y").alias("__cls")).agg(
+        F.sum("__c").alias("__support"),
+        F.sum(
+            F.when(F.col("__y") == F.col("__p"), F.col("__c")).otherwise(
+                F.lit(0)
+            )
+        ).alias("__tp"),
+    )
+    prd = cells.groupBy(F.col("__p").alias("__cls")).agg(
+        F.sum("__c").alias("__predicted")
+    )
+    per = (
+        lab.join(prd, on="__cls", how="full_outer")
+        .select(
+            F.col("__cls").alias("class"),
+            F.coalesce(F.col("__support"), F.lit(0))
+            .cast("long")
+            .alias("support"),
+            F.coalesce(F.col("__tp"), F.lit(0)).cast("long").alias("tp"),
+            (
+                F.coalesce(F.col("__predicted"), F.lit(0))
+                - F.coalesce(F.col("__tp"), F.lit(0))
+            )
+            .cast("long")
+            .alias("fp"),
+            (
+                F.coalesce(F.col("__support"), F.lit(0))
+                - F.coalesce(F.col("__tp"), F.lit(0))
+            )
+            .cast("long")
+            .alias("fn"),
+        )
+    )
+    tp = F.col("tp").cast("double")
+    fp = F.col("fp").cast("double")
+    fn = F.col("fn").cast("double")
+    # ANSI mode: every data-dependent denominator is F.when-guarded
+    prec = F.when(F.col("tp") + F.col("fp") > 0, tp / (tp + fp))
+    rec = F.when(F.col("tp") + F.col("fn") > 0, tp / (tp + fn))
+    f1 = F.when(
+        2 * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+        2 * tp / (2 * tp + fp + fn),
+    )
+
+    def rnd(c: Column) -> Column:
+        if round_digits is None:
+            return c
+        s = F.lit(float(10 ** round_digits))
+        return F.round(c * s) / s
+
+    out = per.select(
+        "class",
+        "support",
+        "tp",
+        "fp",
+        "fn",
+        rnd(prec).alias("precision"),
+        rnd(rec).alias("recall"),
+        rnd(f1).alias("f1"),
+    )
+    if not averages:
+        return out
+    # macro: average the UNROUNDED per-class rationals over
+    # label-present classes; never-predicted classes contribute
+    # precision 0 (sklearn zero_division=0).  micro: exact rationals
+    # of summed integer cells (Σtp/n — accuracy).
+    labelled = per.where(F.col("support") > 0)
+    macro = labelled.agg(
+        F.sum("support").cast("long").alias("support"),
+        F.sum("tp").cast("long").alias("tp"),
+        F.sum("fp").cast("long").alias("fp"),
+        F.sum("fn").cast("long").alias("fn"),
+        F.avg(
+            F.when(
+                F.col("tp") + F.col("fp") > 0, tp / (tp + fp)
+            ).otherwise(F.lit(0.0))
+        ).alias("__mp"),
+        F.avg(tp / (tp + fn)).alias("__mr"),
+        F.avg(
+            F.when(
+                2 * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+                2 * tp / (2 * tp + fp + fn),
+            ).otherwise(F.lit(0.0))
+        ).alias("__mf"),
+    ).select(
+        F.lit("macro_avg").alias("class"),
+        "support",
+        "tp",
+        "fp",
+        "fn",
+        rnd(F.col("__mp")).alias("precision"),
+        rnd(F.col("__mr")).alias("recall"),
+        rnd(F.col("__mf")).alias("f1"),
+    )
+    micro_rate = F.when(
+        F.col("support") > 0,
+        F.col("tp").cast("double") / F.col("support").cast("double"),
+    )
+    micro = labelled.agg(
+        F.coalesce(F.sum("support"), F.lit(0)).cast("long").alias("support"),
+        F.coalesce(F.sum("tp"), F.lit(0)).cast("long").alias("tp"),
+        F.coalesce(F.sum("fp"), F.lit(0)).cast("long").alias("fp"),
+        F.coalesce(F.sum("fn"), F.lit(0)).cast("long").alias("fn"),
+    ).select(
+        F.lit("micro_avg").alias("class"),
+        "support",
+        "tp",
+        "fp",
+        "fn",
+        rnd(micro_rate).alias("precision"),
+        rnd(micro_rate).alias("recall"),
+        rnd(micro_rate).alias("f1"),
+    )
+    return out.unionByName(macro).unionByName(micro)

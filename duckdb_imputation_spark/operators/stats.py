@@ -46,6 +46,7 @@ __all__ = [
     "spearman_corr",
     "mann_whitney_u",
     "auc_score",
+    "auc_ovr",
     "ks_2sample",
     "anova_oneway",
     "benford_profile",
@@ -471,6 +472,64 @@ def auc_score(
     if round_digits is not None:
         auc = F.round(auc, round_digits)
     return agg.select(*keys, "n_pos", "n_neg", auc.alias("auc"))
+
+
+def auc_ovr(
+    df: DataFrame,
+    label_col: str,
+    class_scores: Sequence[tuple],
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """One-vs-rest ROC-AUC for a MULTICLASS label (VERDICT r9 #5 — the
+    FineWeb-Edu quality-tier shape): for each ``(class_value,
+    score_col)`` pair in ``class_scores``, the binary ``auc_score`` of
+    that class's score ranking class-vs-rest, returned as one row per
+    class — (class, n_pos, n_neg, auc).  ``score_col`` may be a column
+    name or a Column expression (each class's model emits its own
+    score, so one shared score column cannot rank all classes —
+    multiclass AUC is inherently per-class-scored).  Rows with a NULL
+    label are excluded everywhere; rows with a NULL score are excluded
+    from that class's ranking (auc_score's contract).
+
+    Scale shape: C independent rank-dictionary passes — each is the
+    binary discipline unchanged (one GROUP BY to (score, class-count)
+    cells, a window over DISTINCT scores, exact DECIMAL rank sums, no
+    join back to rows) — UNIONed as C dictionary-bounded 1-row-ish
+    frames.  The C passes cannot share one dictionary because each
+    class ranks by a DIFFERENT score column; at 100 TB this is C
+    map-side-combined aggregates over the same scan (cache the scored
+    frame upstream if C is large)."""
+    class_scores = list(class_scores)
+    if not class_scores:
+        raise ValueError("auc_ovr: no (class, score) pairs declared")
+    lab = F.col(label_col)
+    frames = []
+    for cls, score in class_scores:
+        sc = F.col(score) if isinstance(score, str) else score
+        d = df.where(lab.isNotNull()).select(
+            F.when(lab == F.lit(cls), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("__y"),
+            sc.alias("__s"),
+        )
+        a = auc_score(
+            d, "__y", "__s", positive=1, negative=0, round_digits=None
+        )
+        auc = F.col("auc")
+        if round_digits is not None:
+            auc = F.round(auc, round_digits)
+        frames.append(
+            a.select(
+                F.lit(str(cls)).alias("class"),
+                "n_pos",
+                "n_neg",
+                auc.alias("auc"),
+            )
+        )
+    out = frames[0]
+    for fdf in frames[1:]:
+        out = out.unionByName(fdf)
+    return out
 
 
 def ks_2sample(

@@ -92,6 +92,8 @@ _DRIVER_PRIORITY: list[str] = [
     # inside the window).
     "funnel_stream_view_click_purchase_events",
     "validate_rows_lineitem",
+    "multiclass_report_events",
+    "auc_ovr_events",
     # round 10 ROTATION (VERDICT r9 #1, now machine-checked by
     # tests/test_catalog_order.py::test_evidence_age_within_window):
     # every row whose newest driver evidence is r4 — the 18-row cohort
@@ -10407,4 +10409,197 @@ def validate_rows_lineitem(spark, sf):
     ]
     return validate_rows(
         li, checks, id_cols=["l_orderkey", "l_linenumber"]
+    )
+
+
+@register(
+    "multiclass_report_events",
+    oracle="""
+    WITH s AS (
+      SELECT event_type AS y,
+             CASE WHEN v > 8000 THEN 'purchase'
+                  WHEN v > 4600 THEN 'signup'
+                  WHEN v > 2600 THEN 'error'
+                  WHEN v > 1100 THEN 'click'
+                  ELSE 'view' END AS p
+      FROM (SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS v
+            FROM events
+            WHERE event_type IS NOT NULL AND value IS NOT NULL)
+    ), cells AS (
+      SELECT y, p, COUNT(*) AS c FROM s GROUP BY y, p
+    ), lab AS (
+      SELECT y AS cls, SUM(c) AS support,
+             SUM(CASE WHEN y = p THEN c ELSE 0 END) AS tp
+      FROM cells GROUP BY y
+    ), prd AS (
+      SELECT p AS cls, SUM(c) AS predicted FROM cells GROUP BY p
+    ), per AS (
+      SELECT COALESCE(lab.cls, prd.cls) AS cls,
+             CAST(COALESCE(support, 0) AS BIGINT) AS support,
+             CAST(COALESCE(tp, 0) AS BIGINT) AS tp,
+             CAST(COALESCE(predicted, 0) - COALESCE(tp, 0) AS BIGINT)
+               AS fp,
+             CAST(COALESCE(support, 0) - COALESCE(tp, 0) AS BIGINT)
+               AS fn
+      FROM lab FULL OUTER JOIN prd ON lab.cls = prd.cls
+    )
+    SELECT cls AS "class", support, tp, fp, fn,
+           CASE WHEN tp + fp > 0 THEN
+             ROUND(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)
+                   * 1000000.0) / 1000000.0 END AS precision,
+           CASE WHEN tp + fn > 0 THEN
+             ROUND(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)
+                   * 1000000.0) / 1000000.0 END AS recall,
+           CASE WHEN 2 * tp + fp + fn > 0 THEN
+             ROUND(2.0 * CAST(tp AS DOUBLE)
+                   / CAST(2 * tp + fp + fn AS DOUBLE)
+                   * 1000000.0) / 1000000.0 END AS f1
+    FROM per
+    UNION ALL
+    SELECT 'macro_avg',
+           CAST(SUM(support) AS BIGINT), CAST(SUM(tp) AS BIGINT),
+           CAST(SUM(fp) AS BIGINT), CAST(SUM(fn) AS BIGINT),
+           ROUND(AVG(CASE WHEN tp + fp > 0 THEN
+                       CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)
+                     ELSE 0.0 END) * 1000000.0) / 1000000.0,
+           ROUND(AVG(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE))
+                 * 1000000.0) / 1000000.0,
+           ROUND(AVG(CASE WHEN 2 * tp + fp + fn > 0 THEN
+                       2.0 * CAST(tp AS DOUBLE)
+                       / CAST(2 * tp + fp + fn AS DOUBLE)
+                     ELSE 0.0 END) * 1000000.0) / 1000000.0
+    FROM per WHERE support > 0
+    UNION ALL
+    SELECT 'micro_avg',
+           CAST(SUM(support) AS BIGINT), CAST(SUM(tp) AS BIGINT),
+           CAST(SUM(fp) AS BIGINT), CAST(SUM(fn) AS BIGINT),
+           ROUND(CAST(SUM(tp) AS DOUBLE) / CAST(SUM(support) AS DOUBLE)
+                 * 1000000.0) / 1000000.0,
+           ROUND(CAST(SUM(tp) AS DOUBLE) / CAST(SUM(support) AS DOUBLE)
+                 * 1000000.0) / 1000000.0,
+           ROUND(CAST(SUM(tp) AS DOUBLE) / CAST(SUM(support) AS DOUBLE)
+                 * 1000000.0) / 1000000.0
+    FROM per WHERE support > 0
+    """,
+)
+def multiclass_report_events(spark, sf):
+    """Multiclass classification report (ml/eval.py
+    classification_report_multiclass — VERDICT r9 #5, the FineWeb-Edu
+    quality-tier shape): the five event types as true classes, a
+    deterministic value-bucket rule as the predicted class, evaluated
+    per class (support, exact confusion cells, precision/recall/F1)
+    plus macro and micro average rows.  ONE GROUP BY collapses the
+    corpus to (label, pred, count) cells — ≤ C² rows of shuffle — and
+    every downstream fold runs on C-sized frames.  Confusion cells are
+    exact BIGINTs; per-class and micro rates are exact rationals under
+    the integer-tier scaled round; the macro row is the one C-term
+    double-sum surface (welch/anova class, margin-sweep guarded)."""
+    from .ml.eval import classification_report_multiclass
+
+    ev = load_table(spark, sf, "events").where(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+    )
+    v = F.round(F.col("value") * 100).cast("long")
+    pred = (
+        F.when(v > 8000, F.lit("purchase"))
+        .when(v > 4600, F.lit("signup"))
+        .when(v > 2600, F.lit("error"))
+        .when(v > 1100, F.lit("click"))
+        .otherwise(F.lit("view"))
+    )
+    frame = ev.select(
+        F.col("event_type").alias("label"), pred.alias("pred")
+    )
+    return classification_report_multiclass(frame, "label", "pred")
+
+
+def _auc_ovr_oracle() -> str:
+    """One-vs-rest AUC oracle: the Hanley–McNeil rank-sum CTE chain
+    (the auc_value_purchase_events pattern) instantiated once per
+    class, UNION ALLed.  Scores mirror the Spark row exactly — all
+    exact BIGINTs, so the dictionaries agree bit for bit."""
+    classes = [
+        ("view", "v"),
+        ("click", "-v"),
+        ("purchase", "user_id % 97"),
+        ("signup", "event_id % 101"),
+        ("error", "(v + user_id) % 1000"),
+    ]
+    base = """
+    WITH base AS (
+      SELECT event_type, event_id, user_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS v
+      FROM events
+      WHERE event_type IS NOT NULL AND value IS NOT NULL
+        AND user_id IS NOT NULL AND event_id IS NOT NULL
+    )"""
+    ctes, selects = [], []
+    for i, (cls, score) in enumerate(classes):
+        ctes.append(
+            f""", d{i} AS (
+      SELECT s, COUNT(*) FILTER (y = 1) AS ca,
+             COUNT(*) FILTER (y = 0) AS cb
+      FROM (SELECT CASE WHEN event_type = '{cls}' THEN 1 ELSE 0 END
+                     AS y,
+                   CAST({score} AS BIGINT) AS s FROM base)
+      GROUP BY s
+    ), rk{i} AS (
+      SELECT ca, cb,
+             2 * COALESCE(SUM(ca + cb) OVER (
+                   ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) + (ca + cb) + 1 AS r2
+      FROM d{i}
+    ), m{i} AS (
+      SELECT SUM(ca) AS np, SUM(cb) AS nn, SUM(ca * r2) AS r2p
+      FROM rk{i}
+    )"""
+        )
+        selects.append(
+            f"""SELECT '{cls}' AS "class", CAST(np AS BIGINT) AS n_pos,
+           CAST(nn AS BIGINT) AS n_neg,
+           CASE WHEN np >= 1 AND nn >= 1 THEN
+             ROUND(CAST(r2p - np * (np + 1) AS DOUBLE)
+                   / (2.0 * CAST(np * nn AS DOUBLE)) * 1000000.0)
+               / 1000000.0 + 0.0
+           END AS auc
+    FROM m{i}"""
+        )
+    return base + "".join(ctes) + "\n    " + "\n    UNION ALL\n    ".join(selects)
+
+
+@register("auc_ovr_events", oracle=_auc_ovr_oracle())
+def auc_ovr_events(spark, sf):
+    """One-vs-rest ROC-AUC over the five event types (operators/
+    stats.py auc_ovr — VERDICT r9 #5): each class carries its OWN
+    deterministic integer score (cents, negated cents, and three
+    modular hashes — multiclass AUC is inherently per-class-scored),
+    and each class runs the binary rank-dictionary discipline
+    unchanged: one GROUP BY to (score, class-count) cells, a window
+    over DISTINCT scores, exact DECIMAL rank sums, no join back to
+    rows.  C dictionary-bounded passes UNIONed; scores are exact
+    BIGINTs so cross-engine agreement is by construction, with the
+    single double division re-rounded at the integer tier."""
+    from .operators.stats import auc_ovr
+
+    ev = load_table(spark, sf, "events").where(
+        F.col("event_type").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_id").isNotNull()
+    )
+    v = F.round(F.col("value") * 100).cast("long")
+    pairs = [
+        ("view", v),
+        ("click", -v),
+        ("purchase", F.col("user_id") % 97),
+        ("signup", F.col("event_id") % 101),
+        ("error", (v + F.col("user_id")) % 1000),
+    ]
+    out = auc_ovr(ev, "event_type", pairs, round_digits=None)
+    return out.select(
+        "class",
+        "n_pos",
+        "n_neg",
+        (F.round(F.col("auc") * 1000000.0) / 1000000.0).alias("auc"),
     )

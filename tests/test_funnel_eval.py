@@ -229,3 +229,103 @@ def test_funnel_random_vs_python_reference(spark, seed):
     ).collect()
     got = [r["n_users"] for r in sorted(out, key=lambda r: r["stage_idx"])]
     assert got == exp, (seed, got, exp)
+
+
+def test_multiclass_report_hand_computed(spark):
+    """3-class confusion by hand: labels a,a,a,b,b,c; preds
+    a,b,a,b,b,a — exact cells, rates, macro and micro rows."""
+    from duckdb_imputation_spark.ml.eval import (
+        classification_report_multiclass,
+    )
+
+    rows = [("a", "a"), ("a", "b"), ("a", "a"),
+            ("b", "b"), ("b", "b"), ("c", "a")]
+    df = spark.createDataFrame(rows, "y string, p string")
+    out = {
+        r["class"]: r
+        for r in classification_report_multiclass(df, "y", "p").collect()
+    }
+    a, b, c = out["a"], out["b"], out["c"]
+    assert (a["support"], a["tp"], a["fp"], a["fn"]) == (3, 2, 1, 1)
+    assert (b["support"], b["tp"], b["fp"], b["fn"]) == (2, 2, 1, 0)
+    assert (c["support"], c["tp"], c["fp"], c["fn"]) == (1, 0, 0, 1)
+    assert a["precision"] == round(2 / 3, 6) and a["recall"] == round(2 / 3, 6)
+    assert b["precision"] == round(2 / 3, 6) and b["recall"] == 1.0
+    # c never predicted: precision NULL in its row, 0 inside macro
+    assert c["precision"] is None and c["recall"] == 0.0 and c["f1"] == 0.0
+    mac, mic = out["macro_avg"], out["micro_avg"]
+    assert mac["precision"] == round((2 / 3 + 2 / 3 + 0.0) / 3, 6)
+    assert mac["recall"] == round((2 / 3 + 1.0 + 0.0) / 3, 6)
+    assert mic["support"] == 6 and mic["tp"] == 4
+    assert mic["precision"] == mic["recall"] == mic["f1"] == round(4 / 6, 6)
+
+
+def test_multiclass_report_pred_only_class(spark):
+    """A class appearing only in predictions gets support 0, NULL
+    recall, and does not enter the macro average."""
+    from duckdb_imputation_spark.ml.eval import (
+        classification_report_multiclass,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "a"), ("a", "z")], "y string, p string"
+    )
+    out = {
+        r["class"]: r
+        for r in classification_report_multiclass(df, "y", "p").collect()
+    }
+    z = out["z"]
+    assert (z["support"], z["tp"], z["fp"], z["fn"]) == (0, 0, 1, 0)
+    assert z["recall"] is None and z["precision"] == 0.0
+    # macro over label-present classes only: just 'a'
+    assert out["macro_avg"]["precision"] == 1.0  # a: tp=1, fp=0
+    assert out["macro_avg"]["recall"] == 0.5  # a: tp=1, fn=1
+
+
+def test_multiclass_report_null_rows_dropped(spark):
+    from duckdb_imputation_spark.ml.eval import (
+        classification_report_multiclass,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "a"), (None, "a"), ("a", None)], "y string, p string"
+    )
+    out = {
+        r["class"]: r
+        for r in classification_report_multiclass(df, "y", "p").collect()
+    }
+    assert out["a"]["support"] == 1 and out["micro_avg"]["support"] == 1
+
+
+def test_multiclass_report_vs_pandas_random(spark):
+    """Seeded 5-class fuzz vs a pandas crosstab reference."""
+    import numpy as np
+    import pandas as pd
+
+    from duckdb_imputation_spark.ml.eval import (
+        classification_report_multiclass,
+    )
+
+    rng = np.random.default_rng(23)
+    n = 500
+    y = rng.choice(list("abcde"), n)
+    p = rng.choice(list("abcde"), n)
+    df = spark.createDataFrame(
+        [(str(a), str(b)) for a, b in zip(y, p)], "y string, p string"
+    )
+    out = {
+        r["class"]: r
+        for r in classification_report_multiclass(df, "y", "p").collect()
+    }
+    for cls in "abcde":
+        tp = int(((y == cls) & (p == cls)).sum())
+        sup = int((y == cls).sum())
+        pn = int((p == cls).sum())
+        r = out[cls]
+        assert (r["support"], r["tp"], r["fp"], r["fn"]) == (
+            sup, tp, pn - tp, sup - tp,
+        ), cls
+        if pn:
+            assert r["precision"] == round(tp / pn, 6), cls
+        if sup:
+            assert r["recall"] == round(tp / sup, 6), cls

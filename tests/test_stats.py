@@ -576,3 +576,54 @@ def test_auc_perfect_and_inverted(spark):
         [(1, 1.0), (1, 2.0), (0, 10.0), (0, 9.0)], "y int, s double"
     )
     assert auc_score(inv, "y", "s").collect()[0]["auc"] == 0.0
+
+
+def test_auc_ovr_matches_per_class_bruteforce(spark):
+    """auc_ovr = the binary pairwise AUC of each class's own score
+    ranking class-vs-rest (seeded, heavy ties, three classes)."""
+    import numpy as np
+
+    from duckdb_imputation_spark.operators.stats import auc_ovr
+
+    rng = np.random.default_rng(11)
+    n = 120
+    labels = rng.choice(["a", "b", "c"], n)
+    s_a = rng.integers(0, 10, n).astype(float)
+    s_b = rng.integers(0, 10, n).astype(float)
+    s_c = rng.integers(0, 10, n).astype(float)
+    rows = [
+        (str(l), float(x), float(y), float(z))
+        for l, x, y, z in zip(labels, s_a, s_b, s_c)
+    ]
+    df = spark.createDataFrame(rows, "lab string, sa double, sb double, sc double")
+    out = {
+        r["class"]: r
+        for r in auc_ovr(
+            df,
+            "lab",
+            [("a", "sa"), ("b", "sb"), ("c", "sc")],
+            round_digits=None,
+        ).collect()
+    }
+    for cls, s in [("a", s_a), ("b", s_b), ("c", s_c)]:
+        pos = s[labels == cls]
+        neg = s[labels != cls]
+        assert out[cls]["n_pos"] == len(pos) and out[cls]["n_neg"] == len(neg)
+        assert abs(out[cls]["auc"] - _auc_brute(pos, neg)) < 1e-12, cls
+
+
+def test_auc_ovr_null_labels_and_missing_class(spark):
+    """NULL labels drop everywhere; a declared class absent from the
+    data gets n_pos 0 and a NULL auc."""
+    from duckdb_imputation_spark.operators.stats import auc_ovr
+
+    df = spark.createDataFrame(
+        [("a", 3.0), ("b", 1.0), (None, 9.0), ("a", 2.0)],
+        "lab string, s double",
+    )
+    out = {
+        r["class"]: r
+        for r in auc_ovr(df, "lab", [("a", "s"), ("z", "s")]).collect()
+    }
+    assert out["a"]["n_pos"] == 2 and out["a"]["n_neg"] == 1
+    assert out["z"]["n_pos"] == 0 and out["z"]["auc"] is None
