@@ -42,7 +42,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["funnel_counts", "funnel_users"]
+__all__ = ["funnel_counts", "funnel_users", "funnel_timing"]
 
 
 def funnel_users(
@@ -143,4 +143,65 @@ def funnel_counts(
     # single 1-row aggregate -> inline long format (one scan, the
     # validate_constraints pattern: no per-stage union branches and no
     # window — the stage-1 denominator is still a column here)
+    return agg.select(F.inline(F.array(*entries)))
+
+
+def funnel_timing(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    stages: Sequence[str],
+    within: float | None = None,
+    percentiles: Sequence[float] = (0.25, 0.5, 0.75, 0.9),
+) -> DataFrame:
+    """Time-to-convert distribution per funnel stage (VERDICT r9 #6 —
+    the standard companion metric to conversion counts): for every
+    stage k, exact percentiles of ``t_k − t_1`` in MICROSECONDS over
+    the users who reached stage k, off the same ``funnel_users``
+    journey frame.  Returns one row per stage — (stage_idx, stage,
+    n_users, p{NN}_us...) — stage 1's percentiles are all 0 by
+    construction (its own anchor), a deliberate sanity anchor.
+
+    Exactness: the deltas are exact integer microsecond differences,
+    and Spark's exact ``percentile`` (linear interpolation) is
+    bit-identical to DuckDB ``quantile_cont`` on integer-valued input
+    — the percentile_quantities discipline, no rounding tier needed.
+
+    Scale shape: funnel_users' S scans + S−1 (user, ts) equi-joins,
+    then ONE aggregate over the per-user journey frame computes every
+    (stage, percentile) cell — map-side combined counts plus S×P
+    percentile states — and the long format is inlined as an array of
+    structs over the single 1-row aggregate (the validate_constraints
+    pattern: no per-stage union branches re-planning the frame).
+    Exact ``percentile`` buffers the reached-users' deltas per
+    aggregation state; for corpora where even the stage-1 cohort
+    outgrows an executor, swap ``percentile`` for
+    ``approx_percentile`` upstream (the profiler's documented
+    corpus-scale escape hatch)."""
+    stages = list(stages)
+    pcts = [float(p) for p in percentiles]
+    users = funnel_users(df, user_col, ts_col, type_col, stages, within)
+    u1 = F.unix_micros(F.col("t1"))
+    aggs = []
+    for k in range(len(stages)):
+        d = F.unix_micros(F.col(f"t{k + 1}")) - u1  # NULL if unreached
+        aggs.append(F.count(F.col(f"t{k + 1}")).alias(f"__n{k}"))
+        for j, p in enumerate(pcts):
+            aggs.append(F.percentile(d, F.lit(p)).alias(f"__p{k}_{j}"))
+    agg = users.agg(*aggs)
+    entries = [
+        F.struct(
+            F.lit(k + 1).cast("int").alias("stage_idx"),
+            F.lit(s).alias("stage"),
+            F.coalesce(F.col(f"__n{k}"), F.lit(0))
+            .cast("long")
+            .alias("n_users"),
+            *[
+                F.col(f"__p{k}_{j}").alias(f"p{int(round(p * 100))}_us")
+                for j, p in enumerate(pcts)
+            ],
+        )
+        for k, s in enumerate(stages)
+    ]
     return agg.select(F.inline(F.array(*entries)))

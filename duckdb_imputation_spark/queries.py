@@ -94,6 +94,7 @@ _DRIVER_PRIORITY: list[str] = [
     "validate_rows_lineitem",
     "multiclass_report_events",
     "auc_ovr_events",
+    "funnel_timing_events",
     # round 10 ROTATION (VERDICT r9 #1, now machine-checked by
     # tests/test_catalog_order.py::test_evidence_age_within_window):
     # every row whose newest driver evidence is r4 — the 18-row cohort
@@ -10602,4 +10603,68 @@ def auc_ovr_events(spark, sf):
         "n_pos",
         "n_neg",
         (F.round(F.col("auc") * 1000000.0) / 1000000.0).alias("auc"),
+    )
+
+
+@register(
+    "funnel_timing_events",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id AS u, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' AND user_id IS NOT NULL
+        AND ts IS NOT NULL
+      GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id AS u, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.u
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+      GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id AS u, MIN(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.u
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id
+    ), j AS (
+      SELECT s1.u, s1.t1, s2.t2, s3.t3
+      FROM s1 LEFT JOIN s2 ON s1.u = s2.u
+              LEFT JOIN s3 ON s1.u = s3.u
+    )
+    SELECT CAST(1 AS INT) AS stage_idx, 'view' AS stage,
+           CAST(COUNT(t1) AS BIGINT) AS n_users,
+           quantile_cont(epoch_us(t1) - epoch_us(t1), 0.25) AS p25_us,
+           quantile_cont(epoch_us(t1) - epoch_us(t1), 0.5) AS p50_us,
+           quantile_cont(epoch_us(t1) - epoch_us(t1), 0.75) AS p75_us,
+           quantile_cont(epoch_us(t1) - epoch_us(t1), 0.9) AS p90_us
+    FROM j
+    UNION ALL
+    SELECT CAST(2 AS INT), 'click', CAST(COUNT(t2) AS BIGINT),
+           quantile_cont(epoch_us(t2) - epoch_us(t1), 0.25),
+           quantile_cont(epoch_us(t2) - epoch_us(t1), 0.5),
+           quantile_cont(epoch_us(t2) - epoch_us(t1), 0.75),
+           quantile_cont(epoch_us(t2) - epoch_us(t1), 0.9)
+    FROM j
+    UNION ALL
+    SELECT CAST(3 AS INT), 'purchase', CAST(COUNT(t3) AS BIGINT),
+           quantile_cont(epoch_us(t3) - epoch_us(t1), 0.25),
+           quantile_cont(epoch_us(t3) - epoch_us(t1), 0.5),
+           quantile_cont(epoch_us(t3) - epoch_us(t1), 0.75),
+           quantile_cont(epoch_us(t3) - epoch_us(t1), 0.9)
+    FROM j
+    """,
+)
+def funnel_timing_events(spark, sf):
+    """Funnel time-to-convert (operators/funnel.py funnel_timing —
+    VERDICT r9 #6): exact percentiles of t_k − t_1 per stage over the
+    view→click→purchase journey frame, in integer microseconds.  ONE
+    aggregate over funnel_users computes every (stage, percentile)
+    cell, inlined as an array of structs (no per-stage union
+    branches); Spark's exact ``percentile`` is bit-identical to DuckDB
+    ``quantile_cont`` on the integer deltas (the percentile_quantities
+    discipline), so the row needs NO rounding tier.  Stage 1's
+    percentiles are 0 by construction — the sanity anchor."""
+    from .operators.funnel import funnel_timing
+
+    ev = load_table(spark, sf, "events")
+    return funnel_timing(
+        ev, "user_id", "ts", "event_type", ["view", "click", "purchase"]
     )

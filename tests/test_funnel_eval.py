@@ -329,3 +329,55 @@ def test_multiclass_report_vs_pandas_random(spark):
             assert r["precision"] == round(tp / pn, 6), cls
         if sup:
             assert r["recall"] == round(tp / sup, 6), cls
+
+
+def test_funnel_timing_hand_computed(spark):
+    """Three users complete view->click at +10s, +20s, +40s; one stalls.
+    Exact interpolated percentiles over the integer-microsecond deltas,
+    stage-1 row pinned at zero."""
+    import datetime as dt
+
+    from duckdb_imputation_spark.operators.funnel import funnel_timing
+
+    base = dt.datetime(2024, 1, 1)
+
+    def T(s):
+        return base + dt.timedelta(seconds=s)
+
+    rows = [
+        (1, T(0), "view"), (1, T(10), "click"),
+        (2, T(0), "view"), (2, T(20), "click"),
+        (3, T(0), "view"), (3, T(40), "click"),
+        (4, T(0), "view"),  # never clicks
+    ]
+    df = spark.createDataFrame(rows, "u long, ts timestamp, et string")
+    out = {
+        r["stage_idx"]: r
+        for r in funnel_timing(
+            df, "u", "ts", "et", ["view", "click"], percentiles=(0.5, 0.9)
+        ).collect()
+    }
+    s1, s2 = out[1], out[2]
+    assert s1["n_users"] == 4 and s1["p50_us"] == 0.0 and s1["p90_us"] == 0.0
+    assert s2["n_users"] == 3
+    # deltas in us: [10e6, 20e6, 40e6]; p50 = 20e6, p90 interpolates
+    # between 20e6 and 40e6 at 0.8: 36e6
+    assert s2["p50_us"] == 20e6
+    assert abs(s2["p90_us"] - 36e6) < 1e-6
+
+
+def test_funnel_timing_empty_stage(spark):
+    """A stage nobody reaches reports n_users 0 and NULL percentiles."""
+    import datetime as dt
+
+    from duckdb_imputation_spark.operators.funnel import funnel_timing
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), "view")],
+        "u long, ts timestamp, et string",
+    )
+    out = {
+        r["stage_idx"]: r
+        for r in funnel_timing(df, "u", "ts", "et", ["view", "click"]).collect()
+    }
+    assert out[2]["n_users"] == 0 and out[2]["p50_us"] is None
