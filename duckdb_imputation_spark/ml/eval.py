@@ -182,6 +182,13 @@ def classification_report_multiclass(
             y.cast("string").alias("__y"), p.cast("string").alias("__p")
         )
         .agg(F.count(F.lit(1)).alias("__c"))
+        # the ONLY corpus-sized pass: the ≤C² cell frame fans out into
+        # the per-class fold, the macro row and the micro row — without
+        # a materialization point Catalyst re-plans the corpus
+        # aggregate per branch (measured: 6 scans for one report).
+        # localCheckpoint pins it to one scan (the MICE lineage-cut
+        # pattern, mice/run.py)
+        .localCheckpoint(eager=True)
     )
     lab = cells.groupBy(F.col("__y").alias("__cls")).agg(
         F.sum("__c").alias("__support"),
@@ -215,6 +222,10 @@ def classification_report_multiclass(
             .cast("long")
             .alias("fn"),
         )
+        # C-sized; reused by the per-class output, the macro row and
+        # the micro row — pin it so those three branches re-read a
+        # materialized C-row frame instead of re-folding cells
+        .localCheckpoint(eager=True)
     )
     tp = F.col("tp").cast("double")
     fp = F.col("fp").cast("double")
