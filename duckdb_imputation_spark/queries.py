@@ -163,11 +163,11 @@ _DRIVER_PRIORITY: list[str] = [
 ]
 
 
-# NEXT-ROTATION CANDIDATES (rows to add when slots open) — the round-7
-# queue (winsorize, streaming sliding, half-life/cusum folds, retention
-# sink, cusum_stream) all gained rows in r7; the round-8 queue
-# (streaming half-life EWMA, SCD2 batch + sink, leakage-safe split,
-# OHLC resample, JSON key profile) all gained rows in r8:
+# NEXT-ROTATION CANDIDATES (rows to add when slots open) — the r10
+# queue head (the live funnel twin's driver row) gained its row in r10
+# (`funnel_stream_view_click_purchase_events`), alongside the other
+# four r10 registrations (validate_rows, multiclass report, OvR AUC,
+# funnel timing).  Still open, all optional twins of driver-green rows:
 # - resample_agg(deterministic=False) fast path: unit-tested equal to
 #   the deterministic mode on unique timestamps; a driver row would
 #   need a min_by/arg_min oracle (DuckDB arg_min tie semantics differ,
@@ -177,11 +177,9 @@ _DRIVER_PRIORITY: list[str] = [
 #   trivially SQL-twin-able if snapshot semantics need driver evidence.
 # - json_key_profile(exact_distinct=False): HLL twin of the r8 row,
 #   same weaker-evidence caveat as every approx-mode row.
-# - streaming funnel (streaming/funnel_stream.py, added late r9):
-#   batch-equivalence + exactly-once-replay unit tests are green
-#   (tests/test_streaming.py); a driver row (availableNow twin vs the
-#   batch funnel oracle, the asof-row pattern) heads the r10 queue
-#   alongside the rotation debt.
+# - validate_rows(per_check_limit=...): the capped quarantine sample —
+#   deterministic under order_cols, unit-tested; a row would only
+#   re-prove the row_number window other rows already hash.
 # Everything else implemented has either a driver row in the window or
 # a past driver-green hash plus local replay coverage.
 
