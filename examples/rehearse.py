@@ -21,6 +21,16 @@ the measurement VERDICT r8 #5 asked for.
 The 10x replica is built once by examples/make_sf1.py (fact tables
 replicated with consistently shifted keys, dims as-is: per-row operator
 cost matches sf0.1, only volume grows).
+
+CAVEAT — rows that materialize at construction: availableNow catalog
+rows run their stream INSIDE the row callable (awaitTermination at
+construction) and return a read of the sink, and rows whose operator
+pins a reused frame with an EAGER localCheckpoint (multiclass report,
+MICE) do their corpus pass at construction too — ``_timed`` calls
+``mk()`` outside the timer, so it measures only the downstream read.
+Time such rows end-to-end manually (t0 → fn(spark, sf).count() → dt);
+the r10 funnel-stream and multiclass numbers in PLANS_r13.md were
+taken that way.
 """
 
 from __future__ import annotations
