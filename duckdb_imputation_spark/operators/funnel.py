@@ -19,10 +19,11 @@ view@100, click@150 with within=60 stalls at stage 1 here (anchor=0,
 the click misses the window) but converts in windowFunnel from the
 @100 anchor.  The min-ts anchor answers "did the user convert within
 `within` of their FIRST entry" — a cohort-attribution question — in
-S−1 joins with no per-anchor re-matching; per-anchor window starts
-would need the windowFunnel UDAF's per-user sequence scan.  The
-optimality claim above does NOT extend to the ``within`` case
-(ADVICE r9).
+S−1 joins with no per-anchor re-matching.  The optimality claim above
+does NOT extend to the ``within`` case (ADVICE r9).  When windowFunnel
+parity IS the question, use ``window_funnel`` below: every stage-1
+event retried as a window start, expressed as per-(user, anchor)
+joins — the honest per-anchor price, paid explicitly.
 
 Scale shape: NO per-user sequence assembly (no collect_list, no
 per-user Python).  Stage 1 is one filtered aggregate to (user, t1);
@@ -42,7 +43,12 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["funnel_counts", "funnel_users", "funnel_timing"]
+__all__ = [
+    "funnel_counts",
+    "funnel_users",
+    "funnel_timing",
+    "window_funnel",
+]
 
 
 def funnel_users(
@@ -205,3 +211,81 @@ def funnel_timing(
         for k, s in enumerate(stages)
     ]
     return agg.select(F.inline(F.array(*entries)))
+
+
+def window_funnel(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    stages: Sequence[str],
+    within: float,
+) -> DataFrame:
+    """ClickHouse ``windowFunnel`` PARITY (the per-anchor semantics the
+    module docstring's `within` deviation points at): per user, the
+    maximum depth d such that SOME stage-1 event anchors a chain
+    e_1 < e_2 < … < e_d of the stage types, ALL within ``within``
+    seconds of that anchor — every stage-1 event is retried as a
+    window start, unlike ``funnel_users``' single min-ts anchor.
+    Returns (user_col, depth).  For a FIXED anchor, matching each
+    stage as early as possible is optimal (the exchange argument), so
+    the per-anchor earliest-completion chain below computes the exact
+    maximum.
+
+    Scale shape: the anchor frame carries one row per STAGE-1 EVENT
+    (not per user) — (user, anchor_us) pairs — and each later stage is
+    one filtered equi-join on the user key against that frame, min(ts)
+    per (user, anchor): S−1 joins shuffling (user, anchor, ts)
+    triples.  The honest price of per-anchor retries is that stage-k
+    work scales with (stage-k events × anchors) PER USER — exactly the
+    per-user rescan windowFunnel's UDAF pays, expressed as joins; the
+    per-(user, anchor) frames shrink monotonically, and depth folds
+    back to one row per user at the end.  Use ``funnel_users`` (min-ts
+    anchor, one row per user throughout) when first-entry cohort
+    attribution is the question and anchors-per-user is large.
+    Timestamps compare as exact integer microseconds; output is all
+    integers."""
+    stages = list(stages)
+    if len(stages) < 1:
+        raise ValueError("funnel needs at least one stage")
+    if within is None:
+        raise ValueError(
+            "window_funnel requires a window; for the unbounded funnel "
+            "use funnel_users (min-ts anchor is optimal there)"
+        )
+    win_us = int(float(within) * 1_000_000)
+    u, ts, et = F.col(user_col), F.col(ts_col), F.col(type_col)
+    base = df.where(u.isNotNull() & ts.isNotNull() & et.isNotNull())
+    anchors = base.where(et == F.lit(stages[0])).select(
+        u.alias("__u"), F.unix_micros(ts).alias("__a")
+    )
+    levels = [
+        anchors.select("__u").distinct().select(
+            F.col("__u"), F.lit(1).cast("int").alias("__lvl")
+        )
+    ]
+    cur = anchors.select("__u", "__a", F.col("__a").alias("__t"))
+    for k in range(1, len(stages)):
+        ev = base.where(et == F.lit(stages[k])).select(
+            u.alias("__u"), F.unix_micros(ts).alias("__ts")
+        )
+        cur = (
+            ev.join(cur, on="__u")
+            .where(
+                (F.col("__ts") > F.col("__t"))
+                & (F.col("__ts") <= F.col("__a") + F.lit(win_us))
+            )
+            .groupBy("__u", "__a")
+            .agg(F.min("__ts").alias("__t"))
+        )
+        levels.append(
+            cur.select("__u").distinct().select(
+                F.col("__u"), F.lit(k + 1).cast("int").alias("__lvl")
+            )
+        )
+    lv = levels[0]
+    for fr in levels[1:]:
+        lv = lv.unionByName(fr)
+    return lv.groupBy("__u").agg(F.max("__lvl").alias("depth")).select(
+        F.col("__u").alias(user_col), "depth"
+    )

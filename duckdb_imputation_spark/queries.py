@@ -95,6 +95,13 @@ _DRIVER_PRIORITY: list[str] = [
     "multiclass_report_events",
     "auc_ovr_events",
     "funnel_timing_events",
+    # sixth r10 registration (windowFunnel parity, closing the ADVICE
+    # r9 `within`-anchor deviation as a first-class operator): takes
+    # the slot of r6-fill row funnel_view_click_purchase, whose
+    # operators/funnel.py code path is the MOST exercised in this
+    # window (funnel_timing_events + the funnel stream twin here, the
+    # funnel_counts row r9-green); it joins the r11 queue
+    "window_funnel_events",
     # round 10 ROTATION (VERDICT r9 #1, now machine-checked by
     # tests/test_catalog_order.py::test_evidence_age_within_window):
     # every row whose newest driver evidence is r4 — the 18-row cohort
@@ -139,10 +146,11 @@ _DRIVER_PRIORITY: list[str] = [
     "train_val_test_split",
     "vocabulary_top_tokens",
     "zorder_key_lineitem",
-    # — and nine of the seventeen r6-evidence rows (alphabetical head;
-    # they age out at r11, so taking nine now leaves the r11 window
-    # only eight r6 stragglers + the r7 cohort to schedule).  The eight
-    # r6 rows NOT fitting (multimodal_decode_netpbm,
+    # — and eight of the seventeen r6-evidence rows (alphabetical
+    # head; they age out at r11; the ninth fill slot went to
+    # window_funnel_events above).  The nine r6 rows NOT fitting
+    # (funnel_view_click_purchase — displaced, see above —
+    # multimodal_decode_netpbm,
     # ngram_decontaminate_documents, ngram_jaccard_dups,
     # pack_documents_bins, pq_cosine_topk, quantized_cosine_topk,
     # semantic_dedup_survivors, simhash_documents) head the r11 queue;
@@ -158,7 +166,6 @@ _DRIVER_PRIORITY: list[str] = [
     "chunk_documents_catalog",
     "dedup_cluster_sizes",
     "embedding_dup_pairs_lsh",
-    "funnel_view_click_purchase",
     "minhash_index_dedup_new",
 ]
 
@@ -10665,4 +10672,68 @@ def funnel_timing_events(spark, sf):
     ev = load_table(spark, sf, "events")
     return funnel_timing(
         ev, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    )
+
+
+@register(
+    "window_funnel_events",
+    oracle="""
+    WITH base AS (
+      SELECT user_id AS u, epoch_us(ts) AS t, event_type AS et
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND event_type IS NOT NULL
+    ), a AS (
+      SELECT u, t AS anchor FROM base WHERE et = 'view'
+    ), f2 AS (
+      SELECT b.u, a.anchor, MIN(b.t) AS t2
+      FROM base b JOIN a ON b.u = a.u
+      WHERE b.et = 'click' AND b.t > a.anchor
+        AND b.t <= a.anchor + 28800000000
+      GROUP BY b.u, a.anchor
+    ), f3 AS (
+      SELECT b.u, f2.anchor, MIN(b.t) AS t3
+      FROM base b JOIN f2 ON b.u = f2.u
+      WHERE b.et = 'purchase' AND b.t > f2.t2
+        AND b.t <= f2.anchor + 28800000000
+      GROUP BY b.u, f2.anchor
+    ), lv AS (
+      SELECT u, 1 AS lvl FROM a
+      UNION ALL SELECT u, 2 FROM f2
+      UNION ALL SELECT u, 3 FROM f3
+    ), d AS (
+      SELECT u, MAX(lvl) AS depth FROM lv GROUP BY u
+    )
+    SELECT CAST(depth AS INT) AS depth, CAST(COUNT(*) AS BIGINT)
+             AS n_users
+    FROM d GROUP BY depth
+    """,
+)
+def window_funnel_events(spark, sf):
+    """ClickHouse windowFunnel PARITY (operators/funnel.py
+    window_funnel): per-user maximum funnel depth where EVERY stage-1
+    event is retried as a window start and the whole chain must land
+    within 8 hours of its anchor — the semantics the plain funnel's
+    min-ts anchor deliberately deviates from (documented with a
+    counterexample in the module docstring; this operator closes the
+    gap as a first-class option instead of a footnote).  Per-anchor
+    earliest completion is exact for fixed anchor (exchange argument),
+    so the join chain — anchors = stage-1 EVENTS, then S−1 equi-joins
+    on the user key with min(ts) per (user, anchor) — computes the
+    true maximum; depth folds back to one row per user, histogrammed.
+    Timestamps compare as exact integer microseconds; all-integer
+    output; the oracle is the identical CTE chain."""
+    from .operators.funnel import window_funnel
+
+    ev = load_table(spark, sf, "events")
+    out = window_funnel(
+        ev,
+        "user_id",
+        "ts",
+        "event_type",
+        ["view", "click", "purchase"],
+        within=28800.0,
+    )
+    return out.groupBy("depth").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
     )

@@ -381,3 +381,100 @@ def test_funnel_timing_empty_stage(spark):
         for r in funnel_timing(df, "u", "ts", "et", ["view", "click"]).collect()
     }
     assert out[2]["n_users"] == 0 and out[2]["p50_us"] is None
+
+
+def test_window_funnel_per_anchor_retry(spark):
+    """The ADVICE r9 counterexample: view@0, view@100, click@150 with
+    within=60 stalls at depth 1 under the min-ts anchor (funnel_users)
+    but converts to depth 2 in windowFunnel semantics from the @100
+    anchor."""
+    import datetime as dt
+
+    from duckdb_imputation_spark.operators.funnel import (
+        funnel_users,
+        window_funnel,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+
+    def T(s):
+        return base + dt.timedelta(seconds=s)
+
+    rows = [(1, T(0), "view"), (1, T(100), "view"), (1, T(150), "click")]
+    df = spark.createDataFrame(rows, "u long, ts timestamp, et string")
+    fu = funnel_users(df, "u", "ts", "et", ["view", "click"], within=60.0)
+    assert fu.collect()[0]["depth"] == 1  # min-ts anchor stalls
+    wf = window_funnel(df, "u", "ts", "et", ["view", "click"], within=60.0)
+    assert wf.collect()[0]["depth"] == 2  # @100 anchor converts
+
+
+def test_window_funnel_requires_window(spark):
+    from duckdb_imputation_spark.operators.funnel import window_funnel
+
+    df = spark.createDataFrame([(1,)], "u long")
+    with pytest.raises(ValueError, match="requires a window"):
+        window_funnel(df, "u", "u", "u", ["view"], within=None)
+
+
+def _window_funnel_brute(events, stages, within_s):
+    """Per-user reference: for every stage-1 event as anchor, greedy
+    earliest chain within [anchor, anchor+within]; depth = max."""
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for u, t, et in events:
+        by_user[u].append((t, et))
+    out = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        best = 0
+        for at, aet in evs:
+            if aet != stages[0]:
+                continue
+            depth, cur = 1, at
+            for k in range(1, len(stages)):
+                nxt = [
+                    t
+                    for t, et in evs
+                    if et == stages[k] and t > cur and t <= at + within_s
+                ]
+                if not nxt:
+                    break
+                cur = min(nxt)
+                depth = k + 1
+            best = max(best, depth)
+        if best:
+            out[u] = best
+    return out
+
+
+@pytest.mark.parametrize("seed", [3, 17, 91])
+def test_window_funnel_random_vs_python_reference(spark, seed):
+    """Seeded fuzz: the join-chain depth equals the per-user per-anchor
+    greedy reference, including repeated stage types."""
+    import datetime as dt
+    import random
+
+    from duckdb_imputation_spark.operators.funnel import window_funnel
+
+    rng = random.Random(seed)
+    base = dt.datetime(2024, 1, 1)
+    stages = ["view", "click", "view"] if seed % 2 else ["view", "click", "purchase"]
+    types = ["view", "click", "purchase", "error"]
+    events = []
+    for u in range(1, 13):
+        for _ in range(rng.randint(0, 25)):
+            events.append(
+                (u, rng.randint(0, 2000), rng.choice(types))
+            )
+    df = spark.createDataFrame(
+        [(u, base + dt.timedelta(seconds=t), et) for u, t, et in events],
+        "u long, ts timestamp, et string",
+    )
+    within = 300.0
+    got = {
+        r["u"]: r["depth"]
+        for r in window_funnel(df, "u", "ts", "et", stages, within).collect()
+    }
+    want = _window_funnel_brute(events, stages, within)
+    assert got == want, seed
