@@ -1589,3 +1589,46 @@ def test_streaming_funnel_repeated_stage(spark, tmp_path):
                 want.add((r["user_id"], k + 1, t))
     assert got == want, (sorted(got), sorted(want))
     assert (1, 3, T(3)) in got  # the duplicate stage is reachable
+
+
+def test_streaming_quarantine_validate_rows(spark, tmp_path):
+    """validate_rows is a stateless narrow pipeline (struct-array
+    filter + explode, no shuffle), so it composes with a readStream
+    source unchanged — the streaming ingest-quarantine path: violating
+    rows land in the sink tagged with their failed rule, clean rows
+    never appear, and the output equals the batch operator on the same
+    data."""
+    from duckdb_imputation_spark.operators.validate import (
+        in_range,
+        not_null,
+        validate_rows,
+    )
+
+    rows = [(1, 5.0), (2, 99.0), (3, None), (4, -1.0)]
+    edf = spark.createDataFrame(rows, "id long, v double")
+    src = str(tmp_path / "src")
+    edf.coalesce(1).write.parquet(src)
+
+    checks = [
+        not_null("v", name="nn"),
+        in_range("v", 0, 10, name="rng"),
+    ]
+    stream = spark.readStream.schema(edf.schema).parquet(src)
+    q = (
+        validate_rows(stream, checks, id_cols=["id"])
+        .writeStream.format("memory")
+        .queryName("quarantine")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = sorted(
+        (r["id"], r["check"])
+        for r in spark.sql("SELECT * FROM quarantine").collect()
+    )
+    want = sorted(
+        (r["id"], r["check"])
+        for r in validate_rows(edf, checks, id_cols=["id"]).collect()
+    )
+    assert got == want == [(2, "rng"), (3, "nn"), (4, "rng")]
