@@ -23,7 +23,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["classification_report", "classification_report_multiclass"]
+__all__ = [
+    "classification_report",
+    "classification_report_multiclass",
+    "calibration_curve",
+    "calibration_ece",
+]
 
 
 def classification_report(
@@ -308,3 +313,100 @@ def classification_report_multiclass(
         rnd(micro_rate).alias("f1"),
     )
     return out.unionByName(macro).unionByName(micro)
+
+
+def calibration_curve(
+    df: DataFrame,
+    label_col: str,
+    prob_col: str,
+    n_bins: int = 10,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Reliability diagram data — the standard calibration companion
+    to Brier/log-loss (sklearn's calibration_curve, uniform bins): one
+    row per probability bin with (bin, n, n_pos, confidence =
+    mean predicted probability, accuracy = observed positive rate).
+    A well-calibrated scorer has accuracy ≈ confidence per bin.
+    NULL-label or NULL-prob rows are dropped; empty bins are absent
+    (no synthetic zero rows — the ECE fold weights by n, so absent and
+    empty are equivalent).
+
+    Exactness discipline: p quantizes to integer milli-units FIRST
+    (the classification_report grid), then ``bin = min(pm·n_bins
+    ÷ 1000, n_bins−1)`` is pure integer arithmetic — the bin boundary
+    cannot drift between engines the way a float-divide bucket would.
+    Per-bin n, n_pos and Σpm are exact BIGINTs, so confidence and
+    accuracy are exact rationals under the integer-tier scaled round.
+
+    Scale shape: ONE map-side-combined GROUP BY to ≤ n_bins rows —
+    nothing else."""
+    y = F.col(label_col).cast("double")
+    p = F.col(prob_col).cast("double")
+    src = df.where(
+        F.col(label_col).isNotNull() & F.col(prob_col).isNotNull()
+    )
+    pm = F.round(p * 1000.0).cast("long")
+    # integer bin arithmetic, no float divide at the boundary: the
+    # numerator is made exactly divisible first (subtract its mod), so
+    # the division is an exact small integer in BOTH engines
+    num = pm * n_bins
+    b = F.least(
+        ((num - num % 1000) / 1000).cast("int"),
+        F.lit(n_bins - 1),
+    )
+    agg = src.groupBy(b.alias("bin")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((y == 1.0).cast("long")).alias("n_pos"),
+        F.sum(pm).alias("__spm"),
+    )
+
+    def rnd(c: Column) -> Column:
+        if round_digits is None:
+            return c
+        s = F.lit(float(10 ** round_digits))
+        return F.round(c * s) / s
+
+    conf = F.col("__spm").cast("double") / (
+        F.col("n").cast("double") * 1000.0
+    )
+    acc = F.col("n_pos").cast("double") / F.col("n").cast("double")
+    return agg.select(
+        "bin",
+        "n",
+        "n_pos",
+        rnd(conf).alias("confidence"),
+        rnd(acc).alias("accuracy"),
+    )
+
+
+def calibration_ece(
+    df: DataFrame,
+    label_col: str,
+    prob_col: str,
+    n_bins: int = 10,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Expected calibration error: ECE = Σ_b (n_b/N)·|acc_b − conf_b|
+    over the same milli-grid uniform bins as ``calibration_curve``
+    (Naeini et al., AAAI 2015 — the standard scalar summary of a
+    reliability diagram).  One row: (n, n_bins_used, ece).  The fold
+    runs over the ≤ n_bins bin frame; each |acc−conf| term is a
+    difference of exact rationals, and the weighted sum is the one
+    ≤ n_bins-term double surface (welch/anova class)."""
+    bins = calibration_curve(
+        df, label_col, prob_col, n_bins=n_bins, round_digits=None
+    )
+    nb = F.col("n").cast("double")
+    term = nb * F.abs(F.col("accuracy") - F.col("confidence"))
+    agg = bins.agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_bins_used"),
+        F.sum(term).alias("__t"),
+    )
+    ece = F.when(
+        F.col("n") > 0, F.col("__t") / F.col("n").cast("double")
+    )
+    if round_digits is not None:
+        s = F.lit(float(10 ** round_digits))
+        ece = F.round(ece * s) / s
+    return agg.select("n", "n_bins_used", ece.alias("ece"))

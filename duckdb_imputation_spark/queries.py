@@ -102,6 +102,13 @@ _DRIVER_PRIORITY: list[str] = [
     # window (funnel_timing_events + the funnel stream twin here, the
     # funnel_counts row r9-green); it joins the r11 queue
     "window_funnel_events",
+    # seventh r10 registration (reliability-diagram calibration bins +
+    # ECE, the standard companion to the Brier/log-loss report): takes
+    # the slot of r6-fill row bm25_index_search_documents, whose BM25
+    # scoring path stays in-window via bm25_search_documents (the
+    # index variant adds only save/load, unit- and replay-covered);
+    # it joins the r11 queue
+    "calibration_value_purchase_events",
     # round 10 ROTATION (VERDICT r9 #1, now machine-checked by
     # tests/test_catalog_order.py::test_evidence_age_within_window):
     # every row whose newest driver evidence is r4 — the 18-row cohort
@@ -149,8 +156,8 @@ _DRIVER_PRIORITY: list[str] = [
     # — and eight of the seventeen r6-evidence rows (alphabetical
     # head; they age out at r11; the ninth fill slot went to
     # window_funnel_events above).  The nine r6 rows NOT fitting
-    # (funnel_view_click_purchase — displaced, see above —
-    # multimodal_decode_netpbm,
+    # (funnel_view_click_purchase and bm25_index_search_documents —
+    # displaced, see above — multimodal_decode_netpbm,
     # ngram_decontaminate_documents, ngram_jaccard_dups,
     # pack_documents_bins, pq_cosine_topk, quantized_cosine_topk,
     # semantic_dedup_survivors, simhash_documents) head the r11 queue;
@@ -160,7 +167,6 @@ _DRIVER_PRIORITY: list[str] = [
     # ann_ivfpq for the PQ/quantized cosine path, dedup_cluster_sizes
     # + embedding_dup_pairs_lsh for the dedup graph/banding paths).
     "ann_ivfpq_topk",
-    "bm25_index_search_documents",
     "bm25_search_documents",
     "bpe_encode_documents",
     "chunk_documents_catalog",
@@ -10737,3 +10743,53 @@ def window_funnel_events(spark, sf):
     return out.groupBy("depth").agg(
         F.count(F.lit(1)).cast("long").alias("n_users")
     )
+
+
+@register(
+    "calibration_value_purchase_events",
+    oracle="""
+    WITH s AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+             CAST(ROUND(value * 100) AS BIGINT) % 1001 AS pm
+      FROM events
+      WHERE event_type IS NOT NULL AND value IS NOT NULL
+    ), b AS (
+      SELECT LEAST(CAST((pm * 10 - (pm * 10) % 1000) / 1000 AS INT), 9)
+               AS bin,
+             y, pm
+      FROM s
+    )
+    SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           ROUND(CAST(SUM(pm) AS DOUBLE)
+                 / (CAST(COUNT(*) AS DOUBLE) * 1000.0)
+                 * 1000000.0) / 1000000.0 AS confidence,
+           ROUND(CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                 * 1000000.0) / 1000000.0 AS accuracy
+    FROM b GROUP BY bin
+    """,
+)
+def calibration_value_purchase_events(spark, sf):
+    """Reliability-diagram bins (ml/eval.py calibration_curve — the
+    standard calibration companion to the Brier/log-loss report): a
+    deterministic milli-probability (cents mod 1001, scaled) scored
+    against the purchase indicator, uniform decile bins.  Exactness:
+    the probability quantizes to the integer milli grid FIRST and the
+    bin index is pure integer arithmetic (numerator made exactly
+    divisible before the division — no float-floor boundary), so per-
+    bin n / n_pos / Σpm are exact BIGINTs and confidence/accuracy are
+    exact rationals under the integer-tier scaled round.  Scale shape:
+    ONE map-side-combined GROUP BY to ≤ n_bins rows — nothing else."""
+    from .ml.eval import calibration_curve
+
+    ev = load_table(spark, sf, "events").where(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+    )
+    v = F.round(F.col("value") * 100).cast("long")
+    frame = ev.select(
+        (F.col("event_type") == F.lit("purchase"))
+        .cast("int")
+        .alias("label"),
+        ((v % 1001).cast("double") / 1000.0).alias("p"),
+    )
+    return calibration_curve(frame, "label", "p", n_bins=10)

@@ -478,3 +478,56 @@ def test_window_funnel_random_vs_python_reference(spark, seed):
     }
     want = _window_funnel_brute(events, stages, within)
     assert got == want, seed
+
+
+def test_calibration_curve_hand_computed(spark):
+    """Hand-set milli probabilities across three deciles; exact bin
+    cells and rational confidence/accuracy."""
+    from duckdb_imputation_spark.ml.eval import calibration_curve
+
+    rows = [
+        (1, 0.95), (0, 0.95), (1, 0.90),   # bin 9: n=3, pos=2
+        (1, 0.52), (0, 0.58),              # bin 5: n=2, pos=1
+        (0, 0.05), (0, 0.0),               # bin 0: n=2, pos=0
+        (1, 1.0),                          # pm=1000 -> clamped to bin 9
+    ]
+    df = spark.createDataFrame(rows, "y int, p double")
+    out = {r["bin"]: r for r in calibration_curve(df, "y", "p").collect()}
+    assert set(out) == {0, 5, 9}
+    b9 = out[9]
+    assert (b9["n"], b9["n_pos"]) == (4, 3)
+    assert b9["confidence"] == round((950 + 950 + 900 + 1000) / 4000, 6)
+    assert b9["accuracy"] == 0.75
+    assert out[0]["accuracy"] == 0.0 and out[0]["n"] == 2
+    assert out[5]["confidence"] == round((520 + 580) / 2000, 6)
+
+
+def test_calibration_ece_perfect_and_worst(spark):
+    """A perfectly calibrated bin contributes 0; a fully miscalibrated
+    one contributes its weight."""
+    from duckdb_imputation_spark.ml.eval import calibration_ece
+
+    # bin 9: conf 0.9, acc 0.9 (9/10) -> term 0
+    rows = [(1, 0.9)] * 9 + [(0, 0.9)]
+    # bin 0: conf 0.0, acc 1.0 -> term |1 - 0| * 10/20
+    rows += [(1, 0.0)] * 10
+    df = spark.createDataFrame(rows, "y int, p double")
+    out = calibration_ece(df, "y", "p").collect()[0]
+    assert out["n"] == 20 and out["n_bins_used"] == 2
+    assert out["ece"] == 0.5
+
+
+def test_calibration_null_rows_and_empty(spark):
+    from duckdb_imputation_spark.ml.eval import (
+        calibration_curve,
+        calibration_ece,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 0.5), (None, 0.9), (1, None)], "y int, p double"
+    )
+    bins = calibration_curve(df, "y", "p").collect()
+    assert len(bins) == 1 and bins[0]["n"] == 1
+    empty = spark.createDataFrame([], "y int, p double")
+    out = calibration_ece(empty, "y", "p").collect()[0]
+    assert out["n"] == 0 and out["ece"] is None
