@@ -153,9 +153,10 @@ _DRIVER_PRIORITY: list[str] = [
     "train_val_test_split",
     "vocabulary_top_tokens",
     "zorder_key_lineitem",
-    # — and eight of the seventeen r6-evidence rows (alphabetical
-    # head; they age out at r11; the ninth fill slot went to
-    # window_funnel_events above).  The nine r6 rows NOT fitting
+    # — and seven of the seventeen r6-evidence rows (alphabetical
+    # head; they age out at r11; two further fill slots went to
+    # window_funnel_events and calibration_value_purchase_events
+    # above).  The ten r6 rows NOT fitting
     # (funnel_view_click_purchase and bm25_index_search_documents —
     # displaced, see above — multimodal_decode_netpbm,
     # ngram_decontaminate_documents, ngram_jaccard_dups,
