@@ -531,3 +531,43 @@ def test_calibration_null_rows_and_empty(spark):
     empty = spark.createDataFrame([], "y int, p double")
     out = calibration_ece(empty, "y", "p").collect()[0]
     assert out["n"] == 0 and out["ece"] is None
+
+
+@pytest.mark.parametrize("seed", [5, 29])
+def test_calibration_random_vs_pandas(spark, seed):
+    """Seeded fuzz: bins and ECE equal a pandas reference computing the
+    same milli-grid quantization and integer bin arithmetic."""
+    import numpy as np
+    import pandas as pd
+
+    from duckdb_imputation_spark.ml.eval import (
+        calibration_curve,
+        calibration_ece,
+    )
+
+    rng = np.random.default_rng(seed)
+    n = 700
+    y = rng.integers(0, 2, n)
+    p = rng.integers(0, 1001, n) / 1000.0  # on-grid probabilities
+    df = spark.createDataFrame(
+        [(int(a), float(b)) for a, b in zip(y, p)], "y int, p double"
+    )
+    pdf = pd.DataFrame({"y": y, "pm": np.rint(p * 1000).astype(int)})
+    pdf["bin"] = np.minimum((pdf["pm"] * 10) // 1000, 9)
+    ref = pdf.groupby("bin").agg(
+        n=("y", "size"), n_pos=("y", "sum"), spm=("pm", "sum")
+    )
+    got = {
+        r["bin"]: r for r in calibration_curve(df, "y", "p").collect()
+    }
+    assert set(got) == set(ref.index)
+    for b, row in ref.iterrows():
+        g = got[b]
+        assert (g["n"], g["n_pos"]) == (row["n"], row["n_pos"]), (seed, b)
+        assert g["confidence"] == round(row["spm"] / (row["n"] * 1000), 6)
+        assert g["accuracy"] == round(row["n_pos"] / row["n"], 6)
+    conf = ref["spm"] / (ref["n"] * 1000.0)
+    acc = ref["n_pos"] / ref["n"]
+    want_ece = float((ref["n"] * (acc - conf).abs()).sum() / n)
+    got_ece = calibration_ece(df, "y", "p").collect()[0]["ece"]
+    assert abs(got_ece - round(want_ece, 6)) < 2e-6, seed
