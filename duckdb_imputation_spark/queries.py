@@ -84,96 +84,77 @@ def resolve_oracles(sf_dir: str | None = None) -> dict[str, str]:
 _EVIDENCE_AGE_EXCEPTIONS: dict[str, str] = {}
 
 _DRIVER_PRIORITY: list[str] = [
-    # round 10: five slots are reserved at the head for the new rows
-    # registered this round (live funnel twin driver row, validate_rows
-    # quarantine, multiclass report, one-vs-rest AUC, funnel timing) —
-    # each is appended here the moment it is registered, per the
-    # catalog-order invariant (never-driver-verified rows MUST sit
-    # inside the window).
-    "funnel_stream_view_click_purchase_events",
-    "validate_rows_lineitem",
-    "multiclass_report_events",
-    "auc_ovr_events",
-    "funnel_timing_events",
-    # sixth r10 registration (windowFunnel parity, closing the ADVICE
-    # r9 `within`-anchor deviation as a first-class operator): takes
-    # the slot of r6-fill row funnel_view_click_purchase, whose
-    # operators/funnel.py code path is the MOST exercised in this
-    # window (funnel_timing_events + the funnel stream twin here, the
-    # funnel_counts row r9-green); it joins the r11 queue
+    # round 11: two slots are reserved at the head for the rows
+    # registered this round (ANN recall@k vs exact ground truth,
+    # top-label multiclass calibration) — each is appended here the
+    # moment it is registered, per the catalog-order invariant
+    # (never-driver-verified rows MUST sit inside the window).
+    #
+    # r4 hygiene rule re-entries: both rows are r10 driver-green but
+    # their operator code changes THIS round (window_funnel gains
+    # anchor dedupe + the max_anchors_per_user skew cap — the anchors
+    # frame plan changes; calibration_curve gains the bottom bin
+    # clamp, ADVICE r10 — the bin expression changes), so each returns
+    # to the window for one round.
     "window_funnel_events",
-    # seventh r10 registration (reliability-diagram calibration bins +
-    # ECE, the standard companion to the Brier/log-loss report): takes
-    # the slot of r6-fill row bm25_index_search_documents, whose BM25
-    # scoring path stays in-window via bm25_search_documents (the
-    # index variant adds only save/load, unit- and replay-covered);
-    # it joins the r11 queue
     "calibration_value_purchase_events",
-    # round 10 ROTATION (VERDICT r9 #1, now machine-checked by
-    # tests/test_catalog_order.py::test_evidence_age_within_window):
-    # every row whose newest driver evidence is r4 — the 18-row cohort
-    # that aged past the N-4 line at r9 close (13 documented in the r9
-    # queue + 5 displaced late in r9, each trade noted then) —
-    "brand_revenue",
-    "cube_lineitem",
-    "embedding_cosine_scores",
-    "events_microsecond_exact",
-    "intersect_except_parts",
-    "nb_train_predict_histogram",
-    "nb_triple_orders",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "q6_forecast_revenue",
-    "qda_train_predict_histogram",
-    "rolling_customer_spend",
-    "sql_passthrough_shared_dialect",
-    "string_functions_parts",
-    "token_entropy_documents",
-    "triple_factorized_join_grouped",
-    "triple_lineitem_full",
-    "unpivot_lineitem_charges",
-    # — plus the ENTIRE r5-evidence cohort (18 rows), which ages past
-    # the N-4 line at THIS round's close; rotating it now is what the
-    # r9 verdict's "budget ~36 rotation slots" arithmetic asked for —
-    "duplicate_passage_flags",
-    "interval_overlap_view_purchase",
-    "line_dedup_documents",
-    "multimodal_decode_wav",
-    "multimodal_image_features_netpbm",
-    "multimodal_media_meta",
-    "multimodal_video_frames_netpbm",
-    "normalize_text_documents",
-    "pca_project_embeddings",
-    "range_join_click_view_window",
-    "repetition_metrics_documents",
-    "salted_join_segment_revenue",
-    "snapshot_diff_documents",
-    "strip_html_documents",
-    "temperature_mix_sample",
-    "train_val_test_split",
-    "vocabulary_top_tokens",
-    "zorder_key_lineitem",
-    # — and seven of the seventeen r6-evidence rows (alphabetical
-    # head; they age out at r11; two further fill slots went to
-    # window_funnel_events and calibration_value_purchase_events
-    # above).  The ten r6 rows NOT fitting
-    # (funnel_view_click_purchase and bm25_index_search_documents —
-    # displaced, see above — multimodal_decode_netpbm,
-    # ngram_decontaminate_documents, ngram_jaccard_dups,
-    # pack_documents_bins, pq_cosine_topk, quantized_cosine_topk,
-    # semantic_dedup_survivors, simhash_documents) head the r11 queue;
-    # each has a same-code-path sibling in THIS window (netpbm image/
-    # video rows for the netpbm decoder, bpe_encode for the n-gram
-    # tokenize path, chunk_documents for the passage catalog,
-    # ann_ivfpq for the PQ/quantized cosine path, dedup_cluster_sizes
-    # + embedding_dup_pairs_lsh for the dedup graph/banding paths).
-    "ann_ivfpq_topk",
-    "bm25_search_documents",
-    "bpe_encode_documents",
-    "chunk_documents_catalog",
-    "dedup_cluster_sizes",
-    "embedding_dup_pairs_lsh",
-    "minhash_index_dedup_new",
+    # round 11 ROTATION, part 1 (the machine-checked queue head —
+    # tests/test_catalog_order.py::test_evidence_age_within_window is
+    # RED on any tree carrying CORRECTNESS_r10.json until these are
+    # scheduled): the ten rows whose newest driver evidence is r6;
+    # they age past the N-4 line at r11 close.
+    "bm25_index_search_documents",
+    "funnel_view_click_purchase",
+    "multimodal_decode_netpbm",
+    "ngram_decontaminate_documents",
+    "ngram_jaccard_dups",
+    "pack_documents_bins",
+    "pq_cosine_topk",
+    "quantized_cosine_topk",
+    "semantic_dedup_survivors",
+    "simhash_documents",
+    # round 11 ROTATION, part 2 (pre-paying the r12 cliff, VERDICT r10
+    # Next #1): the r7-evidence cohort is 42 rows and ages past the
+    # N-4 line at r12 close; a 50-slot window cannot absorb 42
+    # rotation rows plus r12's own registrations, so 36 are pulled
+    # forward NOW.  The six deferred to r12 each have a same-code-path
+    # sibling in THIS window (trades documented at _DRIVER_DEMOTE).
+    "bloom_membership_fingerprints",
+    "bottomk_sample_documents",
+    "bpe_train_merges",
+    "cmsketch_token_counts",
+    "connected_components_pages",
+    "dedup_keep_best_survivors",
+    "doc_quality_nb_histogram",
+    "domain_divergence_documents",
+    "dsir_bucketed_importance_weights",
+    "encode_documents_vocab",
+    "equidepth_histogram_lineitem",
+    "ewma_halflife_events",
+    "fill_forward_events",
+    "fuzzy_join_part_typos",
+    "global_ranking_quantity",
+    "gopher_rules_documents",
+    "grouped_covariance_lineitem",
+    "grouped_linreg_lineitem",
+    "hits_navigation",
+    "interpolated_bigram_scores",
+    "mice_categorical_sql_oracle",
+    "mice_single_col_sql_oracle",
+    "pagerank_navigation",
+    "perplexity_buckets_documents",
+    "profile_lineitem",
+    "remove_duplicate_passages_catalog",
+    "resample_interpolate_events",
+    "retention_cohorts_events",
+    "robust_outliers_lineitem",
+    "sketch_distinct_tokens",
+    "sliding_window_events",
+    "streaming_bloom_sink_fingerprints",
+    "streaming_retention_events",
+    "streaming_rollup_events",
+    "triple_lineitem_wide",
+    "weighted_sample_documents",
 ]
 
 
@@ -203,13 +184,100 @@ _DRIVER_PRIORITY: list[str] = [
 # full-catalog replay.  A query whose code changes must move back to
 # _DRIVER_PRIORITY for one round (VERDICT r4 hygiene rule).
 _DRIVER_DEMOTE: list[str] = [
-    # rotated out round 10 for the r4/r5/r6 evidence rotation and the
-    # five new rows: the ENTIRE round-9 window — all r9 driver-green
-    # (CORRECTNESS_r09.json: 50/50 rows+schema+hash, zero err),
-    # implementation untouched this round (the funnel_stream
-    # repeated-stage fix touches only the streaming twin, which had no
-    # driver row until this round; funnel.py / eval.py changes are
-    # docstring-only, outputs replay-identical)
+    # rotated out round 11 for the r6/r7 evidence rotation: the r10
+    # window minus its two hygiene-rule re-entries (window_funnel_events,
+    # calibration_value_purchase_events — their operator code changes
+    # this round, see _DRIVER_PRIORITY).  All 48 are r10 driver-green
+    # (CORRECTNESS_r10.json: 50/50 rows+schema+hash, zero err) and
+    # implementation-stable this round with two default-off exceptions
+    # noted precisely (ADVICE r10 #1 asks for accurate premises):
+    #   * funnel_timing_events — funnel_timing gains an exact=False
+    #     approx-percentile mode this round; the default (exact=True)
+    #     path the row runs is bit-identical in output AND plan.
+    #   * multiclass_report_events — docstring-only change (the eager
+    #     localCheckpoint note, VERDICT r10 wrong #3).
+    "funnel_stream_view_click_purchase_events",
+    "validate_rows_lineitem",
+    "multiclass_report_events",
+    "auc_ovr_events",
+    "funnel_timing_events",
+    "brand_revenue",
+    "cube_lineitem",
+    "embedding_cosine_scores",
+    "events_microsecond_exact",
+    "intersect_except_parts",
+    "nb_train_predict_histogram",
+    "nb_triple_orders",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
+    "qda_train_predict_histogram",
+    "rolling_customer_spend",
+    "sql_passthrough_shared_dialect",
+    "string_functions_parts",
+    "token_entropy_documents",
+    "triple_factorized_join_grouped",
+    "triple_lineitem_full",
+    "unpivot_lineitem_charges",
+    "duplicate_passage_flags",
+    "interval_overlap_view_purchase",
+    "line_dedup_documents",
+    "multimodal_decode_wav",
+    "multimodal_image_features_netpbm",
+    "multimodal_media_meta",
+    "multimodal_video_frames_netpbm",
+    "normalize_text_documents",
+    "pca_project_embeddings",
+    "range_join_click_view_window",
+    "repetition_metrics_documents",
+    "salted_join_segment_revenue",
+    "snapshot_diff_documents",
+    "strip_html_documents",
+    "temperature_mix_sample",
+    "train_val_test_split",
+    "vocabulary_top_tokens",
+    "zorder_key_lineitem",
+    "ann_ivfpq_topk",
+    "bm25_search_documents",
+    "bpe_encode_documents",
+    "chunk_documents_catalog",
+    "dedup_cluster_sizes",
+    "embedding_dup_pairs_lsh",
+    "minhash_index_dedup_new",
+    # six r7-evidence rows deferred to the r12 window (they stay
+    # inside the N-4 line through r12 close; each code path keeps
+    # fresh r11 driver evidence via an in-window sibling):
+    #   * bigram_logprob_scores — interpolated_bigram_scores in-window
+    #     rides the same bigram-count scoring path (textscore.py);
+    #   * bottomk_grouped_documents — bottomk_sample_documents
+    #     in-window (same bottom-k-by-hash sampler, grouped adds only
+    #     the partitionBy);
+    #   * connected_components_alternating_pages — connected_
+    #     components_pages in-window (same large-star/small-star core;
+    #     alternating is the iteration-schedule variant);
+    #   * dsir_importance_weights — dsir_bucketed_importance_weights
+    #     in-window (same hashed-ngram importance core, bucketed adds
+    #     the bucket join);
+    #   * fuzzy_pairs_customer_names — fuzzy_join_part_typos in-window
+    #     (same blocked-edit-distance core, pairs vs join surface);
+    #   * mice_high_sql_oracle — mice_single_col_sql_oracle +
+    #     mice_categorical_sql_oracle in-window exercise mice/run.py's
+    #     shared partition/train/predict loop; the high-strategy
+    #     branch is additionally bench-replayed every round
+    #     (mice_low_2iter anchor) and covered by the local full-catalog
+    #     replay like every demoted row.
+    "bigram_logprob_scores",
+    "bottomk_grouped_documents",
+    "connected_components_alternating_pages",
+    "dsir_importance_weights",
+    "fuzzy_pairs_customer_names",
+    "mice_high_sql_oracle",
+    # long-stable rows with r8-r10 driver evidence, rotated out in past
+    # rounds (full per-round trade notes in git history at this file);
+    # every name is replay-verified each round by the local
+    # full-catalog oracle-parity gate (tests/test_oracle_parity.py),
+    # and the evidence-age CI ratchet schedules each cohort back into
+    # the window before it ages past the N-4 line.
     "streaming_heavy_hitters_by_source",
     "mice_recovery_rmse",
     "semantic_dedup_clustered",
@@ -260,12 +328,6 @@ _DRIVER_DEMOTE: list[str] = [
     "lda_train_predict_histogram",
     "sessionize_events",
     "asof_join_click_to_view",
-    # long-stable rows with r5-r8 driver evidence, rotated out in past
-    # rounds (full per-round trade notes in git history at this file);
-    # every name is replay-verified each round by the local
-    # full-catalog oracle-parity gate (tests/test_oracle_parity.py),
-    # and the evidence-age CI ratchet schedules each cohort back into
-    # the window before it ages past the N-4 line
     "ewma_halflife_stream_events",
     "scd2_user_event_type",
     "leakage_safe_split_documents",
@@ -312,50 +374,6 @@ _DRIVER_DEMOTE: list[str] = [
     "cusum_events",
     "winsorize_lineitem",
     "heavy_hitter_tokens",
-    "hits_navigation",
-    "fill_forward_events",
-    "bottomk_sample_documents",
-    "grouped_covariance_lineitem",
-    "weighted_sample_documents",
-    "domain_divergence_documents",
-    "streaming_rollup_events",
-    "bloom_membership_fingerprints",
-    "connected_components_pages",
-    "grouped_linreg_lineitem",
-    "interpolated_bigram_scores",
-    "equidepth_histogram_lineitem",
-    "connected_components_alternating_pages",
-    "streaming_bloom_sink_fingerprints",
-    "dsir_bucketed_importance_weights",
-    "gopher_rules_documents",
-    "fuzzy_pairs_customer_names",
-    "fuzzy_join_part_typos",
-    "bottomk_grouped_documents",
-    "global_ranking_quantity",
-    "retention_cohorts_events",
-    "sliding_window_events",
-    "streaming_retention_events",
-    "encode_documents_vocab",
-    "resample_interpolate_events",
-    "pagerank_navigation",
-    "dsir_importance_weights",
-    "perplexity_buckets_documents",
-    "sketch_distinct_tokens",
-    "cmsketch_token_counts",
-    "bpe_train_merges",
-    "remove_duplicate_passages_catalog",
-    "bigram_logprob_scores",
-    "dedup_keep_best_survivors",
-    "doc_quality_nb_histogram",
-    "triple_lineitem_wide",
-    "semantic_dedup_survivors",
-    "quantized_cosine_topk",
-    "pq_cosine_topk",
-    "simhash_documents",
-    "ngram_jaccard_dups",
-    "multimodal_decode_netpbm",
-    "pack_documents_bins",
-    "ngram_decontaminate_documents",
 ]
 
 
