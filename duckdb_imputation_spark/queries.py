@@ -89,6 +89,7 @@ _DRIVER_PRIORITY: list[str] = [
     # top-label multiclass calibration) — each is appended here the
     # moment it is registered, per the catalog-order invariant
     # (never-driver-verified rows MUST sit inside the window).
+    "top_label_calibration_events",
     #
     # r4 hygiene rule re-entries: both rows are r10 driver-green but
     # their operator code changes THIS round (window_funnel gains
@@ -10812,3 +10813,77 @@ def calibration_value_purchase_events(spark, sf):
         ((v % 1001).cast("double") / 1000.0).alias("p"),
     )
     return calibration_curve(frame, "label", "p", n_bins=10)
+
+
+@register(
+    "top_label_calibration_events",
+    oracle="""
+    WITH base AS (
+      SELECT event_type AS label,
+             [v % 1001, user_id % 1001, event_id % 1001,
+              (v + user_id) % 1001, (v + event_id) % 1001] AS pms
+      FROM (SELECT event_type, user_id, event_id,
+                   CAST(ROUND(value * 100) AS BIGINT) AS v
+            FROM events
+            WHERE event_type IS NOT NULL AND value IS NOT NULL
+              AND user_id IS NOT NULL AND event_id IS NOT NULL)
+    ), am AS (
+      SELECT label, list_max(pms) AS pm,
+             (['view', 'click', 'purchase', 'signup', 'error'])[
+               list_position(pms, list_max(pms))] AS pred
+      FROM base
+    ), binned AS (
+      SELECT GREATEST(LEAST(
+               CAST((pm * 10 - (pm * 10) % 1000) / 1000 AS INT), 9), 0)
+               AS bin,
+             pm, CASE WHEN label = pred THEN 1 ELSE 0 END AS ok
+      FROM am
+    )
+    SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(ok) AS BIGINT) AS n_correct,
+           ROUND(CAST(SUM(pm) AS DOUBLE)
+                 / (CAST(COUNT(*) AS DOUBLE) * 1000.0)
+                 * 1000000.0) / 1000000.0 AS confidence,
+           ROUND(CAST(SUM(ok) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                 * 1000000.0) / 1000000.0 AS accuracy
+    FROM binned GROUP BY bin
+    """,
+)
+def top_label_calibration_events(spark, sf):
+    """Top-label reliability bins over the five event types (ml/eval.py
+    top_label_calibration_curve — VERDICT r10 missing #4, the
+    multiclass companion to calibration_value_purchase_events): each
+    class carries its OWN deterministic milli probability (cents and
+    modular id hashes, the auc_ovr scoring recipe), confidence is the
+    per-row MAX milli probability, the prediction its first-arg-max
+    class (ties break to the lowest class index — array_position /
+    list_position agree), accuracy is argmax == event_type.  Shares
+    calibration_curve's pure-integer both-ends-clamped bin arithmetic,
+    so per-bin n / n_correct / Σpm are exact BIGINTs.  Scale shape:
+    ONE map-side-combined GROUP BY to ≤ n_bins rows; the arg-max is a
+    C-element JVM array fold."""
+    from .ml.eval import top_label_calibration_curve
+
+    ev = load_table(spark, sf, "events").where(
+        F.col("event_type").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_id").isNotNull()
+    )
+    v = F.round(F.col("value") * 100).cast("long")
+    uid, eid = F.col("user_id"), F.col("event_id")
+    frame = ev.select(
+        F.col("event_type").alias("label"),
+        ((v % 1001).cast("double") / 1000.0).alias("p_view"),
+        ((uid % 1001).cast("double") / 1000.0).alias("p_click"),
+        ((eid % 1001).cast("double") / 1000.0).alias("p_purchase"),
+        (((v + uid) % 1001).cast("double") / 1000.0).alias("p_signup"),
+        (((v + eid) % 1001).cast("double") / 1000.0).alias("p_error"),
+    )
+    return top_label_calibration_curve(
+        frame,
+        "label",
+        ["p_view", "p_click", "p_purchase", "p_signup", "p_error"],
+        classes=["view", "click", "purchase", "signup", "error"],
+        n_bins=10,
+    )

@@ -571,3 +571,227 @@ def test_calibration_random_vs_pandas(spark, seed):
     want_ece = float((ref["n"] * (acc - conf).abs()).sum() / n)
     got_ece = calibration_ece(df, "y", "p").collect()[0]["ece"]
     assert abs(got_ece - round(want_ece, 6)) < 2e-6, seed
+
+
+def test_window_funnel_anchor_dedupe_and_cap(spark):
+    """ADVICE r10: duplicate same-microsecond stage-1 events are deduped
+    before the join chain (output already invisible via the final max);
+    the hot-user cap keeps the EARLIEST-N anchors deterministically, so
+    a user whose only converting anchor is late reports a LOWER depth
+    when capped — the documented trade."""
+    import datetime as dt
+
+    from duckdb_imputation_spark.operators.funnel import window_funnel
+
+    base = dt.datetime(2024, 1, 1)
+
+    def T(s):
+        return base + dt.timedelta(seconds=s)
+
+    rows = [
+        # duplicate anchors at t=0 (identical microsecond)
+        (1, T(0), "view"), (1, T(0), "view"), (1, T(30), "click"),
+        # hot user: anchors at 0,10,20,...,90; click only converts
+        # from the @100 anchor
+        *[(2, T(10 * i), "view") for i in range(10)],
+        (2, T(100), "view"), (2, T(150), "click"),
+    ]
+    df = spark.createDataFrame(rows, "u long, ts timestamp, et string")
+    stages = ["view", "click"]
+    full = {
+        r["u"]: r["depth"]
+        for r in window_funnel(df, "u", "ts", "et", stages, 60.0).collect()
+    }
+    assert full == {1: 2, 2: 2}
+    capped = {
+        r["u"]: r["depth"]
+        for r in window_funnel(
+            df, "u", "ts", "et", stages, 60.0, max_anchors_per_user=3
+        ).collect()
+    }
+    # user 2's earliest 3 anchors (0,10,20) all miss the @150 click
+    assert capped == {1: 2, 2: 1}
+    with pytest.raises(ValueError, match="max_anchors_per_user"):
+        window_funnel(
+            df, "u", "ts", "et", stages, 60.0, max_anchors_per_user=0
+        )
+
+
+def test_window_funnel_anchor_stats(spark):
+    """Hand-computed anchor-skew diagnostic: distinct anchors per user,
+    and what a candidate cap would drop."""
+    import datetime as dt
+
+    from duckdb_imputation_spark.operators.funnel import (
+        window_funnel_anchor_stats,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+
+    def T(s):
+        return base + dt.timedelta(seconds=s)
+
+    rows = [
+        (1, T(0), "view"), (1, T(0), "view"), (1, T(5), "view"),
+        (2, T(0), "view"), (2, T(1), "click"),
+        *[(3, T(i), "view") for i in range(7)],
+    ]
+    df = spark.createDataFrame(rows, "u long, ts timestamp, et string")
+    got = window_funnel_anchor_stats(df, "u", "ts", "et", "view", cap=2)
+    assert got == {
+        "users": 3,
+        "anchors": 2 + 1 + 7,  # user1 dedupes the t=0 twin
+        "max_anchors": 7,
+        "capped_users": 1,
+        "dropped_anchors": 5,
+    }
+    free = window_funnel_anchor_stats(df, "u", "ts", "et", "view")
+    assert free["capped_users"] == 0 and free["dropped_anchors"] == 0
+
+
+def test_top_label_calibration_hand_computed(spark):
+    """Three classes, hand-set milli probabilities: first-max argmax
+    tie-break, both-ends bin clamp, exact bin cells, ECE fold."""
+    from duckdb_imputation_spark.ml.eval import (
+        top_label_calibration_curve,
+        top_label_calibration_ece,
+    )
+
+    rows = [
+        # label, pa, pb, pc  (argmax first-max: ties -> earlier column)
+        ("a", 0.500, 0.500, 0.000),  # tie a/b -> pred a, correct, bin 5
+        ("b", 0.200, 0.700, 0.100),  # pred b, correct, bin 7
+        ("c", 0.350, 0.350, 0.300),  # tie -> pred a, WRONG, bin 3
+        ("a", 1.000, 0.000, 0.000),  # pred a, correct, top clamp bin 9
+        ("b", 0.100, -0.200, 1.300),  # pred c, wrong; 1.3 clamps bin 9
+        (None, 0.9, 0.05, 0.05),     # dropped: NULL label
+        ("a", 0.9, None, 0.05),      # dropped: NULL prob
+    ]
+    df = spark.createDataFrame(
+        rows, "label string, pa double, pb double, pc double"
+    )
+    got = {
+        r["bin"]: r
+        for r in top_label_calibration_curve(
+            df, "label", ["pa", "pb", "pc"], classes=["a", "b", "c"]
+        ).collect()
+    }
+    assert set(got) == {5, 7, 3, 9}
+    assert (got[5]["n"], got[5]["n_correct"]) == (1, 1)
+    assert got[5]["confidence"] == 0.5 and got[5]["accuracy"] == 1.0
+    assert (got[3]["n"], got[3]["n_correct"]) == (1, 0)
+    # bin 9 holds the p=1.0 correct row and the clamped p=1.3 wrong row
+    assert (got[9]["n"], got[9]["n_correct"]) == (2, 1)
+    assert got[9]["confidence"] == round((1000 + 1300) / 2000, 6)
+    ece = top_label_calibration_ece(
+        df, "label", ["pa", "pb", "pc"], classes=["a", "b", "c"]
+    ).collect()[0]
+    assert ece["n"] == 5 and ece["n_bins_used"] == 4
+    want = (
+        1 * abs(1.0 - 0.5)
+        + 1 * abs(1.0 - 0.7)
+        + 1 * abs(0.0 - 0.35)
+        + 2 * abs(0.5 - 1.15)
+    ) / 5
+    assert ece["ece"] == round(want, 6)
+    with pytest.raises(ValueError, match="align"):
+        top_label_calibration_curve(df, "label", ["pa"], classes=["a", "b"])
+
+
+@pytest.mark.parametrize("seed", [11, 47])
+def test_top_label_calibration_random_vs_pandas(spark, seed):
+    """Seeded fuzz vs a pandas reference doing the same milli argmax +
+    integer bin arithmetic."""
+    import numpy as np
+    import pandas as pd
+
+    from duckdb_imputation_spark.ml.eval import (
+        top_label_calibration_curve,
+        top_label_calibration_ece,
+    )
+
+    rng = np.random.default_rng(seed)
+    n, C = 600, 4
+    classes = [f"c{j}" for j in range(C)]
+    pm = rng.integers(0, 1001, size=(n, C))
+    y = rng.integers(0, C, n)
+    rows = [
+        (classes[y[i]], *[float(pm[i, j]) / 1000.0 for j in range(C)])
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows, "label string, " + ", ".join(f"p{j} double" for j in range(C))
+    )
+    mx = pm.max(1)
+    pred = pm.argmax(1)  # numpy first-max, same convention
+    pdf = pd.DataFrame(
+        {
+            "bin": np.clip((mx * 10 - (mx * 10) % 1000) // 1000, 0, 9),
+            "pm": mx,
+            "ok": (pred == y).astype(int),
+        }
+    )
+    ref = pdf.groupby("bin").agg(
+        n=("ok", "size"), n_correct=("ok", "sum"), spm=("pm", "sum")
+    )
+    got = {
+        r["bin"]: r
+        for r in top_label_calibration_curve(
+            df, "label", [f"p{j}" for j in range(C)], classes=classes
+        ).collect()
+    }
+    assert set(got) == set(ref.index), seed
+    for b, row in ref.iterrows():
+        g = got[b]
+        assert (g["n"], g["n_correct"]) == (row["n"], row["n_correct"])
+        assert g["confidence"] == round(row["spm"] / (row["n"] * 1000), 6)
+        assert g["accuracy"] == round(row["n_correct"] / row["n"], 6)
+    conf = ref["spm"] / (ref["n"] * 1000.0)
+    acc = ref["n_correct"] / ref["n"]
+    want_ece = float((ref["n"] * (acc - conf).abs()).sum() / n)
+    got_ece = top_label_calibration_ece(
+        df, "label", [f"p{j}" for j in range(C)], classes=classes
+    ).collect()[0]["ece"]
+    assert abs(got_ece - round(want_ece, 6)) < 2e-6, seed
+
+
+def test_calibration_curve_bottom_clamp(spark):
+    """ADVICE r10: p < 0 no longer emits a silent negative bin — it
+    clamps into bin 0."""
+    from duckdb_imputation_spark.ml.eval import calibration_curve
+
+    df = spark.createDataFrame(
+        [(1, -0.3), (0, 0.05), (1, 1.2)], "y int, p double"
+    )
+    got = {r["bin"]: r for r in calibration_curve(df, "y", "p").collect()}
+    assert set(got) == {0, 9}
+    assert got[0]["n"] == 2 and got[9]["n"] == 1
+
+
+def test_funnel_timing_exact_vs_approx_small_cohort(spark):
+    """exact=False (corpus-scale approx_percentile) agrees with the
+    exact path on a small cohort whose percentile ranks land on data
+    points (21 users: (n-1)*p integer for p in .25/.5/.75/.9, so exact
+    interpolation returns actual elements and GK at high accuracy
+    returns the same elements)."""
+    import datetime as dt
+
+    from duckdb_imputation_spark.operators.funnel import funnel_timing
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for u in range(21):
+        rows.append((u, base, "view"))
+        rows.append(
+            (u, base + dt.timedelta(seconds=3 * (u + 1)), "click")
+        )
+    df = spark.createDataFrame(rows, "u long, ts timestamp, et string")
+    stages = ["view", "click"]
+    ex = funnel_timing(df, "u", "ts", "et", stages).collect()
+    ap = funnel_timing(df, "u", "ts", "et", stages, exact=False).collect()
+    assert [r.asDict() for r in ex] == [r.asDict() for r in ap]
+    # and both report the hand-computed ranks: deltas 3..63s step 3
+    got = {r["stage_idx"]: r for r in ex}
+    assert got[2]["n_users"] == 21
+    assert got[2]["p50_us"] == 33_000_000.0  # 11th of 21 -> 33 s
+    assert got[2]["p90_us"] == 57_000_000.0  # rank 19 -> 57 s
