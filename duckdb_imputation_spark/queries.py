@@ -90,6 +90,7 @@ _DRIVER_PRIORITY: list[str] = [
     # moment it is registered, per the catalog-order invariant
     # (never-driver-verified rows MUST sit inside the window).
     "top_label_calibration_events",
+    "ann_recall_at_k",
     #
     # r4 hygiene rule re-entries: both rows are r10 driver-green but
     # their operator code changes THIS round (window_funnel gains
@@ -2248,6 +2249,166 @@ def quantized_cosine_topk_query(spark, sf):
     q = _emb_query_vec(sf)
     e = load_table(spark, sf, "embeddings")
     return _ss.quantized_cosine_topk(e, q, k=10)
+
+
+def _lsh_planes(n_planes: int = 12, dim: int = 64, seed: int = 42):
+    """The exact plane bits ann_lsh_topk derives (same numpy call) —
+    shared so the SQL twin bakes identical hyperplanes."""
+    import numpy as _np
+
+    return _np.random.default_rng(seed).normal(size=(n_planes, dim))
+
+
+def _seq_fold_sql(vec_lit: str, dim: int = 64) -> str:
+    """DuckDB sequential fold Σ embedding·vec, same order as Spark's
+    aggregate(zip_with(...)) — the shared dot discipline."""
+    return (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, {dim + 1}), "
+        f"i -> CAST(embedding[CAST(i AS INT)] AS DOUBLE) * ({vec_lit})[CAST(i AS INT)])), "
+        "(a, b) -> a + b)"
+    )
+
+
+def _self_fold_sql(dim: int = 64) -> str:
+    return (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, {dim + 1}), "
+        "i -> CAST(embedding[CAST(i AS INT)] AS DOUBLE)"
+        " * CAST(embedding[CAST(i AS INT)] AS DOUBLE))), "
+        "(a, b) -> a + b)"
+    )
+
+
+def _ann_recall_oracle(sf_dir: str) -> str:
+    """Recall@10 oracle: the exact-cosine top-10 CTE plus ONE subquery
+    per ANN variant — IVF/PQ/IVF+PQ reuse their row factories verbatim
+    (nested WITH subqueries), int8 reuses the static twin, and LSH /
+    PCA-shortlist get their SQL twins here (seeded hyperplane signs +
+    hamming filter; fold-minus-shift subspace scores → top-40 shortlist
+    → exact rerank) — every pruning replayed bit-identically, then one
+    GROUP BY counts the overlaps."""
+    import numpy as np
+
+    from .ml.sql_twin import flit
+
+    q = np.asarray(_emb_query_vec(), dtype=np.float64)
+    q2 = q / np.linalg.norm(q)  # _cosine's renormalized bits
+
+    def vlit(v) -> str:
+        return "[" + ", ".join(flit(float(x)) for x in v) + "]"
+
+    cos = f"ROUND({_seq_fold_sql(vlit(q2))} / sqrt({_self_fold_sql()}), 6)"
+    truth = (
+        f"SELECT vec_id, {cos} AS score FROM embeddings "
+        "ORDER BY score DESC, vec_id LIMIT 10"
+    )
+    # --- LSH twin: seeded hyperplane signs, hamming <= 3, exact rerank
+    planes = _lsh_planes()
+    qbits = (planes @ q > 0).astype(int)
+    ham = " + ".join(
+        f"(CASE WHEN ({_seq_fold_sql(vlit(p))} > 0.0) != {bool(b)} "
+        "THEN 1 ELSE 0 END)"
+        for p, b in zip(planes, qbits)
+    )
+    lsh = f"""
+      SELECT vec_id, {cos} AS score
+      FROM embeddings WHERE ({ham}) <= 3
+      ORDER BY score DESC, vec_id LIMIT 10"""
+    # --- PCA-shortlist twin: subspace scores (fold - baked mean shift),
+    # top-40 by approximate score, exact rerank of the shortlist
+    import duckdb as _duckdb
+
+    rows = _duckdb.sql(
+        f"SELECT embedding FROM {_pq(sf_dir, 'embeddings')} "
+        "WHERE vec_id % 5 = 0 ORDER BY vec_id"
+    ).fetchall()
+    model = _pca_catalog_model([list(r[0]) for r in rows])
+    qp = (q - model.mean) @ model.components.T
+    approx = "CAST(0.0 AS DOUBLE)"
+    for j in range(_PCA_K):
+        comp = model.components[j]
+        shift = flit(float(np.dot(model.mean, comp)))
+        approx += (
+            f" + ({_seq_fold_sql(vlit(comp))} - {shift})"
+            f" * {flit(float(qp[j]))}"
+        )
+    pca = f"""
+      SELECT vec_id, {cos} AS score FROM embeddings
+      WHERE vec_id IN (
+        SELECT vec_id FROM (
+          SELECT vec_id, {approx} AS a FROM embeddings
+          ORDER BY a DESC, vec_id LIMIT 40))
+      ORDER BY score DESC, vec_id LIMIT 10"""
+    variants = [
+        ("ivf", f"({_ann_ivf_oracle(sf_dir)})"),
+        ("lsh", f"({lsh})"),
+        ("int8", f"({_quantized_topk_oracle()})"),
+        ("pq", f"({_pq_topk_oracle(sf_dir)})"),
+        ("ivfpq", f"({_ivfpq_topk_oracle(sf_dir)})"),
+        ("pca", f"({pca})"),
+    ]
+    tagged = "\n      UNION ALL\n      ".join(
+        f"SELECT '{name}' AS variant, vec_id FROM {sql} t_{name}"
+        for name, sql in variants
+    )
+    return f"""
+    WITH truth AS ({truth}),
+    tagged AS (
+      {tagged}
+    ), scored AS (
+      SELECT variant, vec_id,
+             CASE WHEN vec_id IN (SELECT vec_id FROM truth)
+                  THEN 1 ELSE 0 END AS hit
+      FROM tagged
+    )
+    SELECT variant, CAST(10 AS INT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS returned,
+           CAST(COALESCE(SUM(hit), 0) AS BIGINT) AS hits,
+           CAST(ROUND(COALESCE(SUM(hit), 0) * 1000.0 / 10.0) AS BIGINT)
+             AS recall_pm
+    FROM scored GROUP BY variant
+    """
+
+
+@register("ann_recall_at_k")
+def ann_recall_at_k_query(spark, sf):
+    """Recall@10 of every ANN variant against exact cosine ground truth
+    (simsearch.ann_recall_at_k — VERDICT r10 missing #2): the six
+    pruning strategies (IVF, hyperplane LSH, int8 scalar quantization,
+    PQ, IVF+PQ, PCA shortlist) run on the fixed synthetic query over
+    the same corpus, each top-10 joined against cosine_topk's top-10 —
+    exact integer hit counts, recall as an integer-tier rounded
+    rational, short returns visible in `returned`.  This measures the
+    APPROXIMATION quality the per-variant hash rows cannot (each of
+    those proves its pruning is implemented as specified, not that the
+    pruning keeps the right neighbours).  Training constants
+    (centroids, codebooks, PCA model) derive from the deterministic
+    sorted subset shared with the ann_ivf/pq rows; LSH planes are the
+    seeded numpy bits; the oracle replays every pruning end-to-end in
+    SQL and counts the same overlaps.  Scale shape: six TakeOrdered
+    top-k frames + one broadcast of 10 truth ids + ONE groupBy over
+    ≤ 60 tagged rows."""
+    q = _emb_query_vec(sf)
+    e = load_table(spark, sf, "embeddings")
+    sub = e.filter("vec_id % 5 = 0").orderBy("vec_id").select("embedding").collect()
+    X = [r[0] for r in sub]
+    cent = _ivf_catalog_centroids(X)
+    cb = _pq_catalog_codebooks(X)
+    model = _pca_catalog_model([list(x) for x in X])
+    truth = _ss.cosine_topk(e, q, k=10)
+    variants = {
+        "ivf": _ss.ann_ivf_topk(e, q, k=10, nlist=8, nprobe=4, centroids=cent),
+        "lsh": _ss.ann_lsh_topk(e, q, k=10, n_planes=12, max_hamming=3),
+        "int8": _ss.quantized_cosine_topk(e, q, k=10),
+        "pq": _ss.pq_topk(e, q, cb, k=10),
+        "ivfpq": _ss.ann_ivfpq_topk(e, q, cent, cb, k=10, nprobe=4),
+        "pca": _ss.ann_pca_topk(e, q, model, k=10, rerank=4),
+    }
+    return _ss.ann_recall_at_k(truth, variants, k=10)
+
+
+ORACLE_FACTORIES["ann_recall_at_k"] = _ann_recall_oracle
 
 
 @register("semantic_dedup_survivors", oracle=_semantic_dedup_oracle())

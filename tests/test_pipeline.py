@@ -1446,3 +1446,50 @@ def test_embedding_dedup_clustered_mode(spark, emb):
         ).select("vec_id").collect()
     }
     assert len(kept3) == 80  # single cluster of 80 > cap: nothing pairs
+
+
+def test_ann_recall_at_k_hand_counts(spark):
+    """Exact overlap counting: hand-built truth and variant top-k id
+    frames; hits/returned/recall_pm are exact integers, variants with
+    zero hits and short returns stay visible."""
+    truth = spark.createDataFrame([(i,) for i in range(10)], "vec_id long")
+    va = spark.createDataFrame([(i,) for i in range(10)], "vec_id long")
+    vb = spark.createDataFrame(
+        [(i,) for i in [0, 1, 2, 100, 101, 102, 103, 104, 105, 106]],
+        "vec_id long",
+    )
+    vc = spark.createDataFrame(
+        [(i,) for i in [200, 201, 202]], "vec_id long"
+    )  # returns only 3 rows, none right
+    out = {
+        r["variant"]: r
+        for r in ss.ann_recall_at_k(
+            truth, {"a": va, "b": vb, "c": vc}, k=10
+        ).collect()
+    }
+    assert (out["a"]["hits"], out["a"]["returned"], out["a"]["recall_pm"]) \
+        == (10, 10, 1000)
+    assert (out["b"]["hits"], out["b"]["recall_pm"]) == (3, 300)
+    assert (out["c"]["hits"], out["c"]["returned"], out["c"]["recall_pm"]) \
+        == (0, 3, 0)
+    assert all(r["k"] == 10 for r in out.values())
+    with pytest.raises(ValueError, match="variant"):
+        ss.ann_recall_at_k(truth, {}, k=10)
+
+
+def test_ann_recall_at_k_matches_set_intersections(emb):
+    """On the embeddings fixture the operator's hits equal the plain
+    Python set intersections of each variant vs brute force."""
+    q = list(emb.filter("vec_id = 7").first()["embedding"])
+    truth = ss.cosine_topk(emb, q, k=10)
+    ivf = ss.ann_ivf_topk(emb, q, k=10, nlist=8, nprobe=4)
+    lsh = ss.ann_lsh_topk(emb, q, k=10, n_planes=12, max_hamming=5)
+    got = {
+        r["variant"]: r["hits"]
+        for r in ss.ann_recall_at_k(
+            truth, {"ivf": ivf, "lsh": lsh}, k=10
+        ).collect()
+    }
+    bs = {r["vec_id"] for r in truth.collect()}
+    assert got["ivf"] == len(bs & {r["vec_id"] for r in ivf.collect()})
+    assert got["lsh"] == len(bs & {r["vec_id"] for r in lsh.collect()})
