@@ -209,11 +209,14 @@ def funnel_timing(
     Greenwald–Khanna ``accuracy`` (default 10 000 → ≤ 0.01 % rank
     error) keeps the aggregation state bounded at
     O(accuracy · log n) per (stage, percentile) cell instead of
-    buffering the whole cohort — the r10 100× rehearsal's 5.0× wall
-    was exactly this buffer growing.  Approx output is an actual
-    cohort value at a nearby rank (no interpolation), so it is
-    engine-specific: do not hash-gate it against a ``quantile_cont``
-    oracle."""
+    buffering the whole cohort.  Measured (r11, 100× rehearsal,
+    ≈ 2M reached users): exact 2.03 s vs approx 2.74 s — GK summary
+    maintenance costs MORE CPU than the buffer costs memory at any
+    cohort that still fits, so choose ``exact=False`` for the memory
+    bound (the cohort would not fit an executor's aggregation state),
+    never for wall clock.  Approx output is an actual cohort value at
+    a nearby rank (no interpolation), so it is engine-specific: do
+    not hash-gate it against a ``quantile_cont`` oracle."""
     stages = list(stages)
     pcts = [float(p) for p in percentiles]
     users = funnel_users(df, user_col, ts_col, type_col, stages, within)

@@ -104,6 +104,38 @@ def _minhash_after_exact_dedup(spark, sf: str):
     )
 
 
+def _funnel_timing(spark, sf: str, exact: bool):
+    """The funnel_timing_events recipe with the exact/approx knob — the
+    r11 rehearsal pair: exact percentile buffers the reached cohort's
+    deltas per aggregation state, approx (GK) keeps state bounded."""
+    from duckdb_imputation_spark.operators.funnel import funnel_timing
+    from duckdb_imputation_spark.sources import load_table
+
+    ev = load_table(spark, sf, "events")
+    return funnel_timing(
+        ev, "user_id", "ts", "event_type",
+        ["view", "click", "purchase"], exact=exact,
+    )
+
+
+def _window_funnel(spark, sf: str, cap):
+    """The window_funnel_events recipe with the hot-user anchor cap."""
+    from pyspark.sql import functions as F
+
+    from duckdb_imputation_spark.operators.funnel import window_funnel
+    from duckdb_imputation_spark.sources import load_table
+
+    ev = load_table(spark, sf, "events")
+    out = window_funnel(
+        ev, "user_id", "ts", "event_type",
+        ["view", "click", "purchase"], within=28800.0,
+        max_anchors_per_user=cap,
+    )
+    return out.groupBy("depth").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+
+
 # name -> fn(spark, sf_dir) -> DataFrame
 CASES = {
     "triple_join_broadcast": lambda sp, sf: _triple_supplier_join(sp, sf, True),
@@ -111,6 +143,10 @@ CASES = {
     "fuzzy_self_pairs_uncapped": lambda sp, sf: _fuzzy_pairs(sp, sf, None),
     "fuzzy_self_pairs_cap20": lambda sp, sf: _fuzzy_pairs(sp, sf, 20),
     "minhash_after_exact_dedup": _minhash_after_exact_dedup,
+    "funnel_timing_exact": lambda sp, sf: _funnel_timing(sp, sf, True),
+    "funnel_timing_approx": lambda sp, sf: _funnel_timing(sp, sf, False),
+    "window_funnel_uncapped": lambda sp, sf: _window_funnel(sp, sf, None),
+    "window_funnel_cap8": lambda sp, sf: _window_funnel(sp, sf, 8),
 }
 
 
