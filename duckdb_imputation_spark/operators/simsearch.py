@@ -660,6 +660,7 @@ def ann_recall_at_k(
     variants: "dict[str, DataFrame]",
     id_col: str = "vec_id",
     k: int = 10,
+    query_col: str | None = None,
 ) -> DataFrame:
     """Recall@k of each ANN variant against exact ground truth (VERDICT
     r10 missing #2 — the approximation-QUALITY measurement the
@@ -674,25 +675,41 @@ def ann_recall_at_k(
     hidden in a denominator), and ``recall_pm`` = round(hits·1000/k) —
     recall as an integer-tier rounded rational of exact integers.
 
+    ``query_col`` is the BATCH-evaluation form (the shape a real recall
+    benchmark takes — many probe queries, mean recall): truth and every
+    variant carry one top-k PER query id, matches join on (query, id),
+    and ``recall_pm`` = round(hits·1000 / (k·n_queries)) — the mean
+    recall over the truth frame's query set, still a rational of exact
+    integers (n_queries comes from the truth frame itself, so a variant
+    that skips a query entirely is penalized, not silently dropped from
+    its own denominator).
+
     Scale shape: the tagged variant top-k frames union into one
-    ≤ |variants|·k-row frame, the truth ids broadcast (k rows), ONE
-    left equi-join + ONE groupBy — nothing corpus-sized moves; the
-    corpus cost is inside the variant/truth frames themselves, each of
-    which is a TakeOrdered, not a global sort.  The per-variant frames
-    are a bounded enumeration (one per ANN method), so the Python loop
-    below is plan composition, not a driver-side data loop."""
+    ≤ |variants|·k·n_queries-row frame, the truth ids broadcast
+    (k·n_queries rows), ONE left equi-join + ONE groupBy (plus, in
+    batch form, a 1-row n_queries aggregate broadcast-crossed in) —
+    nothing corpus-sized moves; the corpus cost is inside the
+    variant/truth frames themselves, each of which is a TakeOrdered,
+    not a global sort.  The per-variant frames are a bounded
+    enumeration (one per ANN method), so the Python loop below is plan
+    composition, not a driver-side data loop."""
     if not variants:
         raise ValueError("ann_recall_at_k needs >= 1 variant frame")
-    t = truth.select(F.col(id_col).alias("__tid"), F.lit(1).alias("__hit"))
+    key_cols = ["__tid"] if query_col is None else ["__q", "__tid"]
+    t_sel = [F.col(id_col).alias("__tid"), F.lit(1).alias("__hit")]
+    if query_col is not None:
+        t_sel.insert(0, F.col(query_col).alias("__q"))
+    t = truth.select(*t_sel)
     tagged = None
     for name, df in variants.items():
-        part = df.select(
-            F.lit(str(name)).alias("variant"),
-            F.col(id_col).alias("__tid"),
-        )
+        cols = [F.lit(str(name)).alias("variant")]
+        if query_col is not None:
+            cols.append(F.col(query_col).alias("__q"))
+        cols.append(F.col(id_col).alias("__tid"))
+        part = df.select(*cols)
         tagged = part if tagged is None else tagged.unionByName(part)
-    return (
-        tagged.join(F.broadcast(t), on="__tid", how="left")
+    grouped = (
+        tagged.join(F.broadcast(t), on=key_cols, how="left")
         .groupBy("variant")
         .agg(
             F.count(F.lit(1)).cast("long").alias("returned"),
@@ -700,6 +717,26 @@ def ann_recall_at_k(
             .cast("long")
             .alias("hits"),
         )
+    )
+    if query_col is not None:
+        nq = truth.agg(
+            F.count_distinct(F.col(query_col)).alias("__nq")
+        )
+        return grouped.crossJoin(F.broadcast(nq)).select(
+            "variant",
+            F.lit(int(k)).cast("int").alias("k"),
+            F.col("__nq").cast("long").alias("n_queries"),
+            "returned",
+            "hits",
+            F.round(
+                F.col("hits") * 1000.0
+                / (F.lit(float(k)) * F.col("__nq").cast("double"))
+            )
+            .cast("long")
+            .alias("recall_pm"),
+        )
+    return (
+        grouped
         .select(
             "variant",
             F.lit(int(k)).cast("int").alias("k"),

@@ -1493,3 +1493,32 @@ def test_ann_recall_at_k_matches_set_intersections(emb):
     bs = {r["vec_id"] for r in truth.collect()}
     assert got["ivf"] == len(bs & {r["vec_id"] for r in ivf.collect()})
     assert got["lsh"] == len(bs & {r["vec_id"] for r in lsh.collect()})
+
+
+def test_ann_recall_at_k_multi_query(spark):
+    """Batch form (query_col): matches join on (query, id); a variant
+    that skips a query keeps the truth-derived denominator."""
+    truth = spark.createDataFrame(
+        [(q, i) for q in (1, 2) for i in range(5)], "qid long, vec_id long"
+    )
+    va = spark.createDataFrame(  # perfect on q1, 2/5 on q2
+        [(1, i) for i in range(5)] + [(2, 0), (2, 1), (2, 99), (2, 98), (2, 97)],
+        "qid long, vec_id long",
+    )
+    vb = spark.createDataFrame(  # answers ONLY q1, 3/5 right there
+        [(1, 0), (1, 1), (1, 2), (1, 50), (1, 51)], "qid long, vec_id long"
+    )
+    out = {
+        r["variant"]: r
+        for r in ss.ann_recall_at_k(
+            truth, {"a": va, "b": vb}, k=5, query_col="qid"
+        ).collect()
+    }
+    assert (out["a"]["hits"], out["a"]["n_queries"]) == (7, 2)
+    assert out["a"]["recall_pm"] == 700  # 7 / (5*2)
+    assert (out["b"]["hits"], out["b"]["returned"]) == (3, 5)
+    assert out["b"]["recall_pm"] == 300  # denominator stays 2 queries
+    # cross-query id collisions must NOT count: vec_id 0 right for q1
+    # only when returned under q1 (vb returns it under q1 — counted
+    # once, not twice)
+    assert out["b"]["k"] == 5
