@@ -177,6 +177,13 @@ _DRIVER_PRIORITY: list[str] = [
 # - validate_rows(per_check_limit=...): the capped quarantine sample —
 #   deterministic under order_cols, unit-tested; a row would only
 #   re-prove the row_number window other rows already hash.
+# - window_funnel_stream (streaming/funnel_stream.py, built r11): the
+#   live windowFunnel twin — batch-equivalence fuzz-tested (max depth
+#   per user == window_funnel over sealed events, incl. repeated
+#   stages, cap parity, checkpoint replay).  The r13 registration
+#   candidate (r12's window is fully owed to rotation): register like
+#   the funnel_stream row — two-file replay, sentinel nudges, depth
+#   histogram vs the window_funnel_events oracle shape.
 # Everything else implemented has either a driver row in the window or
 # a past driver-green hash plus local replay coverage.
 

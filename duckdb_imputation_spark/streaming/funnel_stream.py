@@ -45,7 +45,12 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-__all__ = ["funnel_stream", "FUNNEL_OUTPUT_SCHEMA"]
+__all__ = [
+    "funnel_stream",
+    "FUNNEL_OUTPUT_SCHEMA",
+    "window_funnel_stream",
+    "WINDOW_FUNNEL_OUTPUT_SCHEMA",
+]
 
 FUNNEL_OUTPUT_SCHEMA = StructType(
     [
@@ -191,6 +196,202 @@ def funnel_stream(
         fn,
         outputStructType=FUNNEL_OUTPUT_SCHEMA,
         stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+WINDOW_FUNNEL_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("depth", IntegerType()),
+        StructField("reached_at", TimestampType()),
+    ]
+)
+
+# best = max depth emitted; n_anchors/last_a_us drive the dedupe + cap;
+# active chains as parallel (anchor_us, stages-matched, tlast_us)
+# arrays; unsealed buffer as in funnel_stream
+_WF_STATE_SCHEMA = StructType(
+    [
+        StructField("best", IntegerType()),
+        StructField("n_anchors", LongType()),
+        StructField("last_a_us", LongType()),
+        StructField("a_us", ArrayType(LongType())),
+        StructField("a_k", ArrayType(IntegerType())),
+        StructField("a_tlast", ArrayType(LongType())),
+        StructField("buf_ts", ArrayType(LongType())),
+        StructField("buf_k", ArrayType(IntegerType())),
+    ]
+)
+
+
+def window_funnel_stream(
+    stream: DataFrame,
+    stages: Sequence[str],
+    within: float,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    watermark: str = "10 minutes",
+    max_anchors_per_user: int | None = None,
+) -> DataFrame:
+    """Live ClickHouse-windowFunnel(strict_increase) twin of
+    operators/funnel.window_funnel: every DISTINCT stage-1
+    (user, microsecond) event is retried as a window start, and an
+    append-mode row (user_id, depth, reached_at) is emitted each time
+    a user's MAXIMUM chain depth increases — so per user the emitted
+    depths are exactly 1..D for the batch operator's final depth D
+    over the sealed events (exactly-once per (user, depth):
+    ``best`` is monotone and checkpointed).
+
+    State per user, bounded:
+    * three scalars (best depth, anchors created, last anchor µs);
+    * the ACTIVE chains — one (anchor_us, matched, tlast_us) triple
+      per anchor whose window is still open (anchor + within >
+      watermark) and whose chain is incomplete: rate-of-stage-1 ×
+      ``within`` bounded, the time-windowed analogue of the batch
+      operator's per-user (user, anchor) frame, and additionally
+      capped by ``max_anchors_per_user`` (earliest-N in event time —
+      the same deterministic semantics as batch, because anchors are
+      created from SEALED events in event-time order);
+    * the unsealed buffer (events newer than the watermark), the
+      funnel_stream bound.
+    Completed chains (depth = S) and expired windows are dropped the
+    moment they are known such — their contribution lives on in
+    ``best``.
+
+    Same clock caveat as every twin here: only STAGE-TYPE events
+    advance the watermark (Catalyst pushes the stage filter below the
+    EventTimeWatermark node)."""
+    stages = list(stages)
+    if len(stages) < 1:
+        raise ValueError("funnel needs at least one stage")
+    if within is None:
+        raise ValueError("window_funnel_stream requires a window")
+    if max_anchors_per_user is not None and max_anchors_per_user < 1:
+        raise ValueError("max_anchors_per_user must be >= 1")
+    n_stages = len(stages)
+    within_us = int(float(within) * 1_000_000)
+    cap = max_anchors_per_user
+
+    stage_idx = F.lit(None).cast("int")
+    for i in reversed(range(n_stages)):
+        stage_idx = F.when(
+            F.col(type_col) == F.lit(stages[i]), F.lit(i)
+        ).otherwise(stage_idx)
+
+    src = (
+        stream.select(
+            F.col(user_col).cast("long").alias("user_id"),
+            F.col(ts_col).cast("timestamp").alias("ts"),
+            stage_idx.alias("__k"),
+        )
+        .withWatermark("ts", watermark)
+        .where(F.col("__k").isNotNull() & F.col("user_id").isNotNull())
+    )
+
+    def fn(
+        key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user,) = key
+        if state.exists:
+            best, n_anchors, last_a, a_us, a_k, a_tl, buf_ts, buf_k = state.get
+            a_us, a_k, a_tl = list(a_us), list(a_k), list(a_tl)
+            buf_ts, buf_k = list(buf_ts), list(buf_k)
+        else:
+            best, n_anchors, last_a = 0, 0, -1
+            a_us, a_k, a_tl, buf_ts, buf_k = [], [], [], [], []
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                if not len(pdf):
+                    continue
+                ts_us = pdf["ts"].astype("int64") // 1000  # ns → µs
+                for t, sk in zip(ts_us, pdf["__k"]):
+                    buf_ts.append(int(t))
+                    buf_k.append(int(sk))
+
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        sealed = sorted(
+            (t, sk) for t, sk in zip(buf_ts, buf_k) if t <= wm_us
+        )
+        remaining = [
+            (t, sk) for t, sk in zip(buf_ts, buf_k) if t > wm_us
+        ]
+        out = {c: [] for c in ("user_id", "depth", "reached_at")}
+        for t, sk in sealed:
+            name = stages[sk]
+            # advance every open chain whose NEXT stage has this name
+            # (names, not indices — the repeated-stage contract the
+            # plain funnel twin fixed in r10); strictly-after + window
+            for i in range(len(a_us)):
+                if (
+                    a_k[i] < n_stages
+                    and stages[a_k[i]] == name
+                    and t > a_tl[i]
+                    and t <= a_us[i] + within_us
+                ):
+                    a_k[i] += 1
+                    a_tl[i] = t
+            # then maybe anchor a new chain (dedupe identical-µs
+            # anchors; earliest-N cap counts DISTINCT anchors in
+            # event-time order, matching batch)
+            if name == stages[0] and t != last_a and (
+                cap is None or n_anchors < cap
+            ):
+                a_us.append(t)
+                a_k.append(1)
+                a_tl.append(t)
+                n_anchors += 1
+                last_a = t
+            d = max(a_k, default=0)
+            while best < d:
+                best += 1
+                out["user_id"].append(user)
+                out["depth"].append(best)
+                out["reached_at"].append(pd.Timestamp(t, unit="us"))
+            # completed chains cannot grow — drop them now
+            if any(k == n_stages for k in a_k):
+                keep = [i for i in range(len(a_us)) if a_k[i] < n_stages]
+                a_us = [a_us[i] for i in keep]
+                a_k = [a_k[i] for i in keep]
+                a_tl = [a_tl[i] for i in keep]
+        # expired windows: no future sealed event can satisfy
+        # t <= anchor + within once the watermark has passed it
+        keep = [i for i in range(len(a_us)) if a_us[i] + within_us > wm_us]
+        a_us = [a_us[i] for i in keep]
+        a_k = [a_k[i] for i in keep]
+        a_tl = [a_tl[i] for i in keep]
+
+        if best == 0 and n_anchors == 0 and not a_us and not remaining:
+            state.remove()  # a fresh machine is identical
+        else:
+            state.update(
+                (
+                    best,
+                    n_anchors,
+                    last_a,
+                    a_us,
+                    a_k,
+                    a_tl,
+                    [t for t, _ in remaining],
+                    [sk for _, sk in remaining],
+                )
+            )
+            pend = [t for t, _ in remaining] + [
+                a + within_us for a in a_us
+            ]
+            if pend:
+                # flush when the watermark passes the oldest buffered
+                # event or the next window expiry (state hygiene)
+                state.setTimeoutTimestamp(min(pend) // 1000 + 1)
+        if out["user_id"]:
+            yield pd.DataFrame(out)
+
+    return src.groupBy(F.col("user_id")).applyInPandasWithState(
+        fn,
+        outputStructType=WINDOW_FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=_WF_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

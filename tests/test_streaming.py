@@ -1632,3 +1632,230 @@ def test_streaming_quarantine_validate_rows(spark, tmp_path):
         for r in validate_rows(edf, checks, id_cols=["id"]).collect()
     )
     assert got == want == [(2, "rng"), (3, "nn"), (4, "rng")]
+
+
+def test_streaming_window_funnel_matches_batch(spark, tmp_path):
+    """Live windowFunnel twin: depth-increase rows over out-of-order
+    micro-batches; per user max(depth) must equal the batch
+    window_funnel depth, and the emitted depths are exactly 1..D
+    (the ADVICE r9 per-anchor counterexample converts here too)."""
+    import pandas as pd
+
+    from duckdb_imputation_spark.operators.funnel import window_funnel
+    from duckdb_imputation_spark.streaming.funnel_stream import (
+        window_funnel_stream,
+    )
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+
+    def T(seconds):
+        return (base + pd.Timedelta(seconds=seconds)).to_pydatetime()
+
+    stages = ["view", "click"]
+    rows = [
+        # the per-anchor counterexample: min-ts anchor (t=0) misses the
+        # click@150 under within=60, the @100 anchor converts
+        (1, T(0), "view"), (1, T(100), "view"), (1, T(150), "click"),
+        # u2: click arrives in an EARLIER file than its view
+        (2, T(40), "click"), (2, T(10), "view"),
+        # u3: duplicate same-microsecond anchors, then conversion
+        (3, T(0), "view"), (3, T(0), "view"), (3, T(30), "click"),
+        # u4: click outside every window
+        (4, T(0), "view"), (4, T(500), "click"),
+    ]
+    edf = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    src = str(tmp_path / "wf")
+    # batch 1: the late-half events; batch 2: the early half (forces
+    # buffering); then two stage-type nudges under an excluded user
+    edf.filter("ts > timestamp'2024-01-01 00:00:35'").coalesce(1).write.mode("append").parquet(src)
+    edf.filter("ts <= timestamp'2024-01-01 00:00:35'").coalesce(1).write.mode("append").parquet(src)
+    for s in (100000, 100060):
+        spark.createDataFrame(
+            [(99, T(s), "view")], "user_id long, ts timestamp, event_type string"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    es = (
+        spark.readStream.schema(edf.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = window_funnel_stream(es, stages, within=60.0, watermark="1 minute")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("wf_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [
+        (r.user_id, r.depth)
+        for r in spark.sql("SELECT * FROM wf_stream").collect()
+        if r.user_id != 99
+    ]
+    # exactly-once per (user, depth): no duplicates
+    assert len(got) == len(set(got))
+    got_max = {}
+    for u, d in got:
+        got_max[u] = max(got_max.get(u, 0), d)
+        # every prefix depth present
+    for u, d in got_max.items():
+        assert {(u, i) for i in range(1, d + 1)} <= set(got)
+    want = {
+        r["user_id"]: r["depth"]
+        for r in window_funnel(
+            edf.filter("user_id != 99"), "user_id", "ts", "event_type",
+            stages, within=60.0,
+        ).collect()
+    }
+    assert got_max == want
+    assert want[1] == 2 and want[4] == 1  # the counterexample + stall
+
+
+def test_streaming_window_funnel_cap_and_replay(spark, tmp_path):
+    """earliest-N anchor cap matches batch, and a second availableNow
+    run through the same checkpoint emits nothing new."""
+    import pandas as pd
+
+    from duckdb_imputation_spark.operators.funnel import window_funnel
+    from duckdb_imputation_spark.streaming.funnel_stream import (
+        window_funnel_stream,
+    )
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+
+    def T(seconds):
+        return (base + pd.Timedelta(seconds=seconds)).to_pydatetime()
+
+    # hot user: anchors every 10s from 0..90; only the @100 anchor
+    # converts — cap=3 (earliest anchors 0,10,20) must stall at 1
+    rows = [(2, T(10 * i), "view") for i in range(10)] + [
+        (2, T(100), "view"), (2, T(150), "click"),
+        (5, T(0), "view"), (5, T(20), "click"),
+    ]
+    edf = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    src = str(tmp_path / "wfc")
+    edf.coalesce(1).write.mode("append").parquet(src)
+    for s in (100000, 100060):
+        spark.createDataFrame(
+            [(99, T(s), "view")], "user_id long, ts timestamp, event_type string"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    ckpt = str(tmp_path / "wf_ckpt")
+    out_dir = str(tmp_path / "wf_out")
+
+    def run():
+        es = (
+            spark.readStream.schema(edf.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            window_funnel_stream(
+                es, ["view", "click"], within=60.0, watermark="1 minute",
+                max_anchors_per_user=3,
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    first = sorted(
+        (r.user_id, r.depth)
+        for r in spark.read.parquet(out_dir).collect()
+        if r.user_id != 99
+    )
+    want = sorted(
+        (r["user_id"], d)
+        for r in window_funnel(
+            edf, "user_id", "ts", "event_type", ["view", "click"],
+            within=60.0, max_anchors_per_user=3,
+        ).collect()
+        for d in range(1, r["depth"] + 1)
+    )
+    assert first == want == [(2, 1), (5, 1), (5, 2)]
+    run()
+    second = sorted(
+        (r.user_id, r.depth)
+        for r in spark.read.parquet(out_dir).collect()
+        if r.user_id != 99
+    )
+    assert second == first
+
+
+def test_streaming_window_funnel_repeated_stage_fuzz(spark, tmp_path):
+    """Seeded random events over a REPEATED-stage funnel
+    (['view','click','view']): sealed stream max-depths equal batch
+    window_funnel exactly (the name-matching contract on the
+    per-anchor machine)."""
+    import random
+
+    import pandas as pd
+
+    from duckdb_imputation_spark.operators.funnel import window_funnel
+    from duckdb_imputation_spark.streaming.funnel_stream import (
+        window_funnel_stream,
+    )
+
+    rng = random.Random(23)
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    types = ["view", "click", "purchase", "error"]
+    rows = []
+    for u in range(1, 11):
+        for _ in range(rng.randint(0, 20)):
+            rows.append(
+                (
+                    u,
+                    (base + pd.Timedelta(seconds=rng.randint(0, 2000)))
+                    .to_pydatetime(),
+                    rng.choice(types),
+                )
+            )
+    edf = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    src = str(tmp_path / "wff")
+    # shuffle arrival: split by a hash, late half first
+    edf.filter("user_id % 2 = 0").coalesce(1).write.mode("append").parquet(src)
+    edf.filter("user_id % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+    for s in (100000, 100060):
+        spark.createDataFrame(
+            [(99, (base + pd.Timedelta(seconds=s)).to_pydatetime(), "view")],
+            "user_id long, ts timestamp, event_type string",
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    stages = ["view", "click", "view"]
+    es = (
+        spark.readStream.schema(edf.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        window_funnel_stream(es, stages, within=300.0, watermark="1 minute")
+        .writeStream.format("memory")
+        .queryName("wf_fuzz")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got_max = {}
+    for r in spark.sql("SELECT * FROM wf_fuzz").collect():
+        if r.user_id != 99:
+            got_max[r.user_id] = max(got_max.get(r.user_id, 0), r.depth)
+    want = {
+        r["user_id"]: r["depth"]
+        for r in window_funnel(
+            edf, "user_id", "ts", "event_type", stages, within=300.0
+        ).collect()
+    }
+    assert got_max == want
