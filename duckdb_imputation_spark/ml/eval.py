@@ -32,6 +32,8 @@ __all__ = [
     "calibration_ece",
     "top_label_calibration_curve",
     "top_label_calibration_ece",
+    "per_class_calibration_curve",
+    "per_class_calibration_ece",
 ]
 
 
@@ -544,3 +546,110 @@ def top_label_calibration_ece(
         round_digits=None,
     )
     return _ece_fold(bins, round_digits)
+
+
+def per_class_calibration_curve(
+    df: DataFrame,
+    label_col: str,
+    prob_cols: Sequence[str],
+    classes: Sequence[str] | None = None,
+    n_bins: int = 10,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Per-class (classwise) reliability bins — the other half of the
+    multiclass calibration family next to the top-label curve
+    (Kull et al., NeurIPS 2019 classwise calibration): for EVERY class
+    c, the binary reliability of its probability column against the
+    one-vs-rest indicator label == c.  One row per populated
+    (class, bin) cell — (class, bin, n, n_pos, confidence, accuracy) —
+    the C reliability diagrams a per-class temperature/Platt fix needs,
+    where the top-label curve only shows the argmax slice.
+
+    Exactness and shape: the (class, pm, indicator) triples come from
+    ONE inline-array explode of the row (no per-class union branches —
+    the validate_constraints pattern; Catalyst does not dedupe repeated
+    union subtrees), probabilities quantize to the integer milli grid
+    FIRST, the bin is the shared both-ends-clamped ``_milli_bin``, and
+    ONE map-side-combined GROUP BY collapses the corpus to
+    ≤ C·n_bins exact-BIGINT cells.  Rows with a NULL label or ANY NULL
+    probability are dropped (same contract as the top-label curve)."""
+    prob_cols = list(prob_cols)
+    if not prob_cols:
+        raise ValueError("per-class calibration needs >= 1 prob column")
+    cls = [str(c) for c in (classes if classes is not None else prob_cols)]
+    if len(cls) != len(prob_cols):
+        raise ValueError("classes and prob_cols must align")
+    y = F.col(label_col)
+    keep = y.isNotNull()
+    for c in prob_cols:
+        keep = keep & F.col(c).isNotNull()
+    entries = [
+        F.struct(
+            F.lit(name).alias("__cls"),
+            F.round(F.col(c).cast("double") * 1000.0)
+            .cast("long")
+            .alias("__pm"),
+            (y.cast("string") == F.lit(name)).cast("long").alias("__y"),
+        )
+        for name, c in zip(cls, prob_cols)
+    ]
+    melted = df.where(keep).select(F.inline(F.array(*entries)))
+    agg = melted.groupBy(
+        F.col("__cls").alias("class"),
+        _milli_bin(F.col("__pm"), n_bins).alias("bin"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__y").cast("long").alias("n_pos"),
+        F.sum("__pm").alias("__spm"),
+    )
+
+    def rnd(c: Column) -> Column:
+        if round_digits is None:
+            return c
+        s = F.lit(float(10 ** round_digits))
+        return F.round(c * s) / s
+
+    conf = F.col("__spm").cast("double") / (
+        F.col("n").cast("double") * 1000.0
+    )
+    acc = F.col("n_pos").cast("double") / F.col("n").cast("double")
+    return agg.select(
+        "class",
+        "bin",
+        "n",
+        "n_pos",
+        rnd(conf).alias("confidence"),
+        rnd(acc).alias("accuracy"),
+    )
+
+
+def per_class_calibration_ece(
+    df: DataFrame,
+    label_col: str,
+    prob_cols: Sequence[str],
+    classes: Sequence[str] | None = None,
+    n_bins: int = 10,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Classwise ECE, one row per class — the :func:`calibration_ece`
+    fold applied within each class's reliability bins (the scalar each
+    per-class calibrator is judged by).  Returns (class, n,
+    n_bins_used, ece)."""
+    bins = per_class_calibration_curve(
+        df, label_col, prob_cols, classes=classes, n_bins=n_bins,
+        round_digits=None,
+    )
+    nb = F.col("n").cast("double")
+    term = nb * F.abs(F.col("accuracy") - F.col("confidence"))
+    agg = bins.groupBy("class").agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_bins_used"),
+        F.sum(term).alias("__t"),
+    )
+    ece = F.when(
+        F.col("n") > 0, F.col("__t") / F.col("n").cast("double")
+    )
+    if round_digits is not None:
+        s = F.lit(float(10 ** round_digits))
+        ece = F.round(ece * s) / s
+    return agg.select("class", "n", "n_bins_used", ece.alias("ece"))

@@ -795,3 +795,89 @@ def test_funnel_timing_exact_vs_approx_small_cohort(spark):
     assert got[2]["n_users"] == 21
     assert got[2]["p50_us"] == 33_000_000.0  # 11th of 21 -> 33 s
     assert got[2]["p90_us"] == 57_000_000.0  # rank 19 -> 57 s
+
+
+def test_per_class_calibration_hand_computed(spark):
+    """Classwise reliability: each class's column scored against its
+    one-vs-rest indicator; hand-checked cells and per-class ECE."""
+    from duckdb_imputation_spark.ml.eval import (
+        per_class_calibration_curve,
+        per_class_calibration_ece,
+    )
+
+    rows = [
+        ("a", 0.95, 0.05),
+        ("a", 0.85, 0.15),
+        ("b", 0.95, 0.05),   # class-a column confidently WRONG here
+        ("b", 0.10, 0.90),
+        (None, 0.5, 0.5),    # dropped
+        ("a", 0.5, None),    # dropped
+    ]
+    df = spark.createDataFrame(rows, "label string, pa double, pb double")
+    got = {
+        (r["class"], r["bin"]): r
+        for r in per_class_calibration_curve(
+            df, "label", ["pa", "pb"], classes=["a", "b"]
+        ).collect()
+    }
+    # class a, bin 9 holds pa=0.95 (y=1) and pa=0.95 (y=0)
+    ga = got[("a", 9)]
+    assert (ga["n"], ga["n_pos"]) == (2, 1)
+    assert ga["confidence"] == 0.95 and ga["accuracy"] == 0.5
+    assert got[("a", 8)]["n_pos"] == 1          # pa=0.85, true a
+    assert got[("b", 0)]["n"] == 2              # pb 0.05 twice -> bin 0
+    assert got[("b", 1)]["n"] == 1              # pb 0.15 -> bin 1
+    assert got[("b", 9)]["n_pos"] == 1          # pb 0.90, true b
+    ece = {
+        r["class"]: r
+        for r in per_class_calibration_ece(
+            df, "label", ["pa", "pb"], classes=["a", "b"]
+        ).collect()
+    }
+    assert set(ece) == {"a", "b"}
+    assert ece["a"]["n"] == 4 and ece["b"]["n"] == 4
+
+
+@pytest.mark.parametrize("seed", [7])
+def test_per_class_calibration_vs_binary_curve(spark, seed):
+    """Law: each class's slice of the per-class curve equals the BINARY
+    calibration_curve of that column against the one-vs-rest label."""
+    import numpy as np
+
+    from duckdb_imputation_spark.ml.eval import (
+        calibration_curve,
+        per_class_calibration_curve,
+    )
+
+    rng = np.random.default_rng(seed)
+    n, C = 400, 3
+    classes = [f"c{j}" for j in range(C)]
+    pm = rng.integers(0, 1001, size=(n, C))
+    y = rng.integers(0, C, n)
+    rows = [
+        (classes[y[i]], *[float(pm[i, j]) / 1000.0 for j in range(C)])
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows, "label string, " + ", ".join(f"p{j} double" for j in range(C))
+    )
+    per = per_class_calibration_curve(
+        df, "label", [f"p{j}" for j in range(C)], classes=classes
+    ).collect()
+    from pyspark.sql import functions as F
+
+    for j, cname in enumerate(classes):
+        bdf = df.select(
+            (F.col("label") == cname).cast("int").alias("y"),
+            F.col(f"p{j}").alias("p"),
+        )
+        want = {
+            r["bin"]: (r["n"], r["n_pos"], r["confidence"], r["accuracy"])
+            for r in calibration_curve(bdf, "y", "p").collect()
+        }
+        got = {
+            r["bin"]: (r["n"], r["n_pos"], r["confidence"], r["accuracy"])
+            for r in per
+            if r["class"] == cname
+        }
+        assert got == want, cname
