@@ -1859,3 +1859,133 @@ def test_streaming_window_funnel_repeated_stage_fuzz(spark, tmp_path):
         ).collect()
     }
     assert got_max == want
+
+
+def test_streaming_calibration_matches_batch(spark, tmp_path):
+    """Live reliability monitor: sealed windowed bin cells equal the
+    batch groupBy on the same rows, and scoring the cells recovers the
+    batch calibration_curve / calibration_ece per window exactly
+    (mergeable-summary law).  Checkpoint replay emits nothing new."""
+    import pandas as pd
+
+    from duckdb_imputation_spark.ml.eval import (
+        calibration_curve,
+        calibration_ece,
+    )
+    from duckdb_imputation_spark.streaming.eval_stream import (
+        calibration_ece_from_bins,
+        calibration_score_bins,
+        streaming_calibration_counts,
+    )
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+
+    def T(minutes):
+        return (base + pd.Timedelta(minutes=minutes)).to_pydatetime()
+
+    # two 1-hour windows of scored events; probs on the milli grid,
+    # including the clamp edges
+    rows = [
+        (1, T(5), 0.95), (0, T(10), 0.95), (1, T(20), 0.42),
+        (0, T(30), -0.2), (1, T(40), 1.0),
+        (1, T(70), 0.15), (0, T(80), 0.15), (0, T(90), 0.6),
+    ]
+    edf = spark.createDataFrame(rows, "y int, ts timestamp, p double")
+    src = str(tmp_path / "cal")
+    edf.filter("ts < timestamp'2024-01-01 01:00:00'").coalesce(1).write.mode("append").parquet(src)
+    edf.filter("ts >= timestamp'2024-01-01 01:00:00'").coalesce(1).write.mode("append").parquet(src)
+    # nudge: one far-future event seals both windows (built-in windowed
+    # agg needs no armed timeouts — emission happens when the watermark
+    # passes window end at the NEXT batch)
+    spark.createDataFrame(
+        [(0, T(10000), 0.5)], "y int, ts timestamp, p double"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    ckpt = str(tmp_path / "cal_ckpt")
+    out_dir = str(tmp_path / "cal_out")
+
+    def run():
+        es = (
+            spark.readStream.schema(edf.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            streaming_calibration_counts(
+                es, "y", "p", window="1 hour", watermark="1 minute"
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    sealed = spark.read.parquet(out_dir).where(
+        "window_start < timestamp'2024-01-01 03:00:00'"
+    )
+    # law 1: sealed cells == batch groupBy cells on the same rows
+    got_cells = {
+        (r["window_start"], r["bin"]): (r["n"], r["n_pos"], r["spm"])
+        for r in sealed.collect()
+    }
+    from pyspark.sql import functions as SF
+
+    from duckdb_imputation_spark.ml.eval import _milli_bin
+
+    pm = SF.round(SF.col("p") * 1000.0).cast("long")
+    want_cells = {
+        (r["ws"], r["bin"]): (r["n"], r["n_pos"], r["spm"])
+        for r in edf.groupBy(
+            SF.window("ts", "1 hour").start.alias("ws"),
+            _milli_bin(pm, 10).alias("bin"),
+        )
+        .agg(
+            SF.count(SF.lit(1)).cast("long").alias("n"),
+            SF.sum((SF.col("y") == 1).cast("long")).cast("long").alias("n_pos"),
+            SF.sum(pm).cast("long").alias("spm"),
+        )
+        .collect()
+    }
+    assert got_cells == want_cells
+    # law 2: scoring the cells per window == batch calibration_curve /
+    # calibration_ece over that window's raw rows
+    for h in (0, 1):
+        lo, hi = T(60 * h), T(60 * (h + 1))
+        wrows = edf.where(
+            (SF.col("ts") >= SF.lit(lo)) & (SF.col("ts") < SF.lit(hi))
+        )
+        want_curve = {
+            r["bin"]: (r["n"], r["n_pos"], r["confidence"], r["accuracy"])
+            for r in calibration_curve(wrows, "y", "p").collect()
+        }
+        got_curve = {
+            r["bin"]: (r["n"], r["n_pos"], r["confidence"], r["accuracy"])
+            for r in calibration_score_bins(sealed).collect()
+            if r["window_start"] == lo
+        }
+        assert got_curve == want_curve, h
+        want_ece = calibration_ece(wrows, "y", "p").collect()[0]["ece"]
+        got_ece = [
+            r["ece"]
+            for r in calibration_ece_from_bins(sealed).collect()
+            if r["window_start"] == lo
+        ]
+        assert got_ece == [want_ece], h
+    # law 3: the two windows' cells MERGE to the global diagram
+    merged = {
+        r["bin"]: (r["n"], r["n_pos"], r["confidence"], r["accuracy"])
+        for r in calibration_score_bins(sealed, group_cols=[]).collect()
+    }
+    want_global = {
+        r["bin"]: (r["n"], r["n_pos"], r["confidence"], r["accuracy"])
+        for r in calibration_curve(edf, "y", "p").collect()
+    }
+    assert merged == want_global
+    # replay: nothing new lands
+    n_before = spark.read.parquet(out_dir).count()
+    run()
+    assert spark.read.parquet(out_dir).count() == n_before
