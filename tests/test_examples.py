@@ -21,6 +21,7 @@ SF = "/root/testdata/sf0.001"
         ("examples/pipeline_demo.py", "bm25"),
         ("examples/incremental_demo.py", "old data untouched"),
         ("examples/analytics_demo.py", "analytics demo done"),
+        ("examples/monitor_demo.py", "monitor demo done"),
     ],
 )
 def test_demo_runs_end_to_end(script, needle):
