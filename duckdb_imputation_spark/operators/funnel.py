@@ -260,6 +260,7 @@ def window_funnel(
     stages: Sequence[str],
     within: float,
     max_anchors_per_user: int | None = None,
+    strict_order: bool = False,
 ) -> DataFrame:
     """ClickHouse ``windowFunnel(strict_increase)`` parity (the
     per-anchor semantics the module docstring's `within` deviation
@@ -294,6 +295,23 @@ def window_funnel(
     ``funnel_users`` (min-ts anchor, one row per user throughout) when
     first-entry cohort attribution is the question and
     anchors-per-user is large.
+
+    ``strict_order=True`` adds ClickHouse's ``strict_order`` mode ON
+    TOP of strict_increase: ANY interleaving event between two chain
+    links stops that anchor's chain — the documented A→B→D→C example
+    stops A→B→C at D even though D is not a funnel condition, so the
+    matched chain must be CONSECUTIVE in the user's event stream.
+    Expressed without per-user rescans: level k's join pulls the FIRST
+    event of any type after t_k inside the window (one ``min`` over a
+    (ts, stage-index) struct — ties at an identical microsecond break
+    to the smallest stage index with non-funnel events smallest of
+    all, a deterministic choice where ClickHouse declares
+    same-timestamp order undefined) and the chain advances only when
+    that event's stage NAME is the expected one; a stopped chain's
+    NULL t_{k+1} makes every later join condition NULL-false, so it
+    stays stopped.  Cost note: strict_order levels join the FULL event
+    frame, not just stage-k events — the price of letting arbitrary
+    events interrupt.
 
     ``max_anchors_per_user`` is the hot-key guard (the fuzzy_join
     ``max_block`` / LSH ``bucket_cap`` class): one bot user emitting
@@ -342,19 +360,65 @@ def window_funnel(
     # per-branch select here would change the ReadSchema and break
     # subtree identity — then the chain really would recompute).
     cur = anchors.withColumn("__t1", F.col("__a"))
+    stage_names = F.array(*[F.lit(s) for s in stages])
+    first_idx = F.lit(None).cast("int")
+    for i in reversed(range(len(stages))):
+        first_idx = F.when(et == F.lit(stages[i]), F.lit(i)).otherwise(
+            first_idx
+        )
     for k in range(1, len(stages)):
-        ev = base.where(et == F.lit(stages[k])).select(
-            u.alias("__u"), F.unix_micros(ts).alias("__ts")
-        )
-        nxt = (
-            ev.join(cur, on="__u")
-            .where(
-                (F.col("__ts") > F.col(f"__t{k}"))
-                & (F.col("__ts") <= F.col("__a") + F.lit(win_us))
+        if strict_order:
+            # FIRST event of ANY type after t_k in-window (ClickHouse's
+            # A→B→D→C example stops at D even though D is not a funnel
+            # condition); advance only if its stage name is the
+            # expected one.  Equal-µs ties break to the SMALLEST
+            # stage index with non-funnel events smallest of all (-1)
+            # — deterministic where ClickHouse is undefined.
+            ev = base.select(
+                u.alias("__u"),
+                F.unix_micros(ts).alias("__ts"),
+                F.coalesce(first_idx, F.lit(-1)).alias("__sk"),
             )
-            .groupBy("__u", "__a")
-            .agg(F.min("__ts").alias(f"__t{k + 1}"))
-        )
+            nxt = (
+                ev.join(cur, on="__u")
+                .where(
+                    (F.col("__ts") > F.col(f"__t{k}"))
+                    & (F.col("__ts") <= F.col("__a") + F.lit(win_us))
+                )
+                .groupBy("__u", "__a")
+                .agg(
+                    F.min(F.struct(F.col("__ts"), F.col("__sk"))).alias(
+                        "__m"
+                    )
+                )
+                .select(
+                    "__u",
+                    "__a",
+                    # nested when: the array index only evaluates in the
+                    # sk >= 0 branch (ANSI mode throws on invalid index)
+                    F.when(
+                        F.col("__m.__sk") >= 0,
+                        F.when(
+                            stage_names[F.col("__m.__sk")]
+                            == F.lit(stages[k]),
+                            F.col("__m.__ts"),
+                        ),
+                    ).alias(f"__t{k + 1}"),
+                )
+            )
+        else:
+            ev = base.where(et == F.lit(stages[k])).select(
+                u.alias("__u"), F.unix_micros(ts).alias("__ts")
+            )
+            nxt = (
+                ev.join(cur, on="__u")
+                .where(
+                    (F.col("__ts") > F.col(f"__t{k}"))
+                    & (F.col("__ts") <= F.col("__a") + F.lit(win_us))
+                )
+                .groupBy("__u", "__a")
+                .agg(F.min("__ts").alias(f"__t{k + 1}"))
+            )
         cur = cur.join(nxt, on=["__u", "__a"], how="left")
     depth = sum(
         [

@@ -263,7 +263,13 @@ def window_funnel_stream(
 
     Same clock caveat as every twin here: only STAGE-TYPE events
     advance the watermark (Catalyst pushes the stage filter below the
-    EventTimeWatermark node)."""
+    EventTimeWatermark node).  The batch operator's ``strict_order``
+    mode is deliberately NOT offered live: any-event-interrupts
+    semantics would require ingesting the FULL event stream into the
+    per-user buffer (state growing with total event rate, and the
+    stage-filter watermark contract above no longer applies) — run
+    the batch operator over sealed history when consecutive-run
+    semantics are needed."""
     stages = list(stages)
     if len(stages) < 1:
         raise ValueError("funnel needs at least one stage")

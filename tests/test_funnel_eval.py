@@ -881,3 +881,119 @@ def test_per_class_calibration_vs_binary_curve(spark, seed):
             if r["class"] == cname
         }
         assert got == want, cname
+
+
+def test_window_funnel_strict_order_hand(spark):
+    """The ClickHouse strict_order example: A->B->D->C stops A->B->C at
+    D (D not a funnel condition); without strict_order it converts."""
+    import datetime as dt
+
+    from duckdb_imputation_spark.operators.funnel import window_funnel
+
+    base = dt.datetime(2024, 1, 1)
+
+    def T(s):
+        return base + dt.timedelta(seconds=s)
+
+    rows = [
+        (1, T(0), "A"), (1, T(10), "B"), (1, T(20), "D"), (1, T(30), "C"),
+        # u2: consecutive chain, the untracked D comes AFTER completion
+        (2, T(0), "A"), (2, T(10), "B"), (2, T(20), "C"), (2, T(30), "D"),
+        # u3: a TRACKED interleaver (another A) also stops the chain
+        (3, T(0), "A"), (3, T(10), "B"), (3, T(20), "A"), (3, T(30), "C"),
+    ]
+    df = spark.createDataFrame(rows, "u long, ts timestamp, et string")
+    stages = ["A", "B", "C"]
+    loose = {
+        r["u"]: r["depth"]
+        for r in window_funnel(df, "u", "ts", "et", stages, 300.0).collect()
+    }
+    assert loose == {1: 3, 2: 3, 3: 3}
+    strict = {
+        r["u"]: r["depth"]
+        for r in window_funnel(
+            df, "u", "ts", "et", stages, 300.0, strict_order=True
+        ).collect()
+    }
+    # u1 stops at D; u2 converts (D after C); u3: the @20 'A' stops the
+    # chain from anchor@0 at depth 2, but ITSELF anchors A->?->C... its
+    # next event is C (not B) so that chain stops at 1 — depth 2.
+    assert strict == {1: 2, 2: 3, 3: 2}
+
+
+def _window_funnel_strict_brute(events, stages, within_s):
+    """Per-anchor greedy with the strict_order interrupt: walk ALL the
+    user's events strictly after the last link inside the window in
+    (t, stage-first-index with untracked = -1) order; advance on the
+    expected stage name, STOP on anything else."""
+    from collections import defaultdict
+
+    sset = {}
+    for i, s in enumerate(stages):
+        sset.setdefault(s, i)
+    by_user = defaultdict(list)
+    for u, t, et in events:
+        by_user[u].append((t, sset.get(et, -1), et))
+    out = {}
+    for u, evs in by_user.items():
+        evs.sort(key=lambda e: (e[0], e[1]))
+        best = 0
+        for at, ai, aet in evs:
+            if aet != stages[0]:
+                continue
+            depth, cur = 1, at
+            while depth < len(stages):
+                nxt = [
+                    (t, i, et)
+                    for t, i, et in evs
+                    if t > cur and t <= at + within_s
+                ]
+                if not nxt:
+                    break
+                t, i, et = min(nxt, key=lambda e: (e[0], e[1]))
+                if et != stages[depth]:
+                    break
+                cur = t
+                depth += 1
+            best = max(best, depth)
+        if best:
+            out[u] = best
+    return out
+
+
+@pytest.mark.parametrize("seed", [13, 57])
+def test_window_funnel_strict_order_random_vs_reference(spark, seed):
+    """Seeded fuzz: the strict_order join chain equals the per-anchor
+    consecutive-run reference, including repeated stage types and
+    untracked interrupters."""
+    import datetime as dt
+    import random
+
+    from duckdb_imputation_spark.operators.funnel import window_funnel
+
+    rng = random.Random(seed)
+    base = dt.datetime(2024, 1, 1)
+    stages = ["view", "click", "view"] if seed % 2 else ["view", "click", "purchase"]
+    types = ["view", "click", "purchase", "error"]
+    events = []
+    for u in range(1, 13):
+        seen = set()
+        for _ in range(rng.randint(0, 25)):
+            t = rng.randint(0, 2000)
+            if t in seen:
+                continue  # unique ts per user: equal-µs tie order is a
+            seen.add(t)   # documented deviation, not the fuzz target
+            events.append((u, t, rng.choice(types)))
+    df = spark.createDataFrame(
+        [(u, base + dt.timedelta(seconds=t), et) for u, t, et in events],
+        "u long, ts timestamp, et string",
+    )
+    within = 300.0
+    got = {
+        r["u"]: r["depth"]
+        for r in window_funnel(
+            df, "u", "ts", "et", stages, within, strict_order=True
+        ).collect()
+    }
+    want = _window_funnel_strict_brute(events, stages, within)
+    assert got == want, seed
