@@ -669,25 +669,36 @@ def ann_recall_at_k(
     right neighbours).  ``truth`` is the exact top-k frame (e.g.
     :func:`cosine_topk`); each ``variants`` entry is one ANN method's
     top-k over the same query/corpus.  Returns one row per variant —
-    (variant, k, returned, hits, recall_pm): ``hits`` is the exact
-    integer overlap |variant ∩ truth|, ``returned`` the variant's
+    (variant, k, truth_n, returned, hits, recall_pm): ``hits`` is the
+    exact integer overlap |variant ∩ truth|, ``returned`` the variant's
     actual result size (a pruning that returns < k rows is visible, not
-    hidden in a denominator), and ``recall_pm`` = round(hits·1000/k) —
-    recall as an integer-tier rounded rational of exact integers.
+    hidden in a denominator), ``truth_n`` the truth frame's ACTUAL row
+    count, and ``recall_pm`` = round(hits·1000/truth_n) — recall as an
+    integer-tier rounded rational of exact integers.  The denominator
+    is ``truth_n``, not the requested ``k`` (ADVICE r11 #2): when the
+    corpus is smaller than k (or the truth top-k is short), a variant
+    that returns every true neighbour scores 1000, not an
+    under-reported hits/k — and the denominator it was scored against
+    is a visible output column, never implicit.  An EMPTY truth frame
+    yields recall_pm = 0 (guarded, no division) — recall against
+    nothing is reported as zero, not an engine error.
 
     ``query_col`` is the BATCH-evaluation form (the shape a real recall
     benchmark takes — many probe queries, mean recall): truth and every
     variant carry one top-k PER query id, matches join on (query, id),
-    and ``recall_pm`` = round(hits·1000 / (k·n_queries)) — the mean
-    recall over the truth frame's query set, still a rational of exact
-    integers (n_queries comes from the truth frame itself, so a variant
-    that skips a query entirely is penalized, not silently dropped from
-    its own denominator).
+    and ``recall_pm`` = round(hits·1000 / truth_n) where ``truth_n`` is
+    the truth frame's TOTAL row count across queries — the
+    micro-averaged recall over the truth frame's query set, still a
+    rational of exact integers (both n_queries and truth_n come from
+    the truth frame itself, so a variant that skips a query entirely is
+    penalized, not silently dropped from its own denominator, and a
+    query whose true top-k is short contributes its actual size, not a
+    padded k).
 
     Scale shape: the tagged variant top-k frames union into one
     ≤ |variants|·k·n_queries-row frame, the truth ids broadcast
-    (k·n_queries rows), ONE left equi-join + ONE groupBy (plus, in
-    batch form, a 1-row n_queries aggregate broadcast-crossed in) —
+    (k·n_queries rows), ONE left equi-join + ONE groupBy (plus a 1-row
+    truth-count aggregate broadcast-crossed in) —
     nothing corpus-sized moves; the corpus cost is inside the
     variant/truth frames themselves, each of which is a TakeOrdered,
     not a global sort.  The per-variant frames are a bounded
@@ -718,32 +729,41 @@ def ann_recall_at_k(
             .alias("hits"),
         )
     )
+    # ADVICE r11 #2: recall's denominator is the truth frame's ACTUAL
+    # row count, never the requested k — and it ships as a column.  The
+    # when-guard keeps an empty truth frame at recall 0 instead of an
+    # ANSI-mode division error.
+    recall = (
+        F.when(
+            F.col("__tn") > 0,
+            F.round(
+                F.col("hits") * 1000.0 / F.col("__tn").cast("double")
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("recall_pm")
+    )
     if query_col is not None:
         nq = truth.agg(
-            F.count_distinct(F.col(query_col)).alias("__nq")
+            F.count_distinct(F.col(query_col)).alias("__nq"),
+            F.count(F.lit(1)).alias("__tn"),
         )
         return grouped.crossJoin(F.broadcast(nq)).select(
             "variant",
             F.lit(int(k)).cast("int").alias("k"),
             F.col("__nq").cast("long").alias("n_queries"),
+            F.col("__tn").cast("long").alias("truth_n"),
             "returned",
             "hits",
-            F.round(
-                F.col("hits") * 1000.0
-                / (F.lit(float(k)) * F.col("__nq").cast("double"))
-            )
-            .cast("long")
-            .alias("recall_pm"),
+            recall,
         )
-    return (
-        grouped
-        .select(
-            "variant",
-            F.lit(int(k)).cast("int").alias("k"),
-            "returned",
-            "hits",
-            F.round(F.col("hits") * 1000.0 / F.lit(float(k)))
-            .cast("long")
-            .alias("recall_pm"),
-        )
+    tn = truth.agg(F.count(F.lit(1)).alias("__tn"))
+    return grouped.crossJoin(F.broadcast(tn)).select(
+        "variant",
+        F.lit(int(k)).cast("int").alias("k"),
+        F.col("__tn").cast("long").alias("truth_n"),
+        "returned",
+        "hits",
+        recall,
     )

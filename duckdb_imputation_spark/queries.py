@@ -84,46 +84,148 @@ def resolve_oracles(sf_dir: str | None = None) -> dict[str, str]:
 _EVIDENCE_AGE_EXCEPTIONS: dict[str, str] = {}
 
 _DRIVER_PRIORITY: list[str] = [
-    # round 11: two slots are reserved at the head for the rows
-    # registered this round (ANN recall@k vs exact ground truth,
-    # top-label multiclass calibration) — each is appended here the
-    # moment it is registered, per the catalog-order invariant
-    # (never-driver-verified rows MUST sit inside the window).
-    "top_label_calibration_events",
-    "ann_recall_at_k",
+    # round 12 window = 1 hygiene re-entry + the 6-row r7 ratchet head
+    # + 43 of the 46-row r8 cohort (the r13 cliff pre-payment).  ZERO
+    # new registrations this round: the window is fully owed to
+    # rotation (VERDICT r11 Next #1), and the sustainable budget is
+    # ~10 new rows/round at catalog 200 (see _rotation_budget_note and
+    # tests/test_catalog_order.py::test_rotation_schedule_feasible).
     #
-    # r4 hygiene rule re-entries: both rows are r10 driver-green but
-    # their operator code changes THIS round (window_funnel gains
-    # anchor dedupe + the max_anchors_per_user skew cap — the anchors
-    # frame plan changes; calibration_curve gains the bottom bin
-    # clamp, ADVICE r10 — the bin expression changes), so each returns
-    # to the window for one round.
-    "window_funnel_events",
-    "calibration_value_purchase_events",
-    # round 11 ROTATION, part 1 (the machine-checked queue head —
+    # r4 hygiene rule re-entry: ann_recall_at_k is r11 driver-green but
+    # its operator changes THIS round (ADVICE r11 #2 — recall_pm's
+    # denominator becomes the truth frame's actual row count instead of
+    # the requested k, and the new truth_n column makes it visible), so
+    # the row returns to the window for one round.
+    "ann_recall_at_k",
+    # round 12 ROTATION, part 1 (the machine-checked queue head —
     # tests/test_catalog_order.py::test_evidence_age_within_window is
-    # RED on any tree carrying CORRECTNESS_r10.json until these are
-    # scheduled): the ten rows whose newest driver evidence is r6;
-    # they age past the N-4 line at r11 close.
-    "bm25_index_search_documents",
-    "funnel_view_click_purchase",
-    "multimodal_decode_netpbm",
-    "ngram_decontaminate_documents",
-    "ngram_jaccard_dups",
-    "pack_documents_bins",
-    "pq_cosine_topk",
-    "quantized_cosine_topk",
-    "semantic_dedup_survivors",
-    "simhash_documents",
-    # round 11 ROTATION, part 2 (pre-paying the r12 cliff, VERDICT r10
-    # Next #1): the r7-evidence cohort is 42 rows and ages past the
-    # N-4 line at r12 close; a 50-slot window cannot absorb 42
-    # rotation rows plus r12's own registrations, so 36 are pulled
-    # forward NOW.  The six deferred to r12 each have a same-code-path
-    # sibling in THIS window (trades documented at _DRIVER_DEMOTE).
+    # RED on any tree carrying CORRECTNESS_r11.json until these are
+    # scheduled): the six rows whose newest driver evidence is r7; they
+    # age past the N-4 line at r12 close.  This list is character-for-
+    # character the queue VERDICT r11 demanded.
+    "bigram_logprob_scores",
+    "bottomk_grouped_documents",
+    "connected_components_alternating_pages",
+    "dsir_importance_weights",
+    "fuzzy_pairs_customer_names",
+    "mice_high_sql_oracle",
+    # round 12 ROTATION, part 2 (pre-paying the r13 cliff): the
+    # r8-evidence cohort is 46 rows and ages past the N-4 line at r13
+    # close; 43 are pulled forward NOW so r13 keeps slots for its own
+    # registrations (the post-gate operators' rows).  The three
+    # deferred to r13 each have a same-code-path sibling in THIS window
+    # (trades documented at _DRIVER_DEMOTE).
+    "anova_value_by_type_events",
+    "benford_value_events",
+    "bloom_decontaminate_documents",
+    "chi2_type_hour_events",
+    "collapse_rare_tokens_documents",
+    "containment_join_documents",
+    "cramers_v_type_hour_events",
+    "cusum_events",
+    "cusum_stream_events",
+    "entropy_type_by_hour_events",
+    "ewma_halflife_stream_events",
+    "heavy_hitter_tokens_by_source",
+    "hybrid_rrf_documents",
+    "json_key_profile_lineitem",
+    "leakage_safe_split_documents",
+    "logreg_predict_events",
+    "logreg_purchase_events",
+    "lpa_communities_navigation",
+    "mannwhitney_value_events",
+    "mice_low_sql_oracle",
+    "moments_value_by_type_events",
+    "novelty_scores_documents",
+    "pmi_collocations_documents",
+    "ppr_navigation_seeded",
+    "psi_value_drift_events",
+    "resample_agg_events",
+    "scd2_user_event_type",
+    "source_overlap_documents",
+    "spearman_qty_price_lineitem",
+    "streaming_components_events",
+    "streaming_heavy_hitters_tokens",
+    "streaming_ohlc_rollup_events",
+    "streaming_psi_events",
+    "streaming_scd2_events",
+    "streaming_sessionize_events",
+    "streaming_sliding_events",
+    "streaming_trending_events",
+    "tfidf_keywords_documents",
+    "trending_pages_daily_events",
+    "triangle_counts_pages",
+    "weighted_sample_by_source_documents",
+    "welch_ttest_events",
+    "winsorize_lineitem",
+]
+
+
+# NEXT-ROTATION CANDIDATES — the r13 window head, machine-visible so
+# the evidence-age tripwire can tell "scheduled, waiting for the round"
+# from "slipped" (VERDICT r11 wrong #1): when CORRECTNESS_r12.json
+# lands, test_evidence_age_within_window computes N=13 and names the
+# three deferred r8 rows below; because they appear HERE they xfail the
+# suite with the queue in the message instead of failing it red.
+_NEXT_WINDOW_QUEUE: list[str] = [
+    # the three r8-evidence rows deferred from the r12 window (sibling
+    # trades at _DRIVER_DEMOTE) — mandatory r13 head:
+    "heavy_hitter_tokens",
+    "scd2_snapshot_events",
+    "leakage_safe_folds_documents",
+]
+
+# r13 registration queue (factories + oracles staged in
+# queries_pending.py, parity-checked at sf0.001/sf0.01 this round,
+# registered at r13 when the window has slots — VERDICT r11 Next #4):
+# window_funnel_stream_events, per_class_calibration_events,
+# streaming_calibration_events, ann_recall_batch.  Still-open optional
+# twins of driver-green rows (resample_agg fast path, scd2_snapshot_at
+# point-in-time row, json_key_profile HLL twin, validate_rows capped
+# sample) carry their rationale in git history at this comment.
+
+# Hash-green in at least one past driver round (see CORRECTNESS_r*.json)
+# AND implementation-stable since that round; rotated past the 50-query
+# cutoff to make room.  Still verified every round by the local
+# full-catalog replay.  A query whose code changes must move back to
+# _DRIVER_PRIORITY for one round (VERDICT r4 hygiene rule).
+_DRIVER_DEMOTE: list[str] = [
+    # three r8-evidence rows deferred to the r13 window (they stay
+    # inside the N-4 line through r13 close; each code path keeps
+    # fresh r12 driver evidence via an in-window sibling):
+    #   * heavy_hitter_tokens — heavy_hitter_tokens_by_source in-window
+    #     rides the same two-pass Misra-Gries-candidates -> exact-count
+    #     -> integer-cross-multiplication plan (sketches.py); grouped
+    #     is the per-stratum face of the same plan family;
+    #   * scd2_snapshot_events — scd2_user_event_type in-window builds
+    #     the same scd2_apply chain the snapshot filters (snapshot_at
+    #     is a plain BETWEEN over valid_from/valid_to, scd.py:183);
+    #     streaming_scd2_events also in-window;
+    #   * leakage_safe_folds_documents — leakage_safe_split_documents
+    #     in-window rides the same connected-components + broadcast
+    #     left join + md5 projection core (textprep.py:140,597; folds
+    #     swaps the threshold CASE for a mod-k); the components core is
+    #     additionally re-evidenced by connected_components_
+    #     alternating_pages in-window.
+    "heavy_hitter_tokens",
+    "leakage_safe_folds_documents",
+    "scd2_snapshot_events",
+    # rotated out round 12: the r11 window minus its one hygiene-rule
+    # re-entry (ann_recall_at_k, denominator change this round — see
+    # _DRIVER_PRIORITY).  All 49 are r11 driver-green
+    # (CORRECTNESS_r11.json: 50/50 rows+schema+hash, zero err) and
+    # implementation-stable this round with one default-path exception
+    # noted precisely (ADVICE r10 #1 asks for accurate premises):
+    #   * funnel_timing_events stays demoted although funnel_timing
+    #     gains an accuracy>=1 argument-validation guard this round
+    #     (ADVICE r11 #3): the guard is a Python-side ValueError before
+    #     any plan is built; the default exact=True path the row runs
+    #     is bit-identical in output AND plan.
     "bloom_membership_fingerprints",
+    "bm25_index_search_documents",
     "bottomk_sample_documents",
     "bpe_train_merges",
+    "calibration_value_purchase_events",
     "cmsketch_token_counts",
     "connected_components_pages",
     "dedup_keep_best_survivors",
@@ -134,6 +236,7 @@ _DRIVER_PRIORITY: list[str] = [
     "equidepth_histogram_lineitem",
     "ewma_halflife_events",
     "fill_forward_events",
+    "funnel_view_click_purchase",
     "fuzzy_join_part_typos",
     "global_ranking_quantity",
     "gopher_rules_documents",
@@ -143,246 +246,136 @@ _DRIVER_PRIORITY: list[str] = [
     "interpolated_bigram_scores",
     "mice_categorical_sql_oracle",
     "mice_single_col_sql_oracle",
+    "multimodal_decode_netpbm",
+    "ngram_decontaminate_documents",
+    "ngram_jaccard_dups",
+    "pack_documents_bins",
     "pagerank_navigation",
     "perplexity_buckets_documents",
+    "pq_cosine_topk",
     "profile_lineitem",
+    "quantized_cosine_topk",
     "remove_duplicate_passages_catalog",
     "resample_interpolate_events",
     "retention_cohorts_events",
     "robust_outliers_lineitem",
+    "semantic_dedup_survivors",
+    "simhash_documents",
     "sketch_distinct_tokens",
     "sliding_window_events",
     "streaming_bloom_sink_fingerprints",
     "streaming_retention_events",
     "streaming_rollup_events",
+    "top_label_calibration_events",
     "triple_lineitem_wide",
     "weighted_sample_documents",
-]
-
-
-# NEXT-ROTATION CANDIDATES (rows to add when slots open) — the r10
-# queue head (the live funnel twin's driver row) gained its row in r10
-# (`funnel_stream_view_click_purchase_events`), alongside the other
-# four r10 registrations (validate_rows, multiclass report, OvR AUC,
-# funnel timing).  Still open, all optional twins of driver-green rows:
-# - resample_agg(deterministic=False) fast path: unit-tested equal to
-#   the deterministic mode on unique timestamps; a driver row would
-#   need a min_by/arg_min oracle (DuckDB arg_min tie semantics differ,
-#   so restrict the fixture to unique (key, ts)).
-# - scd2_snapshot_at (operators/scd.py): a point-in-time row would be
-#   a plain BETWEEN filter over the scd2_user_event_type chain —
-#   trivially SQL-twin-able if snapshot semantics need driver evidence.
-# - json_key_profile(exact_distinct=False): HLL twin of the r8 row,
-#   same weaker-evidence caveat as every approx-mode row.
-# - validate_rows(per_check_limit=...): the capped quarantine sample —
-#   deterministic under order_cols, unit-tested; a row would only
-#   re-prove the row_number window other rows already hash.
-# - window_funnel_stream (streaming/funnel_stream.py, built r11): the
-#   live windowFunnel twin — batch-equivalence fuzz-tested (max depth
-#   per user == window_funnel over sealed events, incl. repeated
-#   stages, cap parity, checkpoint replay).  The r13 registration
-#   candidate (r12's window is fully owed to rotation): register like
-#   the funnel_stream row — two-file replay, sentinel nudges, depth
-#   histogram vs the window_funnel_events oracle shape.
-# Everything else implemented has either a driver row in the window or
-# a past driver-green hash plus local replay coverage.
-
-# Hash-green in at least one past driver round (see CORRECTNESS_r*.json)
-# AND implementation-stable since that round; rotated past the 50-query
-# cutoff to make room.  Still verified every round by the local
-# full-catalog replay.  A query whose code changes must move back to
-# _DRIVER_PRIORITY for one round (VERDICT r4 hygiene rule).
-_DRIVER_DEMOTE: list[str] = [
-    # rotated out round 11 for the r6/r7 evidence rotation: the r10
-    # window minus its two hygiene-rule re-entries (window_funnel_events,
-    # calibration_value_purchase_events — their operator code changes
-    # this round, see _DRIVER_PRIORITY).  All 48 are r10 driver-green
-    # (CORRECTNESS_r10.json: 50/50 rows+schema+hash, zero err) and
-    # implementation-stable this round with two default-off exceptions
-    # noted precisely (ADVICE r10 #1 asks for accurate premises):
-    #   * funnel_timing_events — funnel_timing gains an exact=False
-    #     approx-percentile mode this round; the default (exact=True)
-    #     path the row runs is bit-identical in output AND plan.
-    #   * multiclass_report_events — docstring-only change (the eager
-    #     localCheckpoint note, VERDICT r10 wrong #3).
-    "funnel_stream_view_click_purchase_events",
-    "validate_rows_lineitem",
-    "multiclass_report_events",
+    "window_funnel_events",
+    # long-stable rows with r9 driver evidence (CORRECTNESS_r09.json),
+    # the r13-window rotation cohort after the deferred trio — every
+    # name is replay-verified each round by the local full-catalog
+    # oracle-parity gate (tests/test_oracle_parity.py), and the
+    # evidence-age CI ratchet schedules each cohort back into the
+    # window before it ages past the N-4 line.
+    "ann_ivf_topk",
+    "anti_join_customers_no_orders",
+    "asof_join_click_to_view",
+    "auc_value_purchase_events",
+    "case_when_null_buckets",
+    "casts_and_dates",
+    "corpus_data_card",
+    "correlated_subqueries_orders",
+    "cross_join_triples",
+    "decontaminate_documents",
+    "dedup_components_transitive",
+    "distinct_category_dictionary",
+    "events_hourly_rollup",
+    "ewma_events",
+    "exact_dedup_documents",
+    "funnel_view_click_purchase_events",
+    "json_extract_events",
+    "ks_value_click_view_events",
+    "lda_train_predict_histogram",
+    "lift_sum_equivalence",
+    "linreg_via_triple_vs_regr",
+    "list_extract_position",
+    "math_scalar_functions",
+    "mean_mode_stats",
+    "mice_recovery_rmse",
+    "minhash_dedup_survivors",
+    "minhash_signatures",
+    "orders_window_top3",
+    "percentile_quantities",
+    "pii_scrub_documents",
+    "pivot_order_status",
+    "q1_pricing_summary",
+    "quality_classifier_documents",
+    "quality_classifier_report_documents",
+    "quantile_buckets_lineitem",
+    "rollup_lineitem",
+    "seasonal_anomalies_events",
+    "semantic_dedup_clustered",
+    "semi_join_urgent_customers",
+    "sequence_id_generation",
+    "sessionize_events",
+    "stratified_sample_documents",
+    "streaming_heavy_hitters_by_source",
+    "target_encode_events",
+    "text_stats_documents",
+    "triple_factorized_join",
+    "triple_lineitem_grouped",
+    "unigram_logprob_scores",
+    "union_partition_counts",
+    "validate_lineitem_constraints",
+    # long-stable rows with r10 driver evidence (CORRECTNESS_r10.json),
+    # the r14-window rotation cohort:
+    "ann_ivfpq_topk",
     "auc_ovr_events",
-    "funnel_timing_events",
+    "bm25_search_documents",
+    "bpe_encode_documents",
     "brand_revenue",
+    "chunk_documents_catalog",
     "cube_lineitem",
-    "embedding_cosine_scores",
-    "events_microsecond_exact",
-    "intersect_except_parts",
-    "nb_train_predict_histogram",
-    "nb_triple_orders",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "q6_forecast_revenue",
-    "qda_train_predict_histogram",
-    "rolling_customer_spend",
-    "sql_passthrough_shared_dialect",
-    "string_functions_parts",
-    "token_entropy_documents",
-    "triple_factorized_join_grouped",
-    "triple_lineitem_full",
-    "unpivot_lineitem_charges",
+    "dedup_cluster_sizes",
     "duplicate_passage_flags",
+    "embedding_cosine_scores",
+    "embedding_dup_pairs_lsh",
+    "events_microsecond_exact",
+    "funnel_stream_view_click_purchase_events",
+    "funnel_timing_events",
+    "intersect_except_parts",
     "interval_overlap_view_purchase",
     "line_dedup_documents",
+    "minhash_index_dedup_new",
+    "multiclass_report_events",
     "multimodal_decode_wav",
     "multimodal_image_features_netpbm",
     "multimodal_media_meta",
     "multimodal_video_frames_netpbm",
+    "nb_train_predict_histogram",
+    "nb_triple_orders",
     "normalize_text_documents",
     "pca_project_embeddings",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
+    "qda_train_predict_histogram",
     "range_join_click_view_window",
     "repetition_metrics_documents",
+    "rolling_customer_spend",
     "salted_join_segment_revenue",
     "snapshot_diff_documents",
+    "sql_passthrough_shared_dialect",
+    "string_functions_parts",
     "strip_html_documents",
     "temperature_mix_sample",
+    "token_entropy_documents",
     "train_val_test_split",
+    "triple_factorized_join_grouped",
+    "triple_lineitem_full",
+    "unpivot_lineitem_charges",
+    "validate_rows_lineitem",
     "vocabulary_top_tokens",
     "zorder_key_lineitem",
-    "ann_ivfpq_topk",
-    "bm25_search_documents",
-    "bpe_encode_documents",
-    "chunk_documents_catalog",
-    "dedup_cluster_sizes",
-    "embedding_dup_pairs_lsh",
-    "minhash_index_dedup_new",
-    # six r7-evidence rows deferred to the r12 window (they stay
-    # inside the N-4 line through r12 close; each code path keeps
-    # fresh r11 driver evidence via an in-window sibling):
-    #   * bigram_logprob_scores — interpolated_bigram_scores in-window
-    #     rides the same bigram-count scoring path (textscore.py);
-    #   * bottomk_grouped_documents — bottomk_sample_documents
-    #     in-window (same bottom-k-by-hash sampler, grouped adds only
-    #     the partitionBy);
-    #   * connected_components_alternating_pages — connected_
-    #     components_pages in-window (same large-star/small-star core;
-    #     alternating is the iteration-schedule variant);
-    #   * dsir_importance_weights — dsir_bucketed_importance_weights
-    #     in-window (same hashed-ngram importance core, bucketed adds
-    #     the bucket join);
-    #   * fuzzy_pairs_customer_names — fuzzy_join_part_typos in-window
-    #     (same blocked-edit-distance core, pairs vs join surface);
-    #   * mice_high_sql_oracle — mice_single_col_sql_oracle +
-    #     mice_categorical_sql_oracle in-window exercise mice/run.py's
-    #     shared partition/train/predict loop; the high-strategy
-    #     branch is additionally bench-replayed every round
-    #     (mice_low_2iter anchor) and covered by the local full-catalog
-    #     replay like every demoted row.
-    "bigram_logprob_scores",
-    "bottomk_grouped_documents",
-    "connected_components_alternating_pages",
-    "dsir_importance_weights",
-    "fuzzy_pairs_customer_names",
-    "mice_high_sql_oracle",
-    # long-stable rows with r8-r10 driver evidence, rotated out in past
-    # rounds (full per-round trade notes in git history at this file);
-    # every name is replay-verified each round by the local
-    # full-catalog oracle-parity gate (tests/test_oracle_parity.py),
-    # and the evidence-age CI ratchet schedules each cohort back into
-    # the window before it ages past the N-4 line.
-    "streaming_heavy_hitters_by_source",
-    "mice_recovery_rmse",
-    "semantic_dedup_clustered",
-    "auc_value_purchase_events",
-    "quality_classifier_documents",
-    "validate_lineitem_constraints",
-    "funnel_view_click_purchase_events",
-    "quality_classifier_report_documents",
-    "ewma_events",
-    "text_stats_documents",
-    "corpus_data_card",
-    "quantile_buckets_lineitem",
-    "seasonal_anomalies_events",
-    "ks_value_click_view_events",
-    "target_encode_events",
-    "casts_and_dates",
-    "case_when_null_buckets",
-    "json_extract_events",
-    "math_scalar_functions",
-    "events_hourly_rollup",
-    "orders_window_top3",
-    "semi_join_urgent_customers",
-    "anti_join_customers_no_orders",
-    "mean_mode_stats",
-    "union_partition_counts",
-    "distinct_category_dictionary",
-    "list_extract_position",
-    "exact_dedup_documents",
-    "minhash_signatures",
-    "cross_join_triples",
-    "triple_lineitem_grouped",
-    "lift_sum_equivalence",
-    "triple_factorized_join",
-    "q1_pricing_summary",
-    "linreg_via_triple_vs_regr",
-    "ann_ivf_topk",
-    "dedup_components_transitive",
-    "decontaminate_documents",
-    "minhash_dedup_survivors",
-    "pii_scrub_documents",
-    "stratified_sample_documents",
-    "unigram_logprob_scores",
-    "sequence_id_generation",
-    "correlated_subqueries_orders",
-    "rollup_lineitem",
-    "pivot_order_status",
-    "percentile_quantities",
-    "lda_train_predict_histogram",
-    "sessionize_events",
-    "asof_join_click_to_view",
-    "ewma_halflife_stream_events",
-    "scd2_user_event_type",
-    "leakage_safe_split_documents",
-    "resample_agg_events",
-    "streaming_scd2_events",
-    "json_key_profile_lineitem",
-    "heavy_hitter_tokens_by_source",
-    "scd2_snapshot_events",
-    "streaming_sessionize_events",
-    "streaming_ohlc_rollup_events",
-    "streaming_components_events",
-    "novelty_scores_documents",
-    "triangle_counts_pages",
-    "pmi_collocations_documents",
-    "welch_ttest_events",
-    "chi2_type_hour_events",
-    "ppr_navigation_seeded",
-    "spearman_qty_price_lineitem",
-    "mannwhitney_value_events",
-    "anova_value_by_type_events",
-    "tfidf_keywords_documents",
-    "containment_join_documents",
-    "psi_value_drift_events",
-    "lpa_communities_navigation",
-    "weighted_sample_by_source_documents",
-    "source_overlap_documents",
-    "streaming_heavy_hitters_tokens",
-    "moments_value_by_type_events",
-    "benford_value_events",
-    "hybrid_rrf_documents",
-    "entropy_type_by_hour_events",
-    "streaming_psi_events",
-    "leakage_safe_folds_documents",
-    "cramers_v_type_hour_events",
-    "collapse_rare_tokens_documents",
-    "trending_pages_daily_events",
-    "logreg_purchase_events",
-    "logreg_predict_events",
-    "streaming_trending_events",
-    "mice_low_sql_oracle",
-    "cusum_stream_events",
-    "streaming_sliding_events",
-    "bloom_decontaminate_documents",
-    "cusum_events",
-    "winsorize_lineitem",
-    "heavy_hitter_tokens",
 ]
 
 
@@ -2370,9 +2363,11 @@ def _ann_recall_oracle(sf_dir: str) -> str:
       FROM tagged
     )
     SELECT variant, CAST(10 AS INT) AS k,
+           CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS truth_n,
            CAST(COUNT(*) AS BIGINT) AS returned,
            CAST(COALESCE(SUM(hit), 0) AS BIGINT) AS hits,
-           CAST(ROUND(COALESCE(SUM(hit), 0) * 1000.0 / 10.0) AS BIGINT)
+           CAST(ROUND(COALESCE(SUM(hit), 0) * 1000.0
+                / (SELECT COUNT(*) FROM truth)) AS BIGINT)
              AS recall_pm
     FROM scored GROUP BY variant
     """
@@ -2386,7 +2381,9 @@ def ann_recall_at_k_query(spark, sf):
     PQ, IVF+PQ, PCA shortlist) run on the fixed synthetic query over
     the same corpus, each top-10 joined against cosine_topk's top-10 —
     exact integer hit counts, recall as an integer-tier rounded
-    rational, short returns visible in `returned`.  This measures the
+    rational, short returns visible in `returned`, and the denominator
+    visible in `truth_n` (ADVICE r11 #2 — recall normalizes by the
+    truth frame's actual size, never the requested k).  This measures the
     APPROXIMATION quality the per-variant hash rows cannot (each of
     those proves its pruning is implemented as specified, not that the
     pruning keeps the right neighbours).  Training constants

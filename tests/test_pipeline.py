@@ -1473,8 +1473,39 @@ def test_ann_recall_at_k_hand_counts(spark):
     assert (out["c"]["hits"], out["c"]["returned"], out["c"]["recall_pm"]) \
         == (0, 3, 0)
     assert all(r["k"] == 10 for r in out.values())
+    assert all(r["truth_n"] == 10 for r in out.values())
     with pytest.raises(ValueError, match="variant"):
         ss.ann_recall_at_k(truth, {}, k=10)
+
+
+def test_ann_recall_at_k_short_truth(spark):
+    """ADVICE r11 #2: when the truth frame carries fewer than k rows
+    (corpus smaller than k), a variant that returns every true
+    neighbour scores 1000 — the denominator is truth_n, not k — and an
+    empty truth frame reports 0 instead of a division error."""
+    truth = spark.createDataFrame([(i,) for i in range(3)], "vec_id long")
+    va = spark.createDataFrame([(i,) for i in range(3)], "vec_id long")
+    vb = spark.createDataFrame([(0,), (99,)], "vec_id long")
+    out = {
+        r["variant"]: r
+        for r in ss.ann_recall_at_k(
+            truth, {"a": va, "b": vb}, k=10
+        ).collect()
+    }
+    assert (out["a"]["truth_n"], out["a"]["recall_pm"]) == (3, 1000)
+    assert (out["b"]["hits"], out["b"]["recall_pm"]) == (1, 333)
+    empty = truth.where("vec_id < 0")
+    got = ss.ann_recall_at_k(empty, {"a": va}, k=10).collect()
+    assert (got[0]["truth_n"], got[0]["recall_pm"]) == (0, 0)
+    # batch form: per-query short truth contributes its actual size
+    bt = spark.createDataFrame(
+        [(1, 0), (1, 1), (2, 0)], "qid long, vec_id long"
+    )  # q1 truth has 2 rows, q2 has 1 -> truth_n = 3
+    bv = spark.createDataFrame(
+        [(1, 0), (1, 1), (2, 0)], "qid long, vec_id long"
+    )
+    row = ss.ann_recall_at_k(bt, {"a": bv}, k=5, query_col="qid").first()
+    assert (row["truth_n"], row["n_queries"], row["recall_pm"]) == (3, 2, 1000)
 
 
 def test_ann_recall_at_k_matches_set_intersections(emb):
@@ -1515,9 +1546,10 @@ def test_ann_recall_at_k_multi_query(spark):
         ).collect()
     }
     assert (out["a"]["hits"], out["a"]["n_queries"]) == (7, 2)
-    assert out["a"]["recall_pm"] == 700  # 7 / (5*2)
+    assert out["a"]["truth_n"] == 10  # 2 queries x 5 truth rows each
+    assert out["a"]["recall_pm"] == 700  # 7 / 10 truth rows
     assert (out["b"]["hits"], out["b"]["returned"]) == (3, 5)
-    assert out["b"]["recall_pm"] == 300  # denominator stays 2 queries
+    assert out["b"]["recall_pm"] == 300  # denominator stays all 10 truth rows
     # cross-query id collisions must NOT count: vec_id 0 right for q1
     # only when returned under q1 (vb returns it under q1 — counted
     # once, not twice)
