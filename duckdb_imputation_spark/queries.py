@@ -83,12 +83,29 @@ def resolve_oracles(sf_dir: str | None = None) -> dict[str, str]:
 # visible diffs, not silent slips.
 _EVIDENCE_AGE_EXCEPTIONS: dict[str, str] = {}
 
+# Rotation-budget arithmetic (VERDICT r11 Next #2), stated once and
+# machine-checked by tests/test_catalog_order.py::
+# test_rotation_schedule_feasible: the evidence-age rule re-verifies
+# every row within 5 rounds and the driver window is 50 slots, so the
+# steady-state catalog ceiling is 5 x 50 = 250 rows and the SUSTAINABLE
+# registration budget at catalog 200 is (250 - 200) / 5 ≈ 10 new
+# rows/round AVERAGE — and because past cohorts are lumpy (r8:46,
+# r9:50, r10:48, r11:50, r12:50) the per-round headroom is what the
+# simulation computes, not a constant.  Registering more than the
+# simulated slack in any round makes a LATER round's mandatory
+# re-verification set exceed 50 slots with no warning until the ratchet
+# trips; the test fails the moment such a registration lands.
+_ROTATION_BUDGET_NOTE = (
+    "re-verify period 5 rounds x window 50 = 250-row ceiling; "
+    "catalog 200 => ~10 new rows/round sustainable average"
+)
+
 _DRIVER_PRIORITY: list[str] = [
     # round 12 window = 1 hygiene re-entry + the 6-row r7 ratchet head
     # + 43 of the 46-row r8 cohort (the r13 cliff pre-payment).  ZERO
     # new registrations this round: the window is fully owed to
     # rotation (VERDICT r11 Next #1), and the sustainable budget is
-    # ~10 new rows/round at catalog 200 (see _rotation_budget_note and
+    # ~10 new rows/round at catalog 200 (see _ROTATION_BUDGET_NOTE and
     # tests/test_catalog_order.py::test_rotation_schedule_feasible).
     #
     # r4 hygiene rule re-entry: ann_recall_at_k is r11 driver-green but
