@@ -101,9 +101,14 @@ def funnel_users(
         )
         cond = F.col("__ts") > F.col(f"t{k}")
         if within is not None:
+            # exact integer microseconds, and the no-op-on-TIMESTAMP
+            # cast makes the bound legal on TIMESTAMP_NTZ inputs too
+            # (unix_micros and double-casts both reject NTZ; the
+            # timeseries.py:393 idiom)
             cond = cond & (
-                F.col("__ts").cast("double")
-                <= F.col("t1").cast("double") + F.lit(float(within))
+                F.unix_micros(F.col("__ts").cast("timestamp"))
+                <= F.unix_micros(F.col("t1").cast("timestamp"))
+                + F.lit(int(float(within) * 1_000_000))
             )
         nxt = (
             ev.join(cur, on="__u")
@@ -219,11 +224,18 @@ def funnel_timing(
     not hash-gate it against a ``quantile_cont`` oracle."""
     stages = list(stages)
     pcts = [float(p) for p in percentiles]
+    # ADVICE r11 #3: approx_percentile's accuracy must be a positive
+    # int >= 1; fail here with a clear message instead of the opaque
+    # engine error the expression would raise mid-plan.
+    if not exact and int(accuracy) < 1:
+        raise ValueError(
+            f"accuracy must be >= 1 for exact=False (got {accuracy})"
+        )
     users = funnel_users(df, user_col, ts_col, type_col, stages, within)
-    u1 = F.unix_micros(F.col("t1"))
+    u1 = F.unix_micros(F.col("t1").cast("timestamp"))
     aggs = []
     for k in range(len(stages)):
-        d = F.unix_micros(F.col(f"t{k + 1}")) - u1  # NULL if unreached
+        d = F.unix_micros(F.col(f"t{k + 1}").cast("timestamp")) - u1  # NULL if unreached
         aggs.append(F.count(F.col(f"t{k + 1}")).alias(f"__n{k}"))
         for j, p in enumerate(pcts):
             q = (
@@ -337,9 +349,17 @@ def window_funnel(
     win_us = int(float(within) * 1_000_000)
     u, ts, et = F.col(user_col), F.col(ts_col), F.col(type_col)
     base = df.where(u.isNotNull() & ts.isNotNull() & et.isNotNull())
+    # The unconditional .distinct() is a DELIBERATE trade (ADVICE r11
+    # #4): it costs one extra exchange even when stage-1 (user, µs)
+    # pairs are already unique, but it (a) removes duplicated join work
+    # down the whole level chain when they are not, and (b) makes the
+    # earliest-N anchor cap deterministic (row_number over duplicated
+    # anchors would tie-break arbitrarily).  Re-check condition: gate it
+    # behind max_anchors_per_user only if window_funnel_events' bench2
+    # ratio exceeds the 1.3x in-band line two rounds running (r11: 1.18x).
     anchors = (
         base.where(et == F.lit(stages[0]))
-        .select(u.alias("__u"), F.unix_micros(ts).alias("__a"))
+        .select(u.alias("__u"), F.unix_micros(ts.cast("timestamp")).alias("__a"))
         .distinct()
     )
     if max_anchors_per_user is not None:
@@ -376,7 +396,7 @@ def window_funnel(
             # — deterministic where ClickHouse is undefined.
             ev = base.select(
                 u.alias("__u"),
-                F.unix_micros(ts).alias("__ts"),
+                F.unix_micros(ts.cast("timestamp")).alias("__ts"),
                 F.coalesce(first_idx, F.lit(-1)).alias("__sk"),
             )
             nxt = (
@@ -408,7 +428,7 @@ def window_funnel(
             )
         else:
             ev = base.where(et == F.lit(stages[k])).select(
-                u.alias("__u"), F.unix_micros(ts).alias("__ts")
+                u.alias("__u"), F.unix_micros(ts.cast("timestamp")).alias("__ts")
             )
             nxt = (
                 ev.join(cur, on="__u")
@@ -455,7 +475,7 @@ def window_funnel_anchor_stats(
     per_user = (
         df.where(u.isNotNull() & ts.isNotNull() & et.isNotNull())
         .where(et == F.lit(stage1))
-        .select(u.alias("__u"), F.unix_micros(ts).alias("__a"))
+        .select(u.alias("__u"), F.unix_micros(ts.cast("timestamp")).alias("__a"))
         .distinct()
         .groupBy("__u")
         .agg(F.count(F.lit(1)).alias("n"))

@@ -238,6 +238,16 @@ _DRIVER_DEMOTE: list[str] = [
     #     (ADVICE r11 #3): the guard is a Python-side ValueError before
     #     any plan is built; the default exact=True path the row runs
     #     is bit-identical in output AND plan.
+    #   * the funnel-family rows (window_funnel_events,
+    #     funnel_view_click_purchase, funnel_timing_events,
+    #     funnel_view_click_purchase_events) stay demoted although
+    #     funnel.py's event-time micros now go through a
+    #     cast-to-timestamp (the TIMESTAMP_NTZ acceptance fix): the
+    #     cast is a no-op on the TIMESTAMP inputs every registered row
+    #     feeds (optimizer-eliminated — SimplifyCasts), verified by
+    #     regenerating all four rows' plan shapes to a zero diff and
+    #     replaying their oracles; the within-branch integer-micros
+    #     change touches a parameter no registered row passes.
     "bloom_membership_fingerprints",
     "bm25_index_search_documents",
     "bottomk_sample_documents",

@@ -211,7 +211,9 @@ WINDOW_FUNNEL_OUTPUT_SCHEMA = StructType(
 
 # best = max depth emitted; n_anchors/last_a_us drive the dedupe + cap;
 # active chains as parallel (anchor_us, stages-matched, tlast_us)
-# arrays; unsealed buffer as in funnel_stream
+# arrays; unsealed buffer as in funnel_stream; evict_at_us = event-time
+# µs at which a DRAINED user's scalars may be evicted (the state_ttl
+# opt-in, ADVICE r11 #1) — -1 = not drained / ttl off
 _WF_STATE_SCHEMA = StructType(
     [
         StructField("best", IntegerType()),
@@ -222,6 +224,7 @@ _WF_STATE_SCHEMA = StructType(
         StructField("a_tlast", ArrayType(LongType())),
         StructField("buf_ts", ArrayType(LongType())),
         StructField("buf_k", ArrayType(IntegerType())),
+        StructField("evict_at_us", LongType()),
     ]
 )
 
@@ -235,6 +238,7 @@ def window_funnel_stream(
     type_col: str = "event_type",
     watermark: str = "10 minutes",
     max_anchors_per_user: int | None = None,
+    state_ttl: float | None = None,
 ) -> DataFrame:
     """Live ClickHouse-windowFunnel(strict_increase) twin of
     operators/funnel.window_funnel: every DISTINCT stage-1
@@ -261,6 +265,22 @@ def window_funnel_stream(
     moment they are known such — their contribution lives on in
     ``best``.
 
+    Retention (ADVICE r11 #1): the three SCALARS are kept per user
+    FOREVER by default — once a user has emitted any depth (or spent
+    anchor-cap budget), ``best``/``n_anchors``/``last_a`` must survive
+    so a later event neither re-emits an already-emitted depth
+    (breaking exactly-once) nor resets the cap or the same-µs anchor
+    dedupe.  "Bounded" above is per-user; TOTAL store size grows with
+    distinct-user cardinality for the stream's lifetime.  For unbounded
+    user spaces, opt into ``state_ttl`` (seconds of EVENT-TIME
+    inactivity): a user whose chains and buffer have fully drained is
+    evicted once the watermark passes last-activity + ttl, trading the
+    global contract for bounded state — a user who RETURNS after
+    eviction is a fresh machine (depths 1..d re-emit, cap and dedupe
+    reset), so downstream consumers must dedupe on (user, depth) if
+    they need the strict form.  Open chains and unsealed buffers are
+    never evicted by the ttl.
+
     Same clock caveat as every twin here: only STAGE-TYPE events
     advance the watermark (Catalyst pushes the stage filter below the
     EventTimeWatermark node).  The batch operator's ``strict_order``
@@ -277,9 +297,12 @@ def window_funnel_stream(
         raise ValueError("window_funnel_stream requires a window")
     if max_anchors_per_user is not None and max_anchors_per_user < 1:
         raise ValueError("max_anchors_per_user must be >= 1")
+    if state_ttl is not None and float(state_ttl) <= 0:
+        raise ValueError("state_ttl must be > 0 seconds")
     n_stages = len(stages)
     within_us = int(float(within) * 1_000_000)
     cap = max_anchors_per_user
+    ttl_us = None if state_ttl is None else int(float(state_ttl) * 1_000_000)
 
     stage_idx = F.lit(None).cast("int")
     for i in reversed(range(n_stages)):
@@ -302,22 +325,35 @@ def window_funnel_stream(
     ) -> Iterator[pd.DataFrame]:
         (user,) = key
         if state.exists:
-            best, n_anchors, last_a, a_us, a_k, a_tl, buf_ts, buf_k = state.get
+            (
+                best, n_anchors, last_a,
+                a_us, a_k, a_tl, buf_ts, buf_k, evict_at,
+            ) = state.get
             a_us, a_k, a_tl = list(a_us), list(a_k), list(a_tl)
             buf_ts, buf_k = list(buf_ts), list(buf_k)
         else:
             best, n_anchors, last_a = 0, 0, -1
             a_us, a_k, a_tl, buf_ts, buf_k = [], [], [], [], []
+            evict_at = -1
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        if ttl_us is not None and 0 <= evict_at <= wm_us:
+            # ttl eviction (ADVICE r11 #1): the watermark passed the
+            # drained user's inactivity deadline BEFORE this batch —
+            # whether this invocation is the timeout itself or a
+            # same-batch return, the user starts as a fresh machine
+            # (the documented exactly-once trade)
+            best, n_anchors, last_a = 0, 0, -1
+            evict_at = -1
+        got_input = False
         if not state.hasTimedOut:
             for pdf in pdfs:
                 if not len(pdf):
                     continue
+                got_input = True
                 ts_us = pdf["ts"].astype("int64") // 1000  # ns → µs
                 for t, sk in zip(ts_us, pdf["__k"]):
                     buf_ts.append(int(t))
                     buf_k.append(int(sk))
-
-        wm_us = state.getCurrentWatermarkMs() * 1000
         sealed = sorted(
             (t, sk) for t, sk in zip(buf_ts, buf_k) if t <= wm_us
         )
@@ -369,9 +405,17 @@ def window_funnel_stream(
         a_k = [a_k[i] for i in keep]
         a_tl = [a_tl[i] for i in keep]
 
-        if best == 0 and n_anchors == 0 and not a_us and not remaining:
-            state.remove()  # a fresh machine is identical
+        drained = not a_us and not remaining
+        if best == 0 and n_anchors == 0 and drained:
+            state.remove()  # a fresh machine is identical (and the
+            # ttl-evicted case reduces to exactly this)
         else:
+            if drained and ttl_us is not None:
+                # (re)start the inactivity clock; any new input resets
+                if got_input or evict_at < 0:
+                    evict_at = wm_us + ttl_us
+            else:
+                evict_at = -1
             state.update(
                 (
                     best,
@@ -382,14 +426,18 @@ def window_funnel_stream(
                     a_tl,
                     [t for t, _ in remaining],
                     [sk for _, sk in remaining],
+                    evict_at,
                 )
             )
             pend = [t for t, _ in remaining] + [
                 a + within_us for a in a_us
             ]
+            if evict_at >= 0:
+                pend.append(evict_at)
             if pend:
                 # flush when the watermark passes the oldest buffered
-                # event or the next window expiry (state hygiene)
+                # event, the next window expiry, or the ttl eviction
+                # point (state hygiene)
                 state.setTimeoutTimestamp(min(pend) // 1000 + 1)
         if out["user_id"]:
             yield pd.DataFrame(out)

@@ -7,6 +7,8 @@ import math
 import numpy as np
 import pytest
 
+from pyspark.sql import functions as F
+
 from duckdb_imputation_spark.ml.eval import classification_report
 from duckdb_imputation_spark.operators.funnel import (
     funnel_counts,
@@ -795,6 +797,61 @@ def test_funnel_timing_exact_vs_approx_small_cohort(spark):
     assert got[2]["n_users"] == 21
     assert got[2]["p50_us"] == 33_000_000.0  # 11th of 21 -> 33 s
     assert got[2]["p90_us"] == 57_000_000.0  # rank 19 -> 57 s
+    # ADVICE r11 #3: a non-positive accuracy fails with a clear
+    # ValueError at call time, not an opaque engine error mid-plan
+    with pytest.raises(ValueError, match="accuracy"):
+        funnel_timing(df, "u", "ts", "et", stages, exact=False, accuracy=0)
+    # exact=True never touches accuracy — bogus values stay inert
+    funnel_timing(df, "u", "ts", "et", stages, exact=True, accuracy=0)
+
+
+def test_funnel_family_accepts_timestamp_ntz(spark):
+    """Regression (found driving the operators on raw parquet, whose
+    ts reads as TIMESTAMP_NTZ): every event-time comparison in the
+    funnel family must go through a cast-to-timestamp (no-op on
+    TIMESTAMP proper, optimizer-eliminated) because unix_micros and
+    double-casts both reject NTZ.  Results must equal the TIMESTAMP
+    run row for row — the session is UTC-pinned, so the wall clock is
+    identical."""
+    import datetime as dt
+
+    from duckdb_imputation_spark.operators.funnel import (
+        funnel_timing,
+        funnel_users,
+        window_funnel,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, "view"),
+        (1, base + dt.timedelta(seconds=100), "view"),
+        (1, base + dt.timedelta(seconds=150), "click"),
+        (2, base, "view"),
+        (2, base + dt.timedelta(seconds=30), "click"),
+    ]
+    tz = spark.createDataFrame(rows, "u long, ts timestamp, et string")
+    ntz = tz.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    assert dict(ntz.dtypes)["ts"] == "timestamp_ntz"
+    stages = ["view", "click"]
+
+    def rows_of(df):
+        return sorted(map(str, df.collect()))
+
+    for fn, kw in [
+        (funnel_users, {"within": 60.0}),
+        (window_funnel, {"within": 60.0}),
+        (funnel_timing, {"within": 60.0}),
+        (funnel_timing, {}),
+    ]:
+        got = fn(ntz, "u", "ts", "et", stages, **kw)
+        want = fn(tz, "u", "ts", "et", stages, **kw)
+        # timestamps in the output keep their input type; compare on
+        # the type-erased string form
+        assert rows_of(
+            got.select(*[F.col(c).cast("string") for c in got.columns])
+        ) == rows_of(
+            want.select(*[F.col(c).cast("string") for c in want.columns])
+        ), (fn.__name__, kw)
 
 
 def test_per_class_calibration_hand_computed(spark):

@@ -1714,6 +1714,77 @@ def test_streaming_window_funnel_matches_batch(spark, tmp_path):
     assert want[1] == 2 and want[4] == 1  # the counterexample + stall
 
 
+def test_streaming_window_funnel_state_ttl(spark, tmp_path):
+    """ADVICE r11 #1: by default a user's scalars persist forever, so a
+    converted user who returns emits NOTHING new; with state_ttl set, a
+    user drained and event-time-inactive past the ttl is evicted and a
+    return is a fresh machine (depths re-emit) — the documented trade
+    of the exactly-once contract for bounded total state."""
+    import pandas as pd
+
+    from duckdb_imputation_spark.streaming.funnel_stream import (
+        window_funnel_stream,
+    )
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+
+    def T(seconds):
+        return (base + pd.Timedelta(seconds=seconds)).to_pydatetime()
+
+    schema = "user_id long, ts timestamp, event_type string"
+    stages = ["view", "click"]
+    src = str(tmp_path / "wf_ttl")
+    batches = [
+        [(1, T(0), "view"), (1, T(30), "click")],   # u1 converts
+        [(99, T(1000), "view")],   # wm -> ~940: seals + drains u1
+        [(99, T(2000), "view")],   # wm -> ~1940: past u1's ttl clock
+        [(1, T(2100), "view"), (1, T(2130), "click")],  # u1 returns
+        [(99, T(3000), "view")],   # wm -> ~2940: seals the return
+    ]
+    for b in batches:
+        spark.createDataFrame(b, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run(name, **kw):
+        es = (
+            spark.readStream.schema(
+                spark.read.parquet(src).schema
+            ).option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        q = (
+            window_funnel_stream(
+                es, stages, within=60.0, watermark="1 minute", **kw
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(
+            (r.user_id, r.depth)
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+            if r.user_id != 99
+        )
+
+    with pytest.raises(ValueError, match="state_ttl"):
+        window_funnel_stream(
+            spark.readStream.schema(
+                spark.read.parquet(src).schema
+            ).parquet(src),
+            stages, within=60.0, state_ttl=0,
+        )
+    # forever-retention default: the return trip emits nothing new
+    assert run("wf_ttl_off") == [(1, 1), (1, 2)]
+    # ttl=100s of event-time inactivity: u1 evicted after ~t=1040,
+    # the t=2100 return is a fresh machine and re-emits both depths
+    assert run("wf_ttl_on", state_ttl=100.0) == [
+        (1, 1), (1, 1), (1, 2), (1, 2)
+    ]
+
+
 def test_streaming_window_funnel_cap_and_replay(spark, tmp_path):
     """earliest-N anchor cap matches batch, and a second availableNow
     run through the same checkpoint emits nothing new."""
