@@ -1054,3 +1054,141 @@ def test_window_funnel_strict_order_random_vs_reference(spark, seed):
     }
     want = _window_funnel_strict_brute(events, stages, within)
     assert got == want, seed
+
+
+def _strict_order_duckdb(events, stages, within_s):
+    """DuckDB twin of window_funnel(strict_order=True) (VERDICT r11
+    Next #6 — the one funnel mode whose semantics never faced DuckDB):
+    anchors = DISTINCT stage-1 (user, µs); each level k pulls the FIRST
+    event of ANY type strictly after t_k inside the window via a
+    correlated ORDER BY t, sk LIMIT 1 subquery (sk = first matching
+    stage index, -1 for untracked — the operator's documented equal-µs
+    tie-break, smallest stage index first, untracked smallest of all)
+    and advances only when that event's TYPE is the expected stage
+    name; depth = max over anchors of the non-NULL link prefix."""
+    import duckdb
+    import pandas as pd
+
+    def sk_of(et):
+        for i, s in enumerate(stages):
+            if s == et:
+                return i
+        return -1
+
+    pdf = pd.DataFrame(
+        {
+            "u": [u for u, _, _ in events],
+            "t": [int(t * 1_000_000) for _, t, _ in events],
+            "et": [et for _, _, et in events],
+            "sk": [sk_of(et) for _, _, et in events],
+        }
+    )
+    win = int(within_s * 1_000_000)
+    ctes = [
+        "anchors AS (SELECT DISTINCT u, t AS a FROM ev "
+        f"WHERE et = '{stages[0]}')",
+        "lv1 AS (SELECT u, a, a AS t1 FROM anchors)",
+    ]
+    for k in range(1, len(stages)):
+        ctes.append(
+            f"lv{k + 1} AS (SELECT u, a, "
+            + ", ".join(f"t{j + 1}" for j in range(k))
+            + f""",
+            (SELECT CASE WHEN b.et = '{stages[k]}' THEN b.t END
+             FROM ev b
+             WHERE b.u = lv{k}.u AND b.t > lv{k}.t{k}
+               AND b.t <= lv{k}.a + {win}
+             ORDER BY b.t, b.sk LIMIT 1) AS t{k + 1}
+            FROM lv{k})"""
+        )
+    depth = " + ".join(
+        ["1"]
+        + [
+            f"CASE WHEN t{k + 1} IS NOT NULL THEN 1 ELSE 0 END"
+            for k in range(1, len(stages))
+        ]
+    )
+    sql = (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT u, MAX({depth}) AS depth FROM lv{len(stages)} GROUP BY u"
+    )
+    con = duckdb.connect()
+    con.register("ev", pdf)
+    return {int(u): int(d) for u, d in con.execute(sql).fetchall()}
+
+
+def test_window_funnel_strict_order_vs_duckdb_hand(spark):
+    """strict_order faces DuckDB on the hand fixture (including the
+    tracked-interleaver case the ClickHouse doc example misses)."""
+    import datetime as dt
+
+    from duckdb_imputation_spark.operators.funnel import window_funnel
+
+    base = dt.datetime(2024, 1, 1)
+    events = [
+        (1, 0, "A"), (1, 10, "B"), (1, 20, "D"), (1, 30, "C"),
+        (2, 0, "A"), (2, 10, "B"), (2, 20, "C"), (2, 30, "D"),
+        (3, 0, "A"), (3, 10, "B"), (3, 20, "A"), (3, 30, "C"),
+        # equal-µs tie: B and D at t=10 — untracked events carry the
+        # SMALLEST sort key (-1), so D wins the "first event" slot and
+        # stops the chain at depth 1 (the documented deterministic
+        # choice where ClickHouse leaves same-timestamp order undefined)
+        (4, 0, "A"), (4, 10, "B"), (4, 10, "D"), (4, 30, "C"),
+    ]
+    df = spark.createDataFrame(
+        [(u, base + dt.timedelta(seconds=t), et) for u, t, et in events],
+        "u long, ts timestamp, et string",
+    )
+    stages = ["A", "B", "C"]
+    got = {
+        r["u"]: r["depth"]
+        for r in window_funnel(
+            df, "u", "ts", "et", stages, 300.0, strict_order=True
+        ).collect()
+    }
+    want = _strict_order_duckdb(events, stages, 300.0)
+    assert got == want == {1: 2, 2: 3, 3: 2, 4: 1}
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_window_funnel_strict_order_vs_duckdb_fuzz(spark, seed):
+    """Seeded fuzz vs the DuckDB twin — INCLUDING equal-µs ties (the
+    brute-reference fuzz excludes them; the SQL twin mirrors the
+    documented smallest-stage-index tie-break, so ties are in scope
+    here)."""
+    import datetime as dt
+    import random
+
+    from duckdb_imputation_spark.operators.funnel import window_funnel
+
+    rng = random.Random(seed)
+    base = dt.datetime(2024, 1, 1)
+    stages = (
+        ["view", "click", "view"]
+        if seed % 2
+        else ["view", "click", "purchase"]
+    )
+    types = ["view", "click", "purchase", "error"]
+    events = []
+    for u in range(1, 16):
+        for _ in range(rng.randint(0, 30)):
+            # small range ON PURPOSE: equal-µs collisions are common
+            events.append((u, rng.randint(0, 120), rng.choice(types)))
+    # the operator dedupes identical (user, µs, type) rows only at the
+    # anchor level; keep event rows distinct so both engines see the
+    # same multiset semantics for the LIMIT 1 scan
+    events = sorted(set(events))
+    df = spark.createDataFrame(
+        [(u, base + dt.timedelta(seconds=t), et) for u, t, et in events],
+        "u long, ts timestamp, et string",
+    )
+    within = 60.0
+    got = {
+        r["u"]: r["depth"]
+        for r in window_funnel(
+            df, "u", "ts", "et", stages, within, strict_order=True
+        ).collect()
+    }
+    want = _strict_order_duckdb(events, stages, within)
+    assert got == want, seed
