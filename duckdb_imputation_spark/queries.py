@@ -2006,15 +2006,19 @@ def _embedding_dup_oracle() -> str:
     """
 
 
-def _quantized_topk_oracle() -> str:
+def _quantized_topk_oracle(q: "list[float] | None" = None) -> str:
     """SQL twin of simsearch.quantize_int8 + quantized_cosine_topk: the
     quantized query ints and its norm are computed driver-side with the
     same half-away-from-zero rule and inlined; per-vector quantization
     mirrors the Spark expressions (round is HALF_UP in both engines —
-    verified on ties), and the integer dot products are order-exact."""
+    verified on ties), and the integer dot products are order-exact.
+    ``q`` parameterizes the probe query (default: the fixed synthetic
+    vector every single-query ANN row uses — callers passing nothing
+    get the byte-identical historical SQL); the batch recall row feeds
+    its other probe vectors through here."""
     from .operators import simsearch as _ssm
 
-    q = _emb_query_vec()
+    q = _emb_query_vec() if q is None else list(q)
     qq = _ssm.quantize_int8_py(q)
     import numpy as _np
 
