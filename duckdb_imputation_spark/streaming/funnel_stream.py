@@ -93,7 +93,18 @@ def funnel_stream(
     EventTimeWatermark node (measured: a filtered-out event contributes
     no event-time stats), so non-funnel traffic cannot flush buffers.
     Same contract as the sessionize/as-of twins, which also watermark
-    their own filtered stream."""
+    their own filtered stream.
+
+    Retention (same consequence ADVICE r11 #1 named on the window
+    twin): once a user has reached any stage, the three scalars
+    (k, t1, tlast) persist FOREVER — they are what makes emission
+    exactly-once per (user, stage) and keeps the min-ts anchor stable —
+    so TOTAL store size grows with distinct-user cardinality for the
+    stream's lifetime.  For unbounded user spaces prefer
+    :func:`window_funnel_stream`, which carries an opt-in ``state_ttl``
+    eviction knob; adding the same knob here would change this
+    operator's state schema and is deferred to the next window slot
+    (its registered driver row pins the current plan)."""
     stages = list(stages)
     if len(stages) < 1:
         raise ValueError("funnel needs at least one stage")
