@@ -286,7 +286,18 @@ class Triple:
 
     def __sub__(self, other: "Triple") -> "Triple":
         """⊖ — used for delta/incremental cofactor maintenance
-        (reference imputation/triple/sub.cpp:71-217)."""
+        (reference imputation/triple/sub.cpp:71-217).
+
+        Representation note (found by the property fuzz,
+        tests/test_triple_properties.py): a categorical entry whose
+        contribution fully cancels stays as an explicit ``{key: 0.0}``
+        rather than being deleted — value-equal to an absent key for
+        every consumer (sigma assembly and the predict-expression
+        renderers fold by VALUE), and the key set stays bounded by the
+        column's category cardinality (keys are category ids; ⊖ can
+        never introduce a key ⊕ hasn't seen), so no pruning pass is
+        needed.  Compare triples value-level, not dict-level, after
+        subtraction."""
         return self._binop(other, -1.0)
 
     def __mul__(self, other: "Triple") -> "Triple":
