@@ -63,6 +63,20 @@ def test_every_pending_row_has_an_oracle():
 
 
 @pytest.mark.parametrize("name", sorted(PENDING_QUERIES))
+def test_pending_row_plan_lint(spark, name):
+    """Staged rows carry the registered catalog's plan discipline from
+    day one: zero error-level lint findings (single-task funnels,
+    cartesian products, row-Python UDFs) — warn/info classes (benign
+    scalar-stat attaches, non-pushable computed filters) are allowed,
+    exactly as tests/test_plan_lint.py allows them for the catalog."""
+    from duckdb_imputation_spark.plans import lint_plan
+
+    findings = lint_plan(PENDING_QUERIES[name](spark, SF_DIR))
+    errors = [f for f in findings if f.severity == "error"]
+    assert not errors, errors
+
+
+@pytest.mark.parametrize("name", sorted(PENDING_QUERIES))
 def test_pending_row_matches_oracle(spark, ddb, name):
     got = PENDING_QUERIES[name](spark, SF_DIR).toPandas()
     exp = ddb.execute(pending_oracle_sql(SF_DIR)[name]).df()
