@@ -283,11 +283,23 @@ def quantize_int8(
 def quantize_int8_py(vec: Sequence[float]) -> list[int]:
     """Driver-side twin of :func:`quantize_int8` for query vectors
     (explicit half-away-from-zero to match Spark/DuckDB ``round``;
-    Python's built-in round is half-even)."""
+    Python's built-in round is half-even).
+
+    Subnormal guard (found by the property fuzz): when every |x| is
+    below ~127 × DBL_MIN_SUBNORMAL, ``amax / 127.0`` UNDERFLOWS to
+    exactly 0.0 although ``amax > 0`` — the scale, not the max, is the
+    thing that must be positive.  Such a vector quantizes to all-zero
+    codes (norm 0), the same class the cosine paths already drop.  The
+    Spark/SQL per-vector twins share the latent edge (``CASE WHEN amax
+    > 0``) but their expression is plan-pinned by the registered
+    quantized row — fix queued for that row's next window re-entry;
+    real embeddings never carry sub-1e-321 maxima."""
     import math
 
     amax = max(abs(float(x)) for x in vec)
-    scale = amax / 127.0 if amax > 0 else 1.0
+    scale = amax / 127.0
+    if not scale > 0:
+        scale = 1.0
     return [
         int(math.copysign(math.floor(abs(float(x) / scale) + 0.5), x))
         for x in vec

@@ -167,3 +167,81 @@ def test_factorization_with_empty_side(shapes):
     assert rhs.to_dict()["N"] == lhs.to_dict()["N"]
     assert rhs.to_dict()["lin_agg"] == lhs.to_dict()["lin_agg"]
     assert rhs.to_dict()["quad_agg"] == lhs.to_dict()["quad_agg"]
+
+
+@settings(max_examples=150, deadline=None)
+@given(_shaped(), st.booleans())
+def test_to_dict_from_row_round_trip(shape, nb):
+    """from_row(to_dict(t)) reproduces t exactly — the serialization
+    boundary the MICE driver path crosses every iteration (Spark Row →
+    driver Triple → delta algebra).  to_dict's key-sorted nested shape
+    is exactly the triple_schema Row shape, so the dict stands in for
+    the Row here."""
+    d, c, rows = shape
+    t = _sum_lift(rows, d, c, nb=nb)
+    back = Triple.from_row(t.to_dict(), d_num=d, d_cat=c)
+    assert back.nb == nb
+    assert back.to_dict() == t.to_dict()
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(1, 12))
+def test_pair_index_is_a_bijection(d):
+    """pair_index maps the upper triangle (i <= j) bijectively onto
+    [0, d(d+1)/2) in the reference's row-major layout, and is symmetric
+    in its arguments — the indexing every quad block and sigma assembly
+    rides (reference ML/utils.cpp:196-199)."""
+    from duckdb_imputation_spark.functions.triple import (
+        cat_pairs,
+        n_quad,
+        pair_index,
+    )
+
+    seen = [pair_index(i, j, d) for i in range(d) for j in range(i, d)]
+    assert sorted(seen) == list(range(n_quad(d)))
+    # symmetric and consistent with cat_pairs' enumeration order
+    assert all(
+        pair_index(j, i, d) == pair_index(i, j, d)
+        for i in range(d)
+        for j in range(i, d)
+    )
+    assert [pair_index(a, b, d) for a, b in cat_pairs(d)] == list(
+        range(n_quad(d))
+    )
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6,
+            allow_nan=False, allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=64,
+    )
+)
+def test_quantize_int8_bounds_and_scale_cancellation(vec):
+    """quantize_int8_py laws: every code is an int8 value (|q| <= 127),
+    reconstruction error is within half a scale step per axis, the max
+    |x| axis maps to exactly ±127, and the all-zero vector maps to all
+    zeros — the invariants the quantized-cosine score's error bound
+    (~1/127 per axis) is derived from."""
+    from duckdb_imputation_spark.operators.simsearch import quantize_int8_py
+
+    q = quantize_int8_py(vec)
+    amax = max(abs(x) for x in vec)
+    raw_scale = amax / 127.0
+    scale = raw_scale if raw_scale > 0 else 1.0
+    assert all(abs(c) <= 127 for c in q)
+    assert all(
+        abs(x - c * scale) <= scale / 2 + 1e-9 * max(1.0, abs(x))
+        for x, c in zip(vec, q)
+    )
+    if raw_scale > 0:
+        imax = max(range(len(vec)), key=lambda i: abs(vec[i]))
+        assert abs(q[imax]) == 127
+    else:
+        # all-zero OR subnormal-amax (amax/127 underflows to 0.0 — the
+        # fuzz-found edge): all-zero codes, the dropped-norm-0 class
+        assert all(c == 0 for c in q)
