@@ -92,23 +92,73 @@ _STAT_RE = re.compile(
 )
 
 
+def _string_spans(sql: str) -> "list[tuple[int, int]]":
+    """Half-open [start, end) spans of single-quoted SQL string
+    literals, with the standard '' escape.  The ROUND scanner must not
+    read parens, commas, or the word ROUND inside these — the fuzz
+    (tests/test_oracle_margin_fuzz.py) caught the unguarded scan
+    silently mis-spanning ``ROUND(CASE WHEN x = ')' ...`` (a literal
+    close-paren ended the call early, yielding a wrong stripped form
+    and a wrong tier)."""
+    spans = []
+    i, n = 0, len(sql)
+    while i < n:
+        if sql[i] == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":  # '' escape
+                        j += 2
+                        continue
+                    break
+                j += 1
+            spans.append((i, min(j + 1, n)))
+            i = j + 1
+        else:
+            i += 1
+    return spans
+
+
 def strip_rounds(sql: str) -> tuple[str, list[int]]:
     """Replace every top-level-parsable ``ROUND(expr, d)`` with
     ``(expr)``; return (stripped_sql, sorted unique digit tiers).
     ``d`` must be an integer literal (every catalog oracle's form);
-    a non-literal second argument leaves that call untouched."""
+    a non-literal second argument leaves that call untouched.
+    String-literal-aware: parens/commas/ROUND text inside single-quoted
+    literals are opaque to the scan."""
     tiers: set[int] = set()
     out = sql
     # iterate until no ROUND( remains un-stripped (handles nesting:
     # inner calls are re-scanned after the outer rewrite)
     while True:
-        m = _ROUND_RE.search(out)
+        spans = _string_spans(out)
+
+        def _in_string(pos: int) -> int:
+            """-1 if outside every literal, else the span's END."""
+            for a, b in spans:
+                if a <= pos < b:
+                    return b
+            return -1
+
+        m, search_from = None, 0
+        while True:
+            m = _ROUND_RE.search(out, search_from)
+            if m is None:
+                break
+            skip_to = _in_string(m.start())
+            if skip_to < 0:
+                break
+            search_from = skip_to
         if not m:
             break
         start, open_idx = m.start(), m.end() - 1
         depth, i = 0, open_idx
         comma = -1
         while i < len(out):
+            end = _in_string(i)
+            if end >= 0:  # hop over the literal atomically
+                i = end
+                continue
             c = out[i]
             if c == "(":
                 depth += 1
