@@ -1905,24 +1905,35 @@ def test_streaming_window_funnel_repeated_stage_fuzz(spark, tmp_path):
         ).coalesce(1).write.mode("append").parquet(src)
 
     stages = ["view", "click", "view"]
-    es = (
-        spark.readStream.schema(edf.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
-    q = (
-        window_funnel_stream(es, stages, within=300.0, watermark="1 minute")
-        .writeStream.format("memory")
-        .queryName("wf_fuzz")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
-    got_max = {}
-    for r in spark.sql("SELECT * FROM wf_fuzz").collect():
-        if r.user_id != 99:
-            got_max[r.user_id] = max(got_max.get(r.user_id, 0), r.depth)
+
+    def run(name, **kw):
+        es = (
+            spark.readStream.schema(edf.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            window_funnel_stream(
+                es, stages, within=300.0, watermark="1 minute", **kw
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        out = sorted(
+            (r.user_id, r.depth)
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+            if r.user_id != 99
+        )
+        got_max = {}
+        for u, dep in out:
+            got_max[u] = max(got_max.get(u, 0), dep)
+        return out, got_max
+
+    rows_default, got_max = run("wf_fuzz")
     want = {
         r["user_id"]: r["depth"]
         for r in window_funnel(
@@ -1930,6 +1941,12 @@ def test_streaming_window_funnel_repeated_stage_fuzz(spark, tmp_path):
         ).collect()
     }
     assert got_max == want
+    # a TTL longer than any inactivity gap in the replay must be
+    # behaviorally IDENTICAL to the forever-retention default, row for
+    # row — the eviction clock arms and re-arms but never fires (the
+    # new-state-schema path exercised with eviction provably off)
+    rows_ttl, _ = run("wf_fuzz_ttl", state_ttl=10**9)
+    assert rows_ttl == rows_default
 
 
 def test_streaming_calibration_matches_batch(spark, tmp_path):
