@@ -271,7 +271,13 @@ def quantize_int8(
         )
 
     amax = F.array_max(F.transform(v, F.abs))
-    scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(1.0))
+    # Guard on the COMPUTED scale, not the max (r12 fuzz find, fixed
+    # r13): amax/127.0 underflows to exactly 0.0 for subnormal maxima
+    # below ~127*DBL_MIN_SUBNORMAL although amax > 0 — the scale is the
+    # thing that must be positive.  Mirrors quantize_int8_py and the
+    # SQL twin (queries._quantized_topk_oracle).
+    raw_scale = amax / F.lit(127.0)
+    scale = F.when(raw_scale > 0, raw_scale).otherwise(F.lit(1.0))
     q = F.get(F.transform(F.array(scale), with_scale), 0)
     return df.select(
         F.col(id_col),
@@ -285,15 +291,16 @@ def quantize_int8_py(vec: Sequence[float]) -> list[int]:
     (explicit half-away-from-zero to match Spark/DuckDB ``round``;
     Python's built-in round is half-even).
 
-    Subnormal guard (found by the property fuzz): when every |x| is
-    below ~127 × DBL_MIN_SUBNORMAL, ``amax / 127.0`` UNDERFLOWS to
+    Subnormal guard (found by the r12 property fuzz): when every |x|
+    is below ~127 × DBL_MIN_SUBNORMAL, ``amax / 127.0`` UNDERFLOWS to
     exactly 0.0 although ``amax > 0`` — the scale, not the max, is the
     thing that must be positive.  Such a vector quantizes to all-zero
-    codes (norm 0), the same class the cosine paths already drop.  The
-    Spark/SQL per-vector twins share the latent edge (``CASE WHEN amax
-    > 0``) but their expression is plan-pinned by the registered
-    quantized row — fix queued for that row's next window re-entry;
-    real embeddings never carry sub-1e-321 maxima."""
+    codes (norm 0), the same class the cosine paths already drop.  As
+    of r13 all three twins key the fallback on the computed scale:
+    this kernel, the Spark expression (:func:`quantize_int8`), and the
+    SQL oracle (queries._quantized_topk_oracle) — the registered
+    quantized row re-entered the driver window for the hygiene round
+    when the plan-pinned expressions changed."""
     import math
 
     amax = max(abs(float(x)) for x in vec)

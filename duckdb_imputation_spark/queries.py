@@ -2043,7 +2043,8 @@ def _quantized_topk_oracle(q: "list[float] | None" = None) -> str:
       FROM embeddings
     ), scaled AS (
       SELECT vec_id, embedding,
-             CASE WHEN amax > 0 THEN amax / CAST(127.0 AS DOUBLE)
+             CASE WHEN amax / CAST(127.0 AS DOUBLE) > 0
+                  THEN amax / CAST(127.0 AS DOUBLE)
                   ELSE CAST(1.0 AS DOUBLE) END AS scale
       FROM amaxed
     ), qt AS (

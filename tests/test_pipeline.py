@@ -771,6 +771,20 @@ def test_quantize_int8_roundtrip(spark):
     assert out[2]["qvec"] == [0, 0, 0, 0] and out[2]["scale"] == 1.0
 
 
+def test_quantize_int8_subnormal_scale_matches_py(spark):
+    """r12 fuzz find, fixed r13: a vector whose max |x| is subnormal
+    (amax/127 underflows to exactly 0.0 although amax > 0) must take
+    the scale-1.0 fallback in the SPARK expression too — all-zero
+    codes, never Inf/garbage — matching quantize_int8_py."""
+    sub = 5e-324  # DBL_MIN_SUBNORMAL: amax/127.0 == 0.0 exactly
+    rows = [(1, [sub, -sub, 0.0, sub])]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    got = ss.quantize_int8(df, "v", "id").collect()[0]
+    assert got["qvec"] == [0, 0, 0, 0]
+    assert got["scale"] == 1.0
+    assert ss.quantize_int8_py([sub, -sub, 0.0, sub]) == [0, 0, 0, 0]
+
+
 def test_line_dedup_crafted(spark):
     """First occurrence (by doc id, position) wins globally; short lines
     never dedup; a document losing every line disappears."""
