@@ -34,6 +34,22 @@ scans and S−1 equi-joins on the user key, each shuffling only (user,
 ts) pairs.  Per-stage frames shrink monotonically (each is a subset
 of the previous stage's users).  The summary output is one row per
 stage with exact integer counts.
+
+Input timestamp types and the session timezone (ADVICE r12 #2): the
+whole family accepts TIMESTAMP and TIMESTAMP_NTZ — event-time
+microseconds are derived via ``unix_micros(ts.cast("timestamp"))``,
+where the cast is a SimplifyCasts no-op on TIMESTAMP and interprets
+an NTZ wall clock in the SESSION timezone.  This repo's session
+builder pins UTC (session.py), under which the NTZ interpretation is
+offset-free and DST-free — byte-identical micros to DuckDB's
+``epoch_us`` on the same parquet.  A caller who embeds these
+operators under a NON-UTC session timezone should know that NTZ
+events straddling a DST transition would shift non-uniformly (the
+cast applies each instant's local offset), which can move ``within``
+bounds and ``funnel_timing`` durations by the offset change; pin the
+session to UTC (or normalize NTZ inputs up front, as
+sources.load_table does) before feeding NTZ event time.  Raw numeric
+epochs are rejected by contract — encode them as timestamps first.
 """
 
 from __future__ import annotations

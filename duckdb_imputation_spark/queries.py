@@ -101,48 +101,188 @@ _ROTATION_BUDGET_NOTE = (
 )
 
 _DRIVER_PRIORITY: list[str] = [
-    # round 12 window = 1 hygiene re-entry + the 6-row r7 ratchet head
-    # + 43 of the 46-row r8 cohort (the r13 cliff pre-payment).  ZERO
-    # new registrations this round: the window is fully owed to
-    # rotation (VERDICT r11 Next #1), and the sustainable budget is
-    # ~10 new rows/round at catalog 200 (see _ROTATION_BUDGET_NOTE and
-    # tests/test_catalog_order.py::test_rotation_schedule_feasible).
+    # round 13 window = the committed 3-row queue head (r8-evidence
+    # rows deferred from r12) + the 5 promotions out of
+    # queries_pending.py + 1 new input-contract registration + 1 r4
+    # hygiene re-entry + 40 of the 50-row r9-evidence cohort (the
+    # other 10 slide to r14's head — every deferral keeps a
+    # same-code-path sibling in THIS window; trades documented at
+    # _DRIVER_DEMOTE).  Forward feasibility is machine-checked by
+    # tests/test_catalog_order.py::test_rotation_schedule_feasible.
     #
-    # r4 hygiene rule re-entry: ann_recall_at_k is r11 driver-green but
-    # its operator changes THIS round (ADVICE r11 #2 — recall_pm's
-    # denominator becomes the truth frame's actual row count instead of
-    # the requested k, and the new truth_n column makes it visible), so
-    # the row returns to the window for one round.
+    # (a) the machine-checked r13 queue head (VERDICT r12 Next #1 —
+    # character-for-character the _NEXT_WINDOW_QUEUE the r12 tree
+    # committed):
+    "heavy_hitter_tokens",
+    "scd2_snapshot_events",
+    "leakage_safe_folds_documents",
+    # (b) the five rows staged through r12 in queries_pending.py, now
+    # registered (never driver-verified -> mandatory in-window):
+    "window_funnel_stream_events",
+    "per_class_calibration_events",
+    "streaming_calibration_events",
+    "window_funnel_strict_order_events",
+    "ann_recall_batch",
+    # (c) the raw-parquet TIMESTAMP_NTZ input-contract row (VERDICT
+    # r12 missing #3 / Next #5; never driver-verified -> mandatory):
+    "window_funnel_events_ntz_raw",
+    # (d) r4 hygiene re-entry: the int8 subnormal-scale guard changed
+    # THIS round in both plan-pinned twins (Spark expression +
+    # _quantized_topk_oracle SQL — VERDICT r12 wrong #1 / ADVICE #1:
+    # fallback now keyed on the computed scale), so the row returns to
+    # the window for one round:
+    "quantized_cosine_topk",
+    # (e) 40 of the 50 r9-evidence rows (the whole cohort is mandatory
+    # by r14 close; pulling 40 now leaves r14 = 10 deferred + the r10
+    # cohort, simulation-green):
+    "ann_ivf_topk",
+    "asof_join_click_to_view",
+    "auc_value_purchase_events",
+    "case_when_null_buckets",
+    "casts_and_dates",
+    "correlated_subqueries_orders",
+    "cross_join_triples",
+    "decontaminate_documents",
+    "dedup_components_transitive",
+    "distinct_category_dictionary",
+    "events_hourly_rollup",
+    "ewma_events",
+    "exact_dedup_documents",
+    "funnel_view_click_purchase_events",
+    "json_extract_events",
+    "ks_value_click_view_events",
+    "lda_train_predict_histogram",
+    "lift_sum_equivalence",
+    "list_extract_position",
+    "math_scalar_functions",
+    "mean_mode_stats",
+    "mice_recovery_rmse",
+    "minhash_dedup_survivors",
+    "orders_window_top3",
+    "pii_scrub_documents",
+    "pivot_order_status",
+    "q1_pricing_summary",
+    "quality_classifier_documents",
+    "quantile_buckets_lineitem",
+    "rollup_lineitem",
+    "seasonal_anomalies_events",
+    "semi_join_urgent_customers",
+    "sequence_id_generation",
+    "stratified_sample_documents",
+    "target_encode_events",
+    "text_stats_documents",
+    "triple_factorized_join",
+    "unigram_logprob_scores",
+    "union_partition_counts",
+    "validate_lineitem_constraints",
+]
+
+
+# NEXT-ROTATION CANDIDATES — the r13 window head, machine-visible so
+# the evidence-age tripwire can tell "scheduled, waiting for the round"
+# from "slipped" (VERDICT r11 wrong #1): when CORRECTNESS_r12.json
+# lands, test_evidence_age_within_window computes N=13 and names the
+# three deferred r8 rows below; because they appear HERE they xfail the
+# suite with the queue in the message instead of failing it red.
+_NEXT_WINDOW_QUEUE: list[str] = [
+    # the ten r9-evidence rows deferred from the r13 window (sibling
+    # trades at _DRIVER_DEMOTE) — mandatory r14 head:
+    "anti_join_customers_no_orders",
+    "corpus_data_card",
+    "linreg_via_triple_vs_regr",
+    "minhash_signatures",
+    "percentile_quantities",
+    "quality_classifier_report_documents",
+    "semantic_dedup_clustered",
+    "sessionize_events",
+    "streaming_heavy_hitters_by_source",
+    "triple_lineitem_grouped",
+]
+
+# Registration staging lane: queries_pending.py (EMPTY as of the r13
+# promotion of the five r12-staged rows — see the round-13 section at
+# the end of this file).  New operators built in a round whose window
+# has no slots go THERE with full oracles and ride
+# tests/test_pending_rows.py until a slot opens.  Still-open optional
+# twins of driver-green rows (resample_agg fast path, scd2_snapshot_at
+# point-in-time row, json_key_profile HLL twin, validate_rows capped
+# sample) carry their rationale in git history at this comment.
+
+# Hash-green in at least one past driver round (see CORRECTNESS_r*.json)
+# AND implementation-stable since that round; rotated past the 50-query
+# cutoff to make room.  Still verified every round by the local
+# full-catalog replay.  A query whose code changes must move back to
+# _DRIVER_PRIORITY for one round (VERDICT r4 hygiene rule).
+_DRIVER_DEMOTE: list[str] = [
+    # ten r9-evidence rows deferred to the r14 window (they stay
+    # inside the N-4 line through r14 close; each code path keeps
+    # fresh r13 in-window driver evidence via a sibling):
+    #   * anti_join_customers_no_orders — semi_join_urgent_customers
+    #     in-window rides the same broadcast left-semi/-anti join
+    #     surface over the identical customer(x)orders key;
+    #   * corpus_data_card — text_stats_documents in-window hash-gates
+    #     the same textstats expression twins the card aggregates
+    #     (token_count_ws / quality_score / lang_id);
+    #   * linreg_via_triple_vs_regr — the sum_to_triple aggregate core
+    #     is in-window via lift_sum_equivalence and
+    #     triple_factorized_join; the closed-form linreg_train path
+    #     carries r12 evidence via both MICE SQL oracles;
+    #   * minhash_signatures — minhash_dedup_survivors in-window runs
+    #     the identical seeded-md5 signature stage as its plan's first
+    #     leg (the signatures row is a projection of that stage);
+    #   * percentile_quantities — quantile_buckets_lineitem in-window
+    #     rides the same grouped exact-percentile aggregate
+    #     (F.percentile <-> quantile_cont, identical multiset rule);
+    #   * quality_classifier_report_documents —
+    #     quality_classifier_documents in-window re-evidences the
+    #     shared scorer (ml/quality.py features + weights); the report
+    #     adds only a conditional aggregate over the same scores;
+    #   * semantic_dedup_clustered — dedup_components_transitive
+    #     in-window re-evidences the components core, and the
+    #     exact-cosine verification kernel is driven in-window by
+    #     ann_recall_batch's truth legs;
+    #   * sessionize_events — orders_window_top3 in-window rides the
+    #     same partitioned-ordered Window machinery (lag+cumsum vs
+    #     row_number); the sessionization semantics additionally carry
+    #     r12 evidence via streaming_sessionize_events;
+    #   * streaming_heavy_hitters_by_source — heavy_hitter_tokens
+    #     in-window hash-gates the batch Misra-Gries core, and the
+    #     applyInPandasWithState MG-merge twin carries r12 evidence
+    #     via streaming_heavy_hitters_tokens (same stateful function,
+    #     per-source keying);
+    #   * triple_lineitem_grouped — lift_sum_equivalence and
+    #     triple_factorized_join in-window ride the same grouped
+    #     cofactor hash-aggregate (sum_to_triple) over lineitem.
+    "anti_join_customers_no_orders",
+    "corpus_data_card",
+    "linreg_via_triple_vs_regr",
+    "minhash_signatures",
+    "percentile_quantities",
+    "quality_classifier_report_documents",
+    "semantic_dedup_clustered",
+    "sessionize_events",
+    "streaming_heavy_hitters_by_source",
+    "triple_lineitem_grouped",
+    # rotated out round 13: the entire r12 window
+    # (CORRECTNESS_r12.json: 50/50 rows+schema+hash, zero err), all
+    # implementation-stable this round — the r17 rotation cohort:
     "ann_recall_at_k",
-    # round 12 ROTATION, part 1 (the machine-checked queue head —
-    # tests/test_catalog_order.py::test_evidence_age_within_window is
-    # RED on any tree carrying CORRECTNESS_r11.json until these are
-    # scheduled): the six rows whose newest driver evidence is r7; they
-    # age past the N-4 line at r12 close.  This list is character-for-
-    # character the queue VERDICT r11 demanded.
-    "bigram_logprob_scores",
-    "bottomk_grouped_documents",
-    "connected_components_alternating_pages",
-    "dsir_importance_weights",
-    "fuzzy_pairs_customer_names",
-    "mice_high_sql_oracle",
-    # round 12 ROTATION, part 2 (pre-paying the r13 cliff): the
-    # r8-evidence cohort is 46 rows and ages past the N-4 line at r13
-    # close; 43 are pulled forward NOW so r13 keeps slots for its own
-    # registrations (the post-gate operators' rows).  The three
-    # deferred to r13 each have a same-code-path sibling in THIS window
-    # (trades documented at _DRIVER_DEMOTE).
     "anova_value_by_type_events",
     "benford_value_events",
+    "bigram_logprob_scores",
     "bloom_decontaminate_documents",
+    "bottomk_grouped_documents",
     "chi2_type_hour_events",
     "collapse_rare_tokens_documents",
+    "connected_components_alternating_pages",
     "containment_join_documents",
     "cramers_v_type_hour_events",
     "cusum_events",
     "cusum_stream_events",
+    "dsir_importance_weights",
     "entropy_type_by_hour_events",
     "ewma_halflife_stream_events",
+    "fuzzy_pairs_customer_names",
     "heavy_hitter_tokens_by_source",
     "hybrid_rrf_documents",
     "json_key_profile_lineitem",
@@ -151,6 +291,7 @@ _DRIVER_PRIORITY: list[str] = [
     "logreg_purchase_events",
     "lpa_communities_navigation",
     "mannwhitney_value_events",
+    "mice_high_sql_oracle",
     "mice_low_sql_oracle",
     "moments_value_by_type_events",
     "novelty_scores_documents",
@@ -175,80 +316,35 @@ _DRIVER_PRIORITY: list[str] = [
     "weighted_sample_by_source_documents",
     "welch_ttest_events",
     "winsorize_lineitem",
-]
-
-
-# NEXT-ROTATION CANDIDATES — the r13 window head, machine-visible so
-# the evidence-age tripwire can tell "scheduled, waiting for the round"
-# from "slipped" (VERDICT r11 wrong #1): when CORRECTNESS_r12.json
-# lands, test_evidence_age_within_window computes N=13 and names the
-# three deferred r8 rows below; because they appear HERE they xfail the
-# suite with the queue in the message instead of failing it red.
-_NEXT_WINDOW_QUEUE: list[str] = [
-    # the three r8-evidence rows deferred from the r12 window (sibling
-    # trades at _DRIVER_DEMOTE) — mandatory r13 head:
-    "heavy_hitter_tokens",
-    "scd2_snapshot_events",
-    "leakage_safe_folds_documents",
-]
-
-# r13 registration queue (factories + oracles staged in
-# queries_pending.py, parity-checked at sf0.001/sf0.01 this round,
-# registered at r13 when the window has slots — VERDICT r11 Next #4,
-# #6, #7): window_funnel_stream_events, per_class_calibration_events,
-# streaming_calibration_events, window_funnel_strict_order_events,
-# ann_recall_batch.  Still-open optional
-# twins of driver-green rows (resample_agg fast path, scd2_snapshot_at
-# point-in-time row, json_key_profile HLL twin, validate_rows capped
-# sample) carry their rationale in git history at this comment.
-
-# Hash-green in at least one past driver round (see CORRECTNESS_r*.json)
-# AND implementation-stable since that round; rotated past the 50-query
-# cutoff to make room.  Still verified every round by the local
-# full-catalog replay.  A query whose code changes must move back to
-# _DRIVER_PRIORITY for one round (VERDICT r4 hygiene rule).
-_DRIVER_DEMOTE: list[str] = [
-    # three r8-evidence rows deferred to the r13 window (they stay
-    # inside the N-4 line through r13 close; each code path keeps
-    # fresh r12 driver evidence via an in-window sibling):
-    #   * heavy_hitter_tokens — heavy_hitter_tokens_by_source in-window
-    #     rides the same two-pass Misra-Gries-candidates -> exact-count
-    #     -> integer-cross-multiplication plan (sketches.py); grouped
-    #     is the per-stratum face of the same plan family;
-    #   * scd2_snapshot_events — scd2_user_event_type in-window builds
-    #     the same scd2_apply chain the snapshot filters (snapshot_at
-    #     is a plain BETWEEN over valid_from/valid_to, scd.py:183);
-    #     streaming_scd2_events also in-window;
-    #   * leakage_safe_folds_documents — leakage_safe_split_documents
-    #     in-window rides the same connected-components + broadcast
-    #     left join + md5 projection core (textprep.py:140,597; folds
-    #     swaps the threshold CASE for a mod-k); the components core is
-    #     additionally re-evidenced by connected_components_
-    #     alternating_pages in-window.
-    "heavy_hitter_tokens",
-    "leakage_safe_folds_documents",
-    "scd2_snapshot_events",
-    # rotated out round 12: the r11 window minus its one hygiene-rule
-    # re-entry (ann_recall_at_k, denominator change this round — see
-    # _DRIVER_PRIORITY).  All 49 are r11 driver-green
-    # (CORRECTNESS_r11.json: 50/50 rows+schema+hash, zero err) and
-    # implementation-stable this round with one default-path exception
-    # noted precisely (ADVICE r10 #1 asks for accurate premises):
+    # r11-evidence cohort minus its one r13 hygiene re-entry
+    # (quantized_cosine_topk, int8 scale-guard change — see
+    # _DRIVER_PRIORITY) — the r15/r16 rotation cohort.  Premise notes
+    # for rows whose module code changed since their evidence round
+    # (ADVICE r10 #1 asks for accurate premises, VERDICT r12 wrong #4
+    # for the exact dead-branch claim):
     #   * funnel_timing_events stays demoted although funnel_timing
-    #     gains an accuracy>=1 argument-validation guard this round
-    #     (ADVICE r11 #3): the guard is a Python-side ValueError before
-    #     any plan is built; the default exact=True path the row runs
-    #     is bit-identical in output AND plan.
+    #     gained an accuracy>=1 validation guard in r12: the guard is
+    #     a Python-side ValueError before any plan is built; the
+    #     default exact=True path the row runs is bit-identical in
+    #     output AND plan.
     #   * the funnel-family rows (window_funnel_events,
     #     funnel_view_click_purchase, funnel_timing_events,
-    #     funnel_view_click_purchase_events) stay demoted although
-    #     funnel.py's event-time micros now go through a
-    #     cast-to-timestamp (the TIMESTAMP_NTZ acceptance fix): the
-    #     cast is a no-op on the TIMESTAMP inputs every registered row
-    #     feeds (optimizer-eliminated — SimplifyCasts), verified by
-    #     regenerating all four rows' plan shapes to a zero diff and
-    #     replaying their oracles; the within-branch integer-micros
-    #     change touches a parameter no registered row passes.
+    #     funnel_view_click_purchase_events) stayed demoted through
+    #     the r12 NTZ fix on TWO distinct premises, stated separately:
+    #     (1) the added .cast("timestamp") wrappers are no-ops on the
+    #     TIMESTAMP inputs every registered row feeds — optimizer-
+    #     eliminated (SimplifyCasts), verified by regenerating all
+    #     four rows' plan shapes to a zero diff; (2) the SEMANTIC
+    #     within-bound change (double-seconds -> exact integer µs)
+    #     lives in funnel_users' `within is not None` branch
+    #     (operators/funnel.py:103-115), which is DEAD CODE for every
+    #     registered plain-funnel row — funnel_view_click_purchase,
+    #     funnel_view_click_purchase_events,
+    #     funnel_stream_view_click_purchase_events and
+    #     funnel_timing_events all pass within=None.  A live-
+    #     expression semantic change could NOT ride premise (1); as
+    #     of r13 the within branch is additionally driver-gated by
+    #     window_funnel_events_ntz_raw (within=8h on raw NTZ input).
     "bloom_membership_fingerprints",
     "bm25_index_search_documents",
     "bottomk_sample_documents",
@@ -282,7 +378,6 @@ _DRIVER_DEMOTE: list[str] = [
     "perplexity_buckets_documents",
     "pq_cosine_topk",
     "profile_lineitem",
-    "quantized_cosine_topk",
     "remove_duplicate_passages_catalog",
     "resample_interpolate_events",
     "retention_cohorts_events",
@@ -298,64 +393,8 @@ _DRIVER_DEMOTE: list[str] = [
     "triple_lineitem_wide",
     "weighted_sample_documents",
     "window_funnel_events",
-    # long-stable rows with r9 driver evidence (CORRECTNESS_r09.json),
-    # the r13-window rotation cohort after the deferred trio — every
-    # name is replay-verified each round by the local full-catalog
-    # oracle-parity gate (tests/test_oracle_parity.py), and the
-    # evidence-age CI ratchet schedules each cohort back into the
-    # window before it ages past the N-4 line.
-    "ann_ivf_topk",
-    "anti_join_customers_no_orders",
-    "asof_join_click_to_view",
-    "auc_value_purchase_events",
-    "case_when_null_buckets",
-    "casts_and_dates",
-    "corpus_data_card",
-    "correlated_subqueries_orders",
-    "cross_join_triples",
-    "decontaminate_documents",
-    "dedup_components_transitive",
-    "distinct_category_dictionary",
-    "events_hourly_rollup",
-    "ewma_events",
-    "exact_dedup_documents",
-    "funnel_view_click_purchase_events",
-    "json_extract_events",
-    "ks_value_click_view_events",
-    "lda_train_predict_histogram",
-    "lift_sum_equivalence",
-    "linreg_via_triple_vs_regr",
-    "list_extract_position",
-    "math_scalar_functions",
-    "mean_mode_stats",
-    "mice_recovery_rmse",
-    "minhash_dedup_survivors",
-    "minhash_signatures",
-    "orders_window_top3",
-    "percentile_quantities",
-    "pii_scrub_documents",
-    "pivot_order_status",
-    "q1_pricing_summary",
-    "quality_classifier_documents",
-    "quality_classifier_report_documents",
-    "quantile_buckets_lineitem",
-    "rollup_lineitem",
-    "seasonal_anomalies_events",
-    "semantic_dedup_clustered",
-    "semi_join_urgent_customers",
-    "sequence_id_generation",
-    "sessionize_events",
-    "stratified_sample_documents",
-    "streaming_heavy_hitters_by_source",
-    "target_encode_events",
-    "text_stats_documents",
-    "triple_factorized_join",
-    "triple_lineitem_grouped",
-    "unigram_logprob_scores",
-    "union_partition_counts",
-    "validate_lineitem_constraints",
-    # long-stable rows with r10 driver evidence (CORRECTNESS_r10.json),
-    # the r14-window rotation cohort:
+    # r10-evidence cohort — the r14-window fill after the deferred
+    # ten:
     "ann_ivfpq_topk",
     "auc_ovr_events",
     "bm25_search_documents",
@@ -11084,4 +11123,580 @@ def top_label_calibration_events(spark, sf):
         ["p_view", "p_click", "p_purchase", "p_signup", "p_error"],
         classes=["view", "click", "purchase", "signup", "error"],
         n_bins=10,
+    )
+
+
+# --------------------------------------------------------------------- #
+# Round-13 registrations: the five rows staged in queries_pending.py    #
+# through r12 (VERDICT r12 Next #1 — promotion is a move: the factories #
+# and oracles below are the staged ones verbatim, minus the lazy        #
+# .queries imports that promotion makes local, plus the ADVICE r12 #4   #
+# empty-truth guard in the batch-recall oracle), and the raw-parquet    #
+# TIMESTAMP_NTZ input-contract row (VERDICT r12 missing #3 / Next #5).  #
+# --------------------------------------------------------------------- #
+
+_WINDOW_FUNNEL_DEPTH_ORACLE = """
+    WITH base AS (
+      SELECT user_id AS u, epoch_us(ts) AS t, event_type AS et
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND event_type IS NOT NULL
+    ), a AS (
+      SELECT u, t AS anchor FROM base WHERE et = 'view'
+    ), f2 AS (
+      SELECT b.u, a.anchor, MIN(b.t) AS t2
+      FROM base b JOIN a ON b.u = a.u
+      WHERE b.et = 'click' AND b.t > a.anchor
+        AND b.t <= a.anchor + 28800000000
+      GROUP BY b.u, a.anchor
+    ), f3 AS (
+      SELECT b.u, f2.anchor, MIN(b.t) AS t3
+      FROM base b JOIN f2 ON b.u = f2.u
+      WHERE b.et = 'purchase' AND b.t > f2.t2
+        AND b.t <= f2.anchor + 28800000000
+      GROUP BY b.u, f2.anchor
+    ), lv AS (
+      SELECT u, 1 AS lvl FROM a
+      UNION ALL SELECT u, 2 FROM f2
+      UNION ALL SELECT u, 3 FROM f3
+    ), d AS (
+      SELECT u, MAX(lvl) AS depth FROM lv GROUP BY u
+    )
+    SELECT CAST(depth AS INT) AS depth, CAST(COUNT(*) AS BIGINT)
+             AS n_users
+    FROM d GROUP BY depth
+    """
+
+
+@register("window_funnel_stream_events", oracle=_WINDOW_FUNNEL_DEPTH_ORACLE)
+def window_funnel_stream_events(spark, sf):
+    """The LIVE windowFunnel twin end to end (streaming/funnel_stream.py
+    window_funnel_stream on applyInPandasWithState, EventTimeTimeout) —
+    the funnel_stream row's proven availableNow pattern: the events
+    table replays as TWO files through ONE checkpoint (split at the
+    timestamp midpoint, so run 2 recovers run 1's chain state and
+    unsealed buffers from the state store) and a stage-type sentinel
+    under an excluded user a day past the horizon advances the final
+    watermark so every armed timeout fires and every real chain seals.
+    Per user the emitted depth-increase rows are exactly 1..D for the
+    batch window_funnel depth D, so max(depth) per user histogrammed
+    must equal the batch row's (depth, n_users) histogram — which is
+    exactly the window_funnel_events oracle (identical CTE chain,
+    8-hour window, every stage-1 event retried as an anchor).
+    All-integer output, zero float surface."""
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming.funnel_stream import window_funnel_stream
+
+    stages = ["view", "click", "purchase"]
+    ev = load_table(spark, sf, "events").select(
+        "user_id", "ts", "event_type"
+    ).where(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    lo_us, hi_us = ev.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).first()
+    mid = F.timestamp_micros(F.lit((lo_us + hi_us) // 2))
+    hi = F.timestamp_micros(F.lit(hi_us))
+    sentinel = spark.range(1).select(
+        F.lit(-1).cast("long").alias("user_id"),
+        (hi + F.expr("INTERVAL 1 DAY")).alias("ts"),
+        F.lit("view").alias("event_type"),
+    )
+    tmp = tempfile.mkdtemp(prefix="wf_stream_row_")
+    outdir = f"{_session_scratch('wf_stream_out_')}/out"
+    try:
+        src = f"{tmp}/src"
+        os.makedirs(src)
+        halves = [
+            ev.where(F.col("ts") <= F.lit(mid)),
+            ev.where(F.col("ts") > F.lit(mid)).unionByName(sentinel),
+        ]
+        for i, half in enumerate(halves):
+            half.coalesce(1).write.parquet(f"{tmp}/h{i}")
+            part = [
+                f
+                for f in os.listdir(f"{tmp}/h{i}")
+                if f.endswith(".parquet")
+            ][0]
+            shutil.copy(f"{tmp}/h{i}/{part}", f"{src}/half{i}.parquet")
+            stream = spark.readStream.schema(halves[0].schema).parquet(src)
+            q = (
+                window_funnel_stream(
+                    stream,
+                    stages,
+                    within=28800.0,
+                    watermark="10 minutes",
+                )
+                .writeStream.format("parquet")
+                .option("path", outdir)
+                .option("checkpointLocation", f"{tmp}/cp")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        out = spark.read.parquet(outdir).where(F.col("user_id") >= 0)
+        return (
+            out.groupBy("user_id")
+            .agg(F.max("depth").cast("int").alias("depth"))
+            .groupBy("depth")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "per_class_calibration_events",
+    oracle="""
+    WITH base AS (
+      SELECT event_type AS label, user_id, event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS v
+      FROM events
+      WHERE event_type IS NOT NULL AND value IS NOT NULL
+        AND user_id IS NOT NULL AND event_id IS NOT NULL
+    ), m AS (
+      SELECT 'view' AS class, v % 1001 AS pm,
+             CASE WHEN label = 'view' THEN 1 ELSE 0 END AS y FROM base
+      UNION ALL
+      SELECT 'click', user_id % 1001,
+             CASE WHEN label = 'click' THEN 1 ELSE 0 END FROM base
+      UNION ALL
+      SELECT 'purchase', event_id % 1001,
+             CASE WHEN label = 'purchase' THEN 1 ELSE 0 END FROM base
+      UNION ALL
+      SELECT 'signup', (v + user_id) % 1001,
+             CASE WHEN label = 'signup' THEN 1 ELSE 0 END FROM base
+      UNION ALL
+      SELECT 'error', (v + event_id) % 1001,
+             CASE WHEN label = 'error' THEN 1 ELSE 0 END FROM base
+    ), b AS (
+      SELECT class,
+             GREATEST(LEAST(
+               CAST((pm * 10 - (pm * 10) % 1000) / 1000 AS INT), 9), 0)
+               AS bin,
+             pm, y
+      FROM m
+    )
+    SELECT class, bin, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           ROUND(CAST(SUM(pm) AS DOUBLE)
+                 / (CAST(COUNT(*) AS DOUBLE) * 1000.0)
+                 * 1000000.0) / 1000000.0 AS confidence,
+           ROUND(CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                 * 1000000.0) / 1000000.0 AS accuracy
+    FROM b GROUP BY class, bin
+    """,
+)
+def per_class_calibration_events(spark, sf):
+    """Per-class (classwise) reliability bins over the five event types
+    (ml/eval.py per_class_calibration_curve — Kull et al. 2019, the
+    other half of the multiclass calibration family next to
+    top_label_calibration_events): each class's deterministic milli
+    probability (the auc_ovr scoring recipe, shared with the top-label
+    row) scored one-vs-rest against the event_type indicator.  One
+    inline-array explode (no per-class union branches in the Spark
+    plan) → ONE map-side-combined GROUP BY to ≤ 5·n_bins exact-BIGINT
+    cells on the shared both-ends-clamped milli bin; the oracle's
+    UNION ALL is the same melt expressed relationally."""
+    from .ml.eval import per_class_calibration_curve
+
+    ev = load_table(spark, sf, "events").where(
+        F.col("event_type").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_id").isNotNull()
+    )
+    v = F.round(F.col("value") * 100).cast("long")
+    uid, eid = F.col("user_id"), F.col("event_id")
+    frame = ev.select(
+        F.col("event_type").alias("label"),
+        ((v % 1001).cast("double") / 1000.0).alias("p_view"),
+        ((uid % 1001).cast("double") / 1000.0).alias("p_click"),
+        ((eid % 1001).cast("double") / 1000.0).alias("p_purchase"),
+        (((v + uid) % 1001).cast("double") / 1000.0).alias("p_signup"),
+        (((v + eid) % 1001).cast("double") / 1000.0).alias("p_error"),
+    )
+    return per_class_calibration_curve(
+        frame,
+        "label",
+        ["p_view", "p_click", "p_purchase", "p_signup", "p_error"],
+        classes=["view", "click", "purchase", "signup", "error"],
+        n_bins=10,
+    )
+
+
+@register(
+    "streaming_calibration_events",
+    oracle="""
+    WITH s AS (
+      SELECT (epoch_us(ts) - epoch_us(ts) % 3600000000) AS window_us,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+             CAST(ROUND(value * 100) AS BIGINT) % 1001 AS pm
+      FROM events
+      WHERE event_type IS NOT NULL AND value IS NOT NULL
+        AND ts IS NOT NULL
+    ), b AS (
+      SELECT window_us,
+             GREATEST(LEAST(
+               CAST((pm * 10 - (pm * 10) % 1000) / 1000 AS INT), 9), 0)
+               AS bin,
+             y, pm
+      FROM s
+    )
+    SELECT window_us, bin, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           CAST(SUM(pm) AS BIGINT) AS spm
+    FROM b GROUP BY window_us, bin
+    """,
+)
+def streaming_calibration_events(spark, sf):
+    """The streaming calibration monitor end to end (streaming/
+    eval_stream.py streaming_calibration_counts): the
+    calibration_value_purchase recipe (purchase indicator vs cents mod
+    1001 milli probability) over hourly event-time windows, replayed
+    as TWO files through ONE checkpoint with a far-future sentinel
+    sealing every real window in run 2 — so the append-mode cells must
+    equal ONE batch GROUP BY (hour window, clamped milli bin) over the
+    whole table, which is exactly the oracle (Spark's window() and the
+    oracle's epoch-µs modulus are both epoch-hour-aligned).  Cells are
+    exact BIGINTs (n, n_pos, Σpm); window starts leave as epoch µs.
+    Sentinel hygiene: the sentinel's own window never seals (nothing
+    follows it), and the output filter keeps only windows at or below
+    the real data's horizon."""
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming.eval_stream import streaming_calibration_counts
+
+    ev = load_table(spark, sf, "events").where(
+        F.col("event_type").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+    )
+    v = F.round(F.col("value") * 100).cast("long")
+    frame = ev.select(
+        F.col("ts"),
+        (F.col("event_type") == F.lit("purchase"))
+        .cast("int")
+        .alias("label"),
+        ((v % 1001).cast("double") / 1000.0).alias("p"),
+    )
+    lo_us, hi_us = frame.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).first()
+    mid = F.timestamp_micros(F.lit((lo_us + hi_us) // 2))
+    hi = F.timestamp_micros(F.lit(hi_us))
+    sentinel = spark.range(1).select(
+        (hi + F.expr("INTERVAL 30 DAY")).alias("ts"),
+        F.lit(0).cast("int").alias("label"),
+        F.lit(0.5).cast("double").alias("p"),
+    )
+    tmp = tempfile.mkdtemp(prefix="cal_stream_row_")
+    outdir = f"{_session_scratch('cal_stream_out_')}/out"
+    try:
+        src = f"{tmp}/src"
+        os.makedirs(src)
+        halves = [
+            frame.where(F.col("ts") <= F.lit(mid)),
+            frame.where(F.col("ts") > F.lit(mid)).unionByName(sentinel),
+        ]
+        for i, half in enumerate(halves):
+            half.coalesce(1).write.parquet(f"{tmp}/h{i}")
+            part = [
+                f
+                for f in os.listdir(f"{tmp}/h{i}")
+                if f.endswith(".parquet")
+            ][0]
+            shutil.copy(f"{tmp}/h{i}/{part}", f"{src}/half{i}.parquet")
+            stream = spark.readStream.schema(halves[0].schema).parquet(src)
+            q = (
+                streaming_calibration_counts(
+                    stream,
+                    "label",
+                    "p",
+                    ts_col="ts",
+                    window="1 hour",
+                    watermark="10 minutes",
+                )
+                .writeStream.format("parquet")
+                .option("path", outdir)
+                .option("checkpointLocation", f"{tmp}/cp")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        out = spark.read.parquet(outdir)
+        return out.select(
+            F.unix_micros("window_start").alias("window_us"),
+            "bin",
+            "n",
+            "n_pos",
+            "spm",
+        ).where(F.col("window_us") <= F.lit(hi_us))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "window_funnel_strict_order_events",
+    oracle="""
+    WITH base AS (
+      SELECT user_id AS u, epoch_us(ts) AS t, event_type AS et,
+             CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1
+                  WHEN 'purchase' THEN 2 ELSE -1 END AS sk
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND event_type IS NOT NULL
+    ), anchors AS (
+      SELECT DISTINCT u, t AS a FROM base WHERE et = 'view'
+    ), lv1 AS (
+      SELECT u, a, a AS t1 FROM anchors
+    ), lv2 AS (
+      SELECT u, a, t1,
+        (SELECT CASE WHEN b.et = 'click' THEN b.t END
+         FROM base b
+         WHERE b.u = lv1.u AND b.t > lv1.t1
+           AND b.t <= lv1.a + 28800000000
+         ORDER BY b.t, b.sk LIMIT 1) AS t2
+      FROM lv1
+    ), lv3 AS (
+      SELECT u, a, t1, t2,
+        (SELECT CASE WHEN b.et = 'purchase' THEN b.t END
+         FROM base b
+         WHERE b.u = lv2.u AND b.t > lv2.t2
+           AND b.t <= lv2.a + 28800000000
+         ORDER BY b.t, b.sk LIMIT 1) AS t3
+      FROM lv2
+    ), d AS (
+      SELECT u, MAX(1 + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END
+                      + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END)
+               AS depth
+      FROM lv3 GROUP BY u
+    )
+    SELECT CAST(depth AS INT) AS depth,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM d GROUP BY depth
+    """,
+)
+def window_funnel_strict_order_events(spark, sf):
+    """ClickHouse windowFunnel(strict_order) over the events table —
+    the consecutive-chain mode (ANY interleaving event stops a chain,
+    tracked or not) that until now faced DuckDB only in unit fixtures
+    (tests/test_funnel_eval.py's hand + fuzz twins): every stage-1
+    event retried as an 8-hour window start, each level advancing only
+    when the FIRST event of any type after the previous link (ties at
+    an identical microsecond break to the smallest stage index,
+    untracked events smallest of all — deterministic where ClickHouse
+    is undefined) carries the expected stage name.  The oracle replays
+    the same per-anchor machine with correlated first-event-after-link
+    ORDER BY t, sk LIMIT 1 subqueries; depth folds to one row per user
+    and histograms — all-integer output, zero float surface.  Honest
+    cost note (operators/funnel.py): strict_order levels join the FULL
+    event frame, the price of any-event-interrupts."""
+    from .operators.funnel import window_funnel
+
+    ev = load_table(spark, sf, "events")
+    out = window_funnel(
+        ev,
+        "user_id",
+        "ts",
+        "event_type",
+        ["view", "click", "purchase"],
+        within=28800.0,
+        strict_order=True,
+    )
+    return out.groupBy(F.col("depth").cast("int").alias("depth")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+
+
+def _probe_vecs() -> "list[list[float]]":
+    """Three deterministic unit probe queries (dim 64): the fixed
+    synthetic sin vector every single-query ANN row uses, plus cos- and
+    sin(2i)-derived companions — data- and SF-independent so the SQL
+    oracle can inline them, each normalized with the SAME numpy ops the
+    row uses (the shared-bits discipline)."""
+    import numpy as np
+
+    idx = np.arange(1, 65, dtype=np.float64)
+    out = []
+    for raw in (np.sin(idx), np.cos(idx), np.sin(2.0 * idx)):
+        v = np.asarray(raw, dtype=np.float64)
+        out.append(list(v / np.linalg.norm(v)))
+    return out
+
+
+def _ann_recall_batch_oracle(sf_dir: str) -> str:
+    """Batch-recall oracle: per probe query, the exact cosine top-10
+    truth plus each variant's top-10 replayed in SQL — int8 through the
+    parameterized quantized twin, dim16 through a 16-dim fold with the
+    query renormalized on the SLICED prefix (mirroring _cosine's
+    renormalization on the Spark side) — then ONE join + GROUP BY
+    counts (qid, vec_id) overlaps; recall_pm divides by the truth
+    frame's total row count (the r12 denominator contract), zero-
+    guarded like the operator (ADVICE r12 #4: the fixture guarantees a
+    non-empty corpus, but the oracle must not be the only side that
+    errors on an empty one)."""
+    import numpy as np
+
+    from .ml.sql_twin import flit
+
+    def vlit(v) -> str:
+        return "[" + ", ".join(flit(float(x)) for x in v) + "]"
+
+    truth_parts, tagged_parts = [], []
+    for qid, q in enumerate(_probe_vecs()):
+        qa = np.asarray(q, dtype=np.float64)
+        q2 = qa / np.linalg.norm(qa)
+        cos = (
+            f"ROUND({_seq_fold_sql(vlit(q2))}"
+            f" / sqrt({_self_fold_sql()}), 6)"
+        )
+        truth_parts.append(
+            f"SELECT {qid} AS qid, vec_id FROM ("
+            f"SELECT vec_id, {cos} AS score FROM embeddings "
+            f"ORDER BY score DESC, vec_id LIMIT 10) t{qid}"
+        )
+        q16 = qa[:16]
+        q16_2 = q16 / np.linalg.norm(q16)
+        cos16 = (
+            f"ROUND({_seq_fold_sql(vlit(q16_2), dim=16)}"
+            f" / sqrt({_self_fold_sql(dim=16)}), 6)"
+        )
+        tagged_parts.append(
+            f"SELECT 'int8' AS variant, {qid} AS qid, vec_id "
+            f"FROM ({_quantized_topk_oracle(list(q))}) i{qid}"
+        )
+        tagged_parts.append(
+            f"SELECT 'dim16', {qid}, vec_id FROM ("
+            f"SELECT vec_id, {cos16} AS score FROM embeddings "
+            f"ORDER BY score DESC, vec_id LIMIT 10) d{qid}"
+        )
+    truth = "\n      UNION ALL ".join(truth_parts)
+    tagged = "\n      UNION ALL ".join(tagged_parts)
+    return f"""
+    WITH truth AS (
+      {truth}
+    ), tagged AS (
+      {tagged}
+    ), scored AS (
+      SELECT g.variant,
+             CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM tagged g LEFT JOIN truth t
+        ON g.qid = t.qid AND g.vec_id = t.vec_id
+    )
+    SELECT variant, CAST(10 AS INT) AS k,
+           CAST((SELECT COUNT(DISTINCT qid) FROM truth) AS BIGINT)
+             AS n_queries,
+           CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS truth_n,
+           CAST(COUNT(*) AS BIGINT) AS returned,
+           CAST(COALESCE(SUM(hit), 0) AS BIGINT) AS hits,
+           CASE WHEN (SELECT COUNT(*) FROM truth) > 0
+                THEN CAST(ROUND(COALESCE(SUM(hit), 0) * 1000.0
+                     / (SELECT COUNT(*) FROM truth)) AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS recall_pm
+    FROM scored GROUP BY variant
+    """
+
+
+ORACLE_FACTORIES["ann_recall_batch"] = _ann_recall_batch_oracle
+
+
+@register("ann_recall_batch")
+def ann_recall_batch(spark, sf):
+    """Mean recall@10 over THREE probe queries — the batch
+    (``query_col``) form of ann_recall_at_k, the shape a real recall
+    benchmark takes (VERDICT r11 missing #4): per query, exact cosine
+    top-10 truth vs two prunings with exact SQL twins — int8 scalar
+    quantization (expected ≈ 1000 pm, the lossless-in-practice
+    baseline) and a 16-of-64 dimension truncation (a genuine cheap-ANN
+    ablation whose recall is interesting).  Matches join on (query,
+    id); recall_pm = hits·1000 / truth_n with truth_n the truth
+    frame's total row count (the r12 denominator contract), so a
+    variant that skips a query is penalized in the shared denominator.
+    Scale shape: 2·3 TakeOrdered top-k frames tagged + unioned, 30
+    truth ids broadcast, ONE left equi-join + ONE groupBy + a 1-row
+    truth-count broadcast — nothing corpus-sized shuffles."""
+    from .operators import simsearch as _ss
+
+    e = load_table(spark, sf, "embeddings")
+    e16 = e.select(
+        "vec_id", F.slice("embedding", 1, 16).alias("embedding")
+    )
+    truth = None
+    int8 = None
+    dim16 = None
+    for qid, q in enumerate(_probe_vecs()):
+        t = _ss.cosine_topk(e, q, k=10).select(
+            F.lit(qid).alias("qid"), "vec_id"
+        )
+        i8 = _ss.quantized_cosine_topk(e, q, k=10).select(
+            F.lit(qid).alias("qid"), "vec_id"
+        )
+        d16 = _ss.cosine_topk(e16, list(q)[:16], k=10).select(
+            F.lit(qid).alias("qid"), "vec_id"
+        )
+        truth = t if truth is None else truth.unionByName(t)
+        int8 = i8 if int8 is None else int8.unionByName(i8)
+        dim16 = d16 if dim16 is None else dim16.unionByName(d16)
+    return _ss.ann_recall_at_k(
+        truth,
+        {"int8": int8, "dim16": dim16},
+        id_col="vec_id",
+        k=10,
+        query_col="qid",
+    )
+
+
+@register("window_funnel_events_ntz_raw", oracle=_WINDOW_FUNNEL_DEPTH_ORACLE)
+def window_funnel_events_ntz_raw(spark, sf):
+    """The TIMESTAMP_NTZ input contract under the driver hash gate
+    (VERDICT r12 missing #3): identical semantics to
+    window_funnel_events, but the events parquet is read RAW — no
+    ``load_table`` normalization — so the funnel runs on the column
+    type the driver drop actually ships.  The current drops store ts
+    as parquet ``timestamp[us]`` with no timezone, which Spark reads
+    as TIMESTAMP_NTZ: exactly the type the whole funnel family
+    rejected before r12 (``unix_micros`` and double-casts both throw
+    on NTZ; the fix routes event time through ``.cast("timestamp")``,
+    a SimplifyCasts no-op on TIMESTAMP inputs).  DuckDB's ``epoch_us``
+    on the same file is timezone-free and the session pins UTC
+    (session.py), so the NTZ cast preserves the wall clock the oracle
+    sees — the UTC assumption is documented at operators/funnel.py.
+    The one normalization kept is for the LEGACY nanos-as-long
+    encoding some past drops used: a LONG ts is not a timestamp type
+    at all (Spark cannot even scan it without a legacy flag), so it is
+    re-encoded exactly as sources.load_table does; TIMESTAMP and
+    TIMESTAMP_NTZ pass through untouched.  Exercises the within-window
+    integer-µs bound branch (within=8h) on NTZ input, which no other
+    registered row drives raw."""
+    from pyspark.sql import types as T
+
+    from .operators.funnel import window_funnel
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    if isinstance(ev.schema["ts"].dataType, T.LongType):
+        ev = ev.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    out = window_funnel(
+        ev,
+        "user_id",
+        "ts",
+        "event_type",
+        ["view", "click", "purchase"],
+        within=28800.0,
+    )
+    return out.groupBy("depth").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
     )

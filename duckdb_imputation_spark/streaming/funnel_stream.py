@@ -285,12 +285,18 @@ def window_funnel_stream(
     distinct-user cardinality for the stream's lifetime.  For unbounded
     user spaces, opt into ``state_ttl`` (seconds of EVENT-TIME
     inactivity): a user whose chains and buffer have fully drained is
-    evicted once the watermark passes last-activity + ttl, trading the
-    global contract for bounded state — a user who RETURNS after
-    eviction is a fresh machine (depths 1..d re-emit, cap and dedupe
-    reset), so downstream consumers must dedupe on (user, depth) if
-    they need the strict form.  Open chains and unsealed buffers are
-    never evicted by the ttl.
+    evicted once the watermark passes DRAIN-time + ttl — the
+    inactivity clock arms from the watermark at the invocation where
+    the user's state fully drains (``evict_at = wm + ttl`` below),
+    not from the user's last event timestamp (ADVICE r12 #3 asked for
+    doc/impl agreement).  Draining requires the watermark to have
+    passed the last open window, so eviction is CONSERVATIVE: never
+    earlier than last-activity + ttl, up to one watermark delay
+    later.  The trade is the global contract for bounded state — a
+    user who RETURNS after eviction is a fresh machine (depths 1..d
+    re-emit, cap and dedupe reset), so downstream consumers must
+    dedupe on (user, depth) if they need the strict form.  Open
+    chains and unsealed buffers are never evicted by the ttl.
 
     Same clock caveat as every twin here: only STAGE-TYPE events
     advance the watermark (Catalyst pushes the stage filter below the

@@ -1,8 +1,11 @@
-"""Parity gate for the staged r13 registrations (queries_pending.py):
-exactly the oracle-replay discipline the registered catalog rides
-(tests/test_oracle_parity.py), applied to the four rows queued for the
-r13 window — so the rows arrive at registration already green, and the
-only r13 work is the window slot.
+"""Parity gate for staged registrations (queries_pending.py): exactly
+the oracle-replay discipline the registered catalog rides
+(tests/test_oracle_parity.py), applied to every row waiting in the
+staging lane — so rows arrive at registration already green, and the
+only promotion work is the window slot.  When the lane is empty (as
+after the r13 promotion of the five r12-staged rows), the
+parametrized tests auto-skip and only the no-double-registration
+invariant runs.
 
 SF defaults to sf0.001 (CI); the round-close rehearsal re-runs this
 file with SPARK_GRAFT_PENDING_SF=/root/testdata/sf0.01 — the driver's
