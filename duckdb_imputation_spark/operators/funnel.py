@@ -63,6 +63,7 @@ __all__ = [
     "funnel_counts",
     "funnel_users",
     "funnel_timing",
+    "sequence_count",
     "window_funnel",
     "window_funnel_anchor_stats",
 ]
@@ -518,3 +519,126 @@ def window_funnel_anchor_stats(
         ).alias("dropped_anchors"),
     ).first()
     return row.asDict()
+
+
+def sequence_count(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    stages: Sequence[str],
+    within: float | None = None,
+    max_series: int | None = None,
+) -> DataFrame:
+    """ClickHouse ``sequenceCount`` parity for chain patterns — per
+    user, the number of NON-OVERLAPPING completions of the stage chain
+    in event-time order (the ``sequenceCount('(?1)(?2)(?3)')`` family,
+    AggregateFunctionSequenceMatch.h in the ClickHouse tree), as a
+    deterministic single-pass machine:
+
+      * the user's events are scanned once in ``(ts, stage-index)``
+        order (equal-microsecond ties break to the smallest stage
+        index — deterministic where ClickHouse declares same-timestamp
+        order undefined, the window_funnel/strict_order precedent);
+      * one machine per user holds the next expected stage ``k``; an
+        event ADVANCES it iff its type is ``stages[k]`` (events of any
+        other type are ignored — chain patterns are non-strict, like
+        ClickHouse patterns without explicit adjacency);
+      * ``within`` (seconds) bounds the gap between CONSECUTIVE
+        matched events — ClickHouse's ``(?t <= N)`` between adjacent
+        pattern atoms, NOT window_funnel's anchor-relative window.  An
+        expected-type event arriving past the bound RESETS the machine
+        to expecting stage 1 (a dead chain can never advance — the gap
+        only grows);
+      * completing the chain increments the count and resets the
+        machine; consumed events are never revisited, so counted
+        chains cannot overlap.
+
+    For chain patterns WITHOUT time bounds this single pass counts
+    exactly what restart-after-match scanning counts (mid-chain
+    stage-1 events are passed over by both).  With time bounds a
+    backtracking matcher could find chains the greedy machine misses;
+    this machine IS the documented spec here (deterministic, one scan),
+    the same stance strict_order takes on ClickHouse's undefined
+    corners.  Contrast with :func:`window_funnel`: that operator
+    retries EVERY stage-1 event as an anchor to find the maximum
+    depth; this one counts disjoint completions with one machine.
+
+    ``stages`` must be distinct (the machine's transitions would be
+    ambiguous otherwise).  Returns ``(user_col, n_matches)`` — one row
+    per user with at least one non-NULL tracked event, ``n_matches >=
+    0``.
+
+    Scale shape: ONE keyed ``collect_list`` (per-user series must fit
+    one task — the ewma/cusum fold family; ``max_series`` turns a
+    giant key into a deterministic named error) and a JVM-side
+    ``F.aggregate`` fold over the sorted array — no Python, no
+    per-anchor joins, O(events) work per user.  The 100 TB posture is
+    the same as cusum's: per-user event counts are bounded in practice
+    (and checkable with window_funnel_anchor_stats); an unbounded
+    per-user stream belongs to a streaming twin with 3 scalars of
+    state per user.
+    """
+    stages = list(stages)
+    if len(stages) < 1:
+        raise ValueError("sequence_count needs at least one stage")
+    if len(set(stages)) != len(stages):
+        raise ValueError("sequence_count stages must be distinct")
+    s_count = len(stages)
+    win_us = None if within is None else int(float(within) * 1_000_000)
+
+    u, ts, et = F.col(user_col), F.col(ts_col), F.col(type_col)
+    stage_idx = F.lit(None).cast("int")
+    for i in reversed(range(s_count)):
+        stage_idx = F.when(et == F.lit(stages[i]), F.lit(i)).otherwise(
+            stage_idx
+        )
+    base = df.where(u.isNotNull() & ts.isNotNull() & et.isNotNull()).select(
+        u.alias("__u"),
+        F.unix_micros(ts.cast("timestamp")).alias("__t"),
+        F.coalesce(stage_idx, F.lit(-1)).alias("__si"),
+    )
+    rows = base.groupBy("__u").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("__t").alias("t"), F.col("__si").alias("si")))
+        ).alias("__series")
+    )
+    from .timeseries import _guard_series
+
+    rows = _guard_series(rows, max_series, "sequence_count")
+
+    def _reset(n):
+        return F.struct(
+            F.lit(0).alias("k"),
+            F.lit(None).cast("long").alias("lt"),
+            n.alias("n"),
+        )
+
+    def _step(acc, e):
+        gap_bad = (
+            F.lit(False)
+            if win_us is None
+            else (e["t"] - acc["lt"]) > F.lit(win_us)
+        )
+        advance = F.struct(
+            (acc["k"] + 1).alias("k"),
+            e["t"].alias("lt"),
+            acc["n"].alias("n"),
+        )
+        return (
+            F.when((e["si"] < 0) | (e["si"] != acc["k"]), acc)
+            .when((acc["k"] > 0) & gap_bad, _reset(acc["n"]))
+            .when(acc["k"] == F.lit(s_count - 1), _reset(acc["n"] + 1))
+            .otherwise(advance)
+        )
+
+    init = F.struct(
+        F.lit(0).alias("k"),
+        F.lit(None).cast("long").alias("lt"),
+        F.lit(0).cast("long").alias("n"),
+    )
+    folded = rows.select(
+        F.col("__u").alias(user_col),
+        F.aggregate(F.col("__series"), init, _step)["n"].alias("n_matches"),
+    )
+    return folded

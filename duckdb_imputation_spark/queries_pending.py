@@ -18,6 +18,8 @@ originals.
 
 from __future__ import annotations
 
+from .sources import load_table
+
 __all__ = ["PENDING_QUERIES", "pending_oracle_sql"]
 
 PENDING_QUERIES: dict = {}
@@ -44,3 +46,137 @@ def pending_oracle_sql(sf_dir: str) -> dict:
         n: " ".join(f(sf_dir).split())
         for n, f in _PENDING_ORACLE_FACTORIES.items()
     }
+
+
+# --------------------------------------------------------------------- #
+# Staged r14 row 1: sequence_count_events (ClickHouse sequenceCount     #
+# chain-pattern parity — operators/funnel.py sequence_count, new r13).  #
+# --------------------------------------------------------------------- #
+
+
+def _sequence_count_fold_sql(
+    stages: "list[str]", within_us: "int | None"
+) -> str:
+    """DuckDB replay of sequence_count's single-pass machine as a
+    RECURSIVE-CTE automaton: events get a per-user step number
+    (``row_number() OVER (PARTITION BY u ORDER BY t, si)`` — the
+    operator's exact tie order), and the recursion advances every
+    user's (k next-expected stage, lt last matched time, n
+    completions) state one event per level; the final state is the
+    row at each user's event count.
+
+    Why not ``list_reduce`` (the cusum/ewma oracle idiom): DuckDB
+    1.0.0's list_reduce returns WRONG results for this lambda under
+    multi-row evaluation — the SAME literal list folds to the correct
+    answer in a 1-row query and to a different answer when co-batched
+    with rows of other lengths; struct, HUGEINT and BIGINT
+    accumulators all reproduce it.  Found by this row's fuzz twin
+    while the Spark fold and the pure-Python machine agreed;
+    tests/test_sequence_count.py pins a 3-row minimal repro as a
+    canary (if DuckDB ever fixes it, the canary fails and the
+    recursive machine may be rewritten as a fold).
+
+    Emits CTEs ending in ``counts(u, n_matches)``; callers must open
+    with ``WITH RECURSIVE``.
+    """
+    if len(stages) < 1:
+        raise ValueError("sequence_count needs at least one stage")
+    case = " ".join(
+        f"WHEN '{s}' THEN {i}" for i, s in enumerate(stages)
+    )
+    last = len(stages) - 1
+    gap = (
+        "FALSE"
+        if within_us is None
+        else f"(s.t - m.lt) > {int(within_us)}"
+    )
+    return f"""
+    base AS (
+      SELECT user_id AS u, epoch_us(ts) AS t,
+             CASE event_type {case} ELSE -1 END AS si
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND event_type IS NOT NULL
+    ), seq AS (
+      SELECT u, t, si,
+             row_number() OVER (PARTITION BY u ORDER BY t, si) AS rn
+      FROM base
+    ), nev AS (
+      SELECT u, COUNT(*) AS cnt FROM seq GROUP BY u
+    ), machine AS (
+      SELECT u, CAST(0 AS BIGINT) AS rn, 0 AS k,
+             CAST(NULL AS BIGINT) AS lt, CAST(0 AS BIGINT) AS n
+      FROM nev
+      UNION ALL
+      SELECT m.u, s.rn,
+        CASE WHEN s.si < 0 OR s.si != m.k THEN m.k
+             WHEN m.k > 0 AND {gap} THEN 0
+             WHEN m.k = {last} THEN 0
+             ELSE m.k + 1 END AS k,
+        CASE WHEN s.si < 0 OR s.si != m.k THEN m.lt
+             WHEN m.k > 0 AND {gap} THEN CAST(NULL AS BIGINT)
+             WHEN m.k = {last} THEN CAST(NULL AS BIGINT)
+             ELSE s.t END AS lt,
+        CASE WHEN s.si >= 0 AND s.si = m.k AND m.k = {last}
+                  AND NOT (m.k > 0 AND {gap})
+             THEN m.n + 1 ELSE m.n END AS n
+      FROM machine m JOIN seq s ON s.u = m.u AND s.rn = m.rn + 1
+    ), counts AS (
+      SELECT m.u, m.n AS n_matches
+      FROM machine m JOIN nev ON nev.u = m.u AND m.rn = nev.cnt
+    )"""
+
+
+_SEQ_COUNT_STAGES = ["view", "click", "purchase"]
+_SEQ_COUNT_WITHIN_S = 86400.0  # adjacent-gap bound, ClickHouse (?t<=N):
+# 24 h discriminates on the testdata (1 h zeroes every user; None seldom
+# resets) — the histogram exercises BOTH the gap-reset and the counting
+
+
+def _sequence_count_oracle(sf_dir: str) -> str:
+    fold = _sequence_count_fold_sql(
+        _SEQ_COUNT_STAGES, int(_SEQ_COUNT_WITHIN_S * 1_000_000)
+    )
+    return f"""
+    WITH RECURSIVE {fold}
+    SELECT CAST(n_matches AS INT) AS n_matches,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM counts GROUP BY n_matches
+    """
+
+
+@_pending("sequence_count_events", oracle=_sequence_count_oracle)
+def sequence_count_events(spark, sf):
+    """ClickHouse ``sequenceCount('(?1)(?t<=86400)(?2)(?t<=86400)(?3)')``
+    parity over the events table (operators/funnel.py sequence_count,
+    new in r13): per user, the number of NON-OVERLAPPING
+    view->click->purchase completions under a 24-hour adjacent-gap
+    bound, counted by the documented deterministic single-pass machine
+    ((t, stage-index) order, expected-type advance, gap reset,
+    count+reset on completion), histogrammed to (n_matches, n_users).
+    The oracle replays the identical machine as a recursive-CTE
+    automaton — NOT as a list_reduce fold, because DuckDB 1.0.0's
+    list_reduce misfolds this lambda under multi-row evaluation, a
+    real engine bug this row's fuzz twin found
+    (tests/test_sequence_count.py pins a 3-row minimal repro; see
+    _sequence_count_fold_sql).  All-integer output, zero
+    float surface.  Scale shape: ONE keyed collect_list + a JVM
+    aggregate fold (the ewma/cusum family — per-user series in one
+    task, max_series the named-error guard), then a <=O(distinct
+    counts) histogram aggregate."""
+    from pyspark.sql import functions as F
+
+    from .operators.funnel import sequence_count
+
+    ev = load_table(spark, sf, "events")
+    out = sequence_count(
+        ev,
+        "user_id",
+        "ts",
+        "event_type",
+        _SEQ_COUNT_STAGES,
+        within=_SEQ_COUNT_WITHIN_S,
+    )
+    return out.groupBy(
+        F.col("n_matches").cast("int").alias("n_matches")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_users"))
