@@ -180,3 +180,112 @@ def sequence_count_events(spark, sf):
     return out.groupBy(
         F.col("n_matches").cast("int").alias("n_matches")
     ).agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+
+
+# --------------------------------------------------------------------- #
+# Staged r14 row 2: sequence_count_stream_events — the live             #
+# sequenceCount twin's driver row (streaming/funnel_stream.py           #
+# sequence_count_stream, new r13, batch-equivalence tested).            #
+# --------------------------------------------------------------------- #
+
+
+def _sequence_count_stream_oracle(sf_dir: str) -> str:
+    fold = _sequence_count_fold_sql(
+        _SEQ_COUNT_STAGES, int(_SEQ_COUNT_WITHIN_S * 1_000_000)
+    )
+    # the stream emits one row per COMPLETION, so users with zero
+    # completions never appear — the batch histogram restricted to
+    # n_matches >= 1
+    return f"""
+    WITH RECURSIVE {fold}
+    SELECT CAST(n_matches AS INT) AS n_matches,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM counts WHERE n_matches > 0 GROUP BY n_matches
+    """
+
+
+@_pending(
+    "sequence_count_stream_events", oracle=_sequence_count_stream_oracle
+)
+def sequence_count_stream_events(spark, sf):
+    """The LIVE sequenceCount twin end to end (streaming/
+    funnel_stream.py sequence_count_stream on applyInPandasWithState,
+    EventTimeTimeout) — the family's proven availableNow pattern: the
+    events table replays as TWO files through ONE checkpoint (split at
+    the timestamp midpoint, so run 2 recovers run 1's machine scalars
+    and unsealed buffer from the state store) and a stage-type
+    sentinel under an excluded user a day past the horizon advances
+    the final watermark so every buffer seals.  Per user the emitted
+    completion rows carry cumulative counts exactly 1..N for the batch
+    sequence_count N, so max(n_matches) per user histogrammed must
+    equal the batch row's histogram restricted to n >= 1 — the same
+    recursive-CTE oracle as sequence_count_events with a positive
+    filter.  All-integer output, zero float surface."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .queries import _session_scratch
+    from .streaming.funnel_stream import sequence_count_stream
+
+    ev = load_table(spark, sf, "events").select(
+        "user_id", "ts", "event_type"
+    ).where(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    lo_us, hi_us = ev.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).first()
+    mid = F.timestamp_micros(F.lit((lo_us + hi_us) // 2))
+    hi = F.timestamp_micros(F.lit(hi_us))
+    sentinel = spark.range(1).select(
+        F.lit(-1).cast("long").alias("user_id"),
+        (hi + F.expr("INTERVAL 1 DAY")).alias("ts"),
+        F.lit(_SEQ_COUNT_STAGES[0]).alias("event_type"),
+    )
+    tmp = tempfile.mkdtemp(prefix="sc_stream_row_")
+    outdir = f"{_session_scratch('sc_stream_out_')}/out"
+    try:
+        src = f"{tmp}/src"
+        os.makedirs(src)
+        halves = [
+            ev.where(F.col("ts") <= F.lit(mid)),
+            ev.where(F.col("ts") > F.lit(mid)).unionByName(sentinel),
+        ]
+        for i, half in enumerate(halves):
+            half.coalesce(1).write.parquet(f"{tmp}/h{i}")
+            part = [
+                f
+                for f in os.listdir(f"{tmp}/h{i}")
+                if f.endswith(".parquet")
+            ][0]
+            shutil.copy(f"{tmp}/h{i}/{part}", f"{src}/half{i}.parquet")
+            stream = spark.readStream.schema(halves[0].schema).parquet(src)
+            q = (
+                sequence_count_stream(
+                    stream,
+                    _SEQ_COUNT_STAGES,
+                    within=_SEQ_COUNT_WITHIN_S,
+                    watermark="10 minutes",
+                )
+                .writeStream.format("parquet")
+                .option("path", outdir)
+                .option("checkpointLocation", f"{tmp}/cp")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        out = spark.read.parquet(outdir).where(F.col("user_id") >= 0)
+        return (
+            out.groupBy("user_id")
+            .agg(F.max("n_matches").cast("int").alias("n_matches"))
+            .groupBy("n_matches")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -48,6 +48,8 @@ from pyspark.sql.types import (
 __all__ = [
     "funnel_stream",
     "FUNNEL_OUTPUT_SCHEMA",
+    "sequence_count_stream",
+    "SEQUENCE_COUNT_OUTPUT_SCHEMA",
     "window_funnel_stream",
     "WINDOW_FUNNEL_OUTPUT_SCHEMA",
 ]
@@ -463,6 +465,165 @@ def window_funnel_stream(
         fn,
         outputStructType=WINDOW_FUNNEL_OUTPUT_SCHEMA,
         stateStructType=_WF_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+SEQUENCE_COUNT_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_matches", IntegerType()),
+        StructField("completed_at", TimestampType()),
+    ]
+)
+
+# the batch machine's three scalars + the unsealed buffer
+_SC_STATE_SCHEMA = StructType(
+    [
+        StructField("k", IntegerType()),
+        StructField("last_t_us", LongType()),  # -1 = unset
+        StructField("n", LongType()),
+        StructField("buf_ts", ArrayType(LongType())),
+        StructField("buf_k", ArrayType(IntegerType())),
+    ]
+)
+
+
+def sequence_count_stream(
+    stream: DataFrame,
+    stages: Sequence[str],
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    watermark: str = "10 minutes",
+    within: float | None = None,
+) -> DataFrame:
+    """Live ``sequenceCount`` — the streaming twin of
+    operators/funnel.py :func:`~..operators.funnel.sequence_count`:
+    one append-mode row per COMPLETED chain, carrying the user's
+    cumulative completion count (``n_matches`` is 1, 2, … per user, so
+    max(n_matches) per user equals the batch count over the sealed
+    events).
+
+    Exact batch equivalence by construction, the funnel_stream
+    argument specialized to this machine: events buffer per user until
+    the watermark seals them, sealed events fold through the
+    single-pass machine in the batch operator's exact ``(t,
+    stage-index)`` order, and the machine is PREFIX-STABLE (its
+    (k, last_t, n) after a sealed prefix equals the batch machine's
+    state over that prefix).  Untracked event types are no-ops on the
+    batch machine, so the source filters to tracked types — which also
+    means ONLY tracked types advance the watermark (the family's
+    documented clock caveat; Catalyst pushes the type filter below the
+    EventTimeWatermark node).  ``within`` is the batch knob: seconds
+    between CONSECUTIVE matched events (ClickHouse ``(?t<=N)``), reset
+    on breach.
+
+    State per user: the machine's three scalars plus the unsealed
+    buffer (rate x watermark-delay bounded).  A user at k=0 with n=0
+    and an empty buffer is removed (a fresh machine is identical); a
+    user with n > 0 keeps the scalars FOREVER — ``n`` is what makes
+    emission exactly-once per (user, n_matches) and monotone, the same
+    retention posture as funnel_stream (total store size grows with
+    converted-user cardinality; a state_ttl hatch like
+    window_funnel_stream's would change the state schema and waits for
+    a window slot per the r4 hygiene rule)."""
+    stages = list(stages)
+    if len(stages) < 1:
+        raise ValueError("sequence_count needs at least one stage")
+    if len(set(stages)) != len(stages):
+        raise ValueError("sequence_count stages must be distinct")
+    n_stages = len(stages)
+    within_us = None if within is None else int(float(within) * 1_000_000)
+
+    stage_idx = F.lit(None).cast("int")
+    for i in reversed(range(n_stages)):
+        stage_idx = F.when(
+            F.col(type_col) == F.lit(stages[i]), F.lit(i)
+        ).otherwise(stage_idx)
+
+    src = (
+        stream.select(
+            F.col(user_col).cast("long").alias("user_id"),
+            F.col(ts_col).cast("timestamp").alias("ts"),
+            stage_idx.alias("__k"),
+        )
+        .withWatermark("ts", watermark)
+        .where(F.col("__k").isNotNull() & F.col("user_id").isNotNull())
+    )
+
+    def fn(
+        key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user,) = key
+        if state.exists:
+            k, last_t, n, buf_ts, buf_k = state.get
+            buf_ts, buf_k = list(buf_ts), list(buf_k)
+        else:
+            k, last_t, n, buf_ts, buf_k = 0, -1, 0, [], []
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                if not len(pdf):
+                    continue
+                ts_us = pdf["ts"].astype("int64") // 1000  # ns -> µs
+                for t, sk in zip(ts_us, pdf["__k"]):
+                    buf_ts.append(int(t))
+                    buf_k.append(int(sk))
+
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        sealed = sorted(
+            (t, sk) for t, sk in zip(buf_ts, buf_k) if t <= wm_us
+        )
+        remaining = [
+            (t, sk) for t, sk in zip(buf_ts, buf_k) if t > wm_us
+        ]
+        out = {c: [] for c in ("user_id", "n_matches", "completed_at")}
+        for t, sk in sealed:
+            # stages are distinct by contract, so index equality IS
+            # name equality here (unlike funnel_stream's repeated-
+            # stage concern)
+            if sk != k:
+                continue
+            if (
+                k > 0
+                and within_us is not None
+                and t - last_t > within_us
+            ):
+                k, last_t = 0, -1
+                continue
+            if k == n_stages - 1:
+                n += 1
+                k, last_t = 0, -1
+                out["user_id"].append(user)
+                out["n_matches"].append(int(n))
+                out["completed_at"].append(pd.Timestamp(t, unit="us"))
+            else:
+                k, last_t = k + 1, t
+
+        if k == 0 and n == 0 and not remaining:
+            state.remove()  # a fresh machine is identical
+        else:
+            state.update(
+                (
+                    k,
+                    last_t,
+                    n,
+                    [t for t, _ in remaining],
+                    [sk for _, sk in remaining],
+                )
+            )
+            if remaining:
+                state.setTimeoutTimestamp(
+                    min(t for t, _ in remaining) // 1000 + 1
+                )
+        if out["user_id"]:
+            yield pd.DataFrame(out)
+
+    return src.groupBy(F.col("user_id")).applyInPandasWithState(
+        fn,
+        outputStructType=SEQUENCE_COUNT_OUTPUT_SCHEMA,
+        stateStructType=_SC_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

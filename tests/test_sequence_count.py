@@ -216,3 +216,86 @@ def test_fuzz_vs_python_and_duckdb(spark):
             assert _ddb_twin(rows, STAGES, within_us=win_us) == exp, (
                 trial, within,
             )
+
+
+def test_sequence_count_stream_matches_batch(spark, tmp_path):
+    """Live sequenceCount twin: completion rows over out-of-order
+    micro-batches; per user max(n_matches) must equal the batch
+    sequence_count, the emitted counts are exactly 1..N (exactly-once,
+    monotone), and the gap-reset fires identically live."""
+    import pandas as pd
+
+    from duckdb_imputation_spark.streaming.funnel_stream import (
+        sequence_count_stream,
+    )
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+
+    def T(seconds):
+        return (base + pd.Timedelta(seconds=seconds)).to_pydatetime()
+
+    rows = [
+        # u1: two completions, the second's click arrives EARLY (file
+        # order) relative to its view — buffering must reorder
+        (1, T(0), "view"), (1, T(10), "click"), (1, T(20), "purchase"),
+        (1, T(50), "click"), (1, T(40), "view"), (1, T(60), "purchase"),
+        # u2: gap reset — the click misses the 30 s adjacent bound,
+        # then a fresh chain completes
+        (2, T(0), "view"), (2, T(45), "click"),
+        (2, T(100), "view"), (2, T(110), "click"), (2, T(120), "purchase"),
+        # u3: mid-chain stage-1 events are passed over, chain completes
+        (3, T(0), "view"), (3, T(5), "view"), (3, T(10), "click"),
+        (3, T(15), "purchase"),
+        # u4: never completes
+        (4, T(0), "view"), (4, T(5), "click"),
+    ]
+    edf = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    src = str(tmp_path / "sc")
+    edf.filter("ts > timestamp'2024-01-01 00:00:42'").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    edf.filter("ts <= timestamp'2024-01-01 00:00:42'").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    for s in (100000, 100060):  # watermark nudges under excluded user
+        spark.createDataFrame(
+            [(99, T(s), "view")],
+            "user_id long, ts timestamp, event_type string",
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    es = (
+        spark.readStream.schema(edf.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = sequence_count_stream(
+        es, STAGES, within=30.0, watermark="1 minute"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sc_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [
+        (r.user_id, r.n_matches)
+        for r in spark.sql("SELECT * FROM sc_stream").collect()
+        if r.user_id != 99
+    ]
+    assert len(got) == len(set(got))  # exactly-once per (user, n)
+    got_max = {}
+    for u, nn in got:
+        got_max[u] = max(got_max.get(u, 0), nn)
+    for u, nn in got_max.items():
+        assert {(u, i) for i in range(1, nn + 1)} <= set(got)
+    batch_rows = [(u, int(t.value // 1000), et) for u, t, et in (
+        (u, pd.Timestamp(ts), et) for u, ts, et in rows if u != 99
+    )]
+    want_all = _py_ref(batch_rows, STAGES, within_us=30_000_000)
+    want = {u: n for u, n in want_all.items() if n > 0}
+    assert got_max == want
+    assert want[1] == 2 and want[2] == 1 and want[3] == 1  # the fixtures
