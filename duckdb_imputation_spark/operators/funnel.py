@@ -64,6 +64,7 @@ __all__ = [
     "funnel_users",
     "funnel_timing",
     "sequence_count",
+    "top_paths",
     "window_funnel",
     "window_funnel_anchor_stats",
 ]
@@ -560,9 +561,16 @@ def sequence_count(
     backtracking matcher could find chains the greedy machine misses;
     this machine IS the documented spec here (deterministic, one scan),
     the same stance strict_order takes on ClickHouse's undefined
-    corners.  Contrast with :func:`window_funnel`: that operator
-    retries EVERY stage-1 event as an anchor to find the maximum
-    depth; this one counts disjoint completions with one machine.
+    corners.  Corollary worth knowing (pinned as a NON-law in
+    tests/test_sequence_properties.py): the count is NOT monotone in
+    ``within`` — a larger window can TRAP the machine mid-chain
+    waiting on a completion that arrives too late, while a smaller
+    window resets early and catches a later fresh chain, so a stream
+    can genuinely count MORE chains under a tighter bound.  Treat
+    ``within`` as a semantic parameter, not a recall knob.  Contrast
+    with :func:`window_funnel`: that operator retries EVERY stage-1
+    event as an anchor to find the maximum depth; this one counts
+    disjoint completions with one machine.
 
     ``stages`` must be distinct (the machine's transitions would be
     ambiguous otherwise).  Returns ``(user_col, n_matches)`` — one row
@@ -642,3 +650,71 @@ def sequence_count(
         F.aggregate(F.col("__series"), init, _step)["n"].alias("n_matches"),
     )
     return folded
+
+
+def top_paths(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    max_len: int = 3,
+    top_n: int = 20,
+    sep: str = ">",
+    max_series: int | None = None,
+) -> DataFrame:
+    """Top event paths — the funnel-DISCOVERY question ("which ordered
+    journeys actually happen?", the Sankey/flow view product analytics
+    tools ship) that precedes every funnel/sequence query's choice of
+    stages: per user, the ordered sequence of their FIRST ``max_len``
+    event types, aggregated to ``(path, n_users)`` and cut to the
+    ``top_n`` most common.
+
+    Determinism: events order by ``(ts, event_type)`` — equal-
+    microsecond ties break lexicographically on the type name, a total
+    order (duplicate (ts, type) pairs are interchangeable).  The
+    ``top_n`` cut orders by ``(n_users DESC, path ASC)`` — fully
+    deterministic output, no rounding surface (one string, one exact
+    integer).
+
+    Scale shape: ONE keyed ``collect_list`` of slim (µs, type) structs
+    per user (``max_series`` the named-error guard — but note the
+    aggregate only needs each user's first ``max_len`` events; at
+    extreme per-user rates pre-reduce with a row_number window before
+    calling), a JVM slice/transform/array_join projection, then ONE
+    map-side-combined GROUP BY on the path string (cardinality ≤
+    distinct-types^max_len) and a TakeOrdered top-n.  Nothing
+    corpus-sized shuffles twice."""
+    if max_len < 1:
+        raise ValueError("max_len must be >= 1")
+    if top_n < 1:
+        raise ValueError("top_n must be >= 1")
+    u, ts, et = F.col(user_col), F.col(ts_col), F.col(type_col)
+    base = df.where(
+        u.isNotNull() & ts.isNotNull() & et.isNotNull()
+    ).select(
+        u.alias("__u"),
+        F.unix_micros(ts.cast("timestamp")).alias("__t"),
+        et.alias("__et"),
+    )
+    rows = base.groupBy("__u").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("__t"), F.col("__et")))
+        ).alias("__series")
+    )
+    from .timeseries import _guard_series
+
+    rows = _guard_series(rows, max_series, "top_paths")
+    path = F.array_join(
+        F.transform(
+            F.slice(F.col("__series"), 1, int(max_len)),
+            lambda e: e["__et"],
+        ),
+        sep,
+    )
+    return (
+        rows.select(path.alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy(F.desc("n_users"), F.asc("path"))
+        .limit(int(top_n))
+    )

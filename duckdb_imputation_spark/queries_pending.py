@@ -289,3 +289,48 @@ def sequence_count_stream_events(spark, sf):
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# --------------------------------------------------------------------- #
+# Staged r14 row 3: top_event_paths_events (operators/funnel.py         #
+# top_paths, new r13 — the funnel-discovery / flow-analysis view).      #
+# --------------------------------------------------------------------- #
+
+_TOP_PATHS_ORACLE = """
+    WITH base AS (
+      SELECT user_id AS u, epoch_us(ts) AS t, event_type AS et
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND event_type IS NOT NULL
+    ), arr AS (
+      SELECT u, list(et ORDER BY t, et) AS es FROM base GROUP BY u
+    ), paths AS (
+      SELECT array_to_string(es[1:3], '>') AS path FROM arr
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM paths GROUP BY path
+    ORDER BY n_users DESC, path ASC LIMIT 20
+    """
+
+
+@_pending("top_event_paths_events", oracle=_TOP_PATHS_ORACLE)
+def top_event_paths_events(spark, sf):
+    """Top-20 opening event paths (operators/funnel.py top_paths, new
+    r13): each user's first THREE event types in (ts, type) order
+    joined with '>' — the funnel-DISCOVERY view (which ordered
+    journeys actually happen) that precedes choosing funnel stages.
+    Deterministic end to end: equal-µs ties break lexicographically on
+    the type name and the cut orders by (n_users DESC, path ASC) — a
+    total order, so the top-20 SET is exact; output is one string and
+    one exact BIGINT per row, zero rounding surface.  The oracle is
+    the same journey list built with DuckDB's ordered list aggregate,
+    sliced and joined identically.  Scale shape: one keyed
+    collect_list of slim (µs, type) structs, a JVM
+    slice/transform/array_join projection, ONE map-side-combined
+    GROUP BY on <= |types|^3 path strings, and a TakeOrdered top-20."""
+    from .operators.funnel import top_paths
+
+    ev = load_table(spark, sf, "events")
+    return top_paths(
+        ev, "user_id", "ts", "event_type", max_len=3, top_n=20
+    )
