@@ -64,6 +64,7 @@ __all__ = [
     "funnel_users",
     "funnel_timing",
     "sequence_count",
+    "sequence_match",
     "top_paths",
     "window_funnel",
     "window_funnel_anchor_stats",
@@ -717,4 +718,35 @@ def top_paths(
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
         .orderBy(F.desc("n_users"), F.asc("path"))
         .limit(int(top_n))
+    )
+
+
+def sequence_match(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    stages: Sequence[str],
+    within: float | None = None,
+    max_series: int | None = None,
+) -> DataFrame:
+    """ClickHouse ``sequenceMatch`` (chain existence) companion to
+    :func:`sequence_count`: ``(user_col, matched)`` with ``matched`` ∈
+    {0, 1} — whether the single-pass machine completes the chain at
+    least once.  With ``within=None`` greedy-earliest matching is
+    OPTIMAL for existence, so ``matched=1`` iff ANY subsequence of the
+    user's events spells the chain (exact sequenceMatch semantics).
+    With a gap bound this is GREEDY-machine existence — the same
+    deterministic spec as sequence_count, which can miss chains a
+    backtracking matcher would find (see the non-monotonicity note on
+    sequence_count); callers needing optimal bounded-gap existence
+    should use :func:`window_funnel` (anchor-window semantics, depth ==
+    len(stages)) instead."""
+    out = sequence_count(
+        df, user_col, ts_col, type_col, stages,
+        within=within, max_series=max_series,
+    )
+    return out.select(
+        F.col(user_col),
+        (F.col("n_matches") >= 1).cast("int").alias("matched"),
     )

@@ -299,3 +299,22 @@ def test_sequence_count_stream_matches_batch(spark, tmp_path):
     want = {u: n for u, n in want_all.items() if n > 0}
     assert got_max == want
     assert want[1] == 2 and want[2] == 1 and want[3] == 1  # the fixtures
+
+
+def test_sequence_match_existence(spark):
+    """within=None: matched iff the chain occurs as a subsequence
+    (greedy-earliest is existence-optimal without time bounds)."""
+    from duckdb_imputation_spark.operators.funnel import sequence_match
+
+    rows = [
+        (1, 1, "view"), (1, 2, "signup"), (1, 3, "click"), (1, 4, "purchase"),
+        (2, 1, "purchase"), (2, 2, "click"), (2, 3, "view"),  # wrong order
+        (3, 1, "view"), (3, 2, "click"),                       # incomplete
+    ]
+    got = {
+        r["user_id"]: r["matched"]
+        for r in sequence_match(
+            _df(spark, rows), "user_id", "ts", "event_type", STAGES
+        ).collect()
+    }
+    assert got == {1: 1, 2: 0, 3: 0}
