@@ -318,3 +318,83 @@ def test_sequence_match_existence(spark):
         ).collect()
     }
     assert got == {1: 1, 2: 0, 3: 0}
+
+
+def test_sequence_count_stream_fuzz_matches_batch(spark, tmp_path):
+    """Seeded random events with out-of-order file arrival and µs-tie
+    collisions: the live twin's per-user max(n_matches) equals the
+    batch sequence_count exactly, emissions are 1..N per user and
+    exactly-once — the windowFunnel stream-fuzz discipline on the new
+    machine."""
+    import random
+
+    import pandas as pd
+
+    from duckdb_imputation_spark.operators.funnel import sequence_count
+    from duckdb_imputation_spark.streaming.funnel_stream import (
+        sequence_count_stream,
+    )
+
+    rng = random.Random(1307)
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    types = STAGES + ["signup", "error"]
+    rows = []
+    for u in range(1, 11):
+        for _ in range(rng.randint(0, 25)):
+            rows.append(
+                (
+                    u,
+                    (base + pd.Timedelta(seconds=rng.randint(0, 900)))
+                    .to_pydatetime(),
+                    rng.choice(types),
+                )
+            )
+    edf = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    src = str(tmp_path / "scf")
+    # shuffle arrival: even users' events land in file 1, odd in file 2
+    edf.filter("user_id % 2 = 0").coalesce(1).write.mode("append").parquet(src)
+    edf.filter("user_id % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+    for s in (100000, 100060):
+        spark.createDataFrame(
+            [(99, (base + pd.Timedelta(seconds=s)).to_pydatetime(), "view")],
+            "user_id long, ts timestamp, event_type string",
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    es = (
+        spark.readStream.schema(edf.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        sequence_count_stream(
+            es, STAGES, within=120.0, watermark="1 minute"
+        )
+        .writeStream.format("memory")
+        .queryName("sc_fuzz")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [
+        (r.user_id, r.n_matches)
+        for r in spark.sql("SELECT * FROM sc_fuzz").collect()
+        if r.user_id != 99
+    ]
+    assert len(got) == len(set(got))  # exactly-once
+    got_max = {}
+    for u, nn in got:
+        got_max[u] = max(got_max.get(u, 0), nn)
+    for u, nn in got_max.items():
+        assert {(u, i) for i in range(1, nn + 1)} <= set(got)
+    want = {
+        r["user_id"]: r["n_matches"]
+        for r in sequence_count(
+            edf, "user_id", "ts", "event_type", STAGES, within=120.0
+        ).collect()
+        if r["n_matches"] > 0 and r["user_id"] != 99
+    }
+    assert got_max == want
+    assert sum(want.values()) > 0  # the fixture actually converts
