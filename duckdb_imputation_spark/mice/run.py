@@ -210,11 +210,12 @@ def mice_impute(
                         cat_cols,
                         [flag, F.col(null_flag(next_col))],
                     )
-                else:
-                    delta2 = _collect_triple(
-                        work.filter(flag), cont_cols, cat_cols
-                    )
-                full = train_t + delta2
+                    full = train_t + delta2
+                # else: final step — `full` is never read again, so the
+                # post-rewrite delta scan would be a dead job (guide
+                # §1.2: don't compute things you throw away); the final
+                # frame materializes in the caller's first action over
+                # the lazily-checkpointed `work`
             timings.setdefault("update", 0.0)
             timings["update"] += time.perf_counter() - t0
         if strategy != "low":  # low checkpoints per column already

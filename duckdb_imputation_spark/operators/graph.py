@@ -170,10 +170,16 @@ def pagerank(
         )
         ranks = base.select("node", F.col("__tp").alias("rank"), "__tp")
         for i in range(iters):
-            dm = (
+            # dangling mass as an IN-PLAN 1-row aggregate broadcast into
+            # the update (guide §2.4/§5: same value the old per-iteration
+            # collect produced — identical aggregate, identical
+            # arithmetic — without a driver round trip per iteration, so
+            # the whole loop executes as ONE action; the lazy
+            # per-iteration checkpoints still bound lineage and are
+            # materialized once inside that action)
+            dm_df = (
                 ranks.join(src_nodes, "node", "left_anti")
-                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
-                .collect()[0]["dm"]
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm"))
             )
             contrib = (
                 ranks.join(norm, ranks["node"] == norm["__src"])
@@ -181,17 +187,21 @@ def pagerank(
                 .agg(F.sum(F.col("rank") * F.col("__p")).alias("__c"))
                 .withColumnRenamed("__dst", "node")
             )
-            ranks = base.join(contrib, "node", "left").select(
-                "node",
-                (
-                    F.lit(1.0 - damping) * F.col("__tp")
-                    + F.lit(damping)
-                    * (
-                        F.coalesce(F.col("__c"), F.lit(0.0))
-                        + F.lit(dm) * F.col("__tp")
-                    )
-                ).alias("rank"),
-                "__tp",
+            ranks = (
+                base.join(contrib, "node", "left")
+                .join(F.broadcast(dm_df), F.lit(True), "inner")
+                .select(
+                    "node",
+                    (
+                        F.lit(1.0 - damping) * F.col("__tp")
+                        + F.lit(damping)
+                        * (
+                            F.coalesce(F.col("__c"), F.lit(0.0))
+                            + F.col("__dm") * F.col("__tp")
+                        )
+                    ).alias("rank"),
+                    "__tp",
+                )
             )
             if (i + 1) % checkpoint_every == 0:
                 ranks = ranks.localCheckpoint(eager=False)
@@ -199,10 +209,13 @@ def pagerank(
 
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for i in range(iters):
-        dm = (
+        # in-plan dangling mass — see the teleport branch above.  The
+        # old code divided the collected scalar by n on the driver
+        # (dm / n); dividing the column by the same float literal is the
+        # identical double operation.
+        dm_df = (
             ranks.join(src_nodes, "node", "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
-            .collect()[0]["dm"]
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm"))
         )
         contrib = (
             ranks.join(norm, ranks["node"] == norm["__src"])
@@ -210,13 +223,20 @@ def pagerank(
             .agg(F.sum(F.col("rank") * F.col("__p")).alias("__c"))
             .withColumnRenamed("__dst", "node")
         )
-        ranks = nodes.join(contrib, "node", "left").select(
-            "node",
-            (
-                F.lit((1.0 - damping) / n)
-                + F.lit(damping)
-                * (F.coalesce(F.col("__c"), F.lit(0.0)) + F.lit(dm / n))
-            ).alias("rank"),
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .join(F.broadcast(dm_df), F.lit(True), "inner")
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("__c"), F.lit(0.0))
+                        + F.col("__dm") / F.lit(float(n))
+                    )
+                ).alias("rank"),
+            )
         )
         if (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=False)
