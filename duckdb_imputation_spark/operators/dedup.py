@@ -285,12 +285,41 @@ def minhash_lsh_pairs(
     """
     df = ensure_parallelism(df)
     logger.info("minhash_lsh_pairs: k=%d bands=%d bucket_cap=%d", k, bands, bucket_cap)
-    slim = minhash_band_buckets(df, text_col, id_col, k, bands, shingle)
-    pairs = _bucket_pairs(slim, bucket_cap)
+    # Shingle ONCE (guide §1.2): the distinct-shingle arrays feed both
+    # the signature/banding pass and the exact-Jaccard verification —
+    # without the checkpoint the payload joins (one shuffle per pair
+    # side) re-shingled the corpus from the raw text twice more.  The
+    # checkpointed frame is (id, distinct shingles): memory-and-disk
+    # cached, spills at scale, and the verification join reads it
+    # instead of re-deriving.  Values are identical — same expressions,
+    # one materialization.
     payload = df.select(
         F.col(id_col).alias("__id"),
         F.array_distinct(shingles(F.col(text_col), shingle)).alias("__sh"),
+    ).localCheckpoint(eager=False)
+    sig = minhash_signature_from_shingles(F.col("__sh"), k)
+    rows_per_band = k // bands
+    assert k % bands == 0, "k must divide into equal bands"
+    slim = payload.select("__id", sig.alias("__sig")).select(
+        "__id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("__sig", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("__band", "__bucket"),
     )
+    pairs = _bucket_pairs(slim, bucket_cap)
     cand = _join_payload(_join_payload(pairs, payload, "a"), payload, "b")
     inter = F.size(F.array_intersect("__sh_a", "__sh_b"))
     union = F.size(F.array_union("__sh_a", "__sh_b"))
@@ -452,14 +481,17 @@ def ngram_jaccard_pairs(
     df = ensure_parallelism(df)
     logger.info("ngram_jaccard_pairs: n=%d df_cap=%d", n, df_cap)
     grams = _token_ngrams(F.col(text_col), n)
-    slim = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(F.array_distinct(grams)).alias("__bucket"),
-    ).withColumn("__band", F.lit(0))
-    pairs = _bucket_pairs(slim, df_cap)
+    # gram sets computed ONCE (the minhash_lsh_pairs discipline): the
+    # checkpointed (id, gram set) frame feeds the blocking explode and
+    # both verification joins — previously each consumer re-tokenized
+    # and re-gram'd the corpus from raw text
     payload = df.select(
         F.col(id_col).alias("__id"), F.array_distinct(grams).alias("__g")
-    )
+    ).localCheckpoint(eager=False)
+    slim = payload.select(
+        "__id", F.explode("__g").alias("__bucket")
+    ).withColumn("__band", F.lit(0))
+    pairs = _bucket_pairs(slim, df_cap)
     cand = _join_payload(_join_payload(pairs, payload, "a"), payload, "b")
     jac = F.round(
         F.size(F.array_intersect("__g_a", "__g_b"))

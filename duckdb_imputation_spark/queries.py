@@ -10234,25 +10234,30 @@ def quality_classifier_documents(spark, sf):
     one statement via unrolled CTEs (same zero init, same op order).
     At 100 TB: training touches a slim checkpointed 5-double frame,
     scoring is scan-cost."""
-    from .ml.logreg import logreg_predict_expr
-    from .ml.quality import (
-        QUALITY_FEATURE_NAMES,
-        quality_features,
-        train_quality_classifier,
-    )
+    from .ml.logreg import logreg_predict_expr, logreg_train
+    from .ml.quality import QUALITY_FEATURE_NAMES, quality_features
 
     d = load_table(spark, sf, "documents")
-    w = train_quality_classifier(d, "text", iters=3, lr=1.0)
     feats = quality_features(F.col("text"))
+    # ONE gopher tokenization pass shared by training and scoring
+    # (guide §1.2: don't recompute what you already have): the slim
+    # (doc_id, 4 features, label) frame is checkpointed once; the
+    # trainer's three aggregates and the scoring projection all read
+    # that ~48-byte/doc frame instead of re-tokenizing the corpus per
+    # consumer.  Identical values: same feature expressions, same
+    # training aggregates over the same rows in the same order.
     frame = d.select(
         "doc_id",
         *[feats[n].alias(n) for n in QUALITY_FEATURE_NAMES],
-        feats["y"].cast("long").alias("label"),
+        feats["y"].alias("__y"),
+    ).localCheckpoint(eager=False)
+    w = logreg_train(
+        frame, QUALITY_FEATURE_NAMES, "__y", iters=3, lr=1.0, cache=False
     )
     p = logreg_predict_expr(QUALITY_FEATURE_NAMES, w)
     return frame.select(
         "doc_id",
-        "label",
+        F.col("__y").cast("long").alias("label"),
         F.round(p * 1000.0).cast("long").alias("prob_milli"),
     )
 
@@ -10498,19 +10503,21 @@ def quality_classifier_report_documents(spark, sf):
     only transcendental surface (stat-class ROUND(,6) on an O(0.5)
     mean — the welch/anova sum-order noise class)."""
     from .ml.eval import classification_report
-    from .ml.logreg import logreg_predict_expr
-    from .ml.quality import (
-        QUALITY_FEATURE_NAMES,
-        quality_features,
-        train_quality_classifier,
-    )
+    from .ml.logreg import logreg_predict_expr, logreg_train
+    from .ml.quality import QUALITY_FEATURE_NAMES, quality_features
 
     d = load_table(spark, sf, "documents")
-    w = train_quality_classifier(d, "text", iters=3, lr=1.0)
+
     feats = quality_features(F.col("text"))
+    # single shared tokenization pass — the quality_classifier_documents
+    # pattern: one checkpointed slim feature frame feeds both the
+    # training aggregates and the scored report (identical values)
     frame = d.select(
         *[feats[n].alias(n) for n in QUALITY_FEATURE_NAMES],
         feats["y"].alias("label"),
+    ).localCheckpoint(eager=False)
+    w = logreg_train(
+        frame, QUALITY_FEATURE_NAMES, "label", iters=3, lr=1.0, cache=False
     )
     p = logreg_predict_expr(QUALITY_FEATURE_NAMES, w)
     scored = frame.select("label", p.alias("p"))
