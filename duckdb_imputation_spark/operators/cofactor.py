@@ -148,38 +148,37 @@ def sum_to_triple(
     cats = [F.col(col).cast("int").alias(f"__k{j}") for j, col in enumerate(cat_cols)]
     base = df.select(*group_by, *nums, *cats)
 
-    # ---- dense part: pure codegen'd partial+final hash aggregation -------
-    quad_idx = _quad_pairs(num_cols, nb)
-    dense_aggs = [F.expr("count(1)").alias("__n")]
-    dense_aggs += [F.expr(f"sum(__x{i})").alias(f"__lin_{i}") for i in range(d)]
-    dense_aggs += [
-        F.expr(f"sum(__x{i} * __x{j})").alias(f"__quad_{p}")
-        for p, (i, j) in enumerate(quad_idx)
-    ]
-    dense = base.groupBy(*group_by).agg(*dense_aggs)
-
-    lin_arr = (
-        F.expr(
-            "array(" + ", ".join(f"coalesce(__lin_{i}, 0.0d)" for i in range(d)) + ")"
-        )
-        if d
-        else F.lit(None).cast("array<double>")
-    )
-    quad_arr = (
-        F.expr(
-            "array("
-            + ", ".join(f"coalesce(__quad_{p}, 0.0d)" for p in range(len(quad_idx)))
-            + ")"
-        )
-        if d
-        else F.lit(None).cast("array<double>")
-    )
-
     if c == 0:
+        # ---- dense-only: pure codegen'd partial+final hash aggregation ---
+        quad_idx = _quad_pairs(num_cols, nb)
+        dense_aggs = [F.expr("count(1)").alias("__n")]
+        dense_aggs += [F.expr(f"sum(__x{i})").alias(f"__lin_{i}") for i in range(d)]
+        dense_aggs += [
+            F.expr(f"sum(__x{i} * __x{j})").alias(f"__quad_{p}")
+            for p, (i, j) in enumerate(quad_idx)
+        ]
+        dense = base.groupBy(*group_by).agg(*dense_aggs)
+
+        lin_arr = (
+            F.expr(
+                "array(" + ", ".join(f"coalesce(__lin_{i}, 0.0d)" for i in range(d)) + ")"
+            )
+            if d
+            else F.expr("array()").cast("array<double>")
+        )
+        quad_arr = (
+            F.expr(
+                "array("
+                + ", ".join(f"coalesce(__quad_{p}, 0.0d)" for p in range(len(quad_idx)))
+                + ")"
+            )
+            if d
+            else F.expr("array()").cast("array<double>")
+        )
         fields = [
             F.col("__n").alias("N"),
-            F.coalesce(lin_arr, F.expr("array()").cast("array<double>")).alias("lin_agg"),
-            F.coalesce(quad_arr, F.expr("array()").cast("array<double>")).alias("quad_agg"),
+            lin_arr.alias("lin_agg"),
+            quad_arr.alias("quad_agg"),
             F.expr("array()").cast(f"array<{_KV_T}>").alias("lin_cat"),
         ]
         if not nb:
@@ -190,12 +189,28 @@ def sum_to_triple(
         out = dense.select(*group_by, F.struct(*fields).alias(result_col))
         return out.drop("__g") if internal_key else out
 
-    # ---- sparse part: ONE scan for both the per-(cat,key) stats and the
-    # cat×cat pairs.  Each row explodes to c + c(c+1)/2 tagged entries
-    # (kind 0 = single, kind 1 = pair); a two-level aggregation reduces
-    # them map-side to the distinct-(group, entry) space before any
-    # shuffle, then one collect per group assembles the maps.
+    # ---- sparse (+ optionally dense) two-level aggregation ---------------
     carry_sums = d > 0 and not nb
+    quad_idx = _quad_pairs(num_cols, nb)
+    n_pairs = len(cat_pairs(c)) if not nb else 0
+    fan = c + n_pairs  # sparse entries per input row
+
+    # Fused single-scan shape (r13, guide §2.4 — remove passes/shuffles
+    # outright): the dense stats ride as ONE extra tagged pseudo-entry
+    # (kind 2) through the same explode → two-level aggregation,
+    # removing the second full scan of the input and the dense⋈sparse
+    # join.  Value-identical: the kind-2 group receives exactly one
+    # entry per input row in row order, so its count/sums accumulate
+    # exactly as the dedicated dense aggregate did.  The fused
+    # aggregate gates the d(d+1)/2 quad products per exploded entry,
+    # so its overhead grows with fan-out × quad width; measured at
+    # sf0.1 it wins for narrow shapes (3 num × 2 cat: ~2 s → ~1 s
+    # noop) and loses for the wide one (8 num × 4 cat: 2.3 s → 5.5 s —
+    # 14 sparse entries × 44 gated quads beat the saved scan).  The
+    # data-independent criterion below picks fused exactly when the
+    # per-entry gating work is small; either branch returns the same
+    # values, only the plan differs.
+    fuse_dense = fan * max(len(quad_idx), 1) <= 96
 
     def _estruct(kind: int, idx: int, e1: str, e2: str) -> str:
         return (
@@ -203,27 +218,51 @@ def sum_to_triple(
             f"'__e1', {e1}, '__e2', {e2})"
         )
 
-    entry_sqls = [_estruct(0, j, f"__k{j}", "0") for j in range(c)]
+    entry_sqls = [_estruct(2, 0, "0", "0")] if fuse_dense else []
+    entry_sqls += [_estruct(0, j, f"__k{j}", "0") for j in range(c)]
     if not nb:
         entry_sqls += [
             _estruct(1, p, f"__k{a}", f"__k{b}")
             for p, (a, b) in enumerate(cat_pairs(c))
         ]
+    carry_x = [F.col(f"__x{i}") for i in range(d)] if (carry_sums or fuse_dense) else []
     exploded = base.select(
         *group_by,
-        *([F.col(f"__x{i}") for i in range(d)] if carry_sums else []),
+        *carry_x,
         F.explode(F.expr("array(" + ", ".join(entry_sqls) + ")")).alias("__e"),
     ).select(
         *group_by,
-        *([F.col(f"__x{i}") for i in range(d)] if carry_sums else []),
+        *carry_x,
         F.col("__e.__kind").alias("__kind"),
         F.col("__e.__idx").alias("__idx"),
         F.col("__e.__e1").alias("__e1"),
         F.col("__e.__e2").alias("__e2"),
     )
+    dense_kind = F.col("__kind") == 2
+    # linear sums: needed on kind-0 entries when carry_sums (the
+    # num×cat maps) and on the kind-2 entry (lin_agg); quad products
+    # only on kind-2 (gated so the multiplies run once per input row,
+    # not once per sparse copy)
+    sum_aggs = []
+    quad_aggs = []
+    if carry_sums:
+        sum_aggs = [F.sum(F.col(f"__x{i}")).alias(f"__s{i}") for i in range(d)]
+    elif fuse_dense and d:
+        sum_aggs = [
+            F.sum(F.when(dense_kind, F.col(f"__x{i}"))).alias(f"__s{i}")
+            for i in range(d)
+        ]
+    if fuse_dense:
+        quad_aggs = [
+            F.sum(
+                F.when(dense_kind, F.col(f"__x{i}") * F.col(f"__x{j}"))
+            ).alias(f"__q{p}")
+            for p, (i, j) in enumerate(quad_idx)
+        ]
     per_key = exploded.groupBy(*group_by, "__kind", "__idx", "__e1", "__e2").agg(
-        F.count(F.lit(1)).cast("double").alias("__cnt"),
-        *([F.sum(F.col(f"__x{i}")).alias(f"__s{i}") for i in range(d)] if carry_sums else []),
+        F.count(F.lit(1)).alias("__cnt"),
+        *sum_aggs,
+        *quad_aggs,
     )
     entries = per_key.groupBy(*group_by).agg(
         F.collect_list(
@@ -233,7 +272,8 @@ def sum_to_triple(
                 "__e1",
                 "__e2",
                 "__cnt",
-                *([f"__s{i}" for i in range(d)] if carry_sums else []),
+                *[f"__s{i}" for i in range(len(sum_aggs))],
+                *[f"__q{p}" for p in range(len(quad_aggs))],
             )
         ).alias("__entries")
     )
@@ -241,21 +281,26 @@ def sum_to_triple(
     # assembly generated as SQL text: one F.expr parse instead of a py4j
     # round trip per sub-expression (the Column-object version dominated
     # wall clock at small scale factors)
-    def _single(j: int, value_field: str) -> str:
+    def _single(j: int, value_field: str, cast: bool = False) -> str:
+        val = f"x.{value_field}"
+        if cast:
+            val = f"CAST({val} AS DOUBLE)"
         return (
             f"sort_array(transform(filter(__entries, x -> x.__kind = 0 AND "
             f"x.__idx = {j}), x -> named_struct('key', x.__e1, 'value', "
-            f"coalesce(x.{value_field}, CAST(0.0 AS DOUBLE)))))"
+            f"coalesce({val}, CAST(0.0 AS DOUBLE)))))"
         )
 
     def _pair(p: int) -> str:
         return (
             f"sort_array(transform(filter(__entries, x -> x.__kind = 1 AND "
             f"x.__idx = {p}), x -> named_struct('key1', x.__e1, 'key2', "
-            f"x.__e2, 'value', x.__cnt)))"
+            f"x.__e2, 'value', CAST(x.__cnt AS DOUBLE))))"
         )
 
-    lin_cat = F.expr("array(" + ", ".join(_single(j, "__cnt") for j in range(c)) + ")")
+    lin_cat = F.expr(
+        "array(" + ", ".join(_single(j, "__cnt", cast=True) for j in range(c)) + ")"
+    )
     quad_num_cat = (
         F.expr(
             "array("
@@ -272,12 +317,71 @@ def sum_to_triple(
         if not nb
         else None
     )
-    merged = _join_on(dense, entries, group_by)
 
+    if fuse_dense:
+        _dense_e = "element_at(filter(__entries, x -> x.__kind = 2), 1)"
+        lin_arr = (
+            F.expr(
+                "array("
+                + ", ".join(f"coalesce({_dense_e}.__s{i}, 0.0d)" for i in range(d))
+                + ")"
+            )
+            if d
+            else F.expr("array()").cast("array<double>")
+        )
+        quad_arr = (
+            F.expr(
+                "array("
+                + ", ".join(
+                    f"coalesce({_dense_e}.__q{p}, 0.0d)"
+                    for p in range(len(quad_idx))
+                )
+                + ")"
+            )
+            if d
+            else F.expr("array()").cast("array<double>")
+        )
+        fields = [
+            F.expr(f"{_dense_e}.__cnt").alias("N"),
+            lin_arr.alias("lin_agg"),
+            quad_arr.alias("quad_agg"),
+            lin_cat.alias("lin_cat"),
+        ]
+        if not nb:
+            fields += [quad_num_cat.alias("quad_num_cat"), quad_cat.alias("quad_cat")]
+        out = entries.select(*group_by, F.struct(*fields).alias(result_col))
+        return out.drop("__g") if internal_key else out
+
+    # wide shape: dedicated dense aggregate (second scan) + join — the
+    # quad products run once per input row with no per-entry gating
+    dense_aggs = [F.expr("count(1)").alias("__n")]
+    dense_aggs += [F.expr(f"sum(__x{i})").alias(f"__lin_{i}") for i in range(d)]
+    dense_aggs += [
+        F.expr(f"sum(__x{i} * __x{j})").alias(f"__quad_{p}")
+        for p, (i, j) in enumerate(quad_idx)
+    ]
+    dense = base.groupBy(*group_by).agg(*dense_aggs)
+    lin_arr = (
+        F.expr(
+            "array(" + ", ".join(f"coalesce(__lin_{i}, 0.0d)" for i in range(d)) + ")"
+        )
+        if d
+        else F.expr("array()").cast("array<double>")
+    )
+    quad_arr = (
+        F.expr(
+            "array("
+            + ", ".join(f"coalesce(__quad_{p}, 0.0d)" for p in range(len(quad_idx)))
+            + ")"
+        )
+        if d
+        else F.expr("array()").cast("array<double>")
+    )
+    merged = _join_on(dense, entries, group_by)
     fields = [
         F.col("__n").alias("N"),
-        F.coalesce(lin_arr, F.expr("array()").cast("array<double>")).alias("lin_agg"),
-        F.coalesce(quad_arr, F.expr("array()").cast("array<double>")).alias("quad_agg"),
+        lin_arr.alias("lin_agg"),
+        quad_arr.alias("quad_agg"),
         lin_cat.alias("lin_cat"),
     ]
     if not nb:
