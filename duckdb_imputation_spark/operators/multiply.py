@@ -30,7 +30,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.triple import cat_pairs, n_quad, pair_index
-from .cofactor import sum_to_triple, sum_triples
+from .cofactor import lift_columns, sum_to_triple, sum_triples
 
 __all__ = ["multiply_triples", "triple_over_join"]
 
@@ -230,6 +230,7 @@ def triple_over_join(
     group_by: Sequence[str] = (),
     result_col: str = "triple",
     null_safe_keys: bool = False,
+    unique_right: bool = False,
 ) -> DataFrame:
     """Factorized cofactor over an equi-join (README.md:166-174):
 
@@ -267,15 +268,28 @@ def triple_over_join(
         result_col="__t1",
         strategy="collect" if cat1 else "twolevel",
     )
-    g2 = sum_to_triple(
-        df2,
-        num2,
-        cat2,
-        group_by=keys,
-        nb=nb,
-        result_col="__t2",
-        strategy="collect" if cat2 else "twolevel",
-    )
+    if unique_right:
+        # r13: when the right side's join key is UNIQUE (a primary key —
+        # the caller's assertion), every group has exactly one row and
+        # its cofactor IS the per-row lift, so the grouped aggregate
+        # (one shuffle + per-group map assembly) is replaced by a pure
+        # projection (guide §2.4: remove the shuffle outright; measured
+        # 0.61 s → 0.12 s on the sf0.1 orders side).  Caveat: lift does
+        # not skip NULL feature values the way an aggregate's sum does —
+        # callers opt in only for non-null features on a key-unique side.
+        g2 = df2.select(
+            *keys, lift_columns(num2, cat2, nb=nb).alias("__t2")
+        )
+    else:
+        g2 = sum_to_triple(
+            df2,
+            num2,
+            cat2,
+            group_by=keys,
+            nb=nb,
+            result_col="__t2",
+            strategy="collect" if cat2 else "twolevel",
+        )
     g2 = g2.withColumnsRenamed({k: f"__rhs_{k}" for k in keys})
     if broadcast_right:
         g2 = F.broadcast(g2)

@@ -583,6 +583,11 @@ def triple_factorized_join(spark, sf):
         cat1=["l_linenumber"],
         num2=["o_month"],
         cat2=["o_status"],
+        # o_orderkey is the orders PK and both right-side features are
+        # non-null, so the right cofactor is a pure per-row lift — no
+        # grouped aggregate, no extra shuffle (r13; measured 0.61 s ->
+        # 0.12 s for that side at sf0.1)
+        unique_right=True,
     )
     return flatten_triple(t, 2, 2)
 
@@ -4032,6 +4037,7 @@ def triple_factorized_join_grouped(spark, sf):
         num1=["l_quantity"], cat1=["l_linenumber"],
         num2=["o_month"], cat2=[],
         group_by=["l_returnflag"],
+        unique_right=True,  # orders PK side — lift, not aggregate (r13)
     )
     return flatten_triple(t, 2, 1, group_by=["l_returnflag"])
 
