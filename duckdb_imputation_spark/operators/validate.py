@@ -213,6 +213,27 @@ def validate_constraints(
                 )
             )
         elif c.kind == "foreign_key":
+            pass  # all FK checks are fused into ONE pass below
+        else:  # pragma: no cover - Check built by hand with bad kind
+            raise ValueError(f"unknown set-level check kind {c.kind!r}")
+
+    fk_checks = [c for c in set_checks if c.kind == "foreign_key"]
+    if fk_checks:
+        # ONE pass of the fact side for ALL referential checks (r13,
+        # guide §2.4): the fact side projects the union of every FK's
+        # key columns once and LEFT-joins each referenced side's
+        # distinct keys in turn — each join matches at most one row per
+        # key by construction, so the row count (and every other
+        # check's orphan flags) is preserved through the chain; one
+        # aggregate then counts rows and all orphan totals together.
+        # Previously each FK check re-scanned the fact table.
+        fact_cols: list[str] = []
+        for c in fk_checks:
+            for k in c.key_cols:
+                if k not in fact_cols:
+                    fact_cols.append(k)
+        joined = df.select(*[F.col(k) for k in fact_cols])
+        for idx, c in enumerate(fk_checks):
             if c.ref_name not in refs:
                 raise ValueError(
                     f"foreign_key check {c.name!r}: refs missing "
@@ -222,50 +243,48 @@ def validate_constraints(
                 refs[c.ref_name]
                 .select(
                     *[
-                        F.col(rc).alias(f"__rk{i}")
+                        F.col(rc).alias(f"__rk{idx}_{i}")
                         for i, rc in enumerate(c.ref_cols)
                     ]
                 )
                 .dropDuplicates()
             )
+            cond = reduce(
+                lambda a, b: a & b,
+                [
+                    F.col(k) == F.col(f"__rk{idx}_{i}")
+                    for i, k in enumerate(c.key_cols)
+                ],
+            )
+            joined = joined.join(
+                ref_keys.withColumn(f"__hit{idx}", F.lit(1)),
+                on=cond,
+                how="left",
+            )
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for idx, c in enumerate(fk_checks):
             non_null = reduce(
                 lambda a, b: a & b,
                 [F.col(k).isNotNull() for k in c.key_cols],
             )
-            cond = reduce(
-                lambda a, b: a & b,
-                [
-                    F.col(k) == F.col(f"__rk{i}")
-                    for i, k in enumerate(c.key_cols)
-                ],
-            )
-            # ONE pass of the fact side: LEFT join against the distinct
-            # dim keys (at most one match per key by construction), then
-            # count rows and orphans in the same aggregate — no second
-            # scan for the total
-            joined = df.select(*[F.col(k) for k in c.key_cols]).join(
-                ref_keys.withColumn("__hit", F.lit(1)),
-                on=cond,
-                how="left",
-            )
-            agg = joined.agg(
-                F.count(F.lit(1)).alias("__n"),
+            aggs.append(
                 F.sum(
-                    (non_null & F.col("__hit").isNull()).cast("long")
-                ).alias("__viol"),
+                    (non_null & F.col(f"__hit{idx}").isNull()).cast("long")
+                ).alias(f"__viol{idx}")
             )
-            pieces.append(
-                agg.select(
-                    F.lit(c.name).alias("check"),
-                    F.lit(c.kind).alias("kind"),
-                    F.col("__n").cast("long").alias("n_rows"),
-                    F.coalesce(F.col("__viol"), F.lit(0))
-                    .cast("long")
-                    .alias("n_violations"),
-                )
+        agg = joined.agg(*aggs)
+        fk_entries = [
+            F.struct(
+                F.lit(c.name).alias("check"),
+                F.lit(c.kind).alias("kind"),
+                F.col("__n").cast("long").alias("n_rows"),
+                F.coalesce(F.col(f"__viol{idx}"), F.lit(0))
+                .cast("long")
+                .alias("n_violations"),
             )
-        else:  # pragma: no cover - Check built by hand with bad kind
-            raise ValueError(f"unknown set-level check kind {c.kind!r}")
+            for idx, c in enumerate(fk_checks)
+        ]
+        pieces.append(agg.select(F.inline(F.array(*fk_entries))))
 
     out = reduce(DataFrame.unionByName, pieces)
     return out.select(
