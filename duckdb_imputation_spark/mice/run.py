@@ -118,9 +118,24 @@ def mice_impute(
     n_nullable = len(all_nulls)
 
     full = static = None
+    pending_delta = None
     if strategy == "low":
         t0 = time.perf_counter()
-        full = _collect_triple(work, cont_cols, cat_cols)
+        if all_nulls:
+            # r13: the full cofactor and the FIRST column's pre-train
+            # delta are both cofactors of the same checkpointed frame —
+            # sum_to_triples_conditional([TRUE, flag]) computes the pair
+            # in ONE scan (cond 0 matches every row, so its triple IS
+            # the full cofactor; values identical to the two separate
+            # jobs this replaces).
+            from ..operators.cofactor import sum_to_triples_conditional
+
+            first_flag = F.col(null_flag(all_nulls[0][0]))
+            full, pending_delta = sum_to_triples_conditional(
+                work, cont_cols, cat_cols, [F.lit(True), first_flag]
+            )
+        else:
+            full = _collect_triple(work, cont_cols, cat_cols)
         timings["full_cofactor"] = time.perf_counter() - t0
     elif strategy == "high":
         t0 = time.perf_counter()
@@ -135,7 +150,6 @@ def mice_impute(
     # SAME checkpointed frame — sum_to_triples_conditional computes the
     # pair in ONE scan (bit-identical to the filtered form), carrying
     # the second forward.  Halves the low loop's job count.
-    pending_delta = None
     flat_steps = [(col, is_cat) for _ in range(iters) for col, is_cat in all_nulls]
     for it in range(iters):
         for col, is_cat in all_nulls:
