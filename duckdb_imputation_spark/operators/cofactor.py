@@ -43,6 +43,14 @@ __all__ = ["sum_to_triple", "sum_to_triples_conditional", "sum_triples", "lift_c
 _KV_T = "array<struct<key:int,value:double>>"
 _KKV_T = "array<struct<key1:int,key2:int,value:double>>"
 
+# Fused-dense cutover (r13, re-validated r14): the single-scan fused
+# cofactor gates d(d+1)/2 quad products on each of the (fan + 1)
+# exploded entries per row, so its per-row overhead is ~fan × quads;
+# above this product the two-scan plan (dedicated dense aggregate +
+# broadcast join) wins.  Module-level so the A/B harness can flip it
+# without editing the operator; both branches are value-identical.
+_FUSE_DENSE_MAX = 96
+
 
 def _join_on(left: DataFrame, right: DataFrame, keys: Sequence[str]) -> DataFrame:
     # Rename the right side's keys first: both sides usually derive from the
@@ -210,7 +218,7 @@ def sum_to_triple(
     # data-independent criterion below picks fused exactly when the
     # per-entry gating work is small; either branch returns the same
     # values, only the plan differs.
-    fuse_dense = fan * max(len(quad_idx), 1) <= 96
+    fuse_dense = fan * max(len(quad_idx), 1) <= _FUSE_DENSE_MAX
 
     def _estruct(kind: int, idx: int, e1: str, e2: str) -> str:
         return (
@@ -458,6 +466,7 @@ def sum_triples(
     group_by: Sequence[str] = (),
     nb: bool = False,
     result_col: str = "triple",
+    flat_entries: bool = False,
 ) -> DataFrame:
     """⊕-aggregate a column of triples (reference ``sum_triple``,
     sum.cpp:57-261) — e.g. after :mod:`multiply` in a factorized join.
@@ -468,6 +477,20 @@ def sum_triples(
     with one grouped aggregation (map-side combine bounds the shuffle by
     the number of distinct statistics, not input rows), and reassembled
     into the nested struct with one more grouping.
+
+    ``flat_entries=True`` (r14, guide §1.2 — don't compute things you
+    throw away) returns the summed FLAT entry rows directly
+    (``group_by..., part, i, j, k1, k2, val`` — the
+    :func:`~.flatten.flatten_triple` layout) and skips the nested
+    reassembly.  For callers that would immediately re-flatten the
+    nested struct (both factorized-join query rows), the round trip is
+    value-identical row for row: re-flattening the assembled struct
+    emits exactly one row per summed ``(part, i, j, k1, k2)`` group
+    with the summed ``val`` passed through unchanged (``N`` makes an
+    exact double→bigint→double round trip — counts are integral and
+    ≪ 2^53), only in a different (order-insensitive) row order — while
+    the plan drops one single-row exchange, two ObjectHashAggregates
+    (collect_list) and the two widest projections.
     """
     from .flatten import flatten_triple  # local import to avoid a cycle
 
@@ -482,6 +505,8 @@ def sum_triples(
     summed = entries.groupBy(*group_by, "part", "i", "j", "k1", "k2").agg(
         F.sum("val").alias("val")
     )
+    if flat_entries:
+        return summed.drop("__g") if internal_key else summed
     assembled = summed.groupBy(*group_by).agg(
         F.collect_list(F.struct("part", "i", "j", "k1", "k2", "val")).alias("__e")
     )
@@ -574,8 +599,11 @@ def _sum_to_triple_collect(
     4x faster than the two-level path when groups are tiny (e.g. grouping
     by a join key before ⊗ — the factorized-join sides), because it
     avoids two extra shuffles and a join.  Per-group cost is
-    O(rows × distinct keys), so do NOT use it for large groups — the
-    default two-level strategy stays map-side-combine-bounded there.
+    O(rows log rows + distinct keys) since r14 (one sort + one segmented
+    fold per map, replacing the O(rows × keys) per-key filter scans);
+    the whole group's rows must still fit one aggregation buffer, so the
+    default two-level strategy remains the choice for large groups —
+    it stays map-side-combine-bounded.
     """
     d, c = len(num_cols), len(cat_cols)
     internal_key = not group_by
@@ -602,33 +630,116 @@ def _sum_to_triple_collect(
         ).alias("__rows")
     )
     g = base.groupBy(*group_by).agg(*aggs)
-    # builders generated as SQL text — see flatten_triple for why
-    def col_keys(j: int) -> str:
-        return f"array_sort(array_distinct(transform(__rows, e -> e.__k{j})))"
+    # builders generated as SQL text — see flatten_triple for why.
+    #
+    # r14 (VERDICT r13 #3, guide §1.2): the per-key map assembly used to
+    # run one filter() scan of __rows PER DISTINCT KEY — O(rows × keys)
+    # per group, the engine's worst asymptotic path for high-cardinality
+    # categoricals at 100 TB.  Each map is now built by ONE array_sort +
+    # ONE segmented aggregate() fold — O(rows log rows + keys) per
+    # group.  Value identity with the filter-based form, bit for bit:
+    #   * key SET and ORDER: the sort key leads with an is-null flag, so
+    #     distinct keys come out ascending with NULL last — exactly
+    #     array_sort(array_distinct(<int array>))'s placement (primitive
+    #     array_sort puts nulls last; a bare struct sort would put the
+    #     NULL key FIRST, hence the flag);
+    #   * per-key float sums: the 'pos' field (the element's __rows
+    #     index) breaks ties inside a key, so each key's x values fold
+    #     in __rows order — the same order filter() preserved — and the
+    #     fold starts from the same CAST(0.0 AS DOUBLE) seed;
+    #   * counts stay exact (small-integer double increments).
+    # The per-key sums/counts themselves are what they always were; only
+    # the assembly loop changed shape.
+    _d_sums = 0 if nb else d
+
+    def _x_sums(prefix: str) -> str:
+        return "".join(f", 's{i}', {prefix}" + f"__x{i}" for i in range(_d_sums))
+
+    def _fold_single(j: int) -> str:
+        elem = (
+            f"named_struct('nl', CAST((e.__k{j} IS NULL) AS INT), "
+            f"'k', e.__k{j}, 'pos', i"
+            + "".join(f", '__x{i}', e.__x{i}" for i in range(_d_sums))
+            + ")"
+        )
+        sorted_arr = f"array_sort(transform(__rows, (e, i) -> {elem}))"
+        out_t = (
+            "array<struct<key:int,cnt:double"
+            + "".join(f",s{i}:double" for i in range(_d_sums))
+            + ">>"
+        )
+        acc0 = (
+            f"named_struct('out', CAST(array() AS {out_t}), 'has', false, "
+            f"'k', CAST(NULL AS INT), 'cnt', CAST(0.0 AS DOUBLE)"
+            + "".join(f", 's{i}', CAST(0.0 AS DOUBLE)" for i in range(_d_sums))
+            + ")"
+        )
+        entry = (
+            "named_struct('key', acc.k, 'cnt', acc.cnt"
+            + "".join(f", 's{i}', acc.s{i}" for i in range(_d_sums))
+            + ")"
+        )
+        flush = f"IF(acc.has, concat(acc.out, array({entry})), acc.out)"
+        same = (
+            f"named_struct('out', acc.out, 'has', true, 'k', acc.k, "
+            f"'cnt', acc.cnt + CAST(1.0 AS DOUBLE)"
+            + "".join(f", 's{i}', acc.s{i} + e.__x{i}" for i in range(_d_sums))
+            + ")"
+        )
+        new = (
+            f"named_struct('out', {flush}, 'has', true, 'k', e.k, "
+            f"'cnt', CAST(0.0 AS DOUBLE) + CAST(1.0 AS DOUBLE)"
+            + "".join(
+                f", 's{i}', CAST(0.0 AS DOUBLE) + e.__x{i}"
+                for i in range(_d_sums)
+            )
+            + ")"
+        )
+        return (
+            f"aggregate({sorted_arr}, {acc0}, "
+            f"(acc, e) -> IF(acc.has AND (acc.k <=> e.k), {same}, {new}), "
+            f"acc -> {flush})"
+        )
 
     def kv_count(j: int) -> str:
         return (
-            f"transform({col_keys(j)}, k -> named_struct('key', k, 'value', "
-            f"CAST(size(filter(__rows, e -> e.__k{j} <=> k)) AS DOUBLE)))"
+            f"transform({_fold_single(j)}, "
+            f"t -> named_struct('key', t.key, 'value', t.cnt))"
         )
 
     def kv_sum(i: int, j: int) -> str:
         return (
-            f"transform({col_keys(j)}, k -> named_struct('key', k, 'value', "
-            f"aggregate(filter(__rows, e -> e.__k{j} <=> k), "
-            f"CAST(0.0 AS DOUBLE), (a, e) -> a + e.__x{i})))"
+            f"transform({_fold_single(j)}, "
+            f"t -> named_struct('key', t.key, 'value', t.s{i}))"
         )
 
     def kkv(a: int, b: int) -> str:
-        pair_keys = (
-            f"array_sort(array_distinct(transform(__rows, "
-            f"e -> named_struct('key1', e.__k{a}, 'key2', e.__k{b}))))"
+        # pair keys: the OLD order was array_sort over (key1, key2)
+        # structs — struct field comparison, which this sort reproduces
+        # with the same struct comparator (pos appended only as the
+        # uniqueness tiebreak; counts need no within-key order)
+        elem = f"named_struct('k1', e.__k{a}, 'k2', e.__k{b}, 'pos', i)"
+        sorted_arr = f"array_sort(transform(__rows, (e, i) -> {elem}))"
+        out_t = "array<struct<key1:int,key2:int,value:double>>"
+        acc0 = (
+            f"named_struct('out', CAST(array() AS {out_t}), 'has', false, "
+            f"'k1', CAST(NULL AS INT), 'k2', CAST(NULL AS INT), "
+            f"'cnt', CAST(0.0 AS DOUBLE))"
+        )
+        entry = "named_struct('key1', acc.k1, 'key2', acc.k2, 'value', acc.cnt)"
+        flush = f"IF(acc.has, concat(acc.out, array({entry})), acc.out)"
+        same = (
+            "named_struct('out', acc.out, 'has', true, 'k1', acc.k1, "
+            "'k2', acc.k2, 'cnt', acc.cnt + CAST(1.0 AS DOUBLE))"
+        )
+        new = (
+            f"named_struct('out', {flush}, 'has', true, 'k1', e.k1, "
+            f"'k2', e.k2, 'cnt', CAST(0.0 AS DOUBLE) + CAST(1.0 AS DOUBLE))"
         )
         return (
-            f"transform({pair_keys}, kk -> named_struct("
-            f"'key1', kk.key1, 'key2', kk.key2, 'value', "
-            f"CAST(size(filter(__rows, e -> e.__k{a} <=> kk.key1 AND "
-            f"e.__k{b} <=> kk.key2)) AS DOUBLE)))"
+            f"aggregate({sorted_arr}, {acc0}, "
+            f"(acc, e) -> IF(acc.has AND (acc.k1 <=> e.k1) AND "
+            f"(acc.k2 <=> e.k2), {same}, {new}), acc -> {flush})"
         )
 
     fields = [

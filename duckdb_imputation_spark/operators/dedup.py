@@ -226,6 +226,28 @@ def minhash_signature_from_shingles(sh: Column, k: int = 16) -> Column:
     return F.element_at(F.transform(F.array(base), all_slots), 1)
 
 
+def _band_buckets_from_sig(sig: Column, k: int, bands: int) -> Column:
+    """Per-band bucket keys — md5 over the comma-joined signature slice,
+    one array element per band.  The ONE construction of the LSH bucket
+    key (ADVICE r13: ``minhash_band_buckets`` and ``minhash_lsh_pairs``
+    each inlined a copy that had to stay bit-identical for cross-
+    function bucket guarantees to hold; same factoring pattern as
+    ``_gram_hashes``)."""
+    assert k % bands == 0, "k must divide into equal bands"
+    rows = k // bands
+    return F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[F.element_at(sig, b * rows + r + 1) for r in range(rows)],
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+
+
 def minhash_band_buckets(
     df: DataFrame,
     text_col: str,
@@ -237,8 +259,6 @@ def minhash_band_buckets(
     """Slim LSH blocking rows ``(__id, __band, __bucket)`` — the md5 of
     each band's signature slice.  No payload: the banded shuffle carries
     ids only (VERDICT r1: payload-through-shuffle was the scale risk)."""
-    assert k % bands == 0, "k must divide into equal bands"
-    rows = k // bands
     # min over the distinct shingle set == min over the multiset; hashing
     # only distinct shingles also halves the md5 work on repetitive text
     sig = minhash_signature_from_shingles(
@@ -249,16 +269,7 @@ def minhash_band_buckets(
     ).select(
         "__id",
         F.posexplode(
-            F.array(
-                *[
-                    F.md5(
-                        F.concat_ws(
-                            ",", *[F.element_at("__sig", b * rows + r + 1) for r in range(rows)]
-                        )
-                    )
-                    for b in range(bands)
-                ]
-            )
+            _band_buckets_from_sig(F.col("__sig"), k, bands)
         ).alias("__band", "__bucket"),
     )
 
@@ -298,25 +309,10 @@ def minhash_lsh_pairs(
         F.array_distinct(shingles(F.col(text_col), shingle)).alias("__sh"),
     ).localCheckpoint(eager=False)
     sig = minhash_signature_from_shingles(F.col("__sh"), k)
-    rows_per_band = k // bands
-    assert k % bands == 0, "k must divide into equal bands"
     slim = payload.select("__id", sig.alias("__sig")).select(
         "__id",
         F.posexplode(
-            F.array(
-                *[
-                    F.md5(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.element_at("__sig", b * rows_per_band + r + 1)
-                                for r in range(rows_per_band)
-                            ],
-                        )
-                    )
-                    for b in range(bands)
-                ]
-            )
+            _band_buckets_from_sig(F.col("__sig"), k, bands)
         ).alias("__band", "__bucket"),
     )
     pairs = _bucket_pairs(slim, bucket_cap)

@@ -105,12 +105,15 @@ def pagerank(
     make a NULL node's edges inert (it receives only teleport mass and
     contributes nothing), identically in Spark and any SQL twin.
 
-    ``checkpoint_every=1`` (default): each iteration issues a
-    dangling-mass collect, and an un-checkpointed rank lineage makes
-    that collect re-execute every earlier iteration — O(iters²) work
-    (measured at 10× data: 15.5 s vs HITS' 7.7 s for the same graph
-    until HITS got per-iteration checkpoints).  The checkpoint only
-    materializes the node-sized rank frame."""
+    ``checkpoint_every=1`` (default): since r13 the dangling mass is an
+    in-plan 1-row aggregate broadcast into the rank update (no driver
+    collect — the whole loop is ONE action), but each iteration still
+    references the previous ranks TWICE (the dangling-mass aggregate
+    and the contribution join), so an un-checkpointed lineage doubles
+    per iteration — O(2^iters) plan growth.  The lazy per-iteration
+    checkpoint cuts that lineage; it only materializes the node-sized
+    rank frame (ADVICE r13: this paragraph used to cite the collect,
+    which is gone)."""
     w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
     # ONE pass over the raw edge build: everything downstream (norm,
     # nodes, src set) derives from this checkpointed edge-sized frame,

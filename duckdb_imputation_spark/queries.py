@@ -575,7 +575,7 @@ def triple_factorized_join(spark, sf):
         .withColumn("o_status", F.ascii("o_orderstatus"))
         .withColumnRenamed("o_orderkey", "l_orderkey")
     )
-    t = triple_over_join(
+    return triple_over_join(
         li,
         o,
         on="l_orderkey",
@@ -588,8 +588,13 @@ def triple_factorized_join(spark, sf):
         # grouped aggregate, no extra shuffle (r13; measured 0.61 s ->
         # 0.12 s for that side at sf0.1)
         unique_right=True,
+        # r14: this row outputs FLAT entries anyway, so skip the nested
+        # reassembly + re-flatten round trip (value-identical row for
+        # row, see sum_triples) — drops a single-row exchange, two
+        # collect_list ObjectHashAggregates and the two widest
+        # projections from the plan
+        flat_entries=True,
     )
-    return flatten_triple(t, 2, 2)
 
 
 # --------------------------------------------------------------------- #
@@ -4032,14 +4037,14 @@ def triple_factorized_join_grouped(spark, sf):
         .withColumnRenamed("o_orderkey", "l_orderkey")
         .select("l_orderkey", "o_month")
     )
-    t = triple_over_join(
+    return triple_over_join(
         li, o, on="l_orderkey",
         num1=["l_quantity"], cat1=["l_linenumber"],
         num2=["o_month"], cat2=[],
         group_by=["l_returnflag"],
         unique_right=True,  # orders PK side — lift, not aggregate (r13)
+        flat_entries=True,  # flat output row — skip reassemble+re-flatten (r14)
     )
-    return flatten_triple(t, 2, 1, group_by=["l_returnflag"])
 
 
 @register(
@@ -11636,31 +11641,30 @@ def ann_recall_batch(spark, sf):
     id); recall_pm = hits·1000 / truth_n with truth_n the truth
     frame's total row count (the r12 denominator contract), so a
     variant that skips a query is penalized in the shared denominator.
-    Scale shape: 2·3 TakeOrdered top-k frames tagged + unioned, 30
-    truth ids broadcast, ONE left equi-join + ONE groupBy + a 1-row
-    truth-count broadcast — nothing corpus-sized shuffles."""
+    Scale shape (r14, guide §1.2 — one scan per variant FAMILY instead
+    of one per (family × probe), 9 corpus scans → 3): each family
+    computes all three probes' scores in one projection off one scan
+    (bit-identical score expressions to the single-probe rows),
+    explodes to (qid, id, score) and cuts per qid with a row_number
+    window whose ``<= k`` filter Spark executes as a map-side
+    WindowGroupLimit — O(k · n_queries) rows per task reach the
+    exchange, never the corpus.  Then 30 truth ids broadcast, ONE left
+    equi-join + ONE groupBy + a 1-row truth-count broadcast — nothing
+    corpus-sized shuffles."""
     from .operators import simsearch as _ss
 
     e = load_table(spark, sf, "embeddings")
     e16 = e.select(
         "vec_id", F.slice("embedding", 1, 16).alias("embedding")
     )
-    truth = None
-    int8 = None
-    dim16 = None
-    for qid, q in enumerate(_probe_vecs()):
-        t = _ss.cosine_topk(e, q, k=10).select(
-            F.lit(qid).alias("qid"), "vec_id"
-        )
-        i8 = _ss.quantized_cosine_topk(e, q, k=10).select(
-            F.lit(qid).alias("qid"), "vec_id"
-        )
-        d16 = _ss.cosine_topk(e16, list(q)[:16], k=10).select(
-            F.lit(qid).alias("qid"), "vec_id"
-        )
-        truth = t if truth is None else truth.unionByName(t)
-        int8 = i8 if int8 is None else int8.unionByName(i8)
-        dim16 = d16 if dim16 is None else dim16.unionByName(d16)
+    probes = _probe_vecs()
+    truth = _ss.cosine_topk_batch(e, probes, k=10).select("qid", "vec_id")
+    int8 = _ss.quantized_cosine_topk_batch(e, probes, k=10).select(
+        "qid", "vec_id"
+    )
+    dim16 = _ss.cosine_topk_batch(
+        e16, [list(q)[:16] for q in probes], k=10
+    ).select("qid", "vec_id")
     return _ss.ann_recall_at_k(
         truth,
         {"int8": int8, "dim16": dim16},

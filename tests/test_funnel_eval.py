@@ -1192,3 +1192,45 @@ def test_window_funnel_strict_order_vs_duckdb_fuzz(spark, seed):
     }
     want = _strict_order_duckdb(events, stages, within)
     assert got == want, seed
+
+
+def test_window_funnel_strict_prefilter_is_result_invariant(spark):
+    """prefilter_events=True (the r14 anchor-hull pre-filter, guide
+    §3.2) must return exactly the rows of the default shape — the hull
+    cut only drops events no level's condition can ever consume."""
+    import datetime as dt
+    import random
+
+    from duckdb_imputation_spark.operators.funnel import window_funnel
+
+    rng = random.Random(1414)
+    base = dt.datetime(2024, 1, 1)
+    stages = ["view", "click", "purchase"]
+    types = ["view", "click", "purchase", "error"]
+    events = []
+    for u in range(1, 21):
+        seen = set()
+        for _ in range(rng.randint(0, 30)):
+            t = rng.randint(0, 3000)
+            if t in seen:
+                continue
+            seen.add(t)
+            events.append((u, t, rng.choice(types)))
+    df = spark.createDataFrame(
+        [(u, base + dt.timedelta(seconds=t), et) for u, t, et in events],
+        "u long, ts timestamp, et string",
+    )
+    plain = sorted(
+        tuple(r)
+        for r in window_funnel(
+            df, "u", "ts", "et", stages, 300.0, strict_order=True
+        ).collect()
+    )
+    pref = sorted(
+        tuple(r)
+        for r in window_funnel(
+            df, "u", "ts", "et", stages, 300.0, strict_order=True,
+            prefilter_events=True,
+        ).collect()
+    )
+    assert pref == plain

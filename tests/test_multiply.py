@@ -145,3 +145,55 @@ def test_triple_over_join_null_keys_follow_sql_semantics(spark):
     )
     # k=1 (1x1) plus the NULL group (2 left rows x 1 right row) = 3
     assert ns_t.collect()[0]["triple"]["N"] == 3
+
+
+def test_triple_over_join_flat_entries_equals_flattened(ring_fixture):
+    """flat_entries=True returns exactly the rows that flattening the
+    assembled nested triple returns (r14 — the factorized rows skip the
+    reassemble+re-flatten round trip on this guarantee)."""
+    from duckdb_imputation_spark.operators.flatten import flatten_triple
+
+    kwargs = dict(
+        on="gb",
+        num1=["b", "c"], cat1=["d", "e"],
+        num2=["a", "c"], cat2=["d", "f"],
+    )
+    nested = triple_over_join(ring_fixture, ring_fixture, **kwargs)
+    exp = sorted(
+        tuple(r) for r in flatten_triple(nested, 4, 4).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in triple_over_join(
+            ring_fixture, ring_fixture, flat_entries=True, **kwargs
+        ).collect()
+    )
+    assert got == exp
+
+
+def test_unique_right_debug_guard_trips_on_duplicate_keys(spark, monkeypatch):
+    """SPARK_GRAFT_DEBUG_UNIQUE makes a violated unique_right caller
+    assertion fail loudly instead of silently inflating statistics
+    (VERDICT r13 wrong #2)."""
+    import pytest
+
+    left = spark.createDataFrame([(1, 2.0), (2, 3.0)], "k int, x double")
+    dup_right = spark.createDataFrame(
+        [(1, 10.0), (1, 11.0), (2, 20.0)], "k int, y double"
+    )
+    uniq_right = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "k int, y double"
+    )
+    monkeypatch.setenv("SPARK_GRAFT_DEBUG_UNIQUE", "1")
+    with pytest.raises(ValueError, match="not.*unique|unique.*not"):
+        triple_over_join(
+            left, dup_right, on="k", num1=["x"], num2=["y"], unique_right=True
+        )
+    # unique key passes the guard and matches the aggregate path
+    ok = triple_over_join(
+        left, uniq_right, on="k", num1=["x"], num2=["y"], unique_right=True
+    ).collect()[0]["triple"]
+    agg_t = triple_over_join(
+        left, uniq_right, on="k", num1=["x"], num2=["y"]
+    ).collect()[0]["triple"]
+    assert triple_dict(ok) == triple_dict(agg_t)
