@@ -101,92 +101,18 @@ _ROTATION_BUDGET_NOTE = (
 )
 
 _DRIVER_PRIORITY: list[str] = [
-    # round 13 window = the committed 3-row queue head (r8-evidence
-    # rows deferred from r12) + the 5 promotions out of
-    # queries_pending.py + 1 new input-contract registration + 1 r4
-    # hygiene re-entry + 40 of the 50-row r9-evidence cohort (the
-    # other 10 slide to r14's head — every deferral keeps a
-    # same-code-path sibling in THIS window; trades documented at
-    # _DRIVER_DEMOTE).  Forward feasibility is machine-checked by
+    # round 14 window = the committed 10-row queue head (the r9-evidence
+    # cohort deferred from r13 — mandatory at this round's close) + the
+    # 3 rows promoted out of queries_pending.py (never driver-verified
+    # -> mandatory in-window) + 3 r4-hygiene re-entries (rows whose
+    # plans changed in this round's optimizations) + 34 of the 48-row
+    # r10-evidence cohort pre-paid one round early (the other 14 slide
+    # to r15's head — deferral trades documented at _DRIVER_DEMOTE).
+    # Forward feasibility is machine-checked by
     # tests/test_catalog_order.py::test_rotation_schedule_feasible.
     #
-    # (a) the machine-checked r13 queue head (VERDICT r12 Next #1 —
-    # character-for-character the _NEXT_WINDOW_QUEUE the r12 tree
-    # committed):
-    "heavy_hitter_tokens",
-    "scd2_snapshot_events",
-    "leakage_safe_folds_documents",
-    # (b) the five rows staged through r12 in queries_pending.py, now
-    # registered (never driver-verified -> mandatory in-window):
-    "window_funnel_stream_events",
-    "per_class_calibration_events",
-    "streaming_calibration_events",
-    "window_funnel_strict_order_events",
-    "ann_recall_batch",
-    # (c) the raw-parquet TIMESTAMP_NTZ input-contract row (VERDICT
-    # r12 missing #3 / Next #5; never driver-verified -> mandatory):
-    "window_funnel_events_ntz_raw",
-    # (d) r4 hygiene re-entry: the int8 subnormal-scale guard changed
-    # THIS round in both plan-pinned twins (Spark expression +
-    # _quantized_topk_oracle SQL — VERDICT r12 wrong #1 / ADVICE #1:
-    # fallback now keyed on the computed scale), so the row returns to
-    # the window for one round:
-    "quantized_cosine_topk",
-    # (e) 40 of the 50 r9-evidence rows (the whole cohort is mandatory
-    # by r14 close; pulling 40 now leaves r14 = 10 deferred + the r10
-    # cohort, simulation-green):
-    "ann_ivf_topk",
-    "asof_join_click_to_view",
-    "auc_value_purchase_events",
-    "case_when_null_buckets",
-    "casts_and_dates",
-    "correlated_subqueries_orders",
-    "cross_join_triples",
-    "decontaminate_documents",
-    "dedup_components_transitive",
-    "distinct_category_dictionary",
-    "events_hourly_rollup",
-    "ewma_events",
-    "exact_dedup_documents",
-    "funnel_view_click_purchase_events",
-    "json_extract_events",
-    "ks_value_click_view_events",
-    "lda_train_predict_histogram",
-    "lift_sum_equivalence",
-    "list_extract_position",
-    "math_scalar_functions",
-    "mean_mode_stats",
-    "mice_recovery_rmse",
-    "minhash_dedup_survivors",
-    "orders_window_top3",
-    "pii_scrub_documents",
-    "pivot_order_status",
-    "q1_pricing_summary",
-    "quality_classifier_documents",
-    "quantile_buckets_lineitem",
-    "rollup_lineitem",
-    "seasonal_anomalies_events",
-    "semi_join_urgent_customers",
-    "sequence_id_generation",
-    "stratified_sample_documents",
-    "target_encode_events",
-    "text_stats_documents",
-    "triple_factorized_join",
-    "unigram_logprob_scores",
-    "union_partition_counts",
-    "validate_lineitem_constraints",
-]
-
-
-# NEXT-ROTATION CANDIDATES — the r13 window head, machine-visible so
-# the evidence-age tripwire can tell "scheduled, waiting for the round"
-# from "slipped" (VERDICT r11 wrong #1): when CORRECTNESS_r12.json
-# lands, test_evidence_age_within_window computes N=13 and names the
-# three deferred r8 rows below; because they appear HERE they xfail the
-# suite with the queue in the message instead of failing it red.
-_NEXT_WINDOW_QUEUE: list[str] = [
-    # the ten r9-evidence rows deferred from the r13 window (sibling
-    # trades at _DRIVER_DEMOTE) — mandatory r14 head:
+    # (a) the machine-checked r14 queue head (character-for-character
+    # the _NEXT_WINDOW_QUEUE the r13 tree committed):
     "anti_join_customers_no_orders",
     "corpus_data_card",
     "linreg_via_triple_vs_regr",
@@ -197,6 +123,86 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "sessionize_events",
     "streaming_heavy_hitters_by_source",
     "triple_lineitem_grouped",
+    # (b) the three rows staged through r13 in queries_pending.py, now
+    # registered (never driver-verified -> mandatory in-window):
+    "sequence_count_events",
+    "sequence_count_stream_events",
+    "top_event_paths_events",
+    # (c) r4 hygiene re-entries — these rows' PLANS changed in the r14
+    # optimization work (flat-entry factorized ⊕ for both factorized
+    # rows; batched shared-scan top-k for ann_recall_batch; the
+    # strict-order event frame hoisted out of the level loop), so they
+    # return to the window for one round.  (The fourth changed row,
+    # triple_factorized_join_grouped, is already mandatory-adjacent in
+    # cohort (d) below.)  Rows touched only by plan-IDENTICAL refactors
+    # stay demoted on machine-checked premises — see _DRIVER_DEMOTE:
+    "triple_factorized_join",
+    "window_funnel_strict_order_events",
+    "ann_recall_batch",
+    # (d) 34 of the 48 r10-evidence rows (the whole cohort is mandatory
+    # by r15 close; pulling 34 now leaves r15 = 14 deferred + slack,
+    # simulation-green).  triple_factorized_join_grouped doubles as the
+    # fourth r14 hygiene re-entry:
+    "ann_ivfpq_topk",
+    "bm25_search_documents",
+    "bpe_encode_documents",
+    "chunk_documents_catalog",
+    "dedup_cluster_sizes",
+    "embedding_dup_pairs_lsh",
+    "funnel_stream_view_click_purchase_events",
+    "interval_overlap_view_purchase",
+    "line_dedup_documents",
+    "minhash_index_dedup_new",
+    "multiclass_report_events",
+    "multimodal_decode_wav",
+    "multimodal_image_features_netpbm",
+    "nb_train_predict_histogram",
+    "nb_triple_orders",
+    "normalize_text_documents",
+    "pca_project_embeddings",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
+    "range_join_click_view_window",
+    "repetition_metrics_documents",
+    "rolling_customer_spend",
+    "salted_join_segment_revenue",
+    "sql_passthrough_shared_dialect",
+    "string_functions_parts",
+    "strip_html_documents",
+    "train_val_test_split",
+    "triple_factorized_join_grouped",
+    "triple_lineitem_full",
+    "unpivot_lineitem_charges",
+    "validate_rows_lineitem",
+    "vocabulary_top_tokens",
+    "zorder_key_lineitem",
+]
+
+
+# NEXT-ROTATION CANDIDATES — the r13 window head, machine-visible so
+# the evidence-age tripwire can tell "scheduled, waiting for the round"
+# from "slipped" (VERDICT r11 wrong #1): when CORRECTNESS_r12.json
+# lands, test_evidence_age_within_window computes N=13 and names the
+# three deferred r8 rows below; because they appear HERE they xfail the
+# suite with the queue in the message instead of failing it red.
+_NEXT_WINDOW_QUEUE: list[str] = [
+    # the fourteen r10-evidence rows deferred from the r14 window
+    # (sibling trades at _DRIVER_DEMOTE) — mandatory r15 head:
+    "auc_ovr_events",
+    "brand_revenue",
+    "cube_lineitem",
+    "duplicate_passage_flags",
+    "embedding_cosine_scores",
+    "events_microsecond_exact",
+    "funnel_timing_events",
+    "intersect_except_parts",
+    "multimodal_media_meta",
+    "multimodal_video_frames_netpbm",
+    "qda_train_predict_histogram",
+    "snapshot_diff_documents",
+    "temperature_mix_sample",
+    "token_entropy_documents",
 ]
 
 # Registration staging lane: queries_pending.py (EMPTY as of the r13
@@ -214,55 +220,129 @@ _NEXT_WINDOW_QUEUE: list[str] = [
 # full-catalog replay.  A query whose code changes must move back to
 # _DRIVER_PRIORITY for one round (VERDICT r4 hygiene rule).
 _DRIVER_DEMOTE: list[str] = [
-    # ten r9-evidence rows deferred to the r14 window (they stay
+    # fourteen r10-evidence rows deferred to the r15 window (they stay
     # inside the N-4 line through r14 close; each code path keeps
-    # fresh r13 in-window driver evidence via a sibling):
-    #   * anti_join_customers_no_orders — semi_join_urgent_customers
-    #     in-window rides the same broadcast left-semi/-anti join
-    #     surface over the identical customer(x)orders key;
-    #   * corpus_data_card — text_stats_documents in-window hash-gates
-    #     the same textstats expression twins the card aggregates
-    #     (token_count_ws / quality_score / lang_id);
-    #   * linreg_via_triple_vs_regr — the sum_to_triple aggregate core
-    #     is in-window via lift_sum_equivalence and
-    #     triple_factorized_join; the closed-form linreg_train path
-    #     carries r12 evidence via both MICE SQL oracles;
-    #   * minhash_signatures — minhash_dedup_survivors in-window runs
-    #     the identical seeded-md5 signature stage as its plan's first
-    #     leg (the signatures row is a projection of that stage);
-    #   * percentile_quantities — quantile_buckets_lineitem in-window
-    #     rides the same grouped exact-percentile aggregate
-    #     (F.percentile <-> quantile_cont, identical multiset rule);
-    #   * quality_classifier_report_documents —
-    #     quality_classifier_documents in-window re-evidences the
-    #     shared scorer (ml/quality.py features + weights); the report
-    #     adds only a conditional aggregate over the same scores;
-    #   * semantic_dedup_clustered — dedup_components_transitive
-    #     in-window re-evidences the components core, and the
-    #     exact-cosine verification kernel is driven in-window by
-    #     ann_recall_batch's truth legs;
-    #   * sessionize_events — orders_window_top3 in-window rides the
-    #     same partitioned-ordered Window machinery (lag+cumsum vs
-    #     row_number); the sessionization semantics additionally carry
-    #     r12 evidence via streaming_sessionize_events;
-    #   * streaming_heavy_hitters_by_source — heavy_hitter_tokens
-    #     in-window hash-gates the batch Misra-Gries core, and the
-    #     applyInPandasWithState MG-merge twin carries r12 evidence
-    #     via streaming_heavy_hitters_tokens (same stateful function,
-    #     per-source keying);
-    #   * triple_lineitem_grouped — lift_sum_equivalence and
-    #     triple_factorized_join in-window ride the same grouped
-    #     cofactor hash-aggregate (sum_to_triple) over lineitem.
-    "anti_join_customers_no_orders",
-    "corpus_data_card",
-    "linreg_via_triple_vs_regr",
-    "minhash_signatures",
-    "percentile_quantities",
-    "quality_classifier_report_documents",
-    "semantic_dedup_clustered",
-    "sessionize_events",
-    "streaming_heavy_hitters_by_source",
-    "triple_lineitem_grouped",
+    # fresher or same-round driver evidence via a sibling):
+    #   * auc_ovr_events — multiclass_report_events in-window rides the
+    #     same one-vs-rest per-class score surface; the rank-AUC core
+    #     carries r13 evidence via auc_value_purchase_events;
+    #   * brand_revenue — salted_join_segment_revenue in-window drives
+    #     the same dim-join revenue aggregate (plus q3/q5 in-window);
+    #   * cube_lineitem — unpivot_lineitem_charges in-window covers the
+    #     lineitem SQL-surface lane; the grouping-sets twin
+    #     rollup_lineitem carries r13 evidence;
+    #   * duplicate_passage_flags — line_dedup_documents in-window is
+    #     the same intra-document text-dedup family, and
+    #     minhash_signatures in-window drives the shingle kernel;
+    #   * embedding_cosine_scores — ann_recall_batch in-window computes
+    #     the identical exact-cosine fold as its truth legs (and the
+    #     row stays timed every round in the headline bench);
+    #   * events_microsecond_exact — the integer-µs event-time
+    #     discipline is driven in-window by sessionize_events and the
+    #     funnel/sequence rows (unix_micros on every path);
+    #   * funnel_timing_events — the funnel_users core carries r13
+    #     evidence via funnel_view_click_purchase_events, and the
+    #     funnel family is in-window via the strict-order and sequence
+    #     rows;
+    #   * intersect_except_parts — string_functions_parts in-window
+    #     covers the parts-table SQL-surface lane (set-op semantics
+    #     additionally pinned by tests);
+    #   * multimodal_media_meta — multimodal_decode_wav in-window
+    #     drives the same media header-parse module surface;
+    #   * multimodal_video_frames_netpbm —
+    #     multimodal_image_features_netpbm in-window drives the same
+    #     netpbm frame parser (video = concatenated netpbm frames);
+    #   * qda_train_predict_histogram — nb_train_predict_histogram
+    #     in-window rides the same train/predict + sql_twin
+    #     scaffolding over the identical feature frame;
+    #   * snapshot_diff_documents — the snapshot row-set machinery's
+    #     sibling scd2_snapshot_events carries r13 evidence;
+    #   * temperature_mix_sample — train_val_test_split in-window
+    #     drives the same deterministic hash-split sampling family;
+    #   * token_entropy_documents — vocabulary_top_tokens in-window is
+    #     the same ws_tokens frequency aggregate, and corpus_data_card
+    #     in-window hash-gates the shared textstats expressions.
+    "auc_ovr_events",
+    "brand_revenue",
+    "cube_lineitem",
+    "duplicate_passage_flags",
+    "embedding_cosine_scores",
+    "events_microsecond_exact",
+    "funnel_timing_events",
+    "intersect_except_parts",
+    "multimodal_media_meta",
+    "multimodal_video_frames_netpbm",
+    "qda_train_predict_histogram",
+    "snapshot_diff_documents",
+    "temperature_mix_sample",
+    "token_entropy_documents",
+    # rotated out round 14: the r13 window minus its three hygiene
+    # re-entries (CORRECTNESS_r13.json: 50/50 rows+schema+hash, zero
+    # err) — the r18 rotation cohort.  Premise notes for rows whose
+    # module code changed this round (the r12 precedent: a row may
+    # stay demoted only on a machine-checked plan-identity premise):
+    #   * minhash_dedup_survivors, decontaminate_documents,
+    #     dedup_components_transitive — dedup.py's band-bucket key
+    #     construction was factored into _band_buckets_from_sig
+    #     (ADVICE r13 #3), a pure code move producing the identical
+    #     resolved expression; the plan-shape ratchet
+    #     (tests/plan_shapes_sf0001.json) passed unchanged for every
+    #     dedup row after the refactor;
+    #   * window_funnel_events_ntz_raw / window_funnel_events /
+    #     window_funnel_stream_events — window_funnel gained the
+    #     OPT-IN prefilter_events parameter (default False) and the
+    #     strict-order branch hoisted; the non-strict branch these
+    #     rows run is expression-identical and their ratchet rows
+    #     passed unchanged;
+    #   * pagerank_navigation / ppr_navigation_seeded — graph.py
+    #     change was docstring-only (ADVICE r13 #2).
+    "ann_ivf_topk",
+    "asof_join_click_to_view",
+    "auc_value_purchase_events",
+    "case_when_null_buckets",
+    "casts_and_dates",
+    "correlated_subqueries_orders",
+    "cross_join_triples",
+    "decontaminate_documents",
+    "dedup_components_transitive",
+    "distinct_category_dictionary",
+    "events_hourly_rollup",
+    "ewma_events",
+    "exact_dedup_documents",
+    "funnel_view_click_purchase_events",
+    "heavy_hitter_tokens",
+    "json_extract_events",
+    "ks_value_click_view_events",
+    "lda_train_predict_histogram",
+    "leakage_safe_folds_documents",
+    "lift_sum_equivalence",
+    "list_extract_position",
+    "math_scalar_functions",
+    "mean_mode_stats",
+    "mice_recovery_rmse",
+    "minhash_dedup_survivors",
+    "orders_window_top3",
+    "per_class_calibration_events",
+    "pii_scrub_documents",
+    "pivot_order_status",
+    "q1_pricing_summary",
+    "quality_classifier_documents",
+    "quantile_buckets_lineitem",
+    "quantized_cosine_topk",
+    "rollup_lineitem",
+    "scd2_snapshot_events",
+    "seasonal_anomalies_events",
+    "semi_join_urgent_customers",
+    "sequence_id_generation",
+    "stratified_sample_documents",
+    "streaming_calibration_events",
+    "target_encode_events",
+    "text_stats_documents",
+    "unigram_logprob_scores",
+    "union_partition_counts",
+    "validate_lineitem_constraints",
+    "window_funnel_events_ntz_raw",
+    "window_funnel_stream_events",
     # rotated out round 13: the entire r12 window
     # (CORRECTNESS_r12.json: 50/50 rows+schema+hash, zero err), all
     # implementation-stable this round — the r17 rotation cohort:
@@ -393,56 +473,6 @@ _DRIVER_DEMOTE: list[str] = [
     "triple_lineitem_wide",
     "weighted_sample_documents",
     "window_funnel_events",
-    # r10-evidence cohort — the r14-window fill after the deferred
-    # ten:
-    "ann_ivfpq_topk",
-    "auc_ovr_events",
-    "bm25_search_documents",
-    "bpe_encode_documents",
-    "brand_revenue",
-    "chunk_documents_catalog",
-    "cube_lineitem",
-    "dedup_cluster_sizes",
-    "duplicate_passage_flags",
-    "embedding_cosine_scores",
-    "embedding_dup_pairs_lsh",
-    "events_microsecond_exact",
-    "funnel_stream_view_click_purchase_events",
-    "funnel_timing_events",
-    "intersect_except_parts",
-    "interval_overlap_view_purchase",
-    "line_dedup_documents",
-    "minhash_index_dedup_new",
-    "multiclass_report_events",
-    "multimodal_decode_wav",
-    "multimodal_image_features_netpbm",
-    "multimodal_media_meta",
-    "multimodal_video_frames_netpbm",
-    "nb_train_predict_histogram",
-    "nb_triple_orders",
-    "normalize_text_documents",
-    "pca_project_embeddings",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "q6_forecast_revenue",
-    "qda_train_predict_histogram",
-    "range_join_click_view_window",
-    "repetition_metrics_documents",
-    "rolling_customer_spend",
-    "salted_join_segment_revenue",
-    "snapshot_diff_documents",
-    "sql_passthrough_shared_dialect",
-    "string_functions_parts",
-    "strip_html_documents",
-    "temperature_mix_sample",
-    "token_entropy_documents",
-    "train_val_test_split",
-    "triple_factorized_join_grouped",
-    "triple_lineitem_full",
-    "unpivot_lineitem_charges",
-    "validate_rows_lineitem",
-    "vocabulary_top_tokens",
-    "zorder_key_lineitem",
 ]
 
 
@@ -11716,4 +11746,284 @@ def window_funnel_events_ntz_raw(spark, sf):
     )
     return out.groupBy("depth").agg(
         F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+
+
+# --------------------------------------------------------------------- #
+# Round-14 registrations: the three rows staged through r13 in          #
+# queries_pending.py (sequence_count / its live twin / top_paths —      #
+# operators built in the interrupted r13 build window), promoted when   #
+# the r14 rotation opened slots (VERDICT r13 Next #9).  Moved verbatim; #
+# see queries_pending.py's docstring and git history for the staging.   #
+# --------------------------------------------------------------------- #
+
+
+def _sequence_count_fold_sql(
+    stages: "list[str]", within_us: "int | None"
+) -> str:
+    """DuckDB replay of sequence_count's single-pass machine as a
+    RECURSIVE-CTE automaton: events get a per-user step number
+    (``row_number() OVER (PARTITION BY u ORDER BY t, si)`` — the
+    operator's exact tie order), and the recursion advances every
+    user's (k next-expected stage, lt last matched time, n
+    completions) state one event per level; the final state is the
+    row at each user's event count.
+
+    Why not ``list_reduce`` (the cusum/ewma oracle idiom): DuckDB
+    1.0.0's list_reduce returns WRONG results for this lambda under
+    multi-row evaluation — the SAME literal list folds to the correct
+    answer in a 1-row query and to a different answer when co-batched
+    with rows of other lengths; struct, HUGEINT and BIGINT
+    accumulators all reproduce it.  Found by this row's fuzz twin
+    while the Spark fold and the pure-Python machine agreed;
+    tests/test_sequence_count.py pins a 3-row minimal repro as a
+    canary (if DuckDB ever fixes it, the canary fails and the
+    recursive machine may be rewritten as a fold).
+
+    Emits CTEs ending in ``counts(u, n_matches)``; callers must open
+    with ``WITH RECURSIVE``.
+    """
+    if len(stages) < 1:
+        raise ValueError("sequence_count needs at least one stage")
+    case = " ".join(
+        f"WHEN '{s}' THEN {i}" for i, s in enumerate(stages)
+    )
+    last = len(stages) - 1
+    gap = (
+        "FALSE"
+        if within_us is None
+        else f"(s.t - m.lt) > {int(within_us)}"
+    )
+    return f"""
+    base AS (
+      SELECT user_id AS u, epoch_us(ts) AS t,
+             CASE event_type {case} ELSE -1 END AS si
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND event_type IS NOT NULL
+    ), seq AS (
+      SELECT u, t, si,
+             row_number() OVER (PARTITION BY u ORDER BY t, si) AS rn
+      FROM base
+    ), nev AS (
+      SELECT u, COUNT(*) AS cnt FROM seq GROUP BY u
+    ), machine AS (
+      SELECT u, CAST(0 AS BIGINT) AS rn, 0 AS k,
+             CAST(NULL AS BIGINT) AS lt, CAST(0 AS BIGINT) AS n
+      FROM nev
+      UNION ALL
+      SELECT m.u, s.rn,
+        CASE WHEN s.si < 0 OR s.si != m.k THEN m.k
+             WHEN m.k > 0 AND {gap} THEN 0
+             WHEN m.k = {last} THEN 0
+             ELSE m.k + 1 END AS k,
+        CASE WHEN s.si < 0 OR s.si != m.k THEN m.lt
+             WHEN m.k > 0 AND {gap} THEN CAST(NULL AS BIGINT)
+             WHEN m.k = {last} THEN CAST(NULL AS BIGINT)
+             ELSE s.t END AS lt,
+        CASE WHEN s.si >= 0 AND s.si = m.k AND m.k = {last}
+                  AND NOT (m.k > 0 AND {gap})
+             THEN m.n + 1 ELSE m.n END AS n
+      FROM machine m JOIN seq s ON s.u = m.u AND s.rn = m.rn + 1
+    ), counts AS (
+      SELECT m.u, m.n AS n_matches
+      FROM machine m JOIN nev ON nev.u = m.u AND m.rn = nev.cnt
+    )"""
+
+
+_SEQ_COUNT_STAGES = ["view", "click", "purchase"]
+_SEQ_COUNT_WITHIN_S = 86400.0  # adjacent-gap bound, ClickHouse (?t<=N):
+# 24 h discriminates on the testdata (1 h zeroes every user; None seldom
+# resets) — the histogram exercises BOTH the gap-reset and the counting
+
+
+def _sequence_count_oracle(sf_dir: str) -> str:
+    fold = _sequence_count_fold_sql(
+        _SEQ_COUNT_STAGES, int(_SEQ_COUNT_WITHIN_S * 1_000_000)
+    )
+    return f"""
+    WITH RECURSIVE {fold}
+    SELECT CAST(n_matches AS INT) AS n_matches,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM counts GROUP BY n_matches
+    """
+
+
+ORACLE_FACTORIES["sequence_count_events"] = _sequence_count_oracle
+
+
+@register("sequence_count_events")
+def sequence_count_events(spark, sf):
+    """ClickHouse ``sequenceCount('(?1)(?t<=86400)(?2)(?t<=86400)(?3)')``
+    parity over the events table (operators/funnel.py sequence_count,
+    new in r13): per user, the number of NON-OVERLAPPING
+    view->click->purchase completions under a 24-hour adjacent-gap
+    bound, counted by the documented deterministic single-pass machine
+    ((t, stage-index) order, expected-type advance, gap reset,
+    count+reset on completion), histogrammed to (n_matches, n_users).
+    The oracle replays the identical machine as a recursive-CTE
+    automaton — NOT as a list_reduce fold, because DuckDB 1.0.0's
+    list_reduce misfolds this lambda under multi-row evaluation, a
+    real engine bug this row's fuzz twin found
+    (tests/test_sequence_count.py pins a 3-row minimal repro; see
+    _sequence_count_fold_sql).  All-integer output, zero
+    float surface.  Scale shape: ONE keyed collect_list + a JVM
+    aggregate fold (the ewma/cusum family — per-user series in one
+    task, max_series the named-error guard), then a <=O(distinct
+    counts) histogram aggregate."""
+    from .operators.funnel import sequence_count
+
+    ev = load_table(spark, sf, "events")
+    out = sequence_count(
+        ev,
+        "user_id",
+        "ts",
+        "event_type",
+        _SEQ_COUNT_STAGES,
+        within=_SEQ_COUNT_WITHIN_S,
+    )
+    return out.groupBy(
+        F.col("n_matches").cast("int").alias("n_matches")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+
+
+def _sequence_count_stream_oracle(sf_dir: str) -> str:
+    fold = _sequence_count_fold_sql(
+        _SEQ_COUNT_STAGES, int(_SEQ_COUNT_WITHIN_S * 1_000_000)
+    )
+    # the stream emits one row per COMPLETION, so users with zero
+    # completions never appear — the batch histogram restricted to
+    # n_matches >= 1
+    return f"""
+    WITH RECURSIVE {fold}
+    SELECT CAST(n_matches AS INT) AS n_matches,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM counts WHERE n_matches > 0 GROUP BY n_matches
+    """
+
+
+ORACLE_FACTORIES["sequence_count_stream_events"] = (
+    _sequence_count_stream_oracle
+)
+
+
+@register("sequence_count_stream_events")
+def sequence_count_stream_events(spark, sf):
+    """The LIVE sequenceCount twin end to end (streaming/
+    funnel_stream.py sequence_count_stream on applyInPandasWithState,
+    EventTimeTimeout) — the family's proven availableNow pattern: the
+    events table replays as TWO files through ONE checkpoint (split at
+    the timestamp midpoint, so run 2 recovers run 1's machine scalars
+    and unsealed buffer from the state store) and a stage-type
+    sentinel under an excluded user a day past the horizon advances
+    the final watermark so every buffer seals.  Per user the emitted
+    completion rows carry cumulative counts exactly 1..N for the batch
+    sequence_count N, so max(n_matches) per user histogrammed must
+    equal the batch row's histogram restricted to n >= 1 — the same
+    recursive-CTE oracle as sequence_count_events with a positive
+    filter.  All-integer output, zero float surface."""
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming.funnel_stream import sequence_count_stream
+
+    ev = load_table(spark, sf, "events").select(
+        "user_id", "ts", "event_type"
+    ).where(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    lo_us, hi_us = ev.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).first()
+    mid = F.timestamp_micros(F.lit((lo_us + hi_us) // 2))
+    hi = F.timestamp_micros(F.lit(hi_us))
+    sentinel = spark.range(1).select(
+        F.lit(-1).cast("long").alias("user_id"),
+        (hi + F.expr("INTERVAL 1 DAY")).alias("ts"),
+        F.lit(_SEQ_COUNT_STAGES[0]).alias("event_type"),
+    )
+    tmp = tempfile.mkdtemp(prefix="sc_stream_row_")
+    outdir = f"{_session_scratch('sc_stream_out_')}/out"
+    try:
+        src = f"{tmp}/src"
+        os.makedirs(src)
+        halves = [
+            ev.where(F.col("ts") <= F.lit(mid)),
+            ev.where(F.col("ts") > F.lit(mid)).unionByName(sentinel),
+        ]
+        for i, half in enumerate(halves):
+            half.coalesce(1).write.parquet(f"{tmp}/h{i}")
+            part = [
+                f
+                for f in os.listdir(f"{tmp}/h{i}")
+                if f.endswith(".parquet")
+            ][0]
+            shutil.copy(f"{tmp}/h{i}/{part}", f"{src}/half{i}.parquet")
+            stream = spark.readStream.schema(halves[0].schema).parquet(src)
+            q = (
+                sequence_count_stream(
+                    stream,
+                    _SEQ_COUNT_STAGES,
+                    within=_SEQ_COUNT_WITHIN_S,
+                    watermark="10 minutes",
+                )
+                .writeStream.format("parquet")
+                .option("path", outdir)
+                .option("checkpointLocation", f"{tmp}/cp")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        out = spark.read.parquet(outdir).where(F.col("user_id") >= 0)
+        return (
+            out.groupBy("user_id")
+            .agg(F.max("n_matches").cast("int").alias("n_matches"))
+            .groupBy("n_matches")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_TOP_PATHS_ORACLE = """
+    WITH base AS (
+      SELECT user_id AS u, epoch_us(ts) AS t, event_type AS et
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND event_type IS NOT NULL
+    ), arr AS (
+      SELECT u, list(et ORDER BY t, et) AS es FROM base GROUP BY u
+    ), paths AS (
+      SELECT array_to_string(es[1:3], '>') AS path FROM arr
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM paths GROUP BY path
+    ORDER BY n_users DESC, path ASC LIMIT 20
+    """
+
+
+@register("top_event_paths_events", oracle=_TOP_PATHS_ORACLE)
+def top_event_paths_events(spark, sf):
+    """Top-20 opening event paths (operators/funnel.py top_paths, new
+    r13): each user's first THREE event types in (ts, type) order
+    joined with '>' — the funnel-DISCOVERY view (which ordered
+    journeys actually happen) that precedes choosing funnel stages.
+    Deterministic end to end: equal-µs ties break lexicographically on
+    the type name and the cut orders by (n_users DESC, path ASC) — a
+    total order, so the top-20 SET is exact; output is one string and
+    one exact BIGINT per row, zero rounding surface.  The oracle is
+    the same journey list built with DuckDB's ordered list aggregate,
+    sliced and joined identically.  Scale shape: one keyed
+    collect_list of slim (µs, type) structs, a JVM
+    slice/transform/array_join projection, ONE map-side-combined
+    GROUP BY on <= |types|^3 path strings, and a TakeOrdered top-20."""
+    from .operators.funnel import top_paths
+
+    ev = load_table(spark, sf, "events")
+    return top_paths(
+        ev, "user_id", "ts", "event_type", max_len=3, top_n=20
     )

@@ -65,9 +65,9 @@ def _ddb_con(rows):
 
 def _ddb_twin(rows, stages, within_us=None):
     """The staged catalog row's recursive-CTE automaton (see
-    queries_pending._sequence_count_fold_sql for why it is not a
+    queries._sequence_count_fold_sql for why it is not a
     list_reduce fold)."""
-    from duckdb_imputation_spark.queries_pending import (
+    from duckdb_imputation_spark.queries import (
         _sequence_count_fold_sql,
     )
 
@@ -99,7 +99,7 @@ def test_duckdb_list_reduce_multirow_bug_canary():
     have hash-matched Spark for rounds — this canary guards the
     specific multi-list regime.  If this test FAILS, the engine bug
     was fixed: the recursive machine in
-    queries_pending._sequence_count_fold_sql may be rewritten as a
+    queries._sequence_count_fold_sql may be rewritten as a
     readable fold."""
     con = duckdb.connect()
     # events (t, stage_index): view, untracked, untracked, view,
