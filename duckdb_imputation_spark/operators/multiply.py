@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from ..functions.triple import cat_pairs, n_quad, pair_index
 from .cofactor import lift_columns, sum_to_triple, sum_triples
 
-__all__ = ["multiply_triples", "triple_over_join"]
+__all__ = ["multiply_triples", "multiply_flatten_entries", "triple_over_join"]
 
 
 def _scale_kv(arr: Column, factor: Column) -> Column:
@@ -217,6 +217,185 @@ def multiply_triples(
     return F.struct(*fields)
 
 
+def _flat_entry(
+    part: str, i: int, j: int, k1: Column, k2: Column, val: Column
+) -> Column:
+    """One flat statistic entry struct — field-for-field the layout
+    :func:`~.flatten.flatten_triple` emits."""
+    return F.struct(
+        F.lit(part).alias("part"),
+        F.lit(i).cast("int").alias("i"),
+        F.lit(j).cast("int").alias("j"),
+        k1.cast("int").alias("k1"),
+        k2.cast("int").alias("k2"),
+        val.cast("double").alias("val"),
+    )
+
+
+def multiply_flatten_entries(
+    left: Column,
+    right: Column,
+    shape_left: tuple[int, int],
+    shape_right: tuple[int, int],
+    nb: bool = False,
+) -> Column:
+    """Flat entry rows of the ⊗ product, fused (r14, guide §1.2): the
+    array :func:`~.flatten.flatten_triple` would generate from
+    ``multiply_triples(left, right)``, with each slot's product
+    expression inlined directly into its entry struct — the
+    intermediate nested product struct (13+ array allocations per
+    joined key for the (1,1)x(1,1) shape, walked again by the
+    generator) is never built.
+
+    Element-for-element identical to flatten(multiply(...)), in the
+    same emission order: every slot below computes the same arithmetic
+    as the corresponding :func:`multiply_triples` block (scalar slots
+    read the same element_at positions; map slots compose the scale
+    into the entry transform; the cat×cat cross block keeps the same
+    sort so even within-row emission order is unchanged).  Feed to
+    ``F.inline`` and sum with one grouped aggregation."""
+    d1, c1 = shape_left
+    d2, c2 = shape_right
+    d, c = d1 + d2, c1 + c2
+    a, b = left, right
+    na = a["N"].cast("double")
+    nb_ = b["N"].cast("double")
+
+    def a_lin(i: int) -> Column:
+        return F.element_at(a["lin_agg"], i + 1)
+
+    def b_lin(i: int) -> Column:
+        return F.element_at(b["lin_agg"], i + 1)
+
+    arrays = [F.array(_flat_entry("N", -1, -1, F.lit(-1), F.lit(-1), a["N"] * b["N"]))]
+    for i in range(d):
+        val = a_lin(i) * nb_ if i < d1 else b_lin(i - d1) * na
+        arrays.append(
+            F.array(_flat_entry("lin", i, -1, F.lit(-1), F.lit(-1), val))
+        )
+    quad_pairs = [(i, i) for i in range(d)] if nb else [
+        (i, j) for i in range(d) for j in range(i, d)
+    ]
+    for i, j in quad_pairs:
+        if nb:
+            # nb quad slots are the diagonal in storage order (slot p =
+            # pair (p, p)); sides scale like lin
+            val = (
+                F.element_at(a["quad_agg"], i + 1) * nb_
+                if i < d1
+                else F.element_at(b["quad_agg"], i - d1 + 1) * na
+            )
+        elif j < d1:
+            val = F.element_at(a["quad_agg"], pair_index(i, j, d1) + 1) * nb_
+        elif i >= d1:
+            val = (
+                F.element_at(b["quad_agg"], pair_index(i - d1, j - d1, d2) + 1)
+                * na
+            )
+        else:
+            val = a_lin(i) * b_lin(j - d1)
+        arrays.append(
+            F.array(_flat_entry("quad", i, j, F.lit(-1), F.lit(-1), val))
+        )
+
+    def kv_entries(part: str, i: int, j: int, arr: Column, factor: Column) -> Column:
+        return F.transform(
+            arr,
+            lambda e: _flat_entry(
+                part, i, j, e["key"], F.lit(-1), e["value"] * factor
+            ),
+        )
+
+    for j in range(c):
+        arrays.append(
+            kv_entries("lin_cat", j, -1, F.element_at(a["lin_cat"], j + 1), nb_)
+            if j < c1
+            else kv_entries(
+                "lin_cat", j, -1, F.element_at(b["lin_cat"], j - c1 + 1), na
+            )
+        )
+    if nb:
+        return F.concat(*arrays)
+
+    for i in range(d):
+        for j in range(c):
+            if i < d1 and j < c1:
+                e = kv_entries(
+                    "quad_num_cat", i, j,
+                    F.element_at(a["quad_num_cat"], i * c1 + j + 1), nb_,
+                )
+            elif i >= d1 and j >= c1:
+                e = kv_entries(
+                    "quad_num_cat", i, j,
+                    F.element_at(
+                        b["quad_num_cat"], (i - d1) * c2 + (j - c1) + 1
+                    ),
+                    na,
+                )
+            elif i < d1:  # num from A × cat from B
+                e = kv_entries(
+                    "quad_num_cat", i, j,
+                    F.element_at(b["lin_cat"], j - c1 + 1), a_lin(i),
+                )
+            else:  # num from B × cat from A
+                e = kv_entries(
+                    "quad_num_cat", i, j,
+                    F.element_at(a["lin_cat"], j + 1), b_lin(i - d1),
+                )
+            arrays.append(e)
+
+    def kkv_entries(x: int, y: int, arr: Column, factor: Column) -> Column:
+        return F.transform(
+            arr,
+            lambda e: _flat_entry(
+                "quad_cat", x, y, e["key1"], e["key2"], e["value"] * factor
+            ),
+        )
+
+    for x, y in cat_pairs(c):
+        if y < c1:
+            arrays.append(
+                kkv_entries(
+                    x, y,
+                    F.element_at(a["quad_cat"], pair_index(x, y, c1) + 1),
+                    nb_,
+                )
+            )
+        elif x >= c1:
+            arrays.append(
+                kkv_entries(
+                    x, y,
+                    F.element_at(
+                        b["quad_cat"], pair_index(x - c1, y - c1, c2) + 1
+                    ),
+                    na,
+                )
+            )
+        else:
+            # cat from A × cat from B: full key cross product; the sort
+            # keeps the exact emission order of the unfused path (the
+            # entry prefix (part,i,j) is constant, so ordering by the
+            # entry equals the old sort_array over (key1,key2,value))
+            arrays.append(
+                F.sort_array(
+                    F.flatten(
+                        F.transform(
+                            F.element_at(a["lin_cat"], x + 1),
+                            lambda e1: F.transform(
+                                F.element_at(b["lin_cat"], y - c1 + 1),
+                                lambda e2: _flat_entry(
+                                    "quad_cat", x, y,
+                                    e1["key"], e2["key"],
+                                    e1["value"] * e2["value"],
+                                ),
+                            ),
+                        )
+                    )
+                )
+            )
+    return F.concat(*arrays)
+
+
 def triple_over_join(
     df1: DataFrame,
     df2: DataFrame,
@@ -340,6 +519,27 @@ def triple_over_join(
         c = lhs.eqNullSafe(rhs) if null_safe_keys else lhs == rhs
         cond = c if cond is None else cond & c
     joined = g1.join(g2, cond, "inner").drop(*[f"__rhs_{k}" for k in keys])
+    if flat_entries:
+        # fused ⊗+flatten (r14, guide §1.2): generate the flat product
+        # entries straight off (__t1, __t2) — the nested product struct
+        # is never built — then ONE grouped sum.  Element-for-element
+        # (values AND emission order) identical to
+        # flatten(multiply_triples(...)), see multiply_flatten_entries.
+        entries = joined.select(
+            *group_by,
+            F.inline(
+                multiply_flatten_entries(
+                    F.col("__t1"),
+                    F.col("__t2"),
+                    (len(num1), len(cat1)),
+                    (len(num2), len(cat2)),
+                    nb=nb,
+                )
+            ),
+        )
+        return entries.groupBy(*group_by, "part", "i", "j", "k1", "k2").agg(
+            F.sum("val").alias("val")
+        )
     prod = joined.select(
         *keys,
         *group_by,
@@ -361,5 +561,4 @@ def triple_over_join(
         group_by=group_by,
         nb=nb,
         result_col=result_col,
-        flat_entries=flat_entries,
     )

@@ -169,6 +169,18 @@ def test_triple_over_join_flat_entries_equals_flattened(ring_fixture):
         ).collect()
     )
     assert got == exp
+    # the sum_triples-level flat mode must agree too (the generic form,
+    # not the fused ⊗ generator triple_over_join uses)
+    from duckdb_imputation_spark.operators.cofactor import sum_triples
+
+    prod = triple_over_join(
+        ring_fixture, ring_fixture, keep_key=True, **kwargs
+    )
+    got2 = sorted(
+        tuple(r)
+        for r in sum_triples(prod, "triple", 4, 4, flat_entries=True).collect()
+    )
+    assert got2 == exp
 
 
 def test_unique_right_debug_guard_trips_on_duplicate_keys(spark, monkeypatch):
@@ -197,3 +209,44 @@ def test_unique_right_debug_guard_trips_on_duplicate_keys(spark, monkeypatch):
         left, uniq_right, on="k", num1=["x"], num2=["y"]
     ).collect()[0]["triple"]
     assert triple_dict(ok) == triple_dict(agg_t)
+
+
+def test_triple_over_join_flat_entries_nb_and_grouped(ring_fixture):
+    """The fused flat-entry generator (multiply_flatten_entries) equals
+    flatten(assembled ⊕) on the nb diagonal shape and under group_by."""
+    from duckdb_imputation_spark.operators.flatten import flatten_triple
+
+    nb_kwargs = dict(on="gb", num1=["b"], cat1=["d"], num2=["a"], cat2=["f"], nb=True)
+    exp = sorted(
+        tuple(r)
+        for r in flatten_triple(
+            triple_over_join(ring_fixture, ring_fixture, **nb_kwargs),
+            2, 2, nb=True,
+        ).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in triple_over_join(
+            ring_fixture, ring_fixture, flat_entries=True, **nb_kwargs
+        ).collect()
+    )
+    assert got == exp
+
+    g_kwargs = dict(
+        on="gb", num1=["b", "c"], cat1=["d"], num2=["a"], cat2=["f"],
+        group_by=["e"],
+    )
+    exp_g = sorted(
+        tuple(r)
+        for r in flatten_triple(
+            triple_over_join(ring_fixture, ring_fixture, **g_kwargs),
+            3, 2, group_by=["e"],
+        ).collect()
+    )
+    got_g = sorted(
+        tuple(r)
+        for r in triple_over_join(
+            ring_fixture, ring_fixture, flat_entries=True, **g_kwargs
+        ).collect()
+    )
+    assert got_g == exp_g
